@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs after `graft.Verify` has dumped query results: for every query with an
+oracle, executes the oracle SQL in DuckDB over the same parquet tables and
+compares row counts + canonicalized values against the Spark result.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, os, json, math
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in v.items()) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    npass = nfail = nskip = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: no Spark result dir")
+            nfail += 1
+            continue
+        try:
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = [tuple(r[exp.columns.index(c)] for c in exp_cols)
+                        for r in exp.fetchall()]
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            nfail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            got_cols = sorted(got.columns)
+            got_rows = [tuple(r[got.columns.index(c)] for c in got_cols)
+                        for r in got.fetchall()]
+        except Exception as e:
+            print(f"FAIL {name}: spark result read error: {e}")
+            nfail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns differ spark={got_cols} oracle={exp_cols}")
+            nfail += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: rowcount spark={len(got_rows)} oracle={len(exp_rows)}")
+            nfail += 1
+            continue
+        bad = None
+        for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
+            cg, ce = [canon(x) for x in g], [canon(x) for x in e]
+            if cg != ce:
+                bad = (i, cg, ce)
+                break
+        if bad:
+            i, cg, ce = bad
+            print(f"FAIL {name}: row {i} differs\n  cols : {exp_cols}\n  spark: {cg}\n  duck : {ce}")
+            nfail += 1
+        else:
+            print(f"PASS {name} ({len(got_rows)} rows)")
+            npass += 1
+    print(f"\n{npass} pass, {nfail} fail")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [EXT] Text-analysis + deduplication surface over `documents`
+  * (SURVEY §2.5; mandated by the north star: LLM training-data pipeline
+  * operators at 100 TB scale).
+  *
+  * Oracle-checked queries use only engine-portable constructs (split,
+  * list_distinct, lambdas, md5, int/int division). MinHash/SimHash use
+  * xxhash64 and are Spark-only (rows-only check) — see
+  * [[graft.operators.Dedup]] for the scalable implementations.
+  */
+object TextOps {
+
+  /** Languages and their (tiny, synthetic-corpus-appropriate) stopword
+    * sets for the language-ID heuristic. */
+  private val stopEn = Seq("the", "a", "of", "and", "is")
+  private val stopEs = Seq("la", "el", "de", "los", "es")
+  private val stopFr = Seq("le", "la", "les", "de", "est")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+
+  private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  val defs: Seq[QDef] = Seq(
+
+    // --- exact dedup by key: keep min doc_id per (lang, source) -----------
+    // Deterministic formulation of dropDuplicates: group + arg-min. At
+    // 100 TB this is a single hash aggregate on the dedup key.
+    QDef("d01_dedup_by_key", (s, dir) => {
+      val t = Tables.register(s, dir)
+      Dedup.exactByKey(t("documents"), Seq("lang", "source"), "doc_id")
+        .orderBy("lang", "source")
+    }, Some("""
+      SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY lang, source
+      ORDER BY lang, source""")),
+
+    // --- exact full-text dedup census --------------------------------------
+    QDef("d02_dedup_exact_text", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("documents").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        countDistinct(md5(col("text"))).as("n_distinct_md5"))
+    }, Some("""
+      SELECT COUNT(*) AS n_rows,
+             COUNT(DISTINCT text) AS n_distinct_text,
+             COUNT(DISTINCT MD5(text)) AS n_distinct_md5
+      FROM documents""")),
+
+    // --- token statistics ---------------------------------------------------
+    QDef("d03_token_stats", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val toks = split(col("text"), " ")
+      t("documents")
+        .select(col("doc_id"),
+                size(toks).cast(IntegerType).as("n_tokens"),
+                size(array_distinct(toks)).cast(IntegerType).as("n_uniq"),
+                (size(array_distinct(toks)).cast(DoubleType) /
+                 size(toks).cast(DoubleType)).as("uniq_ratio"),
+                (length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+                 size(toks).cast(DoubleType)).as("avg_wordlen"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(LEN(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+             CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+               CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) /
+               CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS avg_wordlen
+      FROM documents
+      ORDER BY doc_id""")),
+
+    // --- language-ID heuristic (stopword argmax, deterministic ladder) ----
+    QDef("d04_lang_id", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val toks = split(col("text"), " ")
+      def hits(xs: Seq[String]) =
+        size(filter(toks, x => x.isin(xs.map(lit): _*))).cast(IntegerType)
+      t("documents")
+        .withColumn("en_hits", hits(stopEn))
+        .withColumn("es_hits", hits(stopEs))
+        .withColumn("fr_hits", hits(stopFr))
+        .withColumn("de_hits", hits(stopDe))
+        .withColumn("lang_pred",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") &&
+               col("en_hits") >= col("de_hits"), "en")
+            .when(col("es_hits") >= col("fr_hits") && col("es_hits") >= col("de_hits"), "es")
+            .when(col("fr_hits") >= col("de_hits"), "fr")
+            .otherwise("de"))
+        .select(col("doc_id"), col("en_hits"), col("es_hits"), col("fr_hits"),
+                col("de_hits"), col("lang_pred"), col("lang").as("lang_label"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+             CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                  WHEN fr_hits >= de_hits THEN 'fr'
+                  ELSE 'de' END AS lang_pred,
+             lang AS lang_label
+      FROM (
+        SELECT doc_id, lang,
+          CAST(LEN(list_filter(string_split(text, ' '), x -> x IN ${inList(stopEn)})) AS INT) AS en_hits,
+          CAST(LEN(list_filter(string_split(text, ' '), x -> x IN ${inList(stopEs)})) AS INT) AS es_hits,
+          CAST(LEN(list_filter(string_split(text, ' '), x -> x IN ${inList(stopFr)})) AS INT) AS fr_hits,
+          CAST(LEN(list_filter(string_split(text, ' '), x -> x IN ${inList(stopDe)})) AS INT) AS de_hits
+        FROM documents)
+      ORDER BY doc_id""")),
+
+    // --- quality score ------------------------------------------------------
+    QDef("d05_quality_score", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast(DoubleType)
+      val uniqRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
+      val stopRatio = size(filter(toks, x => x.isin(stopEn.map(lit): _*))).cast(DoubleType) / nTok
+      t("documents")
+        .select(col("doc_id"),
+                (least(nTok / 50.0, lit(1.0)) * 0.4 + uniqRatio * 0.3 +
+                 (lit(1.0) - stopRatio) * 0.3).as("quality"),
+                nTok.cast(IntegerType).as("n_tokens"))
+        .filter(col("quality") > 0.5)
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, quality, n_tokens FROM (
+        SELECT doc_id,
+               LEAST(n_tok / 50.0, 1.0) * 0.4 + uniq_ratio * 0.3 + (1.0 - stop_ratio) * 0.3 AS quality,
+               CAST(n_tok AS INT) AS n_tokens
+        FROM (
+          SELECT doc_id,
+                 CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                 CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                   CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+                 CAST(LEN(list_filter(string_split(text, ' '), x -> x IN ${inList(stopEn)})) AS DOUBLE) /
+                   CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+          FROM documents))
+      WHERE quality > 0.5
+      ORDER BY doc_id""")),
+
+    // --- bag-of-words fingerprint + fingerprint-level dedup ----------------
+    QDef("d09_fingerprint", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val fp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+      t("documents")
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("fingerprint")
+    }, Some("""
+      SELECT MD5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY 1
+      ORDER BY fingerprint""")),
+
+    // --- exact n-gram (word set) Jaccard near-dup pairs --------------------
+    // Pair space blocked by source (the realistic blocking key); exact
+    // Jaccard computed by token-set join — the verification stage of any
+    // LSH pipeline, and itself the oracle-checkable near-dup definition.
+    QDef("d06_jaccard_pairs", (s, dir) => {
+      val t = Tables.register(s, dir)
+      Dedup.jaccardPairs(t("documents"), "doc_id", "text", "source", 0.82)
+        .orderBy("doc_a", "doc_b")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, source, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.82
+      ORDER BY doc_a, doc_b""")),
+
+    // --- MinHash-LSH near-dup candidates (Spark-only: xxhash64 sketches) ---
+    QDef("d07_minhash_lsh", (s, dir) => {
+      val t = Tables.register(s, dir)
+      Dedup.minHashLsh(t("documents"), "doc_id", "text",
+                       numHashes = 32, bands = 8, jaccardThreshold = 0.82)
+        .orderBy("doc_a", "doc_b")
+    }, None),
+
+    // --- SimHash near-dup candidates (Spark-only) --------------------------
+    QDef("d08_simhash", (s, dir) => {
+      val t = Tables.register(s, dir)
+      Dedup.simHashPairs(t("documents"), "doc_id", "text", maxHamming = 12)
+        .orderBy("doc_a", "doc_b")
+    }, None),
+
+    // --- rolling-hash document fingerprint (Spark-only HOF fold) -----------
+    QDef("d10_rolling_hash", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("documents")
+        .select(col("doc_id"),
+                expr("""aggregate(split(text, ' '),
+                                  CAST(7 AS BIGINT),
+                                  (acc, w) -> pmod(acc * 1000003 + abs(pmod(xxhash64(w), 1000000007)), 2147483647))
+                     """).as("rolling_hash"))
+        .orderBy("doc_id")
+    }, None),
+
+    // --- multimodal column conventions: binary payload + typed metadata ----
+    // Text stands in for an opaque media payload (the container has no
+    // image/audio codecs — SURVEY §2.5 multimodal: the decode step is a
+    // deterministic stub, the schema/plumbing is real).
+    QDef("m01_multimodal_meta", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("documents")
+        .withColumn("payload", col("text").cast(BinaryType))
+        .withColumn("mime", lit("text/plain"))
+        .select(col("doc_id"),
+                length(col("payload")).cast(IntegerType).as("n_bytes"),
+                col("mime"),
+                ascii(col("text")).cast(IntegerType).as("first_byte"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS n_bytes,
+             'text/plain' AS mime,
+             CAST(ASCII(text) AS INT) AS first_byte
+      FROM documents
+      ORDER BY doc_id"""))
+  )
+}
