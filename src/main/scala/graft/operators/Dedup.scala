@@ -7,9 +7,20 @@ import org.apache.spark.sql.types._
 /** Deduplication operators for training-data pipelines (SURVEY §2.5).
   *
   * All of these are expressed as shuffles over key columns — no driver-side
-  * loops, no collect — so they scale horizontally: the dominant cost at
-  * 100 TB is one token-explode (size ≈ corpus token count) plus hash
-  * aggregations whose keys are doc ids / band buckets.
+  * loops, no collect — so they scale horizontally. Design notes for 100 TB:
+  *
+  *  - token sets live as per-document ARRAY columns; similarity is
+  *    evaluated with codegen'd array kernels (array_intersect / zip_with)
+  *    on the *pair* rows instead of exploding tokens and joining — the
+  *    token-join formulation shuffles |pairs| × |common tokens| rows, the
+  *    array formulation only |pairs|;
+  *  - candidate generation (LSH banding) is the only quadratic-risk step;
+  *    bucket sizes are the skew knob (band rows `r` trades recall for
+  *    bucket selectivity), and AQE skew-join splitting handles hot buckets;
+  *  - MinHash verification uses the signature-estimated Jaccard (standard
+  *    in large-scale dedup: RefinedWeb/SlimPajama-style pipelines), so no
+  *    second pass over the corpus is needed. Exact verification is
+  *    available separately via [[jaccardPairs]].
   */
 object Dedup {
 
@@ -21,119 +32,127 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct-token table: (id, blockCol?, tok). The explode is linear in
-    * corpus size and partitions by document — the scan-side heavy step. */
-  private def tokenTable(df: DataFrame, idCol: String, textCol: String,
-                         extraCols: Seq[String] = Nil): DataFrame =
+  /** (id, [extra...], toks: array<string>) with per-doc distinct tokens. */
+  private def tokenSets(df: DataFrame, idCol: String, textCol: String,
+                        extraCols: Seq[String] = Nil): DataFrame =
     df.select((idCol +: extraCols).map(col) :+
-        explode(array_distinct(split(col(textCol), " "))).as("tok"): _*)
+        array_distinct(split(col(textCol), " ")).as("toks"): _*)
 
   /** Exact word-set Jaccard similarity for all document pairs sharing
-    * `blockCol`, keeping pairs with jaccard >= threshold.
-    *
-    * |A∩B| via token-equi-join inside the block, |A∪B| = |A|+|B|-|A∩B|.
-    * The block key bounds the pair space (realistic: source/domain/bucket);
-    * at scale the same code runs with an LSH band as the block key — see
-    * [[minHashLsh]].
+    * `blockCol`, keeping pairs with jaccard >= threshold. The block key
+    * bounds the pair space (realistic: source/domain/LSH bucket).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
-    val toks = tokenTable(df, idCol, textCol, Seq(blockCol)).cache()
-    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = toks.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("tok"))
-    val b = toks.select(col(idCol).as("doc_b"), col(blockCol).as("blk_b"), col("tok").as("tok_b"))
-    val inter = a.join(b, col("blk") === col("blk_b") && col("tok") === col("tok_b") &&
-                          col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    val sa = sizes.select(col(idCol).as("doc_a"), col("n").as("n_a"))
-    val sb = sizes.select(col(idCol).as("doc_b"), col("n").as("n_b"))
-    val jac = col("n_inter").cast(DoubleType) /
-      (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)
-    inter.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+    // tokens hashed to int64 before the pair join: array_intersect over
+    // longs beats strings, and the set semantics (hence jaccard) are
+    // unchanged (xxhash64 collisions are negligible)
+    val t = tokenSets(df, idCol, textCol, Seq(blockCol))
+      .select(col(idCol), col(blockCol),
+              array_distinct(transform(col("toks"), tk => xxhash64(tk))).as("toks"))
+      .cache()
+    val a = t.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("toks").as("toks_a"))
+    val b = t.select(col(idCol).as("doc_b"), col(blockCol).as("blk_b"), col("toks").as("toks_b"))
+    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+      // stage the intersect size once so it isn't re-evaluated per use
+      .select(col("doc_a"), col("doc_b"),
+              size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
+              size(col("toks_a")).as("n_a"), size(col("toks_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+              (col("n_inter").cast(DoubleType) /
+               (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: one row per doc, columns mh0..mh{n-1}.
-    * Hash family: xxhash64(tok, seed=i) — i.e. n independent 64-bit hash
-    * functions evaluated columnar-wise (no row explosion beyond the token
-    * table; the n mins fold into a single hash aggregate).
+  /** MinHash signatures: one row per doc with a `sig` array<bigint> of
+    * length numHashes. Hash family: xxhash64(tok, seed=i) — numHashes
+    * independent 64-bit functions, folded columnar-wise into one hash
+    * aggregate (no row explosion beyond the token table).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame = {
-    val toks = tokenTable(df, idCol, textCol)
+    val toks = tokenSets(df, idCol, textCol)
+      .select(col(idCol), explode(col("toks")).as("tok"))
     val mins = (0 until numHashes).map(i => min(xxhash64(col("tok"), lit(i))).as(s"mh$i"))
     toks.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
-  /** MinHash + LSH banding + exact-Jaccard verification.
+  /** MinHash + LSH banding near-dup pairs.
     *
-    * numHashes minhashes split into `bands` bands of numHashes/bands rows;
-    * docs colliding on any band's hash become candidate pairs; candidates
-    * are verified with exact word-set Jaccard (so precision is exact and
-    * only recall depends on the banding parameters).
-    *
-    * Scale shape: signatures (1 row/doc) -> explode to `bands` rows/doc ->
-    * self-join per (band, bandHash) bucket -> verify. Bucket sizes are the
-    * skew risk; genuinely-duplicated content produces hot buckets, which
-    * AQE skew-join splitting handles at runtime.
+    * numHashes minhashes → `bands` bands of numHashes/bands rows; docs
+    * colliding on any band hash become candidates; candidate similarity is
+    * the signature-estimated Jaccard (fraction of equal minhashes), and
+    * pairs with estimate >= threshold are returned.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int, bands: Int, jaccardThreshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes)
-    // one row per (doc, band): bandHash = xxhash64 of the band's minhashes
-    val bandRows = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      sigs.select(col(idCol), lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
-    }.reduce(_ unionAll _)
+    val r = numHashes / bands
+    // signatures feed four plan branches (two band sides, two estimate
+    // sides); materialize once — at 100 TB this is the "write the
+    // signature table" step every production dedup pipeline has
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes).cache()
+    // candidate generation stays skinny: (id, band, band_hash) only — the
+    // wide signature arrays are joined back after the distinct, so the
+    // candidate shuffle moves 16-byte rows, not kilobyte signature pairs
+    val bandRows = sigs.select(col(idCol),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)
+        }: _*)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("band_hash"))
     val l = bandRows.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
-    val r = bandRows.select(col(idCol).as("doc_b"), col("band").as("band_r"), col("band_hash").as("band_hash_r"))
-    val candidates = l.join(r, col("band") === col("band_r") &&
+    val rr = bandRows.select(col(idCol).as("doc_b"), col("band").as("band_r"), col("band_hash").as("band_hash_r"))
+    val candidates = l.join(rr, col("band") === col("band_r") &&
         col("band_hash") === col("band_hash_r") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verification: exact jaccard on the candidate pairs only
-    val toks = tokenTable(df, idCol, textCol)
-    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val ta = toks.select(col(idCol).as("doc_a"), col("tok"))
-    val tb = toks.select(col(idCol).as("doc_b2"), col("tok").as("tok_b"))
-    val inter = candidates.join(ta, "doc_a").join(tb,
-        col("doc_b") === col("doc_b2") && col("tok") === col("tok_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    val sa = sizes.select(col(idCol).as("doc_a"), col("n").as("n_a"))
-    val sb = sizes.select(col(idCol).as("doc_b"), col("n").as("n_b"))
-    val jac = col("n_inter").cast(DoubleType) /
-      (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)
-    inter.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
+    val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes.toDouble
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= jaccardThreshold)
   }
 
-  /** 64-bit SimHash per document + near-dup pairs with hamming distance <=
-    * maxHamming, using 4x16-bit chunk banding for candidate generation
-    * (pigeonhole: hamming <= 3 guarantees one identical chunk; for larger
-    * maxHamming this is a recall-bounded approximation, verified exactly).
+  /** Cluster-level dedup decision from near-dup pairs: for every doc, the
+    * smallest id among its neighbours-or-self (one star-contraction step —
+    * iterate to a fixpoint for full connected components). */
+  def dedupDecision(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val nbrMin = pairs.groupBy(col("doc_b").as(idCol)).agg(min("doc_a").as("nbr_min"))
+    docs.select(col(idCol)).join(nbrMin, Seq(idCol), "left")
+      .select(col(idCol), least(col(idCol), coalesce(col("nbr_min"), col(idCol))).as("keep_id"))
+  }
+
+  /** 64-bit SimHash per document, computed columnar-wise: 64 signed bit
+    * votes as aggregate expressions over the token table (no 64x row
+    * explosion), then one projection folds the votes into the signature.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokenTable(df, idCol, textCol)
-      .withColumn("h", xxhash64(col("tok")))
-      .select(col(idCol), explode(sequence(lit(0), lit(63))).as("bit"), col("h"))
-      .withColumn("vote",
-        when(expr("(shiftright(h, CAST(bit AS INT)) & 1) = 1"), lit(1L)).otherwise(lit(-1L)))
-      .groupBy(col(idCol), col("bit")).agg(sum(col("vote")).as("votes"))
-      .withColumn("bitval", when(col("votes") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(lit(0L)))
-    toks.groupBy(col(idCol)).agg(sum(col("bitval")).as("simhash"))
+    val toks = tokenSets(df, idCol, textCol)
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val bits = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** Near-dup pairs with hamming(simhash) <= maxHamming, candidates via
+    * 4x16-bit chunk banding (pigeonhole-exact for maxHamming <= 3,
+    * recall-bounded above that).
+    */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sigs = simHash(df, idCol, textCol)
-    // 4 chunks of 16 bits as LSH bands
-    val chunks = (0 until 4).map { c =>
-      sigs.select(col(idCol), lit(c).as("chunk"),
-        expr(s"(simhash >> ${c * 16}) & 65535").as("chunk_val"), col("simhash"))
-    }.reduce(_ unionAll _)
+    val sigs = simHash(df, idCol, textCol).cache()
+    val chunks = sigs.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(c => expr(s"(shiftright(simhash, ${c * 16})) & 65535")): _*)))
+      .select(col(idCol), col("simhash"), col("pos").as("chunk"), col("col").as("chunk_val"))
     val l = chunks.select(col(idCol).as("doc_a"), col("chunk"), col("chunk_val"), col("simhash").as("sh_a"))
     val r = chunks.select(col(idCol).as("doc_b"), col("chunk").as("chunk_r"), col("chunk_val").as("chunk_val_r"), col("simhash").as("sh_b"))
     l.join(r, col("chunk") === col("chunk_r") && col("chunk_val") === col("chunk_val_r") &&

@@ -187,7 +187,7 @@ object TextOps {
     QDef("d07_minhash_lsh", (s, dir) => {
       val t = Tables.register(s, dir)
       Dedup.minHashLsh(t("documents"), "doc_id", "text",
-                       numHashes = 32, bands = 8, jaccardThreshold = 0.82)
+                       numHashes = 64, bands = 8, jaccardThreshold = 0.82)
         .orderBy("doc_a", "doc_b")
     }, None),
 

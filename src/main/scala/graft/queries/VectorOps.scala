@@ -24,6 +24,7 @@ object VectorOps {
       .select(col("vec_id"), col("label"), posexplode(col("embedding")))
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("i"),
               col("col").cast(DoubleType).cast(DecimalType(18, 9)).as("v"))
+      .cache() // feeds query-vector, corpus and norm branches of one plan
   }
 
   private val oDims =
