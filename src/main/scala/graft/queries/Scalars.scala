@@ -70,12 +70,12 @@ object Scalars {
       s.sql(s"""
         SELECT p_partkey, p_retailprice
         FROM part
-        WHERE p_retailprice > (SELECT ${oAvg("p_retailprice")} * 1.5 FROM part)
+        WHERE p_retailprice > (SELECT ${oAvg("p_retailprice")} FROM part)
         ORDER BY p_partkey""")
     }, Some(s"""
       SELECT p_partkey, p_retailprice
       FROM part
-      WHERE p_retailprice > (SELECT ${oAvg("p_retailprice")} * 1.5 FROM part)
+      WHERE p_retailprice > (SELECT ${oAvg("p_retailprice")} FROM part)
       ORDER BY p_partkey""")),
 
     // --- correlated subquery ----------------------------------------------

@@ -100,7 +100,7 @@ object VectorOps {
                 round(col("dot").cast(DoubleType) /
                  (sqrt(col("nrm_a").cast(DoubleType)) * sqrt(col("nrm_b").cast(DoubleType))), 9)
                   .as("cos"))
-        .filter(col("cos") >= 0.8)
+        .filter(col("cos") >= 0.3)
         .orderBy("vec_a", "vec_b")
     }, Some(s"""
       WITH d AS ($oDims),
@@ -114,7 +114,7 @@ object VectorOps {
                ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))), 9) AS cos
         FROM dots JOIN norms na ON vec_a = na.vec_id
                   JOIN norms nb ON vec_b = nb.vec_id)
-      WHERE cos >= 0.8
+      WHERE cos >= 0.3
       ORDER BY vec_a, vec_b""")),
 
     // --- production kernels: brute-force + ANN (Spark-only, benched) ------

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** [EXT] Structured Streaming surface over the `events` stream
+  * (SURVEY §2.3/§2.6 M6). The reference host engine (DuckDB) is batch-only,
+  * so streaming is a Spark-native extension: watermarks, tumbling/sliding/
+  * session windows, and custom state via flatMapGroupsWithState.
+  *
+  * Every transform here takes a DataFrame so the same code runs in a
+  * `readStream` pipeline and in batch replay — the batch-equivalence tests
+  * in StreamingSpec rely on that.
+  */
+object Streams {
+
+  /** Event row shape used by the typed stateful operators. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(sessionId: Long, lastTs: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, total_value: Double)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling 5-minute counts per event type, 10-minute watermark.
+    * In append mode a window emits once its watermark passes — the
+    * streaming twin of the ev02 batch query. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+              col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding window (10-minute window, 5-minute slide) event counts. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+              col("event_type"), col("n"))
+
+  /** Built-in session windows (30-minute gap) per user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("session_value"))
+
+  /** Custom sessionization with explicit state: assigns consecutive
+    * session ids per user with a 30-minute inactivity gap. Works on a
+    * stream via flatMapGroupsWithState; the batch twin is the ev01 query.
+    *
+    * Note: within a micro-batch events are sorted by event_id before the
+    * state fold, so replay determinism holds for the batch-equivalence
+    * test (a production stream would rely on source ordering per key).
+    */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = 1800L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val sid = if (st.lastTs == Long.MinValue || tsMicros - st.lastTs > gapMicros)
+              st.sessionId + 1 else st.sessionId
+            st = SessionState(sid, tsMicros)
+            val (n, v) = out.getOrElse(sid, (0L, 0.0))
+            out(sid) = (n + 1, v + e.value)
+          }
+          state.update(st)
+          out.toSeq.sortBy(_._1).map { case (sid, (n, v)) => SessionOut(userId, sid, n, v) }.iterator
+      }
+  }
+
+  /** File-source stream over a parquet directory whose files already
+    * carry microsecond timestamps (prepare the fixture with
+    * `Tables.load(..., "events").write.parquet(dir)` — the raw fixture's
+    * TIMESTAMP(NANOS) is not streamable directly). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .parquet(dir)
+
+  /** Run a streaming query to completion against a finite source and
+    * return the collected result from the in-memory sink. */
+  def runToCompletion(df: DataFrame, name: String, mode: String = "append"): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{AsOf, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("as-of join picks most recent right row per key, inclusive on ties") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 150L, "l3"))
+      .toDF("k", "t", "lpay")
+    val right = Seq((1L, 90L, "r1"), (1L, 100L, "r2"), (1L, 150L, "r3"), (2L, 500L, "r4"))
+      .toDF("k", "t", "rpay")
+    val out = AsOf.join(left, right, Seq("k"), "t")
+      .select("k", "t", "lpay", "rpay").as[(Long, Long, String, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 100L, "l1", "r2"),  // tie at t=100 matches inclusively
+      (1L, 200L, "l2", "r3"),
+      (2L, 150L, "l3", null))) // no right row at or before 150 for k=2
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (1L, "the quick brown fox jumps over the lazy cat", "s1"), // near-dup of 0
+    (2L, "completely different content about spark engines", "s1"),
+    (3L, "the quick brown fox jumps over the lazy dog", "s2"), // exact dup of 0
+    (4L, "unrelated words entirely here nothing shared", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactByKey keeps min id per group") {
+    val out = Dedup.exactByKey(docs.withColumn("h", md5(col("text"))), Seq("h"), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.length == 4)                       // 5 docs, one exact dup pair
+    assert(out.contains((0L, 2L)))                // doc 0+3 collapse to keep_id 0
+  }
+
+  test("jaccardPairs finds the near-dup pair within a block") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // 8/10 tokens shared; cross-source dup not in block
+  }
+
+  test("minHashLsh surfaces the exact and near dup pairs") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 64, 8, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical docs always collide
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash of identical docs is identical, hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+  }
+
+  test("dedupDecision collapses clusters to min id") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupDecision(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 4L))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by cosine similarity") {
+    val out = Similarity.cosineTopK(vecs, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f), 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("cosine kernel is exact on unit vectors") {
+    val c = vecs.filter(col("vec_id") === 1)
+      .select(Similarity.cosine(col("embedding"), typedlit(Seq(1.0f, 0.0f, 0.0f))))
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("ann lsh top-k achieves high recall vs brute force on fixtures") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.cosineTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.annCosineTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.intersect(approx).size >= 5, s"recall too low: $exact vs $approx")
+  }
+}

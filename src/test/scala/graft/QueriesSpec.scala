@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query executes and returns rows at sf0.001; spot checks
+  * pin known-correct values. Full value-level oracle checking is done by
+  * scripts/selfcheck.py against DuckDB (see .claude/skills/verify). */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  SparkEntry.allDefs.foreach { d =>
+    test(s"${d.name} runs and returns rows") {
+      val out = d.fn(spark, dir)
+      assert(out.count() > 0, s"${d.name} returned no rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle map keys are a subset of query keys") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("q37 recursive cte computes fibonacci") {
+    val rows = SparkEntry.queries("q37_recursive_cte")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.take(6).toSeq == Seq(1 -> 1L, 2 -> 1L, 3 -> 2L, 4 -> 3L, 5 -> 5L, 6 -> 8L))
+    assert(rows.length == 30)
+  }
+
+  test("q19 cross join has |region| x |nation| rows") {
+    assert(SparkEntry.queries("q19_cross_join")(spark, dir).count() == 125)
+  }
+
+  test("q40 topk is sorted descending") {
+    val prices = SparkEntry.queries("q40_topk")(spark, dir)
+      .collect().map(_.getDouble(1))
+    assert(prices.length == 15 && prices.sameElements(prices.sorted.reverse))
+  }
+}

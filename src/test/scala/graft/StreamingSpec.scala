@@ -1,0 +1,96 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming correctness via batch-replay equivalence (SURVEY §5.2-5):
+  * run each streaming transform over the finite events fixture as a file
+  * stream, and compare against the same transform applied in batch. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** events fixture re-written with µs timestamps so the file source can
+    * stream it; prepared once per suite. */
+  lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    Tables.load(spark, TestSpark.sfDir, "events")
+      .repartition(4) // several files => several micro-batch splits
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Append-mode streams only emit windows the final watermark has
+    * closed; equivalence therefore compares against the batch result
+    * restricted to closed windows (end <= max event time - delay). */
+  lazy val maxTs: java.sql.Timestamp =
+    spark.read.parquet(streamDir).agg(max(col("ts"))).head().getTimestamp(0)
+  def closedBefore(delayMin: Int) =
+    new java.sql.Timestamp(maxTs.getTime - delayMin * 60000L)
+
+  test("tumbling window counts: stream equals batch on closed windows") {
+    val streamed = Streams.runToCompletion(
+      Streams.tumblingCounts(Streams.readEventsStream(spark, streamDir)), "tumbling")
+    val batch = Streams.tumblingCounts(spark.read.parquet(streamDir))
+      .filter(col("win_end") <= lit(closedBefore(10)))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty, "stream emitted rows batch doesn't have")
+    assert(batch.exceptAll(streamed).isEmpty, "closed windows missing from stream")
+  }
+
+  test("sliding window counts: stream equals batch on closed windows") {
+    val streamed = Streams.runToCompletion(
+      Streams.slidingCounts(Streams.readEventsStream(spark, streamDir)), "sliding")
+    val batch = Streams.slidingCounts(spark.read.parquet(streamDir))
+      .filter(col("win_end") <= lit(closedBefore(10)))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("session windows: stream equals batch on closed sessions") {
+    val streamed = Streams.runToCompletion(
+      Streams.sessionWindows(Streams.readEventsStream(spark, streamDir)), "sessions")
+    val batch = Streams.sessionWindows(spark.read.parquet(streamDir))
+      .filter(col("session_end") <= lit(closedBefore(30)))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful sessionization matches the ev01 batch query") {
+    import spark.implicits._
+    val events = spark.read.parquet(streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event]
+    // single batch => flatMapGroupsWithState sees each user's full history
+    val stateful = Streams.sessionizeStateful(events)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+                              sum("n_events").as("n_events"))
+    val batch = SparkEntry.queries("ev01_sessionize")(spark, TestSpark.sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+                              sum("n_events").as("n_events"))
+    assert(batch.exceptAll(stateful).isEmpty && stateful.exceptAll(batch).isEmpty)
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.tumblingCounts(df)
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("late").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    ms.addData((t(0), "a", 1.0), (t(4), "a", 1.0))   // window [0,5)
+    q.processAllAvailable()
+    ms.addData((t(30), "a", 1.0))                     // advances watermark to :20
+    q.processAllAvailable()
+    ms.addData((t(2), "a", 99.0))                     // late: before watermark, dropped
+    ms.addData((t(60), "a", 1.0))                     // flushes remaining windows
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late")
+      .select(date_format(col("win_start"), "HH:mm").as("w"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rows("00:00") == 2L, s"late row must not count: $rows")
+  }
+}

@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all suites. */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+}
