@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, in registry order. */
   val allDefs: Seq[QDef] =
     CoreAgg.defs ++ Joins.defs ++ Windows.defs ++ SetsAndShape.defs ++
-      Scalars.defs ++ Arrays.defs ++ TextOps.defs ++ VectorOps.defs
+      Scalars.defs ++ Arrays.defs ++ TextOps.defs ++ VectorOps.defs ++
+      LanceOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.sources.lance.LanceDataSource
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** Session extensions (SURVEY §2.6/§4.2): the Spark-native equivalent of
+  * the reference's replacement scan (R5, `cpp/lance_replacement.cpp:11-34`,
+  * which rewrites `FROM 'x.lance'` into `lance_scan('x.lance')` at bind
+  * time). Here an analyzer rule resolves
+  *   - `FROM lance.`/path/ds.lance``  (2-part identifier), and
+  *   - `FROM `/path/ds.lance``        (any identifier ending ".lance")
+  * into the Lance DSv2 relation.
+  *
+  * Register with `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectResolutionRule(_ => ResolveLancePath)
+  }
+}
+
+object ResolveLancePath extends Rule[LogicalPlan] {
+
+  private def relationFor(path: String): LogicalPlan = {
+    val provider = new LanceDataSource
+    val options = new CaseInsensitiveStringMap(Map("path" -> path).asJava)
+    val schema = provider.inferSchema(options)
+    val table = provider.getTable(schema, Array.empty, options.asCaseSensitiveMap())
+    DataSourceV2Relation.create(table, None, None, options)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+           u.multipartIdentifier.head.equalsIgnoreCase("lance") =>
+      relationFor(u.multipartIdentifier(1))
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 1 &&
+           u.multipartIdentifier.head.endsWith(".lance") =>
+      relationFor(u.multipartIdentifier.head)
+  }
+}

@@ -1,0 +1,228 @@
+package graft.sources.lance
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 read connector for Lance datasets (SURVEY §7 M2,
+  * reference R1-R5: `cpp/lance_scan.cpp:75-250`, `rust/scanner.rs:9-38`).
+  *
+  * `spark.read.format("lance").load("/path/ds.lance")`, with
+  * `option("versionAsOf", n)` time travel over `_versions/N.manifest`.
+  *
+  * Scale design vs the reference: the reference scans through ONE global
+  * mutex-guarded stream (`cpp/lance_scan.cpp:57-71,158` — effective
+  * parallelism 1). Here each Lance fragment is an InputPartition, so a
+  * 1000-fragment dataset fans out across the cluster; column pruning is
+  * pushed into the scan (the reference leaves it TODO at
+  * `cpp/lance_scan.cpp:257-258`) and only the projected columns' byte
+  * ranges are read from storage.
+  */
+class LanceDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "lance"
+
+  private def datasetPath(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(
+      options.asScala.get("paths").map(_.stripPrefix("[\"").stripSuffix("\"]")))
+    p.getOrElse(throw new IllegalArgumentException("lance: path required"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val (fs, path) = LanceFormat.fileSystem(datasetPath(options), conf)
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val manifest = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, path, versionAsOf))
+    LanceFormat.toStructType(manifest)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new LanceTable(datasetPath(options), schema,
+      Option(options.get("versionAsOf")).map(_.toLong))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class LanceTable(path: String, tableSchema: StructType, versionAsOf: Option[Long])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = s"lance.`$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LanceScanBuilder(path, tableSchema, versionAsOf)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LanceWriteBuilder(path, info)
+}
+
+class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve lance field order; requiredSchema may reorder
+    val want = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => want.contains(f.name)))
+  }
+  override def build(): Scan = new LanceScan(path, full, required, versionAsOf)
+}
+
+/** One InputPartition per Lance fragment. */
+case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
+                               columnIndices: Array[Int], numRows: Long)
+  extends InputPartition
+
+class LanceScan(path: String, full: StructType, required: StructType,
+                versionAsOf: Option[Long]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LanceScan($path, columns=[${required.fieldNames.mkString(",")}])"
+
+  @transient private lazy val manifest = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, versionAsOf))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    manifest.fragments.flatMap { frag =>
+      frag.files.map { f =>
+        LanceInputPartition(
+          new Path(new Path(path, "data"), f.path).toString,
+          f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows)
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // map required column names -> (field id, logical type, child id/type
+    // for list columns: -1/"" otherwise)
+    val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f).toMap
+    val cols = required.fieldNames.map { n =>
+      val f = byName(n)
+      if (f.logicalType == "list" || f.logicalType == "large_list") {
+        val child = manifest.fields.find(_.parentId == f.id).get
+        (f.id, f.logicalType, child.id, child.logicalType)
+      } else (f.id, f.logicalType, -1, "")
+    }
+    new LanceReaderFactory(cols.map(_._1), cols.map(_._2), cols.map(_._3), cols.map(_._4))
+  }
+}
+
+class LanceReaderFactory(fieldIds: Array[Int], logicalTypes: Array[String],
+                         childIds: Array[Int], childTypes: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LanceInputPartition]
+    new LancePartitionReader(p, fieldIds, logicalTypes, childIds, childTypes)
+  }
+}
+
+/** Reads one fragment file: footer → column metadata for the projected
+  * columns only → ranged reads of just those columns' page buffers. */
+class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
+                           logicalTypes: Array[String], childIds: Array[Int],
+                           childTypes: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val conf = new Configuration()
+    val (fs, p) = LanceFormat.fileSystem(part.dataFilePath, conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      def readRange(off: Long, len: Int): Array[Byte] = {
+        val b = new Array[Byte](len); in.readFully(off, b); b
+      }
+      // footer
+      val footer = readRange(fileLen - 40, 40)
+      val bb = java.nio.ByteBuffer.wrap(footer).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val cmoStart = bb.getLong(8)
+      val numColumns = bb.getInt(28)
+      require(footer(36) == 'L' && footer(39) == 'C', s"bad lance magic in ${part.dataFilePath}")
+      val cmoTable = readRange(cmoStart, numColumns * 16)
+      val cmoBB = java.nio.ByteBuffer.wrap(cmoTable).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+      def pagesOf(fieldId: Int): Seq[Seq[Array[Byte]]] = {
+        val fi = part.fieldIds.indexOf(fieldId)
+        require(fi >= 0, s"field id $fieldId not in fragment ${part.dataFilePath}")
+        val colIdx = part.columnIndices(fi)
+        val metaOff = cmoBB.getLong(colIdx * 16)
+        val metaLen = cmoBB.getLong(colIdx * 16 + 8)
+        val metaBytes = readRange(metaOff, metaLen.toInt)
+        val fsMeta = Proto.parse(metaBytes)
+        Proto.all(fsMeta, 2).map { pg =>
+          val pf = Proto.parse(pg.bytes)
+          val offs = Proto.packedVarints(pf, 1)
+          val sizes = Proto.packedVarints(pf, 2)
+          offs.zip(sizes).map { case (o, s) => readRange(o, s.toInt) }
+        }
+      }
+
+      val numRows = part.numRows.toInt
+      val nCols = fieldIds.length
+      val colValues = new Array[Array[Any]](nCols)
+      var c = 0
+      while (c < nCols) {
+        if (childIds(c) >= 0) {
+          // list column: per-page i64 end-offsets + aligned child value pages
+          val offPages = pagesOf(fieldIds(c))
+          val valPages = pagesOf(childIds(c))
+          require(offPages.length == valPages.length,
+            s"list pages misaligned in ${part.dataFilePath}")
+          val out = new Array[Any](numRows)
+          var row = 0
+          offPages.zip(valPages).foreach { case (offBufs, valBufs) =>
+            val offs = offBufs.head
+            val nPageRows = offs.length / 8
+            val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val totalVals = if (nPageRows == 0) 0 else offBB.getLong((nPageRows - 1) * 8).toInt
+            val vals = LanceColumnDecoder.decode(childTypes(c), Seq(valBufs), totalVals)
+            var prev = 0
+            var i = 0
+            while (i < nPageRows) {
+              val end = offBB.getLong(i * 8).toInt
+              out(row + i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                java.util.Arrays.copyOfRange(vals.asInstanceOf[Array[AnyRef]], prev, end))
+              prev = end
+              i += 1
+            }
+            row += nPageRows
+          }
+          require(row == numRows, s"list rows $row != $numRows")
+          colValues(c) = out
+        } else {
+          colValues(c) = LanceColumnDecoder.decode(logicalTypes(c), pagesOf(fieldIds(c)), numRows)
+        }
+        c += 1
+      }
+      (0 until numRows).iterator.map { r =>
+        val arr = new Array[Any](nCols)
+        var i = 0
+        while (i < nCols) { arr(i) = colValues(i)(r); i += 1 }
+        new GenericInternalRow(arr): InternalRow
+      }
+    } finally in.close()
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,183 @@
+package graft.sources.lance
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types._
+
+/** Lance table-format structures and parsers (read side).
+  *
+  * Layout learned from the public Lance format and verified against the
+  * reference golden dataset (`/root/reference/test/test_data.lance`;
+  * SURVEY §1.1, §7 M2):
+  *
+  *  - dataset dir: fragment files under `data/`, `_versions/N.manifest`,
+  *    transaction logs under `_transactions/`;
+  *  - manifest: `[u32 LE length][Manifest protobuf]...` where Manifest has
+  *    fields=1 (repeated Field), fragments=2 (repeated DataFragment),
+  *    version=3; Field has name=2, id=3, parent_id=4, logical_type=5;
+  *    DataFragment has id=1, files=2 (DataFile: path=1, fields=2 packed,
+  *    column_indices=3 packed), physical_rows=4;
+  *  - data file (v2.0): 64-byte-aligned data buffers, then per-column
+  *    ColumnMetadata protobufs (encoding=1, pages=2; Page: buffer_offsets=1
+  *    packed, buffer_sizes=2 packed, length=3), a column-metadata offset
+  *    table (i64 offset,len per column), a global-buffer offset table, and
+  *    a 40-byte footer:
+  *      i64 columnMetaStart | i64 columnMetaOffsetsStart |
+  *      i64 globalBuffOffsetsStart | u32 numGlobalBuffers | u32 numColumns |
+  *      u16 major | u16 minor | "LANC".
+  *
+  * Scope (explicit, erroring otherwise): plain "flat" value encodings for
+  * bool/int8..64/float/double and utf8/binary (offsets+bytes); this covers
+  * everything the reference's type surface exercises (SURVEY §1.3).
+  */
+object LanceFormat {
+
+  final case class LanceField(id: Int, name: String, logicalType: String, parentId: Int)
+  final case class DataFileMeta(path: String, fieldIds: Seq[Int], columnIndices: Seq[Int])
+  final case class FragmentMeta(id: Long, files: Seq[DataFileMeta], physicalRows: Long)
+  final case class Manifest(fields: Seq[LanceField], fragments: Seq[FragmentMeta], version: Long)
+
+  final case class PageMeta(bufferOffsets: Seq[Long], bufferSizes: Seq[Long], numRows: Long)
+  final case class ColumnMeta(pages: Seq[PageMeta])
+
+  val Magic = "LANC".getBytes("ASCII")
+
+  // --- type mapping (SURVEY §1.3 — wider than the reference's narrowing) --
+  def toSparkType(logicalType: String): DataType = logicalType match {
+    case "bool" => BooleanType
+    case "int8" => ByteType
+    case "int16" => ShortType
+    case "int32" => IntegerType
+    case "int64" => LongType
+    case "uint8" => ShortType
+    case "uint16" => IntegerType
+    case "uint32" => LongType
+    case "uint64" => DecimalType(20, 0)
+    case "halffloat" | "float" => FloatType
+    case "double" => DoubleType
+    case "string" | "utf8" | "large_string" => StringType
+    case "binary" | "large_binary" => BinaryType
+    case "date32:day" | "date32" => DateType
+    // convention: "timestamp:us:<tz>" is instant-typed, "timestamp:us" is
+    // wall-clock (NTZ) — matches what our writer emits
+    case t if t.startsWith("timestamp") =>
+      if (t.split(":").length > 2) TimestampType else TimestampNTZType
+    case t => throw new UnsupportedOperationException(
+      s"lance logical type '$t' not supported by this reader (plain encodings scope)")
+  }
+
+  def bitsPerValue(logicalType: String): Int = logicalType match {
+    case "bool" => 1
+    case "int8" | "uint8" => 8
+    case "int16" | "uint16" => 16
+    case "int32" | "uint32" | "date32:day" | "date32" | "float" => 32
+    case _ => 64
+  }
+
+  // --- manifest ----------------------------------------------------------
+  def latestManifestPath(fs: FileSystem, dataset: Path, versionAsOf: Option[Long]): Path = {
+    val dir = new Path(dataset, "_versions")
+    val versions = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+      .map(n => n.stripSuffix(".manifest").toLong)
+    require(versions.nonEmpty, s"no manifests under $dir")
+    val v = versionAsOf match {
+      case Some(want) =>
+        require(versions.contains(want), s"version $want not in ${versions.sorted}")
+        want
+      case None => versions.max
+    }
+    new Path(dir, s"$v.manifest")
+  }
+
+  def readManifest(fs: FileSystem, manifestPath: Path): Manifest = {
+    val in = fs.open(manifestPath)
+    val len = fs.getFileStatus(manifestPath).getLen.toInt
+    val buf = new Array[Byte](len)
+    try in.readFully(0, buf) finally in.close()
+    // u32 LE length prefix, then the Manifest message
+    val pbLen = (buf(0) & 0xff) | ((buf(1) & 0xff) << 8) | ((buf(2) & 0xff) << 16) | ((buf(3) & 0xff) << 24)
+    parseManifest(buf, 4, 4 + pbLen)
+  }
+
+  private[lance] def parseManifest(buf: Array[Byte], from: Int, until: Int): Manifest = {
+    val top = Proto.parse(buf, from, until)
+    val fields = Proto.all(top, 1).map { f =>
+      val fs = Proto.parse(f.bytes)
+      LanceField(
+        id = Proto.firstVarint(fs, 3).getOrElse(0L).toInt,
+        name = Proto.firstString(fs, 2).getOrElse(""),
+        logicalType = Proto.firstString(fs, 5).getOrElse(""),
+        parentId = Proto.firstVarint(fs, 4).getOrElse(-1L).toInt)
+    }
+    val fragments = Proto.all(top, 2).map { fr =>
+      val fs = Proto.parse(fr.bytes)
+      val files = Proto.all(fs, 2).map { df =>
+        val d = Proto.parse(df.bytes)
+        DataFileMeta(
+          path = Proto.firstString(d, 1).getOrElse(""),
+          fieldIds = Proto.packedVarints(d, 2).map(_.toInt),
+          columnIndices = Proto.packedVarints(d, 3).map(_.toInt))
+      }
+      FragmentMeta(
+        id = Proto.firstVarint(fs, 1).getOrElse(0L),
+        files = files,
+        physicalRows = Proto.firstVarint(fs, 4).getOrElse(0L))
+    }
+    Manifest(fields, fragments, Proto.firstVarint(top, 3).getOrElse(1L))
+  }
+
+  def toStructType(m: Manifest): StructType =
+    StructType(m.fields.filter(_.parentId == -1).map { f =>
+      val dt =
+        if (f.logicalType == "list" || f.logicalType == "large_list") {
+          val child = m.fields.find(_.parentId == f.id).getOrElse(
+            throw new IllegalStateException(s"list field ${f.name} has no child field"))
+          ArrayType(toSparkType(child.logicalType), containsNull = false)
+        } else toSparkType(f.logicalType)
+      StructField(f.name, dt, nullable = true)
+    })
+
+  // --- data file ---------------------------------------------------------
+  final case class FileMeta(columns: Seq[ColumnMeta], numColumns: Int)
+
+  def readFileMeta(bytes: Array[Byte]): FileMeta = {
+    val n = bytes.length
+    require(n >= 40 && bytes(n - 4) == 'L' && bytes(n - 3) == 'A' && bytes(n - 2) == 'N' && bytes(n - 1) == 'C',
+      "not a lance data file (missing LANC magic)")
+    def i64(pos: Int): Long = java.nio.ByteBuffer.wrap(bytes, pos, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    def i32(pos: Int): Int = java.nio.ByteBuffer.wrap(bytes, pos, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val footer = n - 40
+    val cmoStart = i64(footer + 8)
+    val numColumns = i32(footer + 28)
+    val columns = (0 until numColumns).map { c =>
+      val off = i64(cmoStart.toInt + c * 16)
+      val len = i64(cmoStart.toInt + c * 16 + 8)
+      val fs = Proto.parse(bytes, off.toInt, (off + len).toInt)
+      val pages = Proto.all(fs, 2).map { p =>
+        val pf = Proto.parse(p.bytes)
+        PageMeta(
+          bufferOffsets = Proto.packedVarints(pf, 1),
+          bufferSizes = Proto.packedVarints(pf, 2),
+          numRows = Proto.firstVarint(pf, 3).getOrElse(0L))
+      }
+      ColumnMeta(pages)
+    }
+    FileMeta(columns, numColumns)
+  }
+
+  def readWholeFile(fs: FileSystem, p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  def fileSystem(path: String, conf: Configuration): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf), p)
+  }
+}

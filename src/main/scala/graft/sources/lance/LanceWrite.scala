@@ -1,0 +1,104 @@
+package graft.sources.lance
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** DSv2 write path (SURVEY §7 M3; reference R6-R8
+  * `cpp/lance_copy.cpp:73-174`, `rust/writer.rs:17-53`).
+  *
+  * Data plane on executors: each task streams its rows into one fragment
+  * file `data/<uuid>.lance` (page-buffered, bounded memory — explicitly
+  * NOT the reference's full-RAM materialization). Control plane on the
+  * driver: commit() writes `_versions/<N+1>.manifest` via create-temp +
+  * atomic rename; append mode carries the previous version's fragments
+  * forward, overwrite starts the new version empty (old versions stay
+  * readable via versionAsOf — Lance versioning semantics).
+  */
+class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new LanceWrite(path, info.schema(), doTruncate)
+}
+
+class LanceWrite(path: String, schema: StructType, truncate: Boolean) extends Write {
+  override def toBatch: BatchWrite = new LanceBatchWrite(path, schema, truncate)
+}
+
+case class LanceCommitMessage(fileName: String, rows: Long) extends WriterCommitMessage
+
+class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  private val hadoopConf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LanceDataWriterFactory(path, schema, hadoopConf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hadoopConf.value
+    val dataset = new Path(path)
+    val fs = dataset.getFileSystem(conf)
+    val fragments = messages.collect {
+      case LanceCommitMessage(name, rows) if rows > 0 => (name, rows)
+    }.toSeq
+    val (prevFragments, prevMaxFragId, version) =
+      if (fs.exists(new Path(dataset, "_versions"))) {
+        val m = LanceFormat.readManifest(fs,
+          LanceFormat.latestManifestPath(fs, dataset, None))
+        val prev = if (truncate) Nil else m.fragments
+        (prev, m.fragments.map(_.id).foldLeft(-1L)(math.max), m.version + 1)
+      } else (Nil, -1L, 1L)
+    LanceWriteSupport.writeManifest(conf, dataset, schema, fragments,
+      prevMaxFragId + 1, prevFragments, version)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hadoopConf.value
+    val dataset = new Path(path)
+    val fs = dataset.getFileSystem(conf)
+    messages.collect { case LanceCommitMessage(name, _) =>
+      fs.delete(new Path(new Path(dataset, "data"), name), false)
+    }
+  }
+}
+
+class LanceDataWriterFactory(path: String, schema: StructType,
+                             conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LanceDataWriter(path, schema, conf.value)
+}
+
+class LanceDataWriter(path: String, schema: StructType, conf: Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val fileName = s"${UUID.randomUUID()}.lance"
+  private val filePath = new Path(new Path(new Path(path), "data"), fileName)
+  private val fs = filePath.getFileSystem(conf)
+  private val out = fs.create(filePath, true)
+  private val writer = new LanceFragmentWriter(out, schema)
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = { writer.write(record); rows += 1 }
+
+  override def commit(): WriterCommitMessage = {
+    writer.finish()
+    out.close()
+    if (rows == 0) fs.delete(filePath, false) // no empty fragments
+    LanceCommitMessage(fileName, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(filePath, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,394 @@
+package graft.sources.lance
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** Lance v2 data-file writer (plain "flat" encodings; the same scope the
+  * reader supports, plus list-of-scalar columns for embedding vectors).
+  *
+  * Unlike the reference's writer — which buffers the whole dataset in RAM
+  * before a single write (`rust/writer.rs:27-50`, called out as a non-goal
+  * in SURVEY §6) — this writer flushes a page per `pageRows` rows per
+  * column, so task memory is bounded by one page set regardless of
+  * fragment size.
+  *
+  * Physical layout mirrors the golden file's structure: 64-byte-aligned
+  * data buffers, global file-descriptor buffer, per-column ColumnMetadata
+  * protobufs, column-metadata offset table, global-buffer offset table,
+  * 40-byte footer + LANC magic. A list field occupies two physical columns
+  * (i64 page-local end-offsets; flat child values), and two schema fields
+  * (the list field + a child field with parent_id).
+  */
+object LanceSchemaLayout {
+
+  /** One physical column of the file. */
+  sealed trait Phys { def dt: DataType }
+  final case class Scalar(dt: DataType) extends Phys
+  final case class ListOffsets(dt: DataType) extends Phys // dt = LongType
+  final case class ListValues(dt: DataType) extends Phys
+
+  /** One lance schema field (manifest/descriptor entry). */
+  final case class FieldDef(id: Int, parentId: Int, name: String, logicalType: String,
+                            varWidth: Boolean)
+
+  final case class Layout(fields: Seq[FieldDef], phys: Seq[Phys],
+                          topFieldIdOfCol: Seq[Int])
+
+  /** DFS field-id assignment matching the reader's expectations:
+    * field ids and physical column indices advance together. */
+  def of(schema: StructType): Layout = {
+    val fields = Seq.newBuilder[FieldDef]
+    val phys = Seq.newBuilder[Phys]
+    val colField = Seq.newBuilder[Int]
+    var id = 0
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case ArrayType(elem, _) =>
+          val listId = id
+          fields += FieldDef(listId, -1, f.name, "list", varWidth = false)
+          fields += FieldDef(listId + 1, listId, "item",
+            LanceWriteSupport.logicalTypeFor(elem),
+            elem == StringType || elem == BinaryType)
+          phys += ListOffsets(LongType)
+          phys += ListValues(elem)
+          colField += listId
+          colField += (listId + 1)
+          id += 2
+        case dt =>
+          fields += FieldDef(id, -1, f.name, LanceWriteSupport.logicalTypeFor(dt),
+            dt == StringType || dt == BinaryType)
+          phys += Scalar(dt)
+          colField += id
+          id += 1
+      }
+    }
+    Layout(fields.result(), phys.result(), colField.result())
+  }
+}
+
+class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
+                          pageRows: Int = 1 << 16) {
+  import LanceSchemaLayout._
+
+  private val layout = LanceSchemaLayout.of(schema)
+  private val nPhys = layout.phys.length
+  private var pos = 0L
+  private var rowsInPage = 0
+  private var totalRows = 0L
+
+  private val fixedBufs = Array.fill(nPhys)(new ByteArrayOutputStream())
+  private val byteBufs = Array.fill(nPhys)(new ByteArrayOutputStream()) // var-width payloads
+  private val boolAcc = Array.fill(nPhys)(0)
+  private val boolBit = Array.fill(nPhys)(0)
+  private val listValCount = Array.fill(nPhys)(0L) // per-page cumulative child values
+  private val pageMetas = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
+    .empty[(Seq[Long], Seq[Long], Long)])
+
+  private def putFixed(c: Int, dt: DataType, get: => Any): Unit = dt match {
+    case BooleanType =>
+      if (get.asInstanceOf[Boolean]) boolAcc(c) |= (1 << boolBit(c))
+      boolBit(c) += 1
+      if (boolBit(c) == 8) { fixedBufs(c).write(boolAcc(c)); boolAcc(c) = 0; boolBit(c) = 0 }
+    case ByteType => fixedBufs(c).write(get.asInstanceOf[Byte].toInt)
+    case ShortType =>
+      fixedBufs(c).write(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
+        .putShort(get.asInstanceOf[Short]).array())
+    case IntegerType | DateType =>
+      fixedBufs(c).write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(get.asInstanceOf[Int]).array())
+    case LongType | TimestampType | TimestampNTZType =>
+      fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(get.asInstanceOf[Long]).array())
+    case FloatType =>
+      fixedBufs(c).write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putFloat(get.asInstanceOf[Float]).array())
+    case DoubleType =>
+      fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putDouble(get.asInstanceOf[Double]).array())
+    case other => throw new UnsupportedOperationException(s"lance writer: $other")
+  }
+
+  private def putVar(c: Int, bytes: Array[Byte]): Unit = {
+    byteBufs(c).write(bytes)
+    fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(byteBufs(c).size().toLong).array())
+  }
+
+  def write(row: InternalRow): Unit = {
+    var c = 0 // physical column cursor
+    var s = 0 // schema field cursor
+    while (s < schema.length) {
+      schema(s).dataType match {
+        case ArrayType(elem, _) =>
+          val arr = row.getArray(s)
+          val n = arr.numElements()
+          var k = 0
+          while (k < n) {
+            elem match {
+              case StringType => putVar(c + 1, arr.getUTF8String(k).getBytes)
+              case BinaryType => putVar(c + 1, arr.getBinary(k))
+              case dt => putFixed(c + 1, dt, arr.get(k, dt))
+            }
+            k += 1
+          }
+          listValCount(c) += n
+          fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            .putLong(listValCount(c)).array())
+          c += 2
+        case StringType => putVar(c, row.getUTF8String(s).getBytes); c += 1
+        case BinaryType => putVar(c, row.getBinary(s)); c += 1
+        case dt => putFixed(c, dt, row.get(s, dt)); c += 1
+      }
+      s += 1
+    }
+    rowsInPage += 1
+    totalRows += 1
+    if (rowsInPage >= pageRows) flushPage()
+  }
+
+  private def pad64(): Unit = {
+    val rem = (pos % 64).toInt
+    if (rem != 0) { val pad = new Array[Byte](64 - rem); out.write(pad); pos += 64 - rem }
+  }
+
+  private def writeBuf(b: Array[Byte]): (Long, Long) = {
+    pad64()
+    val off = pos
+    out.write(b); pos += b.length
+    (off, b.length.toLong)
+  }
+
+  private def flushPage(): Unit = {
+    if (rowsInPage == 0) return
+    var c = 0
+    while (c < nPhys) {
+      val varWidth = layout.phys(c) match {
+        case Scalar(StringType | BinaryType) => true
+        case ListValues(StringType | BinaryType) => true
+        case _ => false
+      }
+      val isBool = layout.phys(c).dt == BooleanType && !varWidth
+      val pageRowCount: Long = layout.phys(c) match {
+        case ListValues(_) => listValCount(if (c > 0) c - 1 else c)
+        case _ => rowsInPage.toLong
+      }
+      if (isBool && boolBit(c) > 0) {
+        fixedBufs(c).write(boolAcc(c)); boolAcc(c) = 0; boolBit(c) = 0
+      }
+      if (varWidth) {
+        val (o1, s1) = writeBuf(fixedBufs(c).toByteArray)
+        val (o2, s2) = writeBuf(byteBufs(c).toByteArray)
+        pageMetas(c) += ((Seq(o1, o2), Seq(s1, s2), pageRowCount))
+        byteBufs(c).reset()
+      } else {
+        val (o, s) = writeBuf(fixedBufs(c).toByteArray)
+        pageMetas(c) += ((Seq(o), Seq(s), pageRowCount))
+      }
+      fixedBufs(c).reset()
+      c += 1
+    }
+    java.util.Arrays.fill(listValCount, 0L)
+    rowsInPage = 0
+  }
+
+  /** Finish the file; returns total row count. */
+  def finish(): Long = {
+    flushPage()
+    // global buffer: file descriptor {1: schema{fields}, 2: numRows}
+    val descr = {
+      val w = new Proto.Writer
+      val sw = new Proto.Writer
+      layout.fields.foreach(f => sw.message(1, LanceWriteSupport.fieldProto(f)))
+      w.message(1, sw).varint(2, totalRows)
+      w.result()
+    }
+    val (gbOff, gbLen) = writeBuf(descr)
+    // column metadata blobs
+    pad64()
+    val cmOffsets = (0 until nPhys).map { c =>
+      val dt = layout.phys(c).dt
+      val w = new Proto.Writer
+      w.bytes(1, LanceWriteSupport.columnEncodingAny())
+      pageMetas(c).foreach { case (offs, sizes, nrows) =>
+        val pw = new Proto.Writer
+        pw.packed(1, offs).packed(2, sizes).varint(3, nrows)
+        pw.bytes(4, LanceWriteSupport.arrayEncodingAny(dt, LanceWriteSupport.bitsFor(dt)))
+        w.message(2, pw)
+      }
+      val b = w.result()
+      val off = pos
+      out.write(b); pos += b.length
+      (off, b.length.toLong)
+    }
+    val colMetaStart = cmOffsets.headOption.map(_._1).getOrElse(pos)
+    // column metadata offset table
+    val cmoStart = pos
+    val cmoBuf = ByteBuffer.allocate(nPhys * 16).order(ByteOrder.LITTLE_ENDIAN)
+    cmOffsets.foreach { case (o, l) => cmoBuf.putLong(o); cmoBuf.putLong(l) }
+    out.write(cmoBuf.array()); pos += nPhys * 16
+    // global buffer offset table
+    val gboStart = pos
+    val gboBuf = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(gbOff).putLong(gbLen)
+    out.write(gboBuf.array()); pos += 16
+    // footer
+    val f = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    f.putLong(colMetaStart).putLong(cmoStart).putLong(gboStart)
+    f.putInt(1).putInt(nPhys)
+    f.putShort(0.toShort).putShort(3.toShort) // file version 2.0 = (0, 3)
+    f.put(LanceFormat.Magic)
+    out.write(f.array()); pos += 40
+    totalRows
+  }
+}
+
+object LanceWriteSupport {
+  import LanceSchemaLayout._
+
+  def logicalTypeFor(dt: DataType): String = dt match {
+    case BooleanType => "bool"
+    case ByteType => "int8"
+    case ShortType => "int16"
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date32:day"
+    case TimestampType => "timestamp:us:UTC"
+    case TimestampNTZType => "timestamp:us"
+    case other => throw new UnsupportedOperationException(s"lance: $other")
+  }
+
+  def bitsFor(dt: DataType): Int = dt match {
+    case BooleanType => 1
+    case ByteType => 8
+    case ShortType => 16
+    case IntegerType | FloatType | DateType => 32
+    case _ => 64
+  }
+
+  /** Field message as observed in the golden manifest: name=2, id=3,
+    * parent_id=4, logical_type=5, encoding=7, storage_class=11. */
+  def fieldProto(f: FieldDef): Proto.Writer = {
+    val w = new Proto.Writer
+    w.string(2, f.name)
+    if (f.id != 0) w.varint(3, f.id.toLong)
+    // always explicit (even 0) — the reader treats an absent parent as -1,
+    // mirroring the golden manifest's explicit -1 for top-level fields
+    w.varint(4, if (f.parentId == -1) -1L else f.parentId.toLong)
+    w.string(5, f.logicalType)
+    w.varint(7, if (f.varWidth) 2L else 1L)
+    w.string(11, "default")
+    w
+  }
+
+  /** ColumnEncoding Any wrapper (observed constant: values encoding). */
+  def columnEncodingAny(): Array[Byte] = {
+    val any = new Proto.Writer
+    any.string(1, "/lance.encodings.ColumnEncoding")
+    any.bytes(2, { val v = new Proto.Writer; v.bytes(1, Array.emptyByteArray); v.result() })
+    val outer = new Proto.Writer
+    outer.message(2, any)
+    outer.result()
+  }
+
+  /** ArrayEncoding Any wrapper: flat value encoding with bits-per-value,
+    * nested as observed in the golden file; var-width columns get the
+    * binary encoding (index buffer + byte buffer). */
+  def arrayEncodingAny(dt: DataType, bits: Int): Array[Byte] = {
+    def flat(bitsPer: Int, bufIdx: Option[Int]): Proto.Writer = {
+      val buf = new Proto.Writer
+      bufIdx.foreach(i => buf.varint(2, i.toLong))
+      val l4 = new Proto.Writer; l4.varint(1, bitsPer.toLong).bytes(2, buf.result())
+      val l3 = new Proto.Writer; l3.message(1, l4)
+      val l2 = new Proto.Writer; l2.message(1, l3)
+      val l1 = new Proto.Writer; l1.message(1, l2)
+      l1
+    }
+    val enc = new Proto.Writer
+    dt match {
+      case StringType | BinaryType =>
+        val bin = new Proto.Writer
+        val idx = new Proto.Writer; idx.message(2, flat(64, None))
+        bin.bytes(1, idx.result())
+        val dat = new Proto.Writer; dat.message(2, flat(8, Some(1)))
+        bin.bytes(2, dat.result())
+        bin.varint(3, 24L)
+        enc.message(6, bin)
+      case _ =>
+        enc.message(2, flat(bits, None))
+    }
+    val any = new Proto.Writer
+    any.string(1, "/lance.encodings.ArrayEncoding")
+    any.bytes(2, enc.result())
+    val outer = new Proto.Writer
+    outer.message(2, any)
+    outer.result()
+  }
+
+  /** Serialize a manifest (version N) and commit it atomically. */
+  def writeManifest(conf: Configuration, dataset: Path, schema: StructType,
+                    fragments: Seq[(String, Long)], startFragId: Long,
+                    previous: Seq[LanceFormat.FragmentMeta], version: Long): Unit = {
+    val layout = LanceSchemaLayout.of(schema)
+    val w = new Proto.Writer
+    layout.fields.foreach(f => w.message(1, fieldProto(f)))
+    // carried-over fragments (append mode), then the new ones
+    previous.foreach { fr =>
+      val fw = new Proto.Writer
+      if (fr.id != 0) fw.varint(1, fr.id)
+      fr.files.foreach { df =>
+        val dw = new Proto.Writer
+        dw.string(1, df.path).packed(2, df.fieldIds.map(_.toLong))
+          .packed(3, df.columnIndices.map(_.toLong)).varint(4, 2L)
+        fw.message(2, dw)
+      }
+      fw.varint(4, fr.physicalRows)
+      w.message(2, fw)
+    }
+    val allFieldIds = layout.fields.map(_.id.toLong)
+    fragments.zipWithIndex.foreach { case ((path, rows), i) =>
+      val fw = new Proto.Writer
+      val fid = startFragId + i
+      if (fid != 0) fw.varint(1, fid)
+      val dw = new Proto.Writer
+      dw.string(1, path).packed(2, allFieldIds)
+        .packed(3, allFieldIds.indices.map(_.toLong)).varint(4, 2L)
+      fw.message(2, dw)
+      fw.varint(4, rows)
+      w.message(2, fw)
+    }
+    w.varint(3, version)
+    w.message(13, { val v = new Proto.Writer; v.string(1, "lance").string(2, "0.32.1"); v })
+    w.message(15, { val v = new Proto.Writer; v.string(1, "lance").string(2, "2.0"); v })
+    val pb = w.result()
+
+    val body = new ByteArrayOutputStream()
+    val len = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(pb.length)
+    body.write(len.array()); body.write(pb)
+    // tail as observed in the golden manifest: 8 zero bytes, u16 = 1, magic
+    body.write(new Array[Byte](8))
+    body.write(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(1.toShort).array())
+    body.write(LanceFormat.Magic)
+
+    val fs = dataset.getFileSystem(conf)
+    val versionsDir = new Path(dataset, "_versions")
+    fs.mkdirs(versionsDir)
+    val tmp = new Path(versionsDir, s".$version.manifest.${UUID.randomUUID()}.tmp")
+    val os = fs.create(tmp, false)
+    try os.write(body.toByteArray) finally os.close()
+    val dest = new Path(versionsDir, s"$version.manifest")
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"lance: concurrent write detected committing $dest")
+    }
+  }
+}

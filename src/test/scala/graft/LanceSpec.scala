@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lance connector vs the reference golden dataset
+  * (/root/reference/test/test_data.lance: 5 rows, schema
+  * id int64, name string, age int64, score double — SURVEY §5.1). */
+class LanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val golden = "/root/reference/test/test_data.lance"
+
+  test("schema inferred from manifest") {
+    val df = spark.read.format("lance").load(golden)
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq("id" -> "long", "name" -> "string", "age" -> "long", "score" -> "double"))
+  }
+
+  test("full scan returns the golden rows") {
+    val rows = spark.read.format("lance").load(golden)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "Alice", 25L, 85.5),
+      (2L, "Bob", 30L, 92.0),
+      (3L, "Charlie", 35L, 78.5),
+      (4L, "David", 40L, 88.0),
+      (5L, "Eve", 45L, 95.5)))
+  }
+
+  test("M2 minimum slice: SQL with filter + projection + order") {
+    spark.read.format("lance").load(golden).createOrReplaceTempView("golden_lance")
+    val rows = spark.sql(
+      "SELECT name, score FROM golden_lance WHERE age > 30 ORDER BY score DESC")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq("Eve" -> 95.5, "David" -> 88.0, "Charlie" -> 78.5))
+  }
+
+  test("column pruning reaches the scan") {
+    val df = spark.read.format("lance").load(golden).select("name")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("columns=[name]"), s"expected pruned scan, got: $scan")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("Alice", "Bob", "Charlie", "David", "Eve"))
+  }
+
+  // --- write path (M3) ----------------------------------------------------
+
+  def tmpDs(): String =
+    java.nio.file.Files.createTempDirectory("graft-lance").toString + "/out.lance"
+
+  test("t1 smoke: golden dataset round-trips through our writer") {
+    val ds = tmpDs()
+    val orig = spark.read.format("lance").load(golden)
+    orig.write.format("lance").mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.schema == orig.schema)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("fixture table with many types round-trips (multi-task write)") {
+    import org.apache.spark.sql.functions._
+    val ds = tmpDs()
+    val src = Tables.load(spark, TestSpark.sfDir, "orders")
+      .withColumn("flag", col("o_orderkey") % 2 === 0)
+      .withColumn("small", col("o_orderkey").cast("int"))
+      .withColumn("f32", col("o_totalprice").cast("float"))
+      .repartition(4)
+    src.write.format("lance").mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // 4 partitions -> 4 fragments -> 4 input partitions on re-read
+    assert(back.rdd.getNumPartitions == 4)
+  }
+
+  test("embeddings (list<float>) round-trip + vector search over lance") {
+    val ds = tmpDs()
+    val src = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    src.write.format("lance").mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    assert(back.count() == src.count())
+    assert(back.select("vec_id", "embedding").exceptAll(src.select("vec_id", "embedding")).isEmpty)
+    // the flagship composite: ANN-style search directly over a lance dataset
+    val q = back.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val top = graft.operators.Similarity
+      .cosineTopK(back.filter(col("vec_id") > 0), "vec_id", "embedding", q, 5)
+    assert(top.count() == 5)
+  }
+
+  test("multi-page fragments round-trip (pageRows smaller than data)") {
+    val ds = tmpDs()
+    val src = spark.range(200000).selectExpr(
+      "id", "CAST(id AS STRING) AS s", "CAST(id AS DOUBLE) / 7.0 AS d").coalesce(1)
+    src.write.format("lance").mode("append").save(ds) // default page = 65536 rows -> 4 pages
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 200000)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("append adds a version; versionAsOf time-travels; overwrite truncates") {
+    val ds = tmpDs()
+    val a = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s").coalesce(1)
+    val b = spark.range(5, 8).selectExpr("id", "CAST(id AS STRING) AS s").coalesce(1)
+    a.write.format("lance").mode("append").save(ds)        // v1: 5 rows
+    b.write.format("lance").mode("append").save(ds)        // v2: 8 rows
+    assert(spark.read.format("lance").load(ds).count() == 8)
+    assert(spark.read.format("lance").option("versionAsOf", "1").load(ds).count() == 5)
+    a.write.format("lance").mode("overwrite").save(ds)     // v3: 5 rows
+    assert(spark.read.format("lance").load(ds).count() == 5)
+    assert(spark.read.format("lance").option("versionAsOf", "2").load(ds).count() == 8)
+  }
+
+  test("R5 replacement-scan equivalent: SQL over a lance path") {
+    val rows = spark.sql(
+      s"SELECT name, score FROM lance.`$golden` WHERE age > 30 ORDER BY score DESC")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq("Eve" -> 95.5, "David" -> 88.0, "Charlie" -> 78.5))
+    // bare-path form, exactly like DuckDB's FROM 'x.lance'
+    assert(spark.sql(s"SELECT COUNT(*) FROM `$golden`").head().getLong(0) == 5)
+  }
+
+  test("versionAsOf resolves an explicit manifest version") {
+    val df = spark.read.format("lance").option("versionAsOf", "1").load(golden)
+    assert(df.count() == 5)
+    val err = intercept[Exception] {
+      spark.read.format("lance").option("versionAsOf", "99").load(golden).collect()
+    }
+    assert(err.getMessage.contains("99"))
+  }
+}

@@ -7,6 +7,8 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-test")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.lance", "graft.sources.lance.LanceCatalog")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
