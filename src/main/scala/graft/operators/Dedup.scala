@@ -47,16 +47,18 @@ object Dedup {
     // tokens hashed to int64 before the pair join: array_intersect over
     // longs beats strings, and the set semantics (hence jaccard) are
     // unchanged (xxhash64 collisions are negligible)
+    // tokens hashed to int64 and SORTED once per doc: every pair compare is
+    // then a codegen'd O(n+m) merge walk (no per-pair hash set)
     val t = tokenSets(df, idCol, textCol, Seq(blockCol))
       .select(col(idCol), col(blockCol),
-              array_distinct(transform(col("toks"), tk => xxhash64(tk))).as("toks"))
+              array_sort(array_distinct(transform(col("toks"), tk => xxhash64(tk)))).as("toks"))
       .cache()
     val a = t.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("toks").as("toks_a"))
     val b = t.select(col(idCol).as("doc_b"), col(blockCol).as("blk_b"), col("toks").as("toks_b"))
     a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
       // stage the intersect size once so it isn't re-evaluated per use
       .select(col("doc_a"), col("doc_b"),
-              size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
+              graft.functions.ArrayKernels.sortedIntersectCount(col("toks_a"), col("toks_b")).as("n_inter"),
               size(col("toks_a")).as("n_a"), size(col("toks_b")).as("n_b"))
       .select(col("doc_a"), col("doc_b"),
               (col("n_inter").cast(DoubleType) /
@@ -108,9 +110,8 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast(DoubleType) / numHashes.toDouble
+    val est = graft.functions.ArrayKernels.longEqCount(col("sig_a"), col("sig_b"))
+      .cast(DoubleType) / numHashes.toDouble
     candidates.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= jaccardThreshold)
