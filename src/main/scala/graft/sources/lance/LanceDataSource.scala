@@ -73,27 +73,33 @@ class LanceTable(path: String, tableSchema: StructType, versionAsOf: Option[Long
 }
 
 class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var required: StructType = full
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve lance field order; requiredSchema may reorder
     val want = requiredSchema.fieldNames.toSet
     required = StructType(full.fields.filter(f => want.contains(f.name)))
   }
-  override def build(): Scan = new LanceScan(path, full, required, versionAsOf)
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def build(): Scan = new LanceScan(path, full, required, versionAsOf, limit)
 }
 
-/** One InputPartition per Lance fragment. */
+/** One InputPartition per Lance fragment; rowLimit caps decoded rows when
+  * a LIMIT was pushed down (whole trailing fragments are pruned away). */
 case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
-                               columnIndices: Array[Int], numRows: Long)
+                               columnIndices: Array[Int], numRows: Long,
+                               rowLimit: Long = Long.MaxValue)
   extends InputPartition
 
 class LanceScan(path: String, full: StructType, required: StructType,
-                versionAsOf: Option[Long]) extends Scan with Batch {
+                versionAsOf: Option[Long], limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"LanceScan($path, columns=[${required.fieldNames.mkString(",")}])"
+    s"LanceScan($path, columns=[${required.fieldNames.mkString(",")}]" +
+      limit.map(n => s", limit=$n").getOrElse("") + ")"
 
   @transient private lazy val manifest = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -101,14 +107,41 @@ class LanceScan(path: String, full: StructType, required: StructType,
     LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, versionAsOf))
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    manifest.fragments.flatMap { frag =>
+  /** Row count + size from the manifest — feeds the cost model so e.g.
+    * joins against small lance dims get planned as broadcasts. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = manifest.fragments.map(_.physicalRows).sum
+    private val bytes = {
+      val listed = manifest.fragments.flatMap(_.files).map(_.fileSizeBytes).sum
+      if (listed > 0) listed else rows * 64 // fallback guess when absent
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = manifest.fragments.flatMap { frag =>
       frag.files.map { f =>
         LanceInputPartition(
           new Path(new Path(path, "data"), f.path).toString,
           f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows)
       }
-    }.toArray
+    }
+    limit match {
+      case None => all.toArray
+      case Some(n) =>
+        // keep fragments until the cumulative row count covers the limit
+        val out = Array.newBuilder[InputPartition]
+        var remaining = n.toLong
+        val it = all.iterator
+        while (remaining > 0 && it.hasNext) {
+          val p = it.next()
+          out += p.copy(rowLimit = remaining)
+          remaining -= p.numRows
+        }
+        out.result()
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // map required column names -> (field id, logical type, child id/type
@@ -159,7 +192,9 @@ class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
       val cmoTable = readRange(cmoStart, numColumns * 16)
       val cmoBB = java.nio.ByteBuffer.wrap(cmoTable).order(java.nio.ByteOrder.LITTLE_ENDIAN)
 
-      def pagesOf(fieldId: Int): Seq[Seq[Array[Byte]]] = {
+      // pages of a column, skipping any page wholly past maxRows (limit
+      // pushdown never touches those byte ranges); returns (buffers, rows)
+      def pagesOf(fieldId: Int, maxRows: Long = Long.MaxValue): Seq[(Seq[Array[Byte]], Long)] = {
         val fi = part.fieldIds.indexOf(fieldId)
         require(fi >= 0, s"field id $fieldId not in fragment ${part.dataFilePath}")
         val colIdx = part.columnIndices(fi)
@@ -167,28 +202,35 @@ class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
         val metaLen = cmoBB.getLong(colIdx * 16 + 8)
         val metaBytes = readRange(metaOff, metaLen.toInt)
         val fsMeta = Proto.parse(metaBytes)
-        Proto.all(fsMeta, 2).map { pg =>
-          val pf = Proto.parse(pg.bytes)
-          val offs = Proto.packedVarints(pf, 1)
-          val sizes = Proto.packedVarints(pf, 2)
-          offs.zip(sizes).map { case (o, s) => readRange(o, s.toInt) }
+        var cum = 0L
+        Proto.all(fsMeta, 2).flatMap { pg =>
+          if (cum >= maxRows) None
+          else {
+            val pf = Proto.parse(pg.bytes)
+            val offs = Proto.packedVarints(pf, 1)
+            val sizes = Proto.packedVarints(pf, 2)
+            val rows = Proto.firstVarint(pf, 3).getOrElse(0L)
+            cum += rows
+            Some((offs.zip(sizes).map { case (o, s) => readRange(o, s.toInt) }, rows))
+          }
         }
       }
 
-      val numRows = part.numRows.toInt
+      val numRows = math.min(part.numRows, part.rowLimit).toInt
       val nCols = fieldIds.length
       val colValues = new Array[Array[Any]](nCols)
       var c = 0
       while (c < nCols) {
         if (childIds(c) >= 0) {
           // list column: per-page i64 end-offsets + aligned child value pages
-          val offPages = pagesOf(fieldIds(c))
-          val valPages = pagesOf(childIds(c))
+          val offPages = pagesOf(fieldIds(c), numRows)
+          val valPages = pagesOf(childIds(c)).take(offPages.length)
           require(offPages.length == valPages.length,
             s"list pages misaligned in ${part.dataFilePath}")
-          val out = new Array[Any](numRows)
+          val decodedRows = offPages.map(_._2).sum.toInt
+          val out = new Array[Any](decodedRows)
           var row = 0
-          offPages.zip(valPages).foreach { case (offBufs, valBufs) =>
+          offPages.zip(valPages).foreach { case ((offBufs, _), (valBufs, _)) =>
             val offs = offBufs.head
             val nPageRows = offs.length / 8
             val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -205,10 +247,11 @@ class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
             }
             row += nPageRows
           }
-          require(row == numRows, s"list rows $row != $numRows")
           colValues(c) = out
         } else {
-          colValues(c) = LanceColumnDecoder.decode(logicalTypes(c), pagesOf(fieldIds(c)), numRows)
+          val pages = pagesOf(fieldIds(c), numRows)
+          colValues(c) = LanceColumnDecoder.decode(logicalTypes(c),
+            pages.map(_._1), pages.map(_._2).sum.toInt)
         }
         c += 1
       }

@@ -33,7 +33,8 @@ import org.apache.spark.sql.types._
 object LanceFormat {
 
   final case class LanceField(id: Int, name: String, logicalType: String, parentId: Int)
-  final case class DataFileMeta(path: String, fieldIds: Seq[Int], columnIndices: Seq[Int])
+  final case class DataFileMeta(path: String, fieldIds: Seq[Int], columnIndices: Seq[Int],
+                                fileSizeBytes: Long = 0L)
   final case class FragmentMeta(id: Long, files: Seq[DataFileMeta], physicalRows: Long)
   final case class Manifest(fields: Seq[LanceField], fragments: Seq[FragmentMeta], version: Long)
 
@@ -117,7 +118,8 @@ object LanceFormat {
         DataFileMeta(
           path = Proto.firstString(d, 1).getOrElse(""),
           fieldIds = Proto.packedVarints(d, 2).map(_.toInt),
-          columnIndices = Proto.packedVarints(d, 3).map(_.toInt))
+          columnIndices = Proto.packedVarints(d, 3).map(_.toInt),
+          fileSizeBytes = Proto.firstVarint(d, 6).getOrElse(0L))
       }
       FragmentMeta(
         id = Proto.firstVarint(fs, 1).getOrElse(0L),

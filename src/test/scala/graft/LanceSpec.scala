@@ -113,6 +113,24 @@ class LanceSpec extends AnyFunSuite {
     assert(spark.read.format("lance").option("versionAsOf", "2").load(ds).count() == 8)
   }
 
+  test("limit pushdown reaches the scan and prunes fragments") {
+    val ds = tmpDs()
+    spark.range(100000).selectExpr("id", "id * 2 AS v").repartition(8)
+      .write.format("lance").mode("append").save(ds)
+    val df = spark.read.format("lance").load(ds).limit(7)
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("limit=7"), s"limit not pushed: $scanDesc")
+    assert(df.count() == 7)
+    // only the first fragment should be planned (8 fragments of 12500 rows)
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("scan reports statistics from the manifest") {
+    val df = spark.read.format("lance").load(golden)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(5)), s"stats: $stats")
+  }
+
   test("R5 replacement-scan equivalent: SQL over a lance path") {
     val rows = spark.sql(
       s"SELECT name, score FROM lance.`$golden` WHERE age > 30 ORDER BY score DESC")

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan hygiene (SURVEY §4, "Optimize for scale — concretely"):
+  * these assertions pin the plan shapes that matter at 100 TB — filters
+  * reaching the parquet scan, small dims broadcast, top-k fused, no
+  * cartesian products where a hash join belongs. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q06 selective filters are pushed into the parquet scan") {
+    val plan = physical("q06_forecast_revenue")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate") && plan.contains("GreaterThanOrEqual"),
+      s"shipdate range not pushed:\n$plan")
+  }
+
+  test("q06 scan is column-pruned to the referenced columns") {
+    val plan = physical("q06_forecast_revenue")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unexpected column read: $readSchema")
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q03 star join broadcasts the dimension side") {
+    val plan = physical("q03_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q05 five-way join has no cartesian/nested-loop stage") {
+    val plan = physical("q05_region_revenue")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q40 top-k fuses into TakeOrderedAndProject") {
+    val plan = physical("q40_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q01 aggregation is partial (map-side) before the exchange") {
+    val plan = physical("q01_pricing_summary")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && plan.contains("partial_"), s"no partial agg:\n$plan")
+  }
+
+  test("e03 cosine kernel participates in whole-stage codegen") {
+    val df = SparkEntry.queries("e03_cosine_topk_kernel")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" marks operators fused into a WholeStageCodegen stage; the
+    // Project computing floatcosine must carry it
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("floatcosine")), plan)
+  }
+}
