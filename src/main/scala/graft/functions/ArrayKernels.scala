@@ -190,6 +190,56 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH bucket of an array<float> vector: bit p of the
+  * result is sign(dot(vec, planes[p])). `planes` must be a foldable
+  * array<array<double>> literal (one row per bit), so the whole bucket —
+  * nBits x dim multiply-adds — runs as one codegen loop instead of nBits
+  * interpreted HOF folds. */
+case class HyperplaneBucket(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val planes = b.asInstanceOf[ArrayData]
+    val nBits = planes.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      val w = planes.getArray(p)
+      val n = math.min(vec.numElements(), w.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i).toDouble * w.getDouble(i); i += 1 }
+      if (dot > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      val dot = ctx.freshName("dot")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $b.numElements(); $p++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $w = $b.getArray($p);
+         |  int $n = java.lang.Math.min($a.numElements(), $w.numElements());
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * $w.getDouble($i);
+         |  }
+         |  if ($dot > 0.0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayKernels {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def longDot(a: Column, b: Column): Column = column(LongDot(expression(a), expression(b)))
@@ -197,6 +247,8 @@ object ArrayKernels {
   def longEqCount(a: Column, b: Column): Column = column(LongEqCount(expression(a), expression(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedLongIntersectCount(expression(a), expression(b)))
+  def hyperplaneBucket(vec: Column, planes: Column): Column =
+    column(HyperplaneBucket(expression(vec), expression(planes)))
 
   /** Register SQL names (done by GraftExtensions). */
   def register(reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {

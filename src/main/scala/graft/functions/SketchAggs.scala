@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch aggregates as TypedImperativeAggregate (SURVEY §2.6: "aggregate
+  * → Aggregator / TypedImperativeAggregate (needed for MinHash sketch)").
+  *
+  * Both replace wide banks of per-seed agg expressions (64 `min(...)` /
+  * `sum(when(...))` columns) with ONE mutable buffer updated in a tight
+  * loop per row — one aggregation buffer object, no per-seed expression
+  * evaluation, and a single avalanche-mixed base hash instead of 64
+  * full hash evaluations per token.
+  */
+object Mix {
+  /** murmur3-finalizer-style avalanche of a 64-bit value (public constant
+    * set; splitmix64 golden-gamma stepping for seed families). */
+  @inline def avalanche(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+  @inline def hashString(s: UTF8String): Long =
+    avalanche(s.toString.foldLeft(1125899906842597L)((h, c) => h * 31 + c))
+}
+
+/** MinHash signature: array<bigint> of length numHashes; hash family
+  * h_i(t) = avalanche(baseHash(t) ^ goldenGamma(i)). */
+case class MinHashAgg(child: Expression, numHashes: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val base = Mix.hashString(v.asInstanceOf[UTF8String])
+      var i = 0
+      while (i < numHashes) {
+        val h = Mix.avalanche(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): MinHashAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+}
+
+/** 64-bit SimHash: signed bit votes folded over token hashes. */
+case class SimHashAgg(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = Mix.hashString(v.asInstanceOf[UTF8String])
+      var j = 0
+      while (j < 64) {
+        buf(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < 64) { b1(j) += b2(j); j += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (buf(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): SimHashAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+}
+
+object SketchAggs {
+  import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+  def minhash(c: Column, numHashes: Int): Column =
+    column(MinHashAgg(expression(c), numHashes).toAggregateExpression())
+  def simhash(c: Column): Column =
+    column(SimHashAgg(expression(c)).toAggregateExpression())
+}

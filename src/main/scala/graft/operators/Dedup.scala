@@ -75,9 +75,8 @@ object Dedup {
                         numHashes: Int): DataFrame = {
     val toks = tokenSets(df, idCol, textCol)
       .select(col(idCol), explode(col("toks")).as("tok"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("tok"), lit(i))).as(s"mh$i"))
-    toks.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    toks.groupBy(col(idCol))
+      .agg(graft.functions.SketchAggs.minhash(col("tok"), numHashes).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup pairs.
@@ -133,15 +132,8 @@ object Dedup {
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokenSets(df, idCol, textCol)
       .select(col(idCol), explode(col("toks")).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map { j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$j")
-    }
-    val bits = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), bits.reduce(_ + _).as("simhash"))
+    toks.groupBy(col(idCol))
+      .agg(graft.functions.SketchAggs.simhash(col("tok")).as("simhash"))
   }
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming, candidates via

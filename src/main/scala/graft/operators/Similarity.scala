@@ -45,56 +45,57 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket id (`nBits`-bit signature) for a vector.
-    * Hyperplane weights are pseudo-random but fully deterministic:
-    * w(plane, dim) = xxhash64(plane, dim) scaled to [-1, 1]. The same
-    * expression buckets both the corpus (once, at index-build time) and
-    * each query, so search touches only matching buckets.
-    */
-  def lshBucket(vec: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { p =>
-      // dot(vec, plane_p) > 0 ? 2^p : 0, with plane weights hashed from (p, dim index)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-          val w = pmod(xxhash64(lit(p), i), lit(2000001L)).cast(DoubleType) / 1000000.0 - 1.0
-          x.cast(DoubleType) * w
-        }),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+  /** Deterministic pseudo-random hyperplanes for table `t`: one
+    * nBits x dim weight matrix in [-1, 1], derived from
+    * avalanche(table, plane, dim) — same math driver-side (to bucket the
+    * query) and executor-side (as a foldable literal in the codegen
+    * kernel). */
+  def planes(t: Int, nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits) { p =>
+      Array.tabulate(dim) { d =>
+        val h = graft.functions.Mix.avalanche(
+          (t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong ^ 0x5deece66dL)
+        ((h % 1000001L).toDouble / 1000000.0) // in (-1, 1)
+      }
     }
-    bits.reduce(_ + _)
+
+  private def bucketOf(vec: Seq[Float], planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      var i = 0
+      val w = planes(p)
+      while (i < math.min(vec.length, w.length)) { dot += vec(i) * w(i); i += 1 }
+      if (dot > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
   }
 
   /** Approximate top-k: restrict the exact cosine ranking to vectors whose
     * LSH bucket matches the query's bucket in at least one of `nTables`
-    * independent hash tables. At scale: corpus bucketing is a one-off
-    * (materialize `bucket_t` columns, partition by them); a query then
-    * scans only its buckets' partitions instead of 100 TB.
+    * independent hash tables. Buckets are computed by the codegen'd
+    * [[graft.functions.HyperplaneBucket]] kernel (one fused loop per
+    * table). At scale: corpus bucketing is a one-off (materialize the
+    * bucket columns, partition by them); a query then scans only its
+    * buckets' partitions instead of 100 TB.
+    *
+    * Defaults (4 bits x 16 tables) target ~0.9 recall even for weakly
+    * similar neighbours (cos ~ 0.3, hyperplane agreement ~ 0.6/plane);
+    * strongly clustered corpora can afford more bits per table for
+    * sharper pruning.
     */
   def annCosineTopK(df: DataFrame, idCol: String, vecCol: String,
                     query: Seq[Float], k: Int, nBits: Int = 4,
                     nTables: Int = 16): DataFrame = {
-    // default (4 bits x 16 tables) targets ~0.9 recall even for weakly
-    // similar neighbours (cos ~ 0.3, hyperplane agreement ~ 0.6/plane);
-    // strongly clustered corpora can afford more bits per table for
-    // sharper pruning.
+    val dim = query.length
     val q = typedlit(query)
-    // per-table bucket expressions differ by salting the plane index space
-    def bucket(vec: Column, t: Int): Column = {
-      val bits = (0 until nBits).map { p =>
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-            val w = pmod(xxhash64(lit(t * 1000 + p), i), lit(2000001L)).cast(DoubleType) / 1000000.0 - 1.0
-            x.cast(DoubleType) * w
-          }),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
-    val anyMatch = (0 until nTables)
-      .map(t => bucket(col(vecCol), t) === bucket(q, t))
-      .reduce(_ || _)
+    val anyMatch = (0 until nTables).map { t =>
+      val pl = planes(t, nBits, dim)
+      graft.functions.ArrayKernels.hyperplaneBucket(
+        col(vecCol), typedlit(pl.map(_.toSeq).toSeq)) === lit(bucketOf(query, pl))
+    }.reduce(_ || _)
     df.filter(anyMatch)
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))

@@ -49,7 +49,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minHashLsh surfaces the exact and near dup pairs") {
-    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 64, 8, 0.6)
+    // bands=16 (r=4): detection probability at jaccard 0.8 is ~0.9998
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 64, 16, 0.6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 3L))) // identical docs always collide
     assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)))
