@@ -230,18 +230,24 @@ class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
           val decodedRows = offPages.map(_._2).sum.toInt
           val out = new Array[Any](decodedRows)
           var row = 0
-          offPages.zip(valPages).foreach { case ((offBufs, _), (valBufs, _)) =>
-            val offs = offBufs.head
+          offPages.zip(valPages).foreach { case ((offBufs, _), (valBufs, valRows)) =>
+            // offsets page may carry a leading validity bitmap (null arrays)
+            val (validity, offs) =
+              if (offBufs.length == 2) (Some(offBufs(0)), offBufs(1))
+              else (None, offBufs.head)
             val nPageRows = offs.length / 8
             val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
             val totalVals = if (nPageRows == 0) 0 else offBB.getLong((nPageRows - 1) * 8).toInt
-            val vals = LanceColumnDecoder.decode(childTypes(c), Seq(valBufs), totalVals)
+            val vals = LanceColumnDecoder.decode(childTypes(c), Seq((valBufs, totalVals.toLong)), totalVals)
             var prev = 0
             var i = 0
             while (i < nPageRows) {
               val end = offBB.getLong(i * 8).toInt
-              out(row + i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                java.util.Arrays.copyOfRange(vals.asInstanceOf[Array[AnyRef]], prev, end))
+              val isNull = validity.exists(vb => ((vb(i >> 3) >> (i & 7)) & 1) == 0)
+              out(row + i) =
+                if (isNull) null
+                else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  java.util.Arrays.copyOfRange(vals.asInstanceOf[Array[AnyRef]], prev, end))
               prev = end
               i += 1
             }
@@ -251,7 +257,7 @@ class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
         } else {
           val pages = pagesOf(fieldIds(c), numRows)
           colValues(c) = LanceColumnDecoder.decode(logicalTypes(c),
-            pages.map(_._1), pages.map(_._2).sum.toInt)
+            pages, pages.map(_._2).sum.toInt)
         }
         c += 1
       }

@@ -87,8 +87,19 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
   private val boolAcc = Array.fill(nPhys)(0)
   private val boolBit = Array.fill(nPhys)(0)
   private val listValCount = Array.fill(nPhys)(0L) // per-page cumulative child values
+  // validity bitmaps (null support): only emitted for pages that saw nulls
+  private val validBufs = Array.fill(nPhys)(new ByteArrayOutputStream())
+  private val validAcc = Array.fill(nPhys)(0)
+  private val validBit = Array.fill(nPhys)(0)
+  private val sawNull = Array.fill(nPhys)(false)
   private val pageMetas = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
     .empty[(Seq[Long], Seq[Long], Long)])
+
+  private def markValidity(c: Int, valid: Boolean): Unit = {
+    if (valid) validAcc(c) |= (1 << validBit(c)) else sawNull(c) = true
+    validBit(c) += 1
+    if (validBit(c) == 8) { validBufs(c).write(validAcc(c)); validAcc(c) = 0; validBit(c) = 0 }
+  }
 
   private def putFixed(c: Int, dt: DataType, get: => Any): Unit = dt match {
     case BooleanType =>
@@ -124,26 +135,42 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
     var c = 0 // physical column cursor
     var s = 0 // schema field cursor
     while (s < schema.length) {
+      val isNull = row.isNullAt(s)
       schema(s).dataType match {
         case ArrayType(elem, _) =>
-          val arr = row.getArray(s)
-          val n = arr.numElements()
-          var k = 0
-          while (k < n) {
-            elem match {
-              case StringType => putVar(c + 1, arr.getUTF8String(k).getBytes)
-              case BinaryType => putVar(c + 1, arr.getBinary(k))
-              case dt => putFixed(c + 1, dt, arr.get(k, dt))
+          markValidity(c, !isNull)
+          if (!isNull) {
+            val arr = row.getArray(s)
+            val n = arr.numElements()
+            var k = 0
+            while (k < n) {
+              require(!arr.isNullAt(k),
+                "lance writer: null list elements are not supported")
+              elem match {
+                case StringType => putVar(c + 1, arr.getUTF8String(k).getBytes)
+                case BinaryType => putVar(c + 1, arr.getBinary(k))
+                case dt => putFixed(c + 1, dt, arr.get(k, dt))
+              }
+              k += 1
             }
-            k += 1
+            listValCount(c) += n
           }
-          listValCount(c) += n
+          // null array = zero-length slice (validity bit marks the null)
           fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
             .putLong(listValCount(c)).array())
           c += 2
-        case StringType => putVar(c, row.getUTF8String(s).getBytes); c += 1
-        case BinaryType => putVar(c, row.getBinary(s)); c += 1
-        case dt => putFixed(c, dt, row.get(s, dt)); c += 1
+        case StringType =>
+          markValidity(c, !isNull)
+          putVar(c, if (isNull) Array.emptyByteArray else row.getUTF8String(s).getBytes)
+          c += 1
+        case BinaryType =>
+          markValidity(c, !isNull)
+          putVar(c, if (isNull) Array.emptyByteArray else row.getBinary(s))
+          c += 1
+        case dt =>
+          markValidity(c, !isNull)
+          putFixed(c, dt, if (isNull) LanceWriteSupport.zeroOf(dt) else row.get(s, dt))
+          c += 1
       }
       s += 1
     }
@@ -181,16 +208,26 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
       if (isBool && boolBit(c) > 0) {
         fixedBufs(c).write(boolAcc(c)); boolAcc(c) = 0; boolBit(c) = 0
       }
+      if (validBit(c) > 0) {
+        validBufs(c).write(validAcc(c)); validAcc(c) = 0; validBit(c) = 0
+      }
+      // pages that saw nulls get a leading validity-bitmap buffer
+      val validityBuf: Seq[(Long, Long)] =
+        if (sawNull(c)) Seq(writeBuf(validBufs(c).toByteArray)) else Nil
       if (varWidth) {
         val (o1, s1) = writeBuf(fixedBufs(c).toByteArray)
         val (o2, s2) = writeBuf(byteBufs(c).toByteArray)
-        pageMetas(c) += ((Seq(o1, o2), Seq(s1, s2), pageRowCount))
+        val all = validityBuf ++ Seq((o1, s1), (o2, s2))
+        pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount))
         byteBufs(c).reset()
       } else {
         val (o, s) = writeBuf(fixedBufs(c).toByteArray)
-        pageMetas(c) += ((Seq(o), Seq(s), pageRowCount))
+        val all = validityBuf ++ Seq((o, s))
+        pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount))
       }
       fixedBufs(c).reset()
+      validBufs(c).reset()
+      sawNull(c) = false
       c += 1
     }
     java.util.Arrays.fill(listValCount, 0L)
@@ -264,6 +301,18 @@ object LanceWriteSupport {
     case DateType => "date32:day"
     case TimestampType => "timestamp:us:UTC"
     case TimestampNTZType => "timestamp:us"
+    case other => throw new UnsupportedOperationException(s"lance: $other")
+  }
+
+  /** Placeholder written under a null's validity bit. */
+  def zeroOf(dt: DataType): Any = dt match {
+    case BooleanType => false
+    case ByteType => 0.toByte
+    case ShortType => 0.toShort
+    case IntegerType | DateType => 0
+    case LongType | TimestampType | TimestampNTZType => 0L
+    case FloatType => 0.0f
+    case DoubleType => 0.0
     case other => throw new UnsupportedOperationException(s"lance: $other")
   }
 

@@ -100,6 +100,23 @@ class LanceSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("null round-trip: validity bitmaps preserve nulls exactly") {
+    val ds = tmpDs()
+    val src = spark.range(1000).selectExpr(
+      "id",
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS STRING) END AS s",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 3.0 END AS d",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 2 END AS l",
+      "CASE WHEN id % 11 = 0 THEN NULL ELSE array(CAST(id AS FLOAT), 1.5f) END AS vec"
+    ).coalesce(2)
+    src.write.format("lance").mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 1000)
+    assert(back.filter(col("s").isNull).count() == 334)
+    assert(back.filter(col("vec").isNull).count() == 91)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("append adds a version; versionAsOf time-travels; overwrite truncates") {
     val ds = tmpDs()
     val a = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s").coalesce(1)
