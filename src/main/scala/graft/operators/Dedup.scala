@@ -118,11 +118,44 @@ object Dedup {
 
   /** Cluster-level dedup decision from near-dup pairs: for every doc, the
     * smallest id among its neighbours-or-self (one star-contraction step —
-    * iterate to a fixpoint for full connected components). */
+    * see [[connectedComponents]] for the fixpoint). */
   def dedupDecision(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val nbrMin = pairs.groupBy(col("doc_b").as(idCol)).agg(min("doc_a").as("nbr_min"))
     docs.select(col(idCol)).join(nbrMin, Seq(idCol), "left")
       .select(col(idCol), least(col(idCol), coalesce(col("nbr_min"), col(idCol))).as("keep_id"))
+  }
+
+  /** Connected components over near-dup pairs by iterated label
+    * propagation: every node's label converges to the minimum id of its
+    * component; `keep_id` = component representative. Each round is one
+    * shuffle-join of labels against edges (both directions) + a min
+    * aggregate; rounds needed = graph diameter in min-label hops (
+    * O(log n) for typical dedup clusters). Labels are cached per round
+    * and convergence is detected with a changed-row count.
+    */
+  def connectedComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    var labels = docs.select(col(idCol).as("u"), col(idCol).as("label")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrLabels = edges.join(labels.withColumnRenamed("u", "v2"),
+          col("v") === col("v2"))
+        .groupBy("u").agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrLabels, Seq("u"), "left")
+        .select(col("u"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "u")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("u").as(idCol), col("label").as("keep_id"))
   }
 
   /** 64-bit SimHash per document, computed columnar-wise: 64 signed bit

@@ -73,6 +73,47 @@ object Similarity {
     sig
   }
 
+  /** IVF (inverted-file) index: a KMeans coarse quantizer assigns every
+    * vector to one of `nLists` lists (SURVEY §2.5 "scale path: IVF —
+    * KMeans (MLlib) coarse quantizer, partition-pruned search").
+    *
+    * At 100 TB the returned frame is materialized partitioned-by-list;
+    * a query then reads only its `nProbe` nearest lists — storage-level
+    * pruning the same way lance-index's IVF does. Returns (indexed frame
+    * with a `list_id` column, centroid matrix).
+    */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               nLists: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val featured = df.withColumn("__features", toVec(col(vecCol)))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("list_id")
+      .fit(featured)
+    val indexed = model.transform(featured).drop("__features")
+    (indexed, model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF search: probe the `nProbe` lists whose centroids are closest to
+    * the query (picked driver-side — centroids are tiny), then exact
+    * cosine top-k inside them via the codegen kernel. */
+  def ivfCosineTopK(indexed: DataFrame, centroids: Array[Array[Double]],
+                    idCol: String, vecCol: String, query: Seq[Float],
+                    k: Int, nProbe: Int): DataFrame = {
+    val qd = query.map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(c.length, qd.length)) { val d = c(i) - qd(i); s += d * d; i += 1 }
+      s
+    }
+    val probeLists = centroids.zipWithIndex.sortBy(p => dist2(p._1)).take(nProbe).map(_._2)
+    indexed.filter(col("list_id").isin(probeLists.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: restrict the exact cosine ranking to vectors whose
     * LSH bucket matches the query's bucket in at least one of `nTables`
     * independent hash tables. Buckets are computed by the codegen'd

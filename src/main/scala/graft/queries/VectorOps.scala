@@ -135,6 +135,17 @@ object VectorOps {
         .select(col("embedding")).head().getSeq[Float](0)
       Similarity.annCosineTopK(t("embeddings").filter(col("vec_id") > 0),
                                "vec_id", "embedding", query, 10)
+    }, None),
+
+    // IVF: KMeans coarse quantizer + probed exact search (scale path)
+    QDef("e06_ivf_topk", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val corpus = t("embeddings").filter(col("vec_id") > 0)
+      val query = t("embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val (indexed, centroids) = Similarity.ivfIndex(corpus, "vec_id", "embedding", nLists = 16)
+      Similarity.ivfCosineTopK(indexed, centroids, "vec_id", "embedding", query,
+                               k = 10, nProbe = 6)
     }, None)
   )
 }

@@ -69,6 +69,15 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 4L))
   }
+
+  test("connectedComponents converges over a chain (transitive dups)") {
+    // chain 0-1, 1-2, 2-3 plus isolated 4: all of 0..3 collapse to 0
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -93,6 +102,19 @@ class SimilaritySpec extends AnyFunSuite {
       .select(Similarity.cosine(col("embedding"), typedlit(Seq(1.0f, 0.0f, 0.0f))))
       .head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("ivf top-k achieves reasonable recall vs brute force on fixtures") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.cosineTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val (indexed, centroids) = Similarity.ivfIndex(
+      emb.filter(col("vec_id") > 0), "vec_id", "embedding", nLists = 16)
+    val approx = Similarity.ivfCosineTopK(indexed, centroids, "vec_id", "embedding",
+      query, 10, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.intersect(approx).size >= 3, s"ivf recall too low: $exact vs $approx")
   }
 
   test("ann lsh top-k achieves high recall vs brute force on fixtures") {
