@@ -268,6 +268,42 @@ object Scalars {
       FROM events WHERE event_id < 500
       ORDER BY event_id""")),
 
+    // --- string similarity: levenshtein / char-set jaccard / hamming -------
+    // jaccard + hamming are spelled out identically on both engines (set
+    // algebra over split characters) rather than trusting builtin
+    // similarity functions to agree on semantics.
+    QDef("q53_string_similarity", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ref = lit("red widget")
+      val chars = array_distinct(split(col("p_name"), ""))
+      val refChars = array_distinct(split(ref, ""))
+      val inter = size(array_intersect(chars, refChars))
+      val uni = size(chars) + size(refChars) - inter
+      t("part").filter(col("p_partkey") < 120)
+        .select(col("p_partkey"),
+                levenshtein(col("p_name"), ref).cast(IntegerType).as("lev"),
+                round(inter.cast(DoubleType) / uni.cast(DoubleType), 9).as("char_jaccard"),
+                size(filter(
+                  zip_with(split(col("p_name"), ""), split(ref, ""), (a, b) => a =!= b),
+                  x => x)).cast(IntegerType).as("hamming_prefix"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+             CAST(LEVENSHTEIN(p_name, 'red widget') AS INT) AS lev,
+             ROUND(CAST(LEN(LIST_INTERSECT(chars, ref_chars)) AS DOUBLE) /
+                   CAST(LEN(chars) + LEN(ref_chars) - LEN(LIST_INTERSECT(chars, ref_chars)) AS DOUBLE), 9)
+               AS char_jaccard,
+             CAST(LEN(LIST_FILTER(
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEAST(LENGTH(p_name), LENGTH('red widget'))),
+                              i -> SUBSTRING(p_name, CAST(i AS INT), 1) <> SUBSTRING('red widget', CAST(i AS INT), 1)),
+               x -> x)) AS INT) AS hamming_prefix
+      FROM (SELECT p_partkey, p_name,
+                   LIST_DISTINCT(STRING_SPLIT(p_name, '')) AS chars,
+                   LIST_DISTINCT(STRING_SPLIT('red widget', '')) AS ref_chars
+            FROM part)
+      WHERE p_partkey < 120
+      ORDER BY p_partkey""")),
+
     // --- CASE WHEN ladders + TRY_CAST --------------------------------------
     QDef("q02_case_project", (s, dir) => {
       val t = Tables.register(s, dir)

@@ -165,16 +165,26 @@ class LanceReaderFactory(fieldIds: Array[Int], logicalTypes: Array[String],
     val p = partition.asInstanceOf[LanceInputPartition]
     new LancePartitionReader(p, fieldIds, logicalTypes, childIds, childTypes)
   }
+
+  /** Columnar path for scalar-only projections: the scan emits
+    * ColumnarBatch and Spark fuses the batch->row transition into
+    * whole-stage codegen (same shape as its vectorized parquet reader).
+    * List columns fall back to the row reader. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    childIds.forall(_ < 0)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[LanceInputPartition]
+    new LanceColumnarReader(p, fieldIds, logicalTypes, childIds, childTypes)
+  }
 }
 
-/** Reads one fragment file: footer → column metadata for the projected
-  * columns only → ranged reads of just those columns' page buffers. */
-class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
-                           logicalTypes: Array[String], childIds: Array[Int],
-                           childTypes: Array[String])
-    extends PartitionReader[InternalRow] {
-
-  private val rows: Iterator[InternalRow] = {
+/** Shared fragment decode: (per-column value arrays, row count). */
+private[lance] object FragmentDecode {
+  def apply(part: LanceInputPartition, fieldIds: Array[Int],
+            logicalTypes: Array[String], childIds: Array[Int],
+            childTypes: Array[String]): (Array[Array[Any]], Int) = {
     val conf = new Configuration()
     val (fs, p) = LanceFormat.fileSystem(part.dataFilePath, conf)
     val fileLen = fs.getFileStatus(p).getLen
@@ -183,17 +193,14 @@ class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
       def readRange(off: Long, len: Int): Array[Byte] = {
         val b = new Array[Byte](len); in.readFully(off, b); b
       }
-      // footer
       val footer = readRange(fileLen - 40, 40)
       val bb = java.nio.ByteBuffer.wrap(footer).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val cmoStart = bb.getLong(8)
-      val numColumns = bb.getInt(28)
       require(footer(36) == 'L' && footer(39) == 'C', s"bad lance magic in ${part.dataFilePath}")
+      val numColumns = bb.getInt(28)
       val cmoTable = readRange(cmoStart, numColumns * 16)
       val cmoBB = java.nio.ByteBuffer.wrap(cmoTable).order(java.nio.ByteOrder.LITTLE_ENDIAN)
 
-      // pages of a column, skipping any page wholly past maxRows (limit
-      // pushdown never touches those byte ranges); returns (buffers, rows)
       def pagesOf(fieldId: Int, maxRows: Long = Long.MaxValue): Seq[(Seq[Array[Byte]], Long)] = {
         val fi = part.fieldIds.indexOf(fieldId)
         require(fi >= 0, s"field id $fieldId not in fragment ${part.dataFilePath}")
@@ -230,7 +237,7 @@ class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
           val decodedRows = offPages.map(_._2).sum.toInt
           val out = new Array[Any](decodedRows)
           var row = 0
-          offPages.zip(valPages).foreach { case ((offBufs, _), (valBufs, valRows)) =>
+          offPages.zip(valPages).foreach { case ((offBufs, _), (valBufs, _)) =>
             // offsets page may carry a leading validity bitmap (null arrays)
             val (validity, offs) =
               if (offBufs.length == 2) (Some(offBufs(0)), offBufs(1))
@@ -261,13 +268,88 @@ class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
         }
         c += 1
       }
-      (0 until numRows).iterator.map { r =>
-        val arr = new Array[Any](nCols)
-        var i = 0
-        while (i < nCols) { arr(i) = colValues(i)(r); i += 1 }
-        new GenericInternalRow(arr): InternalRow
-      }
+      (colValues, numRows)
     } finally in.close()
+  }
+}
+
+/** Columnar reader: one ColumnarBatch per fragment, values in
+  * OnHeapColumnVectors. */
+class LanceColumnarReader(part: LanceInputPartition, fieldIds: Array[Int],
+                          logicalTypes: Array[String], childIds: Array[Int],
+                          childTypes: Array[String])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private var batch: ColumnarBatch = _
+  private var emitted = false
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val (colValues, numRows) = FragmentDecode(part, fieldIds, logicalTypes, childIds, childTypes)
+    val sparkTypes = logicalTypes.map(LanceFormat.toSparkType)
+    val schema = StructType(sparkTypes.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.types.StructField(s"c$i", t)
+    })
+    val vectors = OnHeapColumnVector.allocateColumns(numRows, schema)
+    var c = 0
+    while (c < colValues.length) {
+      val vec = vectors(c)
+      val vals = colValues(c)
+      var i = 0
+      while (i < numRows) {
+        val v = vals(i)
+        if (v == null) vec.putNull(i)
+        else sparkTypes(c) match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => vec.putLong(i, v.asInstanceOf[Long])
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DateType => vec.putInt(i, v.asInstanceOf[Int])
+          case org.apache.spark.sql.types.DoubleType => vec.putDouble(i, v.asInstanceOf[Double])
+          case org.apache.spark.sql.types.FloatType => vec.putFloat(i, v.asInstanceOf[Float])
+          case org.apache.spark.sql.types.BooleanType => vec.putBoolean(i, v.asInstanceOf[Boolean])
+          case org.apache.spark.sql.types.ByteType => vec.putByte(i, v.asInstanceOf[Byte])
+          case org.apache.spark.sql.types.ShortType => vec.putShort(i, v.asInstanceOf[Short])
+          case org.apache.spark.sql.types.StringType =>
+            val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+            vec.putByteArray(i, b, 0, b.length)
+          case org.apache.spark.sql.types.BinaryType =>
+            val b = v.asInstanceOf[Array[Byte]]
+            vec.putByteArray(i, b, 0, b.length)
+          case other => throw new UnsupportedOperationException(s"columnar: $other")
+        }
+        i += 1
+      }
+      c += 1
+    }
+    batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], numRows)
+    emitted = true
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = if (batch != null) batch.close()
+}
+
+/** Reads one fragment file: footer → column metadata for the projected
+  * columns only → ranged reads of just those columns' page buffers. */
+class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
+                           logicalTypes: Array[String], childIds: Array[Int],
+                           childTypes: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val (colValues, numRows) =
+      FragmentDecode(part, fieldIds, logicalTypes, childIds, childTypes)
+    val nCols = fieldIds.length
+    (0 until numRows).iterator.map { r =>
+      val arr = new Array[Any](nCols)
+      var i = 0
+      while (i < nCols) { arr(i) = colValues(i)(r); i += 1 }
+      new GenericInternalRow(arr): InternalRow
+    }
   }
 
   private var current: InternalRow = _

@@ -130,6 +130,13 @@ class LanceSpec extends AnyFunSuite {
     assert(spark.read.format("lance").option("versionAsOf", "2").load(ds).count() == 8)
   }
 
+  test("scalar scans use the columnar batch path (ColumnarToRow in plan)") {
+    val df = spark.read.format("lance").load(golden).select("name", "score")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"columnar path not used:\n$plan")
+    assert(df.count() == 5)
+  }
+
   test("limit pushdown reaches the scan and prunes fragments") {
     val ds = tmpDs()
     spark.range(100000).selectExpr("id", "id * 2 AS v").repartition(8)

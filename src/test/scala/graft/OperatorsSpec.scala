@@ -80,6 +80,23 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Skew
+
+  test("salted join matches plain join on a skewed key distribution") {
+    // 90% of fact rows share one hot key
+    val fact = spark.range(10000)
+      .selectExpr("IF(id % 10 = 0, id % 7, 777L) AS k", "id AS payload")
+    val dim = Seq((777L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+                  (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "name")
+    val plain = fact.join(dim, "k").groupBy("name").count()
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8).groupBy("name").count()
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
