@@ -34,7 +34,12 @@ object Bench {
       val t0 = System.nanoTime()
       try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${d.name} failed: $e") }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // operators cache intermediates (LSH signatures etc.); drop them so
+      // queries are measured independently and later queries don't evict
+      // earlier caches mid-flight
+      spark.catalog.clearCache()
+      d.name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

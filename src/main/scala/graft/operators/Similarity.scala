@@ -88,7 +88,7 @@ object Similarity {
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val featured = df.withColumn("__features", toVec(col(vecCol)))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("__features").setPredictionCol("list_id")
       .fit(featured)
     val indexed = model.transform(featured).drop("__features")
