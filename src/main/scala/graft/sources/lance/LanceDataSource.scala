@@ -72,17 +72,68 @@ class LanceTable(path: String, tableSchema: StructType, versionAsOf: Option[Long
     new LanceWriteBuilder(path, info)
 }
 
+/** A numeric predicate usable against page zone maps (conservative:
+  * anything not representable here is simply not pruned on). */
+case class ZoneFilter(colName: String, op: String, value: Double) {
+  /** Can a page with values in [mn, mx] contain a matching row? */
+  def mayMatch(mn: Double, mx: Double): Boolean = op match {
+    case ">"  => mx > value
+    case ">=" => mx >= value
+    case "<"  => mn < value
+    case "<=" => mn <= value
+    case "="  => mn <= value && mx >= value
+    case _ => true
+  }
+}
+
 class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
   private var limit: Option[Int] = None
+  private var zoneFilters: Seq[ZoneFilter] = Nil
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve lance field order; requiredSchema may reorder
     val want = requiredSchema.fieldNames.toSet
     required = StructType(full.fields.filter(f => want.contains(f.name)))
   }
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
-  override def build(): Scan = new LanceScan(path, full, required, versionAsOf, limit)
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  /** Zone-map skipping only — every filter stays residual (we return all
+    * filters back to Spark), so correctness never depends on the stats;
+    * pages whose [min,max] cannot match are just never read. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val zs = filters.flatMap {
+      case GreaterThan(a, v) => numeric(v).map(ZoneFilter(a, ">", _))
+      case GreaterThanOrEqual(a, v) => numeric(v).map(ZoneFilter(a, ">=", _))
+      case LessThan(a, v) => numeric(v).map(ZoneFilter(a, "<", _))
+      case LessThanOrEqual(a, v) => numeric(v).map(ZoneFilter(a, "<=", _))
+      case EqualTo(a, v) => numeric(v).map(ZoneFilter(a, "=", _))
+      case _ => None
+    }
+    zoneFilters = zs.toSeq
+    accepted = filters.filter {
+      case GreaterThan(_, v) => numeric(v).isDefined
+      case GreaterThanOrEqual(_, v) => numeric(v).isDefined
+      case LessThan(_, v) => numeric(v).isDefined
+      case LessThanOrEqual(_, v) => numeric(v).isDefined
+      case EqualTo(_, v) => numeric(v).isDefined
+      case _ => false
+    }
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new LanceScan(path, full, required, versionAsOf, limit, zoneFilters)
 }
 
 /** One InputPartition per Lance fragment; rowLimit caps decoded rows when
@@ -93,13 +144,17 @@ case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
   extends InputPartition
 
 class LanceScan(path: String, full: StructType, required: StructType,
-                versionAsOf: Option[Long], limit: Option[Int] = None)
+                versionAsOf: Option[Long], limit: Option[Int] = None,
+                zoneFilters: Seq[ZoneFilter] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"LanceScan($path, columns=[${required.fieldNames.mkString(",")}]" +
-      limit.map(n => s", limit=$n").getOrElse("") + ")"
+      limit.map(n => s", limit=$n").getOrElse("") +
+      (if (zoneFilters.nonEmpty)
+         s", zoneFilters=[${zoneFilters.map(f => s"${f.colName}${f.op}${f.value}").mkString(",")}]"
+       else "") + ")"
 
   @transient private lazy val manifest = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -154,16 +209,24 @@ class LanceScan(path: String, full: StructType, required: StructType,
         (f.id, f.logicalType, child.id, child.logicalType)
       } else (f.id, f.logicalType, -1, "")
     }
-    new LanceReaderFactory(cols.map(_._1), cols.map(_._2), cols.map(_._3), cols.map(_._4))
+    // zone filters resolved to field ids (unknown columns dropped)
+    val zf = zoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z.op, z.value)))
+    new LanceReaderFactory(cols.map(_._1), cols.map(_._2), cols.map(_._3), cols.map(_._4),
+      zf.map(_._1).toArray, zf.map(_._2).toArray, zf.map(_._3).toArray)
   }
 }
 
 class LanceReaderFactory(fieldIds: Array[Int], logicalTypes: Array[String],
-                         childIds: Array[Int], childTypes: Array[String])
+                         childIds: Array[Int], childTypes: Array[String],
+                         filterFieldIds: Array[Int] = Array.empty,
+                         filterOps: Array[String] = Array.empty,
+                         filterVals: Array[Double] = Array.empty)
     extends PartitionReaderFactory {
+  private def zf: Seq[(Int, String, Double)] =
+    filterFieldIds.indices.map(i => (filterFieldIds(i), filterOps(i), filterVals(i)))
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    new LancePartitionReader(p, fieldIds, logicalTypes, childIds, childTypes)
+    new LancePartitionReader(p, fieldIds, logicalTypes, childIds, childTypes, zf)
   }
 
   /** Columnar path for scalar-only projections: the scan emits
@@ -176,15 +239,20 @@ class LanceReaderFactory(fieldIds: Array[Int], logicalTypes: Array[String],
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    new LanceColumnarReader(p, fieldIds, logicalTypes, childIds, childTypes)
+    new LanceColumnarReader(p, fieldIds, logicalTypes, childIds, childTypes, zf)
   }
 }
 
-/** Shared fragment decode: (per-column value arrays, row count). */
+/** Shared fragment decode: (per-column value arrays, row count).
+  * zoneFilters: (fieldId, op, value) triples — pages whose recorded
+  * [min,max] cannot match ALL filters are skipped in every column (page
+  * boundaries are aligned across columns by the writer; files without
+  * stats are never pruned). */
 private[lance] object FragmentDecode {
   def apply(part: LanceInputPartition, fieldIds: Array[Int],
             logicalTypes: Array[String], childIds: Array[Int],
-            childTypes: Array[String]): (Array[Array[Any]], Int) = {
+            childTypes: Array[String],
+            zoneFilters: Seq[(Int, String, Double)] = Nil): (Array[Array[Any]], Int) = {
     val conf = new Configuration()
     val (fs, p) = LanceFormat.fileSystem(part.dataFilePath, conf)
     val fileLen = fs.getFileStatus(p).getLen
@@ -201,7 +269,8 @@ private[lance] object FragmentDecode {
       val cmoTable = readRange(cmoStart, numColumns * 16)
       val cmoBB = java.nio.ByteBuffer.wrap(cmoTable).order(java.nio.ByteOrder.LITTLE_ENDIAN)
 
-      def pagesOf(fieldId: Int, maxRows: Long = Long.MaxValue): Seq[(Seq[Array[Byte]], Long)] = {
+      // raw page metas of a column: (bufferOffsets, bufferSizes, rows, min, max)
+      def pageMetasOf(fieldId: Int): Seq[(Seq[Long], Seq[Long], Long, Double, Double)] = {
         val fi = part.fieldIds.indexOf(fieldId)
         require(fi >= 0, s"field id $fieldId not in fragment ${part.dataFilePath}")
         val colIdx = part.columnIndices(fi)
@@ -209,21 +278,62 @@ private[lance] object FragmentDecode {
         val metaLen = cmoBB.getLong(colIdx * 16 + 8)
         val metaBytes = readRange(metaOff, metaLen.toInt)
         val fsMeta = Proto.parse(metaBytes)
+        Proto.all(fsMeta, 2).map { pg =>
+          val pf = Proto.parse(pg.bytes)
+          val mn = pf.find(f => f.tag == 10 && f.wire == 1)
+            .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN)
+          val mx = pf.find(f => f.tag == 11 && f.wire == 1)
+            .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN)
+          (Proto.packedVarints(pf, 1), Proto.packedVarints(pf, 2),
+           Proto.firstVarint(pf, 3).getOrElse(0L), mn, mx)
+        }
+      }
+
+      // zone-map page mask: page p survives iff every filter may match it
+      val keepMask: Option[Array[Boolean]] =
+        if (zoneFilters.isEmpty) None
+        else {
+          val masks = zoneFilters.map { case (fid, op, value) =>
+            val metas = pageMetasOf(fid)
+            metas.map { case (_, _, _, mn, mx) =>
+              mn.isNaN || mx.isNaN || ZoneFilter("", op, value).mayMatch(mn, mx)
+            }.toArray
+          }
+          // column page counts can differ only for foreign files w/o stats
+          if (masks.map(_.length).distinct.length != 1) None
+          else Some(masks.reduce((a, b) => a.zip(b).map(p => p._1 && p._2)))
+        }
+
+      def pagesOf(fieldId: Int, maxRows: Long = Long.MaxValue): Seq[(Seq[Array[Byte]], Long)] = {
+        val metas = pageMetasOf(fieldId)
+        val masked = keepMask match {
+          case Some(m) if m.length == metas.length =>
+            metas.zipWithIndex.filter { case (_, i) => m(i) }.map(_._1)
+          case _ => metas
+        }
         var cum = 0L
-        Proto.all(fsMeta, 2).flatMap { pg =>
+        masked.flatMap { case (offs, sizes, rows, _, _) =>
           if (cum >= maxRows) None
           else {
-            val pf = Proto.parse(pg.bytes)
-            val offs = Proto.packedVarints(pf, 1)
-            val sizes = Proto.packedVarints(pf, 2)
-            val rows = Proto.firstVarint(pf, 3).getOrElse(0L)
             cum += rows
             Some((offs.zip(sizes).map { case (o, s) => readRange(o, s.toInt) }, rows))
           }
         }
       }
 
-      val numRows = math.min(part.numRows, part.rowLimit).toInt
+      // after masking, the fragment's surviving row count comes from the
+      // kept pages, not the manifest
+      val numRows = {
+        val base = keepMask match {
+          case Some(m) =>
+            val metas = pageMetasOf(fieldIds.headOption.getOrElse(part.fieldIds.head))
+            if (m.length == metas.length)
+              metas.zipWithIndex.filter { case (_, i) => m(i) }.map(_._1._3).sum
+            else part.numRows
+          case None => part.numRows
+        }
+        math.min(base, part.rowLimit).toInt
+      }
       val nCols = fieldIds.length
       val colValues = new Array[Array[Any]](nCols)
       var c = 0
@@ -277,7 +387,8 @@ private[lance] object FragmentDecode {
   * OnHeapColumnVectors. */
 class LanceColumnarReader(part: LanceInputPartition, fieldIds: Array[Int],
                           logicalTypes: Array[String], childIds: Array[Int],
-                          childTypes: Array[String])
+                          childTypes: Array[String],
+                          zoneFilters: Seq[(Int, String, Double)] = Nil)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -287,7 +398,7 @@ class LanceColumnarReader(part: LanceInputPartition, fieldIds: Array[Int],
 
   override def next(): Boolean = {
     if (emitted) return false
-    val (colValues, numRows) = FragmentDecode(part, fieldIds, logicalTypes, childIds, childTypes)
+    val (colValues, numRows) = FragmentDecode(part, fieldIds, logicalTypes, childIds, childTypes, zoneFilters)
     val sparkTypes = logicalTypes.map(LanceFormat.toSparkType)
     val schema = StructType(sparkTypes.zipWithIndex.map { case (t, i) =>
       org.apache.spark.sql.types.StructField(s"c$i", t)
@@ -337,12 +448,13 @@ class LanceColumnarReader(part: LanceInputPartition, fieldIds: Array[Int],
   * columns only → ranged reads of just those columns' page buffers. */
 class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
                            logicalTypes: Array[String], childIds: Array[Int],
-                           childTypes: Array[String])
+                           childTypes: Array[String],
+                           zoneFilters: Seq[(Int, String, Double)] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
     val (colValues, numRows) =
-      FragmentDecode(part, fieldIds, logicalTypes, childIds, childTypes)
+      FragmentDecode(part, fieldIds, logicalTypes, childIds, childTypes, zoneFilters)
     val nCols = fieldIds.length
     (0 until numRows).iterator.map { r =>
       val arr = new Array[Any](nCols)

@@ -92,8 +92,17 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
   private val validAcc = Array.fill(nPhys)(0)
   private val validBit = Array.fill(nPhys)(0)
   private val sawNull = Array.fill(nPhys)(false)
+  // per-page zone maps (numeric min/max as doubles, conservative) for
+  // filter pushdown; NaN-initialized = no stats
+  private val zoneMin = Array.fill(nPhys)(Double.NaN)
+  private val zoneMax = Array.fill(nPhys)(Double.NaN)
   private val pageMetas = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
-    .empty[(Seq[Long], Seq[Long], Long)])
+    .empty[(Seq[Long], Seq[Long], Long, Double, Double)])
+
+  private def trackZone(c: Int, v: Double): Unit = {
+    if (zoneMin(c).isNaN || v < zoneMin(c)) zoneMin(c) = v
+    if (zoneMax(c).isNaN || v > zoneMax(c)) zoneMax(c) = v
+  }
 
   private def markValidity(c: Int, valid: Boolean): Unit = {
     if (valid) validAcc(c) |= (1 << validBit(c)) else sawNull(c) = true
@@ -101,27 +110,37 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
     if (validBit(c) == 8) { validBufs(c).write(validAcc(c)); validAcc(c) = 0; validBit(c) = 0 }
   }
 
-  private def putFixed(c: Int, dt: DataType, get: => Any): Unit = dt match {
+  private def putFixed(c: Int, dt: DataType, get: => Any): Unit =
+    putFixed(c, dt, get, track = true)
+
+  private def putFixed(c: Int, dt: DataType, get: => Any, track: Boolean): Unit = dt match {
     case BooleanType =>
       if (get.asInstanceOf[Boolean]) boolAcc(c) |= (1 << boolBit(c))
       boolBit(c) += 1
       if (boolBit(c) == 8) { fixedBufs(c).write(boolAcc(c)); boolAcc(c) = 0; boolBit(c) = 0 }
-    case ByteType => fixedBufs(c).write(get.asInstanceOf[Byte].toInt)
+    case ByteType =>
+      val v = get.asInstanceOf[Byte]; if (track) trackZone(c, v.toDouble)
+      fixedBufs(c).write(v.toInt)
     case ShortType =>
+      val v = get.asInstanceOf[Short]; if (track) trackZone(c, v.toDouble)
       fixedBufs(c).write(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
-        .putShort(get.asInstanceOf[Short]).array())
+        .putShort(v).array())
     case IntegerType | DateType =>
+      val v = get.asInstanceOf[Int]; if (track) trackZone(c, v.toDouble)
       fixedBufs(c).write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        .putInt(get.asInstanceOf[Int]).array())
+        .putInt(v).array())
     case LongType | TimestampType | TimestampNTZType =>
+      val v = get.asInstanceOf[Long]; if (track) trackZone(c, v.toDouble)
       fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-        .putLong(get.asInstanceOf[Long]).array())
+        .putLong(v).array())
     case FloatType =>
+      val v = get.asInstanceOf[Float]; if (!v.isNaN) if (track) trackZone(c, v.toDouble)
       fixedBufs(c).write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        .putFloat(get.asInstanceOf[Float]).array())
+        .putFloat(v).array())
     case DoubleType =>
+      val v = get.asInstanceOf[Double]; if (track && !v.isNaN) trackZone(c, v)
       fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-        .putDouble(get.asInstanceOf[Double]).array())
+        .putDouble(v).array())
     case other => throw new UnsupportedOperationException(s"lance writer: $other")
   }
 
@@ -169,7 +188,7 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
           c += 1
         case dt =>
           markValidity(c, !isNull)
-          putFixed(c, dt, if (isNull) LanceWriteSupport.zeroOf(dt) else row.get(s, dt))
+          putFixed(c, dt, if (isNull) LanceWriteSupport.zeroOf(dt) else row.get(s, dt), track = !isNull)
           c += 1
       }
       s += 1
@@ -218,16 +237,18 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
         val (o1, s1) = writeBuf(fixedBufs(c).toByteArray)
         val (o2, s2) = writeBuf(byteBufs(c).toByteArray)
         val all = validityBuf ++ Seq((o1, s1), (o2, s2))
-        pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount))
+        pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount, zoneMin(c), zoneMax(c)))
         byteBufs(c).reset()
       } else {
         val (o, s) = writeBuf(fixedBufs(c).toByteArray)
         val all = validityBuf ++ Seq((o, s))
-        pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount))
+        pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount, zoneMin(c), zoneMax(c)))
       }
       fixedBufs(c).reset()
       validBufs(c).reset()
       sawNull(c) = false
+      zoneMin(c) = Double.NaN
+      zoneMax(c) = Double.NaN
       c += 1
     }
     java.util.Arrays.fill(listValCount, 0L)
@@ -252,10 +273,14 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
       val dt = layout.phys(c).dt
       val w = new Proto.Writer
       w.bytes(1, LanceWriteSupport.columnEncodingAny())
-      pageMetas(c).foreach { case (offs, sizes, nrows) =>
+      pageMetas(c).foreach { case (offs, sizes, nrows, mn, mx) =>
         val pw = new Proto.Writer
         pw.packed(1, offs).packed(2, sizes).varint(3, nrows)
         pw.bytes(4, LanceWriteSupport.arrayEncodingAny(dt, LanceWriteSupport.bitsFor(dt)))
+        if (!mn.isNaN && !mx.isNaN) {
+          pw.fixed64(10, java.lang.Double.doubleToLongBits(mn))
+          pw.fixed64(11, java.lang.Double.doubleToLongBits(mx))
+        }
         w.message(2, pw)
       }
       val b = w.result()

@@ -99,6 +99,12 @@ object Proto {
       out.write(x.toInt)
     }
     def varint(tag: Int, v: Long): this.type = { writeVarintRaw((tag.toLong << 3) | 0); writeVarintRaw(v); this }
+    def fixed64(tag: Int, v: Long): this.type = {
+      writeVarintRaw((tag.toLong << 3) | 1)
+      var i = 0
+      while (i < 8) { out.write(((v >>> (i * 8)) & 0xff).toInt); i += 1 }
+      this
+    }
     def bytes(tag: Int, b: Array[Byte]): this.type = {
       writeVarintRaw((tag.toLong << 3) | 2); writeVarintRaw(b.length.toLong); out.write(b); this
     }

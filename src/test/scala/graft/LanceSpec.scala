@@ -149,6 +149,23 @@ class LanceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 1)
   }
 
+  test("zone-map filter pushdown skips pages and stays correct") {
+    val ds = tmpDs()
+    // 300k sorted rows, 1 fragment -> ~5 pages of 64k; selective range
+    // predicates can exclude most pages via recorded min/max
+    spark.range(300000).selectExpr("id", "CAST(id AS DOUBLE) * 1.5 AS v")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    val df = spark.read.format("lance").load(ds).filter(col("id") >= 290000)
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("zoneFilters=[id>="), s"no zone filters: $scanDesc")
+    assert(df.count() == 10000)
+    assert(df.agg(min("id")).head().getLong(0) == 290000)
+    // equality + double-col filters too
+    assert(spark.read.format("lance").load(ds).filter(col("v") === 150.0).count() == 1)
+    assert(spark.read.format("lance").load(ds)
+      .filter(col("id") < 1000 && col("v") > 100.0).count() == 1000 - 67)
+  }
+
   test("scan reports statistics from the manifest") {
     val df = spark.read.format("lance").load(golden)
     val stats = df.queryExecution.optimizedPlan.stats
