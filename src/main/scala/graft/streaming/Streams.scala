@@ -105,4 +105,23 @@ object Streams {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Stream into a Lance dataset: every non-empty micro-batch commits one
+    * new dataset version (append), so the sink is queryable mid-stream and
+    * each epoch is time-travelable via versionAsOf — the streaming twin of
+    * the reference's COPY TO (R6-R8). Exactly-once within a batch comes
+    * from the atomic manifest commit; foreachBatch re-delivery would
+    * append a duplicate version (documented at-least-once semantics, as
+    * with any non-idempotent foreachBatch sink). */
+  def lanceSink(df: DataFrame, path: String,
+                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.format("lance").mode("append").save(path)
+        }
+      }
+      .start()
 }

@@ -32,6 +32,21 @@ class ExtrasSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("top-k heap aggregate matches the window formulation") {
+    import graft.functions.TopKAgg
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+    val viaAgg = orders.groupBy("o_custkey")
+      .agg(TopKAgg.top_k(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), explode(col("top")).as("t"))
+      .select(col("o_custkey"), col("t.payload").as("o_orderkey"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("o_custkey", "o_orderkey")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("unpivot produces one row per (priority, status)") {
     val n = SparkEntry.queries("q32_unpivot")(spark, TestSpark.sfDir).count()
     assert(n == 15) // 5 priorities x 3 statuses

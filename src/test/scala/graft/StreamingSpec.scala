@@ -71,6 +71,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(stateful).isEmpty && stateful.exceptAll(batch).isEmpty)
   }
 
+  test("lance streaming sink: each micro-batch appends a dataset version") {
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/events.lance"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val stream = Streams.readEventsStream(spark, streamDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val q = Streams.lanceSink(stream, sinkDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("lance").load(sinkDir)
+    assert(back.count() == 1000)
+    val batch = spark.read.parquet(streamDir)
+      .select("event_id", "user_id", "event_type", "value")
+    assert(back.exceptAll(batch).isEmpty && batch.exceptAll(back).isEmpty)
+    // at least one committed version exists and v1 is readable
+    assert(spark.read.format("lance").option("versionAsOf", "1").load(sinkDir).count() > 0)
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
