@@ -20,12 +20,12 @@ object Extras2 {
       s.sql("""
         SELECT s_suppkey, s_name FROM supplier
         WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
-                                AND l_quantity > 49.0)
+                                AND l_quantity > 49.0 AND l_orderkey % 20 = 0)
         ORDER BY s_suppkey""")
     }, Some("""
       SELECT s_suppkey, s_name FROM supplier
       WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
-                              AND l_quantity > 49.0)
+                              AND l_quantity > 49.0 AND l_orderkey % 20 = 0)
       ORDER BY s_suppkey""")),
 
     // --- EXISTS and NOT EXISTS chained -------------------------------------
