@@ -106,6 +106,33 @@ object Streams {
     df.sparkSession.table(name)
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids, with state bounded
+    * by the watermark (duplicates arriving later than the delay are
+    * outside the guarantee — the standard streaming-dedup contract). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: purchases enriched with the same user's
+    * view events from the preceding hour. Both sides watermarked so join
+    * state is bounded; the time-range condition lets Spark expire rows. */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+              col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   /** Stream into a Lance dataset: every non-empty micro-batch commits one
     * new dataset version (append), so the sink is queryable mid-stream and
     * each epoch is time-travelable via versionAsOf — the streaming twin of

@@ -181,6 +181,34 @@ class LanceSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM `$golden`").head().getLong(0) == 5)
   }
 
+  // parity with the reference's sqllogictest error cases
+  // (test/sql/lance.test: lance_scan with no/invalid argument errors)
+  test("error surface: missing path and nonexistent dataset fail cleanly") {
+    val e1 = intercept[Exception] {
+      spark.read.format("lance").load()
+    }
+    assert(e1.getMessage.toLowerCase.contains("path"))
+    val e2 = intercept[Exception] {
+      spark.read.format("lance").load("/tmp/definitely-not-a-dataset.lance").collect()
+    }
+    assert(e2 != null)
+  }
+
+  test("concurrent manifest commit is rejected (rename guard)") {
+    val ds = tmpDs()
+    spark.range(10).coalesce(1).write.format("lance").mode("append").save(ds)
+    // simulate a racing writer committing the same next version directly
+    val conf = spark.sessionState.newHadoopConf()
+    val schema = spark.read.format("lance").load(ds).schema
+    graft.sources.lance.LanceWriteSupport.writeManifest(
+      conf, new org.apache.hadoop.fs.Path(ds), schema, Nil, 1, Nil, version = 2)
+    val e = intercept[java.io.IOException] {
+      graft.sources.lance.LanceWriteSupport.writeManifest(
+        conf, new org.apache.hadoop.fs.Path(ds), schema, Nil, 1, Nil, version = 2)
+    }
+    assert(e.getMessage.contains("concurrent"))
+  }
+
   test("versionAsOf resolves an explicit manifest version") {
     val df = spark.read.format("lance").option("versionAsOf", "1").load(golden)
     assert(df.count() == 5)

@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(stateful).isEmpty && stateful.exceptAll(batch).isEmpty)
   }
 
+  test("streaming dedup drops duplicate event ids") {
+    // duplicate the stream source: each event appears twice across files
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val once = spark.read.parquet(streamDir)
+    once.unionAll(once).repartition(4).write.mode("overwrite").parquet(dupDir)
+    val streamed = Streams.runToCompletion(
+      Streams.dedupStream(Streams.readEventsStream(spark, dupDir)), "dedup")
+    assert(streamed.count() == 1000, s"got ${streamed.count()}")
+    assert(streamed.select("event_id").distinct().count() == 1000)
+  }
+
+  test("stream-stream interval join equals the batch twin") {
+    val streamed = Streams.runToCompletion(
+      Streams.purchaseViewJoin(Streams.readEventsStream(spark, streamDir)), "ssjoin")
+    val batch = Streams.purchaseViewJoin(spark.read.parquet(streamDir))
+    assert(streamed.count() > 0)
+    // inner interval join emits only watermark-safe matches; every emitted
+    // row must be correct and the batch result must cover it
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream emitted rows the batch join doesn't have")
+    // and nearly all matches should have been emitted (only pairs in the
+    // final unclosed watermark window may be missing)
+    assert(streamed.count() >= batch.count() * 8 / 10,
+      s"too few: ${streamed.count()} vs ${batch.count()}")
+  }
+
   test("lance streaming sink: each micro-batch appends a dataset version") {
     val sinkDir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/events.lance"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
