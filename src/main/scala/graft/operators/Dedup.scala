@@ -176,14 +176,19 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     val sigs = simHash(df, idCol, textCol).cache()
-    val chunks = sigs.select(col(idCol), col("simhash"),
+    // candidates stay skinny (ids only) through the bucket join + distinct;
+    // signatures are joined back afterwards — same shape as minHashLsh
+    val chunks = sigs.select(col(idCol),
         posexplode(array((0 until 4).map(c => expr(s"(shiftright(simhash, ${c * 16})) & 65535")): _*)))
-      .select(col(idCol), col("simhash"), col("pos").as("chunk"), col("col").as("chunk_val"))
-    val l = chunks.select(col(idCol).as("doc_a"), col("chunk"), col("chunk_val"), col("simhash").as("sh_a"))
-    val r = chunks.select(col(idCol).as("doc_b"), col("chunk").as("chunk_r"), col("chunk_val").as("chunk_val_r"), col("simhash").as("sh_b"))
-    l.join(r, col("chunk") === col("chunk_r") && col("chunk_val") === col("chunk_val_r") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select(col(idCol), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val l = chunks.select(col(idCol).as("doc_a"), col("chunk"), col("chunk_val"))
+    val r = chunks.select(col(idCol).as("doc_b"), col("chunk").as("chunk_r"), col("chunk_val").as("chunk_val_r"))
+    val candidates = l.join(r, col("chunk") === col("chunk_r") &&
+        col("chunk_val") === col("chunk_val_r") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"))
+    val sb = sigs.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast(IntegerType))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -199,25 +199,31 @@ class LanceScan(path: String, full: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // map required column names -> (field id, logical type, child id/type
-    // for list columns: -1/"" otherwise)
+    // map required column names -> ColSpec (children resolved for
+    // list/struct columns)
     val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f).toMap
     val cols = required.fieldNames.map { n =>
       val f = byName(n)
-      if (f.logicalType == "list" || f.logicalType == "large_list") {
-        val child = manifest.fields.find(_.parentId == f.id).get
-        (f.id, f.logicalType, child.id, child.logicalType)
-      } else (f.id, f.logicalType, -1, "")
+      if (f.logicalType == "list" || f.logicalType == "large_list" ||
+          f.logicalType == "struct") {
+        val children = manifest.fields.filter(_.parentId == f.id)
+        ColSpec(f.id, f.logicalType, children.map(_.id).toArray,
+                children.map(_.logicalType).toArray, children.map(_.name).toArray)
+      } else ColSpec(f.id, f.logicalType, Array.empty, Array.empty, Array.empty)
     }
     // zone filters resolved to field ids (unknown columns dropped)
     val zf = zoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z.op, z.value)))
-    new LanceReaderFactory(cols.map(_._1), cols.map(_._2), cols.map(_._3), cols.map(_._4),
+    new LanceReaderFactory(cols.toArray,
       zf.map(_._1).toArray, zf.map(_._2).toArray, zf.map(_._3).toArray)
   }
 }
 
-class LanceReaderFactory(fieldIds: Array[Int], logicalTypes: Array[String],
-                         childIds: Array[Int], childTypes: Array[String],
+/** One required output column: children present for list/struct fields. */
+case class ColSpec(fieldId: Int, logicalType: String, childIds: Array[Int],
+                   childTypes: Array[String], childNames: Array[String])
+    extends Serializable
+
+class LanceReaderFactory(colSpecs: Array[ColSpec],
                          filterFieldIds: Array[Int] = Array.empty,
                          filterOps: Array[String] = Array.empty,
                          filterVals: Array[Double] = Array.empty)
@@ -226,20 +232,20 @@ class LanceReaderFactory(fieldIds: Array[Int], logicalTypes: Array[String],
     filterFieldIds.indices.map(i => (filterFieldIds(i), filterOps(i), filterVals(i)))
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    new LancePartitionReader(p, fieldIds, logicalTypes, childIds, childTypes, zf)
+    new LancePartitionReader(p, colSpecs, zf)
   }
 
   /** Columnar path for scalar-only projections: the scan emits
     * ColumnarBatch and Spark fuses the batch->row transition into
     * whole-stage codegen (same shape as its vectorized parquet reader).
-    * List columns fall back to the row reader. */
+    * List/struct columns fall back to the row reader. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    childIds.forall(_ < 0)
+    colSpecs.forall(_.childIds.isEmpty)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    new LanceColumnarReader(p, fieldIds, logicalTypes, childIds, childTypes, zf)
+    new LanceColumnarReader(p, colSpecs, zf)
   }
 }
 
@@ -249,9 +255,7 @@ class LanceReaderFactory(fieldIds: Array[Int], logicalTypes: Array[String],
   * boundaries are aligned across columns by the writer; files without
   * stats are never pruned). */
 private[lance] object FragmentDecode {
-  def apply(part: LanceInputPartition, fieldIds: Array[Int],
-            logicalTypes: Array[String], childIds: Array[Int],
-            childTypes: Array[String],
+  def apply(part: LanceInputPartition, colSpecs: Array[ColSpec],
             zoneFilters: Seq[(Int, String, Double)] = Nil): (Array[Array[Any]], Int) = {
     val conf = new Configuration()
     val (fs, p) = LanceFormat.fileSystem(part.dataFilePath, conf)
@@ -326,7 +330,7 @@ private[lance] object FragmentDecode {
       val numRows = {
         val base = keepMask match {
           case Some(m) =>
-            val metas = pageMetasOf(fieldIds.headOption.getOrElse(part.fieldIds.head))
+            val metas = pageMetasOf(colSpecs.headOption.map(_.fieldId).getOrElse(part.fieldIds.head))
             if (m.length == metas.length)
               metas.zipWithIndex.filter { case (_, i) => m(i) }.map(_._1._3).sum
             else part.numRows
@@ -334,14 +338,35 @@ private[lance] object FragmentDecode {
         }
         math.min(base, part.rowLimit).toInt
       }
-      val nCols = fieldIds.length
+      val nCols = colSpecs.length
       val colValues = new Array[Array[Any]](nCols)
+
+      def decodeScalarColumn(fieldId: Int, logicalType: String): Array[Any] = {
+        val pages = pagesOf(fieldId, numRows)
+        LanceColumnDecoder.decode(logicalType, pages, pages.map(_._2).sum.toInt)
+      }
+
       var c = 0
       while (c < nCols) {
-        if (childIds(c) >= 0) {
+        val spec = colSpecs(c)
+        if (spec.logicalType == "struct") {
+          // struct = grouped leaf columns; assemble an InternalRow per row
+          val leafVals = spec.childIds.zip(spec.childTypes)
+            .map { case (cid, ct) => decodeScalarColumn(cid, ct) }
+          val out = new Array[Any](numRows)
+          var i = 0
+          while (i < numRows) {
+            val vals = new Array[Any](leafVals.length)
+            var j = 0
+            while (j < leafVals.length) { vals(j) = leafVals(j)(i); j += 1 }
+            out(i) = new GenericInternalRow(vals)
+            i += 1
+          }
+          colValues(c) = out
+        } else if (spec.childIds.nonEmpty) {
           // list column: per-page i64 end-offsets + aligned child value pages
-          val offPages = pagesOf(fieldIds(c), numRows)
-          val valPages = pagesOf(childIds(c)).take(offPages.length)
+          val offPages = pagesOf(spec.fieldId, numRows)
+          val valPages = pagesOf(spec.childIds.head).take(offPages.length)
           require(offPages.length == valPages.length,
             s"list pages misaligned in ${part.dataFilePath}")
           val decodedRows = offPages.map(_._2).sum.toInt
@@ -355,7 +380,7 @@ private[lance] object FragmentDecode {
             val nPageRows = offs.length / 8
             val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
             val totalVals = if (nPageRows == 0) 0 else offBB.getLong((nPageRows - 1) * 8).toInt
-            val vals = LanceColumnDecoder.decode(childTypes(c), Seq((valBufs, totalVals.toLong)), totalVals)
+            val vals = LanceColumnDecoder.decode(spec.childTypes.head, Seq((valBufs, totalVals.toLong)), totalVals)
             var prev = 0
             var i = 0
             while (i < nPageRows) {
@@ -372,9 +397,7 @@ private[lance] object FragmentDecode {
           }
           colValues(c) = out
         } else {
-          val pages = pagesOf(fieldIds(c), numRows)
-          colValues(c) = LanceColumnDecoder.decode(logicalTypes(c),
-            pages, pages.map(_._2).sum.toInt)
+          colValues(c) = decodeScalarColumn(spec.fieldId, spec.logicalType)
         }
         c += 1
       }
@@ -385,9 +408,7 @@ private[lance] object FragmentDecode {
 
 /** Columnar reader: one ColumnarBatch per fragment, values in
   * OnHeapColumnVectors. */
-class LanceColumnarReader(part: LanceInputPartition, fieldIds: Array[Int],
-                          logicalTypes: Array[String], childIds: Array[Int],
-                          childTypes: Array[String],
+class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
                           zoneFilters: Seq[(Int, String, Double)] = Nil)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -398,8 +419,8 @@ class LanceColumnarReader(part: LanceInputPartition, fieldIds: Array[Int],
 
   override def next(): Boolean = {
     if (emitted) return false
-    val (colValues, numRows) = FragmentDecode(part, fieldIds, logicalTypes, childIds, childTypes, zoneFilters)
-    val sparkTypes = logicalTypes.map(LanceFormat.toSparkType)
+    val (colValues, numRows) = FragmentDecode(part, colSpecs, zoneFilters)
+    val sparkTypes = colSpecs.map(cs => LanceFormat.toSparkType(cs.logicalType))
     val schema = StructType(sparkTypes.zipWithIndex.map { case (t, i) =>
       org.apache.spark.sql.types.StructField(s"c$i", t)
     })
@@ -446,16 +467,13 @@ class LanceColumnarReader(part: LanceInputPartition, fieldIds: Array[Int],
 
 /** Reads one fragment file: footer → column metadata for the projected
   * columns only → ranged reads of just those columns' page buffers. */
-class LancePartitionReader(part: LanceInputPartition, fieldIds: Array[Int],
-                           logicalTypes: Array[String], childIds: Array[Int],
-                           childTypes: Array[String],
+class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
                            zoneFilters: Seq[(Int, String, Double)] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    val (colValues, numRows) =
-      FragmentDecode(part, fieldIds, logicalTypes, childIds, childTypes, zoneFilters)
-    val nCols = fieldIds.length
+    val (colValues, numRows) = FragmentDecode(part, colSpecs, zoneFilters)
+    val nCols = colSpecs.length
     (0 until numRows).iterator.map { r =>
       val arr = new Array[Any](nCols)
       var i = 0

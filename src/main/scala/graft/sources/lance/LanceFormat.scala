@@ -136,6 +136,10 @@ object LanceFormat {
           val child = m.fields.find(_.parentId == f.id).getOrElse(
             throw new IllegalStateException(s"list field ${f.name} has no child field"))
           ArrayType(toSparkType(child.logicalType), containsNull = false)
+        } else if (f.logicalType == "struct") {
+          StructType(m.fields.filter(_.parentId == f.id).map { c =>
+            StructField(c.name, toSparkType(c.logicalType), nullable = true)
+          })
         } else toSparkType(f.logicalType)
       StructField(f.name, dt, nullable = true)
     })

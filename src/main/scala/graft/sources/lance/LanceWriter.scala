@@ -60,6 +60,23 @@ object LanceSchemaLayout {
           colField += listId
           colField += (listId + 1)
           id += 2
+        case st: StructType =>
+          // struct = grouped leaf columns: one field + phys col per leaf,
+          // no offsets column (the struct field itself owns no data)
+          val structId = id
+          fields += FieldDef(structId, -1, f.name, "struct", varWidth = false)
+          id += 1
+          st.fields.foreach { leaf =>
+            require(!leaf.dataType.isInstanceOf[StructType] &&
+                    !leaf.dataType.isInstanceOf[ArrayType],
+              s"lance writer: nested ${leaf.dataType} inside struct not supported")
+            fields += FieldDef(id, structId, leaf.name,
+              LanceWriteSupport.logicalTypeFor(leaf.dataType),
+              leaf.dataType == StringType || leaf.dataType == BinaryType)
+            phys += Scalar(leaf.dataType)
+            colField += id
+            id += 1
+          }
         case dt =>
           fields += FieldDef(id, -1, f.name, LanceWriteSupport.logicalTypeFor(dt),
             dt == StringType || dt == BinaryType)
@@ -178,6 +195,26 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
           fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
             .putLong(listValCount(c)).array())
           c += 2
+        case st: StructType =>
+          require(!isNull,
+            "lance writer: null struct values not supported (null the leaves instead)")
+          val sr = row.getStruct(s, st.length)
+          var k = 0
+          while (k < st.length) {
+            val ln = sr.isNullAt(k)
+            markValidity(c + k, !ln)
+            st.fields(k).dataType match {
+              case StringType =>
+                putVar(c + k, if (ln) Array.emptyByteArray else sr.getUTF8String(k).getBytes)
+              case BinaryType =>
+                putVar(c + k, if (ln) Array.emptyByteArray else sr.getBinary(k))
+              case dt =>
+                putFixed(c + k, dt,
+                  if (ln) LanceWriteSupport.zeroOf(dt) else sr.get(k, dt), track = !ln)
+            }
+            k += 1
+          }
+          c += st.length
         case StringType =>
           markValidity(c, !isNull)
           putVar(c, if (isNull) Array.emptyByteArray else row.getUTF8String(s).getBytes)
@@ -428,14 +465,16 @@ object LanceWriteSupport {
       fw.varint(4, fr.physicalRows)
       w.message(2, fw)
     }
-    val allFieldIds = layout.fields.map(_.id.toLong)
+    // DataFile.fields lists only fields that own a physical column (struct
+    // parents own none; their leaves do)
+    val colFieldIds = layout.topFieldIdOfCol.map(_.toLong)
     fragments.zipWithIndex.foreach { case ((path, rows), i) =>
       val fw = new Proto.Writer
       val fid = startFragId + i
       if (fid != 0) fw.varint(1, fid)
       val dw = new Proto.Writer
-      dw.string(1, path).packed(2, allFieldIds)
-        .packed(3, allFieldIds.indices.map(_.toLong)).varint(4, 2L)
+      dw.string(1, path).packed(2, colFieldIds)
+        .packed(3, colFieldIds.indices.map(_.toLong)).varint(4, 2L)
       fw.message(2, dw)
       fw.varint(4, rows)
       w.message(2, fw)

@@ -100,6 +100,26 @@ class LanceSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("struct columns round-trip (grouped leaf columns)") {
+    val ds = tmpDs()
+    val src = spark.range(500).selectExpr(
+      "id",
+      "named_struct('mime', CONCAT('type/', CAST(id % 3 AS STRING)), " +
+      "             'bytes', id * 10, " +
+      "             'score', CAST(id AS DOUBLE) / 7.0) AS meta",
+      "CASE WHEN id % 4 = 0 THEN named_struct('a', CAST(NULL AS BIGINT), 'b', 'x') " +
+      "     ELSE named_struct('a', id, 'b', CAST(id AS STRING)) END AS nested"
+    ).coalesce(1)
+    src.write.format("lance").mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(back.count() == 500)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // field access + filter over the struct works through the connector
+    assert(back.filter(col("meta.mime") === "type/1").count() == 167)
+    assert(back.filter(col("nested.a").isNull).count() == 125)
+  }
+
   test("null round-trip: validity bitmaps preserve nulls exactly") {
     val ds = tmpDs()
     val src = spark.range(1000).selectExpr(
