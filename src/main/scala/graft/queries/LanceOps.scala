@@ -40,6 +40,28 @@ object LanceOps {
       val q = lanceEmb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
       graft.operators.Similarity.cosineTopK(
         lanceEmb.filter(col("vec_id") > 0), "vec_id", "embedding", q, 10)
+    }, None),
+
+    // multimodal-on-lance: binary payloads + struct metadata stored as a
+    // lance dataset, decoded partition-wise on re-read (SURVEY §2.5
+    // multimodal + the connector's struct/binary surface together)
+    QDef("l04_lance_multimodal", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/media.lance"
+      t("documents")
+        .select(col("doc_id"),
+                col("text").cast("binary").as("payload"),
+                struct(lit("text/plain").as("mime"),
+                       length(col("text")).cast("long").as("n_chars")).as("meta"))
+        .write.format("lance").mode("overwrite").save(ds)
+      val media = s.read.format("lance").load(ds)
+        .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      import s.implicits._
+      graft.operators.Multimodal.decodeStub(media.as[graft.operators.Multimodal.MediaRow])
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+                round(col("entropy"), 6).as("entropy"))
+        .orderBy("doc_id")
     }, None)
   )
 }
