@@ -23,6 +23,19 @@ import scala.jdk.CollectionConverters._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => ResolveLancePath)
+    // SQL names for the codegen kernels (usable from spark.sql)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    import graft.functions._
+    def info(name: String) = new ExpressionInfo("graft", name)
+    e.injectFunction((FunctionIdentifier("graft_cosine"), info("graft_cosine"),
+      exprs => FloatCosine(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_long_dot"), info("graft_long_dot"),
+      exprs => LongDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_minhash_est"), info("graft_minhash_est"),
+      exprs => LongEqCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_intersect_count"), info("graft_intersect_count"),
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1))))
   }
 }
 

@@ -103,6 +103,48 @@ object Extras2 {
       FROM (SELECT * FROM big UNION ALL SELECT * FROM rich)
       GROUP BY k ORDER BY k""")),
 
+    // --- skewness / kurtosis from exact decimal power sums -----------------
+    // (native skewness()/kurtosis() are accumulation-order dependent; both
+    // sides compute the same double formula from exact decimal m1..m4)
+    QDef("q22c_higher_moments", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql(s"""
+        SELECT l_returnflag,
+               ROUND((s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) /
+                     POW((s2 / n - m * m), 1.5), 8) AS skew_qty,
+               ROUND((s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m) /
+                     POW((s2 / n - m * m), 2.0) - 3.0, 8) AS kurt_qty
+        FROM (
+          SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${Det.oSum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS m,
+                 ${Det.oSum("l_quantity * l_quantity")} AS s2,
+                 ${Det.oSum("l_quantity * l_quantity * l_quantity")} AS s3,
+                 ${Det.oSum("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+          FROM lineitem GROUP BY l_returnflag
+        ) ORDER BY l_returnflag""")
+    }, Some(s"""
+      SELECT l_returnflag,
+             ROUND((s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) /
+                   POW((s2 / n - m * m), 1.5), 8) AS skew_qty,
+             ROUND((s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m) /
+                   POW((s2 / n - m * m), 2.0) - 3.0, 8) AS kurt_qty
+      FROM (
+        SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+               ${Det.oSum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS m,
+               ${Det.oSum("l_quantity * l_quantity")} AS s2,
+               ${Det.oSum("l_quantity * l_quantity * l_quantity")} AS s3,
+               ${Det.oSum("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+        FROM lineitem GROUP BY l_returnflag
+      ) ORDER BY l_returnflag""")),
+
+    // --- DESCRIBE / SUMMARIZE equivalent (rows-only: stddev strings are
+    //     engine-specific) ---------------------------------------------------
+    QDef("q60_summarize", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("orders").select("o_totalprice", "o_custkey").summary(
+        "count", "min", "25%", "50%", "75%", "max")
+    }, None),
+
     // --- BPE-ish regex tokenization (SURVEY §2.5 "token counting:
     //     whitespace + a BPE-ish regex") ------------------------------------
     QDef("d03b_bpe_tokens", (s, dir) => {

@@ -47,6 +47,17 @@ class ExtrasSpec extends AnyFunSuite {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("kernels are callable from SQL via injected functions") {
+    Tables.register(spark, TestSpark.sfDir)
+    val c = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM embeddings WHERE vec_id = 0")
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+    val d = spark.sql(
+      "SELECT graft_long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L))").head().getLong(0)
+    assert(d == 32L)
+  }
+
   test("unpivot produces one row per (priority, status)") {
     val n = SparkEntry.queries("q32_unpivot")(spark, TestSpark.sfDir).count()
     assert(n == 15) // 5 priorities x 3 statuses
