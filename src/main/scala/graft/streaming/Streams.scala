@@ -106,6 +106,45 @@ object Streams {
     df.sparkSession.table(name)
   }
 
+  case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user profile via the transformWithState API (Spark 4's
+    * successor to flatMapGroupsWithState): explicit named ValueStates,
+    * one updated UserStat emitted per user per micro-batch. */
+  class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStat] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var nState: ValueState[Long] = _
+    @transient private var vState: ValueState[Double] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", E.scalaLong, TTLConfig.NONE)
+      vState = getHandle.getValueState[Double]("v", E.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var v = if (vState.exists()) vState.get() else 0.0
+      rows.foreach { e => n += 1; v += e.value }
+      nState.update(n)
+      vState.update(v)
+      Iterator.single(UserStat(key, n, v))
+    }
+  }
+
+  /** transformWithState pipeline over the typed event stream. */
+  def userStats(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[UserStat]])
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids, with state bounded
     * by the watermark (duplicates arriving later than the delay are
     * outside the guarantee — the standard streaming-dedup contract). */

@@ -71,6 +71,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(stateful).isEmpty && stateful.exceptAll(batch).isEmpty)
   }
 
+  test("transformWithState running user profile matches batch totals") {
+    import spark.implicits._
+    val stream = Streams.readEventsStream(spark, streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event]
+    // transformWithState needs a multi-column-family store (RocksDB)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try Streams.runToCompletion(
+      Streams.userStats(stream).toDF(), "userstats")
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // keep each user's LAST emitted row (cumulative across micro-batches)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalRows = out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_events")
+    val batch = spark.read.parquet(streamDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(finalRows.exceptAll(batch).isEmpty && batch.exceptAll(finalRows).isEmpty)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     // duplicate the stream source: each event appears twice across files
     val dupDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
