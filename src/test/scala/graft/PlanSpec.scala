@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan hygiene (SURVEY §4, "Optimize for scale — concretely"):
@@ -47,6 +48,30 @@ class PlanSpec extends AnyFunSuite {
     val plan = physical("q01_pricing_summary")
     val firstAgg = plan.indexOf("HashAggregate")
     assert(firstAgg >= 0 && plan.contains("partial_"), s"no partial agg:\n$plan")
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable("ord_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+      .withColumn("x", col("l_quantity") + col("o_totalprice"))
+    // disable broadcast so the join planner must pick SMJ; bucketing
+    // should then elide both shuffle exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
   }
 
   test("e03 cosine kernel participates in whole-stage codegen") {
