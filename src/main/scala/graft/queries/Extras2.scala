@@ -103,6 +103,36 @@ object Extras2 {
       FROM (SELECT * FROM big UNION ALL SELECT * FROM rich)
       GROUP BY k ORDER BY k""")),
 
+    // --- NATURAL JOIN (shared-name equi join) ------------------------------
+    QDef("q61_natural_join", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT n_nationkey, n_name, r_name
+        FROM (SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation)
+        NATURAL JOIN region
+        ORDER BY n_nationkey""")
+    }, Some("""
+      SELECT n_nationkey, n_name, r_name
+      FROM (SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation)
+      NATURAL JOIN region
+      ORDER BY n_nationkey""")),
+
+    // --- VALUES inline table joined against data ---------------------------
+    QDef("q62_values_list", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT v.label, COUNT(*) AS n
+        FROM orders JOIN (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending'))
+                         AS v(status, label)
+          ON o_orderstatus = v.status
+        GROUP BY v.label ORDER BY v.label""")
+    }, Some("""
+      SELECT v.label, COUNT(*) AS n
+      FROM orders JOIN (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending'))
+                       AS v(status, label)
+        ON o_orderstatus = v.status
+      GROUP BY v.label ORDER BY v.label""")),
+
     // --- skewness / kurtosis from exact decimal power sums -----------------
     // (native skewness()/kurtosis() are accumulation-order dependent; both
     // sides compute the same double formula from exact decimal m1..m4)
