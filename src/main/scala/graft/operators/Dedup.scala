@@ -135,10 +135,13 @@ object Dedup {
     */
   def connectedComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    // localCheckpoint per round truncates the growing lineage — without it
+    // round N replays rounds 1..N-1 and the loop goes quadratic
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .cache()
-    var labels = docs.select(col(idCol).as("u"), col(idCol).as("label")).cache()
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("u"), col(idCol).as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -147,10 +150,9 @@ object Dedup {
         .groupBy("u").agg(min("label").as("nbr_label"))
       val next = labels.join(nbrLabels, Seq("u"), "left")
         .select(col("u"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "u")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

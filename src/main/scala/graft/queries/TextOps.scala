@@ -198,6 +198,18 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     }, None),
 
+    // --- full cluster dedup pipeline: near-dup pairs -> connected
+    //     components -> per-doc keep decision (the end-to-end dedup story) --
+    QDef("d11_cluster_dedup", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val docs = t("documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.82)
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+        .groupBy("keep_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy("keep_id")
+    }, None),
+
     // --- rolling-hash document fingerprint (Spark-only HOF fold) -----------
     QDef("d10_rolling_hash", (s, dir) => {
       val t = Tables.register(s, dir)
