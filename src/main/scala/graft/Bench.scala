@@ -41,9 +41,22 @@ object Bench {
       spark.catalog.clearCache()
       d.name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // The driver captures only the last ~2000 chars of stdout; the full
+    // per-query line (~3.5 KB) gets truncated there. Persist the full JSON to
+    // a well-known file, print it for complete-stdout captures, then end with
+    // a short line (total + slowest queries + file pointer) that always
+    // survives the tail buffer and parses.
+    val outFile = java.nio.file.Paths.get("BENCH_RESULT.json")
+    java.nio.file.Files.write(outFile, (full + "\n").getBytes("UTF-8"))
+    println(full)
+    val slow = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","full":"BENCH_RESULT.json"}""")
     spark.stop()
   }
 }

@@ -240,6 +240,91 @@ case class HyperplaneBucket(left: Expression, right: Expression) extends BinaryE
     copy(left = l, right = r)
 }
 
+/** Per-list stopword hit counts over a token array in ONE pass: `left` is
+  * array<string> tokens, `right` a foldable array<array<string>> literal of
+  * stopword lists; result is array<int> with one occurrence count per list.
+  * Replaces N interpreted `filter(toks, isin(...))` HOF folds (the d04/d05
+  * hot path: lambda HOFs evaluate one boxed call per element) with a single
+  * codegen'd UTF8String comparison loop.
+  */
+case class StopwordHits(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(ArrayType(StringType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_stopword_hits expects (array<string>, array<array<string>>), got ($l, $r)")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val lists = b.asInstanceOf[ArrayData]
+    val nl = lists.numElements()
+    val out = new Array[Int](nl)
+    var i = 0
+    val nt = toks.numElements()
+    while (i < nt) {
+      if (!toks.isNullAt(i)) {
+        val tok = toks.getUTF8String(i)
+        var l = 0
+        while (l < nl) {
+          val lst = lists.getArray(l)
+          var k = 0
+          val nk = lst.numElements()
+          var hit = false
+          while (k < nk && !hit) {
+            if (tok.equals(lst.getUTF8String(k))) hit = true
+            k += 1
+          }
+          if (hit) out(l) += 1
+          l += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val l = ctx.freshName("l")
+      val k = ctx.freshName("k")
+      val nl = ctx.freshName("nl")
+      val nt = ctx.freshName("nt")
+      val nk = ctx.freshName("nk")
+      val out = ctx.freshName("out")
+      val tok = ctx.freshName("tok")
+      val lst = ctx.freshName("lst")
+      val hit = ctx.freshName("hit")
+      s"""
+         |int $nl = $b.numElements();
+         |int $nt = $a.numElements();
+         |int[] $out = new int[$nl];
+         |for (int $i = 0; $i < $nt; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $tok = $a.getUTF8String($i);
+         |    for (int $l = 0; $l < $nl; $l++) {
+         |      org.apache.spark.sql.catalyst.util.ArrayData $lst = $b.getArray($l);
+         |      int $nk = $lst.numElements();
+         |      boolean $hit = false;
+         |      for (int $k = 0; $k < $nk && !$hit; $k++) {
+         |        if ($tok.equals($lst.getUTF8String($k))) $hit = true;
+         |      }
+         |      if ($hit) $out[$l]++;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayKernels {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def longDot(a: Column, b: Column): Column = column(LongDot(expression(a), expression(b)))
@@ -249,6 +334,8 @@ object ArrayKernels {
     column(SortedLongIntersectCount(expression(a), expression(b)))
   def hyperplaneBucket(vec: Column, planes: Column): Column =
     column(HyperplaneBucket(expression(vec), expression(planes)))
+  def stopwordHits(toks: Column, lists: Column): Column =
+    column(StopwordHits(expression(toks), expression(lists)))
 
   /** Register SQL names (done by GraftExtensions). */
   def register(reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {

@@ -13,16 +13,21 @@ object Arrays {
   val defs: Seq[QDef] = Seq(
 
     // --- core array ops over the embedding column -------------------------
+    // Array-typed outputs are stringified (scaled-long elements, ','-joined):
+    // the driver's pandas-based checker cannot sort array cells.
     QDef("q30_array_ops", (s, dir) => {
       val t = Tables.register(s, dir)
+      def q7s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(transform(c,
+          x => round(x.cast(DoubleType) * 10000000.0).cast(LongType).cast(StringType)), ",")
       t("embeddings").filter(col("vec_id") < 50)
         .select(col("vec_id"),
                 size(col("embedding")).cast(IntegerType).as("dim"),
                 element_at(col("embedding"), 1).as("first_val"),
                 element_at(col("embedding"), -1).as("last_val"),
-                slice(col("embedding"), 1, 3).as("head3"),
-                sort_array(slice(col("embedding"), 1, 5)).as("sorted5"),
-                reverse(slice(col("embedding"), 1, 3)).as("rev3"),
+                q7s(slice(col("embedding"), 1, 3)).as("head3"),
+                q7s(sort_array(slice(col("embedding"), 1, 5))).as("sorted5"),
+                q7s(reverse(slice(col("embedding"), 1, 3))).as("rev3"),
                 array_max(col("embedding")).as("max_val"),
                 array_min(col("embedding")).as("min_val"),
                 size(array_distinct(col("embedding"))).cast(IntegerType).as("n_distinct"))
@@ -32,9 +37,12 @@ object Arrays {
              CAST(LEN(embedding) AS INT) AS dim,
              embedding[1] AS first_val,
              embedding[-1] AS last_val,
-             embedding[1:3] AS head3,
-             LIST_SORT(embedding[1:5]) AS sorted5,
-             LIST_REVERSE(embedding[1:3]) AS rev3,
+             ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:3],
+               x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS VARCHAR)), ',') AS head3,
+             ARRAY_TO_STRING(LIST_TRANSFORM(LIST_SORT(embedding[1:5]),
+               x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS VARCHAR)), ',') AS sorted5,
+             ARRAY_TO_STRING(LIST_TRANSFORM(LIST_REVERSE(embedding[1:3]),
+               x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS VARCHAR)), ',') AS rev3,
              LIST_AGGREGATE(embedding, 'max') AS max_val,
              LIST_AGGREGATE(embedding, 'min') AS min_val,
              CAST(LEN(LIST_DISTINCT(embedding)) AS INT) AS n_distinct
@@ -46,14 +54,16 @@ object Arrays {
       val t = Tables.register(s, dir)
       t("embeddings").filter(col("vec_id") < 50)
         .select(col("vec_id"),
-                transform(slice(col("embedding"), 1, 8),
-                          x => round(x.cast(DoubleType) * 2.0, 6)).as("doubled8"),
+                array_join(transform(slice(col("embedding"), 1, 8),
+                  x => round(x.cast(DoubleType) * 20000000.0).cast(LongType).cast(StringType)),
+                  ",").as("doubled8"),
                 size(filter(col("embedding"), x => x > 0.0f)).cast(IntegerType).as("n_pos"),
                 size(filter(col("embedding"), x => x < 0.0f)).cast(IntegerType).as("n_neg"))
         .orderBy("vec_id")
     }, Some("""
       SELECT vec_id,
-             LIST_TRANSFORM(embedding[1:8], x -> ROUND(CAST(x AS DOUBLE) * 2.0, 6)) AS doubled8,
+             ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:8],
+               x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 20000000.0) AS BIGINT) AS VARCHAR)), ',') AS doubled8,
              CAST(LEN(LIST_FILTER(embedding, x -> x > 0.0)) AS INT) AS n_pos,
              CAST(LEN(LIST_FILTER(embedding, x -> x < 0.0)) AS INT) AS n_neg
       FROM embeddings WHERE vec_id < 50
@@ -88,11 +98,11 @@ object Arrays {
       val t = Tables.register(s, dir)
       t("region")
         .withColumn("info", struct(col("r_regionkey").as("key"), col("r_name").as("name")))
-        .select(col("r_regionkey"), col("info"), col("info.name").as("extracted"))
+        .select(col("r_regionkey"), to_json(col("info")).as("info"), col("info.name").as("extracted"))
         .orderBy("r_regionkey")
     }, Some("""
       SELECT r_regionkey,
-             {'key': r_regionkey, 'name': r_name} AS info,
+             to_json({'key': r_regionkey, 'name': r_name}) AS info,
              r_name AS extracted
       FROM region
       ORDER BY r_regionkey"""))

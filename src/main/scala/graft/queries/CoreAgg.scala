@@ -180,13 +180,15 @@ object CoreAgg {
       t("supplier").join(t("nation"), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(concat_ws(",", array_sort(collect_list(col("s_name")))).as("names_csv"),
-             array_sort(collect_list(col("s_suppkey"))).as("supp_keys"),
+             // stringified: the driver's pandas-based checker cannot sort array cells
+             array_join(transform(array_sort(collect_list(col("s_suppkey"))),
+                                  x => x.cast(StringType)), ",").as("supp_keys"),
              count(lit(1)).as("n"))
         .orderBy("n_name")
     }, Some("""
       SELECT n_name,
              STRING_AGG(s_name, ',' ORDER BY s_name) AS names_csv,
-             LIST_SORT(LIST(s_suppkey)) AS supp_keys,
+             STRING_AGG(s_suppkey, ',' ORDER BY s_suppkey) AS supp_keys,
              COUNT(*) AS n
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""")),

@@ -80,13 +80,16 @@ object TextOps {
     QDef("d04_lang_id", (s, dir) => {
       val t = Tables.register(s, dir)
       val toks = split(col("text"), " ")
-      def hits(xs: Seq[String]) =
-        size(filter(toks, x => x.isin(xs.map(lit): _*))).cast(IntegerType)
+      // one codegen pass over the token array for all 4 languages (the
+      // interpreted filter/isin HOF was 154x slower than DuckDB here)
+      val lists = array(Seq(stopEn, stopEs, stopFr, stopDe)
+        .map(xs => array(xs.map(lit): _*)): _*)
       t("documents")
-        .withColumn("en_hits", hits(stopEn))
-        .withColumn("es_hits", hits(stopEs))
-        .withColumn("fr_hits", hits(stopFr))
-        .withColumn("de_hits", hits(stopDe))
+        .withColumn("hits", graft.functions.ArrayKernels.stopwordHits(toks, lists))
+        .withColumn("en_hits", col("hits")(0))
+        .withColumn("es_hits", col("hits")(1))
+        .withColumn("fr_hits", col("hits")(2))
+        .withColumn("de_hits", col("hits")(3))
         .withColumn("lang_pred",
           when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") &&
                col("en_hits") >= col("de_hits"), "en")
@@ -118,7 +121,9 @@ object TextOps {
       val toks = split(col("text"), " ")
       val nTok = size(toks).cast(DoubleType)
       val uniqRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
-      val stopRatio = size(filter(toks, x => x.isin(stopEn.map(lit): _*))).cast(DoubleType) / nTok
+      val stopRatio = graft.functions.ArrayKernels
+        .stopwordHits(toks, array(array(stopEn.map(lit): _*)))(0)
+        .cast(DoubleType) / nTok
       t("documents")
         .select(col("doc_id"),
                 (least(nTok / 50.0, lit(1.0)) * 0.4 + uniqRatio * 0.3 +
@@ -208,7 +213,34 @@ object TextOps {
         .groupBy("keep_id")
         .agg(count(lit(1)).as("cluster_size"))
         .orderBy("keep_id")
-    }, None),
+    }, Some("""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, source, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.82),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      cc AS (
+        SELECT doc_id AS u, doc_id AS label FROM documents
+        UNION
+        SELECT e.u, c.label
+        FROM cc c JOIN edges e ON c.u = e.v),
+      labels AS (SELECT u AS doc_id, MIN(label) AS keep_id FROM cc GROUP BY u)
+      SELECT keep_id, COUNT(*) AS cluster_size
+      FROM labels GROUP BY keep_id ORDER BY keep_id""")),
 
     // --- rolling-hash document fingerprint (Spark-only HOF fold) -----------
     QDef("d10_rolling_hash", (s, dir) => {
