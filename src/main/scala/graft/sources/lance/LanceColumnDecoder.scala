@@ -79,7 +79,8 @@ object LanceColumnDecoder {
           case "int32" => bb.getInt(i * 4)
           case "uint32" => bb.getInt(i * 4).toLong & 0xffffffffL
           case "int64" => bb.getLong(i * 8)
-          case "uint64" => Decimal(java.math.BigDecimal.valueOf(bb.getLong(i * 8)).abs())
+          case "uint64" => Decimal(new java.math.BigDecimal(
+            java.lang.Long.toUnsignedString(bb.getLong(i * 8))))
           case "float" => bb.getFloat(i * 4)
           case "double" => bb.getDouble(i * 8)
           case "date32:day" | "date32" => bb.getInt(i * 4)

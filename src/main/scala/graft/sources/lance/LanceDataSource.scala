@@ -213,7 +213,12 @@ class LanceScan(path: String, full: StructType, required: StructType,
     }
     // zone filters resolved to field ids (unknown columns dropped)
     val zf = zoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z.op, z.value)))
-    new LanceReaderFactory(cols.toArray,
+    // ship the session's Hadoop conf to executors (object-store credentials,
+    // fs settings) — a bare `new Configuration()` there would only see
+    // defaults, breaking any non-local filesystem
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    new LanceReaderFactory(cols.toArray, serConf,
       zf.map(_._1).toArray, zf.map(_._2).toArray, zf.map(_._3).toArray)
   }
 }
@@ -224,6 +229,7 @@ case class ColSpec(fieldId: Int, logicalType: String, childIds: Array[Int],
     extends Serializable
 
 class LanceReaderFactory(colSpecs: Array[ColSpec],
+                         conf: org.apache.spark.util.SerializableConfiguration,
                          filterFieldIds: Array[Int] = Array.empty,
                          filterOps: Array[String] = Array.empty,
                          filterVals: Array[Double] = Array.empty)
@@ -232,7 +238,7 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
     filterFieldIds.indices.map(i => (filterFieldIds(i), filterOps(i), filterVals(i)))
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    new LancePartitionReader(p, colSpecs, zf)
+    new LancePartitionReader(p, colSpecs, zf, conf.value)
   }
 
   /** Columnar path for scalar-only projections: the scan emits
@@ -245,195 +251,268 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    new LanceColumnarReader(p, colSpecs, zf)
+    new LanceColumnarReader(p, colSpecs, zf, conf.value)
   }
 }
 
-/** Shared fragment decode: (per-column value arrays, row count).
-  * zoneFilters: (fieldId, op, value) triples — pages whose recorded
-  * [min,max] cannot match ALL filters are skipped in every column (page
-  * boundaries are aligned across columns by the writer; files without
-  * stats are never pruned). */
-private[lance] object FragmentDecode {
-  def apply(part: LanceInputPartition, colSpecs: Array[ColSpec],
-            zoneFilters: Seq[(Int, String, Double)] = Nil): (Array[Array[Any]], Int) = {
-    val conf = new Configuration()
-    val (fs, p) = LanceFormat.fileSystem(part.dataFilePath, conf)
-    val fileLen = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
-    try {
-      def readRange(off: Long, len: Int): Array[Byte] = {
-        val b = new Array[Byte](len); in.readFully(off, b); b
-      }
-      val footer = readRange(fileLen - 40, 40)
-      val bb = java.nio.ByteBuffer.wrap(footer).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val cmoStart = bb.getLong(8)
-      require(footer(36) == 'L' && footer(39) == 'C', s"bad lance magic in ${part.dataFilePath}")
-      val numColumns = bb.getInt(28)
-      val cmoTable = readRange(cmoStart, numColumns * 16)
-      val cmoBB = java.nio.ByteBuffer.wrap(cmoTable).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+/** One page's metadata: buffer layout, row count, numeric zone map. */
+private[lance] final case class PMeta(offs: Seq[Long], sizes: Seq[Long],
+                                      rows: Long, mn: Double, mx: Double)
 
-      // raw page metas of a column: (bufferOffsets, bufferSizes, rows, min, max)
-      def pageMetasOf(fieldId: Int): Seq[(Seq[Long], Seq[Long], Long, Double, Double)] = {
-        val fi = part.fieldIds.indexOf(fieldId)
-        require(fi >= 0, s"field id $fieldId not in fragment ${part.dataFilePath}")
-        val colIdx = part.columnIndices(fi)
-        val metaOff = cmoBB.getLong(colIdx * 16)
-        val metaLen = cmoBB.getLong(colIdx * 16 + 8)
-        val metaBytes = readRange(metaOff, metaLen.toInt)
-        val fsMeta = Proto.parse(metaBytes)
-        Proto.all(fsMeta, 2).map { pg =>
-          val pf = Proto.parse(pg.bytes)
-          val mn = pf.find(f => f.tag == 10 && f.wire == 1)
-            .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN)
-          val mx = pf.find(f => f.tag == 11 && f.wire == 1)
-            .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN)
-          (Proto.packedVarints(pf, 1), Proto.packedVarints(pf, 2),
-           Proto.firstVarint(pf, 3).getOrElse(0L), mn, mx)
+/** Page-granular fragment access: footer + column-metadata parse once, then
+  * lazy ranged reads of individual page buffers. Readers iterate
+  * [[pagePlan]] (zone-masked, limit-capped page indices) and decode ONE
+  * page at a time — a 1 GB fragment never materializes whole in a task;
+  * resident memory is one page set (writer default 64Ki rows) per column.
+  *
+  * Page indices are aligned across columns (the writer flushes all columns
+  * together; list child pages are written 1:1 with their offsets pages).
+  * Files violating that (foreign writers) are detected via per-page row
+  * counts and fall back to whole-column decode ([[aligned]] = false).
+  */
+private[lance] final class FragmentPages(part: LanceInputPartition,
+                                         colSpecs: Array[ColSpec],
+                                         zoneFilters: Seq[(Int, String, Double)],
+                                         conf: Configuration) extends AutoCloseable {
+  private val (fs, p) = LanceFormat.fileSystem(part.dataFilePath, conf)
+  private val fileLen = fs.getFileStatus(p).getLen
+  private val in = fs.open(p)
+
+  private def readRange(off: Long, len: Int): Array[Byte] = {
+    val b = new Array[Byte](len); in.readFully(off, b); b
+  }
+
+  private val footer = readRange(fileLen - 40, 40)
+  private val footerBB = java.nio.ByteBuffer.wrap(footer).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  require(footer(36) == 'L' && footer(39) == 'C', s"bad lance magic in ${part.dataFilePath}")
+  private val cmoBB = java.nio.ByteBuffer.wrap(
+    readRange(footerBB.getLong(8), footerBB.getInt(28) * 16))
+    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  private val metaCache = scala.collection.mutable.HashMap.empty[Int, IndexedSeq[PMeta]]
+
+  /** Parsed page metas of a column (cached; one ranged read per column). */
+  def pageMetasOf(fieldId: Int): IndexedSeq[PMeta] = metaCache.getOrElseUpdate(fieldId, {
+    val fi = part.fieldIds.indexOf(fieldId)
+    require(fi >= 0, s"field id $fieldId not in fragment ${part.dataFilePath}")
+    val colIdx = part.columnIndices(fi)
+    val metaBytes = readRange(cmoBB.getLong(colIdx * 16), cmoBB.getLong(colIdx * 16 + 8).toInt)
+    val fsMeta = Proto.parse(metaBytes)
+    Proto.all(fsMeta, 2).map { pg =>
+      val pf = Proto.parse(pg.bytes)
+      val mn = pf.find(f => f.tag == 10 && f.wire == 1)
+        .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN)
+      val mx = pf.find(f => f.tag == 11 && f.wire == 1)
+        .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN)
+      PMeta(Proto.packedVarints(pf, 1), Proto.packedVarints(pf, 2),
+            Proto.firstVarint(pf, 3).getOrElse(0L), mn, mx)
+    }.toIndexedSeq
+  })
+
+  /** Columns whose page row counts equal the output row count (scalars,
+    * struct leaves, list offset columns — NOT list value columns). */
+  private val rowAlignedIds: Array[Int] = colSpecs.flatMap { s =>
+    if (s.logicalType == "struct") s.childIds else Array(s.fieldId)
+  }
+
+  /** True iff all projected columns share page boundaries. */
+  val aligned: Boolean = rowAlignedIds.isEmpty || {
+    val rowCounts = rowAlignedIds.map(id => pageMetasOf(id).map(_.rows))
+    rowCounts.forall(_ == rowCounts.head) &&
+      colSpecs.filter(s => s.childIds.nonEmpty && s.logicalType != "struct")
+        .forall(s => pageMetasOf(s.childIds.head).length == pageMetasOf(s.fieldId).length)
+  }
+
+  private val nPages: Int =
+    if (rowAlignedIds.isEmpty) 0 else pageMetasOf(rowAlignedIds.head).length
+
+  /** Zone-map page mask: page survives iff every filter may match it. */
+  private val keep: Array[Boolean] = {
+    val base = Array.fill(nPages)(true)
+    if (aligned) zoneFilters.foreach { case (fid, op, value) =>
+      val metas = pageMetasOf(fid)
+      if (metas.length == nPages) {
+        var i = 0
+        while (i < nPages) {
+          val m = metas(i)
+          if (!(m.mn.isNaN || m.mx.isNaN || ZoneFilter("", op, value).mayMatch(m.mn, m.mx)))
+            base(i) = false
+          i += 1
         }
       }
+    }
+    base
+  }
 
-      // zone-map page mask: page p survives iff every filter may match it
-      val keepMask: Option[Array[Boolean]] =
-        if (zoneFilters.isEmpty) None
-        else {
-          val masks = zoneFilters.map { case (fid, op, value) =>
-            val metas = pageMetasOf(fid)
-            metas.map { case (_, _, _, mn, mx) =>
-              mn.isNaN || mx.isNaN || ZoneFilter("", op, value).mayMatch(mn, mx)
-            }.toArray
-          }
-          // column page counts can differ only for foreign files w/o stats
-          if (masks.map(_.length).distinct.length != 1) None
-          else Some(masks.reduce((a, b) => a.zip(b).map(p => p._1 && p._2)))
-        }
+  /** (pageIdx, rowsToTake) for surviving pages, capped by the pushed limit.
+    * An empty projection (count(*) scans) has no columns to page over —
+    * emit the fragment's manifest row count as one synthetic page. */
+  val pagePlan: Array[(Int, Int)] = if (rowAlignedIds.isEmpty) {
+    Array((0, math.min(part.numRows, part.rowLimit).toInt))
+  } else {
+    val out = Array.newBuilder[(Int, Int)]
+    var remaining = part.rowLimit
+    var i = 0
+    while (i < nPages && remaining > 0) {
+      if (keep(i)) {
+        val metas = pageMetasOf(rowAlignedIds.head)
+        val take = math.min(metas(i).rows, remaining).toInt
+        out += ((i, take))
+        remaining -= take
+      }
+      i += 1
+    }
+    out.result()
+  }
 
-      def pagesOf(fieldId: Int, maxRows: Long = Long.MaxValue): Seq[(Seq[Array[Byte]], Long)] = {
-        val metas = pageMetasOf(fieldId)
-        val masked = keepMask match {
-          case Some(m) if m.length == metas.length =>
-            metas.zipWithIndex.filter { case (_, i) => m(i) }.map(_._1)
-          case _ => metas
-        }
+  /** Raw buffers of one page (lazy ranged reads). */
+  def readPageBufs(fieldId: Int, pageIdx: Int): Seq[Array[Byte]] = {
+    val m = pageMetasOf(fieldId)(pageIdx)
+    m.offs.zip(m.sizes).map { case (o, s) => readRange(o, s.toInt) }
+  }
+
+  /** Boxed decode of the first `rows` rows of one page of `spec`
+    * (row-reader path; handles struct assembly and list reconstruction). */
+  def decodeBoxedPage(spec: ColSpec, pageIdx: Int, rows: Int): Array[Any] = {
+    if (spec.logicalType == "struct") {
+      val leafVals = spec.childIds.zip(spec.childTypes).map { case (cid, ct) =>
+        LanceColumnDecoder.decode(ct, Seq((readPageBufs(cid, pageIdx), rows.toLong)), rows)
+      }
+      val out = new Array[Any](rows)
+      var i = 0
+      while (i < rows) {
+        val vals = new Array[Any](leafVals.length)
+        var j = 0
+        while (j < leafVals.length) { vals(j) = leafVals(j)(i); j += 1 }
+        out(i) = new GenericInternalRow(vals)
+        i += 1
+      }
+      out
+    } else if (spec.childIds.nonEmpty) {
+      decodeListPage(spec, readPageBufs(spec.fieldId, pageIdx),
+                     readPageBufs(spec.childIds.head, pageIdx), rows)
+    } else {
+      LanceColumnDecoder.decode(spec.logicalType,
+        Seq((readPageBufs(spec.fieldId, pageIdx), rows.toLong)), rows)
+    }
+  }
+
+  /** List page: i64 end-offsets (+ optional validity) over child values. */
+  private def decodeListPage(spec: ColSpec, offBufs: Seq[Array[Byte]],
+                             valBufs: Seq[Array[Byte]], rows: Int): Array[Any] = {
+    val (validity, offs) =
+      if (offBufs.length == 2) (Some(offBufs(0)), offBufs(1))
+      else (None, offBufs.head)
+    val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val totalVals = if (rows == 0) 0 else offBB.getLong((rows - 1) * 8).toInt
+    val vals = LanceColumnDecoder.decode(spec.childTypes.head,
+      Seq((valBufs, totalVals.toLong)), totalVals)
+    val out = new Array[Any](rows)
+    var prev = 0
+    var i = 0
+    while (i < rows) {
+      val end = offBB.getLong(i * 8).toInt
+      val isNull = validity.exists(vb => ((vb(i >> 3) >> (i & 7)) & 1) == 0)
+      out(i) =
+        if (isNull) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          java.util.Arrays.copyOfRange(vals.asInstanceOf[Array[AnyRef]], prev, end))
+      prev = end
+      i += 1
+    }
+    out
+  }
+
+  /** Fallback for foreign files with misaligned pages: decode every page of
+    * every column (old whole-fragment behavior — correctness over memory). */
+  def decodeAllFallback(): (Array[Array[Any]], Int) = {
+    val numRows = math.min(part.numRows, part.rowLimit).toInt
+    val colValues = colSpecs.map { spec =>
+      if (spec.logicalType == "struct" || spec.childIds.nonEmpty) {
+        // per-column page walk (struct leaves / list offsets share row counts)
+        val metas = pageMetasOf(spec.fieldId)
+        val out = Array.newBuilder[Any]
         var cum = 0L
-        masked.flatMap { case (offs, sizes, rows, _, _) =>
-          if (cum >= maxRows) None
-          else {
-            cum += rows
-            Some((offs.zip(sizes).map { case (o, s) => readRange(o, s.toInt) }, rows))
-          }
+        var pi = 0
+        while (pi < metas.length && cum < numRows) {
+          val take = math.min(metas(pi).rows, numRows - cum).toInt
+          out ++= decodeBoxedPage(spec, pi, take)
+          cum += take
+          pi += 1
         }
-      }
-
-      // after masking, the fragment's surviving row count comes from the
-      // kept pages, not the manifest
-      val numRows = {
-        val base = keepMask match {
-          case Some(m) =>
-            val metas = pageMetasOf(colSpecs.headOption.map(_.fieldId).getOrElse(part.fieldIds.head))
-            if (m.length == metas.length)
-              metas.zipWithIndex.filter { case (_, i) => m(i) }.map(_._1._3).sum
-            else part.numRows
-          case None => part.numRows
+        out.result()
+      } else {
+        val metas = pageMetasOf(spec.fieldId)
+        val pages = Array.newBuilder[(Seq[Array[Byte]], Long)]
+        var cum = 0L
+        var pi = 0
+        while (pi < metas.length && cum < numRows) {
+          val take = math.min(metas(pi).rows, numRows - cum)
+          pages += ((readPageBufs(spec.fieldId, pi), take))
+          cum += take
+          pi += 1
         }
-        math.min(base, part.rowLimit).toInt
+        val ps = pages.result()
+        LanceColumnDecoder.decode(spec.logicalType, ps.toSeq, ps.map(_._2).sum.toInt)
       }
-      val nCols = colSpecs.length
-      val colValues = new Array[Array[Any]](nCols)
-
-      def decodeScalarColumn(fieldId: Int, logicalType: String): Array[Any] = {
-        val pages = pagesOf(fieldId, numRows)
-        LanceColumnDecoder.decode(logicalType, pages, pages.map(_._2).sum.toInt)
-      }
-
-      var c = 0
-      while (c < nCols) {
-        val spec = colSpecs(c)
-        if (spec.logicalType == "struct") {
-          // struct = grouped leaf columns; assemble an InternalRow per row
-          val leafVals = spec.childIds.zip(spec.childTypes)
-            .map { case (cid, ct) => decodeScalarColumn(cid, ct) }
-          val out = new Array[Any](numRows)
-          var i = 0
-          while (i < numRows) {
-            val vals = new Array[Any](leafVals.length)
-            var j = 0
-            while (j < leafVals.length) { vals(j) = leafVals(j)(i); j += 1 }
-            out(i) = new GenericInternalRow(vals)
-            i += 1
-          }
-          colValues(c) = out
-        } else if (spec.childIds.nonEmpty) {
-          // list column: per-page i64 end-offsets + aligned child value pages
-          val offPages = pagesOf(spec.fieldId, numRows)
-          val valPages = pagesOf(spec.childIds.head).take(offPages.length)
-          require(offPages.length == valPages.length,
-            s"list pages misaligned in ${part.dataFilePath}")
-          val decodedRows = offPages.map(_._2).sum.toInt
-          val out = new Array[Any](decodedRows)
-          var row = 0
-          offPages.zip(valPages).foreach { case ((offBufs, _), (valBufs, _)) =>
-            // offsets page may carry a leading validity bitmap (null arrays)
-            val (validity, offs) =
-              if (offBufs.length == 2) (Some(offBufs(0)), offBufs(1))
-              else (None, offBufs.head)
-            val nPageRows = offs.length / 8
-            val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            val totalVals = if (nPageRows == 0) 0 else offBB.getLong((nPageRows - 1) * 8).toInt
-            val vals = LanceColumnDecoder.decode(spec.childTypes.head, Seq((valBufs, totalVals.toLong)), totalVals)
-            var prev = 0
-            var i = 0
-            while (i < nPageRows) {
-              val end = offBB.getLong(i * 8).toInt
-              val isNull = validity.exists(vb => ((vb(i >> 3) >> (i & 7)) & 1) == 0)
-              out(row + i) =
-                if (isNull) null
-                else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                  java.util.Arrays.copyOfRange(vals.asInstanceOf[Array[AnyRef]], prev, end))
-              prev = end
-              i += 1
-            }
-            row += nPageRows
-          }
-          colValues(c) = out
-        } else {
-          colValues(c) = decodeScalarColumn(spec.fieldId, spec.logicalType)
-        }
-        c += 1
-      }
-      (colValues, numRows)
-    } finally in.close()
+    }
+    (colValues, colValues.headOption.map(_.length).getOrElse(numRows))
   }
+
+  override def close(): Unit = in.close()
 }
 
-/** Columnar reader: one ColumnarBatch per fragment, values in
-  * OnHeapColumnVectors. */
+/** Columnar reader: one ColumnarBatch PER PAGE, decoded straight into
+  * OnHeapColumnVectors ([[LanceVectorDecoder]] — no boxed intermediates). */
 class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
-                          zoneFilters: Seq[(Int, String, Double)] = Nil)
+                          zoneFilters: Seq[(Int, String, Double)] = Nil,
+                          conf: Configuration = new Configuration())
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
+  private val pages = new FragmentPages(part, colSpecs, zoneFilters, conf)
+  private val schema = StructType(colSpecs.zipWithIndex.map { case (cs, i) =>
+    org.apache.spark.sql.types.StructField(s"c$i", LanceFormat.toSparkType(cs.logicalType))
+  })
+  private var planIdx = 0
+  private var fallbackDone = false
   private var batch: ColumnarBatch = _
-  private var emitted = false
 
   override def next(): Boolean = {
-    if (emitted) return false
-    val (colValues, numRows) = FragmentDecode(part, colSpecs, zoneFilters)
-    val sparkTypes = colSpecs.map(cs => LanceFormat.toSparkType(cs.logicalType))
-    val schema = StructType(sparkTypes.zipWithIndex.map { case (t, i) =>
-      org.apache.spark.sql.types.StructField(s"c$i", t)
-    })
+    if (batch != null) { batch.close(); batch = null }
+    if (!pages.aligned) return nextFallback()
+    if (planIdx >= pages.pagePlan.length) return false
+    val (pi, rows) = pages.pagePlan(planIdx)
+    planIdx += 1
+    val vectors = OnHeapColumnVector.allocateColumns(rows, schema)
+    var c = 0
+    while (c < colSpecs.length) {
+      LanceVectorDecoder.decodePage(colSpecs(c).logicalType,
+        pages.readPageBufs(colSpecs(c).fieldId, pi), rows, vectors(c))
+      c += 1
+    }
+    batch = new ColumnarBatch(
+      vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], rows)
+    true
+  }
+
+  /** Misaligned foreign file: single boxed batch (old behavior). */
+  private def nextFallback(): Boolean = {
+    if (fallbackDone) return false
+    fallbackDone = true
+    val (colValues, numRows) = pages.decodeAllFallback()
     val vectors = OnHeapColumnVector.allocateColumns(numRows, schema)
     var c = 0
     while (c < colValues.length) {
       val vec = vectors(c)
       val vals = colValues(c)
+      val dt = schema.fields(c).dataType
       var i = 0
       while (i < numRows) {
         val v = vals(i)
         if (v == null) vec.putNull(i)
-        else sparkTypes(c) match {
+        else dt match {
           case org.apache.spark.sql.types.LongType |
                org.apache.spark.sql.types.TimestampType |
                org.apache.spark.sql.types.TimestampNTZType => vec.putLong(i, v.asInstanceOf[Long])
@@ -456,34 +535,46 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
       }
       c += 1
     }
-    batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], numRows)
-    emitted = true
+    batch = new ColumnarBatch(
+      vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], numRows)
     true
   }
 
   override def get(): ColumnarBatch = batch
-  override def close(): Unit = if (batch != null) batch.close()
+  override def close(): Unit = {
+    if (batch != null) batch.close()
+    pages.close()
+  }
 }
 
-/** Reads one fragment file: footer → column metadata for the projected
-  * columns only → ranged reads of just those columns' page buffers. */
+/** Row reader (list/struct projections): pages decode lazily one at a
+  * time; resident memory is one page's boxed values per column. */
 class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
-                           zoneFilters: Seq[(Int, String, Double)] = Nil)
+                           zoneFilters: Seq[(Int, String, Double)] = Nil,
+                           conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
-  private val rows: Iterator[InternalRow] = {
-    val (colValues, numRows) = FragmentDecode(part, colSpecs, zoneFilters)
-    val nCols = colSpecs.length
-    (0 until numRows).iterator.map { r =>
-      val arr = new Array[Any](nCols)
-      var i = 0
-      while (i < nCols) { arr(i) = colValues(i)(r); i += 1 }
-      new GenericInternalRow(arr): InternalRow
+  private val pages = new FragmentPages(part, colSpecs, zoneFilters, conf)
+  private val nCols = colSpecs.length
+
+  private val rows: Iterator[InternalRow] =
+    if (!pages.aligned) {
+      val (colValues, numRows) = pages.decodeAllFallback()
+      (0 until numRows).iterator.map(r => assemble(colValues, r))
+    } else pages.pagePlan.iterator.flatMap { case (pi, take) =>
+      val colValues = colSpecs.map(s => pages.decodeBoxedPage(s, pi, take))
+      (0 until take).iterator.map(r => assemble(colValues, r))
     }
+
+  private def assemble(colValues: Array[Array[Any]], r: Int): InternalRow = {
+    val arr = new Array[Any](nCols)
+    var i = 0
+    while (i < nCols) { arr(i) = colValues(i)(r); i += 1 }
+    new GenericInternalRow(arr)
   }
 
   private var current: InternalRow = _
   override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = pages.close()
 }

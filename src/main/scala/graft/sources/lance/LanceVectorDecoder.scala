@@ -1,0 +1,84 @@
+package graft.sources.lance
+
+import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+import org.apache.spark.sql.types.Decimal
+
+/** Decodes one Lance page straight into a Spark `WritableColumnVector` —
+  * no boxing through `Array[Any]`. Fixed-width types use the vector's
+  * little-endian bulk copies (one memcpy per page); var-width types write
+  * each row's byte slice directly out of the page's concatenated value
+  * buffer. Page layout/validity conventions are those of
+  * [[LanceColumnDecoder]] (the boxed twin used by the row reader).
+  */
+object LanceVectorDecoder {
+
+  private def isVarWidth(t: String): Boolean =
+    t == "string" || t == "utf8" || t == "large_string" ||
+      t == "binary" || t == "large_binary"
+
+  /** Decode the first `rows` rows of a page (rows < page rows when a pushed
+    * LIMIT caps the scan) into `vec` starting at vector row 0. */
+  def decodePage(logicalType: String, allBufs: Seq[Array[Byte]], rows: Int,
+                 vec: WritableColumnVector): Unit = {
+    val expected = if (isVarWidth(logicalType)) 2 else 1
+    val (validity, bufs) =
+      if (allBufs.length == expected + 1) (Some(allBufs.head), allBufs.tail)
+      else (None, allBufs)
+    require(bufs.length == expected,
+      s"$logicalType page expects $expected buffers (+optional validity), got ${allBufs.length}")
+
+    if (isVarWidth(logicalType)) {
+      val offs = bufs(0); val bytes = bufs(1)
+      val bb = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var prev = 0
+      var i = 0
+      while (i < rows) {
+        val end = bb.getLong(i * 8).toInt
+        vec.putByteArray(i, bytes, prev, end - prev)
+        prev = end
+        i += 1
+      }
+    } else logicalType match {
+      case "bool" =>
+        val b = bufs.head
+        var i = 0
+        while (i < rows) { vec.putBoolean(i, ((b(i >> 3) >> (i & 7)) & 1) == 1); i += 1 }
+      case "int8" => vec.putBytes(0, rows, bufs.head, 0)
+      case "uint8" =>
+        val b = bufs.head
+        var i = 0
+        while (i < rows) { vec.putShort(i, (b(i) & 0xff).toShort); i += 1 }
+      case "int16" => vec.putShorts(0, rows, bufs.head, 0)
+      case "uint16" =>
+        val bb = java.nio.ByteBuffer.wrap(bufs.head).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < rows) { vec.putInt(i, bb.getShort(i * 2) & 0xffff); i += 1 }
+      case "int32" | "date32:day" | "date32" => vec.putIntsLittleEndian(0, rows, bufs.head, 0)
+      case "uint32" =>
+        val bb = java.nio.ByteBuffer.wrap(bufs.head).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < rows) { vec.putLong(i, bb.getInt(i * 4).toLong & 0xffffffffL); i += 1 }
+      case "int64" => vec.putLongsLittleEndian(0, rows, bufs.head, 0)
+      case ts if ts.startsWith("timestamp") => vec.putLongsLittleEndian(0, rows, bufs.head, 0)
+      case "uint64" =>
+        val bb = java.nio.ByteBuffer.wrap(bufs.head).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < rows) {
+          val v = bb.getLong(i * 8)
+          vec.putDecimal(i, Decimal(new java.math.BigDecimal(java.lang.Long.toUnsignedString(v))), 20)
+          i += 1
+        }
+      case "halffloat" | "float" => vec.putFloatsLittleEndian(0, rows, bufs.head, 0)
+      case "double" => vec.putDoublesLittleEndian(0, rows, bufs.head, 0)
+      case other => throw new UnsupportedOperationException(s"columnar decode: $other")
+    }
+
+    validity.foreach { vb =>
+      var i = 0
+      while (i < rows) {
+        if (((vb(i >> 3) >> (i & 7)) & 1) == 0) vec.putNull(i)
+        i += 1
+      }
+    }
+  }
+}

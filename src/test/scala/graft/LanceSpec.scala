@@ -100,6 +100,37 @@ class LanceSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("columnar reader streams one batch per page (no whole-fragment materialize)") {
+    val ds = tmpDs()
+    spark.range(200000).selectExpr("id", "CAST(id AS DOUBLE) / 3.0 AS d").coalesce(1)
+      .write.format("lance").mode("append").save(ds) // 65536-row pages -> 4 pages
+    import graft.sources.lance._
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(ds, conf)
+    val manifest = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None))
+    val frag = manifest.fragments.head
+    val f = frag.files.head
+    val part = LanceInputPartition(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(ds, "data"), f.path).toString,
+      f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows)
+    val idField = manifest.fields.find(_.name == "id").get
+    val cols = Array(ColSpec(idField.id, idField.logicalType, Array.empty, Array.empty, Array.empty))
+    val reader = new LanceColumnarReader(part, cols, Nil, conf)
+    var batches = 0
+    var rows = 0L
+    var sum = 0L
+    while (reader.next()) {
+      val b = reader.get()
+      batches += 1
+      rows += b.numRows()
+      (0 until b.numRows()).foreach(i => sum += b.column(0).getLong(i))
+    }
+    reader.close()
+    assert(rows == 200000)
+    assert(batches == 4, s"expected one batch per page, got $batches")
+    assert(sum == 199999L * 200000 / 2)
+  }
+
   test("struct columns round-trip (grouped leaf columns)") {
     val ds = tmpDs()
     val src = spark.range(500).selectExpr(
