@@ -1,0 +1,31 @@
+package graft
+
+/** Dev harness: time named queries. `runMain graft.TimeQ <sfDir> <q1> [q2...]`
+  * — same session config as Bench, per-query wall seconds to stdout. */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.lance", "graft.sources.lance.LanceCatalog")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.register(spark, sfDir)
+    Tables.names.foreach(n => spark.table(n).limit(1).collect())
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[timeq] $n%-28s $t%8.3f s")
+    }
+    spark.stop()
+  }
+}

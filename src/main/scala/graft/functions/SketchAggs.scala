@@ -135,10 +135,94 @@ case class SimHashAgg(child: Expression,
     copy(child = cs.head)
 }
 
+/** Static kernels shared by the per-row sketch expressions (called from
+  * generated code) — identical hash family to the aggregates above, so a
+  * signature computed per-row over a token array equals the one aggregated
+  * over the exploded tokens. */
+object SketchKernels {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def minhashSignature(toks: ArrayData, numHashes: Int): GenericArrayData = {
+    val buf = Array.fill(numHashes)(Long.MaxValue)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val base = Mix.hashString(toks.getUTF8String(t))
+        var i = 0
+        while (i < numHashes) {
+          val h = Mix.avalanche(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  def simhashSignature(toks: ArrayData): Long = {
+    val votes = new Array[Long](64)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val h = Mix.hashString(toks.getUTF8String(t))
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+/** Per-row MinHash over a token ARRAY — a pure map, no explode/shuffle/agg.
+  * At 100 TB this removes the token-table shuffle entirely: signatures are
+  * computed in the scan stage. Same hash family as [[MinHashAgg]]. */
+case class MinHashArray(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.minhashSignature(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.minhashSignature($a, $numHashes);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-row SimHash over a token ARRAY (see [[MinHashArray]]). */
+case class SimHashArray(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.simhashSignature(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.simhashSignature($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchAggs {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def minhash(c: Column, numHashes: Int): Column =
     column(MinHashAgg(expression(c), numHashes).toAggregateExpression())
   def simhash(c: Column): Column =
     column(SimHashAgg(expression(c)).toAggregateExpression())
+  def minhashArray(toks: Column, numHashes: Int): Column =
+    column(MinHashArray(expression(toks), numHashes))
+  def simhashArray(toks: Column): Column =
+    column(SimHashArray(expression(toks)))
 }

@@ -67,17 +67,16 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc with a `sig` array<bigint> of
-    * length numHashes. Hash family: xxhash64(tok, seed=i) — numHashes
-    * independent 64-bit functions, folded columnar-wise into one hash
-    * aggregate (no row explosion beyond the token table).
+    * length numHashes. Computed per-row over the token ARRAY with a codegen
+    * kernel — a pure map in the scan stage, no explode/shuffle/aggregate.
+    * (The TypedImperativeAggregate twin, [[graft.functions.MinHashAgg]],
+    * remains for pre-exploded token tables.)
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int): DataFrame = {
-    val toks = tokenSets(df, idCol, textCol)
-      .select(col(idCol), explode(col("toks")).as("tok"))
-    toks.groupBy(col(idCol))
-      .agg(graft.functions.SketchAggs.minhash(col("tok"), numHashes).as("sig"))
-  }
+                        numHashes: Int): DataFrame =
+    tokenSets(df, idCol, textCol)
+      .select(col(idCol),
+              graft.functions.SketchAggs.minhashArray(col("toks"), numHashes).as("sig"))
 
   /** MinHash + LSH banding near-dup pairs.
     *
@@ -160,16 +159,11 @@ object Dedup {
     labels.select(col("u").as(idCol), col("label").as("keep_id"))
   }
 
-  /** 64-bit SimHash per document, computed columnar-wise: 64 signed bit
-    * votes as aggregate expressions over the token table (no 64x row
-    * explosion), then one projection folds the votes into the signature.
-    */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokenSets(df, idCol, textCol)
-      .select(col(idCol), explode(col("toks")).as("tok"))
-    toks.groupBy(col(idCol))
-      .agg(graft.functions.SketchAggs.simhash(col("tok")).as("simhash"))
-  }
+  /** 64-bit SimHash per document — per-row codegen kernel over the token
+    * array (map-only; see [[minHashSignatures]]). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenSets(df, idCol, textCol)
+      .select(col(idCol), graft.functions.SketchAggs.simhashArray(col("toks")).as("simhash"))
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming, candidates via
     * 4x16-bit chunk banding (pigeonhole-exact for maxHamming <= 3,
@@ -177,22 +171,26 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    // unlike minHashLsh (where signatures are 64x8 bytes and must stay out
+    // of the candidate shuffle), a simhash is ONE long — carrying it through
+    // the chunk join costs 8 bytes/row and lets the hamming filter run
+    // BEFORE the distinct, so the distinct dedups only true near-dup pairs
+    // instead of every bucket collision (the round-1 hot spot: joining
+    // signatures back to every candidate pair)
+    // cache = a plan boundary too: without it CollapseProject inlines the
+    // kernel into every chunk expression (5 evals/row) and both join sides
     val sigs = simHash(df, idCol, textCol).cache()
-    // candidates stay skinny (ids only) through the bucket join + distinct;
-    // signatures are joined back afterwards — same shape as minHashLsh
-    val chunks = sigs.select(col(idCol),
+    val chunks = sigs.select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(c => expr(s"(shiftright(simhash, ${c * 16})) & 65535")): _*)))
-      .select(col(idCol), col("pos").as("chunk"), col("col").as("chunk_val"))
-    val l = chunks.select(col(idCol).as("doc_a"), col("chunk"), col("chunk_val"))
-    val r = chunks.select(col(idCol).as("doc_b"), col("chunk").as("chunk_r"), col("chunk_val").as("chunk_val_r"))
-    val candidates = l.join(r, col("chunk") === col("chunk_r") &&
+      .select(col(idCol), col("simhash"), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val l = chunks.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
+                          col("chunk"), col("chunk_val"))
+    val r = chunks.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
+                          col("chunk").as("chunk_r"), col("chunk_val").as("chunk_val_r"))
+    l.join(r, col("chunk") === col("chunk_r") &&
         col("chunk_val") === col("chunk_val_r") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sigs.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"))
-    val sb = sigs.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"))
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast(IntegerType))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 }
