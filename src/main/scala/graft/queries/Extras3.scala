@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third wave: the remaining SURVEY §2.2 rows — mode()/bit_* aggregates,
+  * the SQL PIVOT keyword, CSV/JSON sources (round-tripped through the
+  * builtin writers so the oracle can check values against parquet), and
+  * df.sample.
+  */
+object Extras3 {
+
+  /** Deterministic per-(dir, table) temp dir for source round-trips. */
+  private def tmpDir(dir: String, kind: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${kind}_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+
+  val defs: Seq[QDef] = Seq(
+
+    // --- mode() + bit_and/bit_or/bit_xor aggregates -----------------------
+    // mode is deterministic here: per-flag linenumber counts have a unique
+    // argmax at sf0.001/0.01/0.1 (verified against the fixtures)
+    QDef("q63_bit_mode_agg", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("lineitem")
+        .groupBy("l_returnflag")
+        .agg(bit_and(col("l_orderkey")).as("b_and"),
+             bit_or(col("l_orderkey")).as("b_or"),
+             bit_xor(col("l_orderkey")).as("b_xor"),
+             mode(col("l_linenumber")).as("mode_ln"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             BIT_AND(l_orderkey) AS b_and,
+             BIT_OR(l_orderkey) AS b_or,
+             BIT_XOR(l_orderkey) AS b_xor,
+             MODE(l_linenumber) AS mode_ln,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --- SQL PIVOT keyword ------------------------------------------------
+    QDef("q64_sql_pivot", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus, CAST(l_quantity AS DECIMAL(38,6)) AS q
+          FROM lineitem)
+        PIVOT (CAST(SUM(q) AS DOUBLE) FOR l_linestatus IN ('F' AS f_qty, 'O' AS o_qty))
+        ORDER BY l_returnflag""")
+    }, Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS f_qty,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS o_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --- CSV source (write with the builtin CSV sink, read back, join) ----
+    QDef("q65_csv_source", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val path = tmpDir(dir, "csv")
+      t("region").select("r_regionkey", "r_name")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val regionCsv = s.read.option("header", "true")
+        .schema("r_regionkey BIGINT, r_name STRING").csv(path)
+      regionCsv.join(t("nation"), col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+        .orderBy("r_name")
+    }, Some("""
+      SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+      FROM region JOIN nation ON r_regionkey = n_regionkey
+      GROUP BY r_name ORDER BY r_name""")),
+
+    // --- JSON source ------------------------------------------------------
+    QDef("q66_json_source", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val path = tmpDir(dir, "json")
+      t("supplier").select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite").json(path)
+      val suppJson = s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT").json(path)
+      suppJson.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), min(col("s_name")).as("first_name"))
+        .orderBy("s_nationkey")
+    }, Some("""
+      SELECT s_nationkey, COUNT(*) AS n, MIN(s_name) AS first_name
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // --- df.sample (seeded Bernoulli; no cross-engine twin -> rows-only) --
+    QDef("q67_sample", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("customer").sample(withReplacement = false, fraction = 0.2, seed = 42L)
+        .agg(count(lit(1)).as("n_sampled"),
+             countDistinct(col("c_nationkey")).as("n_nations"))
+    }, None)
+  )
+}
