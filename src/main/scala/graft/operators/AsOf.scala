@@ -46,9 +46,21 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    // all right payload columns ride in ONE struct (null on left rows):
+    // last(_, ignoreNulls) then lands on the most recent right ROW as a
+    // unit, so a genuinely-NULL payload value inside the matched row is
+    // preserved instead of falling through to an older non-null row
+    // (DuckDB ASOF JOIN semantics)
+    if (rightPayload.isEmpty) unioned.filter(col(side) === 1).drop(side)
+    else {
+      val payload = "__graft_asof_payload"
+      val filled = unioned.withColumn(payload,
+        last(when(col(side) === 0, struct(rightPayload.map(col): _*)),
+             ignoreNulls = true).over(w))
+      val projected = rightPayload.foldLeft(filled) { (df, c) =>
+        df.withColumn(c, col(s"$payload.$c"))
+      }
+      projected.filter(col(side) === 1).drop(side, payload)
     }
-    filled.filter(col(side) === 1).drop(side)
   }
 }

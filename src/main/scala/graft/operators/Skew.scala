@@ -17,6 +17,12 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit unmatched dim rows once PER SALT (the dim
+    // side is replicated `salts` times) — restrict to the shapes where
+    // replication is invisible in the output
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+                "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins, got '$joinType'")
     val saltedFact = fact.withColumn("__salt", (rand(seed = 42) * salts).cast("int"))
     val saltedDim = dim.withColumn("__salt",
         explode(sequence(lit(0), lit(salts - 1))))

@@ -72,9 +72,13 @@ class LanceTable(path: String, tableSchema: StructType, versionAsOf: Option[Long
     new LanceWriteBuilder(path, info)
 }
 
-/** A numeric predicate usable against page zone maps (conservative:
-  * anything not representable here is simply not pruned on). */
-case class ZoneFilter(colName: String, op: String, value: Double) {
+/** A predicate usable against page zone maps (conservative: anything not
+  * representable here is simply not pruned on). Numeric stats are [min,max]
+  * doubles; string stats are the 8-byte big-endian prefixes of min/max,
+  * compared unsigned — prefix comparison decides exactly when the prefixes
+  * differ, and equality (undecidable from a prefix) always keeps the page. */
+case class ZoneFilter(colName: String, op: String, value: Double,
+                      strPrefix: Long = 0L, isStr: Boolean = false) {
   /** Can a page with values in [mn, mx] contain a matching row? */
   def mayMatch(mn: Double, mx: Double): Boolean = op match {
     case ">"  => mx > value
@@ -83,6 +87,28 @@ case class ZoneFilter(colName: String, op: String, value: Double) {
     case "<=" => mn <= value
     case "="  => mn <= value && mx >= value
     case _ => true
+  }
+  /** String variant over prefix-encoded page stats; keeps on prefix ties. */
+  def mayMatchStr(umin: Long, umax: Long): Boolean = {
+    import java.lang.Long.compareUnsigned
+    op match {
+      case ">" | ">=" => compareUnsigned(umax, strPrefix) >= 0
+      case "<" | "<=" => compareUnsigned(umin, strPrefix) <= 0
+      case "=" => compareUnsigned(umin, strPrefix) <= 0 &&
+                  compareUnsigned(strPrefix, umax) <= 0
+      case _ => true
+    }
+  }
+}
+
+object ZoneFilter {
+  /** First 8 bytes, big-endian, zero-padded — unsigned order equals
+    * lexicographic byte order wherever the prefixes differ. */
+  def prefixLong(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1 }
+    v
   }
 }
 
@@ -107,25 +133,33 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
     case _ => None
   }
 
+  private def zoneOf(a: String, op: String, v: Any): Option[ZoneFilter] =
+    numeric(v).map(ZoneFilter(a, op, _)).orElse(v match {
+      case s: String =>
+        Some(ZoneFilter(a, op, 0.0, ZoneFilter.prefixLong(s.getBytes("UTF-8")), isStr = true))
+      case _ => None
+    })
+
   /** Zone-map skipping only — every filter stays residual (we return all
     * filters back to Spark), so correctness never depends on the stats;
-    * pages whose [min,max] cannot match are just never read. */
+    * pages whose [min,max] cannot match are just never read. Numeric AND
+    * string comparisons participate (strings via 8-byte prefix stats). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val zs = filters.flatMap {
-      case GreaterThan(a, v) => numeric(v).map(ZoneFilter(a, ">", _))
-      case GreaterThanOrEqual(a, v) => numeric(v).map(ZoneFilter(a, ">=", _))
-      case LessThan(a, v) => numeric(v).map(ZoneFilter(a, "<", _))
-      case LessThanOrEqual(a, v) => numeric(v).map(ZoneFilter(a, "<=", _))
-      case EqualTo(a, v) => numeric(v).map(ZoneFilter(a, "=", _))
+      case GreaterThan(a, v) => zoneOf(a, ">", v)
+      case GreaterThanOrEqual(a, v) => zoneOf(a, ">=", v)
+      case LessThan(a, v) => zoneOf(a, "<", v)
+      case LessThanOrEqual(a, v) => zoneOf(a, "<=", v)
+      case EqualTo(a, v) => zoneOf(a, "=", v)
       case _ => None
     }
     zoneFilters = zs.toSeq
     accepted = filters.filter {
-      case GreaterThan(_, v) => numeric(v).isDefined
-      case GreaterThanOrEqual(_, v) => numeric(v).isDefined
-      case LessThan(_, v) => numeric(v).isDefined
-      case LessThanOrEqual(_, v) => numeric(v).isDefined
-      case EqualTo(_, v) => numeric(v).isDefined
+      case GreaterThan(a, v) => zoneOf(a, ">", v).isDefined
+      case GreaterThanOrEqual(a, v) => zoneOf(a, ">=", v).isDefined
+      case LessThan(a, v) => zoneOf(a, "<", v).isDefined
+      case LessThanOrEqual(a, v) => zoneOf(a, "<=", v).isDefined
+      case EqualTo(a, v) => zoneOf(a, "=", v).isDefined
       case _ => false
     }
     filters // all residual
@@ -153,7 +187,7 @@ class LanceScan(path: String, full: StructType, required: StructType,
     s"LanceScan($path, columns=[${required.fieldNames.mkString(",")}]" +
       limit.map(n => s", limit=$n").getOrElse("") +
       (if (zoneFilters.nonEmpty)
-         s", zoneFilters=[${zoneFilters.map(f => s"${f.colName}${f.op}${f.value}").mkString(",")}]"
+         s", zoneFilters=[${zoneFilters.map(f => s"${f.colName}${f.op}${if (f.isStr) "str" else f.value}").mkString(",")}]"
        else "") + ")"
 
   @transient private lazy val manifest = {
@@ -212,14 +246,13 @@ class LanceScan(path: String, full: StructType, required: StructType,
       } else ColSpec(f.id, f.logicalType, Array.empty, Array.empty, Array.empty)
     }
     // zone filters resolved to field ids (unknown columns dropped)
-    val zf = zoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z.op, z.value)))
+    val zf = zoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z)))
     // ship the session's Hadoop conf to executors (object-store credentials,
     // fs settings) — a bare `new Configuration()` there would only see
     // defaults, breaking any non-local filesystem
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new LanceReaderFactory(cols.toArray, serConf,
-      zf.map(_._1).toArray, zf.map(_._2).toArray, zf.map(_._3).toArray)
+    new LanceReaderFactory(cols.toArray, serConf, zf)
   }
 }
 
@@ -230,12 +263,8 @@ case class ColSpec(fieldId: Int, logicalType: String, childIds: Array[Int],
 
 class LanceReaderFactory(colSpecs: Array[ColSpec],
                          conf: org.apache.spark.util.SerializableConfiguration,
-                         filterFieldIds: Array[Int] = Array.empty,
-                         filterOps: Array[String] = Array.empty,
-                         filterVals: Array[Double] = Array.empty)
+                         zf: Seq[(Int, ZoneFilter)] = Nil)
     extends PartitionReaderFactory {
-  private def zf: Seq[(Int, String, Double)] =
-    filterFieldIds.indices.map(i => (filterFieldIds(i), filterOps(i), filterVals(i)))
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LanceInputPartition]
     new LancePartitionReader(p, colSpecs, zf, conf.value)
@@ -255,9 +284,12 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
   }
 }
 
-/** One page's metadata: buffer layout, row count, numeric zone map. */
+/** One page's metadata: buffer layout, row count, numeric zone map, and
+  * optional string zone map (8-byte big-endian min/max prefixes). */
 private[lance] final case class PMeta(offs: Seq[Long], sizes: Seq[Long],
-                                      rows: Long, mn: Double, mx: Double)
+                                      rows: Long, mn: Double, mx: Double,
+                                      sMin: Long = 0L, sMax: Long = 0L,
+                                      hasStr: Boolean = false)
 
 /** Page-granular fragment access: footer + column-metadata parse once, then
   * lazy ranged reads of individual page buffers. Readers iterate
@@ -272,7 +304,7 @@ private[lance] final case class PMeta(offs: Seq[Long], sizes: Seq[Long],
   */
 private[lance] final class FragmentPages(part: LanceInputPartition,
                                          colSpecs: Array[ColSpec],
-                                         zoneFilters: Seq[(Int, String, Double)],
+                                         zoneFilters: Seq[(Int, ZoneFilter)],
                                          conf: Configuration) extends AutoCloseable {
   private val (fs, p) = LanceFormat.fileSystem(part.dataFilePath, conf)
   private val fileLen = fs.getFileStatus(p).getLen
@@ -304,8 +336,12 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
         .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN)
       val mx = pf.find(f => f.tag == 11 && f.wire == 1)
         .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN)
+      val sMin = pf.find(f => f.tag == 12 && f.wire == 1).map(_.varint)
+      val sMax = pf.find(f => f.tag == 13 && f.wire == 1).map(_.varint)
       PMeta(Proto.packedVarints(pf, 1), Proto.packedVarints(pf, 2),
-            Proto.firstVarint(pf, 3).getOrElse(0L), mn, mx)
+            Proto.firstVarint(pf, 3).getOrElse(0L), mn, mx,
+            sMin.getOrElse(0L), sMax.getOrElse(0L),
+            hasStr = sMin.isDefined && sMax.isDefined)
     }.toIndexedSeq
   })
 
@@ -326,17 +362,21 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
   private val nPages: Int =
     if (rowAlignedIds.isEmpty) 0 else pageMetasOf(rowAlignedIds.head).length
 
-  /** Zone-map page mask: page survives iff every filter may match it. */
+  /** Zone-map page mask: page survives iff every filter may match it
+    * (numeric [min,max] or string prefix stats; pages without the relevant
+    * stats are never pruned). */
   private val keep: Array[Boolean] = {
     val base = Array.fill(nPages)(true)
-    if (aligned) zoneFilters.foreach { case (fid, op, value) =>
+    if (aligned) zoneFilters.foreach { case (fid, z) =>
       val metas = pageMetasOf(fid)
       if (metas.length == nPages) {
         var i = 0
         while (i < nPages) {
           val m = metas(i)
-          if (!(m.mn.isNaN || m.mx.isNaN || ZoneFilter("", op, value).mayMatch(m.mn, m.mx)))
-            base(i) = false
+          val may =
+            if (z.isStr) !m.hasStr || z.mayMatchStr(m.sMin, m.sMax)
+            else m.mn.isNaN || m.mx.isNaN || z.mayMatch(m.mn, m.mx)
+          if (!may) base(i) = false
           i += 1
         }
       }
@@ -465,7 +505,7 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
 /** Columnar reader: one ColumnarBatch PER PAGE, decoded straight into
   * OnHeapColumnVectors ([[LanceVectorDecoder]] — no boxed intermediates). */
 class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
-                          zoneFilters: Seq[(Int, String, Double)] = Nil,
+                          zoneFilters: Seq[(Int, ZoneFilter)] = Nil,
                           conf: Configuration = new Configuration())
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -550,7 +590,7 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
 /** Row reader (list/struct projections): pages decode lazily one at a
   * time; resident memory is one page's boxed values per column. */
 class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
-                           zoneFilters: Seq[(Int, String, Double)] = Nil,
+                           zoneFilters: Seq[(Int, ZoneFilter)] = Nil,
                            conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 

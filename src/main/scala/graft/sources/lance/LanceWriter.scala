@@ -113,12 +113,34 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
   // filter pushdown; NaN-initialized = no stats
   private val zoneMin = Array.fill(nPhys)(Double.NaN)
   private val zoneMax = Array.fill(nPhys)(Double.NaN)
+  // string zone maps: lexicographic min/max bytes per page (top-level string
+  // columns only), emitted as 8-byte big-endian prefixes
+  private val strZoneMin = Array.fill[Array[Byte]](nPhys)(null)
+  private val strZoneMax = Array.fill[Array[Byte]](nPhys)(null)
   private val pageMetas = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
     .empty[(Seq[Long], Seq[Long], Long, Double, Double)])
+  private val strZoneMetas = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
+    .empty[Option[(Long, Long)]])
 
   private def trackZone(c: Int, v: Double): Unit = {
     if (zoneMin(c).isNaN || v < zoneMin(c)) zoneMin(c) = v
     if (zoneMax(c).isNaN || v > zoneMax(c)) zoneMax(c) = v
+  }
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def trackStrZone(c: Int, b: Array[Byte]): Unit = {
+    if (strZoneMin(c) == null || cmpBytes(b, strZoneMin(c)) < 0) strZoneMin(c) = b
+    if (strZoneMax(c) == null || cmpBytes(b, strZoneMax(c)) > 0) strZoneMax(c) = b
   }
 
   private def markValidity(c: Int, valid: Boolean): Unit = {
@@ -217,7 +239,12 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
           c += st.length
         case StringType =>
           markValidity(c, !isNull)
-          putVar(c, if (isNull) Array.emptyByteArray else row.getUTF8String(s).getBytes)
+          if (isNull) putVar(c, Array.emptyByteArray)
+          else {
+            val b = row.getUTF8String(s).getBytes
+            trackStrZone(c, b)
+            putVar(c, b)
+          }
           c += 1
         case BinaryType =>
           markValidity(c, !isNull)
@@ -281,11 +308,18 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
         val all = validityBuf ++ Seq((o, s))
         pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount, zoneMin(c), zoneMax(c)))
       }
+      strZoneMetas(c) +=
+        (if (strZoneMin(c) != null)
+           Some((graft.sources.lance.ZoneFilter.prefixLong(strZoneMin(c)),
+                 graft.sources.lance.ZoneFilter.prefixLong(strZoneMax(c))))
+         else None)
       fixedBufs(c).reset()
       validBufs(c).reset()
       sawNull(c) = false
       zoneMin(c) = Double.NaN
       zoneMax(c) = Double.NaN
+      strZoneMin(c) = null
+      strZoneMax(c) = null
       c += 1
     }
     java.util.Arrays.fill(listValCount, 0L)
@@ -310,13 +344,17 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
       val dt = layout.phys(c).dt
       val w = new Proto.Writer
       w.bytes(1, LanceWriteSupport.columnEncodingAny())
-      pageMetas(c).foreach { case (offs, sizes, nrows, mn, mx) =>
+      pageMetas(c).zipWithIndex.foreach { case ((offs, sizes, nrows, mn, mx), pi) =>
         val pw = new Proto.Writer
         pw.packed(1, offs).packed(2, sizes).varint(3, nrows)
         pw.bytes(4, LanceWriteSupport.arrayEncodingAny(dt, LanceWriteSupport.bitsFor(dt)))
         if (!mn.isNaN && !mx.isNaN) {
           pw.fixed64(10, java.lang.Double.doubleToLongBits(mn))
           pw.fixed64(11, java.lang.Double.doubleToLongBits(mx))
+        }
+        strZoneMetas(c).lift(pi).flatten.foreach { case (sMin, sMax) =>
+          pw.fixed64(12, sMin)
+          pw.fixed64(13, sMax)
         }
         w.message(2, pw)
       }
@@ -499,9 +537,21 @@ object LanceWriteSupport {
     val os = fs.create(tmp, false)
     try os.write(body.toByteArray) finally os.close()
     val dest = new Path(versionsDir, s"$version.manifest")
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"lance: concurrent write detected committing $dest")
+    // FileContext.rename with Options.Rename.NONE refuses an existing dest
+    // (plain FileSystem.rename silently OVERWRITES on local/raw
+    // filesystems, losing a concurrent committer's manifest). The
+    // version-claim itself is read-modify-write of `latest`, so true
+    // multi-writer safety needs a coordinating catalog — single-writer per
+    // dataset is the documented assumption; concurrent commits to the SAME
+    // version are detected here and rejected.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+      fc.rename(tmp, dest)
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"lance: concurrent write detected committing $dest", e)
     }
   }
 }

@@ -217,6 +217,39 @@ class LanceSpec extends AnyFunSuite {
       .filter(col("id") < 1000 && col("v") > 100.0).count() == 1000 - 67)
   }
 
+  test("string zone maps prune pages for categorical predicates") {
+    val ds = tmpDs()
+    // sorted string key -> pages carry disjoint [min,max] prefix ranges
+    spark.range(200000).selectExpr("id", "format_string('k%06d', id) AS k").coalesce(1)
+      .write.format("lance").mode("append").save(ds)
+    val df = spark.read.format("lance").load(ds).filter(col("k") === "k199999")
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("zoneFilters=[k=str]"), s"no string zone filter: $scanDesc")
+    assert(df.count() == 1)
+    assert(spark.read.format("lance").load(ds).filter(col("k") < "k000100").count() == 100)
+    // direct reader: the equality predicate decodes 1 of the 4 pages
+    import graft.sources.lance._
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(ds, conf)
+    val manifest = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None))
+    val frag = manifest.fragments.head
+    val f = frag.files.head
+    val part = LanceInputPartition(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(ds, "data"), f.path).toString,
+      f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows)
+    val kField = manifest.fields.find(_.name == "k").get
+    val cols = Array(ColSpec(kField.id, kField.logicalType, Array.empty, Array.empty, Array.empty))
+    val zf = Seq((kField.id, ZoneFilter("k", "=", 0.0,
+      ZoneFilter.prefixLong("k199999".getBytes("UTF-8")), isStr = true)))
+    val reader = new LanceColumnarReader(part, cols, zf, conf)
+    var batches = 0
+    var rows = 0L
+    while (reader.next()) { batches += 1; rows += reader.get().numRows() }
+    reader.close()
+    assert(batches == 1, s"string zone map should keep 1 of 4 pages, kept $batches")
+    assert(rows == 200000 - 3 * 65536)
+  }
+
   test("scan reports statistics from the manifest") {
     val df = spark.read.format("lance").load(golden)
     val stats = df.queryExecution.optimizedPlan.stats
