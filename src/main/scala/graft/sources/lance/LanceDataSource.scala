@@ -284,12 +284,14 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
   }
 }
 
-/** One page's metadata: buffer layout, row count, numeric zone map, and
-  * optional string zone map (8-byte big-endian min/max prefixes). */
+/** One page's metadata: buffer layout, row count, numeric zone map,
+  * optional string zone map (8-byte big-endian min/max prefixes), and the
+  * dictionary-encoding marker (page proto tag 14). */
 private[lance] final case class PMeta(offs: Seq[Long], sizes: Seq[Long],
                                       rows: Long, mn: Double, mx: Double,
                                       sMin: Long = 0L, sMax: Long = 0L,
-                                      hasStr: Boolean = false)
+                                      hasStr: Boolean = false,
+                                      dictEnc: Boolean = false)
 
 /** Page-granular fragment access: footer + column-metadata parse once, then
   * lazy ranged reads of individual page buffers. Readers iterate
@@ -341,7 +343,8 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
       PMeta(Proto.packedVarints(pf, 1), Proto.packedVarints(pf, 2),
             Proto.firstVarint(pf, 3).getOrElse(0L), mn, mx,
             sMin.getOrElse(0L), sMax.getOrElse(0L),
-            hasStr = sMin.isDefined && sMax.isDefined)
+            hasStr = sMin.isDefined && sMax.isDefined,
+            dictEnc = Proto.firstVarint(pf, 14).contains(1L))
     }.toIndexedSeq
   })
 
@@ -416,7 +419,9 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
   def decodeBoxedPage(spec: ColSpec, pageIdx: Int, rows: Int): Array[Any] = {
     if (spec.logicalType == "struct") {
       val leafVals = spec.childIds.zip(spec.childTypes).map { case (cid, ct) =>
-        LanceColumnDecoder.decode(ct, Seq((readPageBufs(cid, pageIdx), rows.toLong)), rows)
+        LanceColumnDecoder.decode(ct,
+          Seq((readPageBufs(cid, pageIdx), rows.toLong,
+               pageMetasOf(cid)(pageIdx).dictEnc)), rows)
       }
       val out = new Array[Any](rows)
       var i = 0
@@ -433,7 +438,8 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
                      readPageBufs(spec.childIds.head, pageIdx), rows)
     } else {
       LanceColumnDecoder.decode(spec.logicalType,
-        Seq((readPageBufs(spec.fieldId, pageIdx), rows.toLong)), rows)
+        Seq((readPageBufs(spec.fieldId, pageIdx), rows.toLong,
+             pageMetasOf(spec.fieldId)(pageIdx).dictEnc)), rows)
     }
   }
 
@@ -446,7 +452,7 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val totalVals = if (rows == 0) 0 else offBB.getLong((rows - 1) * 8).toInt
     val vals = LanceColumnDecoder.decode(spec.childTypes.head,
-      Seq((valBufs, totalVals.toLong)), totalVals)
+      Seq((valBufs, totalVals.toLong, false)), totalVals)
     val out = new Array[Any](rows)
     var prev = 0
     var i = 0
@@ -483,12 +489,12 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
         out.result()
       } else {
         val metas = pageMetasOf(spec.fieldId)
-        val pages = Array.newBuilder[(Seq[Array[Byte]], Long)]
+        val pages = Array.newBuilder[(Seq[Array[Byte]], Long, Boolean)]
         var cum = 0L
         var pi = 0
         while (pi < metas.length && cum < numRows) {
           val take = math.min(metas(pi).rows, numRows - cum)
-          pages += ((readPageBufs(spec.fieldId, pi), take))
+          pages += ((readPageBufs(spec.fieldId, pi), take, metas(pi).dictEnc))
           cum += take
           pi += 1
         }
@@ -529,7 +535,8 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
     var c = 0
     while (c < colSpecs.length) {
       LanceVectorDecoder.decodePage(colSpecs(c).logicalType,
-        pages.readPageBufs(colSpecs(c).fieldId, pi), rows, vectors(c))
+        pages.readPageBufs(colSpecs(c).fieldId, pi), rows, vectors(c),
+        pages.pageMetasOf(colSpecs(c).fieldId)(pi).dictEnc)
       c += 1
     }
     batch = new ColumnarBatch(
@@ -548,11 +555,32 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
       val vec = vectors(c)
       val vals = colValues(c)
       val dt = schema.fields(c).dataType
+      var childOff = 0
       var i = 0
       while (i < numRows) {
         val v = vals(i)
         if (v == null) vec.putNull(i)
         else dt match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            vec.putDecimal(i, v.asInstanceOf[org.apache.spark.sql.types.Decimal], d.precision)
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            val n = arr.numElements()
+            val child = vec.getChild(0)
+            child.reserve(childOff + n)
+            var j = 0
+            while (j < n) {
+              et match {
+                case org.apache.spark.sql.types.FloatType => child.putFloat(childOff + j, arr.getFloat(j))
+                case org.apache.spark.sql.types.DoubleType => child.putDouble(childOff + j, arr.getDouble(j))
+                case org.apache.spark.sql.types.IntegerType => child.putInt(childOff + j, arr.getInt(j))
+                case org.apache.spark.sql.types.LongType => child.putLong(childOff + j, arr.getLong(j))
+                case other => throw new UnsupportedOperationException(s"columnar fallback array<$other>")
+              }
+              j += 1
+            }
+            vec.putArray(i, childOff, n)
+            childOff += n
           case org.apache.spark.sql.types.LongType |
                org.apache.spark.sql.types.TimestampType |
                org.apache.spark.sql.types.TimestampNTZType => vec.putLong(i, v.asInstanceOf[Long])

@@ -59,12 +59,30 @@ object LanceFormat {
     case "string" | "utf8" | "large_string" => StringType
     case "binary" | "large_binary" => BinaryType
     case "date32:day" | "date32" => DateType
+    case "date64" | "date64:ms" => DateType
     // convention: "timestamp:us:<tz>" is instant-typed, "timestamp:us" is
     // wall-clock (NTZ) — matches what our writer emits
     case t if t.startsWith("timestamp") =>
       if (t.split(":").length > 2) TimestampType else TimestampNTZType
+    // lance's vector-column type: "fixed_size_list:<elem>:<dim>" — one
+    // physical column of rows*dim contiguous values, no offsets buffer
+    case t if t.startsWith("fixed_size_list:") =>
+      val parts = t.split(":")
+      ArrayType(toSparkType(parts.slice(1, parts.length - 1).mkString(":")),
+                containsNull = false)
+    // lance spells it "decimal:128:<p>:<s>"; accept "decimal128:<p>:<s>" too
+    case t if t.startsWith("decimal:128:") =>
+      val p = t.split(":"); DecimalType(p(2).toInt, p(3).toInt)
+    case t if t.startsWith("decimal128:") =>
+      val p = t.split(":"); DecimalType(p(1).toInt, p(2).toInt)
     case t => throw new UnsupportedOperationException(
       s"lance logical type '$t' not supported by this reader (plain encodings scope)")
+  }
+
+  /** (element logical type, dimension) of a fixed_size_list type string. */
+  def fslParts(t: String): (String, Int) = {
+    val parts = t.split(":")
+    (parts.slice(1, parts.length - 1).mkString(":"), parts.last.toInt)
   }
 
   def bitsPerValue(logicalType: String): Int = logicalType match {

@@ -121,6 +121,33 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
     .empty[(Seq[Long], Seq[Long], Long, Double, Double)])
   private val strZoneMetas = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
     .empty[Option[(Long, Long)]])
+  private val dictFlags = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
+    .empty[Boolean])
+  // dictionary encoding for low-cardinality top-level string columns:
+  // page-local dictionary (insertion order) + i32 indices; falls back to
+  // plain offsets+bytes when cardinality exceeds the cap or half the rows
+  private val dictable: Array[Boolean] = layout.phys.map {
+    case Scalar(StringType) => true
+    case _ => false
+  }.toArray
+  private val DictCap = 4096
+  private val dictMaps = Array.fill(nPhys)(
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, Integer]())
+  private val dictIdx = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer.empty[Int])
+  private val dictOverflow = Array.fill(nPhys)(false)
+
+  private def trackDict(c: Int, b: Array[Byte]): Unit = {
+    if (!dictable(c) || dictOverflow(c)) return
+    val m = dictMaps(c)
+    val key = java.nio.ByteBuffer.wrap(b)
+    var id = m.get(key)
+    if (id == null) {
+      if (m.size >= DictCap) { dictOverflow(c) = true; return }
+      id = Integer.valueOf(m.size)
+      m.put(key, id)
+    }
+    dictIdx(c) += id.intValue
+  }
 
   private def trackZone(c: Int, v: Double): Unit = {
     if (zoneMin(c).isNaN || v < zoneMin(c)) zoneMin(c) = v
@@ -239,10 +266,11 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
           c += st.length
         case StringType =>
           markValidity(c, !isNull)
-          if (isNull) putVar(c, Array.emptyByteArray)
+          if (isNull) { trackDict(c, Array.emptyByteArray); putVar(c, Array.emptyByteArray) }
           else {
             val b = row.getUTF8String(s).getBytes
             trackStrZone(c, b)
+            trackDict(c, b)
             putVar(c, b)
           }
           c += 1
@@ -297,16 +325,38 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
       // pages that saw nulls get a leading validity-bitmap buffer
       val validityBuf: Seq[(Long, Long)] =
         if (sawNull(c)) Seq(writeBuf(validBufs(c).toByteArray)) else Nil
-      if (varWidth) {
+      val useDict = varWidth && dictable(c) && !dictOverflow(c) &&
+        dictMaps(c).size() > 0 && dictMaps(c).size() * 2 < rowsInPage
+      if (useDict) {
+        // indices buffer (i32 LE), dictionary end-offsets (i64 LE), bytes
+        val n = dictIdx(c).length
+        val idxBB = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
+        dictIdx(c).foreach(idxBB.putInt)
+        val dictBytes = new ByteArrayOutputStream()
+        val offBB = ByteBuffer.allocate(8 * dictMaps(c).size()).order(ByteOrder.LITTLE_ENDIAN)
+        val it = dictMaps(c).keySet().iterator()
+        while (it.hasNext) {
+          val k = it.next()
+          dictBytes.write(k.array(), k.arrayOffset(), k.remaining())
+          offBB.putLong(dictBytes.size().toLong)
+        }
+        val bufsOut = validityBuf ++ Seq(
+          writeBuf(idxBB.array()), writeBuf(offBB.array()), writeBuf(dictBytes.toByteArray))
+        pageMetas(c) += ((bufsOut.map(_._1), bufsOut.map(_._2), pageRowCount, zoneMin(c), zoneMax(c)))
+        dictFlags(c) += true
+        byteBufs(c).reset()
+      } else if (varWidth) {
         val (o1, s1) = writeBuf(fixedBufs(c).toByteArray)
         val (o2, s2) = writeBuf(byteBufs(c).toByteArray)
         val all = validityBuf ++ Seq((o1, s1), (o2, s2))
         pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount, zoneMin(c), zoneMax(c)))
+        dictFlags(c) += false
         byteBufs(c).reset()
       } else {
         val (o, s) = writeBuf(fixedBufs(c).toByteArray)
         val all = validityBuf ++ Seq((o, s))
         pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount, zoneMin(c), zoneMax(c)))
+        dictFlags(c) += false
       }
       strZoneMetas(c) +=
         (if (strZoneMin(c) != null)
@@ -320,6 +370,9 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
       zoneMax(c) = Double.NaN
       strZoneMin(c) = null
       strZoneMax(c) = null
+      dictMaps(c).clear()
+      dictIdx(c).clear()
+      dictOverflow(c) = false
       c += 1
     }
     java.util.Arrays.fill(listValCount, 0L)
@@ -356,6 +409,7 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
           pw.fixed64(12, sMin)
           pw.fixed64(13, sMax)
         }
+        if (dictFlags(c).lift(pi).contains(true)) pw.varint(14, 1L)
         w.message(2, pw)
       }
       val b = w.result()
