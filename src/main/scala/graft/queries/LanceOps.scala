@@ -1,11 +1,18 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ArrayKernels.longDot
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Lance connector coverage in the declared-query registry (rows-only —
-  * the driver's DuckDB oracle has no Lance extension loaded, so these are
-  * validated value-level by LanceSpec instead).
+/** Lance connector coverage in the declared-query registry.
+  *
+  * The driver's DuckDB oracle has no Lance extension, but every value these
+  * queries produce originates in the parquet fixtures (or the golden file's
+  * known constants) — so the oracles check the same computation against the
+  * parquet source / VALUES literals, proving the lance round-trip is
+  * lossless end-to-end. Connector internals are additionally pinned by
+  * LanceSpec/LanceForeignSpec.
   */
 object LanceOps {
 
@@ -14,13 +21,22 @@ object LanceOps {
 
   val defs: Seq[QDef] = Seq(
 
-    // golden-dataset scan through the DSv2 connector (reference R1-R4)
+    // golden-dataset scan through the DSv2 connector (reference R1-R4);
+    // oracle = the golden file's known rows as a VALUES literal
     QDef("l01_lance_scan_golden", (s, _) => {
       s.read.format("lance").load("/root/reference/test/test_data.lance")
         .filter(col("age") > 20).orderBy("id")
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        (1, 'Alice', 25, 85.5),
+        (2, 'Bob', 30, 92.0),
+        (3, 'Charlie', 35, 78.5),
+        (4, 'David', 40, 88.0),
+        (5, 'Eve', 45, 95.5)) t(id, name, age, score)
+      WHERE age > 20 ORDER BY id""")),
 
-    // write fixtures to lance, read back, aggregate (R6-R8 + R1-R4)
+    // write fixtures to lance, read back, aggregate (R6-R8 + R1-R4);
+    // oracle aggregates the parquet source directly
     QDef("l02_lance_roundtrip_agg", (s, dir) => {
       val t = Tables.register(s, dir)
       val ds = s"$workDir/supplier.lance"
@@ -29,22 +45,53 @@ object LanceOps {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n"), Det.dsum(col("s_acctbal")).as("total_bal"))
         .orderBy("s_nationkey")
-    }, None),
+    }, Some(s"""
+      SELECT s_nationkey, COUNT(*) AS n, ${Det.oSum("s_acctbal")} AS total_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
-    // vector search directly over a lance dataset (lance's core use case)
+    // vector search directly over a lance dataset (lance's core use case) —
+    // scaled-long exact cosine (the e01 determinism recipe) over the
+    // round-tripped embeddings, codegen LongDot kernel
     QDef("l03_lance_vector_search", (s, dir) => {
       val t = Tables.register(s, dir)
       val ds = s"$workDir/embeddings.lance"
       t("embeddings").write.format("lance").mode("overwrite").save(ds)
-      val lanceEmb = s.read.format("lance").load(ds)
-      val q = lanceEmb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
-      graft.operators.Similarity.cosineTopK(
-        lanceEmb.filter(col("vec_id") > 0), "vec_id", "embedding", q, 10)
-    }, None),
+      val e = s.read.format("lance").load(ds)
+        .select(col("vec_id"),
+                transform(col("embedding"),
+                  x => round(x.cast(DoubleType) * 10000000.0).cast(LongType)).as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+                round(longDot(col("v"), col("qv")).cast(DoubleType) /
+                  (sqrt(longDot(col("v"), col("v")).cast(DoubleType)) *
+                   sqrt(longDot(col("qv"), col("qv")).cast(DoubleType))), 9).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }, Some("""
+      WITH d AS (
+        SELECT vec_id, CAST(i AS INT) AS i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) AS v
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)),
+      q AS (SELECT i AS qi, v AS qv FROM d WHERE vec_id = 0),
+      qn AS (SELECT CAST(SUM(qv * qv) AS BIGINT) AS qnrm FROM q),
+      dots AS (SELECT vec_id, CAST(SUM(v * qv) AS BIGINT) AS dot,
+                      CAST(SUM(v * v) AS BIGINT) AS nrm
+               FROM d JOIN q ON i = qi WHERE vec_id > 0 GROUP BY vec_id)
+      SELECT vec_id,
+             ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(nrm AS DOUBLE)) * SQRT(CAST(qnrm AS DOUBLE))), 9) AS cos
+      FROM dots CROSS JOIN qn
+      ORDER BY cos DESC, vec_id LIMIT 10""")),
 
     // multimodal-on-lance: binary payloads + struct metadata stored as a
     // lance dataset, decoded partition-wise on re-read (SURVEY §2.5
-    // multimodal + the connector's struct/binary surface together)
+    // multimodal + the connector's struct/binary surface together).
+    // Oracle recomputes the byte statistics (length / mean byte / histogram
+    // entropy) from the source text; the hash-derived fake dimensions stay
+    // rows-only in m02 (not expressible in SQL without a fold).
     QDef("l04_lance_multimodal", (s, dir) => {
       val t = Tables.register(s, dir)
       val ds = s"$workDir/media.lance"
@@ -59,9 +106,22 @@ object LanceOps {
       import s.implicits._
       graft.operators.Multimodal.decodeStub(media.as[graft.operators.Multimodal.MediaRow])
         .toDF()
-        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        .select(col("doc_id"), col("n_bytes"),
+                round(col("mean_byte"), 6).as("mean_byte"),
                 round(col("entropy"), 6).as("entropy"))
         .orderBy("doc_id")
-    }, None)
+    }, Some("""
+      WITH chars AS (
+        SELECT doc_id, ASCII(c) AS b FROM (
+          SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+      hist AS (SELECT doc_id, b, COUNT(*) AS cnt FROM chars GROUP BY 1, 2),
+      tot AS (SELECT doc_id, LENGTH(text) AS n FROM documents)
+      SELECT t.doc_id,
+             CAST(t.n AS INT) AS n_bytes,
+             ROUND(SUM(b * cnt) / CAST(t.n AS DOUBLE), 6) AS mean_byte,
+             ROUND(-SUM((cnt / CAST(t.n AS DOUBLE)) * LOG2(cnt / CAST(t.n AS DOUBLE))), 6) AS entropy
+      FROM hist h JOIN tot t ON h.doc_id = t.doc_id
+      GROUP BY t.doc_id, t.n
+      ORDER BY t.doc_id"""))
   )
 }
