@@ -93,6 +93,49 @@ object Extras3 {
       t("customer").sample(withReplacement = false, fraction = 0.2, seed = 42L)
         .agg(count(lit(1)).as("n_sampled"),
              countDistinct(col("c_nationkey")).as("n_nations"))
-    }, None)
+    }, None),
+
+    // --- exact DESCRIBE twin: count/mean/std/min/max from decimal power
+    //     sums (the oracle-checkable complement of rows-only q60) ----------
+    QDef("q60b_describe_exact", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql(s"""
+        SELECT o_count,
+               ROUND(sx / o_count, 6) AS price_mean,
+               ROUND(SQRT((sxx - sx * sx / o_count) / (o_count - 1)), 6) AS price_std,
+               price_min, price_max, cust_min, cust_max
+        FROM (
+          SELECT COUNT(*) AS o_count,
+                 ${Det.oSum("o_totalprice")} AS sx,
+                 ${Det.oSum("o_totalprice * o_totalprice")} AS sxx,
+                 MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max,
+                 MIN(o_custkey) AS cust_min, MAX(o_custkey) AS cust_max
+          FROM orders)""")
+    }, Some(s"""
+      SELECT o_count,
+             ROUND(sx / o_count, 6) AS price_mean,
+             ROUND(SQRT((sxx - sx * sx / o_count) / (o_count - 1)), 6) AS price_std,
+             price_min, price_max, cust_min, cust_max
+      FROM (
+        SELECT COUNT(*) AS o_count,
+               ${Det.oSum("o_totalprice")} AS sx,
+               ${Det.oSum("o_totalprice * o_totalprice")} AS sxx,
+               MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max,
+               MIN(o_custkey) AS cust_min, MAX(o_custkey) AS cust_max
+        FROM orders)""")),
+
+    // --- star EXCEPT + REPLACE-equivalent projection ----------------------
+    QDef("q68_star_except", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT * EXCEPT (o_orderpriority, o_orderdate)
+        FROM orders WHERE o_orderkey < 500""")
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2.0, 2))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT * EXCLUDE (o_orderpriority, o_orderdate)
+               REPLACE (ROUND(o_totalprice * 2.0, 2) AS o_totalprice)
+      FROM orders WHERE o_orderkey < 500
+      ORDER BY o_orderkey"""))
   )
 }

@@ -24,23 +24,35 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new LanceWrite(path, info.schema(), doTruncate)
+  override def build(): Write = {
+    // option("fixedSizeList", "embedding:64[,col:dim...]") stores those
+    // array columns as lance fixed_size_list vector columns
+    val fsl = Option(info.options.get("fixedSizeList")).map { spec =>
+      spec.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
+        val Array(n, d) = p.split(":")
+        n -> d.toInt
+      }.toMap
+    }.getOrElse(Map.empty[String, Int])
+    new LanceWrite(path, info.schema(), doTruncate, fsl)
+  }
 }
 
-class LanceWrite(path: String, schema: StructType, truncate: Boolean) extends Write {
-  override def toBatch: BatchWrite = new LanceBatchWrite(path, schema, truncate)
+class LanceWrite(path: String, schema: StructType, truncate: Boolean,
+                 fsl: Map[String, Int]) extends Write {
+  override def toBatch: BatchWrite = new LanceBatchWrite(path, schema, truncate, fsl)
 }
 
 case class LanceCommitMessage(fileName: String, rows: Long) extends WriterCommitMessage
 
-class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean)
+class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
+                      fsl: Map[String, Int] = Map.empty)
     extends BatchWrite {
 
   private val hadoopConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LanceDataWriterFactory(path, schema, hadoopConf)
+    new LanceDataWriterFactory(path, schema, hadoopConf, fsl)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = hadoopConf.value
@@ -57,7 +69,7 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean)
         (prev, m.fragments.map(_.id).foldLeft(-1L)(math.max), m.version + 1)
       } else (Nil, -1L, 1L)
     LanceWriteSupport.writeManifest(conf, dataset, schema, fragments,
-      prevMaxFragId + 1, prevFragments, version)
+      prevMaxFragId + 1, prevFragments, version, fsl)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -71,19 +83,21 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean)
 }
 
 class LanceDataWriterFactory(path: String, schema: StructType,
-                             conf: SerializableConfiguration) extends DataWriterFactory {
+                             conf: SerializableConfiguration,
+                             fsl: Map[String, Int] = Map.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(path, schema, conf.value)
+    new LanceDataWriter(path, schema, conf.value, fsl)
 }
 
-class LanceDataWriter(path: String, schema: StructType, conf: Configuration)
+class LanceDataWriter(path: String, schema: StructType, conf: Configuration,
+                      fsl: Map[String, Int] = Map.empty)
     extends DataWriter[InternalRow] {
 
   private val fileName = s"${UUID.randomUUID()}.lance"
   private val filePath = new Path(new Path(new Path(path), "data"), fileName)
   private val fs = filePath.getFileSystem(conf)
   private val out = fs.create(filePath, true)
-  private val writer = new LanceFragmentWriter(out, schema)
+  private val writer = new LanceFragmentWriter(out, schema, fsl = fsl)
   private var rows = 0L
 
   override def write(record: InternalRow): Unit = { writer.write(record); rows += 1 }

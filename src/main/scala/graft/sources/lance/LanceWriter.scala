@@ -32,6 +32,8 @@ object LanceSchemaLayout {
   final case class Scalar(dt: DataType) extends Phys
   final case class ListOffsets(dt: DataType) extends Phys // dt = LongType
   final case class ListValues(dt: DataType) extends Phys
+  /** lance vector column: rows*dim contiguous values, ONE physical column */
+  final case class FslValues(dt: DataType, dim: Int) extends Phys
 
   /** One lance schema field (manifest/descriptor entry). */
   final case class FieldDef(id: Int, parentId: Int, name: String, logicalType: String,
@@ -41,14 +43,24 @@ object LanceSchemaLayout {
                           topFieldIdOfCol: Seq[Int])
 
   /** DFS field-id assignment matching the reader's expectations:
-    * field ids and physical column indices advance together. */
-  def of(schema: StructType): Layout = {
+    * field ids and physical column indices advance together.
+    * `fsl` maps column name -> dimension for arrays to be stored as
+    * lance `fixed_size_list:<elem>:<dim>` vector columns. */
+  def of(schema: StructType, fsl: Map[String, Int] = Map.empty): Layout = {
     val fields = Seq.newBuilder[FieldDef]
     val phys = Seq.newBuilder[Phys]
     val colField = Seq.newBuilder[Int]
     var id = 0
     schema.fields.foreach { f =>
       f.dataType match {
+        case ArrayType(elem, _) if fsl.contains(f.name) =>
+          val dim = fsl(f.name)
+          fields += FieldDef(id, -1, f.name,
+            s"fixed_size_list:${LanceWriteSupport.logicalTypeFor(elem)}:$dim",
+            varWidth = false)
+          phys += FslValues(elem, dim)
+          colField += id
+          id += 1
         case ArrayType(elem, _) =>
           val listId = id
           fields += FieldDef(listId, -1, f.name, "list", varWidth = false)
@@ -90,10 +102,11 @@ object LanceSchemaLayout {
 }
 
 class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
-                          pageRows: Int = 1 << 16) {
+                          pageRows: Int = 1 << 16,
+                          fsl: Map[String, Int] = Map.empty) {
   import LanceSchemaLayout._
 
-  private val layout = LanceSchemaLayout.of(schema)
+  private val layout = LanceSchemaLayout.of(schema, fsl)
   private val nPhys = layout.phys.length
   private var pos = 0L
   private var rowsInPage = 0
@@ -222,6 +235,29 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
     while (s < schema.length) {
       val isNull = row.isNullAt(s)
       schema(s).dataType match {
+        case ArrayType(elem, _) if layout.phys(c).isInstanceOf[FslValues] =>
+          // lance vector column: exactly dim contiguous values per row
+          val dim = layout.phys(c).asInstanceOf[FslValues].dim
+          markValidity(c, !isNull)
+          if (!isNull) {
+            val arr = row.getArray(s)
+            require(arr.numElements() == dim,
+              s"fixed_size_list '${schema(s).name}' expects $dim elements, got ${arr.numElements()}")
+            var k = 0
+            while (k < dim) {
+              require(!arr.isNullAt(k),
+                "lance writer: null list elements are not supported")
+              putFixed(c, elem, arr.get(k, elem), track = false)
+              k += 1
+            }
+          } else {
+            var k = 0
+            while (k < dim) {
+              putFixed(c, elem, LanceWriteSupport.zeroOf(elem), track = false)
+              k += 1
+            }
+          }
+          c += 1
         case ArrayType(elem, _) =>
           markValidity(c, !isNull)
           if (!isNull) {
@@ -540,8 +576,9 @@ object LanceWriteSupport {
   /** Serialize a manifest (version N) and commit it atomically. */
   def writeManifest(conf: Configuration, dataset: Path, schema: StructType,
                     fragments: Seq[(String, Long)], startFragId: Long,
-                    previous: Seq[LanceFormat.FragmentMeta], version: Long): Unit = {
-    val layout = LanceSchemaLayout.of(schema)
+                    previous: Seq[LanceFormat.FragmentMeta], version: Long,
+                    fsl: Map[String, Int] = Map.empty): Unit = {
+    val layout = LanceSchemaLayout.of(schema, fsl)
     val w = new Proto.Writer
     layout.fields.foreach(f => w.message(1, fieldProto(f)))
     // carried-over fragments (append mode), then the new ones

@@ -132,6 +132,24 @@ class LanceForeignSpec extends AnyFunSuite {
     assert(back.limit(4).count() == 4)
   }
 
+  test("fixedSizeList write option stores vectors as lance FSL and round-trips") {
+    val ds = tmpDs()
+    val src = spark.range(1000).selectExpr(
+      "id",
+      "CASE WHEN id % 10 = 0 THEN CAST(NULL AS ARRAY<FLOAT>) " +
+      "ELSE array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT), CAST(id * 2 AS FLOAT), 0.5f) END AS vec"
+    ).coalesce(2)
+    src.write.format("lance").option("fixedSizeList", "vec:4").mode("append").save(ds)
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(ds, conf)
+    val manifest = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None))
+    assert(manifest.fields.find(_.name == "vec").get.logicalType == "fixed_size_list:float:4")
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 1000)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    assert(back.filter(org.apache.spark.sql.functions.col("vec").isNull).count() == 100)
+  }
+
   test("dictionary-encoded string pages round-trip and are actually dict pages") {
     val ds = tmpDs()
     val src = spark.range(100000).selectExpr(
