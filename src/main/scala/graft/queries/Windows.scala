@@ -213,6 +213,61 @@ object Windows {
       SELECT CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / (300 * 1000000)) * 300 AS BIGINT) AS win_start_epoch,
              event_type, COUNT(*) AS n, ${Det.oSum("value")} AS total_value
       FROM events
-      GROUP BY 1, 2 ORDER BY win_start_epoch, event_type"""))
+      GROUP BY 1, 2 ORDER BY win_start_epoch, event_type""")),
+
+    // --- sliding window, batch twin (10-min window / 5-min slide): each
+    //     event lands in two windows; the oracle unions the two aligned
+    //     start buckets ------------------------------------------------------
+    QDef("ev03_sliding_window", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
+        .select((unix_micros(col("window.start")) / 1000000L).cast(LongType).as("win_start_epoch"),
+                col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start_epoch", "event_type")
+    }, Some(s"""
+      SELECT win_start_epoch, event_type, COUNT(*) AS n, ${Det.oSum("value")} AS total_value
+      FROM (
+        SELECT CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / (300 * 1000000)) * 300 AS BIGINT) AS win_start_epoch,
+               event_type, value FROM events
+        UNION ALL
+        SELECT CAST((FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / (300 * 1000000)) - 1) * 300 AS BIGINT),
+               event_type, value FROM events)
+      GROUP BY 1, 2 ORDER BY win_start_epoch, event_type""")),
+
+    // --- built-in session_window, batch twin (30-min gap per user); the
+    //     oracle is the gaps-and-islands formulation ordered by (ts,
+    //     event_id) — session end = last event + gap ------------------------
+    QDef("ev04_session_window", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("session_value"))
+        .select(col("user_id"),
+                unix_micros(col("session_window.start")).as("start_us"),
+                unix_micros(col("session_window.end")).as("end_us"),
+                col("n_events"), col("session_value"))
+        .orderBy("user_id", "start_us")
+    }, Some(s"""
+      SELECT user_id,
+             epoch_us(MIN(tss)) AS start_us,
+             epoch_us(MAX(tss)) + 1800 * 1000000 AS end_us,
+             COUNT(*) AS n_events,
+             ${Det.oSum("value")} AS session_value
+      FROM (
+        SELECT user_id, value, tss,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, value, event_id, tss,
+                 CASE WHEN prev IS NULL
+                        OR epoch_us(tss) - epoch_us(prev) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (SELECT user_id, value, event_id, CAST(ts AS TIMESTAMP) AS tss,
+                       LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+                FROM events)))
+      GROUP BY user_id, session_id ORDER BY user_id, start_us"""))
   )
 }
