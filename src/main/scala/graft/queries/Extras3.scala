@@ -124,6 +124,49 @@ object Extras3 {
                MIN(o_custkey) AS cust_min, MAX(o_custkey) AS cust_max
         FROM orders)""")),
 
+    // --- GROUPS window frame + EXCLUDE CURRENT ROW, via rewrite -----------
+    // Spark has no GROUPS frames: GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+    // == RANGE +-1 over dense_rank of the order key; EXCLUDE CURRENT ROW ==
+    // frame sum minus the current row's value (exact in decimal). The
+    // oracle checks the exclusion against DuckDB's NATIVE EXCLUDE frame;
+    // the GROUPS part uses the same dense_rank equivalence (DuckDB 1.0,
+    // the local validator, predates GROUPS frames).
+    QDef("q69_groups_frame", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val bucket = round(col("s_acctbal"), -2)
+      val dr = dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("s_nationkey").orderBy(bucket))
+      val wG = org.apache.spark.sql.expressions.Window
+        .partitionBy("s_nationkey").orderBy(col("__dr"))
+        .rangeBetween(-1, 1)
+      t("supplier")
+        .withColumn("bucket", bucket)
+        .withColumn("__dr", dr)
+        .withColumn("__gsum_dec", sum(col("s_acctbal").cast(Det.Dec)).over(wG))
+        .withColumn("__gcnt", count(lit(1)).over(wG))
+        .select(col("s_suppkey"), col("bucket"),
+                col("__gsum_dec").cast(DoubleType).as("g_sum"),
+                // SQL frame semantics: excluding the only row -> NULL, not 0
+                when(col("__gcnt") === 1, lit(null))
+                  .otherwise((col("__gsum_dec") - col("s_acctbal").cast(Det.Dec))
+                    .cast(DoubleType)).as("g_sum_excl"))
+        .orderBy("s_suppkey")
+    }, Some("""
+      SELECT s_suppkey, bucket,
+             CAST(SUM(bal) OVER (PARTITION BY s_nationkey ORDER BY dr
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS g_sum,
+             CAST(SUM(bal) OVER (PARTITION BY s_nationkey ORDER BY dr
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE CURRENT ROW) AS DOUBLE) AS g_sum_excl
+      FROM (SELECT s_suppkey, s_nationkey,
+                   ROUND(s_acctbal, -2) AS bucket,
+                   DENSE_RANK() OVER (PARTITION BY s_nationkey
+                     ORDER BY ROUND(s_acctbal, -2)) AS dr,
+                   CAST(s_acctbal AS DECIMAL(38,6)) AS bal
+            FROM supplier)
+      ORDER BY s_suppkey""")),
+
     // --- star EXCEPT + REPLACE-equivalent projection ----------------------
     QDef("q68_star_except", (s, dir) => {
       Tables.register(s, dir)

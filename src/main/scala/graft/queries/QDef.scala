@@ -22,7 +22,7 @@ final case class QDef(
   * DOUBLE. Both engines then produce bit-identical doubles.
   */
 object Det {
-  private val Dec = DecimalType(38, 6)
+  private[queries] val Dec = DecimalType(38, 6)
 
   /** Order-independent sum of a double column (exact decimal interior). */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
