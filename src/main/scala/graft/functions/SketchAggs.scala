@@ -161,6 +161,22 @@ object SketchKernels {
     new GenericArrayData(buf)
   }
 
+  def bandHashes(sig: ArrayData, bands: Int): GenericArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9e3779b97f4a7c15L * (b + 1)
+      var i = b * r
+      val end = (b + 1) * r
+      while (i < end) { h = Mix.avalanche(h ^ sig.getLong(i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simhashSignature(toks: ArrayData): Long = {
     val votes = new Array[Long](64)
     val n = toks.numElements()
@@ -215,6 +231,25 @@ case class SimHashArray(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Band hashes of a MinHash signature: array<long> of length `bands`,
+  * band b = avalanche-mix of sig[b*r .. (b+1)*r). Replaces `bands` nested
+  * multi-arg xxhash64 calls in the LSH candidate Generate — one compact
+  * kernel call instead of an ~80-node codegen expression (the nested form
+  * dominated d07's first-run codegen compile time). */
+case class BandHashes(child: Expression, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.bandHashes(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.bandHashes($a, $bands);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchAggs {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def minhash(c: Column, numHashes: Int): Column =
@@ -225,4 +260,6 @@ object SketchAggs {
     column(MinHashArray(expression(toks), numHashes))
   def simhashArray(toks: Column): Column =
     column(SimHashArray(expression(toks)))
+  def bandHashes(sig: Column, bands: Int): Column =
+    column(BandHashes(expression(sig), bands))
 }

@@ -95,11 +95,11 @@ object Dedup {
     val sigs = minHashSignatures(df, idCol, textCol, numHashes).cache()
     // candidate generation stays skinny: (id, band, band_hash) only — the
     // wide signature arrays are joined back after the distinct, so the
-    // candidate shuffle moves 16-byte rows, not kilobyte signature pairs
+    // candidate shuffle moves 16-byte rows, not kilobyte signature pairs.
+    // band hashes come from ONE compact kernel call (the nested multi-arg
+    // xxhash64 form compiled an ~80-node expression per side)
     val bandRows = sigs.select(col(idCol),
-        posexplode(array((0 until bands).map { b =>
-          xxhash64((b * r until (b + 1) * r).map(i => col("sig")(i)): _*)
-        }: _*)))
+        posexplode(graft.functions.SketchAggs.bandHashes(col("sig"), bands)))
       .select(col(idCol), col("pos").as("band"), col("col").as("band_hash"))
     val l = bandRows.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
     val rr = bandRows.select(col(idCol).as("doc_b"), col("band").as("band_r"), col("band_hash").as("band_hash_r"))
