@@ -167,6 +167,42 @@ object Extras3 {
             FROM supplier)
       ORDER BY s_suppkey""")),
 
+    // --- array set algebra: union / intersect / except (stringified) ------
+    QDef("q70_array_setops", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val stops = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+      val toks = array_distinct(split(col("text"), " "))
+      def strs(c: org.apache.spark.sql.Column) = array_join(array_sort(c), ",")
+      t("documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+                strs(array_intersect(toks, stops)).as("inter_stops"),
+                size(array_union(toks, stops)).cast(IntegerType).as("n_union"),
+                size(array_except(toks, stops)).cast(IntegerType).as("n_except"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(toks, ['the','a','of','and','is'])), ','), '') AS inter_stops,
+             CAST(LEN(LIST_DISTINCT(LIST_CONCAT(toks, ['the','a','of','and','is']))) AS INT) AS n_union,
+             CAST(LEN(LIST_FILTER(toks, x -> NOT list_contains(['the','a','of','and','is'], x))) AS INT) AS n_except
+      FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents WHERE doc_id < 50)
+      ORDER BY doc_id""")),
+
+    // --- width_bucket histogram (oracle: the arithmetic equivalent --------
+    //     floor((v-lo)/(hi-lo)*n)+1; all o_totalprice values lie in range) --
+    QDef("q71_width_bucket", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("orders")
+        .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(20))
+          .as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }, Some("""
+      SELECT CAST(FLOOR(o_totalprice / 600000.0 * 20) + 1 AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1 ORDER BY bucket""")),
+
     // --- star EXCEPT + REPLACE-equivalent projection ----------------------
     QDef("q68_star_except", (s, dir) => {
       Tables.register(s, dir)
