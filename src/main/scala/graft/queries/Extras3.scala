@@ -145,7 +145,8 @@ object Extras3 {
         .withColumn("__dr", dr)
         .withColumn("__gsum_dec", sum(col("s_acctbal").cast(Det.Dec)).over(wG))
         .withColumn("__gcnt", count(lit(1)).over(wG))
-        .select(col("s_suppkey"), col("bucket"),
+        // + 0.0 normalizes IEEE negative zero (DuckDB ROUND emits -0.0)
+        .select(col("s_suppkey"), (col("bucket") + 0.0).as("bucket"),
                 col("__gsum_dec").cast(DoubleType).as("g_sum"),
                 // SQL frame semantics: excluding the only row -> NULL, not 0
                 when(col("__gcnt") === 1, lit(null))
@@ -153,7 +154,7 @@ object Extras3 {
                     .cast(DoubleType)).as("g_sum_excl"))
         .orderBy("s_suppkey")
     }, Some("""
-      SELECT s_suppkey, bucket,
+      SELECT s_suppkey, bucket + 0.0 AS bucket,
              CAST(SUM(bal) OVER (PARTITION BY s_nationkey ORDER BY dr
                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS g_sum,
              CAST(SUM(bal) OVER (PARTITION BY s_nationkey ORDER BY dr
