@@ -8,7 +8,8 @@ import org.scalacheck.Gen
   * must survive write -> read exactly (explicitly covering the
   * reference's null-erasure bug class — SURVEY §1.3 landmine). */
 case class LanceRec(id: Long, s: Option[String], d: Option[Double], i: Option[Int],
-                    f: Option[Float], b: Option[Boolean], vec: Option[Seq[Float]])
+                    f: Option[Float], b: Option[Boolean], vec: Option[Seq[Float]],
+                    cat: Option[String])
 
 class LancePropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -21,7 +22,9 @@ class LancePropertySpec extends AnyFunSuite {
     f <- Gen.option(Gen.chooseNum(-1e6f, 1e6f))
     b <- Gen.option(Gen.oneOf(true, false))
     vec <- Gen.option(Gen.listOfN(4, Gen.chooseNum(-10f, 10f)).map(_.toSeq))
-  } yield LanceRec(id, s, d, i, f, b, vec)
+    // low-cardinality -> the writer dictionary-encodes these pages
+    cat <- Gen.option(Gen.oneOf("alpha", "beta", "gamma"))
+  } yield LanceRec(id, s, d, i, f, b, vec, cat)
 
   test("random rows with nulls round-trip through lance (5 seeded samples)") {
     import spark.implicits._
@@ -32,6 +35,21 @@ class LancePropertySpec extends AnyFunSuite {
       val ds = java.nio.file.Files.createTempDirectory("graft-prop").toString + "/p.lance"
       val src = recs.toDF()
       src.write.format("lance").mode("append").save(ds)
+      val back = spark.read.format("lance").load(ds)
+      assert(back.count() == recs.length, s"seed $seedN")
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty, s"seed $seedN")
+    }
+  }
+
+  test("fixedSizeList option round-trips under fuzz (nullable fixed-dim vectors)") {
+    import spark.implicits._
+    (10L to 12L).foreach { seedN =>
+      val seed = org.scalacheck.rng.Seed(seedN)
+      val recs = Gen.listOfN(80, recGen)
+        .pureApply(Gen.Parameters.default, seed)
+      val ds = java.nio.file.Files.createTempDirectory("graft-prop-fsl").toString + "/p.lance"
+      val src = recs.toDF()
+      src.write.format("lance").option("fixedSizeList", "vec:4").mode("append").save(ds)
       val back = spark.read.format("lance").load(ds)
       assert(back.count() == recs.length, s"seed $seedN")
       assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty, s"seed $seedN")

@@ -250,6 +250,16 @@ class LanceSpec extends AnyFunSuite {
     assert(rows == 200000 - 3 * 65536)
   }
 
+  test("SQL INSERT INTO a lance catalog table appends a version") {
+    val ds = tmpDs()
+    spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s")
+      .write.format("lance").mode("append").save(ds)
+    spark.sql(s"INSERT INTO lance.`$ds` SELECT id + 10 AS id, CAST(id AS STRING) AS s FROM range(5)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM lance.`$ds`").head().getLong(0) == 10)
+    // the insert created a new version; version 1 still shows 5 rows
+    assert(spark.read.format("lance").option("versionAsOf", 1).load(ds).count() == 5)
+  }
+
   test("scan reports statistics from the manifest") {
     val df = spark.read.format("lance").load(golden)
     val stats = df.queryExecution.optimizedPlan.stats
