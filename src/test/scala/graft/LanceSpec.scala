@@ -260,6 +260,22 @@ class LanceSpec extends AnyFunSuite {
     assert(spark.read.format("lance").option("versionAsOf", 1).load(ds).count() == 5)
   }
 
+  test("compact rewrites many small fragments into few, as a new version") {
+    val ds = tmpDs()
+    spark.range(10000).selectExpr("id", "CAST(id AS STRING) AS s")
+      .repartition(8).write.format("lance").mode("append").save(ds)
+    assert(spark.read.format("lance").load(ds).rdd.getNumPartitions == 8)
+    val newVersion = graft.sources.lance.LanceMaintenance.compact(spark, ds, 1)
+    val compacted = spark.read.format("lance").load(ds)
+    assert(compacted.rdd.getNumPartitions == 1)
+    assert(compacted.count() == 10000)
+    assert(compacted.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) ==
+      9999L * 10000 / 2)
+    // pre-compaction version still readable with the old fragment layout
+    val old = spark.read.format("lance").option("versionAsOf", newVersion - 1).load(ds)
+    assert(old.rdd.getNumPartitions == 8 && old.count() == 10000)
+  }
+
   test("scan reports statistics from the manifest") {
     val df = spark.read.format("lance").load(golden)
     val stats = df.queryExecution.optimizedPlan.stats
