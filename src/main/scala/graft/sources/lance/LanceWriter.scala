@@ -220,6 +220,17 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
       val v = get.asInstanceOf[Double]; if (track && !v.isNaN) trackZone(c, v)
       fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         .putDouble(v).array())
+    case _: DecimalType =>
+      // arrow decimal128 layout: 16-byte little-endian two's complement
+      val dec = get.asInstanceOf[org.apache.spark.sql.types.Decimal]
+      if (track) trackZone(c, dec.toDouble)
+      val be = dec.toJavaBigDecimal.unscaledValue.toByteArray // minimal BE
+      val out = new Array[Byte](16)
+      val sign: Byte = if (be.length > 0 && be(0) < 0) -1 else 0
+      java.util.Arrays.fill(out, sign)
+      var i = 0
+      while (i < be.length) { out(i) = be(be.length - 1 - i); i += 1 } // reverse to LE
+      fixedBufs(c).write(out)
     case other => throw new UnsupportedOperationException(s"lance writer: $other")
   }
 
@@ -491,6 +502,7 @@ object LanceWriteSupport {
     case DateType => "date32:day"
     case TimestampType => "timestamp:us:UTC"
     case TimestampNTZType => "timestamp:us"
+    case d: DecimalType => s"decimal:128:${d.precision}:${d.scale}"
     case other => throw new UnsupportedOperationException(s"lance: $other")
   }
 
@@ -503,6 +515,9 @@ object LanceWriteSupport {
     case LongType | TimestampType | TimestampNTZType => 0L
     case FloatType => 0.0f
     case DoubleType => 0.0
+    case d: DecimalType =>
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(java.math.BigInteger.ZERO, d.scale), d.precision, d.scale)
     case other => throw new UnsupportedOperationException(s"lance: $other")
   }
 
@@ -511,6 +526,7 @@ object LanceWriteSupport {
     case ByteType => 8
     case ShortType => 16
     case IntegerType | FloatType | DateType => 32
+    case _: DecimalType => 128
     case _ => 64
   }
 

@@ -150,6 +150,24 @@ class LanceForeignSpec extends AnyFunSuite {
     assert(back.filter(org.apache.spark.sql.functions.col("vec").isNull).count() == 100)
   }
 
+  test("decimal columns round-trip (decimal:128 write + read, negatives and nulls)") {
+    val ds = tmpDs()
+    val src = spark.range(2000).selectExpr(
+      "id",
+      "CASE WHEN id % 7 = 0 THEN NULL " +
+      "ELSE CAST((id - 1000) * 1.37 AS DECIMAL(12,2)) END AS amt",
+      "CAST(id AS DECIMAL(38,6)) * CAST(id AS DECIMAL(10,0)) AS big"
+    ).coalesce(1)
+    src.write.format("lance").mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.schema("amt").dataType == org.apache.spark.sql.types.DecimalType(12, 2))
+    assert(back.count() == 2000)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // zone maps work on decimal columns too (tracked as doubles)
+    assert(back.filter(org.apache.spark.sql.functions.col("amt") < -1300).count() ==
+      src.filter(org.apache.spark.sql.functions.col("amt") < -1300).count())
+  }
+
   test("dictionary-encoded string pages round-trip and are actually dict pages") {
     val ds = tmpDs()
     val src = spark.range(100000).selectExpr(
