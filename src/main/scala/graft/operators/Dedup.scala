@@ -141,6 +141,10 @@ object Dedup {
       .localCheckpoint(true)
     var labels = docs.select(col(idCol).as("u"), col(idCol).as("label"))
       .localCheckpoint(true)
+    // labels are monotonically non-increasing per node, so the label sum
+    // strictly decreases until the fixpoint — convergence is one cheap
+    // aggregate over the (checkpointed) labels instead of a self-join diff
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -150,10 +154,10 @@ object Dedup {
       val next = labels.join(nbrLabels, Seq("u"), "left")
         .select(col("u"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "u")
-        .filter(col("label") =!= col("old")).count()
+      val newSum = next.agg(sum("label")).head().getLong(0)
       labels = next
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     labels.select(col("u").as(idCol), col("label").as("keep_id"))
