@@ -270,12 +270,15 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
     new LancePartitionReader(p, colSpecs, zf, conf.value)
   }
 
-  /** Columnar path for scalar-only projections: the scan emits
-    * ColumnarBatch and Spark fuses the batch->row transition into
-    * whole-stage codegen (same shape as its vectorized parquet reader).
-    * List/struct columns fall back to the row reader. */
+  /** Columnar path: scalar projections AND list-of-numeric columns (the
+    * embedding scan shape — child values bulk-decoded into the array child
+    * vector). Structs and lists of strings fall back to the row reader. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    colSpecs.forall(_.childIds.isEmpty)
+    colSpecs.forall { cs =>
+      cs.childIds.isEmpty ||
+        ((cs.logicalType == "list" || cs.logicalType == "large_list") &&
+          Set("float", "double", "int32", "int64")(cs.childTypes.head))
+    }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -519,7 +522,12 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
 
   private val pages = new FragmentPages(part, colSpecs, zoneFilters, conf)
   private val schema = StructType(colSpecs.zipWithIndex.map { case (cs, i) =>
-    org.apache.spark.sql.types.StructField(s"c$i", LanceFormat.toSparkType(cs.logicalType))
+    val dt =
+      if (cs.childIds.nonEmpty && cs.logicalType != "struct")
+        org.apache.spark.sql.types.ArrayType(
+          LanceFormat.toSparkType(cs.childTypes.head), containsNull = false)
+      else LanceFormat.toSparkType(cs.logicalType)
+    org.apache.spark.sql.types.StructField(s"c$i", dt)
   })
   private var planIdx = 0
   private var fallbackDone = false
@@ -534,9 +542,15 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
     val vectors = OnHeapColumnVector.allocateColumns(rows, schema)
     var c = 0
     while (c < colSpecs.length) {
-      LanceVectorDecoder.decodePage(colSpecs(c).logicalType,
-        pages.readPageBufs(colSpecs(c).fieldId, pi), rows, vectors(c),
-        pages.pageMetasOf(colSpecs(c).fieldId)(pi).dictEnc)
+      val spec = colSpecs(c)
+      if (spec.childIds.nonEmpty && spec.logicalType != "struct")
+        LanceVectorDecoder.decodeListPage(spec.childTypes.head,
+          pages.readPageBufs(spec.fieldId, pi),
+          pages.readPageBufs(spec.childIds.head, pi), rows, vectors(c))
+      else
+        LanceVectorDecoder.decodePage(spec.logicalType,
+          pages.readPageBufs(spec.fieldId, pi), rows, vectors(c),
+          pages.pageMetasOf(spec.fieldId)(pi).dictEnc)
       c += 1
     }
     batch = new ColumnarBatch(

@@ -17,6 +17,37 @@ object LanceVectorDecoder {
     t == "string" || t == "utf8" || t == "large_string" ||
       t == "binary" || t == "large_binary"
 
+  /** Variable-length list page into an ArrayType vector: child values are
+    * bulk-decoded into the array child vector, then each row becomes an
+    * (offset, length) slice from the page-local i64 end offsets. */
+  def decodeListPage(childType: String, offBufs: Seq[Array[Byte]],
+                     valBufs: Seq[Array[Byte]], rows: Int,
+                     vec: WritableColumnVector): Unit = {
+    val (validity, offs) =
+      if (offBufs.length == 2) (Some(offBufs(0)), offBufs(1))
+      else (None, offBufs.head)
+    val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val totalVals = if (rows == 0) 0 else offBB.getLong((rows - 1) * 8).toInt
+    val child = vec.getChild(0)
+    child.reserve(totalVals)
+    decodePage(childType, valBufs, totalVals, child)
+    var prev = 0
+    var i = 0
+    while (i < rows) {
+      val end = offBB.getLong(i * 8).toInt
+      vec.putArray(i, prev, end - prev)
+      prev = end
+      i += 1
+    }
+    validity.foreach { vb =>
+      var i = 0
+      while (i < rows) {
+        if (((vb(i >> 3) >> (i & 7)) & 1) == 0) vec.putNull(i)
+        i += 1
+      }
+    }
+  }
+
   /** Decode the first `rows` rows of a page (rows < page rows when a pushed
     * LIMIT caps the scan) into `vec` starting at vector row 0. */
   def decodePage(logicalType: String, allBufs: Seq[Array[Byte]], rows: Int,

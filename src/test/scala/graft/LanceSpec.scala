@@ -188,6 +188,17 @@ class LanceSpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("list<float> scans use the columnar batch path (embedding shape)") {
+    val ds = tmpDs()
+    Tables.register(spark, TestSpark.sfDir)
+    spark.table("embeddings").write.format("lance").mode("overwrite").save(ds)
+    val df = spark.read.format("lance").load(ds).select("vec_id", "embedding")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"columnar path not used for list<float>:\n$plan")
+    val src = spark.table("embeddings").select("vec_id", "embedding")
+    assert(df.exceptAll(src).isEmpty && src.exceptAll(df).isEmpty)
+  }
+
   test("limit pushdown reaches the scan and prunes fragments") {
     val ds = tmpDs()
     spark.range(100000).selectExpr("id", "id * 2 AS v").repartition(8)
