@@ -270,12 +270,14 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
     new LancePartitionReader(p, colSpecs, zf, conf.value)
   }
 
-  /** Columnar path: scalar projections AND list-of-numeric columns (the
+  /** Columnar path: scalar projections, list-of-numeric columns (the
     * embedding scan shape — child values bulk-decoded into the array child
-    * vector). Structs and lists of strings fall back to the row reader. */
+    * vector), and struct columns (leaves decode into child vectors).
+    * Lists of strings fall back to the row reader. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     colSpecs.forall { cs =>
       cs.childIds.isEmpty ||
+        cs.logicalType == "struct" ||
         ((cs.logicalType == "list" || cs.logicalType == "large_list") &&
           Set("float", "double", "int32", "int64")(cs.childTypes.head))
     }
@@ -478,8 +480,10 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     val numRows = math.min(part.numRows, part.rowLimit).toInt
     val colValues = colSpecs.map { spec =>
       if (spec.logicalType == "struct" || spec.childIds.nonEmpty) {
-        // per-column page walk (struct leaves / list offsets share row counts)
-        val metas = pageMetasOf(spec.fieldId)
+        // per-column page walk (struct leaves / list offsets share row
+        // counts; struct parents own no physical column — use a leaf's)
+        val metas = pageMetasOf(
+          if (spec.logicalType == "struct") spec.childIds.head else spec.fieldId)
         val out = Array.newBuilder[Any]
         var cum = 0L
         var pi = 0
@@ -523,7 +527,11 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
   private val pages = new FragmentPages(part, colSpecs, zoneFilters, conf)
   private val schema = StructType(colSpecs.zipWithIndex.map { case (cs, i) =>
     val dt =
-      if (cs.childIds.nonEmpty && cs.logicalType != "struct")
+      if (cs.logicalType == "struct")
+        StructType(cs.childNames.zip(cs.childTypes).map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, LanceFormat.toSparkType(t))
+        })
+      else if (cs.childIds.nonEmpty)
         org.apache.spark.sql.types.ArrayType(
           LanceFormat.toSparkType(cs.childTypes.head), containsNull = false)
       else LanceFormat.toSparkType(cs.logicalType)
@@ -543,7 +551,12 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
     var c = 0
     while (c < colSpecs.length) {
       val spec = colSpecs(c)
-      if (spec.childIds.nonEmpty && spec.logicalType != "struct")
+      if (spec.logicalType == "struct")
+        LanceVectorDecoder.decodeStructPage(spec.childTypes,
+          spec.childIds.map(cid => pages.readPageBufs(cid, pi)),
+          spec.childIds.map(cid => pages.pageMetasOf(cid)(pi).dictEnc),
+          rows, vectors(c))
+      else if (spec.childIds.nonEmpty)
         LanceVectorDecoder.decodeListPage(spec.childTypes.head,
           pages.readPageBufs(spec.fieldId, pi),
           pages.readPageBufs(spec.childIds.head, pi), rows, vectors(c))
@@ -575,43 +588,25 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
         val v = vals(i)
         if (v == null) vec.putNull(i)
         else dt match {
-          case d: org.apache.spark.sql.types.DecimalType =>
-            vec.putDecimal(i, v.asInstanceOf[org.apache.spark.sql.types.Decimal], d.precision)
           case org.apache.spark.sql.types.ArrayType(et, _) =>
             val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
             val n = arr.numElements()
             val child = vec.getChild(0)
             child.reserve(childOff + n)
             var j = 0
-            while (j < n) {
-              et match {
-                case org.apache.spark.sql.types.FloatType => child.putFloat(childOff + j, arr.getFloat(j))
-                case org.apache.spark.sql.types.DoubleType => child.putDouble(childOff + j, arr.getDouble(j))
-                case org.apache.spark.sql.types.IntegerType => child.putInt(childOff + j, arr.getInt(j))
-                case org.apache.spark.sql.types.LongType => child.putLong(childOff + j, arr.getLong(j))
-                case other => throw new UnsupportedOperationException(s"columnar fallback array<$other>")
-              }
-              j += 1
-            }
+            while (j < n) { putBoxed(child, childOff + j, et, arr.get(j, et)); j += 1 }
             vec.putArray(i, childOff, n)
             childOff += n
-          case org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.TimestampType |
-               org.apache.spark.sql.types.TimestampNTZType => vec.putLong(i, v.asInstanceOf[Long])
-          case org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.DateType => vec.putInt(i, v.asInstanceOf[Int])
-          case org.apache.spark.sql.types.DoubleType => vec.putDouble(i, v.asInstanceOf[Double])
-          case org.apache.spark.sql.types.FloatType => vec.putFloat(i, v.asInstanceOf[Float])
-          case org.apache.spark.sql.types.BooleanType => vec.putBoolean(i, v.asInstanceOf[Boolean])
-          case org.apache.spark.sql.types.ByteType => vec.putByte(i, v.asInstanceOf[Byte])
-          case org.apache.spark.sql.types.ShortType => vec.putShort(i, v.asInstanceOf[Short])
-          case org.apache.spark.sql.types.StringType =>
-            val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-            vec.putByteArray(i, b, 0, b.length)
-          case org.apache.spark.sql.types.BinaryType =>
-            val b = v.asInstanceOf[Array[Byte]]
-            vec.putByteArray(i, b, 0, b.length)
-          case other => throw new UnsupportedOperationException(s"columnar: $other")
+          case st: StructType =>
+            val r = v.asInstanceOf[InternalRow]
+            var k = 0
+            while (k < st.length) {
+              val cvec = vec.getChild(k)
+              if (r.isNullAt(k)) cvec.putNull(i)
+              else putBoxed(cvec, i, st.fields(k).dataType, r.get(k, st.fields(k).dataType))
+              k += 1
+            }
+          case other => putBoxed(vec, i, other, v)
         }
         i += 1
       }
@@ -620,6 +615,29 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
     batch = new ColumnarBatch(
       vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], numRows)
     true
+  }
+
+  private def putBoxed(vec: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+                       i: Int, dt: org.apache.spark.sql.types.DataType, v: Any): Unit = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => vec.putLong(i, v.asInstanceOf[Long])
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DateType => vec.putInt(i, v.asInstanceOf[Int])
+    case org.apache.spark.sql.types.DoubleType => vec.putDouble(i, v.asInstanceOf[Double])
+    case org.apache.spark.sql.types.FloatType => vec.putFloat(i, v.asInstanceOf[Float])
+    case org.apache.spark.sql.types.BooleanType => vec.putBoolean(i, v.asInstanceOf[Boolean])
+    case org.apache.spark.sql.types.ByteType => vec.putByte(i, v.asInstanceOf[Byte])
+    case org.apache.spark.sql.types.ShortType => vec.putShort(i, v.asInstanceOf[Short])
+    case d: org.apache.spark.sql.types.DecimalType =>
+      vec.putDecimal(i, v.asInstanceOf[org.apache.spark.sql.types.Decimal], d.precision)
+    case org.apache.spark.sql.types.StringType =>
+      val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      vec.putByteArray(i, b, 0, b.length)
+    case org.apache.spark.sql.types.BinaryType =>
+      val b = v.asInstanceOf[Array[Byte]]
+      vec.putByteArray(i, b, 0, b.length)
+    case other => throw new UnsupportedOperationException(s"columnar: $other")
   }
 
   override def get(): ColumnarBatch = batch

@@ -48,6 +48,19 @@ object LanceVectorDecoder {
     }
   }
 
+  /** Struct page into a StructType vector: each leaf column's page decodes
+    * into the corresponding child vector (struct rows themselves are
+    * non-null — the writer nulls leaves, not the struct). */
+  def decodeStructPage(childTypes: Array[String], leafBufs: Array[Seq[Array[Byte]]],
+                       leafDict: Array[Boolean], rows: Int,
+                       vec: WritableColumnVector): Unit = {
+    var k = 0
+    while (k < childTypes.length) {
+      decodePage(childTypes(k), leafBufs(k), rows, vec.getChild(k), leafDict(k))
+      k += 1
+    }
+  }
+
   /** Decode the first `rows` rows of a page (rows < page rows when a pushed
     * LIMIT caps the scan) into `vec` starting at vector row 0. */
   def decodePage(logicalType: String, allBufs: Seq[Array[Byte]], rows: Int,
