@@ -74,11 +74,14 @@ class LanceTable(path: String, tableSchema: StructType, versionAsOf: Option[Long
 
 /** A predicate usable against page zone maps (conservative: anything not
   * representable here is simply not pruned on). Numeric stats are [min,max]
-  * doubles; string stats are the 8-byte big-endian prefixes of min/max,
-  * compared unsigned — prefix comparison decides exactly when the prefixes
-  * differ, and equality (undecidable from a prefix) always keeps the page. */
+  * doubles (timestamps as epoch micros, dates as epoch days); string stats
+  * are the 8-byte big-endian prefixes of min/max, compared unsigned —
+  * prefix comparison decides exactly when the prefixes differ, and
+  * equality (undecidable from a prefix) always keeps the page. `op` "in"
+  * keeps a page iff ANY of `values`/`strPrefixes` may match. */
 case class ZoneFilter(colName: String, op: String, value: Double,
-                      strPrefix: Long = 0L, isStr: Boolean = false) {
+                      strPrefix: Long = 0L, isStr: Boolean = false,
+                      values: Seq[Double] = Nil, strPrefixes: Seq[Long] = Nil) {
   /** Can a page with values in [mn, mx] contain a matching row? */
   def mayMatch(mn: Double, mx: Double): Boolean = op match {
     case ">"  => mx > value
@@ -86,6 +89,7 @@ case class ZoneFilter(colName: String, op: String, value: Double,
     case "<"  => mn < value
     case "<=" => mn <= value
     case "="  => mn <= value && mx >= value
+    case "in" => values.exists(v => mn <= v && mx >= v)
     case _ => true
   }
   /** String variant over prefix-encoded page stats; keeps on prefix ties. */
@@ -96,6 +100,8 @@ case class ZoneFilter(colName: String, op: String, value: Double,
       case "<" | "<=" => compareUnsigned(umin, strPrefix) <= 0
       case "=" => compareUnsigned(umin, strPrefix) <= 0 &&
                   compareUnsigned(strPrefix, umax) <= 0
+      case "in" => strPrefixes.exists(p =>
+        compareUnsigned(umin, p) <= 0 && compareUnsigned(p, umax) <= 0)
       case _ => true
     }
   }
@@ -128,8 +134,16 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
   }
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  /** Filter value -> the double domain of the page stats (timestamps =
+    * epoch micros, dates = epoch days — the units the writer records). */
   private def numeric(v: Any): Option[Double] = v match {
     case n: Number => Some(n.doubleValue())
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1e6 + t.getNano / 1000.0)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
     case _ => None
   }
 
@@ -140,28 +154,33 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
       case _ => None
     })
 
+  private def zoneIn(a: String, vs: Array[Any]): Option[ZoneFilter] = {
+    if (vs == null || vs.isEmpty || vs.exists(_ == null)) None
+    else if (vs.forall(v => numeric(v).isDefined))
+      Some(ZoneFilter(a, "in", 0.0, values = vs.flatMap(numeric).toSeq))
+    else if (vs.forall(_.isInstanceOf[String]))
+      Some(ZoneFilter(a, "in", 0.0, isStr = true,
+        strPrefixes = vs.map(v =>
+          ZoneFilter.prefixLong(v.asInstanceOf[String].getBytes("UTF-8"))).toSeq))
+    else None
+  }
+
   /** Zone-map skipping only — every filter stays residual (we return all
     * filters back to Spark), so correctness never depends on the stats;
-    * pages whose [min,max] cannot match are just never read. Numeric AND
-    * string comparisons participate (strings via 8-byte prefix stats). */
+    * pages whose [min,max] cannot match are just never read. Numeric,
+    * timestamp/date, string, and IN-list comparisons participate. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val zs = filters.flatMap {
+    def zf(f: Filter): Option[ZoneFilter] = f match {
       case GreaterThan(a, v) => zoneOf(a, ">", v)
       case GreaterThanOrEqual(a, v) => zoneOf(a, ">=", v)
       case LessThan(a, v) => zoneOf(a, "<", v)
       case LessThanOrEqual(a, v) => zoneOf(a, "<=", v)
       case EqualTo(a, v) => zoneOf(a, "=", v)
+      case In(a, vs) => zoneIn(a, vs)
       case _ => None
     }
-    zoneFilters = zs.toSeq
-    accepted = filters.filter {
-      case GreaterThan(a, v) => zoneOf(a, ">", v).isDefined
-      case GreaterThanOrEqual(a, v) => zoneOf(a, ">=", v).isDefined
-      case LessThan(a, v) => zoneOf(a, "<", v).isDefined
-      case LessThanOrEqual(a, v) => zoneOf(a, "<=", v).isDefined
-      case EqualTo(a, v) => zoneOf(a, "=", v).isDefined
-      case _ => false
-    }
+    zoneFilters = filters.flatMap(zf(_)).toSeq
+    accepted = filters.filter(zf(_).isDefined)
     filters // all residual
   }
   override def pushedFilters(): Array[Filter] = accepted

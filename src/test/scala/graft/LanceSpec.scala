@@ -226,6 +226,25 @@ class LanceSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(ds).filter(col("v") === 150.0).count() == 1)
     assert(spark.read.format("lance").load(ds)
       .filter(col("id") < 1000 && col("v") > 100.0).count() == 1000 - 67)
+    // IN-list pruning on numerics
+    assert(spark.read.format("lance").load(ds)
+      .filter(col("id").isin(5L, 299999L)).count() == 2)
+  }
+
+  test("timestamp and date predicates participate in zone pruning") {
+    val ds = tmpDs()
+    spark.range(200000).selectExpr(
+      "id",
+      "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00') AS ts",
+      "date_add(DATE '2024-01-01', CAST(id % 3000 AS INT)) AS d")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    val late = spark.read.format("lance").load(ds)
+      .filter(col("ts") >= "2024-01-03 07:00:00")
+    val scanDesc = late.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("zoneFilters=[ts>="), s"ts filter not pushed: $scanDesc")
+    assert(late.count() == 200000 - 198000)
+    assert(spark.read.format("lance").load(ds)
+      .filter(col("d") === java.sql.Date.valueOf("2024-02-01")).count() == 200000 / 3000 + 1)
   }
 
   test("string zone maps prune pages for categorical predicates") {
@@ -238,6 +257,9 @@ class LanceSpec extends AnyFunSuite {
     assert(scanDesc.contains("zoneFilters=[k=str]"), s"no string zone filter: $scanDesc")
     assert(df.count() == 1)
     assert(spark.read.format("lance").load(ds).filter(col("k") < "k000100").count() == 100)
+    // IN-lists prune via the same stats (both members in the last page)
+    assert(spark.read.format("lance").load(ds)
+      .filter(col("k").isin("k199998", "k199999")).count() == 2)
     // direct reader: the equality predicate decodes 1 of the 4 pages
     import graft.sources.lance._
     val conf = spark.sessionState.newHadoopConf()
