@@ -228,7 +228,20 @@ class LanceScan(path: String, full: StructType, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val all = manifest.fragments.flatMap { frag =>
+    // fragment-level pruning from manifest stats: a fragment whose recorded
+    // [min,max] cannot satisfy every numeric zone filter is never planned —
+    // its file is never even opened (fragments without stats are kept)
+    val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f.id).toMap
+    val resolved = zoneFilters.flatMap(z => byName.get(z.colName).map(fid => (fid, z)))
+    def fragMayMatch(frag: LanceFormat.FragmentMeta): Boolean =
+      resolved.forall { case (fid, z) =>
+        if (z.isStr) true // fragment stats are numeric-only
+        else frag.stats.find(_._1 == fid) match {
+          case Some((_, mn, mx)) => z.mayMatch(mn, mx)
+          case None => true
+        }
+      }
+    val all = manifest.fragments.filter(fragMayMatch).flatMap { frag =>
       frag.files.map { f =>
         LanceInputPartition(
           new Path(new Path(path, "data"), f.path).toString,

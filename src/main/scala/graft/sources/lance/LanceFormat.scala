@@ -35,7 +35,11 @@ object LanceFormat {
   final case class LanceField(id: Int, name: String, logicalType: String, parentId: Int)
   final case class DataFileMeta(path: String, fieldIds: Seq[Int], columnIndices: Seq[Int],
                                 fileSizeBytes: Long = 0L)
-  final case class FragmentMeta(id: Long, files: Seq[DataFileMeta], physicalRows: Long)
+  /** stats: (top-level field id, min, max) numeric zone ranges for the
+    * whole fragment — lets the planner skip fragments without opening
+    * their files. */
+  final case class FragmentMeta(id: Long, files: Seq[DataFileMeta], physicalRows: Long,
+                                stats: Seq[(Int, Double, Double)] = Nil)
   final case class Manifest(fields: Seq[LanceField], fragments: Seq[FragmentMeta], version: Long)
 
   final case class PageMeta(bufferOffsets: Seq[Long], bufferSizes: Seq[Long], numRows: Long)
@@ -139,10 +143,19 @@ object LanceFormat {
           columnIndices = Proto.packedVarints(d, 3).map(_.toInt),
           fileSizeBytes = Proto.firstVarint(d, 6).getOrElse(0L))
       }
+      val stats = Proto.all(fs, 9).map { st =>
+        val sf = Proto.parse(st.bytes)
+        (Proto.firstVarint(sf, 1).getOrElse(0L).toInt,
+         sf.find(f => f.tag == 2 && f.wire == 1)
+           .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN),
+         sf.find(f => f.tag == 3 && f.wire == 1)
+           .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN))
+      }.filterNot(s => s._2.isNaN || s._3.isNaN)
       FragmentMeta(
         id = Proto.firstVarint(fs, 1).getOrElse(0L),
         files = files,
-        physicalRows = Proto.firstVarint(fs, 4).getOrElse(0L))
+        physicalRows = Proto.firstVarint(fs, 4).getOrElse(0L),
+        stats = stats)
     }
     Manifest(fields, fragments, Proto.firstVarint(top, 3).getOrElse(1L))
   }

@@ -42,7 +42,9 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
   override def toBatch: BatchWrite = new LanceBatchWrite(path, schema, truncate, fsl)
 }
 
-case class LanceCommitMessage(fileName: String, rows: Long) extends WriterCommitMessage
+case class LanceCommitMessage(fileName: String, rows: Long,
+                              stats: Seq[(Int, Double, Double)] = Nil)
+    extends WriterCommitMessage
 
 class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
                       fsl: Map[String, Int] = Map.empty)
@@ -59,7 +61,7 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val dataset = new Path(path)
     val fs = dataset.getFileSystem(conf)
     val fragments = messages.collect {
-      case LanceCommitMessage(name, rows) if rows > 0 => (name, rows)
+      case LanceCommitMessage(name, rows, stats) if rows > 0 => (name, rows, stats)
     }.toSeq
     val (prevFragments, prevMaxFragId, version) =
       if (fs.exists(new Path(dataset, "_versions"))) {
@@ -76,7 +78,7 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val conf = hadoopConf.value
     val dataset = new Path(path)
     val fs = dataset.getFileSystem(conf)
-    messages.collect { case LanceCommitMessage(name, _) =>
+    messages.collect { case LanceCommitMessage(name, _, _) =>
       fs.delete(new Path(new Path(dataset, "data"), name), false)
     }
   }
@@ -106,7 +108,7 @@ class LanceDataWriter(path: String, schema: StructType, conf: Configuration,
     writer.finish()
     out.close()
     if (rows == 0) fs.delete(filePath, false) // no empty fragments
-    LanceCommitMessage(fileName, rows)
+    LanceCommitMessage(fileName, rows, writer.fileStats)
   }
 
   override def abort(): Unit = {

@@ -162,10 +162,25 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
     dictIdx(c) += id.intValue
   }
 
+  // file-level zone ranges (for manifest fragment stats -> whole-fragment
+  // pruning at plan time, before any file is opened)
+  private val fileZoneMin = Array.fill(nPhys)(Double.NaN)
+  private val fileZoneMax = Array.fill(nPhys)(Double.NaN)
+
   private def trackZone(c: Int, v: Double): Unit = {
     if (zoneMin(c).isNaN || v < zoneMin(c)) zoneMin(c) = v
     if (zoneMax(c).isNaN || v > zoneMax(c)) zoneMax(c) = v
+    if (fileZoneMin(c).isNaN || v < fileZoneMin(c)) fileZoneMin(c) = v
+    if (fileZoneMax(c).isNaN || v > fileZoneMax(c)) fileZoneMax(c) = v
   }
+
+  /** (top-level field id, min, max) for columns with numeric stats; valid
+    * after [[finish]]. */
+  def fileStats: Seq[(Int, Double, Double)] =
+    (0 until nPhys).flatMap { c =>
+      if (fileZoneMin(c).isNaN || fileZoneMax(c).isNaN) None
+      else Some((layout.topFieldIdOfCol(c), fileZoneMin(c), fileZoneMax(c)))
+    }
 
   private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
     val n = math.min(a.length, b.length)
@@ -589,14 +604,24 @@ object LanceWriteSupport {
     outer.result()
   }
 
-  /** Serialize a manifest (version N) and commit it atomically. */
+  /** Serialize a manifest (version N) and commit it atomically.
+    * `fragments`: (file name, rows, fragment-level numeric stats). */
   def writeManifest(conf: Configuration, dataset: Path, schema: StructType,
-                    fragments: Seq[(String, Long)], startFragId: Long,
+                    fragments: Seq[(String, Long, Seq[(Int, Double, Double)])],
+                    startFragId: Long,
                     previous: Seq[LanceFormat.FragmentMeta], version: Long,
                     fsl: Map[String, Int] = Map.empty): Unit = {
     val layout = LanceSchemaLayout.of(schema, fsl)
     val w = new Proto.Writer
     layout.fields.foreach(f => w.message(1, fieldProto(f)))
+    def statMsgs(fw: Proto.Writer, stats: Seq[(Int, Double, Double)]): Unit =
+      stats.foreach { case (fid, mn, mx) =>
+        val sw = new Proto.Writer
+        sw.varint(1, fid.toLong)
+        sw.fixed64(2, java.lang.Double.doubleToLongBits(mn))
+        sw.fixed64(3, java.lang.Double.doubleToLongBits(mx))
+        fw.message(9, sw)
+      }
     // carried-over fragments (append mode), then the new ones
     previous.foreach { fr =>
       val fw = new Proto.Writer
@@ -608,12 +633,13 @@ object LanceWriteSupport {
         fw.message(2, dw)
       }
       fw.varint(4, fr.physicalRows)
+      statMsgs(fw, fr.stats)
       w.message(2, fw)
     }
     // DataFile.fields lists only fields that own a physical column (struct
     // parents own none; their leaves do)
     val colFieldIds = layout.topFieldIdOfCol.map(_.toLong)
-    fragments.zipWithIndex.foreach { case ((path, rows), i) =>
+    fragments.zipWithIndex.foreach { case ((path, rows, stats), i) =>
       val fw = new Proto.Writer
       val fid = startFragId + i
       if (fid != 0) fw.varint(1, fid)
@@ -622,6 +648,7 @@ object LanceWriteSupport {
         .packed(3, colFieldIds.indices.map(_.toLong)).varint(4, 2L)
       fw.message(2, dw)
       fw.varint(4, rows)
+      statMsgs(fw, stats)
       w.message(2, fw)
     }
     w.varint(3, version)

@@ -231,6 +231,22 @@ class LanceSpec extends AnyFunSuite {
       .filter(col("id").isin(5L, 299999L)).count() == 2)
   }
 
+  test("fragment-level stats prune whole fragments at plan time") {
+    val ds = tmpDs()
+    spark.range(100000).selectExpr("id", "CAST(id AS DOUBLE) * 2 AS v")
+      .repartitionByRange(8, col("id"))
+      .write.format("lance").mode("append").save(ds)
+    val all = spark.read.format("lance").load(ds)
+    assert(all.rdd.getNumPartitions == 8)
+    // range-partitioned fragments have disjoint id ranges -> a selective
+    // predicate plans only the tail fragment(s), the rest never open
+    val filtered = all.filter(col("id") >= 90000)
+    assert(filtered.rdd.getNumPartitions <= 2,
+      s"expected fragment pruning, planned ${filtered.rdd.getNumPartitions} of 8")
+    assert(filtered.count() == 10000)
+    assert(all.filter(col("id") < 0).rdd.getNumPartitions == 0)
+  }
+
   test("timestamp and date predicates participate in zone pruning") {
     val ds = tmpDs()
     spark.range(200000).selectExpr(
