@@ -235,8 +235,12 @@ class LanceScan(path: String, full: StructType, required: StructType,
     val resolved = zoneFilters.flatMap(z => byName.get(z.colName).map(fid => (fid, z)))
     def fragMayMatch(frag: LanceFormat.FragmentMeta): Boolean =
       resolved.forall { case (fid, z) =>
-        if (z.isStr) true // fragment stats are numeric-only
-        else frag.stats.find(_._1 == fid) match {
+        frag.stats.find(_._1 == fid) match {
+          // string columns store their 8-byte prefixes as double bit
+          // patterns in the same fixed64 stat channel
+          case Some((_, mn, mx)) if z.isStr =>
+            z.mayMatchStr(java.lang.Double.doubleToRawLongBits(mn),
+                          java.lang.Double.doubleToRawLongBits(mx))
           case Some((_, mn, mx)) => z.mayMatch(mn, mx)
           case None => true
         }

@@ -166,6 +166,8 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
   // pruning at plan time, before any file is opened)
   private val fileZoneMin = Array.fill(nPhys)(Double.NaN)
   private val fileZoneMax = Array.fill(nPhys)(Double.NaN)
+  private val fileStrMin = Array.fill[Array[Byte]](nPhys)(null)
+  private val fileStrMax = Array.fill[Array[Byte]](nPhys)(null)
 
   private def trackZone(c: Int, v: Double): Unit = {
     if (zoneMin(c).isNaN || v < zoneMin(c)) zoneMin(c) = v
@@ -174,12 +176,20 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
     if (fileZoneMax(c).isNaN || v > fileZoneMax(c)) fileZoneMax(c) = v
   }
 
-  /** (top-level field id, min, max) for columns with numeric stats; valid
-    * after [[finish]]. */
+  /** Numeric file stats: (top-level field id, min, max); valid after
+    * [[finish]]. String columns ride the same channel with their 8-byte
+    * big-endian prefixes reinterpreted as doubles via long bits (the
+    * manifest stat message is type-agnostic fixed64; the reader knows
+    * which columns are strings from the schema). */
   def fileStats: Seq[(Int, Double, Double)] =
     (0 until nPhys).flatMap { c =>
-      if (fileZoneMin(c).isNaN || fileZoneMax(c).isNaN) None
-      else Some((layout.topFieldIdOfCol(c), fileZoneMin(c), fileZoneMax(c)))
+      if (!fileZoneMin(c).isNaN && !fileZoneMax(c).isNaN)
+        Some((layout.topFieldIdOfCol(c), fileZoneMin(c), fileZoneMax(c)))
+      else if (fileStrMin(c) != null)
+        Some((layout.topFieldIdOfCol(c),
+          java.lang.Double.longBitsToDouble(ZoneFilter.prefixLong(fileStrMin(c))),
+          java.lang.Double.longBitsToDouble(ZoneFilter.prefixLong(fileStrMax(c)))))
+      else None
     }
 
   private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
@@ -196,6 +206,8 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
   private def trackStrZone(c: Int, b: Array[Byte]): Unit = {
     if (strZoneMin(c) == null || cmpBytes(b, strZoneMin(c)) < 0) strZoneMin(c) = b
     if (strZoneMax(c) == null || cmpBytes(b, strZoneMax(c)) > 0) strZoneMax(c) = b
+    if (fileStrMin(c) == null || cmpBytes(b, fileStrMin(c)) < 0) fileStrMin(c) = b
+    if (fileStrMax(c) == null || cmpBytes(b, fileStrMax(c)) > 0) fileStrMax(c) = b
   }
 
   private def markValidity(c: Int, valid: Boolean): Unit = {

@@ -247,6 +247,21 @@ class LanceSpec extends AnyFunSuite {
     assert(all.filter(col("id") < 0).rdd.getNumPartitions == 0)
   }
 
+  test("string fragment stats prune fragments for categorical predicates") {
+    val ds = tmpDs()
+    // one fragment per language (three appends) -> disjoint string ranges
+    Seq("de", "en", "fr").foreach { lang =>
+      spark.range(10000).selectExpr("id", s"'$lang' AS lang").coalesce(1)
+        .write.format("lance").mode("append").save(ds)
+    }
+    val all = spark.read.format("lance").load(ds)
+    assert(all.rdd.getNumPartitions == 3)
+    val en = all.filter(col("lang") === "en")
+    assert(en.rdd.getNumPartitions == 1,
+      s"expected string fragment pruning, planned ${en.rdd.getNumPartitions} of 3")
+    assert(en.count() == 10000)
+  }
+
   test("timestamp and date predicates participate in zone pruning") {
     val ds = tmpDs()
     spark.range(200000).selectExpr(
