@@ -115,6 +115,33 @@ object Dedup {
       .filter(col("est_jaccard") >= jaccardThreshold)
   }
 
+  /** The canonical two-stage production pipeline: MinHash-LSH candidate
+    * generation (high recall, cheap) -> EXACT token-set jaccard
+    * verification (full precision) — candidates estimated at a permissive
+    * `candidateThreshold`, verified against `exactThreshold`. At 100 TB the
+    * exact stage touches only |candidates| pairs, never the corpus square.
+    */
+  def lshExactPairs(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int, bands: Int,
+                    candidateThreshold: Double, exactThreshold: Double): DataFrame = {
+    val cands = minHashLsh(df, idCol, textCol, numHashes, bands, candidateThreshold)
+      .select("doc_a", "doc_b")
+    val toks = tokenSets(df, idCol, textCol)
+      .select(col(idCol),
+              array_sort(array_distinct(transform(col("toks"), tk => xxhash64(tk)))).as("toks"))
+      .cache()
+    val ta = toks.select(col(idCol).as("doc_a"), col("toks").as("toks_a"))
+    val tb = toks.select(col(idCol).as("doc_b"), col("toks").as("toks_b"))
+    cands.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              graft.functions.ArrayKernels.sortedIntersectCount(col("toks_a"), col("toks_b")).as("n_inter"),
+              size(col("toks_a")).as("n_a"), size(col("toks_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+              (col("n_inter").cast(DoubleType) /
+               (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= exactThreshold)
+  }
+
   /** Cluster-level dedup decision from near-dup pairs: for every doc, the
     * smallest id among its neighbours-or-self (one star-contraction step —
     * see [[connectedComponents]] for the fixpoint). */

@@ -242,6 +242,25 @@ object TextOps {
       SELECT keep_id, COUNT(*) AS cluster_size
       FROM labels GROUP BY keep_id ORDER BY keep_id""")),
 
+    // --- two-stage production dedup: LSH candidates -> exact verification --
+    // (candidate set depends on the hash family -> rows-only; recall vs the
+    // brute-force exact pairs is pinned by DedupSpec)
+    QDef("d12_lsh_exact_pipeline", (s, dir) => {
+      val t = Tables.register(s, dir)
+      // candidate bar just below the exact target: the 64-hash estimator's
+      // sigma at j=0.82 is ~0.05, so 0.72 keeps ~2-sigma recall while the
+      // exact stage verifies far fewer pairs than a loose bar would pass.
+      // Scoped to a 4-source shard — this synthetic corpus is pathologically
+      // near-dup-dense (half of ALL doc pairs are near-dups; d07's full-run
+      // volume findings in NOTES), and production verification runs
+      // per shard anyway.
+      Dedup.lshExactPairs(
+          t("documents").filter(col("source").isin("src0", "src1", "src2", "src3")),
+          "doc_id", "text", numHashes = 64, bands = 16,
+          candidateThreshold = 0.72, exactThreshold = 0.82)
+        .orderBy("doc_a", "doc_b")
+    }, None),
+
     // --- rolling-hash document fingerprint (Spark-only HOF fold) -----------
     QDef("d10_rolling_hash", (s, dir) => {
       val t = Tables.register(s, dir)

@@ -57,6 +57,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("lshExactPairs = LSH recall + exact precision (matches brute force here)") {
+    val out = Dedup.lshExactPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, candidateThreshold = 0.5, exactThreshold = 0.75)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exact-threshold pairs: {0,3} identical (j=1.0), {0,1}/{1,3} j=7/9~0.778
+    assert(out.contains((0L, 3L)))
+    assert(out.contains((0L, 1L)) && out.contains((1L, 3L)))
+    // precision is exact: nothing below the threshold survives
+    assert(!out.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash of identical docs is identical, hamming 0") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
