@@ -126,6 +126,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Similarity JOIN within an L2 radius via MLlib's
+    * BucketedRandomProjectionLSH (the §2.5-suggested building block):
+    * (id_a, id_b, dist) pairs with dist <= radius, id_a < id_b.
+    * Approximate — candidate pairs come from shared hash buckets, so
+    * recall < 1; distances on surfaced pairs are exact. */
+  def l2SimilarityJoinLsh(df: DataFrame, idCol: String, vecCol: String,
+                          radius: Double, bucketLength: Double = 2.0,
+                          numTables: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    val featured = df.select(col(idCol),
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("__features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+      .setInputCol("__features").setOutputCol("__hashes")
+      .fit(featured)
+    model.approxSimilarityJoin(featured, featured, radius, "dist")
+      .select(col(s"datasetA.$idCol").as("id_a"),
+              col(s"datasetB.$idCol").as("id_b"), col("dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
   /** Approximate top-k: restrict the exact cosine ranking to vectors whose
     * LSH bucket matches the query's bucket in at least one of `nTables`
     * independent hash tables. Buckets are computed by the codegen'd

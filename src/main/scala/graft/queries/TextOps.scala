@@ -261,6 +261,46 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     }, None),
 
+    // --- TF-IDF top terms per document (exact integer tf/df; smoothed idf
+    //     in doubles from identical integer inputs on both engines) --------
+    QDef("d13_tfidf", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 8) AS tfidf
+          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        SELECT doc_id, tok, tfidf FROM (
+          SELECT doc_id, tok, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, tok) AS rk
+          FROM scored WHERE doc_id < 50)
+        WHERE rk <= 3
+        ORDER BY doc_id, tfidf DESC, tok""")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+      df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 8) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+      SELECT doc_id, tok, tfidf FROM (
+        SELECT doc_id, tok, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok) AS rk
+        FROM scored WHERE doc_id < 50)
+      WHERE rk <= 3
+      ORDER BY doc_id, tfidf DESC, tok""")),
+
     // --- rolling-hash document fingerprint (Spark-only HOF fold) -----------
     QDef("d10_rolling_hash", (s, dir) => {
       val t = Tables.register(s, dir)

@@ -132,6 +132,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("MLlib LSH similarity join: subset of exact radius pairs, decent recall") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings").filter(col("vec_id") < 200)
+    // exact pairwise L2 via the double kernel
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val exactAll = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.l2(col("ea"), col("eb")).as("dist"))
+    val radius = exactAll.orderBy("dist").limit(60).agg(max("dist")).head().getDouble(0)
+    val exact = exactAll.filter(col("dist") <= radius)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.l2SimilarityJoinLsh(emb, "vec_id", "embedding", radius)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), s"LSH surfaced ${approx.diff(exact)} beyond the radius")
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall (${approx.size}/${exact.size})")
+  }
+
   test("ivf top-k achieves reasonable recall vs brute force on fixtures") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
