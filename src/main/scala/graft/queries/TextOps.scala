@@ -301,6 +301,32 @@ object TextOps {
       WHERE rk <= 3
       ORDER BY doc_id, tfidf DESC, tok""")),
 
+    // --- bigram shingles: the n-gram half of the shingling story ----------
+    QDef("d14_bigram_shingles", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT doc_id,
+               CAST(size(bigrams) AS INT) AS n_bigrams,
+               CAST(size(array_distinct(bigrams)) AS INT) AS n_distinct,
+               md5(array_join(array_sort(array_distinct(bigrams)), ' ')) AS shingle_fp
+        FROM (
+          SELECT doc_id,
+                 transform(sequence(1, size(toks) - 1),
+                           i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) AS bigrams
+          FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents))
+        ORDER BY doc_id""")
+    }, Some("""
+      SELECT doc_id,
+             CAST(LEN(bigrams) AS INT) AS n_bigrams,
+             CAST(LEN(list_distinct(bigrams)) AS INT) AS n_distinct,
+             MD5(array_to_string(list_sort(list_distinct(bigrams)), ' ')) AS shingle_fp
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      ORDER BY doc_id""")),
+
     // --- rolling-hash document fingerprint (Spark-only HOF fold) -----------
     QDef("d10_rolling_hash", (s, dir) => {
       val t = Tables.register(s, dir)

@@ -151,6 +151,18 @@ object VectorOps {
                                k = 10, nProbe = 6)
     }, None),
 
+    // MLlib BucketedRandomProjectionLSH approxSimilarityJoin (the SURVEY
+    // §2.5-suggested similarity-join building block; bucket candidates are
+    // hash-dependent -> rows-only, recall pinned by SimilaritySpec)
+    QDef("e07_mllib_lsh_join", (s, dir) => {
+      val t = Tables.register(s, dir)
+      Similarity.l2SimilarityJoinLsh(
+          t("embeddings").filter(col("vec_id") < 300), "vec_id", "embedding",
+          radius = 1.2)
+        .select(col("id_a"), col("id_b"), round(col("dist"), 6).as("dist"))
+        .orderBy("id_a", "id_b")
+    }, None),
+
     // probe-only twin: hits the memoized index (declared after e06 so a
     // sequential run has built it; standalone runs build then probe)
     QDef("e06b_ivf_probe", (s, dir) => {
