@@ -324,6 +324,16 @@ class LanceSpec extends AnyFunSuite {
     assert(spark.read.format("lance").option("versionAsOf", 1).load(ds).count() == 5)
   }
 
+  test("SQL CTAS through the lance catalog creates a readable dataset") {
+    val ds = tmpDs()
+    spark.sql(s"CREATE TABLE lance.`$ds` AS SELECT id, CAST(id * 3 AS DOUBLE) AS v FROM range(1000)")
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) ==
+      3.0 * 999 * 1000 / 2)
+    assert(spark.sql(s"SELECT COUNT(*) FROM lance.`$ds` WHERE id < 10").head().getLong(0) == 10)
+  }
+
   test("compact rewrites many small fragments into few, as a new version") {
     val ds = tmpDs()
     spark.range(10000).selectExpr("id", "CAST(id AS STRING) AS s")
