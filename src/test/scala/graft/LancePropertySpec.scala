@@ -9,7 +9,7 @@ import org.scalacheck.Gen
   * reference's null-erasure bug class — SURVEY §1.3 landmine). */
 case class LanceRec(id: Long, s: Option[String], d: Option[Double], i: Option[Int],
                     f: Option[Float], b: Option[Boolean], vec: Option[Seq[Float]],
-                    cat: Option[String])
+                    cat: Option[String], dec: Option[BigDecimal])
 
 class LancePropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -24,7 +24,11 @@ class LancePropertySpec extends AnyFunSuite {
     vec <- Gen.option(Gen.listOfN(4, Gen.chooseNum(-10f, 10f)).map(_.toSeq))
     // low-cardinality -> the writer dictionary-encodes these pages
     cat <- Gen.option(Gen.oneOf("alpha", "beta", "gamma"))
-  } yield LanceRec(id, s, d, i, f, b, vec, cat)
+    // decimal(38,18) via the default encoder; negatives exercise the
+    // two's-complement 16-byte layout
+    dec <- Gen.option(Gen.chooseNum(-1000000000L, 1000000000L)
+      .map(n => BigDecimal(n, 4)))
+  } yield LanceRec(id, s, d, i, f, b, vec, cat, dec)
 
   test("random rows with nulls round-trip through lance (5 seeded samples)") {
     import spark.implicits._
