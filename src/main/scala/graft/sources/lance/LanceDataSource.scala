@@ -332,7 +332,8 @@ private[lance] final case class PMeta(offs: Seq[Long], sizes: Seq[Long],
                                       rows: Long, mn: Double, mx: Double,
                                       sMin: Long = 0L, sMax: Long = 0L,
                                       hasStr: Boolean = false,
-                                      dictEnc: Boolean = false)
+                                      dictEnc: Boolean = false,
+                                      enc: LanceEncodings.PageEnc = LanceEncodings.NativeShape)
 
 /** Page-granular fragment access: footer + column-metadata parse once, then
   * lazy ranged reads of individual page buffers. Readers iterate
@@ -381,11 +382,16 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
         .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN)
       val sMin = pf.find(f => f.tag == 12 && f.wire == 1).map(_.varint)
       val sMax = pf.find(f => f.tag == 13 && f.wire == 1).map(_.varint)
+      val dictPage = Proto.firstVarint(pf, 14).contains(1L)
       PMeta(Proto.packedVarints(pf, 1), Proto.packedVarints(pf, 2),
             Proto.firstVarint(pf, 3).getOrElse(0L), mn, mx,
             sMin.getOrElse(0L), sMax.getOrElse(0L),
             hasStr = sMin.isDefined && sMax.isDefined,
-            dictEnc = Proto.firstVarint(pf, 14).contains(1L))
+            dictEnc = dictPage,
+            // our own dict marker wins; otherwise the page's encoding proto
+            // decides foreign (bitpacked/dictionary/miniblock/…) vs native
+            enc = if (dictPage) LanceEncodings.NativeShape
+                  else LanceEncodings.parsePage(pf))
     }.toIndexedSeq
   })
 
@@ -478,9 +484,13 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
       decodeListPage(spec, readPageBufs(spec.fieldId, pageIdx),
                      readPageBufs(spec.childIds.head, pageIdx), rows)
     } else {
-      LanceColumnDecoder.decode(spec.logicalType,
-        Seq((readPageBufs(spec.fieldId, pageIdx), rows.toLong,
-             pageMetasOf(spec.fieldId)(pageIdx).dictEnc)), rows)
+      val m = pageMetasOf(spec.fieldId)(pageIdx)
+      if (m.enc.foreign)
+        LanceEncodings.decodeForeign(spec.logicalType, m.enc,
+          readPageBufs(spec.fieldId, pageIdx), rows)
+      else
+        LanceColumnDecoder.decode(spec.logicalType,
+          Seq((readPageBufs(spec.fieldId, pageIdx), rows.toLong, m.dictEnc)), rows)
     }
   }
 
@@ -532,17 +542,21 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
         out.result()
       } else {
         val metas = pageMetasOf(spec.fieldId)
-        val pages = Array.newBuilder[(Seq[Array[Byte]], Long, Boolean)]
+        val out = Array.newBuilder[Any]
         var cum = 0L
         var pi = 0
         while (pi < metas.length && cum < numRows) {
-          val take = math.min(metas(pi).rows, numRows - cum)
-          pages += ((readPageBufs(spec.fieldId, pi), take, metas(pi).dictEnc))
+          val take = math.min(metas(pi).rows, numRows - cum).toInt
+          val bufs = readPageBufs(spec.fieldId, pi)
+          out ++= (if (metas(pi).enc.foreign)
+            LanceEncodings.decodeForeign(spec.logicalType, metas(pi).enc, bufs, take)
+          else
+            LanceColumnDecoder.decode(spec.logicalType,
+              Seq((bufs, take.toLong, metas(pi).dictEnc)), take))
           cum += take
           pi += 1
         }
-        val ps = pages.result()
-        LanceColumnDecoder.decode(spec.logicalType, ps.toSeq, ps.map(_._2).sum.toInt)
+        out.result()
       }
     }
     (colValues, colValues.headOption.map(_.length).getOrElse(numRows))
@@ -596,10 +610,36 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
         LanceVectorDecoder.decodeListPage(spec.childTypes.head,
           pages.readPageBufs(spec.fieldId, pi),
           pages.readPageBufs(spec.childIds.head, pi), rows, vectors(c))
-      else
-        LanceVectorDecoder.decodePage(spec.logicalType,
-          pages.readPageBufs(spec.fieldId, pi), rows, vectors(c),
-          pages.pageMetasOf(spec.fieldId)(pi).dictEnc)
+      else {
+        val m = pages.pageMetasOf(spec.fieldId)(pi)
+        if (m.enc.foreign) {
+          // foreign encodings (bitpacked/dictionary/miniblock): boxed
+          // decode, then a generic vector fill — only foreign files pay it
+          val vals = LanceEncodings.decodeForeign(spec.logicalType, m.enc,
+            pages.readPageBufs(spec.fieldId, pi), rows)
+          val dt = schema.fields(c).dataType
+          var childOff = 0
+          var i = 0
+          while (i < rows) {
+            if (vals(i) == null) vectors(c).putNull(i)
+            else dt match {
+              case org.apache.spark.sql.types.ArrayType(et, _) =>
+                val arr = vals(i).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                val n = arr.numElements()
+                val child = vectors(c).getChild(0)
+                child.reserve(childOff + n)
+                var j = 0
+                while (j < n) { putBoxed(child, childOff + j, et, arr.get(j, et)); j += 1 }
+                vectors(c).putArray(i, childOff, n)
+                childOff += n
+              case other => putBoxed(vectors(c), i, other, vals(i))
+            }
+            i += 1
+          }
+        } else
+          LanceVectorDecoder.decodePage(spec.logicalType,
+            pages.readPageBufs(spec.fieldId, pi), rows, vectors(c), m.dictEnc)
+      }
       c += 1
     }
     batch = new ColumnarBatch(

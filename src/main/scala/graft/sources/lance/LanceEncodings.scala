@@ -1,0 +1,457 @@
+package graft.sources.lance
+
+import org.apache.spark.sql.types.{Decimal, DecimalType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Foreign-page encoding support: pages written by the real `lance` crate
+  * (reference pins lance 0.32.1 — `/root/reference/Cargo.lock:2664`),
+  * whose writer emits compressed encodings our own writer never produces.
+  *
+  * Two page families are recognized from the page's `encoding` Any wrapper
+  * (Page proto field 4 → Encoding → direct(2) → Any{type_url=1, value=2}):
+  *
+  *  - `/lance.encodings.ArrayEncoding` — the 2.0 "logical encoding tree".
+  *    Byte-verified tags (golden file `test/test_data.lance`): flat=1
+  *    (Flat{bits_per_value=1, buffer=2}), nullable=2 (no_nulls=1 wrapping
+  *    values=1), binary=6 (indices=1, bytes=2, null_adjustment=3), and
+  *    Buffer{buffer_index=1}. Remaining tags follow the public
+  *    `encodings.proto` ordering and are documented here as assumptions
+  *    (no reference-written file with them exists in this container):
+  *    fixed_size_list=3 (items=1, dimension=2), dictionary=4 (indices=1,
+  *    items=2, num_dictionary_items=3), fsst=7 (unsupported — clear
+  *    error), bitpacked=8 (compressed_bits=1, uncompressed_bits=2,
+  *    buffer=3, signed=4), bitpacked_for_non_neg=10 (same minus signed),
+  *    constant=11 (value=1, num_values=2).
+  *
+  *  - `/lance.encodings.PageLayout` — the 2.1 structural layout:
+  *    mini_block=1, full_zip=2 (unsupported — error), all_null=3.
+  *    MiniBlockLayout{def_compression=2, value_compression=3,
+  *    repetition_index_depth=4}; compressive encodings: flat=1
+  *    {bits_per_value=1}, inline_bitpacking=2 {uncompressed_bits=1},
+  *    variable=3 {bits_per_offset=1}.
+  *
+  * Miniblock physical layout (per the published 2.1 design: values are
+  * chunked so a chunk decompresses independently; offsets unverifiable
+  * offline, golden fixtures in LanceForeignSpec pin this reading):
+  * buffer 0 = one u16 LE word per chunk — low 12 bits: chunk byte length
+  * in 8-byte words; high 4 bits: log2(values in chunk), every chunk but
+  * the last holding a power-of-two value count and the last taking the
+  * remainder; buffer 1 = the chunks, each 8-byte aligned. Chunk content:
+  * flat = contiguous LE values; inline bitpacking = 1 width byte then
+  * LSB-first packed values; variable = u32 end offsets then bytes.
+  *
+  * Bitpacked streams (both families) are LSB-first: value i occupies bits
+  * [i*w, (i+1)*w) of the buffer read as a little-endian bit stream; the
+  * signed variant sign-extends from bit w-1.
+  */
+object LanceEncodings {
+
+  // ---- parsed page encoding ----------------------------------------------
+  sealed trait PageEnc { def foreign: Boolean = false }
+  /** No encoding proto, or one matching our writer's conventions. */
+  case object NativeShape extends PageEnc
+  final case class ForeignArray(enc: AEnc) extends PageEnc { override def foreign = true }
+  final case class MiniBlockPage(valComp: CEnc, hasDef: Boolean) extends PageEnc {
+    override def foreign = true
+  }
+  case object AllNullPage extends PageEnc { override def foreign = true }
+
+  sealed trait AEnc
+  final case class AFlat(bits: Int, bufIdx: Int) extends AEnc
+  final case class ANoNull(values: AEnc) extends AEnc
+  final case class ASomeNull(validity: AEnc, values: AEnc) extends AEnc
+  case object AAllNull extends AEnc
+  final case class ABinary(indices: AEnc, bytes: AEnc, nullAdj: Long) extends AEnc
+  final case class AFsl(dim: Int, items: AEnc) extends AEnc
+  final case class ADict(indices: AEnc, items: AEnc, numItems: Int) extends AEnc
+  final case class ABitpacked(cbits: Int, ubits: Int, bufIdx: Int, signed: Boolean) extends AEnc
+  final case class AConstant(value: Array[Byte], n: Long) extends AEnc
+  final case class AUnsupported(what: String) extends AEnc
+
+  sealed trait CEnc
+  final case class CFlat(bits: Int) extends CEnc
+  final case class CInlineBitpack(ubits: Int) extends CEnc
+  final case class CVariable(bitsPerOffset: Int) extends CEnc
+
+  // ---- parsing -----------------------------------------------------------
+  /** Parse a Page proto's `encoding` field (tag 4) into a [[PageEnc]].
+    * Malformed or unrecognized wrappers fall back to [[NativeShape]] —
+    * decode then proceeds on the positional convention, never failing a
+    * scan on metadata we merely couldn't interpret. */
+  def parsePage(pageFields: Seq[Proto.PField]): PageEnc =
+    try {
+      Proto.firstBytes(pageFields, 4).map { encBytes =>
+        val enc = Proto.parse(encBytes)
+        // Encoding { direct = 2 { Any encoding = 1 } } (golden layout);
+        // historical files from this writer put the Any at field 2 directly
+        def looksLikeAny(bytes: Array[Byte]): Boolean =
+          try Proto.firstString(Proto.parse(bytes), 1).exists(_.startsWith("/"))
+          catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => false }
+        val direct = Proto.firstBytes(enc, 2)
+        val any = direct.flatMap { d =>
+          if (looksLikeAny(d)) Some(d)
+          else Proto.parse(d).find(f => f.tag == 1 && f.wire == 2)
+            .map(_.bytes).filter(looksLikeAny)
+        }
+        any.map { a =>
+          val af = Proto.parse(a)
+          val url = Proto.firstString(af, 1).getOrElse("")
+          val value = Proto.firstBytes(af, 2).getOrElse(Array.emptyByteArray)
+          if (url.endsWith("ArrayEncoding")) classify(parseArray(value))
+          else if (url.endsWith("PageLayout")) parseLayout(value)
+          else NativeShape // unknown wrapper: fall back to positional decode
+        }.getOrElse(NativeShape)
+      }.getOrElse(NativeShape)
+    } catch {
+      case _: UnsupportedOperationException | _: IllegalArgumentException |
+           _: ArrayIndexOutOfBoundsException => NativeShape
+    }
+
+  /** Our own writer emits flat (via nullable.no_nulls) and binary trees but
+    * layers its validity/dictionary conventions on top without describing
+    * them in the proto — those shapes stay on the positional decode path.
+    * Anything else present in the tree is genuinely foreign. */
+  private def classify(enc: AEnc): PageEnc = {
+    def nativeLeaf(e: AEnc): Boolean = e match {
+      case _: AFlat => true
+      case ANoNull(v) => nativeLeaf(v)
+      case _ => false
+    }
+    enc match {
+      case e if nativeLeaf(e) => NativeShape
+      case ABinary(i, b, _) if nativeLeaf(i) && nativeLeaf(b) => NativeShape
+      case other => ForeignArray(other)
+    }
+  }
+
+  private[lance] def parseArray(bytes: Array[Byte]): AEnc = {
+    val fs = Proto.parse(bytes)
+    fs.headOption match {
+      case None => AUnsupported("empty ArrayEncoding")
+      case Some(f) => f.tag match {
+        case 1 => // Flat
+          val m = Proto.parse(f.bytes)
+          AFlat(Proto.firstVarint(m, 1).getOrElse(64L).toInt, bufIdxOf(m, 2))
+        case 2 => // Nullable
+          val m = Proto.parse(f.bytes)
+          Proto.firstBytes(m, 1).map(n =>
+            ANoNull(Proto.firstBytes(Proto.parse(n), 1).map(parseArray)
+              .getOrElse(AUnsupported("no_nulls without values")))
+          ).orElse(Proto.firstBytes(m, 2).map { s =>
+            val sf = Proto.parse(s)
+            ASomeNull(
+              Proto.firstBytes(sf, 1).map(parseArray).getOrElse(AUnsupported("some_nulls w/o validity")),
+              Proto.firstBytes(sf, 2).map(parseArray).getOrElse(AUnsupported("some_nulls w/o values")))
+          }).getOrElse(AAllNull)
+        case 3 => // FixedSizeList
+          val m = Proto.parse(f.bytes)
+          AFsl(Proto.firstVarint(m, 2).getOrElse(0L).toInt,
+               Proto.firstBytes(m, 1).map(parseArray).getOrElse(AUnsupported("fsl w/o items")))
+        case 4 => // Dictionary
+          val m = Proto.parse(f.bytes)
+          ADict(
+            Proto.firstBytes(m, 1).map(parseArray).getOrElse(AUnsupported("dict w/o indices")),
+            Proto.firstBytes(m, 2).map(parseArray).getOrElse(AUnsupported("dict w/o items")),
+            Proto.firstVarint(m, 3).getOrElse(0L).toInt)
+        case 6 => // Binary
+          val m = Proto.parse(f.bytes)
+          ABinary(
+            Proto.firstBytes(m, 1).map(parseArray).getOrElse(AUnsupported("binary w/o indices")),
+            Proto.firstBytes(m, 2).map(parseArray).getOrElse(AUnsupported("binary w/o bytes")),
+            Proto.firstVarint(m, 3).getOrElse(0L))
+        case 8 => // Bitpacked
+          val m = Proto.parse(f.bytes)
+          ABitpacked(
+            Proto.firstVarint(m, 1).getOrElse(0L).toInt,
+            Proto.firstVarint(m, 2).getOrElse(64L).toInt,
+            bufIdxOf(m, 3),
+            Proto.firstVarint(m, 4).contains(1L))
+        case 10 => // BitpackedForNonNeg
+          val m = Proto.parse(f.bytes)
+          ABitpacked(
+            Proto.firstVarint(m, 1).getOrElse(0L).toInt,
+            Proto.firstVarint(m, 2).getOrElse(64L).toInt,
+            bufIdxOf(m, 3), signed = false)
+        case 11 => // Constant
+          val m = Proto.parse(f.bytes)
+          AConstant(Proto.firstBytes(m, 1).getOrElse(Array.emptyByteArray),
+                    Proto.firstVarint(m, 2).getOrElse(0L))
+        case 7 => AUnsupported("fsst")
+        case other => AUnsupported(s"ArrayEncoding tag $other")
+      }
+    }
+  }
+
+  /** Nested Buffer message at `tag` → buffer_index (field 1), default 0. */
+  private def bufIdxOf(fs: Seq[Proto.PField], tag: Int): Int =
+    Proto.firstBytes(fs, tag)
+      .flatMap(b => Proto.firstVarint(Proto.parse(b), 1))
+      .getOrElse(0L).toInt
+
+  private def parseLayout(bytes: Array[Byte]): PageEnc = {
+    val fs = Proto.parse(bytes)
+    Proto.firstBytes(fs, 1).map { mb => // mini_block_layout
+      val m = Proto.parse(mb)
+      val valComp = Proto.firstBytes(m, 3).map(parseCompressive).getOrElse(CFlat(64))
+      MiniBlockPage(valComp, hasDef = Proto.firstBytes(m, 2).isDefined)
+    }.orElse(Proto.firstBytes(fs, 3).map(_ => AllNullPage: PageEnc))
+     .getOrElse {
+       // full-zip (tag 2) or unknown: surface a clear decode-time error
+       // instead of silently mis-decoding the buffers positionally
+       ForeignArray(AUnsupported(
+         if (Proto.firstBytes(fs, 2).isDefined) "2.1 full-zip page layout"
+         else "unrecognized 2.1 page layout"))
+     }
+  }
+
+  private def parseCompressive(bytes: Array[Byte]): CEnc = {
+    val fs = Proto.parse(bytes)
+    fs.headOption match {
+      case Some(f) if f.tag == 1 =>
+        CFlat(Proto.firstVarint(Proto.parse(f.bytes), 1).getOrElse(64L).toInt)
+      case Some(f) if f.tag == 2 =>
+        CInlineBitpack(Proto.firstVarint(Proto.parse(f.bytes), 1).getOrElse(64L).toInt)
+      case Some(f) if f.tag == 3 =>
+        CVariable(Proto.firstVarint(Proto.parse(f.bytes), 1).getOrElse(32L).toInt)
+      case _ => CFlat(64)
+    }
+  }
+
+  // ---- decoding ----------------------------------------------------------
+  /** Decode the first `rows` values of a foreign page into boxed values. */
+  def decodeForeign(logicalType: String, enc: PageEnc, bufs: Seq[Array[Byte]],
+                    rows: Int): Array[Any] = {
+    val out = new Array[Any](rows)
+    enc match {
+      case ForeignArray(tree) => decodeTree(logicalType, tree, bufs, rows, out)
+      case MiniBlockPage(valComp, hasDef) =>
+        if (hasDef) throw new UnsupportedOperationException(
+          "lance miniblock pages with definition levels not supported")
+        decodeMiniBlock(logicalType, valComp, bufs, rows, out)
+      case AllNullPage => // out stays null
+      case NativeShape =>
+        throw new IllegalStateException("decodeForeign called on a native page")
+    }
+    out
+  }
+
+  private def decodeTree(lt: String, enc: AEnc, bufs: Seq[Array[Byte]],
+                         rows: Int, out: Array[Any]): Unit = enc match {
+    case AFlat(_, idx) =>
+      // the logical type, not the declared bit width, drives the layout —
+      // plain pages are exactly our positional single-buffer shape
+      LanceColumnDecoder.decodePage(lt, Seq(bufs(idx)), rows, out, 0)
+    case ANoNull(values) => decodeTree(lt, values, bufs, rows, out)
+    case AAllNull => ()
+    case ASomeNull(validity, values) =>
+      decodeTree(lt, values, bufs, rows, out)
+      val vb = validity match {
+        case AFlat(_, idx) => bufs(idx)
+        case ABitpacked(_, _, idx, _) => bufs(idx) // 1-bit bitmap either way
+        case other => throw new UnsupportedOperationException(s"validity encoding $other")
+      }
+      var i = 0
+      while (i < rows) {
+        if (((vb(i >> 3) >> (i & 7)) & 1) == 0) out(i) = null
+        i += 1
+      }
+    case ABinary(indices, bytesEnc, nullAdj) =>
+      val isBin = lt.contains("binary")
+      val offBits = indices match {
+        case AFlat(b, _) => b
+        case ANoNull(AFlat(b, _)) => b
+        case _ => 64
+      }
+      val offBuf = bufs(leafBufIdx(indices, 0))
+      val bytes = bufs(leafBufIdx(bytesEnc, 1))
+      val bb = java.nio.ByteBuffer.wrap(offBuf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var prev = 0L
+      var i = 0
+      while (i < rows) {
+        val raw = if (offBits == 32) bb.getInt(i * 4).toLong & 0xffffffffL else bb.getLong(i * 8)
+        // null rows carry end + null_adjustment (public binary encoding)
+        val isNull = nullAdj > 0 && raw >= nullAdj
+        val end = if (isNull) raw - nullAdj else raw
+        out(i) =
+          if (isNull) null
+          else {
+            val slice = java.util.Arrays.copyOfRange(bytes, prev.toInt, end.toInt)
+            if (isBin) slice else UTF8String.fromBytes(slice)
+          }
+        prev = end
+        i += 1
+      }
+    case AFsl(dim, items) =>
+      val elemLt = if (lt.startsWith("fixed_size_list:")) LanceFormat.fslParts(lt)._1 else lt
+      val elems = new Array[Any](rows * dim)
+      decodeTree(elemLt, items, bufs, rows * dim, elems)
+      var i = 0
+      while (i < rows) {
+        out(i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          java.util.Arrays.copyOfRange(elems.asInstanceOf[Array[AnyRef]], i * dim, (i + 1) * dim))
+        i += 1
+      }
+    case ADict(indices, items, numItems) =>
+      val idx = new Array[Any](rows)
+      decodeTree("int32", indices, bufs, rows, idx)
+      val dict = new Array[Any](numItems)
+      decodeTree(lt, items, bufs, numItems, dict)
+      var i = 0
+      while (i < rows) {
+        val d = idx(i).asInstanceOf[Int]
+        out(i) = if (d < 0 || d >= numItems) null else dict(d)
+        i += 1
+      }
+    case ABitpacked(cbits, _, idx, signed) =>
+      val longs = unpackBits(bufs(idx), cbits, rows, signed)
+      narrowLongs(lt, longs, rows, out)
+    case AConstant(value, _) =>
+      val v = constantValue(lt, value)
+      var i = 0
+      while (i < rows) { out(i) = v; i += 1 }
+    case AUnsupported(what) =>
+      throw new UnsupportedOperationException(
+        s"lance page encoding not supported by this reader: $what (type $lt)")
+  }
+
+  private def leafBufIdx(enc: AEnc, default: Int): Int = enc match {
+    case AFlat(_, i) => i
+    case ANoNull(v) => leafBufIdx(v, default)
+    case ABitpacked(_, _, i, _) => i
+    case _ => default
+  }
+
+  /** LSB-first bit unpack: value i = bits [i*w, (i+1)*w) of the stream. */
+  private[lance] def unpackBits(buf: Array[Byte], w: Int, n: Int,
+                                signed: Boolean): Array[Long] = {
+    require(w > 0 && w <= 64, s"bitpack width $w")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var bit = 0
+      var pos = i.toLong * w
+      while (bit < w) {
+        val b = buf((pos >> 3).toInt) & 0xff
+        val avail = 8 - (pos & 7).toInt
+        val take = math.min(avail, w - bit)
+        v |= (((b >> (pos & 7).toInt) & ((1 << take) - 1)).toLong) << bit
+        bit += take
+        pos += take
+      }
+      if (signed && w < 64 && ((v >> (w - 1)) & 1L) == 1L) v |= -1L << w
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  /** Bitpack `n` longs at width `w`, LSB-first (golden-fixture writer and
+    * our miniblock chunk encoder share this with [[unpackBits]]). */
+  private[lance] def packBits(vals: Array[Long], w: Int): Array[Byte] = {
+    val out = new Array[Byte]((vals.length.toLong * w + 7).toInt / 8)
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i) & (if (w == 64) -1L else (1L << w) - 1)
+      var bit = 0
+      var pos = i.toLong * w
+      while (bit < w) {
+        val idx = (pos >> 3).toInt
+        val off = (pos & 7).toInt
+        val take = math.min(8 - off, w - bit)
+        out(idx) = (out(idx) | (((v >>> bit) & ((1 << take) - 1)) << off)).toByte
+        bit += take
+        pos += take
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def narrowLongs(lt: String, longs: Array[Long], rows: Int,
+                          out: Array[Any]): Unit = {
+    var i = 0
+    lt match {
+      case "int8" => while (i < rows) { out(i) = longs(i).toByte; i += 1 }
+      case "uint8" => while (i < rows) { out(i) = (longs(i) & 0xff).toShort; i += 1 }
+      case "int16" => while (i < rows) { out(i) = longs(i).toShort; i += 1 }
+      case "uint16" => while (i < rows) { out(i) = (longs(i) & 0xffff).toInt; i += 1 }
+      case "int32" | "date32:day" | "date32" => while (i < rows) { out(i) = longs(i).toInt; i += 1 }
+      case "uint32" => while (i < rows) { out(i) = longs(i) & 0xffffffffL; i += 1 }
+      case "int64" => while (i < rows) { out(i) = longs(i); i += 1 }
+      case "uint64" => while (i < rows) {
+        out(i) = Decimal(new java.math.BigDecimal(java.lang.Long.toUnsignedString(longs(i))))
+        i += 1
+      }
+      case ts if ts.startsWith("timestamp") => while (i < rows) { out(i) = longs(i); i += 1 }
+      case "date64" | "date64:ms" =>
+        while (i < rows) { out(i) = java.lang.Math.floorDiv(longs(i), 86400000L).toInt; i += 1 }
+      case other => throw new UnsupportedOperationException(s"bitpacked $other")
+    }
+  }
+
+  private def constantValue(lt: String, value: Array[Byte]): Any = lt match {
+    case "string" | "utf8" | "large_string" => UTF8String.fromBytes(value)
+    case "binary" | "large_binary" => value
+    case "bool" => value.nonEmpty && value(0) != 0
+    case other =>
+      val one = new Array[Any](1)
+      LanceColumnDecoder.decodePage(other, Seq(value), 1, one, 0)
+      one(0)
+  }
+
+  // ---- miniblock ---------------------------------------------------------
+  private def decodeMiniBlock(lt: String, valComp: CEnc, bufs: Seq[Array[Byte]],
+                              rows: Int, out: Array[Any]): Unit = {
+    require(bufs.length >= 2, s"miniblock page expects [chunk words, data], got ${bufs.length}")
+    val words = bufs(0)
+    val data = bufs(1)
+    val nChunks = words.length / 2
+    val wb = java.nio.ByteBuffer.wrap(words).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var dataOff = 0
+    var row = 0
+    var c = 0
+    while (c < nChunks && row < rows) {
+      val word = wb.getShort(c * 2) & 0xffff
+      val chunkBytes = (word & 0xfff) * 8
+      val logVals = word >>> 12
+      val isLast = c == nChunks - 1
+      val declared = 1 << logVals
+      val chunkVals = if (isLast) rows - row else math.min(declared, rows - row)
+      decodeChunk(lt, valComp, data, dataOff, chunkBytes, chunkVals, out, row)
+      row += chunkVals
+      dataOff += chunkBytes
+      c += 1
+    }
+    require(row >= rows, s"miniblock decoded $row of $rows rows")
+  }
+
+  private def decodeChunk(lt: String, valComp: CEnc, data: Array[Byte], off: Int,
+                          len: Int, n: Int, out: Array[Any], start: Int): Unit =
+    valComp match {
+      case CFlat(_) =>
+        val slice = java.util.Arrays.copyOfRange(data, off, off + len)
+        LanceColumnDecoder.decodePage(lt, Seq(slice), n, out, start)
+      case CInlineBitpack(_) =>
+        val w = data(off) & 0xff
+        val packed = java.util.Arrays.copyOfRange(data, off + 1, off + len)
+        val longs = unpackBits(packed, w, n, signed = false)
+        val tmp = new Array[Any](n)
+        narrowLongs(lt, longs, n, tmp)
+        System.arraycopy(tmp, 0, out, start, n)
+      case CVariable(bpo) =>
+        require(bpo == 32, s"miniblock variable offsets: $bpo bits unsupported")
+        val bb = java.nio.ByteBuffer.wrap(data, off, len).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bytesStart = off + n * 4
+        val isBin = lt.contains("binary")
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val end = bb.getInt(off + i * 4)
+          val slice = java.util.Arrays.copyOfRange(data, bytesStart + prev, bytesStart + end)
+          out(start + i) = if (isBin) slice else UTF8String.fromBytes(slice)
+          prev = end
+          i += 1
+        }
+    }
+}

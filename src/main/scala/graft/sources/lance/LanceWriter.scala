@@ -577,8 +577,12 @@ object LanceWriteSupport {
     val any = new Proto.Writer
     any.string(1, "/lance.encodings.ColumnEncoding")
     any.bytes(2, { val v = new Proto.Writer; v.bytes(1, Array.emptyByteArray); v.result() })
+    // Encoding { direct = 2 { DirectEncoding { encoding = 1: Any } } } —
+    // the golden file's three-level wrapper
+    val direct = new Proto.Writer
+    direct.message(1, any)
     val outer = new Proto.Writer
-    outer.message(2, any)
+    outer.message(2, direct)
     outer.result()
   }
 
@@ -588,7 +592,9 @@ object LanceWriteSupport {
   def arrayEncodingAny(dt: DataType, bits: Int): Array[Byte] = {
     def flat(bitsPer: Int, bufIdx: Option[Int]): Proto.Writer = {
       val buf = new Proto.Writer
-      bufIdx.foreach(i => buf.varint(2, i.toLong))
+      // Buffer{ buffer_index = 1 } — the golden file stores the page-buffer
+      // index at field 1 (`08 01` for the bytes buffer of Binary)
+      bufIdx.foreach(i => buf.varint(1, i.toLong))
       val l4 = new Proto.Writer; l4.varint(1, bitsPer.toLong).bytes(2, buf.result())
       val l3 = new Proto.Writer; l3.message(1, l4)
       val l2 = new Proto.Writer; l2.message(1, l3)
@@ -611,8 +617,10 @@ object LanceWriteSupport {
     val any = new Proto.Writer
     any.string(1, "/lance.encodings.ArrayEncoding")
     any.bytes(2, enc.result())
+    val direct = new Proto.Writer
+    direct.message(1, any)
     val outer = new Proto.Writer
-    outer.message(2, any)
+    outer.message(2, direct)
     outer.result()
   }
 

@@ -132,6 +132,224 @@ class LanceForeignSpec extends AnyFunSuite {
     assert(back.limit(4).count() == 4)
   }
 
+  // ---- encoding-proto builders (mirror LanceEncodings' documented tags) --
+  private def anyWrap(url: String, value: Array[Byte]): Array[Byte] = {
+    val any = new Proto.Writer
+    any.string(1, url).bytes(2, value)
+    val direct = new Proto.Writer
+    direct.message(1, any)
+    val enc = new Proto.Writer
+    enc.message(2, direct)
+    enc.result()
+  }
+  private def flatEnc(bits: Int, bufIdx: Int): Array[Byte] = {
+    val buf = new Proto.Writer; if (bufIdx != 0) buf.varint(1, bufIdx.toLong)
+    val flat = new Proto.Writer; flat.varint(1, bits.toLong).bytes(2, buf.result())
+    val ae = new Proto.Writer; ae.message(1, flat)
+    ae.result()
+  }
+  private def bitpackedEnc(tag: Int, cbits: Int, ubits: Int, bufIdx: Int,
+                           signed: Boolean): Array[Byte] = {
+    val buf = new Proto.Writer; if (bufIdx != 0) buf.varint(1, bufIdx.toLong)
+    val bp = new Proto.Writer
+    bp.varint(1, cbits.toLong).varint(2, ubits.toLong).bytes(3, buf.result())
+    if (signed) bp.varint(4, 1L)
+    val ae = new Proto.Writer; ae.bytes(tag, bp.result())
+    ae.result()
+  }
+  private def dictEnc(indices: Array[Byte], items: Array[Byte], n: Int): Array[Byte] = {
+    val d = new Proto.Writer
+    d.bytes(1, indices).bytes(2, items).varint(3, n.toLong)
+    val ae = new Proto.Writer; ae.message(4, d)
+    ae.result()
+  }
+  private def binaryEnc(offsets: Array[Byte], bytes: Array[Byte], nullAdj: Long): Array[Byte] = {
+    val b = new Proto.Writer
+    b.bytes(1, offsets).bytes(2, bytes).varint(3, nullAdj)
+    val ae = new Proto.Writer; ae.message(6, b)
+    ae.result()
+  }
+  private def someNullEnc(validity: Array[Byte], values: Array[Byte]): Array[Byte] = {
+    val sn = new Proto.Writer; sn.bytes(1, validity).bytes(2, values)
+    val nu = new Proto.Writer; nu.bytes(2, sn.result())
+    val ae = new Proto.Writer; ae.message(2, nu)
+    ae.result()
+  }
+  private def constantEnc(value: Array[Byte], n: Long): Array[Byte] = {
+    val c = new Proto.Writer; c.bytes(1, value).varint(2, n)
+    val ae = new Proto.Writer; ae.bytes(11, c.result())
+    ae.result()
+  }
+  private def miniBlockLayout(compTag: Int, compField1: Int): Array[Byte] = {
+    val comp = new Proto.Writer; comp.bytes(compTag,
+      { val w = new Proto.Writer; w.varint(1, compField1.toLong); w.result() })
+    val mb = new Proto.Writer; mb.bytes(3, comp.result())
+    val pl = new Proto.Writer; pl.message(1, mb)
+    pl.result()
+  }
+
+  /** Write a single-fragment dataset whose pages carry explicit encoding
+    * protos. cols: (name, logicalType, pages: Seq[(buffers, rows, encodingAny)]). */
+  private def writeForeign(ds: String,
+                           cols: Seq[(String, String, Seq[(Seq[Array[Byte]], Long, Array[Byte])])]): Unit = {
+    new java.io.File(ds, "data").mkdirs()
+    new java.io.File(ds, "_versions").mkdirs()
+    val out = new java.io.ByteArrayOutputStream()
+    def writeBuf(b: Array[Byte]): (Long, Long) = {
+      val off = out.size.toLong; out.write(b); (off, b.length.toLong)
+    }
+    val metas = cols.map { case (_, _, pages) =>
+      val w = new Proto.Writer
+      pages.foreach { case (bufs, rows, encAny) =>
+        val placed = bufs.map(writeBuf)
+        val pw = new Proto.Writer
+        pw.packed(1, placed.map(_._1)).packed(2, placed.map(_._2)).varint(3, rows)
+        if (encAny.nonEmpty) pw.bytes(4, encAny)
+        w.message(2, pw)
+      }
+      w.result()
+    }
+    val metaOffs = metas.map(writeBuf)
+    val cmoStart = out.size.toLong
+    val cmo = ByteBuffer.allocate(16 * cols.length).order(ByteOrder.LITTLE_ENDIAN)
+    metaOffs.foreach { case (o, l) => cmo.putLong(o); cmo.putLong(l) }
+    out.write(cmo.array())
+    val footer = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    footer.putLong(0L).putLong(cmoStart).putLong(0L)
+      .putInt(0).putInt(cols.length).putShort(2).putShort(0)
+      .put("LANC".getBytes("ASCII"))
+    out.write(footer.array())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ds, "data", "frag0.lance"), out.toByteArray)
+    val rows = cols.head._3.map(_._2).sum
+    val mw = new Proto.Writer
+    cols.zipWithIndex.foreach { case ((name, lt, _), i) =>
+      val f = new Proto.Writer
+      f.string(2, name); if (i != 0) f.varint(3, i.toLong); f.string(5, lt)
+      mw.message(1, f)
+    }
+    val fw = new Proto.Writer
+    val dw = new Proto.Writer
+    dw.string(1, "frag0.lance")
+      .packed(2, cols.indices.map(_.toLong))
+      .packed(3, cols.indices.map(_.toLong))
+    fw.message(2, dw).varint(4, rows)
+    mw.message(2, fw)
+    mw.varint(3, 1L)
+    val pb = mw.result()
+    val mout = new java.io.ByteArrayOutputStream()
+    mout.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(pb.length).array())
+    mout.write(pb)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ds, "_versions", "1.manifest"), mout.toByteArray)
+  }
+
+  private def ints(vs: Int*): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putInt); bb.array()
+  }
+  private def dbls(vs: Double*): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putDouble); bb.array()
+  }
+  private def longsLE(vs: Long*): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putLong); bb.array()
+  }
+
+  test("foreign bitpacked / dictionary / some_nulls / constant pages scan green") {
+    val ds = tmpDs()
+    val n = 10
+    // bp: uint-style bitpacked int32, width 5, values 0,3,6,...,27
+    val bpVals = (0 until n).map(i => (i * 3).toLong).toArray
+    val bp = (Seq(LanceEncodings.packBits(bpVals, 5)), n.toLong,
+              anyWrap("/lance.encodings.ArrayEncoding", bitpackedEnc(10, 5, 32, 0, signed = false)))
+    // bps: signed bitpacked int64, width 7, values -30..24 step 6
+    val bpsVals = (0 until n).map(i => (i * 6 - 30).toLong).toArray
+    val bps = (Seq(LanceEncodings.packBits(bpsVals, 7)), n.toLong,
+               anyWrap("/lance.encodings.ArrayEncoding", bitpackedEnc(8, 7, 64, 0, signed = true)))
+    // cat: proto-level dictionary — indices int32 flat (buffer 0), items
+    // binary {offsets i64 flat (buffer 1), bytes flat (buffer 2)}
+    val dictItems = Seq("alpha", "beta", "gamma")
+    val idx = (0 until n).map(_ % 3)
+    val itemBytes = dictItems.mkString.getBytes("UTF-8")
+    val itemOffs = dictItems.scanLeft(0L)(_ + _.length).tail
+    val cat = (Seq(ints(idx: _*), longsLE(itemOffs: _*), itemBytes), n.toLong,
+               anyWrap("/lance.encodings.ArrayEncoding",
+                 dictEnc(flatEnc(32, 0),
+                         binaryEnc(flatEnc(64, 1), flatEnc(8, 2), 0L), dictItems.length)))
+    // nn: double with nulls at rows 2 and 7 — some_nulls{validity bitmap
+    // (buffer 0), values flat64 (buffer 1)}
+    val validity = Array[Byte](((0xff & ~((1 << 2) | (1 << 7))).toByte), 0x03)
+    val nnVals = (0 until n).map(i => i * 1.5)
+    val nn = (Seq(validity, dbls(nnVals: _*)), n.toLong,
+              anyWrap("/lance.encodings.ArrayEncoding",
+                someNullEnc(flatEnc(1, 0), flatEnc(64, 1))))
+    // konst: constant string page, zero buffers
+    val konst = (Seq.empty[Array[Byte]], n.toLong,
+                 anyWrap("/lance.encodings.ArrayEncoding",
+                   constantEnc("fixed".getBytes("UTF-8"), n.toLong)))
+    writeForeign(ds, Seq(
+      ("bp", "int32", Seq(bp)),
+      ("bps", "int64", Seq(bps)),
+      ("cat", "string", Seq(cat)),
+      ("nn", "double", Seq(nn)),
+      ("konst", "string", Seq(konst))))
+
+    val back = spark.read.format("lance").load(ds)
+    val rows = back.orderBy("bp").collect()
+    assert(rows.length == n)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until n).map(_ * 3))
+    assert(rows.map(_.getLong(1)).toSeq == (0 until n).map(i => (i * 6 - 30).toLong))
+    assert(rows.map(_.getString(2)).toSeq ==
+      (0 until n).map(i => dictItems(i % 3)))
+    assert(rows.map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq ==
+      (0 until n).map(i => if (i == 2 || i == 7) null else i * 1.5))
+    assert(rows.map(_.getString(4)).distinct.toSeq == Seq("fixed"))
+    // filters and projection still work over foreign pages
+    assert(back.filter("bps < 0").count() == 5)
+    assert(back.select("cat").distinct().count() == 3)
+  }
+
+  test("lance 2.1 miniblock pages: inline-bitpacked ints and variable strings") {
+    val ds = tmpDs()
+    val n = 10
+    // mb: int32 miniblock, 2 chunks: 8 values bitpacked w=4, then 2 values
+    // w=7. Chunk = [width byte][packed bytes], zero-padded to 8 bytes.
+    def chunk(vals: Array[Long]): Array[Byte] = {
+      val w = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(vals.max))
+      val packed = LanceEncodings.packBits(vals, w)
+      val raw = Array(w.toByte) ++ packed
+      raw ++ new Array[Byte]((8 - raw.length % 8) % 8)
+    }
+    val c0 = chunk((0 until 8).map(i => (i * 2).toLong).toArray)   // w=4
+    val c1 = chunk(Array(100L, 101L))                              // w=7
+    def word(bytes: Int, logVals: Int): Short = ((bytes / 8) | (logVals << 12)).toShort
+    val words = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(word(c0.length, 3)).putShort(word(c1.length, 1)).array()
+    val mb = (Seq(words, c0 ++ c1), n.toLong,
+              anyWrap("/lance.encodings.PageLayout", miniBlockLayout(2, 32)))
+    // mbs: string miniblock, single chunk: u32 end offsets then bytes
+    val strs = (0 until n).map(i => s"doc_$i")
+    val sBytes = strs.mkString.getBytes("UTF-8")
+    val sOffs = strs.scanLeft(0)(_ + _.length).tail
+    val sChunkRaw = ints(sOffs: _*) ++ sBytes
+    val sChunk = sChunkRaw ++ new Array[Byte]((8 - sChunkRaw.length % 8) % 8)
+    val sWords = ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(word(sChunk.length, 4)).array()
+    val mbs = (Seq(sWords, sChunk), n.toLong,
+               anyWrap("/lance.encodings.PageLayout", miniBlockLayout(3, 32)))
+    writeForeign(ds, Seq(("mb", "int32", Seq(mb)), ("mbs", "string", Seq(mbs))))
+
+    val back = spark.read.format("lance").load(ds)
+    val rows = back.orderBy("mb").collect()
+    assert(rows.map(_.getInt(0)).toSeq ==
+      ((0 until 8).map(_ * 2) ++ Seq(100, 101)))
+    assert(back.orderBy("mb").collect().map(_.getString(1)).toSet ==
+      strs.toSet)
+    assert(back.filter("mb >= 100").count() == 2)
+  }
+
   test("fixedSizeList write option stores vectors as lance FSL and round-trips") {
     val ds = tmpDs()
     val src = spark.range(1000).selectExpr(
