@@ -86,6 +86,24 @@ object LanceOps {
       FROM dots CROSS JOIN qn
       ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // deletion vectors end-to-end: write, deleteWhere (roaring bitmap +
+    // new manifest version), masked re-read — the oracle computes the same
+    // aggregate over the parquet source minus the deleted predicate, so a
+    // single resurrected or double-masked row breaks the hash
+    QDef("l05_lance_delete", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/orders_del.lance"
+      t("orders").write.format("lance").mode("overwrite").save(ds)
+      graft.sources.lance.LanceMaintenance.deleteWhere(s, ds, "o_orderstatus = 'F'")
+      s.read.format("lance").load(ds)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS total
+      FROM orders WHERE o_orderstatus <> 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // multimodal-on-lance: binary payloads + struct metadata stored as a
     // lance dataset, decoded partition-wise on re-read (SURVEY §2.5
     // multimodal + the connector's struct/binary surface together).

@@ -35,7 +35,17 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
 
   private def datasetPath(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).orElse(
-      options.asScala.get("paths").map(_.stripPrefix("[\"").stripSuffix("\"]")))
+      options.asScala.get("paths").map { json =>
+        // DataFrameReader.load(paths*) serializes to a JSON string array; a
+        // lance dataset is a single directory — reject multi-path loads
+        // loudly instead of mangling them into one bogus path
+        val entries = json.stripPrefix("[").stripSuffix("]")
+          .split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        require(entries.length == 1,
+          s"lance: exactly one dataset path per load, got ${entries.length} " +
+          s"(${entries.mkString(", ")}); union multiple datasets with unionByName")
+        entries.head
+      })
     p.getOrElse(throw new IllegalArgumentException("lance: path required"))
   }
 
@@ -44,7 +54,12 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
     val (fs, path) = LanceFormat.fileSystem(datasetPath(options), conf)
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
     val manifest = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, path, versionAsOf))
-    LanceFormat.toStructType(manifest)
+    val base = LanceFormat.toStructType(manifest)
+    // opt-in metadata column: lance row address (fragId << 32 | rowOffset)
+    if (options.getBoolean("withRowAddress", false))
+      base.add(org.apache.spark.sql.types.StructField(
+        "_rowaddr", org.apache.spark.sql.types.LongType, nullable = false))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -189,11 +204,17 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
     new LanceScan(path, full, required, versionAsOf, limit, zoneFilters)
 }
 
-/** One InputPartition per Lance fragment; rowLimit caps decoded rows when
-  * a LIMIT was pushed down (whole trailing fragments are pruned away). */
+/** One InputPartition per Lance fragment; rowLimit caps decoded LIVE rows
+  * when a LIMIT was pushed down (whole trailing fragments are pruned
+  * away). deletionPath/numDeleted come from the fragment's deletion_file:
+  * readers mask those row offsets out. fragId feeds the `_rowaddr`
+  * metadata column ((fragId << 32) | rowOffset — lance's row address). */
 case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
                                columnIndices: Array[Int], numRows: Long,
-                               rowLimit: Long = Long.MaxValue)
+                               rowLimit: Long = Long.MaxValue,
+                               fragId: Long = 0L,
+                               deletionPath: Option[String] = None,
+                               numDeleted: Long = 0L)
   extends InputPartition
 
 class LanceScan(path: String, full: StructType, required: StructType,
@@ -218,7 +239,7 @@ class LanceScan(path: String, full: StructType, required: StructType,
   /** Row count + size from the manifest — feeds the cost model so e.g.
     * joins against small lance dims get planned as broadcasts. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = manifest.fragments.map(_.physicalRows).sum
+    private val rows = manifest.fragments.map(_.liveRows).sum
     private val bytes = {
       val listed = manifest.fragments.flatMap(_.files).map(_.fileSizeBytes).sum
       if (listed > 0) listed else rows * 64 // fallback guess when absent
@@ -246,23 +267,27 @@ class LanceScan(path: String, full: StructType, required: StructType,
         }
       }
     val all = manifest.fragments.filter(fragMayMatch).flatMap { frag =>
+      val delPath = frag.deletion.map(d =>
+        new Path(new Path(path, "_deletions"), d.fileName(frag.id)).toString)
       frag.files.map { f =>
         LanceInputPartition(
           new Path(new Path(path, "data"), f.path).toString,
-          f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows)
+          f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows,
+          fragId = frag.id, deletionPath = delPath,
+          numDeleted = frag.deletion.map(_.numDeleted).getOrElse(0L))
       }
     }
     limit match {
       case None => all.toArray
       case Some(n) =>
-        // keep fragments until the cumulative row count covers the limit
+        // keep fragments until the cumulative LIVE row count covers the limit
         val out = Array.newBuilder[InputPartition]
         var remaining = n.toLong
         val it = all.iterator
         while (remaining > 0 && it.hasNext) {
           val p = it.next()
           out += p.copy(rowLimit = remaining)
-          remaining -= p.numRows
+          remaining -= (p.numRows - p.numDeleted)
         }
         out.result()
     }
@@ -272,7 +297,9 @@ class LanceScan(path: String, full: StructType, required: StructType,
     // map required column names -> ColSpec (children resolved for
     // list/struct columns)
     val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f).toMap
-    val cols = required.fieldNames.map { n =>
+    // `_rowaddr` is synthetic (no physical column): readers weave it in
+    val rowAddrPos = required.fieldNames.indexOf("_rowaddr")
+    val cols = required.fieldNames.filterNot(_ == "_rowaddr").map { n =>
       val f = byName(n)
       if (f.logicalType == "list" || f.logicalType == "large_list" ||
           f.logicalType == "struct") {
@@ -288,7 +315,10 @@ class LanceScan(path: String, full: StructType, required: StructType,
     // defaults, breaking any non-local filesystem
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new LanceReaderFactory(cols.toArray, serConf, zf)
+    // Spark requires every partition of a scan to agree on columnar vs
+    // row-based — one deleted fragment forces the whole scan row-based
+    val anyDeletions = manifest.fragments.exists(_.deletion.isDefined)
+    new LanceReaderFactory(cols.toArray, serConf, zf, rowAddrPos, anyDeletions)
   }
 }
 
@@ -299,18 +329,23 @@ case class ColSpec(fieldId: Int, logicalType: String, childIds: Array[Int],
 
 class LanceReaderFactory(colSpecs: Array[ColSpec],
                          conf: org.apache.spark.util.SerializableConfiguration,
-                         zf: Seq[(Int, ZoneFilter)] = Nil)
+                         zf: Seq[(Int, ZoneFilter)] = Nil,
+                         rowAddrPos: Int = -1,
+                         anyDeletions: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    new LancePartitionReader(p, colSpecs, zf, conf.value)
+    new LancePartitionReader(p, colSpecs, zf, conf.value, rowAddrPos)
   }
 
   /** Columnar path: scalar projections, list-of-numeric columns (the
     * embedding scan shape — child values bulk-decoded into the array child
     * vector), and struct columns (leaves decode into child vectors).
-    * Lists of strings fall back to the row reader. */
+    * Lists of strings, datasets with deletion vectors, and `_rowaddr`
+    * projections fall back to the row reader (the choice is scan-wide:
+    * Spark rejects mixed row/columnar partitions). */
   override def supportColumnarReads(partition: InputPartition): Boolean =
+    rowAddrPos < 0 && !anyDeletions &&
     colSpecs.forall { cs =>
       cs.childIds.isEmpty ||
         cs.logicalType == "struct" ||
@@ -366,6 +401,22 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     .order(java.nio.ByteOrder.LITTLE_ENDIAN)
 
   private val metaCache = scala.collection.mutable.HashMap.empty[Int, IndexedSeq[PMeta]]
+
+  /** Deleted row offsets of this fragment (deletion_file BITMAP = roaring;
+    * ARROW_ARRAY deletion files are rejected with a clear error rather
+    * than silently resurrecting rows). */
+  private val deletedRows: Option[java.util.BitSet] = part.deletionPath.map { dp =>
+    require(dp.endsWith(".bin"),
+      s"lance: ARROW_ARRAY deletion files not supported by this reader: $dp")
+    val (dfs, dpath) = LanceFormat.fileSystem(dp, conf)
+    val offs = Roaring.deserialize(LanceFormat.readWholeFile(dfs, dpath))
+    val bs = new java.util.BitSet()
+    offs.foreach(bs.set)
+    bs
+  }
+  def hasDeletions: Boolean = deletedRows.isDefined
+  def isDeleted(physRow: Long): Boolean =
+    deletedRows.exists(_.get(physRow.toInt))
 
   /** Parsed page metas of a column (cached; one ranged read per column). */
   def pageMetasOf(fieldId: Int): IndexedSeq[PMeta] = metaCache.getOrElseUpdate(fieldId, {
@@ -434,11 +485,25 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     base
   }
 
+  /** Physical start row of each page (cumulative rows, counting pruned
+    * pages too — deletion offsets and `_rowaddr` are physical). */
+  lazy val pageStarts: Array[Long] = {
+    val metas = pageMetasOf(rowAlignedIds.head)
+    val arr = new Array[Long](metas.length)
+    var cum = 0L
+    var i = 0
+    while (i < metas.length) { arr(i) = cum; cum += metas(i).rows; i += 1 }
+    arr
+  }
+
   /** (pageIdx, rowsToTake) for surviving pages, capped by the pushed limit.
     * An empty projection (count(*) scans) has no columns to page over —
-    * emit the fragment's manifest row count as one synthetic page. */
+    * emit the fragment's LIVE row count as one synthetic page. With
+    * deletions, pages decode whole (masking happens per row in the
+    * reader); the limit counts live rows and the reader re-applies it. */
   val pagePlan: Array[(Int, Int)] = if (rowAlignedIds.isEmpty) {
-    Array((0, math.min(part.numRows, part.rowLimit).toInt))
+    val live = part.numRows - part.numDeleted
+    Array((0, math.min(live, part.rowLimit).toInt))
   } else {
     val out = Array.newBuilder[(Int, Int)]
     var remaining = part.rowLimit
@@ -446,9 +511,17 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     while (i < nPages && remaining > 0) {
       if (keep(i)) {
         val metas = pageMetasOf(rowAlignedIds.head)
-        val take = math.min(metas(i).rows, remaining).toInt
-        out += ((i, take))
-        remaining -= take
+        if (hasDeletions) {
+          val take = metas(i).rows.toInt
+          out += ((i, take))
+          val start = pageStarts(i)
+          val dead = deletedRows.get.get(start.toInt, (start + take).toInt).cardinality()
+          remaining -= (take - dead)
+        } else {
+          val take = math.min(metas(i).rows, remaining).toInt
+          out += ((i, take))
+          remaining -= take
+        }
       }
       i += 1
     }
@@ -523,7 +596,9 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
   /** Fallback for foreign files with misaligned pages: decode every page of
     * every column (old whole-fragment behavior — correctness over memory). */
   def decodeAllFallback(): (Array[Array[Any]], Int) = {
-    val numRows = math.min(part.numRows, part.rowLimit).toInt
+    // with deletions the reader masks and limits on live rows — decode all
+    val numRows = if (hasDeletions) part.numRows.toInt
+                  else math.min(part.numRows, part.rowLimit).toInt
     val colValues = colSpecs.map { spec =>
       if (spec.logicalType == "struct" || spec.childIds.nonEmpty) {
         // per-column page walk (struct leaves / list offsets share row
@@ -727,26 +802,56 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
   * time; resident memory is one page's boxed values per column. */
 class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
                            zoneFilters: Seq[(Int, ZoneFilter)] = Nil,
-                           conf: Configuration = new Configuration())
+                           conf: Configuration = new Configuration(),
+                           rowAddrPos: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val pages = new FragmentPages(part, colSpecs, zoneFilters, conf)
   private val nCols = colSpecs.length
 
-  private val rows: Iterator[InternalRow] =
-    if (!pages.aligned) {
-      val (colValues, numRows) = pages.decodeAllFallback()
-      (0 until numRows).iterator.map(r => assemble(colValues, r))
-    } else pages.pagePlan.iterator.flatMap { case (pi, take) =>
-      val colValues = colSpecs.map(s => pages.decodeBoxedPage(s, pi, take))
-      (0 until take).iterator.map(r => assemble(colValues, r))
-    }
+  private val rows: Iterator[InternalRow] = {
+    val base: Iterator[InternalRow] =
+      if (!pages.aligned) {
+        val (colValues, numRows) = pages.decodeAllFallback()
+        (0 until numRows).iterator
+          .filter(r => !pages.isDeleted(r))
+          .map(r => assemble(colValues, r, r))
+      } else if (colSpecs.isEmpty) {
+        // synthetic count(*) page: take is already the live row count
+        pages.pagePlan.iterator.flatMap { case (_, take) =>
+          (0 until take).iterator.map(_ => new GenericInternalRow(0): InternalRow)
+        }
+      } else pages.pagePlan.iterator.flatMap { case (pi, take) =>
+        val colValues = colSpecs.map(s => pages.decodeBoxedPage(s, pi, take))
+        val start = pages.pageStarts(pi)
+        (0 until take).iterator
+          .filter(r => !pages.isDeleted(start + r))
+          .map(r => assemble(colValues, r, start + r))
+      }
+    // with deletions, page-level planning over-decodes; the live-row limit
+    // is re-applied here (no-op when nothing was pushed down)
+    if (pages.hasDeletions && part.rowLimit < Int.MaxValue)
+      base.take(part.rowLimit.toInt)
+    else base
+  }
 
-  private def assemble(colValues: Array[Array[Any]], r: Int): InternalRow = {
-    val arr = new Array[Any](nCols)
-    var i = 0
-    while (i < nCols) { arr(i) = colValues(i)(r); i += 1 }
-    new GenericInternalRow(arr)
+  private def assemble(colValues: Array[Array[Any]], r: Int, phys: Long): InternalRow = {
+    if (rowAddrPos < 0) {
+      val arr = new Array[Any](nCols)
+      var i = 0
+      while (i < nCols) { arr(i) = colValues(i)(r); i += 1 }
+      new GenericInternalRow(arr)
+    } else {
+      val arr = new Array[Any](nCols + 1)
+      var i = 0 // source column cursor
+      var o = 0 // output slot cursor
+      while (o < nCols + 1) {
+        if (o == rowAddrPos) arr(o) = (part.fragId << 32) | phys
+        else { arr(o) = colValues(i)(r); i += 1 }
+        o += 1
+      }
+      new GenericInternalRow(arr)
+    }
   }
 
   private var current: InternalRow = _

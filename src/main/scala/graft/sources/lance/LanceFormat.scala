@@ -35,11 +35,27 @@ object LanceFormat {
   final case class LanceField(id: Int, name: String, logicalType: String, parentId: Int)
   final case class DataFileMeta(path: String, fieldIds: Seq[Int], columnIndices: Seq[Int],
                                 fileSizeBytes: Long = 0L)
+  /** Fragment `deletion_file` (DataFragment proto field 3): rows masked
+    * out without rewriting data files. fileType 1 = BITMAP (serialized
+    * roaring bitmap of deleted row offsets, suffix `.bin`); 0 =
+    * ARROW_ARRAY (suffix `.arrow` — not readable here, clear error).
+    * Path: `_deletions/{fragmentId}-{readVersion}-{id}.{suffix}`. */
+  final case class DeletionFileMeta(readVersion: Long, id: Long, fileType: Int,
+                                    numDeleted: Long) {
+    def fileName(fragmentId: Long): String = {
+      val suffix = if (fileType == 1) "bin" else "arrow"
+      s"$fragmentId-$readVersion-$id.$suffix"
+    }
+  }
+
   /** stats: (top-level field id, min, max) numeric zone ranges for the
     * whole fragment — lets the planner skip fragments without opening
     * their files. */
   final case class FragmentMeta(id: Long, files: Seq[DataFileMeta], physicalRows: Long,
-                                stats: Seq[(Int, Double, Double)] = Nil)
+                                stats: Seq[(Int, Double, Double)] = Nil,
+                                deletion: Option[DeletionFileMeta] = None) {
+    def liveRows: Long = physicalRows - deletion.map(_.numDeleted).getOrElse(0L)
+  }
   final case class Manifest(fields: Seq[LanceField], fragments: Seq[FragmentMeta], version: Long)
 
   final case class PageMeta(bufferOffsets: Seq[Long], bufferSizes: Seq[Long], numRows: Long)
@@ -151,11 +167,20 @@ object LanceFormat {
          sf.find(f => f.tag == 3 && f.wire == 1)
            .map(f => java.lang.Double.longBitsToDouble(f.varint)).getOrElse(Double.NaN))
       }.filterNot(s => s._2.isNaN || s._3.isNaN)
+      val deletion = Proto.firstBytes(fs, 3).map { d =>
+        val df = Proto.parse(d)
+        DeletionFileMeta(
+          readVersion = Proto.firstVarint(df, 1).getOrElse(0L),
+          id = Proto.firstVarint(df, 2).getOrElse(0L),
+          fileType = Proto.firstVarint(df, 3).getOrElse(0L).toInt,
+          numDeleted = Proto.firstVarint(df, 4).getOrElse(0L))
+      }
       FragmentMeta(
         id = Proto.firstVarint(fs, 1).getOrElse(0L),
         files = files,
         physicalRows = Proto.firstVarint(fs, 4).getOrElse(0L),
-        stats = stats)
+        stats = stats,
+        deletion = deletion)
     }
     Manifest(fields, fragments, Proto.firstVarint(top, 3).getOrElse(1L))
   }

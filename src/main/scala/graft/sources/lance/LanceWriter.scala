@@ -652,6 +652,14 @@ object LanceWriteSupport {
           .packed(3, df.columnIndices.map(_.toLong)).varint(4, 2L)
         fw.message(2, dw)
       }
+      // deletion vectors survive appends: re-emit the carried fragment's
+      // deletion_file (DataFragment field 3) untouched
+      fr.deletion.foreach { d =>
+        val dv = new Proto.Writer
+        dv.varint(1, d.readVersion).varint(2, d.id)
+          .varint(3, d.fileType.toLong).varint(4, d.numDeleted)
+        fw.message(3, dv)
+      }
       fw.varint(4, fr.physicalRows)
       statMsgs(fw, fr.stats)
       w.message(2, fw)
@@ -674,8 +682,12 @@ object LanceWriteSupport {
     w.varint(3, version)
     w.message(13, { val v = new Proto.Writer; v.string(1, "lance").string(2, "0.32.1"); v })
     w.message(15, { val v = new Proto.Writer; v.string(1, "lance").string(2, "2.0"); v })
-    val pb = w.result()
+    commitManifest(conf, dataset, w.result(), version)
+  }
 
+  /** Frame + atomically commit serialized Manifest bytes as version N. */
+  def commitManifest(conf: Configuration, dataset: Path, pb: Array[Byte],
+                     version: Long): Unit = {
     val body = new ByteArrayOutputStream()
     val len = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(pb.length)
     body.write(len.array()); body.write(pb)

@@ -108,6 +108,21 @@ object Proto {
     def bytes(tag: Int, b: Array[Byte]): this.type = {
       writeVarintRaw((tag.toLong << 3) | 2); writeVarintRaw(b.length.toLong); out.write(b); this
     }
+    def fixed32(tag: Int, v: Long): this.type = {
+      writeVarintRaw((tag.toLong << 3) | 5)
+      var i = 0
+      while (i < 4) { out.write(((v >>> (i * 8)) & 0xff).toInt); i += 1 }
+      this
+    }
+    /** Re-emit a parsed field verbatim (proto-level patching: rewrite a
+      * message while preserving fields we don't model). */
+    def raw(f: PField): this.type = f.wire match {
+      case 0 => varint(f.tag, f.varint)
+      case 1 => fixed64(f.tag, f.varint)
+      case 2 => bytes(f.tag, f.bytes)
+      case 5 => fixed32(f.tag, f.varint)
+      case w => throw new IllegalArgumentException(s"raw: wire $w")
+    }
     def string(tag: Int, s: String): this.type = bytes(tag, s.getBytes("UTF-8"))
     def message(tag: Int, w: Writer): this.type = bytes(tag, w.result())
     def packed(tag: Int, vs: Seq[Long]): this.type = {

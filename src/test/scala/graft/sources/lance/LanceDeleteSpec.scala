@@ -1,0 +1,131 @@
+package graft.sources.lance
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deletion vectors: deleteWhere writes roaring bitmaps + a new manifest
+  * version; reads mask dead rows; time travel sees both states; appends
+  * carry deletions forward; compaction materializes them away. Plus the
+  * `_rowaddr` metadata column and the roaring codec itself.
+  */
+class LanceDeleteSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def tmpDs(): String = {
+    val f = java.nio.file.Files.createTempDirectory("lance_del").toFile
+    f.delete()
+    f.getAbsolutePath + "/ds.lance"
+  }
+
+  private def writeIds(ds: String, n: Int, parts: Int): Unit =
+    spark.range(n).selectExpr("id", "id % 7 AS grp", "CAST(id * 1.5 AS DOUBLE) AS v")
+      .repartition(parts)
+      .write.format("lance").mode("append").save(ds)
+
+  test("roaring codec round-trips array and bitmap containers") {
+    val small = Array(0, 1, 5, 65535, 65536, 131072 + 9)
+    assert(Roaring.deserialize(Roaring.serialize(small)).toSeq == small.toSeq)
+    // > 4096 values in one 64Ki block forces a bitmap container
+    val dense = (0 until 70000 by 3).toArray
+    assert(Roaring.deserialize(Roaring.serialize(dense)).toSeq == dense.toSeq)
+    assert(Roaring.serialize(dense).length < dense.length * 2 + 1024)
+  }
+
+  test("roaring codec reads run containers (foreign writer optimization)") {
+    // hand-build: cookie 12347, 1 container (count-1=0 in upper 16 bits),
+    // run bitset = 0x01, desc header key=0 card=10, runs: 2 runs
+    // [3..7] and [100..104]
+    val bb = java.nio.ByteBuffer.allocate(4 + 1 + 4 + 2 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12347).put(1.toByte)
+    bb.putShort(0.toShort).putShort(9.toShort) // key, cardinality-1
+    bb.putShort(2.toShort)                      // run count
+    bb.putShort(3.toShort).putShort(4.toShort)  // start 3, len-1 = 4
+    bb.putShort(100.toShort).putShort(4.toShort)
+    val got = Roaring.deserialize(bb.array())
+    assert(got.toSeq == ((3 to 7) ++ (100 to 104)))
+  }
+
+  test("deleteWhere masks rows, versions both states, and merges deletes") {
+    val ds = tmpDs()
+    writeIds(ds, 1000, 3)
+    val v1 = {
+      val conf = spark.sessionState.newHadoopConf()
+      val (fs, p) = LanceFormat.fileSystem(ds, conf)
+      LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version
+    }
+
+    val v2 = LanceMaintenance.deleteWhere(spark, ds, "grp = 3")
+    assert(v2 == v1 + 1)
+    val after = spark.read.format("lance").load(ds)
+    assert(after.count() == 1000 - spark.range(1000).filter("id % 7 = 3").count())
+    assert(after.filter("grp = 3").count() == 0)
+    // time travel: the old version still sees every row
+    val before = spark.read.format("lance").option("versionAsOf", v1).load(ds)
+    assert(before.count() == 1000)
+    assert(before.filter("grp = 3").count() == spark.range(1000).filter("id % 7 = 3").count())
+
+    // second delete merges with the first (per-fragment bitmap union)
+    val v3 = LanceMaintenance.deleteWhere(spark, ds, "grp = 5")
+    assert(v3 == v2 + 1)
+    val after2 = spark.read.format("lance").load(ds)
+    assert(after2.filter("grp IN (3, 5)").count() == 0)
+    assert(after2.count() ==
+      spark.range(1000).filter("id % 7 NOT IN (3, 5)").count())
+    // sums only over live rows (columnar path is bypassed under deletions)
+    val expected = spark.range(1000).filter("id % 7 NOT IN (3, 5)")
+      .agg(sum(expr("CAST(id * 1.5 AS DOUBLE)"))).head.getDouble(0)
+    assert(math.abs(after2.agg(sum("v")).head.getDouble(0) - expected) < 1e-6)
+    // deleting nothing is a no-op version-wise
+    assert(LanceMaintenance.deleteWhere(spark, ds, "grp = 99") == v3)
+  }
+
+  test("count(*), limit pushdown, and appends honor deletion vectors") {
+    val ds = tmpDs()
+    writeIds(ds, 500, 2)
+    LanceMaintenance.deleteWhere(spark, ds, "id < 100")
+    val df = spark.read.format("lance").load(ds)
+    assert(df.count() == 400)                      // empty-projection path
+    assert(df.limit(150).count() == 150)           // live-row limit capping
+    assert(df.limit(150).filter("id < 100").count() == 0)
+
+    // append after delete: old fragments keep their deletion files
+    spark.range(500, 600).selectExpr("id", "id % 7 AS grp", "CAST(id * 1.5 AS DOUBLE) AS v")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    val appended = spark.read.format("lance").load(ds)
+    assert(appended.count() == 500)
+    assert(appended.filter("id < 100").count() == 0)
+  }
+
+  test("_rowaddr metadata column exposes (fragment << 32) | offset") {
+    val ds = tmpDs()
+    writeIds(ds, 300, 3)
+    val df = spark.read.format("lance").option("withRowAddress", "true").load(ds)
+    assert(df.schema.fieldNames.contains("_rowaddr"))
+    val rows = df.select("_rowaddr", "id").collect()
+    assert(rows.map(_.getLong(0)).distinct.length == 300)
+    val frags = rows.map(_.getLong(0) >>> 32).distinct.sorted
+    assert(frags.length == 3 && frags.sameElements(Array(0L, 1L, 2L)))
+    // offsets within a fragment are dense from 0
+    val offs = rows.filter(r => (r.getLong(0) >>> 32) == frags.head)
+      .map(r => r.getLong(0) & 0xffffffffL).sorted
+    assert(offs.head == 0L && offs.last == offs.length - 1)
+  }
+
+  test("compact materializes deletes and keeps history readable") {
+    val ds = tmpDs()
+    writeIds(ds, 400, 2)
+    val vDel = LanceMaintenance.deleteWhere(spark, ds, "grp = 0")
+    val vCompact = LanceMaintenance.compact(spark, ds, targetFragments = 1)
+    assert(vCompact == vDel + 1)
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(ds, conf)
+    val m = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None))
+    assert(m.fragments.length == 1 && m.fragments.head.deletion.isEmpty)
+    val live = spark.range(400).filter("id % 7 <> 0").count()
+    assert(spark.read.format("lance").load(ds).count() == live)
+    // the pre-compaction version still reads through its deletion vector
+    assert(spark.read.format("lance").option("versionAsOf", vDel).load(ds)
+      .count() == live)
+  }
+}
