@@ -126,6 +126,60 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- persisted IVF index (lance-index analogue) ------------------------
+
+  /** Build the IVF index and PERSIST it as two lance datasets under
+    * `indexPath`: `vectors.lance` (corpus + `list_id`, range-partitioned by
+    * list so each fragment covers few lists — the manifest's per-fragment
+    * [min,max] stats then let a probe prune whole fragments without opening
+    * them) and `centroids.lance` (tiny). A fresh session pays only the
+    * centroid read (~ms) instead of a KMeans fit; at 100 TB this is the
+    * offline index build, and probes read `nProbe/nLists` of the data.
+    * Also registers the index for the `ORDER BY graft_cosine(...) DESC
+    * LIMIT k` planner rewrite ([[graft.plans.GraftAnn]]). */
+  def ivfBuildPersist(df: DataFrame, idCol: String, vecCol: String,
+                      nLists: Int, indexPath: String, nProbe: Int = 6): Unit = {
+    val (indexed, centroids) = ivfIndex(df, idCol, vecCol, nLists)
+    indexed
+      .repartitionByRange(math.max(nLists / 2, 1), col("list_id"))
+      .sortWithinPartitions("list_id")
+      .write.format("lance").mode("overwrite").save(s"$indexPath/vectors.lance")
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid").coalesce(1)
+      .write.format("lance").mode("overwrite").save(s"$indexPath/centroids.lance")
+    centroidCache.put(indexPath, centroids)
+    graft.plans.GraftAnn.register(s"$indexPath/vectors.lance", centroids, nProbe)
+  }
+
+  /** Centroids per index path — a fresh session fills this with one tiny
+    * lance read, never a KMeans fit. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]
+
+  /** Test hook: simulate a fresh session (forces the centroid re-read). */
+  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+
+  def ivfCentroids(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(indexPath, _ =>
+      spark.read.format("lance").load(s"$indexPath/centroids.lance")
+        .orderBy("list_id").collect()
+        .map(_.getSeq[Double](1).toArray))
+
+  /** Probe a persisted IVF index: centroid read (cached), driver-side
+    * probe-list pick, fragment-pruned scan of the probed lists, codegen
+    * cosine top-k. No KMeans, no full scan. */
+  def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, idCol: String, vecCol: String,
+                         query: Seq[Float], k: Int, nProbe: Int = 6): DataFrame = {
+    val centroids = ivfCentroids(spark, indexPath)
+    graft.plans.GraftAnn.register(s"$indexPath/vectors.lance", centroids, nProbe)
+    val indexed = spark.read.format("lance").load(s"$indexPath/vectors.lance")
+    ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
+  }
+
   /** Similarity JOIN within an L2 radius via MLlib's
     * BucketedRandomProjectionLSH (the §2.5-suggested building block):
     * (id_a, id_b, dist) pairs with dist <= radius, id_a < id_b.

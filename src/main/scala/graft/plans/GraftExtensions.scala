@@ -23,6 +23,10 @@ import scala.jdk.CollectionConverters._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(_ => ResolveLancePath)
+    // ANN top-k fusion over persisted IVF indexes (SURVEY §4.2): runs in
+    // the operator-optimization batch so its injected list_id filter still
+    // reaches DSv2 scan pushdown
+    e.injectOptimizerRule(_ => AnnTopKRewrite)
     // SQL names for the codegen kernels (usable from spark.sql)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

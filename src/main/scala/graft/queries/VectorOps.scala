@@ -37,6 +37,21 @@ object VectorOps {
                     unnest(generate_series(1, len(embedding))) AS i
              FROM embeddings)"""
 
+  /** Persisted-IVF index location for one fixture dir (per-JVM temp). */
+  private lazy val ivfWorkDir =
+    java.nio.file.Files.createTempDirectory("graft-ivf").toString
+  private def ivfPath(dir: String): String =
+    s"$ivfWorkDir/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  private def ensureIvf(s: SparkSession, dir: String): Unit = {
+    val vectors = new java.io.File(s"${ivfPath(dir)}/vectors.lance/_versions")
+    if (!vectors.exists()) {
+      val t = Tables.register(s, dir)
+      Similarity.ivfBuildPersist(t("embeddings").filter(col("vec_id") > 0),
+        "vec_id", "embedding", nLists = 16, indexPath = ivfPath(dir))
+    }
+  }
+
   private def cosExpr(dot: Column, na: Column, nb: Column): Column =
     round(dot.cast(DoubleType) /
       (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType))), 9)
@@ -137,18 +152,32 @@ object VectorOps {
                                "vec_id", "embedding", query, 10)
     }, None),
 
-    // IVF: KMeans coarse quantizer + probed exact search (scale path).
-    // Index build is memoized per (session, sf dir) — production builds the
-    // IVF index offline; the declared query measures the probe.
-    QDef("e06_ivf_topk", (s, dir) => {
+    // IVF build, explicitly labeled (the KMeans fit + index materialization
+    // is the offline cost — benching it separately keeps e06 an honest
+    // probe measurement). Persists vectors.lance (range-partitioned by
+    // list_id -> fragment-stat pruning) + centroids.lance; returns the
+    // list-occupancy histogram (rows-only: KMeans assignment is
+    // engine-specific).
+    QDef("e06_build", (s, dir) => {
       val t = Tables.register(s, dir)
       val corpus = t("embeddings").filter(col("vec_id") > 0)
+      Similarity.ivfBuildPersist(corpus, "vec_id", "embedding",
+                                 nLists = 16, indexPath = ivfPath(dir))
+      s.read.format("lance").load(s"${ivfPath(dir)}/vectors.lance")
+        .groupBy("list_id").agg(count(lit(1)).as("n")).orderBy("list_id")
+    }, None),
+
+    // IVF probe over the PERSISTED index (scale path): centroid read
+    // (cached; ~ms from a fresh session — no KMeans), driver-side probe
+    // pick, fragment-pruned scan of the probed lists, codegen cosine
+    // top-k. Builds the index first if this runs standalone.
+    QDef("e06_ivf_topk", (s, dir) => {
+      val t = Tables.register(s, dir)
       val query = t("embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
-      val (indexed, centroids) =
-        Similarity.ivfIndexCached(corpus, "vec_id", "embedding", nLists = 16, key = dir)
-      Similarity.ivfCosineTopK(indexed, centroids, "vec_id", "embedding", query,
-                               k = 10, nProbe = 6)
+      ensureIvf(s, dir)
+      Similarity.ivfSearchPersisted(s, ivfPath(dir), "vec_id", "embedding",
+                                    query, k = 10, nProbe = 6)
     }, None),
 
     // MLlib BucketedRandomProjectionLSH approxSimilarityJoin (the SURVEY

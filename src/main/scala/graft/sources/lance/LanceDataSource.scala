@@ -72,7 +72,7 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class LanceTable(path: String, tableSchema: StructType, versionAsOf: Option[Long])
+class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[Long])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"lance.`$path`"

@@ -162,6 +162,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.intersect(approx).size >= 3, s"ivf recall too low: $exact vs $approx")
   }
 
+  test("persisted IVF index: fresh-session probe matches in-session search") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") > 0)
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_persist").toString
+    Similarity.ivfBuildPersist(corpus, "vec_id", "embedding", nLists = 16, indexPath = idx)
+
+    val inSession = Similarity.ivfSearchPersisted(spark, idx, "vec_id", "embedding",
+      query, k = 10, nProbe = 6).select("vec_id").as[Long].collect().toSeq
+    // fresh "session": centroid cache dropped -> reload from centroids.lance
+    Similarity.clearCentroidCache()
+    val fresh = Similarity.ivfSearchPersisted(spark, idx, "vec_id", "embedding",
+      query, k = 10, nProbe = 6).select("vec_id").as[Long].collect().toSeq
+    assert(fresh == inSession && fresh.length == 10)
+    // the index layout range-partitions by list_id -> multiple fragments,
+    // and a probe's IN-filter shows up as a zone filter on the scan
+    val probed = Similarity.ivfSearchPersisted(spark, idx, "vec_id", "embedding",
+      query, k = 10, nProbe = 2)
+    assert(probed.queryExecution.executedPlan.toString.contains("list_id"))
+  }
+
+  test("ORDER BY graft_cosine DESC LIMIT k over a registered index is probe-pruned") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") > 0)
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_rule").toString
+    Similarity.ivfBuildPersist(corpus, "vec_id", "embedding", nLists = 16,
+      indexPath = idx, nProbe = 6)
+
+    // declarative shape: no list_id mention anywhere in the user query
+    val df = spark.read.format("lance").load(s"$idx/vectors.lance")
+      .select(col("vec_id"),
+              Similarity.cosine(col("embedding"), typedlit(query)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("list_id"),
+      s"AnnTopKRewrite did not inject the probe filter:\n$optimized")
+    // results match the imperative probe exactly (same centroids/probes)
+    val viaRule = df.select("vec_id").as[Long].collect().toSeq
+    val imperative = Similarity.ivfSearchPersisted(spark, idx, "vec_id", "embedding",
+      query, k = 10, nProbe = 6).select("vec_id").as[Long].collect().toSeq
+    assert(viaRule == imperative)
+  }
+
   test("ann lsh top-k achieves high recall vs brute force on fixtures") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
