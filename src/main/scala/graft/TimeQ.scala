@@ -15,6 +15,9 @@ object TimeQ {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.locality.wait", "0")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.register(spark, sfDir)

@@ -336,6 +336,8 @@ object ArrayKernels {
     column(HyperplaneBucket(expression(vec), expression(planes)))
   def stopwordHits(toks: Column, lists: Column): Column =
     column(StopwordHits(expression(toks), expression(lists)))
+  def bigramShingles(text: Column): Column =
+    column(BigramShingleSummary(expression(text)))
 
   /** Register SQL names (done by GraftExtensions). */
   def register(reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {

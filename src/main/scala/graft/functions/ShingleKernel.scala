@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass bigram-shingle summary of a document (SURVEY §2.5 n-gram
+  * shingling; d14).
+  *
+  * Replaces the HOF pipeline `split → transform(sequence, concat) →
+  * array_distinct → array_sort → array_join` — five array materializations
+  * and a per-bigram concat allocation storm — with a single kernel that
+  * tokenizes, builds bigram strings once, dedupes through a hash set,
+  * sorts, and joins. Semantics match the HOF chain exactly (verified by
+  * the d14 DuckDB oracle): split on single spaces keeping empty tokens,
+  * bigram = `tok[i] + ' ' + tok[i+1]`, distinct in binary UTF-8 order.
+  *
+  * Output: struct(n_bigrams int, n_distinct int, joined string) — the
+  * caller computes md5(joined) with the builtin.
+  */
+case class BigramShingleSummary(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BigramShingleSummary.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bigram_shingles expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramShingleSummary.summary(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BigramShingleSummary.summary($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramShingleSummary =
+    copy(child = newChild)
+}
+
+object BigramShingleSummary {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("joined", StringType, nullable = false)))
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Static helper the generated code calls directly. */
+  def summary(text: UTF8String): InternalRow = {
+    // split on ' ' keeping empty tokens (regex split with limit -1
+    // semantics for a single-space pattern)
+    val toks = text.split(Space, -1)
+    val nBigrams = math.max(toks.length - 1, 0)
+    val set = new java.util.HashSet[UTF8String](math.max(nBigrams * 2, 8))
+    val distinct = new java.util.ArrayList[UTF8String](nBigrams)
+    var i = 0
+    while (i < nBigrams) {
+      val bg = UTF8String.concat(toks(i), Space, toks(i + 1))
+      if (set.add(bg)) distinct.add(bg)
+      i += 1
+    }
+    val arr = distinct.toArray(new Array[UTF8String](distinct.size()))
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    val joined = UTF8String.concatWs(Space, arr: _*)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nBigrams, arr.length, joined))
+  }
+}

@@ -245,6 +245,22 @@ object CoreAgg {
         FROM lineitem GROUP BY l_returnflag
       ) ORDER BY l_returnflag""")),
 
+    // production twin of q22: native single-pass double aggregates
+    // (stddev/var/corr via Spark's codegen'd central-moment updates — one
+    // scan, no decimal tax). Accumulation-order dependent in the last ulps
+    // -> rows-only; value agreement with the exact-decimal q22 is pinned
+    // by QueriesSpec to 1e-6 relative.
+    QDef("q22p_stats_native", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             stddev_samp(col("l_quantity").cast("double")).as("stddev_qty"),
+             var_pop(col("l_quantity").cast("double")).as("varpop_qty"),
+             corr(col("l_quantity").cast("double"),
+                  col("l_extendedprice").cast("double")).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }, None),
+
     // --- median / percentile (exact, interpolated) ------------------------
     QDef("q22b_percentiles", (s, dir) => {
       val t = Tables.register(s, dir)

@@ -167,6 +167,17 @@ object Extras2 {
         FROM lineitem GROUP BY l_returnflag
       ) ORDER BY l_returnflag""")),
 
+    // production twin of q22c: native skewness/kurtosis (single-pass
+    // codegen'd moments, no decimal power sums). Rows-only for the same
+    // order-dependence reason; agreement with q22c pinned in QueriesSpec.
+    QDef("q22cp_moments_native", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("lineitem").groupBy("l_returnflag")
+        .agg(skewness(col("l_quantity").cast("double")).as("skew_qty"),
+             kurtosis(col("l_quantity").cast("double")).as("kurt_qty"))
+        .orderBy("l_returnflag")
+    }, None),
+
     // --- DESCRIBE / SUMMARIZE equivalent (rows-only: stddev strings are
     //     engine-specific) ---------------------------------------------------
     QDef("q60_summarize", (s, dir) => {

@@ -302,19 +302,19 @@ object TextOps {
       ORDER BY doc_id, tfidf DESC, tok""")),
 
     // --- bigram shingles: the n-gram half of the shingling story ----------
+    // one-pass codegen kernel (tokenize -> bigram -> dedupe -> sort ->
+    // join in a single fused loop) instead of the 5-stage HOF chain whose
+    // per-bigram concat allocations made d14 9x DuckDB
     QDef("d14_bigram_shingles", (s, dir) => {
-      Tables.register(s, dir)
-      s.sql("""
-        SELECT doc_id,
-               CAST(size(bigrams) AS INT) AS n_bigrams,
-               CAST(size(array_distinct(bigrams)) AS INT) AS n_distinct,
-               md5(array_join(array_sort(array_distinct(bigrams)), ' ')) AS shingle_fp
-        FROM (
-          SELECT doc_id,
-                 transform(sequence(1, size(toks) - 1),
-                           i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) AS bigrams
-          FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents))
-        ORDER BY doc_id""")
+      val t = Tables.register(s, dir)
+      t("documents")
+        .select(col("doc_id"),
+                graft.functions.ArrayKernels.bigramShingles(col("text")).as("bg"))
+        .select(col("doc_id"),
+                col("bg.n_bigrams").as("n_bigrams"),
+                col("bg.n_distinct").as("n_distinct"),
+                md5(col("bg.joined").cast("binary")).as("shingle_fp"))
+        .orderBy("doc_id")
     }, Some("""
       SELECT doc_id,
              CAST(LEN(bigrams) AS INT) AS n_bigrams,

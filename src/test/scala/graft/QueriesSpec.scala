@@ -25,6 +25,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("native stats aggs agree with the exact-decimal oracle twins") {
+    def byFlag(name: String, cols: Seq[String]): Map[String, Seq[Double]] =
+      SparkEntry.queries(name)(spark, dir).collect().map { r =>
+        r.getString(0) -> cols.map(c => r.getAs[Any](c) match {
+          case d: java.lang.Double => d.doubleValue()
+          case n: Number => n.doubleValue()
+        })
+      }.toMap
+    val exact = byFlag("q22_stats_agg", Seq("stddev_qty", "varpop_qty", "corr_qty_price"))
+    val native = byFlag("q22p_stats_native", Seq("stddev_qty", "varpop_qty", "corr_qty_price"))
+    assert(exact.keySet == native.keySet)
+    exact.foreach { case (k, e) =>
+      e.zip(native(k)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a)),
+          s"q22p diverges on $k: $a vs $b")
+      }
+    }
+    val exactM = byFlag("q22c_higher_moments", Seq("skew_qty", "kurt_qty"))
+    val nativeM = byFlag("q22cp_moments_native", Seq("skew_qty", "kurt_qty"))
+    exactM.foreach { case (k, e) =>
+      e.zip(nativeM(k)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-5 * math.max(1.0, math.abs(a)),
+          s"q22cp diverges on $k: $a vs $b")
+      }
+    }
+  }
+
   test("q37 recursive cte computes fibonacci") {
     val rows = SparkEntry.queries("q37_recursive_cte")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
