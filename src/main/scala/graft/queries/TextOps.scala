@@ -327,17 +327,53 @@ object TextOps {
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
       ORDER BY doc_id""")),
 
-    // --- rolling-hash document fingerprint (Spark-only HOF fold) -----------
+    // --- rolling-hash document fingerprint ---------------------------------
+    // Position-weighted polynomial hash, fully portable SQL: a true Horner
+    // fold needs list_reduce (absent in DuckDB 1.0) or modular
+    // exponentiation, so the fingerprint weights characters by
+    // 8^min(pos,15) inside words and words by position — order-sensitive,
+    // deterministic, and every intermediate bounded inside BIGINT
+    // (127 * 8^15 * 500 chars ≈ 2.2e18 < 2^63).
     QDef("d10_rolling_hash", (s, dir) => {
-      val t = Tables.register(s, dir)
-      t("documents")
-        .select(col("doc_id"),
-                expr("""aggregate(split(text, ' '),
-                                  CAST(7 AS BIGINT),
-                                  (acc, w) -> pmod(acc * 1000003 + abs(pmod(xxhash64(w), 1000000007)), 2147483647))
-                     """).as("rolling_hash"))
-        .orderBy("doc_id")
-    }, None),
+      Tables.register(s, dir)
+      s.sql("""
+        WITH chars AS (
+          SELECT doc_id, w.wpos AS wpos, c.cpos AS cpos, c.ch AS ch
+          FROM documents
+          LATERAL VIEW posexplode(split(text, ' ')) w AS wpos, word
+          LATERAL VIEW posexplode(split(w.word, '')) c AS cpos, ch
+        ),
+        whashes AS (
+          SELECT doc_id, wpos,
+                 pmod(SUM(pmod(ascii(ch), 128) *
+                          CAST(POW(8, LEAST(cpos, 15)) AS BIGINT)), 1000000007) AS whash
+          FROM chars GROUP BY doc_id, wpos
+        )
+        SELECT doc_id,
+               CAST(pmod(SUM(pmod(wpos * 1000003 + whash, 2147483647)), 2147483647) AS BIGINT)
+                 AS rolling_hash
+        FROM whashes GROUP BY doc_id ORDER BY doc_id""")
+    }, Some("""
+      WITH words AS (
+        SELECT doc_id, i - 1 AS wpos, toks[i] AS word
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      ),
+      chars AS (
+        SELECT doc_id, wpos, j - 1 AS cpos, chs[j] AS ch
+        FROM (SELECT doc_id, wpos, chs, unnest(generate_series(1, len(chs))) AS j
+              FROM (SELECT doc_id, wpos, string_split(word, '') AS chs FROM words))
+      ),
+      whashes AS (
+        SELECT doc_id, wpos,
+               CAST(SUM((ASCII(ch) % 128) *
+                        CAST(POW(8, LEAST(cpos, 15)) AS BIGINT)) % 1000000007 AS BIGINT) AS whash
+        FROM chars GROUP BY doc_id, wpos
+      )
+      SELECT doc_id,
+             CAST(SUM((wpos * 1000003 + whash) % 2147483647) % 2147483647 AS BIGINT)
+               AS rolling_hash
+      FROM whashes GROUP BY doc_id ORDER BY doc_id""")),
 
     // --- multimodal column conventions: binary payload + typed metadata ----
     // Text stands in for an opaque media payload (the container has no

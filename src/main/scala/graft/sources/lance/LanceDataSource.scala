@@ -299,15 +299,10 @@ class LanceScan(path: String, full: StructType, required: StructType,
     val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f).toMap
     // `_rowaddr` is synthetic (no physical column): readers weave it in
     val rowAddrPos = required.fieldNames.indexOf("_rowaddr")
-    val cols = required.fieldNames.filterNot(_ == "_rowaddr").map { n =>
-      val f = byName(n)
-      if (f.logicalType == "list" || f.logicalType == "large_list" ||
-          f.logicalType == "struct") {
-        val children = manifest.fields.filter(_.parentId == f.id)
-        ColSpec(f.id, f.logicalType, children.map(_.id).toArray,
-                children.map(_.logicalType).toArray, children.map(_.name).toArray)
-      } else ColSpec(f.id, f.logicalType, Array.empty, Array.empty, Array.empty)
-    }
+    def specOf(f: LanceFormat.LanceField): ColSpec =
+      ColSpec(f.id, f.logicalType, f.name,
+        manifest.fields.filter(_.parentId == f.id).map(specOf).toArray)
+    val cols = required.fieldNames.filterNot(_ == "_rowaddr").map(n => specOf(byName(n)))
     // zone filters resolved to field ids (unknown columns dropped)
     val zf = zoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z)))
     // ship the session's Hadoop conf to executors (object-store credentials,
@@ -322,10 +317,29 @@ class LanceScan(path: String, full: StructType, required: StructType,
   }
 }
 
-/** One required output column: children present for list/struct fields. */
-case class ColSpec(fieldId: Int, logicalType: String, childIds: Array[Int],
-                   childTypes: Array[String], childNames: Array[String])
+/** One required output column as a recursive field tree: kids present for
+  * list/struct/map fields (struct kids may nest one more struct level;
+  * list kids may be a struct; map kids are [key, value]). */
+case class ColSpec(fieldId: Int, logicalType: String, name: String = "",
+                   kids: Array[ColSpec] = Array.empty)
     extends Serializable
+
+object ColSpec {
+  /** Spark type of a spec tree (mirrors LanceFormat.toStructType). */
+  def sparkTypeOf(cs: ColSpec): org.apache.spark.sql.types.DataType =
+    cs.logicalType match {
+      case "struct" =>
+        StructType(cs.kids.map(k =>
+          org.apache.spark.sql.types.StructField(k.name, sparkTypeOf(k))))
+      case "list" | "large_list" =>
+        org.apache.spark.sql.types.ArrayType(sparkTypeOf(cs.kids.head),
+          containsNull = false)
+      case "map" =>
+        org.apache.spark.sql.types.MapType(sparkTypeOf(cs.kids(0)),
+          sparkTypeOf(cs.kids(1)), valueContainsNull = true)
+      case t => LanceFormat.toSparkType(t)
+    }
+}
 
 class LanceReaderFactory(colSpecs: Array[ColSpec],
                          conf: org.apache.spark.util.SerializableConfiguration,
@@ -347,10 +361,11 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
   override def supportColumnarReads(partition: InputPartition): Boolean =
     rowAddrPos < 0 && !anyDeletions &&
     colSpecs.forall { cs =>
-      cs.childIds.isEmpty ||
-        cs.logicalType == "struct" ||
+      cs.kids.isEmpty ||
+        (cs.logicalType == "struct" && cs.kids.forall(_.kids.isEmpty)) ||
         ((cs.logicalType == "list" || cs.logicalType == "large_list") &&
-          Set("float", "double", "int32", "int64")(cs.childTypes.head))
+          cs.kids.head.kids.isEmpty &&
+          Set("float", "double", "int32", "int64")(cs.kids.head.logicalType))
     }
 
   override def createColumnarReader(partition: InputPartition)
@@ -447,17 +462,28 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
   })
 
   /** Columns whose page row counts equal the output row count (scalars,
-    * struct leaves, list offset columns — NOT list value columns). */
-  private val rowAlignedIds: Array[Int] = colSpecs.flatMap { s =>
-    if (s.logicalType == "struct") s.childIds else Array(s.fieldId)
+    * struct leaves at any depth, list/map offset columns — NOT element
+    * value columns). */
+  private def rowAlignedOf(s: ColSpec): Array[Int] = s.logicalType match {
+    case "struct" => s.kids.flatMap(rowAlignedOf)
+    case _ => Array(s.fieldId) // scalar / fsl / list / map (offsets)
+  }
+  private val rowAlignedIds: Array[Int] = colSpecs.flatMap(rowAlignedOf)
+
+  /** Every field id owning a physical column in the spec tree. */
+  private def physIdsOf(s: ColSpec): Array[Int] = s.logicalType match {
+    case "struct" => s.kids.flatMap(physIdsOf)
+    case "list" | "large_list" | "map" => s.fieldId +: s.kids.flatMap(physIdsOf)
+    case _ => Array(s.fieldId)
   }
 
   /** True iff all projected columns share page boundaries. */
   val aligned: Boolean = rowAlignedIds.isEmpty || {
     val rowCounts = rowAlignedIds.map(id => pageMetasOf(id).map(_.rows))
-    rowCounts.forall(_ == rowCounts.head) &&
-      colSpecs.filter(s => s.childIds.nonEmpty && s.logicalType != "struct")
-        .forall(s => pageMetasOf(s.childIds.head).length == pageMetasOf(s.fieldId).length)
+    rowCounts.forall(_ == rowCounts.head) && {
+      val nPages = rowCounts.head.length
+      colSpecs.flatMap(physIdsOf).forall(id => pageMetasOf(id).length == nPages)
+    }
   }
 
   private val nPages: Int =
@@ -535,62 +561,61 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
   }
 
   /** Boxed decode of the first `rows` rows of one page of `spec`
-    * (row-reader path; handles struct assembly and list reconstruction). */
+    * (row-reader path; recursive: struct assembly at any supported depth,
+    * list/map reconstruction from offsets + element columns). */
   def decodeBoxedPage(spec: ColSpec, pageIdx: Int, rows: Int): Array[Any] = {
-    if (spec.logicalType == "struct") {
-      val leafVals = spec.childIds.zip(spec.childTypes).map { case (cid, ct) =>
-        LanceColumnDecoder.decode(ct,
-          Seq((readPageBufs(cid, pageIdx), rows.toLong,
-               pageMetasOf(cid)(pageIdx).dictEnc)), rows)
-      }
-      val out = new Array[Any](rows)
-      var i = 0
-      while (i < rows) {
-        val vals = new Array[Any](leafVals.length)
-        var j = 0
-        while (j < leafVals.length) { vals(j) = leafVals(j)(i); j += 1 }
-        out(i) = new GenericInternalRow(vals)
-        i += 1
-      }
-      out
-    } else if (spec.childIds.nonEmpty) {
-      decodeListPage(spec, readPageBufs(spec.fieldId, pageIdx),
-                     readPageBufs(spec.childIds.head, pageIdx), rows)
-    } else {
-      val m = pageMetasOf(spec.fieldId)(pageIdx)
-      if (m.enc.foreign)
-        LanceEncodings.decodeForeign(spec.logicalType, m.enc,
-          readPageBufs(spec.fieldId, pageIdx), rows)
-      else
-        LanceColumnDecoder.decode(spec.logicalType,
-          Seq((readPageBufs(spec.fieldId, pageIdx), rows.toLong, m.dictEnc)), rows)
+    spec.logicalType match {
+      case "struct" =>
+        val leafVals = spec.kids.map(k => decodeBoxedPage(k, pageIdx, rows))
+        val out = new Array[Any](rows)
+        var i = 0
+        while (i < rows) {
+          val vals = new Array[Any](leafVals.length)
+          var j = 0
+          while (j < leafVals.length) { vals(j) = leafVals(j)(i); j += 1 }
+          out(i) = new GenericInternalRow(vals)
+          i += 1
+        }
+        out
+      case "list" | "large_list" | "map" =>
+        val offBufs = readPageBufs(spec.fieldId, pageIdx)
+        val (validity, offs) =
+          if (offBufs.length == 2) (Some(offBufs(0)), offBufs(1))
+          else (None, offBufs.head)
+        val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val totalVals = if (rows == 0) 0 else offBB.getLong((rows - 1) * 8).toInt
+        val isMap = spec.logicalType == "map"
+        val elems = decodeBoxedPage(spec.kids(0), pageIdx, totalVals)
+        val vals = if (isMap) decodeBoxedPage(spec.kids(1), pageIdx, totalVals) else null
+        val out = new Array[Any](rows)
+        var prev = 0
+        var i = 0
+        while (i < rows) {
+          val end = offBB.getLong(i * 8).toInt
+          val isNull = validity.exists(vb => ((vb(i >> 3) >> (i & 7)) & 1) == 0)
+          out(i) =
+            if (isNull) null
+            else if (isMap)
+              new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  java.util.Arrays.copyOfRange(elems.asInstanceOf[Array[AnyRef]], prev, end)),
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  java.util.Arrays.copyOfRange(vals.asInstanceOf[Array[AnyRef]], prev, end)))
+            else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              java.util.Arrays.copyOfRange(elems.asInstanceOf[Array[AnyRef]], prev, end))
+          prev = end
+          i += 1
+        }
+        out
+      case _ =>
+        val m = pageMetasOf(spec.fieldId)(pageIdx)
+        if (m.enc.foreign)
+          LanceEncodings.decodeForeign(spec.logicalType, m.enc,
+            readPageBufs(spec.fieldId, pageIdx), rows)
+        else
+          LanceColumnDecoder.decode(spec.logicalType,
+            Seq((readPageBufs(spec.fieldId, pageIdx), rows.toLong, m.dictEnc)), rows)
     }
-  }
-
-  /** List page: i64 end-offsets (+ optional validity) over child values. */
-  private def decodeListPage(spec: ColSpec, offBufs: Seq[Array[Byte]],
-                             valBufs: Seq[Array[Byte]], rows: Int): Array[Any] = {
-    val (validity, offs) =
-      if (offBufs.length == 2) (Some(offBufs(0)), offBufs(1))
-      else (None, offBufs.head)
-    val offBB = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val totalVals = if (rows == 0) 0 else offBB.getLong((rows - 1) * 8).toInt
-    val vals = LanceColumnDecoder.decode(spec.childTypes.head,
-      Seq((valBufs, totalVals.toLong, false)), totalVals)
-    val out = new Array[Any](rows)
-    var prev = 0
-    var i = 0
-    while (i < rows) {
-      val end = offBB.getLong(i * 8).toInt
-      val isNull = validity.exists(vb => ((vb(i >> 3) >> (i & 7)) & 1) == 0)
-      out(i) =
-        if (isNull) null
-        else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          java.util.Arrays.copyOfRange(vals.asInstanceOf[Array[AnyRef]], prev, end))
-      prev = end
-      i += 1
-    }
-    out
   }
 
   /** Fallback for foreign files with misaligned pages: decode every page of
@@ -599,12 +624,13 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     // with deletions the reader masks and limits on live rows — decode all
     val numRows = if (hasDeletions) part.numRows.toInt
                   else math.min(part.numRows, part.rowLimit).toInt
+    def pacerId(s: ColSpec): Int =
+      if (s.logicalType == "struct") pacerId(s.kids(0)) else s.fieldId
     val colValues = colSpecs.map { spec =>
-      if (spec.logicalType == "struct" || spec.childIds.nonEmpty) {
+      if (spec.kids.nonEmpty) {
         // per-column page walk (struct leaves / list offsets share row
         // counts; struct parents own no physical column — use a leaf's)
-        val metas = pageMetasOf(
-          if (spec.logicalType == "struct") spec.childIds.head else spec.fieldId)
+        val metas = pageMetasOf(pacerId(spec))
         val out = Array.newBuilder[Any]
         var cum = 0L
         var pi = 0
@@ -651,16 +677,7 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
 
   private val pages = new FragmentPages(part, colSpecs, zoneFilters, conf)
   private val schema = StructType(colSpecs.zipWithIndex.map { case (cs, i) =>
-    val dt =
-      if (cs.logicalType == "struct")
-        StructType(cs.childNames.zip(cs.childTypes).map { case (n, t) =>
-          org.apache.spark.sql.types.StructField(n, LanceFormat.toSparkType(t))
-        })
-      else if (cs.childIds.nonEmpty)
-        org.apache.spark.sql.types.ArrayType(
-          LanceFormat.toSparkType(cs.childTypes.head), containsNull = false)
-      else LanceFormat.toSparkType(cs.logicalType)
-    org.apache.spark.sql.types.StructField(s"c$i", dt)
+    org.apache.spark.sql.types.StructField(s"c$i", ColSpec.sparkTypeOf(cs))
   })
   private var planIdx = 0
   private var fallbackDone = false
@@ -677,14 +694,16 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
     while (c < colSpecs.length) {
       val spec = colSpecs(c)
       if (spec.logicalType == "struct")
-        LanceVectorDecoder.decodeStructPage(spec.childTypes,
-          spec.childIds.map(cid => pages.readPageBufs(cid, pi)),
-          spec.childIds.map(cid => pages.pageMetasOf(cid)(pi).dictEnc),
+        // columnar structs are flat (supportColumnarReads gate): kids are
+        // scalar leaves, one page each
+        LanceVectorDecoder.decodeStructPage(spec.kids.map(_.logicalType),
+          spec.kids.map(k => pages.readPageBufs(k.fieldId, pi)),
+          spec.kids.map(k => pages.pageMetasOf(k.fieldId)(pi).dictEnc),
           rows, vectors(c))
-      else if (spec.childIds.nonEmpty)
-        LanceVectorDecoder.decodeListPage(spec.childTypes.head,
+      else if (spec.kids.nonEmpty)
+        LanceVectorDecoder.decodeListPage(spec.kids.head.logicalType,
           pages.readPageBufs(spec.fieldId, pi),
-          pages.readPageBufs(spec.childIds.head, pi), rows, vectors(c))
+          pages.readPageBufs(spec.kids.head.fieldId, pi), rows, vectors(c))
       else {
         val m = pages.pageMetasOf(spec.fieldId)(pi)
         if (m.enc.foreign) {

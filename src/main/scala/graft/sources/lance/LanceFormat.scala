@@ -185,20 +185,27 @@ object LanceFormat {
     Manifest(fields, fragments, Proto.firstVarint(top, 3).getOrElse(1L))
   }
 
-  def toStructType(m: Manifest): StructType =
+  def toStructType(m: Manifest): StructType = {
+    def typeOf(f: LanceField): DataType = f.logicalType match {
+      case "list" | "large_list" =>
+        val child = m.fields.find(_.parentId == f.id).getOrElse(
+          throw new IllegalStateException(s"list field ${f.name} has no child field"))
+        ArrayType(typeOf(child), containsNull = false)
+      case "struct" =>
+        StructType(m.fields.filter(_.parentId == f.id).map { c =>
+          StructField(c.name, typeOf(c), nullable = true)
+        })
+      case "map" =>
+        // two child fields, key then value (SURVEY §1.3 map mapping)
+        val kids = m.fields.filter(_.parentId == f.id)
+        require(kids.length == 2, s"map field ${f.name} expects 2 children")
+        MapType(typeOf(kids(0)), typeOf(kids(1)), valueContainsNull = true)
+      case t => toSparkType(t)
+    }
     StructType(m.fields.filter(_.parentId == -1).map { f =>
-      val dt =
-        if (f.logicalType == "list" || f.logicalType == "large_list") {
-          val child = m.fields.find(_.parentId == f.id).getOrElse(
-            throw new IllegalStateException(s"list field ${f.name} has no child field"))
-          ArrayType(toSparkType(child.logicalType), containsNull = false)
-        } else if (f.logicalType == "struct") {
-          StructType(m.fields.filter(_.parentId == f.id).map { c =>
-            StructField(c.name, toSparkType(c.logicalType), nullable = true)
-          })
-        } else toSparkType(f.logicalType)
-      StructField(f.name, dt, nullable = true)
+      StructField(f.name, typeOf(f), nullable = true)
     })
+  }
 
   // --- data file ---------------------------------------------------------
   final case class FileMeta(columns: Seq[ColumnMeta], numColumns: Int)

@@ -39,18 +39,60 @@ object LanceSchemaLayout {
   final case class FieldDef(id: Int, parentId: Int, name: String, logicalType: String,
                             varWidth: Boolean)
 
+  /** rowCountCol(c): index of the offsets column whose element count is
+    * column c's per-page row count, or -1 for row-aligned columns. */
   final case class Layout(fields: Seq[FieldDef], phys: Seq[Phys],
-                          topFieldIdOfCol: Seq[Int])
+                          topFieldIdOfCol: Seq[Int], rowCountCol: Seq[Int])
 
   /** DFS field-id assignment matching the reader's expectations:
     * field ids and physical column indices advance together.
     * `fsl` maps column name -> dimension for arrays to be stored as
-    * lance `fixed_size_list:<elem>:<dim>` vector columns. */
+    * lance `fixed_size_list:<elem>:<dim>` vector columns.
+    *
+    * One nesting level is supported beyond the flat surface:
+    * struct-in-struct, list&lt;struct-of-scalars&gt;, and map&lt;scalar,
+    * scalar&gt; (spelled "map" with "key"/"value" child fields — SURVEY
+    * §1.3's two-child-column mapping). Deeper nesting errors clearly. */
   def of(schema: StructType, fsl: Map[String, Int] = Map.empty): Layout = {
     val fields = Seq.newBuilder[FieldDef]
     val phys = Seq.newBuilder[Phys]
     val colField = Seq.newBuilder[Int]
+    val rowCount = Seq.newBuilder[Int]
     var id = 0
+    var col = 0
+
+    def scalarField(name: String, dt: DataType, parentId: Int,
+                    asChildOf: Int): Unit = {
+      fields += FieldDef(id, parentId, name, LanceWriteSupport.logicalTypeFor(dt),
+        dt == StringType || dt == BinaryType)
+      phys += (if (asChildOf >= 0) ListValues(dt) else Scalar(dt))
+      colField += id
+      rowCount += asChildOf
+      id += 1
+      col += 1
+    }
+
+    /** struct of scalars or (one level) structs; leaves own the columns.
+      * asChildOf >= 0 = the offsets column the leaves ride under. */
+    def structField(name: String, st: StructType, parentId: Int,
+                    asChildOf: Int, depth: Int): Unit = {
+      val structId = id
+      fields += FieldDef(structId, parentId, name, "struct", varWidth = false)
+      id += 1
+      st.fields.foreach { leaf =>
+        leaf.dataType match {
+          case inner: StructType =>
+            require(depth < 1 && asChildOf < 0,
+              s"lance writer: struct nesting deeper than one level ('${leaf.name}')")
+            structField(leaf.name, inner, structId, asChildOf, depth + 1)
+          case _: ArrayType | _: MapType =>
+            throw new UnsupportedOperationException(
+              s"lance writer: ${leaf.dataType.simpleString} inside struct not supported")
+          case dt => scalarField(leaf.name, dt, structId, asChildOf)
+        }
+      }
+    }
+
     schema.fields.foreach { f =>
       f.dataType match {
         case ArrayType(elem, _) if fsl.contains(f.name) =>
@@ -60,44 +102,47 @@ object LanceSchemaLayout {
             varWidth = false)
           phys += FslValues(elem, dim)
           colField += id
+          rowCount += -1
           id += 1
+          col += 1
         case ArrayType(elem, _) =>
           val listId = id
+          val offsetsCol = col
           fields += FieldDef(listId, -1, f.name, "list", varWidth = false)
-          fields += FieldDef(listId + 1, listId, "item",
-            LanceWriteSupport.logicalTypeFor(elem),
-            elem == StringType || elem == BinaryType)
           phys += ListOffsets(LongType)
-          phys += ListValues(elem)
           colField += listId
-          colField += (listId + 1)
-          id += 2
-        case st: StructType =>
-          // struct = grouped leaf columns: one field + phys col per leaf,
-          // no offsets column (the struct field itself owns no data)
-          val structId = id
-          fields += FieldDef(structId, -1, f.name, "struct", varWidth = false)
+          rowCount += -1
           id += 1
-          st.fields.foreach { leaf =>
-            require(!leaf.dataType.isInstanceOf[StructType] &&
-                    !leaf.dataType.isInstanceOf[ArrayType],
-              s"lance writer: nested ${leaf.dataType} inside struct not supported")
-            fields += FieldDef(id, structId, leaf.name,
-              LanceWriteSupport.logicalTypeFor(leaf.dataType),
-              leaf.dataType == StringType || leaf.dataType == BinaryType)
-            phys += Scalar(leaf.dataType)
-            colField += id
-            id += 1
+          col += 1
+          elem match {
+            case st: StructType => structField("item", st, listId, offsetsCol, 1)
+            case _: ArrayType | _: MapType =>
+              throw new UnsupportedOperationException(
+                s"lance writer: list of ${elem.simpleString} not supported")
+            case dt => scalarField("item", dt, listId, offsetsCol)
           }
-        case dt =>
-          fields += FieldDef(id, -1, f.name, LanceWriteSupport.logicalTypeFor(dt),
-            dt == StringType || dt == BinaryType)
-          phys += Scalar(dt)
-          colField += id
+        case MapType(kt, vt, _) =>
+          require(!kt.isInstanceOf[StructType] && !kt.isInstanceOf[ArrayType] &&
+                  !vt.isInstanceOf[StructType] && !vt.isInstanceOf[ArrayType] &&
+                  !kt.isInstanceOf[MapType] && !vt.isInstanceOf[MapType],
+            s"lance writer: map with nested key/value types not supported")
+          val mapId = id
+          val offsetsCol = col
+          fields += FieldDef(mapId, -1, f.name, "map", varWidth = false)
+          phys += ListOffsets(LongType)
+          colField += mapId
+          rowCount += -1
           id += 1
+          col += 1
+          scalarField("key", kt, mapId, offsetsCol)
+          scalarField("value", vt, mapId, offsetsCol)
+        case st: StructType =>
+          structField(f.name, st, -1, -1, 0)
+        case dt =>
+          scalarField(f.name, dt, -1, -1)
       }
     }
-    Layout(fields.result(), phys.result(), colField.result())
+    Layout(fields.result(), phys.result(), colField.result(), rowCount.result())
   }
 }
 
@@ -267,6 +312,58 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
       .putLong(byteBufs(c).size().toLong).array())
   }
 
+  import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+
+  /** Physical columns a value of `dt` spans (must mirror Layout.of). */
+  private def colsOf(dt: DataType): Int = dt match {
+    case st: StructType => st.fields.map(f => colsOf(f.dataType)).sum
+    case ArrayType(elem, _) => 1 + colsOf(elem)
+    case MapType(kt, vt, _) => 1 + colsOf(kt) + colsOf(vt)
+    case _ => 1
+  }
+
+  /** One scalar cell into column c (top = tracks zone/dict stats). */
+  private def emitScalar(dt: DataType, src: SpecializedGetters, ord: Int,
+                         c: Int, top: Boolean, validity: Boolean): Unit = {
+    val isNull = src.isNullAt(ord)
+    if (validity) markValidity(c, !isNull)
+    dt match {
+      case StringType =>
+        if (isNull) { if (top) trackDict(c, Array.emptyByteArray); putVar(c, Array.emptyByteArray) }
+        else {
+          val b = src.getUTF8String(ord).getBytes
+          if (top) { trackStrZone(c, b); trackDict(c, b) }
+          putVar(c, b)
+        }
+      case BinaryType =>
+        putVar(c, if (isNull) Array.emptyByteArray else src.getBinary(ord))
+      case dt =>
+        putFixed(c, dt, if (isNull) LanceWriteSupport.zeroOf(dt) else src.get(ord, dt),
+          track = !isNull)
+    }
+  }
+
+  /** Struct leaves into columns starting at c; returns columns consumed.
+    * `elementwise` = leaves ride under an offsets column (list<struct>). */
+  private def emitStruct(st: StructType, sr: SpecializedGetters, c0: Int,
+                         top: Boolean): Int = {
+    var c = c0
+    var k = 0
+    while (k < st.length) {
+      st.fields(k).dataType match {
+        case inner: StructType =>
+          require(!sr.isNullAt(k),
+            "lance writer: null struct values not supported (null the leaves instead)")
+          c += emitStruct(inner, sr.getStruct(k, inner.length), c, top = false)
+        case dt =>
+          emitScalar(dt, sr, k, c, top = false, validity = true)
+          c += 1
+      }
+      k += 1
+    }
+    c - c0
+  }
+
   def write(row: InternalRow): Unit = {
     var c = 0 // physical column cursor
     var s = 0 // schema field cursor
@@ -303,12 +400,15 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
             val n = arr.numElements()
             var k = 0
             while (k < n) {
-              require(!arr.isNullAt(k),
-                "lance writer: null list elements are not supported")
               elem match {
-                case StringType => putVar(c + 1, arr.getUTF8String(k).getBytes)
-                case BinaryType => putVar(c + 1, arr.getBinary(k))
-                case dt => putFixed(c + 1, dt, arr.get(k, dt))
+                case st: StructType =>
+                  require(!arr.isNullAt(k),
+                    "lance writer: null struct list elements are not supported")
+                  emitStruct(st, arr.getStruct(k, st.length), c + 1, top = false)
+                case dt =>
+                  require(!arr.isNullAt(k),
+                    "lance writer: null list elements are not supported")
+                  emitScalar(dt, arr, k, c + 1, top = false, validity = false)
               }
               k += 1
             }
@@ -317,44 +417,32 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
           // null array = zero-length slice (validity bit marks the null)
           fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
             .putLong(listValCount(c)).array())
-          c += 2
+          c += 1 + colsOf(elem)
+        case MapType(kt, vt, _) =>
+          markValidity(c, !isNull)
+          if (!isNull) {
+            val m = row.getMap(s)
+            val keys = m.keyArray()
+            val vals = m.valueArray()
+            val n = m.numElements()
+            var k = 0
+            while (k < n) {
+              emitScalar(kt, keys, k, c + 1, top = false, validity = false)
+              // map values may be null: validity rides the value column
+              emitScalar(vt, vals, k, c + 2, top = false, validity = true)
+              k += 1
+            }
+            listValCount(c) += n
+          }
+          fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            .putLong(listValCount(c)).array())
+          c += 3
         case st: StructType =>
           require(!isNull,
             "lance writer: null struct values not supported (null the leaves instead)")
-          val sr = row.getStruct(s, st.length)
-          var k = 0
-          while (k < st.length) {
-            val ln = sr.isNullAt(k)
-            markValidity(c + k, !ln)
-            st.fields(k).dataType match {
-              case StringType =>
-                putVar(c + k, if (ln) Array.emptyByteArray else sr.getUTF8String(k).getBytes)
-              case BinaryType =>
-                putVar(c + k, if (ln) Array.emptyByteArray else sr.getBinary(k))
-              case dt =>
-                putFixed(c + k, dt,
-                  if (ln) LanceWriteSupport.zeroOf(dt) else sr.get(k, dt), track = !ln)
-            }
-            k += 1
-          }
-          c += st.length
-        case StringType =>
-          markValidity(c, !isNull)
-          if (isNull) { trackDict(c, Array.emptyByteArray); putVar(c, Array.emptyByteArray) }
-          else {
-            val b = row.getUTF8String(s).getBytes
-            trackStrZone(c, b)
-            trackDict(c, b)
-            putVar(c, b)
-          }
-          c += 1
-        case BinaryType =>
-          markValidity(c, !isNull)
-          putVar(c, if (isNull) Array.emptyByteArray else row.getBinary(s))
-          c += 1
+          c += emitStruct(st, row.getStruct(s, st.length), c, top = false)
         case dt =>
-          markValidity(c, !isNull)
-          putFixed(c, dt, if (isNull) LanceWriteSupport.zeroOf(dt) else row.get(s, dt), track = !isNull)
+          emitScalar(dt, row, s, c, top = true, validity = true)
           c += 1
       }
       s += 1
@@ -386,9 +474,9 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
         case _ => false
       }
       val isBool = layout.phys(c).dt == BooleanType && !varWidth
-      val pageRowCount: Long = layout.phys(c) match {
-        case ListValues(_) => listValCount(if (c > 0) c - 1 else c)
-        case _ => rowsInPage.toLong
+      val pageRowCount: Long = layout.rowCountCol(c) match {
+        case -1 => rowsInPage.toLong
+        case offsetsCol => listValCount(offsetsCol)
       }
       if (isBool && boolBit(c) > 0) {
         fixedBufs(c).write(boolAcc(c)); boolAcc(c) = 0; boolBit(c) = 0

@@ -11,6 +11,13 @@ case class LanceRec(id: Long, s: Option[String], d: Option[Double], i: Option[In
                     f: Option[Float], b: Option[Boolean], vec: Option[Seq[Float]],
                     cat: Option[String], dec: Option[BigDecimal])
 
+// one nesting level: struct-in-struct, list<struct>, map<string,double>
+case class Inner(v: Option[Long], deep: Int)
+case class Outer(s: Option[String], inner: Inner)
+case class Pt(x: Double, tag: Option[String])
+case class NestedRec(id: Long, outer: Outer, pts: Seq[Pt],
+                     attrs: Map[String, Option[Double]])
+
 class LancePropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -30,6 +37,20 @@ class LancePropertySpec extends AnyFunSuite {
       .map(n => BigDecimal(n, 4)))
   } yield LanceRec(id, s, d, i, f, b, vec, cat, dec)
 
+  val nestedGen: Gen[NestedRec] = for {
+    id <- Gen.long
+    inS <- Gen.option(Gen.alphaNumStr.map(_.take(12)))
+    inL <- Gen.option(Gen.chooseNum(-1000000L, 1000000L))
+    deep <- Gen.chooseNum(-100, 100)
+    pts <- Gen.listOfN(3, for {
+      x <- Gen.chooseNum(-1e6, 1e6)
+      tag <- Gen.option(Gen.oneOf("a", "b"))
+    } yield Pt(x, tag)).map(_.toSeq)
+    nPts <- Gen.chooseNum(0, 3)
+    attrs <- Gen.mapOfN(3, Gen.zip(Gen.alphaNumStr.map(_.take(6)),
+                                   Gen.option(Gen.chooseNum(-1e3, 1e3))))
+  } yield NestedRec(id, Outer(inS, Inner(inL, deep)), pts.take(nPts), attrs)
+
   test("random rows with nulls round-trip through lance (5 seeded samples)") {
     import spark.implicits._
     (1L to 5L).foreach { seedN =>
@@ -42,6 +63,29 @@ class LancePropertySpec extends AnyFunSuite {
       val back = spark.read.format("lance").load(ds)
       assert(back.count() == recs.length, s"seed $seedN")
       assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty, s"seed $seedN")
+    }
+  }
+
+  test("one nesting level round-trips under fuzz: struct-in-struct, list<struct>, map") {
+    import spark.implicits._
+    (20L to 22L).foreach { seedN =>
+      val seed = org.scalacheck.rng.Seed(seedN)
+      val recs = Gen.listOfN(50, nestedGen).pureApply(Gen.Parameters.default, seed)
+      val ds = java.nio.file.Files.createTempDirectory("graft-prop-nest").toString + "/p.lance"
+      val src = recs.toDF()
+      src.write.format("lance").mode("append").save(ds)
+      val back = spark.read.format("lance").load(ds)
+      // nullability is widened on read (lance fields are all nullable);
+      // names and types must survive exactly
+      assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ==
+             src.schema.map(f => (f.name, f.dataType.simpleString)),
+        s"seed $seedN: schema mismatch")
+      assert(back.count() == recs.length, s"seed $seedN")
+      // set ops reject MAP columns: compare maps as sorted entry lists
+      def cmp(df: org.apache.spark.sql.DataFrame) =
+        df.selectExpr("id", "outer", "pts", "array_sort(map_entries(attrs)) AS attrs")
+      assert(cmp(back).exceptAll(cmp(src)).isEmpty &&
+             cmp(src).exceptAll(cmp(back)).isEmpty, s"seed $seedN")
     }
   }
 

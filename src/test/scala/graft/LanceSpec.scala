@@ -114,7 +114,7 @@ class LanceSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(ds, "data"), f.path).toString,
       f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows)
     val idField = manifest.fields.find(_.name == "id").get
-    val cols = Array(ColSpec(idField.id, idField.logicalType, Array.empty, Array.empty, Array.empty))
+    val cols = Array(ColSpec(idField.id, idField.logicalType))
     val reader = new LanceColumnarReader(part, cols, Nil, conf)
     var batches = 0
     var rows = 0L
@@ -302,7 +302,7 @@ class LanceSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(ds, "data"), f.path).toString,
       f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows)
     val kField = manifest.fields.find(_.name == "k").get
-    val cols = Array(ColSpec(kField.id, kField.logicalType, Array.empty, Array.empty, Array.empty))
+    val cols = Array(ColSpec(kField.id, kField.logicalType))
     val zf = Seq((kField.id, ZoneFilter("k", "=", 0.0,
       ZoneFilter.prefixLong("k199999".getBytes("UTF-8")), isStr = true)))
     val reader = new LanceColumnarReader(part, cols, zf, conf)

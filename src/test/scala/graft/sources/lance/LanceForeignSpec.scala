@@ -411,8 +411,7 @@ class LanceForeignSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(ds, "data"), f.path).toString,
       f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows)
     def fieldId(n: String): Int = manifest.fields.find(_.name == n).get.id
-    val specs = Array("cat", "grp", "hi_card").map(n =>
-      ColSpec(fieldId(n), "string", Array.empty, Array.empty, Array.empty))
+    val specs = Array("cat", "grp", "hi_card").map(n => ColSpec(fieldId(n), "string"))
     val pages = new FragmentPages(part, specs, Nil, conf)
     try {
       assert(pages.pageMetasOf(fieldId("cat")).forall(_.dictEnc), "cat should be dict-encoded")
