@@ -245,6 +245,22 @@ object CoreAgg {
         FROM lineitem GROUP BY l_returnflag
       ) ORDER BY l_returnflag""")),
 
+    // production twin of q01: double sums instead of the exact-decimal
+    // oracle path (the decimal tax is q01's whole CPU bill at scale;
+    // production pipelines take last-ulp nondeterminism for 4x less CPU)
+    QDef("q01p_pricing_native", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("double")).as("sum_qty"),
+             sum(col("l_extendedprice").cast("double")).as("sum_base_price"),
+             sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+               .cast("double")).as("sum_disc_price"),
+             avg(col("l_quantity").cast("double")).as("avg_qty"),
+             count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, None),
+
     // production twin of q22: native single-pass double aggregates
     // (stddev/var/corr via Spark's codegen'd central-moment updates — one
     // scan, no decimal tax). Accumulation-order dependent in the last ulps

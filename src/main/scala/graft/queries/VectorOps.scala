@@ -192,6 +192,26 @@ object VectorOps {
         .orderBy("id_a", "id_b")
     }, None),
 
+    // the declarative ANN path: plain SQL `ORDER BY graft_cosine(...) DESC
+    // LIMIT k` over the persisted index relation — no list_id or probe
+    // logic in the query text; the AnnTopKRewrite optimizer rule injects
+    // the probe filter and the scan prunes index fragments (SURVEY §4.2)
+    QDef("e06c_ann_sql", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val query = t("embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      ensureIvf(s, dir)
+      graft.plans.GraftAnn.register(s"${ivfPath(dir)}/vectors.lance",
+        Similarity.ivfCentroids(s, ivfPath(dir)), 6)
+      // sort key must be the bare kernel for the rule to recognize it
+      s.read.format("lance").load(s"${ivfPath(dir)}/vectors.lance")
+        .select(col("vec_id"),
+                Similarity.cosine(col("embedding"), typedlit(query)).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 9).as("cos"))
+    }, None),
+
     // probe-only twin: hits the memoized index (declared after e06 so a
     // sequential run has built it; standalone runs build then probe)
     QDef("e06b_ivf_probe", (s, dir) => {

@@ -74,7 +74,8 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
 
 class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[Long])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"lance.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -85,6 +86,66 @@ class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new LanceWriteBuilder(path, info)
+
+  // SQL `DELETE FROM lance.`path` WHERE ...` — filters render to a
+  // condition string and run through LanceMaintenance.deleteWhere
+  // (deletion vectors + a new manifest version; no data files rewritten)
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => LanceFilterSql.toSql(f).isDefined)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond =
+      if (filters.isEmpty) "true"
+      else filters.flatMap(LanceFilterSql.toSql).map(s => s"($s)").mkString(" AND ")
+    LanceMaintenance.deleteWhere(SparkSession.active, path, cond)
+  }
+}
+
+/** Renders DSv2 source filters back to SQL text for deleteWhere. */
+object LanceFilterSql {
+  import org.apache.spark.sql.sources._
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      Some("'" + s.toString.replace("'", "''") + "'")
+    case b: Boolean => Some(b.toString)
+    case n: java.lang.Number => Some(n.toString)
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case t: java.time.Instant => Some(s"TIMESTAMP '${java.sql.Timestamp.from(t)}'")
+    case _ => None
+  }
+  private def col(a: String): String = s"`${a.replace("`", "``")}`"
+
+  def toSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => lit(v).map(l => s"${col(a)} = $l")
+    case EqualNullSafe(a, v) =>
+      lit(v).map(l => s"${col(a)} <=> $l").orElse(Some(s"${col(a)} IS NULL"))
+    case GreaterThan(a, v) => lit(v).map(l => s"${col(a)} > $l")
+    case GreaterThanOrEqual(a, v) => lit(v).map(l => s"${col(a)} >= $l")
+    case LessThan(a, v) => lit(v).map(l => s"${col(a)} < $l")
+    case LessThanOrEqual(a, v) => lit(v).map(l => s"${col(a)} <= $l")
+    case In(a, vs) if vs.nonEmpty =>
+      val ls = vs.map(lit)
+      if (ls.forall(_.isDefined)) Some(s"${col(a)} IN (${ls.flatten.mkString(", ")})")
+      else None
+    case IsNull(a) => Some(s"${col(a)} IS NULL")
+    case IsNotNull(a) => Some(s"${col(a)} IS NOT NULL")
+    case Not(child) => toSql(child).map(s => s"NOT ($s)")
+    case And(l, r) => for (a <- toSql(l); b <- toSql(r)) yield s"($a) AND ($b)"
+    case Or(l, r) => for (a <- toSql(l); b <- toSql(r)) yield s"($a) OR ($b)"
+    case StringStartsWith(a, v) =>
+      Some(s"${col(a)} LIKE '${v.replace("'", "''")}%'")
+    case StringEndsWith(a, v) =>
+      Some(s"${col(a)} LIKE '%${v.replace("'", "''")}'")
+    case StringContains(a, v) =>
+      Some(s"${col(a)} LIKE '%${v.replace("'", "''")}%'")
+    case AlwaysTrue() => Some("true")
+    case AlwaysFalse() => Some("false")
+    case _ => None
+  }
 }
 
 /** A predicate usable against page zone maps (conservative: anything not

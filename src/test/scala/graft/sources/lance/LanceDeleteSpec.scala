@@ -112,6 +112,24 @@ class LanceDeleteSpec extends AnyFunSuite {
     assert(offs.head == 0L && offs.last == offs.length - 1)
   }
 
+  test("SQL DELETE FROM through the lance catalog writes deletion vectors") {
+    val ds = tmpDs()
+    writeIds(ds, 600, 2)
+    spark.sql(s"DELETE FROM lance.`$ds` WHERE grp = 2 OR id >= 550")
+    val back = spark.read.format("lance").load(ds)
+    val expect = spark.range(600).filter("NOT (id % 7 = 2 OR id >= 550)").count()
+    assert(back.count() == expect)
+    assert(back.filter("grp = 2 OR id >= 550").count() == 0)
+    // string predicates render too (startswith -> StringStartsWith; plain
+    // LIKE is not translated to a source filter by Spark's DELETE path)
+    val ds2 = tmpDs()
+    spark.range(100).selectExpr("id", "concat('cat_', id % 3) AS tag")
+      .coalesce(1).write.format("lance").mode("append").save(ds2)
+    spark.sql(s"DELETE FROM lance.`$ds2` WHERE startswith(tag, 'cat_1')")
+    assert(spark.read.format("lance").load(ds2).count() ==
+      spark.range(100).filter("id % 3 <> 1").count())
+  }
+
   test("compact materializes deletes and keeps history readable") {
     val ds = tmpDs()
     writeIds(ds, 400, 2)
