@@ -80,7 +80,7 @@ class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LanceScanBuilder(path, tableSchema, versionAsOf)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -354,16 +354,25 @@ class LanceScan(path: String, full: StructType, required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // map required column names -> ColSpec (children resolved for
-    // list/struct columns)
+  /** Required column names -> ColSpec field trees (minus `_rowaddr`). */
+  private def requiredSpecs: Array[ColSpec] = {
     val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f).toMap
-    // `_rowaddr` is synthetic (no physical column): readers weave it in
-    val rowAddrPos = required.fieldNames.indexOf("_rowaddr")
     def specOf(f: LanceFormat.LanceField): ColSpec =
       ColSpec(f.id, f.logicalType, f.name,
         manifest.fields.filter(_.parentId == f.id).map(specOf).toArray)
-    val cols = required.fieldNames.filterNot(_ == "_rowaddr").map(n => specOf(byName(n)))
+    required.fieldNames.filterNot(_ == "_rowaddr").map(n => specOf(byName(n)))
+  }
+
+  /** Streaming source: tail appended versions as micro-batches. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LanceMicroBatchStream(path, requiredSpecs, checkpointLocation)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f).toMap
+    // `_rowaddr` is synthetic (no physical column): readers weave it in
+    val rowAddrPos = required.fieldNames.indexOf("_rowaddr")
+    val cols = requiredSpecs
     // zone filters resolved to field ids (unknown columns dropped)
     val zf = zoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z)))
     // ship the session's Hadoop conf to executors (object-store credentials,

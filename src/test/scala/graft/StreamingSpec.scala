@@ -135,6 +135,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.format("lance").option("versionAsOf", "1").load(sinkDir).count() > 0)
   }
 
+  test("lance streaming source tails appended versions exactly once") {
+    val ds = java.nio.file.Files.createTempDirectory("graft-src").toString + "/tail.lance"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-src-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-src-out").toString
+    def sunk() = spark.read.parquet(out)
+    def tail() = spark.readStream.format("lance").load(ds)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    spark.range(0, 100).selectExpr("id", "id % 5 AS grp")
+      .coalesce(2).write.format("lance").mode("append").save(ds)
+    val q = tail()
+    try {
+      q.processAllAvailable()
+      assert(sunk().count() == 100)
+      // append a version: only the new fragments arrive (no re-emission)
+      spark.range(100, 160).selectExpr("id", "id % 5 AS grp")
+        .coalesce(1).write.format("lance").mode("append").save(ds)
+      q.processAllAvailable()
+      assert(sunk().count() == 160)
+      assert(sunk().select("id").distinct().count() == 160)
+    } finally q.stop()
+    // restart from the checkpoint: offsets recover, and a version whose
+    // new fragments carry deletion vectors by the time they're FIRST
+    // planned is masked (deletes are not retroactive — the append and
+    // delete land while no query is polling)
+    spark.range(200, 260).selectExpr("id", "id % 5 AS grp")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, "id >= 250")
+    val q2 = tail()
+    try {
+      q2.processAllAvailable()
+      assert(sunk().count() == 210) // 160 prior + 50 live new, none re-emitted
+      assert(sunk().filter("id >= 250").count() == 0)
+      assert(sunk().select("id").distinct().count() == 210)
+    } finally q2.stop()
+  }
+
+  test("lance streaming source refuses overwritten history") {
+    val ds = java.nio.file.Files.createTempDirectory("graft-src2").toString + "/tail.lance"
+    spark.range(0, 50).selectExpr("id").coalesce(2)
+      .write.format("lance").mode("append").save(ds)
+    val stream = new graft.sources.lance.LanceMicroBatchStream(ds, Array.empty, "")
+    val v1 = stream.latestOffset()
+    spark.range(0, 10).selectExpr("id").coalesce(1)
+      .write.format("lance").mode("overwrite").save(ds)
+    val v2 = stream.latestOffset()
+    val e = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(v1, v2)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
