@@ -72,6 +72,13 @@ object LanceEncodings {
   final case class CFlat(bits: Int) extends CEnc
   final case class CInlineBitpack(ubits: Int) extends CEnc
   final case class CVariable(bitsPerOffset: Int) extends CEnc
+  /** General block compression wrapping an inner encoding. Chunk content:
+    * u32 LE compressed length, then that many compressed bytes (zero pad
+    * to the 8-byte chunk boundary); decompressed bytes decode via `inner`.
+    * Proto (assumed, fixture-pinned): tag 4 = General{ compression = 1
+    * { scheme: string = 1 }, inner CompressiveEncoding = 2 }; schemes
+    * "zstd" and "lz4" (frame format) — the codecs Spark itself ships. */
+  final case class CGeneral(scheme: String, inner: CEnc) extends CEnc
 
   // ---- parsing -----------------------------------------------------------
   /** Parse a Page proto's `encoding` field (tag 4) into a [[PageEnc]].
@@ -99,12 +106,15 @@ object LanceEncodings {
           val value = Proto.firstBytes(af, 2).getOrElse(Array.emptyByteArray)
           if (url.endsWith("ArrayEncoding")) classify(parseArray(value))
           else if (url.endsWith("PageLayout")) parseLayout(value)
-          else NativeShape // unknown wrapper: fall back to positional decode
-        }.getOrElse(NativeShape)
-      }.getOrElse(NativeShape)
+          // unknown wrapper: positional decode would read garbage — carry
+          // a clear decode-time error instead
+          else ForeignArray(AUnsupported(s"page encoding wrapper '$url'"))
+        }.getOrElse(
+          ForeignArray(AUnsupported("unrecognized page encoding structure")))
+      }.getOrElse(NativeShape) // no encoding recorded: positional layout
     } catch {
-      case _: UnsupportedOperationException | _: IllegalArgumentException |
-           _: ArrayIndexOutOfBoundsException => NativeShape
+      case _: RuntimeException | _: ArrayIndexOutOfBoundsException =>
+        ForeignArray(AUnsupported("malformed page encoding proto"))
     }
 
   /** Our own writer emits flat (via nullable.no_nulls) and binary trees but
@@ -213,6 +223,12 @@ object LanceEncodings {
         CInlineBitpack(Proto.firstVarint(Proto.parse(f.bytes), 1).getOrElse(64L).toInt)
       case Some(f) if f.tag == 3 =>
         CVariable(Proto.firstVarint(Proto.parse(f.bytes), 1).getOrElse(32L).toInt)
+      case Some(f) if f.tag == 4 =>
+        val g = Proto.parse(f.bytes)
+        val scheme = Proto.firstBytes(g, 1)
+          .flatMap(c => Proto.firstString(Proto.parse(c), 1)).getOrElse("zstd")
+        val inner = Proto.firstBytes(g, 2).map(parseCompressive).getOrElse(CFlat(64))
+        CGeneral(scheme, inner)
       case _ => CFlat(64)
     }
   }
@@ -453,5 +469,38 @@ object LanceEncodings {
           prev = end
           i += 1
         }
+      case CGeneral(scheme, inner) =>
+        val clen = java.nio.ByteBuffer.wrap(data, off, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val comp = java.util.Arrays.copyOfRange(data, off + 4, off + 4 + clen)
+        val plain = decompress(scheme, comp)
+        decodeChunk(lt, inner, plain, 0, plain.length, n, out, start)
+    }
+
+  private[lance] def decompress(scheme: String, bytes: Array[Byte]): Array[Byte] =
+    scheme match {
+      case "zstd" =>
+        val size = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+        require(size > 0 && size < Int.MaxValue, s"zstd frame size $size")
+        com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
+      case "lz4" =>
+        val in = new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      case "none" => bytes
+      case other => throw new UnsupportedOperationException(
+        s"lance general compression scheme '$other' (zstd/lz4/none supported)")
+    }
+
+  private[lance] def compress(scheme: String, bytes: Array[Byte]): Array[Byte] =
+    scheme match {
+      case "zstd" => com.github.luben.zstd.Zstd.compress(bytes)
+      case "lz4" =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        out.write(bytes); out.close()
+        bos.toByteArray
+      case "none" => bytes
+      case other => throw new UnsupportedOperationException(s"compress: $other")
     }
 }

@@ -177,10 +177,16 @@ class SimilaritySpec extends AnyFunSuite {
       query, k = 10, nProbe = 6).select("vec_id").as[Long].collect().toSeq
     assert(fresh == inSession && fresh.length == 10)
     // the index layout range-partitions by list_id -> multiple fragments,
-    // and a probe's IN-filter shows up as a zone filter on the scan
-    val probed = Similarity.ivfSearchPersisted(spark, idx, "vec_id", "embedding",
-      query, k = 10, nProbe = 2)
-    assert(probed.queryExecution.executedPlan.toString.contains("list_id"))
+    // and a probe's IN-filter prunes whole fragments at plan time: the
+    // probed scan plans strictly fewer partitions than the full scan
+    val vectors = spark.read.format("lance").load(s"$idx/vectors.lance")
+    val fullParts = vectors.rdd.getNumPartitions
+    val probedParts = vectors
+      .filter(col("list_id").isin(0, 1))
+      .select("vec_id").rdd.getNumPartitions
+    assert(fullParts > 1, s"index should span fragments, got $fullParts")
+    assert(probedParts < fullParts,
+      s"probe did not prune fragments: $probedParts vs $fullParts")
   }
 
   test("ORDER BY graft_cosine DESC LIMIT k over a registered index is probe-pruned") {

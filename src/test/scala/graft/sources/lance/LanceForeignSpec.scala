@@ -350,6 +350,46 @@ class LanceForeignSpec extends AnyFunSuite {
     assert(back.filter("mb >= 100").count() == 2)
   }
 
+  test("general-compressed (zstd/lz4) miniblock chunks decode through the connector") {
+    val ds = tmpDs()
+    val n = 40
+    def generalLayout(scheme: String, innerTag: Int, innerField1: Int): Array[Byte] = {
+      val compMsg = new Proto.Writer; compMsg.string(1, scheme)
+      val inner = new Proto.Writer; inner.bytes(innerTag,
+        { val w = new Proto.Writer; w.varint(1, innerField1.toLong); w.result() })
+      val gen = new Proto.Writer; gen.message(1, compMsg).bytes(2, inner.result())
+      val comp = new Proto.Writer; comp.message(4, gen)
+      val mb = new Proto.Writer; mb.bytes(3, comp.result())
+      val pl = new Proto.Writer; pl.message(1, mb)
+      anyWrap("/lance.encodings.PageLayout", pl.result())
+    }
+    def pad8(b: Array[Byte]): Array[Byte] = b ++ new Array[Byte]((8 - b.length % 8) % 8)
+    // strings: inner = variable (u32 end offsets + bytes), zstd-compressed
+    val strs = (0 until n).map(i => s"payload_${i}_" + ("x" * (i % 7)))
+    val sBytes = strs.mkString.getBytes("UTF-8")
+    val sOffs = strs.scanLeft(0)(_ + _.length).tail
+    val plain = ints(sOffs: _*) ++ sBytes
+    def chunkOf(scheme: String): Array[Byte] = {
+      val comp = LanceEncodings.compress(scheme, plain)
+      pad8(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(comp.length).array() ++ comp)
+    }
+    def word(bytes: Int): Short = (bytes / 8).toShort // single last chunk
+    val zChunk = chunkOf("zstd")
+    val lChunk = chunkOf("lz4")
+    val zWords = ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(word(zChunk.length)).array()
+    val lWords = ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(word(lChunk.length)).array()
+    writeForeign(ds, Seq(
+      ("sz", "string", Seq((Seq(zWords, zChunk), n.toLong, generalLayout("zstd", 3, 32)))),
+      ("sl", "string", Seq((Seq(lWords, lChunk), n.toLong, generalLayout("lz4", 3, 32))))))
+    val back = spark.read.format("lance").load(ds).collect()
+    assert(back.length == n)
+    assert(back.map(_.getString(0)).toSet == strs.toSet)
+    assert(back.forall(r => r.getString(0) == r.getString(1)))
+  }
+
   test("fixedSizeList write option stores vectors as lance FSL and round-trips") {
     val ds = tmpDs()
     val src = spark.range(1000).selectExpr(
