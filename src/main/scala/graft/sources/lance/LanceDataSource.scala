@@ -487,18 +487,10 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
 
   private val metaCache = scala.collection.mutable.HashMap.empty[Int, IndexedSeq[PMeta]]
 
-  /** Deleted row offsets of this fragment (deletion_file BITMAP = roaring;
-    * ARROW_ARRAY deletion files are rejected with a clear error rather
-    * than silently resurrecting rows). */
-  private val deletedRows: Option[java.util.BitSet] = part.deletionPath.map { dp =>
-    require(dp.endsWith(".bin"),
-      s"lance: ARROW_ARRAY deletion files not supported by this reader: $dp")
-    val (dfs, dpath) = LanceFormat.fileSystem(dp, conf)
-    val offs = Roaring.deserialize(LanceFormat.readWholeFile(dfs, dpath))
-    val bs = new java.util.BitSet()
-    offs.foreach(bs.set)
-    bs
-  }
+  /** Deleted row offsets of this fragment (deletion_file BITMAP = roaring
+    * `.bin`, or ARROW_ARRAY `.arrow` via the Arrow Java reader). */
+  private val deletedRows: Option[java.util.BitSet] =
+    part.deletionPath.map(DeletionFiles.read(_, conf))
   def hasDeletions: Boolean = deletedRows.isDefined
   def isDeleted(physRow: Long): Boolean =
     deletedRows.exists(_.get(physRow.toInt))

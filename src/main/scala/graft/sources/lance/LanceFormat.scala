@@ -38,8 +38,9 @@ object LanceFormat {
   /** Fragment `deletion_file` (DataFragment proto field 3): rows masked
     * out without rewriting data files. fileType 1 = BITMAP (serialized
     * roaring bitmap of deleted row offsets, suffix `.bin`); 0 =
-    * ARROW_ARRAY (suffix `.arrow` — not readable here, clear error).
-    * Path: `_deletions/{fragmentId}-{readVersion}-{id}.{suffix}`. */
+    * ARROW_ARRAY (suffix `.arrow`, an Arrow IPC file of offsets — see
+    * [[DeletionFiles]]). Path:
+    * `_deletions/{fragmentId}-{readVersion}-{id}.{suffix}`. */
   final case class DeletionFileMeta(readVersion: Long, id: Long, fileType: Int,
                                     numDeleted: Long) {
     def fileName(fragmentId: Long): String = {

@@ -81,9 +81,21 @@ object LanceMaintenance {
         fragId -> meta
     }
 
-    // proto-level manifest patch: preserve everything verbatim except the
-    // version (top-level tag 3) and the touched fragments' deletion_file
-    // (fragment tag 3)
+    commitDeletionPatch(conf, p, manifestPath, delMetas, newVersion)
+    newVersion
+  }
+
+  /** Proto-level manifest patch committing `delMetas` as the fragments'
+    * deletion_file entries at `newVersion`: everything else is re-emitted
+    * verbatim (unmodeled fields survive), so the patch composes with any
+    * writer. Shared by [[deleteWhere]], merge-insert, and tests. */
+  private[lance] def commitDeletionPatch(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path,
+      manifestPath: org.apache.hadoop.fs.Path,
+      delMetas: Map[Long, LanceFormat.DeletionFileMeta],
+      newVersion: Long): Unit = {
+    val (fs, _) = LanceFormat.fileSystem(p.toString, conf)
     val rawAll = LanceFormat.readWholeFile(fs, manifestPath)
     val pbLen = (rawAll(0) & 0xff) | ((rawAll(1) & 0xff) << 8) |
                 ((rawAll(2) & 0xff) << 16) | ((rawAll(3) & 0xff) << 24)
@@ -108,6 +120,5 @@ object LanceMaintenance {
       } else w.raw(f)
     }
     LanceWriteSupport.commitManifest(conf, p, w.result(), newVersion)
-    newVersion
   }
 }

@@ -130,6 +130,55 @@ class LanceDeleteSpec extends AnyFunSuite {
       spark.range(100).filter("id % 3 <> 1").count())
   }
 
+  test("ARROW_ARRAY deletion files (foreign writer form) mask rows on read") {
+    val ds = tmpDs()
+    writeIds(ds, 200, 1) // single fragment, offsets = ids
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(ds, conf)
+    val manifestPath = LanceFormat.latestManifestPath(fs, p, None)
+    val manifest = LanceFormat.readManifest(fs, manifestPath)
+    val fragId = manifest.fragments.head.id
+
+    // craft the Arrow IPC deletion file the lance crate would write:
+    // one uint32 column of deleted physical offsets
+    val deleted = Array(3, 4, 5, 17, 150, 199)
+    val meta = LanceFormat.DeletionFileMeta(
+      readVersion = manifest.version, id = 42L, fileType = 0,
+      numDeleted = deleted.length.toLong)
+    assert(meta.fileName(fragId).endsWith(".arrow"))
+    val delDir = new org.apache.hadoop.fs.Path(p, "_deletions")
+    fs.mkdirs(delDir)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val bos = new java.io.ByteArrayOutputStream()
+    try {
+      val field = new org.apache.arrow.vector.types.pojo.Field(
+        "row_id", org.apache.arrow.vector.types.pojo.FieldType.nullable(
+          new org.apache.arrow.vector.types.pojo.ArrowType.Int(32, false)), null)
+      val schema = new org.apache.arrow.vector.types.pojo.Schema(
+        java.util.Collections.singletonList(field))
+      val root = org.apache.arrow.vector.VectorSchemaRoot.create(schema, alloc)
+      try {
+        val v = root.getVector(0).asInstanceOf[org.apache.arrow.vector.UInt4Vector]
+        v.allocateNew(deleted.length)
+        deleted.zipWithIndex.foreach { case (d, i) => v.setSafe(i, d) }
+        root.setRowCount(deleted.length)
+        val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+          root, null, java.nio.channels.Channels.newChannel(bos))
+        try { w.start(); w.writeBatch(); w.end() } finally w.close()
+      } finally root.close()
+    } finally alloc.close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(delDir, meta.fileName(fragId)), true)
+    try out.write(bos.toByteArray) finally out.close()
+    LanceMaintenance.commitDeletionPatch(
+      conf, p, manifestPath, Map(fragId -> meta), manifest.version + 1)
+
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 200 - deleted.length)
+    assert(back.filter(col("id").isin(deleted.map(_.toLong): _*)).count() == 0)
+    assert(back.agg(sum("id")).head.getLong(0) ==
+      (0L until 200L).sum - deleted.map(_.toLong).sum)
+  }
+
   test("compact materializes deletes and keeps history readable") {
     val ds = tmpDs()
     writeIds(ds, 400, 2)
