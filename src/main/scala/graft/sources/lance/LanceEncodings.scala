@@ -18,13 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `encodings.proto` ordering and are documented here as assumptions
   *    (no reference-written file with them exists in this container):
   *    fixed_size_list=3 (items=1, dimension=2), dictionary=4 (indices=1,
-  *    items=2, num_dictionary_items=3), fsst=7 (unsupported — clear
-  *    error), bitpacked=8 (compressed_bits=1, uncompressed_bits=2,
-  *    buffer=3, signed=4), bitpacked_for_non_neg=10 (same minus signed),
-  *    constant=11 (value=1, num_values=2).
+  *    items=2, num_dictionary_items=3), fsst=7 (binary=1, symbol_table=2
+  *    — see [[AFsst]]), bitpacked=8 (compressed_bits=1,
+  *    uncompressed_bits=2, buffer=3, signed=4), bitpacked_for_non_neg=10
+  *    (same minus signed), constant=11 (value=1, num_values=2).
   *
   *  - `/lance.encodings.PageLayout` — the 2.1 structural layout:
-  *    mini_block=1, full_zip=2 (unsupported — error), all_null=3.
+  *    mini_block=1, full_zip=2 (see [[FullZipPage]]), all_null=3.
   *    MiniBlockLayout{def_compression=2, value_compression=3,
   *    repetition_index_depth=4}; compressive encodings: flat=1
   *    {bits_per_value=1}, inline_bitpacking=2 {uncompressed_bits=1},
@@ -51,7 +51,20 @@ object LanceEncodings {
   /** No encoding proto, or one matching our writer's conventions. */
   case object NativeShape extends PageEnc
   final case class ForeignArray(enc: AEnc) extends PageEnc { override def foreign = true }
-  final case class MiniBlockPage(valComp: CEnc, hasDef: Boolean) extends PageEnc {
+  /** 2.1 miniblock page. `defComp`, when present, compresses per-item u16
+    * definition levels (0 = null, >0 = present for a flat column); each
+    * chunk then lays out [def section (8-byte aligned)][values for
+    * non-null items]. */
+  final case class MiniBlockPage(valComp: CEnc, defComp: Option[CEnc]) extends PageEnc {
+    override def foreign = true
+  }
+  /** 2.1 full-zip page: items stored self-contained in one buffer. Layout
+    * per item (assumed, fixture-pinned): optional 1-byte def marker when
+    * `hasDef` (0 = null, no value bytes follow), then the value — fixed
+    * `bits/8` bytes for [[CFlat]], or a `bits_per_offset/8`-byte LE length
+    * prefix + bytes for [[CVariable]]. Repetition levels (nested zips)
+    * unsupported — clear error. */
+  final case class FullZipPage(enc: CEnc, hasDef: Boolean) extends PageEnc {
     override def foreign = true
   }
   case object AllNullPage extends PageEnc { override def foreign = true }
@@ -66,6 +79,14 @@ object LanceEncodings {
   final case class ADict(indices: AEnc, items: AEnc, numItems: Int) extends AEnc
   final case class ABitpacked(cbits: Int, ubits: Int, bufIdx: Int, signed: Boolean) extends AEnc
   final case class AConstant(value: Array[Byte], n: Long) extends AEnc
+  /** FSST-compressed strings (public FSST scheme — Boncz et al., VLDB'20):
+    * `binary` is the usual offsets+bytes tree whose byte ranges hold the
+    * compressed form; `table` is the serialized symbol table. Proto
+    * (assumed, fixture-pinned): Fsst{ binary ArrayEncoding = 1,
+    * symbol_table bytes = 2 }. Table layout (assumed): n = len/9 symbols —
+    * n 8-byte LE symbol slots then n length bytes. Decode: code 255
+    * escapes the next literal byte; any other code c emits symbol c. */
+  final case class AFsst(binary: AEnc, table: Array[Byte]) extends AEnc
   final case class AUnsupported(what: String) extends AEnc
 
   sealed trait CEnc
@@ -186,7 +207,11 @@ object LanceEncodings {
           val m = Proto.parse(f.bytes)
           AConstant(Proto.firstBytes(m, 1).getOrElse(Array.emptyByteArray),
                     Proto.firstVarint(m, 2).getOrElse(0L))
-        case 7 => AUnsupported("fsst")
+        case 7 => // Fsst
+          val m = Proto.parse(f.bytes)
+          AFsst(
+            Proto.firstBytes(m, 1).map(parseArray).getOrElse(AUnsupported("fsst w/o binary")),
+            Proto.firstBytes(m, 2).getOrElse(Array.emptyByteArray))
         case other => AUnsupported(s"ArrayEncoding tag $other")
       }
     }
@@ -203,15 +228,25 @@ object LanceEncodings {
     Proto.firstBytes(fs, 1).map { mb => // mini_block_layout
       val m = Proto.parse(mb)
       val valComp = Proto.firstBytes(m, 3).map(parseCompressive).getOrElse(CFlat(64))
-      MiniBlockPage(valComp, hasDef = Proto.firstBytes(m, 2).isDefined)
-    }.orElse(Proto.firstBytes(fs, 3).map(_ => AllNullPage: PageEnc))
-     .getOrElse {
-       // full-zip (tag 2) or unknown: surface a clear decode-time error
-       // instead of silently mis-decoding the buffers positionally
-       ForeignArray(AUnsupported(
-         if (Proto.firstBytes(fs, 2).isDefined) "2.1 full-zip page layout"
-         else "unrecognized 2.1 page layout"))
-     }
+      MiniBlockPage(valComp, defComp = Proto.firstBytes(m, 2).map(parseCompressive))
+    }.orElse(Proto.firstBytes(fs, 2).map { fz => // full_zip_layout
+      // FullZipLayout (assumed tags): bits_rep=1, bits_def=2, details
+      // oneof { bits_per_value=3 | bits_per_offset=4 },
+      // value_compression=5
+      val m = Proto.parse(fz)
+      val bitsRep = Proto.firstVarint(m, 1).getOrElse(0L).toInt
+      val bitsDef = Proto.firstVarint(m, 2).getOrElse(0L).toInt
+      if (bitsRep > 0)
+        ForeignArray(AUnsupported("full-zip page with repetition levels")): PageEnc
+      else {
+        val enc = Proto.firstBytes(m, 5).map(parseCompressive)
+          .orElse(Proto.firstVarint(m, 3).map(b => CFlat(b.toInt): CEnc))
+          .orElse(Proto.firstVarint(m, 4).map(b => CVariable(b.toInt): CEnc))
+          .getOrElse(CFlat(64))
+        FullZipPage(enc, hasDef = bitsDef > 0)
+      }
+    }).orElse(Proto.firstBytes(fs, 3).map(_ => AllNullPage: PageEnc))
+     .getOrElse(ForeignArray(AUnsupported("unrecognized 2.1 page layout")))
   }
 
   private def parseCompressive(bytes: Array[Byte]): CEnc = {
@@ -240,10 +275,10 @@ object LanceEncodings {
     val out = new Array[Any](rows)
     enc match {
       case ForeignArray(tree) => decodeTree(logicalType, tree, bufs, rows, out)
-      case MiniBlockPage(valComp, hasDef) =>
-        if (hasDef) throw new UnsupportedOperationException(
-          "lance miniblock pages with definition levels not supported")
-        decodeMiniBlock(logicalType, valComp, bufs, rows, out)
+      case MiniBlockPage(valComp, defComp) =>
+        decodeMiniBlock(logicalType, valComp, defComp, bufs, rows, out)
+      case FullZipPage(zenc, hasDef) =>
+        decodeFullZip(logicalType, zenc, hasDef, bufs, rows, out)
       case AllNullPage => // out stays null
       case NativeShape =>
         throw new IllegalStateException("decodeForeign called on a native page")
@@ -325,6 +360,22 @@ object LanceEncodings {
       val v = constantValue(lt, value)
       var i = 0
       while (i < rows) { out(i) = v; i += 1 }
+    case AFsst(inner, table) =>
+      val comp = new Array[Any](rows)
+      decodeTree("binary", inner, bufs, rows, comp)
+      val (syms, lens) = parseFsstTable(table)
+      val isBin = lt.contains("binary")
+      var i = 0
+      while (i < rows) {
+        comp(i) match {
+          case null => // stays null
+          case b: Array[Byte] =>
+            val plain = fsstDecode(b, syms, lens)
+            out(i) = if (isBin) plain else UTF8String.fromBytes(plain)
+          case other => throw new IllegalStateException(s"fsst inner value $other")
+        }
+        i += 1
+      }
     case AUnsupported(what) =>
       throw new UnsupportedOperationException(
         s"lance page encoding not supported by this reader: $what (type $lt)")
@@ -406,6 +457,73 @@ object LanceEncodings {
     }
   }
 
+  /** Parse the serialized FSST symbol table: n = len/9 symbols laid out as
+    * n 8-byte LE symbol slots then n length bytes (1..8). */
+  private[lance] def parseFsstTable(table: Array[Byte]): (Array[Array[Byte]], Array[Int]) = {
+    require(table.length % 9 == 0,
+      s"fsst symbol table length ${table.length} not a multiple of 9")
+    val n = table.length / 9
+    require(n <= 255, s"fsst symbol table holds $n symbols (max 255)")
+    val syms = new Array[Array[Byte]](n)
+    val lens = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val len = table(n * 8 + i) & 0xff
+      require(len >= 1 && len <= 8, s"fsst symbol $i length $len")
+      syms(i) = java.util.Arrays.copyOfRange(table, i * 8, i * 8 + len)
+      lens(i) = len
+      i += 1
+    }
+    (syms, lens)
+  }
+
+  /** FSST decompress one value: code 255 = escape (emit next byte),
+    * code c < table size = emit symbol c. */
+  private[lance] def fsstDecode(in: Array[Byte], syms: Array[Array[Byte]],
+                                lens: Array[Int]): Array[Byte] = {
+    // worst case 8x expansion
+    val out = new java.io.ByteArrayOutputStream(in.length * 4)
+    var i = 0
+    while (i < in.length) {
+      val c = in(i) & 0xff
+      if (c == 255) {
+        require(i + 1 < in.length, "fsst escape at end of input")
+        out.write(in(i + 1))
+        i += 2
+      } else {
+        require(c < syms.length, s"fsst code $c outside symbol table (${syms.length})")
+        out.write(syms(c), 0, lens(c))
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Fixture-side FSST encoder (greedy longest-match over the same table
+    * layout) — exists so tests can produce well-formed compressed pages. */
+  private[lance] def fsstEncode(plain: Array[Byte], syms: Array[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(plain.length)
+    var i = 0
+    while (i < plain.length) {
+      var best = -1
+      var bestLen = 0
+      var c = 0
+      while (c < syms.length) {
+        val s = syms(c)
+        if (s.length > bestLen && i + s.length <= plain.length) {
+          var j = 0
+          var ok = true
+          while (ok && j < s.length) { ok = s(j) == plain(i + j); j += 1 }
+          if (ok) { best = c; bestLen = s.length }
+        }
+        c += 1
+      }
+      if (best >= 0) { out.write(best); i += bestLen }
+      else { out.write(255); out.write(plain(i)); i += 1 }
+    }
+    out.toByteArray
+  }
+
   private def constantValue(lt: String, value: Array[Byte]): Any = lt match {
     case "string" | "utf8" | "large_string" => UTF8String.fromBytes(value)
     case "binary" | "large_binary" => value
@@ -417,8 +535,8 @@ object LanceEncodings {
   }
 
   // ---- miniblock ---------------------------------------------------------
-  private def decodeMiniBlock(lt: String, valComp: CEnc, bufs: Seq[Array[Byte]],
-                              rows: Int, out: Array[Any]): Unit = {
+  private def decodeMiniBlock(lt: String, valComp: CEnc, defComp: Option[CEnc],
+                              bufs: Seq[Array[Byte]], rows: Int, out: Array[Any]): Unit = {
     require(bufs.length >= 2, s"miniblock page expects [chunk words, data], got ${bufs.length}")
     val words = bufs(0)
     val data = bufs(1)
@@ -434,12 +552,101 @@ object LanceEncodings {
       val isLast = c == nChunks - 1
       val declared = 1 << logVals
       val chunkVals = if (isLast) rows - row else math.min(declared, rows - row)
-      decodeChunk(lt, valComp, data, dataOff, chunkBytes, chunkVals, out, row)
+      defComp match {
+        case None =>
+          decodeChunk(lt, valComp, data, dataOff, chunkBytes, chunkVals, out, row)
+        case Some(dc) =>
+          // [def section, 8-byte aligned][values for non-null items]
+          val (levels, defRaw) = decodeLevels(dc, data, dataOff, chunkVals)
+          val defBytes = align8(defRaw)
+          var nonNull = 0
+          var i = 0
+          while (i < chunkVals) { if (levels(i) > 0) nonNull += 1; i += 1 }
+          val tmp = new Array[Any](nonNull)
+          if (nonNull > 0)
+            decodeChunk(lt, valComp, data, dataOff + defBytes,
+                        chunkBytes - defBytes, nonNull, tmp, 0)
+          var v = 0
+          i = 0
+          while (i < chunkVals) {
+            if (levels(i) > 0) { out(row + i) = tmp(v); v += 1 }
+            i += 1
+          }
+      }
       row += chunkVals
       dataOff += chunkBytes
       c += 1
     }
     require(row >= rows, s"miniblock decoded $row of $rows rows")
+  }
+
+  private def align8(n: Int): Int = (n + 7) & ~7
+
+  /** Decode `n` u16 definition levels at `off` with `comp`; returns
+    * (levels, raw bytes consumed before alignment). */
+  private def decodeLevels(comp: CEnc, data: Array[Byte], off: Int,
+                           n: Int): (Array[Int], Int) = comp match {
+    case CFlat(bits) =>
+      require(bits == 16 || bits == 8, s"def-level width $bits unsupported")
+      val w = bits / 8
+      val levels = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        levels(i) =
+          if (w == 1) data(off + i) & 0xff
+          else (data(off + i * 2) & 0xff) | ((data(off + i * 2 + 1) & 0xff) << 8)
+        i += 1
+      }
+      (levels, n * w)
+    case CInlineBitpack(_) =>
+      val w = data(off) & 0xff
+      val packedBytes = (n.toLong * w + 7).toInt / 8
+      val packed = java.util.Arrays.copyOfRange(data, off + 1, off + 1 + packedBytes)
+      val longs = unpackBits(packed, w, n, signed = false)
+      (longs.map(_.toInt), 1 + packedBytes)
+    case other => throw new UnsupportedOperationException(
+      s"miniblock def-level compression $other")
+  }
+
+  // ---- full-zip ----------------------------------------------------------
+  private def decodeFullZip(lt: String, zenc: CEnc, hasDef: Boolean,
+                            bufs: Seq[Array[Byte]], rows: Int, out: Array[Any]): Unit = {
+    require(bufs.nonEmpty, "full-zip page expects one data buffer")
+    val data = bufs(0)
+    val isBin = lt.contains("binary")
+    var off = 0
+    var i = 0
+    zenc match {
+      case CFlat(bits) =>
+        val w = math.max(1, bits / 8)
+        val one = new Array[Any](1)
+        while (i < rows) {
+          val isNull = hasDef && { val d = data(off) & 0xff; off += 1; d == 0 }
+          if (!isNull) {
+            LanceColumnDecoder.decodePage(
+              lt, Seq(java.util.Arrays.copyOfRange(data, off, off + w)), 1, one, 0)
+            out(i) = one(0)
+            off += w
+          }
+          i += 1
+        }
+      case CVariable(bpo) =>
+        require(bpo == 32, s"full-zip offset width $bpo unsupported")
+        while (i < rows) {
+          val isNull = hasDef && { val d = data(off) & 0xff; off += 1; d == 0 }
+          if (!isNull) {
+            val len = java.nio.ByteBuffer.wrap(data, off, 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+            off += 4
+            val slice = java.util.Arrays.copyOfRange(data, off, off + len)
+            out(i) = if (isBin) slice else UTF8String.fromBytes(slice)
+            off += len
+          }
+          i += 1
+        }
+      case other => throw new UnsupportedOperationException(
+        s"full-zip value encoding $other")
+    }
   }
 
   private def decodeChunk(lt: String, valComp: CEnc, data: Array[Byte], off: Int,
