@@ -49,10 +49,12 @@ object LanceSchemaLayout {
     * `fsl` maps column name -> dimension for arrays to be stored as
     * lance `fixed_size_list:<elem>:<dim>` vector columns.
     *
-    * One nesting level is supported beyond the flat surface:
-    * struct-in-struct, list&lt;struct-of-scalars&gt;, and map&lt;scalar,
-    * scalar&gt; (spelled "map" with "key"/"value" child fields — SURVEY
-    * §1.3's two-child-column mapping). Deeper nesting errors clearly. */
+    * Nesting is fully recursive: struct/list/map compose at any depth
+    * (struct-of-list, list-of-list, map values of any supported type…).
+    * A struct owns no physical column; a list/map owns one offsets column
+    * whose per-page row count rides under its nearest enclosing offsets
+    * column (`asChildOf`), mirroring the reader's recursive
+    * `decodeBoxedPage` reconstruction. */
   def of(schema: StructType, fsl: Map[String, Int] = Map.empty): Layout = {
     val fields = Seq.newBuilder[FieldDef]
     val phys = Seq.newBuilder[Phys]
@@ -72,26 +74,38 @@ object LanceSchemaLayout {
       col += 1
     }
 
-    /** struct of scalars or (one level) structs; leaves own the columns.
-      * asChildOf >= 0 = the offsets column the leaves ride under. */
-    def structField(name: String, st: StructType, parentId: Int,
-                    asChildOf: Int, depth: Int): Unit = {
-      val structId = id
-      fields += FieldDef(structId, parentId, name, "struct", varWidth = false)
-      id += 1
-      st.fields.foreach { leaf =>
-        leaf.dataType match {
-          case inner: StructType =>
-            require(depth < 1 && asChildOf < 0,
-              s"lance writer: struct nesting deeper than one level ('${leaf.name}')")
-            structField(leaf.name, inner, structId, asChildOf, depth + 1)
-          case _: ArrayType | _: MapType =>
-            throw new UnsupportedOperationException(
-              s"lance writer: ${leaf.dataType.simpleString} inside struct not supported")
-          case dt => scalarField(leaf.name, dt, structId, asChildOf)
-        }
+    /** One field of any type; asChildOf >= 0 = the offsets column this
+      * field's values ride under. */
+    def anyField(name: String, dt: DataType, parentId: Int, asChildOf: Int): Unit =
+      dt match {
+        case st: StructType =>
+          val structId = id
+          fields += FieldDef(structId, parentId, name, "struct", varWidth = false)
+          id += 1
+          st.fields.foreach(f => anyField(f.name, f.dataType, structId, asChildOf))
+        case ArrayType(elem, _) =>
+          val listId = id
+          val offsetsCol = col
+          fields += FieldDef(listId, parentId, name, "list", varWidth = false)
+          phys += ListOffsets(LongType)
+          colField += listId
+          rowCount += asChildOf
+          id += 1
+          col += 1
+          anyField("item", elem, listId, offsetsCol)
+        case MapType(kt, vt, _) =>
+          val mapId = id
+          val offsetsCol = col
+          fields += FieldDef(mapId, parentId, name, "map", varWidth = false)
+          phys += ListOffsets(LongType)
+          colField += mapId
+          rowCount += asChildOf
+          id += 1
+          col += 1
+          anyField("key", kt, mapId, offsetsCol)
+          anyField("value", vt, mapId, offsetsCol)
+        case other => scalarField(name, other, parentId, asChildOf)
       }
-    }
 
     schema.fields.foreach { f =>
       f.dataType match {
@@ -105,41 +119,7 @@ object LanceSchemaLayout {
           rowCount += -1
           id += 1
           col += 1
-        case ArrayType(elem, _) =>
-          val listId = id
-          val offsetsCol = col
-          fields += FieldDef(listId, -1, f.name, "list", varWidth = false)
-          phys += ListOffsets(LongType)
-          colField += listId
-          rowCount += -1
-          id += 1
-          col += 1
-          elem match {
-            case st: StructType => structField("item", st, listId, offsetsCol, 1)
-            case _: ArrayType | _: MapType =>
-              throw new UnsupportedOperationException(
-                s"lance writer: list of ${elem.simpleString} not supported")
-            case dt => scalarField("item", dt, listId, offsetsCol)
-          }
-        case MapType(kt, vt, _) =>
-          require(!kt.isInstanceOf[StructType] && !kt.isInstanceOf[ArrayType] &&
-                  !vt.isInstanceOf[StructType] && !vt.isInstanceOf[ArrayType] &&
-                  !kt.isInstanceOf[MapType] && !vt.isInstanceOf[MapType],
-            s"lance writer: map with nested key/value types not supported")
-          val mapId = id
-          val offsetsCol = col
-          fields += FieldDef(mapId, -1, f.name, "map", varWidth = false)
-          phys += ListOffsets(LongType)
-          colField += mapId
-          rowCount += -1
-          id += 1
-          col += 1
-          scalarField("key", kt, mapId, offsetsCol)
-          scalarField("value", vt, mapId, offsetsCol)
-        case st: StructType =>
-          structField(f.name, st, -1, -1, 0)
-        case dt =>
-          scalarField(f.name, dt, -1, -1)
+        case dt => anyField(f.name, dt, -1, -1)
       }
     }
     Layout(fields.result(), phys.result(), colField.result(), rowCount.result())
@@ -343,25 +323,67 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
     }
   }
 
-  /** Struct leaves into columns starting at c; returns columns consumed.
-    * `elementwise` = leaves ride under an offsets column (list<struct>). */
-  private def emitStruct(st: StructType, sr: SpecializedGetters, c0: Int,
-                         top: Boolean): Int = {
-    var c = c0
-    var k = 0
-    while (k < st.length) {
-      st.fields(k).dataType match {
-        case inner: StructType =>
-          require(!sr.isNullAt(k),
-            "lance writer: null struct values not supported (null the leaves instead)")
-          c += emitStruct(inner, sr.getStruct(k, inner.length), c, top = false)
-        case dt =>
-          emitScalar(dt, sr, k, c, top = false, validity = true)
-          c += 1
+  /** One value of any type at (src, ord) into columns starting at c;
+    * returns columns consumed. Recursive mirror of Layout.of's anyField:
+    * struct leaves spread over columns, list/map write one offsets entry
+    * then recurse per element. `validity` = track a validity bit on
+    * scalar columns (off for list elements, whose nulls are rejected). */
+  private def emitValue(dt: DataType, src: SpecializedGetters, ord: Int,
+                        c: Int, top: Boolean, validity: Boolean): Int = dt match {
+    case st: StructType =>
+      require(!src.isNullAt(ord),
+        "lance writer: null struct values not supported (null the leaves instead)")
+      val sr = src.getStruct(ord, st.length)
+      var cc = c
+      var k = 0
+      while (k < st.length) {
+        cc += emitValue(st.fields(k).dataType, sr, k, cc, top = false, validity = true)
+        k += 1
       }
-      k += 1
-    }
-    c - c0
+      cc - c
+    case ArrayType(elem, _) =>
+      val isNull = src.isNullAt(ord)
+      markValidity(c, !isNull)
+      if (!isNull) {
+        val arr = src.getArray(ord)
+        val n = arr.numElements()
+        var k = 0
+        while (k < n) {
+          require(!arr.isNullAt(k),
+            "lance writer: null list elements are not supported")
+          emitValue(elem, arr, k, c + 1, top = false, validity = false)
+          k += 1
+        }
+        listValCount(c) += n
+      }
+      // null array = zero-length slice (validity bit marks the null)
+      fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(listValCount(c)).array())
+      1 + colsOf(elem)
+    case MapType(kt, vt, _) =>
+      val isNull = src.isNullAt(ord)
+      markValidity(c, !isNull)
+      val valCol = c + 1 + colsOf(kt)
+      if (!isNull) {
+        val m = src.getMap(ord)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        val n = m.numElements()
+        var k = 0
+        while (k < n) {
+          emitValue(kt, keys, k, c + 1, top = false, validity = false)
+          // map values may be null: validity rides the value column
+          emitValue(vt, vals, k, valCol, top = false, validity = true)
+          k += 1
+        }
+        listValCount(c) += n
+      }
+      fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(listValCount(c)).array())
+      1 + colsOf(kt) + colsOf(vt)
+    case other =>
+      emitScalar(other, src, ord, c, top, validity)
+      1
   }
 
   def write(row: InternalRow): Unit = {
@@ -393,57 +415,11 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
             }
           }
           c += 1
-        case ArrayType(elem, _) =>
-          markValidity(c, !isNull)
-          if (!isNull) {
-            val arr = row.getArray(s)
-            val n = arr.numElements()
-            var k = 0
-            while (k < n) {
-              elem match {
-                case st: StructType =>
-                  require(!arr.isNullAt(k),
-                    "lance writer: null struct list elements are not supported")
-                  emitStruct(st, arr.getStruct(k, st.length), c + 1, top = false)
-                case dt =>
-                  require(!arr.isNullAt(k),
-                    "lance writer: null list elements are not supported")
-                  emitScalar(dt, arr, k, c + 1, top = false, validity = false)
-              }
-              k += 1
-            }
-            listValCount(c) += n
-          }
-          // null array = zero-length slice (validity bit marks the null)
-          fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-            .putLong(listValCount(c)).array())
-          c += 1 + colsOf(elem)
-        case MapType(kt, vt, _) =>
-          markValidity(c, !isNull)
-          if (!isNull) {
-            val m = row.getMap(s)
-            val keys = m.keyArray()
-            val vals = m.valueArray()
-            val n = m.numElements()
-            var k = 0
-            while (k < n) {
-              emitScalar(kt, keys, k, c + 1, top = false, validity = false)
-              // map values may be null: validity rides the value column
-              emitScalar(vt, vals, k, c + 2, top = false, validity = true)
-              k += 1
-            }
-            listValCount(c) += n
-          }
-          fixedBufs(c).write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-            .putLong(listValCount(c)).array())
-          c += 3
-        case st: StructType =>
-          require(!isNull,
-            "lance writer: null struct values not supported (null the leaves instead)")
-          c += emitStruct(st, row.getStruct(s, st.length), c, top = false)
         case dt =>
-          emitScalar(dt, row, s, c, top = true, validity = true)
-          c += 1
+          c += emitValue(dt, row, s, c,
+            top = !dt.isInstanceOf[StructType] && !dt.isInstanceOf[ArrayType] &&
+                  !dt.isInstanceOf[MapType],
+            validity = true)
       }
       s += 1
     }

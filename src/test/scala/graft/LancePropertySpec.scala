@@ -18,6 +18,16 @@ case class Pt(x: Double, tag: Option[String])
 case class NestedRec(id: Long, outer: Outer, pts: Seq[Pt],
                      attrs: Map[String, Option[Double]])
 
+// deep nesting: list<list<long>>, struct{ meta: struct{ tags: list<string>,
+// depth3: struct{u} }, rows: list<struct{k, vals: list<double>}> },
+// map<string, list<long>>
+case class DeepLeaf(u: Option[Int])
+case class DeepMeta(tags: Seq[String], depth3: DeepLeaf)
+case class DeepRow(k: Option[String], vals: Seq[Double])
+case class DeepBody(meta: DeepMeta, rows: Seq[DeepRow])
+case class DeepRec(id: Long, grid: Seq[Seq[Long]], body: DeepBody,
+                   index: Map[String, Seq[Long]])
+
 class LancePropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -84,6 +94,44 @@ class LancePropertySpec extends AnyFunSuite {
       // set ops reject MAP columns: compare maps as sorted entry lists
       def cmp(df: org.apache.spark.sql.DataFrame) =
         df.selectExpr("id", "outer", "pts", "array_sort(map_entries(attrs)) AS attrs")
+      assert(cmp(back).exceptAll(cmp(src)).isEmpty &&
+             cmp(src).exceptAll(cmp(back)).isEmpty, s"seed $seedN")
+    }
+  }
+
+  val deepGen: Gen[DeepRec] = for {
+    id <- Gen.long
+    grid <- Gen.listOfN(3, Gen.listOfN(2, Gen.chooseNum(-1000L, 1000L)).map(_.toSeq))
+      .map(_.toSeq)
+    nGrid <- Gen.chooseNum(0, 3)
+    tags <- Gen.listOfN(2, Gen.oneOf("red", "green", "blue")).map(_.toSeq)
+    u <- Gen.option(Gen.chooseNum(-50, 50))
+    drows <- Gen.listOfN(3, for {
+      k <- Gen.option(Gen.alphaNumStr.map(_.take(5)))
+      vals <- Gen.listOfN(2, Gen.chooseNum(-1e3, 1e3)).map(_.toSeq)
+      nVals <- Gen.chooseNum(0, 2)
+    } yield DeepRow(k, vals.take(nVals))).map(_.toSeq)
+    nRows <- Gen.chooseNum(0, 3)
+    idx <- Gen.mapOfN(2, Gen.zip(Gen.alphaNumStr.map(_.take(4)),
+      Gen.listOfN(2, Gen.chooseNum(0L, 99L)).map(_.toSeq)))
+  } yield DeepRec(id, grid.take(nGrid), DeepBody(DeepMeta(tags, DeepLeaf(u)),
+    drows.take(nRows)), idx)
+
+  test("arbitrary-depth nesting round-trips: list<list>, struct^3, list<struct<list>>, map<_,list>") {
+    import spark.implicits._
+    (30L to 32L).foreach { seedN =>
+      val seed = org.scalacheck.rng.Seed(seedN)
+      val recs = Gen.listOfN(40, deepGen).pureApply(Gen.Parameters.default, seed)
+      val ds = java.nio.file.Files.createTempDirectory("graft-prop-deep").toString + "/p.lance"
+      val src = recs.toDF()
+      src.write.format("lance").mode("append").save(ds)
+      val back = spark.read.format("lance").load(ds)
+      assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ==
+             src.schema.map(f => (f.name, f.dataType.simpleString)),
+        s"seed $seedN: schema mismatch")
+      assert(back.count() == recs.length, s"seed $seedN")
+      def cmp(df: org.apache.spark.sql.DataFrame) =
+        df.selectExpr("id", "grid", "body", "array_sort(map_entries(index)) AS index")
       assert(cmp(back).exceptAll(cmp(src)).isEmpty &&
              cmp(src).exceptAll(cmp(back)).isEmpty, s"seed $seedN")
     }
