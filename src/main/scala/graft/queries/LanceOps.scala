@@ -104,6 +104,42 @@ object LanceOps {
       FROM orders WHERE o_orderstatus <> 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // merge-insert (lance merge_insert analogue) end-to-end: matched keys
+    // replaced, unmatched inserted, ONE committed version — the oracle
+    // recomputes the merged state relationally (source rows + anti-joined
+    // target rows), so a lost update, resurrected old row, or duplicated
+    // key breaks the hash
+    QDef("l06_lance_merge", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/orders_merge.lance"
+      t("orders").write.format("lance").mode("overwrite").save(ds)
+      val updates = t("orders").filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val inserts = t("orders").filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      graft.sources.lance.LanceMaintenance.mergeInsert(
+        s, ds, updates.unionByName(inserts), Seq("o_orderkey"))
+      s.read.format("lance").load(ds)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    }, Some(s"""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0),
+      merged AS (
+        SELECT * FROM src
+        UNION ALL
+        SELECT * FROM orders o WHERE NOT EXISTS (
+          SELECT 1 FROM src WHERE src.o_orderkey = o.o_orderkey))
+      SELECT o_orderpriority, COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS total
+      FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // multimodal-on-lance: binary payloads + struct metadata stored as a
     // lance dataset, decoded partition-wise on re-read (SURVEY §2.5
     // multimodal + the connector's struct/binary surface together).

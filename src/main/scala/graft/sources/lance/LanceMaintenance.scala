@@ -56,33 +56,126 @@ object LanceMaintenance {
     if (newDeletes.isEmpty) return manifest.version
 
     val newVersion = manifest.version + 1
+    val delMetas = writeDeletionFiles(fs, p, manifest, newDeletes)
+    commitDeletionPatch(conf, p, manifestPath, delMetas, newVersion)
+    newVersion
+  }
+
+  /** Write per-fragment roaring deletion bitmaps (merged with any existing
+    * bitmap — offsets are physical, so old and new union cleanly) and
+    * return the metas to commit. Shared by deleteWhere and mergeInsert. */
+  private def writeDeletionFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      manifest: LanceFormat.Manifest,
+      newDeletes: Map[Long, Array[Int]]): Map[Long, LanceFormat.DeletionFileMeta] = {
     val delDir = new org.apache.hadoop.fs.Path(p, "_deletions")
     fs.mkdirs(delDir)
     val rng = new java.security.SecureRandom()
-    val delMetas: Map[Long, LanceFormat.DeletionFileMeta] = newDeletes.map {
-      case (fragId, offs) =>
-        val frag = manifest.fragments.find(_.id == fragId).getOrElse(
-          throw new IllegalStateException(s"fragment $fragId vanished mid-delete"))
-        // merge with any existing deletion bitmap (offsets are physical,
-        // so old and new unions cleanly)
-        val merged = frag.deletion match {
-          case Some(d) =>
-            val old = Roaring.deserialize(LanceFormat.readWholeFile(fs,
-              new org.apache.hadoop.fs.Path(delDir, d.fileName(fragId))))
-            (old ++ offs).distinct.sorted
-          case None => offs
-        }
-        val meta = LanceFormat.DeletionFileMeta(
-          readVersion = manifest.version,
-          id = rng.nextInt(Int.MaxValue).toLong,
-          fileType = 1, numDeleted = merged.length.toLong)
-        val out = fs.create(new org.apache.hadoop.fs.Path(delDir, meta.fileName(fragId)), true)
-        try out.write(Roaring.serialize(merged)) finally out.close()
-        fragId -> meta
+    newDeletes.map { case (fragId, offs) =>
+      val frag = manifest.fragments.find(_.id == fragId).getOrElse(
+        throw new IllegalStateException(s"fragment $fragId vanished mid-delete"))
+      val merged = frag.deletion match {
+        case Some(d) =>
+          val old = Roaring.deserialize(LanceFormat.readWholeFile(fs,
+            new org.apache.hadoop.fs.Path(delDir, d.fileName(fragId))))
+          (old ++ offs).distinct.sorted
+        case None => offs
+      }
+      val meta = LanceFormat.DeletionFileMeta(
+        readVersion = manifest.version,
+        id = rng.nextInt(Int.MaxValue).toLong,
+        fileType = 1, numDeleted = merged.length.toLong)
+      val out = fs.create(new org.apache.hadoop.fs.Path(delDir, meta.fileName(fragId)), true)
+      try out.write(Roaring.serialize(merged)) finally out.close()
+      fragId -> meta
     }
+  }
 
-    commitDeletionPatch(conf, p, manifestPath, delMetas, newVersion)
-    newVersion
+  /** Upsert (lance merge_insert analogue): rows of `source` whose `keys`
+    * match an existing target row REPLACE it; the rest are inserted — all
+    * in ONE committed version.
+    *
+    * Scale shape: matched addresses come from a key-only left-semi join
+    * against the target's `_rowaddr` scan (skinny shuffle, no row data on
+    * the driver beyond (fragId, bitmap)); the replacement rows are staged
+    * as ordinary page-buffered fragment files by executors (a hidden
+    * `_staging-*` dataset whose fragments are renamed into `data/`), and
+    * the commit writes one manifest: old fragments with patched deletion
+    * vectors + the staged fragments. Readers never observe an
+    * intermediate state — versions V and V+1 are both consistent.
+    *
+    * Returns the committed version (unchanged if `source` is empty). */
+  def mergeInsert(spark: SparkSession, path: String,
+                  source: org.apache.spark.sql.DataFrame,
+                  keys: Seq[String]): Long = {
+    import spark.implicits._
+    require(keys.nonEmpty, "mergeInsert needs at least one key column")
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val manifestPath = LanceFormat.latestManifestPath(fs, p, None)
+    val manifest = LanceFormat.readManifest(fs, manifestPath)
+
+    val target = spark.read.format("lance")
+      .option("withRowAddress", "true").load(path)
+    val tgtFields = target.schema.filterNot(_.name == "_rowaddr")
+    require(tgtFields.map(_.name).toSet == source.schema.map(_.name).toSet,
+      s"mergeInsert source columns ${source.columns.mkString(",")} must match " +
+      s"target ${tgtFields.map(_.name).mkString(",")}")
+    val src = source.select(tgtFields.map(f =>
+      org.apache.spark.sql.functions.col(f.name)): _*)
+    if (src.isEmpty) return manifest.version
+
+    // matched target rows -> per-fragment deletion offsets
+    val keyCols = keys.map(org.apache.spark.sql.functions.col)
+    val matched: Map[Long, Array[Int]] = target
+      .join(src.select(keyCols: _*).distinct(), keys, "left_semi")
+      .select(org.apache.spark.sql.functions.col("_rowaddr")).as[Long]
+      .groupByKey(a => a >>> 32)
+      .mapGroups((frag, it) => (frag, it.map(a => (a & 0xffffffffL).toInt).toArray.sorted))
+      .collect().toMap
+
+    // stage replacement fragments (same fixed_size_list spelling as target)
+    val fsl: Map[String, Int] = manifest.fields
+      .filter(f => f.parentId == -1 && f.logicalType.startsWith("fixed_size_list:"))
+      .map(f => f.name -> LanceFormat.fslParts(f.logicalType)._2).toMap
+    val stagingDir = new org.apache.hadoop.fs.Path(p,
+      s"_staging-${java.util.UUID.randomUUID()}")
+    val stagingDs = new org.apache.hadoop.fs.Path(stagingDir, "m.lance").toString
+    try {
+      var wr = src.write.format("lance").mode("overwrite")
+      if (fsl.nonEmpty)
+        wr = wr.option("fixedSizeList",
+          fsl.map { case (n, d) => s"$n:$d" }.mkString(","))
+      wr.save(stagingDs)
+      val (sfs, sp) = LanceFormat.fileSystem(stagingDs, conf)
+      val staged = LanceFormat.readManifest(sfs,
+        LanceFormat.latestManifestPath(sfs, sp, None))
+      val dataDir = new org.apache.hadoop.fs.Path(p, "data")
+      staged.fragments.flatMap(_.files).foreach { f =>
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(sp, "data"), f.path),
+          new org.apache.hadoop.fs.Path(dataDir, f.path)),
+          s"mergeInsert: failed to stage fragment ${f.path}")
+      }
+
+      // one commit: patched old fragments + staged new ones
+      val delMetas = writeDeletionFiles(fs, p, manifest, matched)
+      val patchedPrev = manifest.fragments.map(fr =>
+        delMetas.get(fr.id).map(m => fr.copy(deletion = Some(m))).getOrElse(fr))
+      val newFrags = staged.fragments.map { fr =>
+        require(fr.files.length == 1, "staged fragment expects one data file")
+        (fr.files.head.path, fr.physicalRows, fr.stats)
+      }
+      val newVersion = manifest.version + 1
+      LanceWriteSupport.writeManifest(conf, p,
+        org.apache.spark.sql.types.StructType(tgtFields), newFrags,
+        manifest.fragments.map(_.id).foldLeft(-1L)(math.max) + 1,
+        patchedPrev, newVersion, fsl)
+      newVersion
+    } finally {
+      fs.delete(stagingDir, true)
+    }
   }
 
   /** Proto-level manifest patch committing `delMetas` as the fragments'

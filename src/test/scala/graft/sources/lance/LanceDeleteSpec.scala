@@ -179,6 +179,43 @@ class LanceDeleteSpec extends AnyFunSuite {
       (0L until 200L).sum - deleted.map(_.toLong).sum)
   }
 
+  test("mergeInsert upserts matched rows and inserts new ones in one version") {
+    val ds = tmpDs()
+    writeIds(ds, 100, 2)
+    val v1 = {
+      val conf = spark.sessionState.newHadoopConf()
+      val (fs, p) = LanceFormat.fileSystem(ds, conf)
+      LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version
+    }
+    // updates ids 50..99, inserts 100..120
+    val source = spark.range(50, 121)
+      .selectExpr("id", "id % 7 AS grp", "CAST(id * 10.0 AS DOUBLE) AS v")
+    val v2 = LanceMaintenance.mergeInsert(spark, ds, source, Seq("id"))
+    assert(v2 == v1 + 1)
+
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 121)
+    assert(back.select("id").distinct().count() == 121) // no duplicate keys
+    val byId = back.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(10L) == 15.0)   // untouched: id * 1.5
+    assert(byId(60L) == 600.0)  // updated: id * 10
+    assert(byId(120L) == 1200.0) // inserted
+    // both surrounding versions are consistent
+    val before = spark.read.format("lance").option("versionAsOf", v1).load(ds)
+    assert(before.count() == 100)
+    assert(before.filter("id = 60").head.getDouble(2) == 90.0)
+
+    // merge is repeatable: same source again replaces its own rows
+    val v3 = LanceMaintenance.mergeInsert(spark, ds, source, Seq("id"))
+    assert(v3 == v2 + 1)
+    val again = spark.read.format("lance").load(ds)
+    assert(again.count() == 121 && again.select("id").distinct().count() == 121)
+    // no staging leftovers
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(ds, conf)
+    assert(!fs.listStatus(p).exists(_.getPath.getName.startsWith("_staging")))
+  }
+
   test("compact materializes deletes and keeps history readable") {
     val ds = tmpDs()
     writeIds(ds, 400, 2)
