@@ -140,6 +140,41 @@ object LanceOps {
       SELECT o_orderpriority, COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS total
       FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // schema evolution end-to-end: add column (old fragments null-fill),
+    // rename column (id kept), append rows carrying the new column — the
+    // oracle reconstructs the evolved state relationally, so a mis-mapped
+    // field id or a non-null backfill breaks the hash
+    QDef("l07_lance_evolution", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/customer_evo.lance"
+      t("customer").write.format("lance").mode("overwrite").save(ds)
+      graft.sources.lance.LanceMaintenance.addColumn(
+        s, ds, "loyalty", DoubleType)
+      graft.sources.lance.LanceMaintenance.renameColumn(
+        s, ds, "c_mktsegment", "segment")
+      t("customer").filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+                col("c_name"), col("c_nationkey"), col("c_acctbal"),
+                col("c_mktsegment").as("segment"),
+                (col("c_acctbal") / 100.0).as("loyalty"))
+        .write.format("lance").mode("append").save(ds)
+      s.read.format("lance").load(ds)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+             count(col("loyalty")).as("with_loyalty"),
+             Det.dsum(coalesce(col("loyalty"), lit(0.0))).as("loyalty_sum"))
+        .orderBy("segment")
+    }, Some(s"""
+      WITH all_rows AS (
+        SELECT c_mktsegment AS segment, CAST(NULL AS DOUBLE) AS loyalty
+        FROM customer
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal / 100.0
+        FROM customer WHERE c_custkey % 5 = 0)
+      SELECT segment, COUNT(*) AS n, COUNT(loyalty) AS with_loyalty,
+             ${Det.oSum("COALESCE(loyalty, 0.0)")} AS loyalty_sum
+      FROM all_rows GROUP BY segment ORDER BY segment""")),
+
     // multimodal-on-lance: binary payloads + struct metadata stored as a
     // lance dataset, decoded partition-wise on re-read (SURVEY §2.5
     // multimodal + the connector's struct/binary surface together).

@@ -40,8 +40,30 @@ class LanceCatalog extends TableCatalog {
                            properties: util.Map[String, String]): Table =
     new LanceTable(pathOf(ident), schema, None)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("lance catalog: ALTER TABLE")
+  /** Schema evolution via SQL: `ALTER TABLE lance.`/p/ds.lance` ADD COLUMN
+    * x BIGINT` / `RENAME COLUMN a TO b` / `DROP COLUMN a` — mapped onto
+    * the manifest-only maintenance ops (no data rewritten). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val spark = org.apache.spark.sql.SparkSession.active
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "lance ALTER TABLE: nested ADD COLUMN paths not supported")
+        LanceMaintenance.addColumn(spark, path, add.fieldNames()(0), add.dataType())
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "lance ALTER TABLE: nested RENAME COLUMN paths not supported")
+        LanceMaintenance.renameColumn(spark, path, ren.fieldNames()(0), ren.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "lance ALTER TABLE: nested DROP COLUMN paths not supported")
+        LanceMaintenance.dropColumn(spark, path, del.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"lance ALTER TABLE: ${other.getClass.getSimpleName}")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = false
 

@@ -381,9 +381,21 @@ class LanceScan(path: String, full: StructType, required: StructType,
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     // Spark requires every partition of a scan to agree on columnar vs
-    // row-based — one deleted fragment forces the whole scan row-based
+    // row-based — one deleted fragment (or one fragment predating an added
+    // column, which the row reader null-fills) forces the scan row-based
     val anyDeletions = manifest.fragments.exists(_.deletion.isDefined)
-    new LanceReaderFactory(cols.toArray, serConf, zf, rowAddrPos, anyDeletions)
+    def physIds(s: ColSpec): Seq[Int] = s.logicalType match {
+      case "struct" => s.kids.toSeq.flatMap(physIds)
+      case "list" | "large_list" | "map" => s.fieldId +: s.kids.toSeq.flatMap(physIds)
+      case _ => Seq(s.fieldId)
+    }
+    val needed = cols.toSeq.flatMap(physIds).toSet
+    val anyMissing = manifest.fragments.exists { fr =>
+      val have = fr.files.flatMap(_.fieldIds).toSet
+      needed.exists(id => !have.contains(id))
+    }
+    new LanceReaderFactory(cols.toArray, serConf, zf, rowAddrPos,
+      anyDeletions || anyMissing)
   }
 }
 
@@ -523,6 +535,10 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     }.toIndexedSeq
   })
 
+  /** Is this field id physically present in the fragment? (A fragment
+    * written before an addColumn lacks the new ids — reads null-fill.) */
+  private def present(id: Int): Boolean = part.fieldIds.contains(id)
+
   /** Columns whose page row counts equal the output row count (scalars,
     * struct leaves at any depth, list/map offset columns — NOT element
     * value columns). */
@@ -530,7 +546,8 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     case "struct" => s.kids.flatMap(rowAlignedOf)
     case _ => Array(s.fieldId) // scalar / fsl / list / map (offsets)
   }
-  private val rowAlignedIds: Array[Int] = colSpecs.flatMap(rowAlignedOf)
+  private val rowAlignedIds: Array[Int] =
+    colSpecs.flatMap(rowAlignedOf).filter(present)
 
   /** Every field id owning a physical column in the spec tree. */
   private def physIdsOf(s: ColSpec): Array[Int] = s.logicalType match {
@@ -539,12 +556,13 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     case _ => Array(s.fieldId)
   }
 
-  /** True iff all projected columns share page boundaries. */
+  /** True iff all projected (and present) columns share page boundaries. */
   val aligned: Boolean = rowAlignedIds.isEmpty || {
     val rowCounts = rowAlignedIds.map(id => pageMetasOf(id).map(_.rows))
     rowCounts.forall(_ == rowCounts.head) && {
       val nPages = rowCounts.head.length
-      colSpecs.flatMap(physIdsOf).forall(id => pageMetasOf(id).length == nPages)
+      colSpecs.flatMap(physIdsOf).filter(present)
+        .forall(id => pageMetasOf(id).length == nPages)
     }
   }
 
@@ -556,7 +574,9 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     * stats are never pruned). */
   private val keep: Array[Boolean] = {
     val base = Array.fill(nPages)(true)
-    if (aligned) zoneFilters.foreach { case (fid, z) =>
+    // zone filters on columns this fragment predates can't prune (the
+    // column reads all-null here)
+    if (aligned) zoneFilters.withFilter(f => present(f._1)).foreach { case (fid, z) =>
       val metas = pageMetasOf(fid)
       if (metas.length == nPages) {
         var i = 0
@@ -576,12 +596,15 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
   /** Physical start row of each page (cumulative rows, counting pruned
     * pages too — deletion offsets and `_rowaddr` are physical). */
   lazy val pageStarts: Array[Long] = {
-    val metas = pageMetasOf(rowAlignedIds.head)
-    val arr = new Array[Long](metas.length)
-    var cum = 0L
-    var i = 0
-    while (i < metas.length) { arr(i) = cum; cum += metas(i).rows; i += 1 }
-    arr
+    if (rowAlignedIds.isEmpty) Array(0L) // synthetic single page
+    else {
+      val metas = pageMetasOf(rowAlignedIds.head)
+      val arr = new Array[Long](metas.length)
+      var cum = 0L
+      var i = 0
+      while (i < metas.length) { arr(i) = cum; cum += metas(i).rows; i += 1 }
+      arr
+    }
   }
 
   /** (pageIdx, rowsToTake) for surviving pages, capped by the pushed limit.
@@ -590,8 +613,14 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     * deletions, pages decode whole (masking happens per row in the
     * reader); the limit counts live rows and the reader re-applies it. */
   val pagePlan: Array[(Int, Int)] = if (rowAlignedIds.isEmpty) {
-    val live = part.numRows - part.numDeleted
-    Array((0, math.min(live, part.rowLimit).toInt))
+    if (hasDeletions && colSpecs.nonEmpty) {
+      // every projected column postdates this fragment (null-fill): emit
+      // physical rows so the reader's deletion mask indexes correctly
+      Array((0, part.numRows.toInt))
+    } else {
+      val live = part.numRows - part.numDeleted
+      Array((0, math.min(live, part.rowLimit).toInt))
+    }
   } else {
     val out = Array.newBuilder[(Int, Int)]
     var remaining = part.rowLimit
@@ -627,6 +656,8 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     * list/map reconstruction from offsets + element columns). */
   def decodeBoxedPage(spec: ColSpec, pageIdx: Int, rows: Int): Array[Any] = {
     spec.logicalType match {
+      case lt if lt != "struct" && !present(spec.fieldId) =>
+        new Array[Any](rows) // column added after this fragment: all null
       case "struct" =>
         val leafVals = spec.kids.map(k => decodeBoxedPage(k, pageIdx, rows))
         val out = new Array[Any](rows)
@@ -686,13 +717,19 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     // with deletions the reader masks and limits on live rows — decode all
     val numRows = if (hasDeletions) part.numRows.toInt
                   else math.min(part.numRows, part.rowLimit).toInt
-    def pacerId(s: ColSpec): Int =
-      if (s.logicalType == "struct") pacerId(s.kids(0)) else s.fieldId
+    // first physically-present row-aligned id of the spec tree (absent for
+    // columns added after this fragment was written -> all-null fill)
+    def pacerId(s: ColSpec): Option[Int] = s.logicalType match {
+      case "struct" => s.kids.iterator.map(pacerId).collectFirst { case Some(id) => id }
+      case _ => if (present(s.fieldId)) Some(s.fieldId) else None
+    }
     val colValues = colSpecs.map { spec =>
-      if (spec.kids.nonEmpty) {
+      if (pacerId(spec).isEmpty) {
+        new Array[Any](numRows)
+      } else if (spec.kids.nonEmpty) {
         // per-column page walk (struct leaves / list offsets share row
         // counts; struct parents own no physical column — use a leaf's)
-        val metas = pageMetasOf(pacerId(spec))
+        val metas = pageMetasOf(pacerId(spec).get)
         val out = Array.newBuilder[Any]
         var cum = 0L
         var pi = 0

@@ -171,11 +171,113 @@ object LanceMaintenance {
       LanceWriteSupport.writeManifest(conf, p,
         org.apache.spark.sql.types.StructType(tgtFields), newFrags,
         manifest.fragments.map(_.id).foldLeft(-1L)(math.max) + 1,
-        patchedPrev, newVersion, fsl)
+        patchedPrev, newVersion, fsl, manifest.fields)
       newVersion
     } finally {
       fs.delete(stagingDir, true)
     }
+  }
+
+  // ---- schema evolution (manifest-only; no data files rewritten) --------
+
+  /** Add a nullable column: existing fragments simply lack the new field
+    * id, and the reader null-fills it. New ids continue the committed id
+    * space (max + 1), so every old fragment's column mapping stays valid.
+    * Nested types are allowed (their subtree gets consecutive new ids). */
+  def addColumn(spark: SparkSession, path: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType,
+                fslDim: Option[Int] = None): Long =
+    patchFields(spark, path) { fields =>
+      require(!fields.exists(f => f.parentId == -1 && f.name == name),
+        s"lance addColumn: column '$name' already exists")
+      val nextId = fields.map(_.id).foldLeft(-1)(math.max) + 1
+      val fsl = fslDim.map(d => name -> d).toMap
+      val sub = LanceSchemaLayout.of(org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField(name, dataType))), fsl)
+      FieldPatch(append = sub.fields.map(f => LanceFormat.LanceField(
+        id = f.id + nextId, name = f.name, logicalType = f.logicalType,
+        parentId = if (f.parentId == -1) -1 else f.parentId + nextId)))
+    }
+
+  /** Rename a top-level column (id unchanged — data files untouched). */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+                   newName: String): Long =
+    patchFields(spark, path) { fields =>
+      val f = fields.find(f => f.parentId == -1 && f.name == oldName).getOrElse(
+        throw new IllegalArgumentException(s"lance renameColumn: no column '$oldName'"))
+      require(!fields.exists(f => f.parentId == -1 && f.name == newName),
+        s"lance renameColumn: column '$newName' already exists")
+      FieldPatch(rename = Map(f.id -> newName))
+    }
+
+  /** Drop a top-level column (and its nested subtree) from the schema.
+    * Data files keep the physical bytes — old versions still read them —
+    * but the field ids vanish from the manifest, so current-version scans
+    * never request them. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long =
+    patchFields(spark, path) { fields =>
+      val root = fields.find(f => f.parentId == -1 && f.name == name).getOrElse(
+        throw new IllegalArgumentException(s"lance dropColumn: no column '$name'"))
+      require(fields.count(_.parentId == -1) > 1,
+        "lance dropColumn: cannot drop the last column")
+      val dead = scala.collection.mutable.Set(root.id)
+      var grew = true
+      while (grew) {
+        val more = fields.filter(f => dead.contains(f.parentId) && !dead.contains(f.id))
+        grew = more.nonEmpty
+        more.foreach(f => dead += f.id)
+      }
+      FieldPatch(drop = dead.toSet)
+    }
+
+  private final case class FieldPatch(drop: Set[Int] = Set.empty,
+                                      rename: Map[Int, String] = Map.empty,
+                                      append: Seq[LanceFormat.LanceField] = Nil)
+
+  /** Commit a new version with the field edit applied; untouched fields
+    * and everything else in the manifest (fragments with their stats and
+    * deletion vectors, writer tags, unmodeled fields) are re-emitted
+    * verbatim. */
+  private def patchFields(spark: SparkSession, path: String)(
+      edit: Seq[LanceFormat.LanceField] => FieldPatch): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val manifestPath = LanceFormat.latestManifestPath(fs, p, None)
+    val manifest = LanceFormat.readManifest(fs, manifestPath)
+    val patch = edit(manifest.fields)
+    val newVersion = manifest.version + 1
+
+    val rawAll = LanceFormat.readWholeFile(fs, manifestPath)
+    val pbLen = (rawAll(0) & 0xff) | ((rawAll(1) & 0xff) << 8) |
+                ((rawAll(2) & 0xff) << 16) | ((rawAll(3) & 0xff) << 24)
+    val top = Proto.parse(rawAll, 4, 4 + pbLen)
+    val w = new Proto.Writer
+    var lastFieldSeen = false
+    val fieldTags = top.filter(f => f.tag == 1 && f.wire == 2)
+    top.foreach { f =>
+      if (f.tag == 1 && f.wire == 2) {
+        val sub = Proto.parse(f.bytes)
+        val id = Proto.firstVarint(sub, 3).getOrElse(0L).toInt
+        if (!patch.drop.contains(id)) {
+          patch.rename.get(id) match {
+            case None => w.raw(f)
+            case Some(newName) =>
+              val fw = new Proto.Writer
+              sub.foreach(sf => if (sf.tag == 2 && sf.wire == 2) fw.string(2, newName)
+                                else fw.raw(sf))
+              w.message(1, fw)
+          }
+        }
+        if (f eq fieldTags.last) {
+          lastFieldSeen = true
+          patch.append.foreach(nf => w.message(1, LanceWriteSupport.fieldProtoOf(nf)))
+        }
+      } else if (f.tag == 3 && f.wire == 0) w.varint(3, newVersion)
+      else w.raw(f)
+    }
+    require(lastFieldSeen || patch.append.isEmpty, "manifest has no fields to append after")
+    LanceWriteSupport.commitManifest(conf, p, w.result(), newVersion)
+    newVersion
   }
 
   /** Proto-level manifest patch committing `delMetas` as the fragments'

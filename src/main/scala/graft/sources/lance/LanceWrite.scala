@@ -63,15 +63,18 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val fragments = messages.collect {
       case LanceCommitMessage(name, rows, stats) if rows > 0 => (name, rows, stats)
     }.toSeq
-    val (prevFragments, prevMaxFragId, version) =
+    val (prevFragments, prevFields, prevMaxFragId, version) =
       if (fs.exists(new Path(dataset, "_versions"))) {
         val m = LanceFormat.readManifest(fs,
           LanceFormat.latestManifestPath(fs, dataset, None))
+        // append keeps the committed field ids (schema evolution may have
+        // left them non-positional); overwrite starts a fresh id space
         val prev = if (truncate) Nil else m.fragments
-        (prev, m.fragments.map(_.id).foldLeft(-1L)(math.max), m.version + 1)
-      } else (Nil, -1L, 1L)
+        val pf = if (truncate) Nil else m.fields
+        (prev, pf, m.fragments.map(_.id).foldLeft(-1L)(math.max), m.version + 1)
+      } else (Nil, Nil, -1L, 1L)
     LanceWriteSupport.writeManifest(conf, dataset, schema, fragments,
-      prevMaxFragId + 1, prevFragments, version, fsl)
+      prevMaxFragId + 1, prevFragments, version, fsl, prevFields)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -636,6 +636,13 @@ object LanceWriteSupport {
     w
   }
 
+  /** Same message from a parsed manifest field (schema-evolution path:
+    * committed ids re-emitted verbatim). */
+  def fieldProtoOf(f: LanceFormat.LanceField): Proto.Writer =
+    fieldProto(FieldDef(f.id, f.parentId, f.name, f.logicalType,
+      varWidth = Set("string", "utf8", "large_string", "binary", "large_binary")
+        .contains(f.logicalType)))
+
   /** ColumnEncoding Any wrapper (observed constant: values encoding). */
   def columnEncodingAny(): Array[Byte] = {
     val any = new Proto.Writer
@@ -694,10 +701,32 @@ object LanceWriteSupport {
                     fragments: Seq[(String, Long, Seq[(Int, Double, Double)])],
                     startFragId: Long,
                     previous: Seq[LanceFormat.FragmentMeta], version: Long,
-                    fsl: Map[String, Int] = Map.empty): Unit = {
+                    fsl: Map[String, Int] = Map.empty,
+                    prevFields: Seq[LanceFormat.LanceField] = Nil): Unit = {
     val layout = LanceSchemaLayout.of(schema, fsl)
+    // On an evolved dataset (column added/dropped/renamed) field ids are no
+    // longer the DFS positions this schema would regenerate — appends must
+    // reuse the previous manifest's ids verbatim, or carried-over fragments
+    // would resolve their columns against the wrong ids.
+    val keepPrevIds = prevFields.nonEmpty && (
+      layout.fields.length != prevFields.length ||
+      layout.fields.zip(prevFields).exists { case (g, p) =>
+        g.id != p.id || g.name != p.name || g.logicalType != p.logicalType
+      })
+    if (keepPrevIds) {
+      require(layout.fields.length == prevFields.length &&
+        layout.fields.zip(prevFields).forall { case (g, p) =>
+          g.name == p.name && g.logicalType == p.logicalType
+        },
+        s"lance append: write schema ${layout.fields.map(f => s"${f.name}:${f.logicalType}")} " +
+        s"does not match dataset fields ${prevFields.map(f => s"${f.name}:${f.logicalType}")}")
+    }
+    // generated field id (== DFS position) -> committed manifest id
+    val idOf: Int => Int =
+      if (keepPrevIds) genId => prevFields(genId).id else identity
     val w = new Proto.Writer
-    layout.fields.foreach(f => w.message(1, fieldProto(f)))
+    if (keepPrevIds) prevFields.foreach(f => w.message(1, fieldProtoOf(f)))
+    else layout.fields.foreach(f => w.message(1, fieldProto(f)))
     def statMsgs(fw: Proto.Writer, stats: Seq[(Int, Double, Double)]): Unit =
       stats.foreach { case (fid, mn, mx) =>
         val sw = new Proto.Writer
@@ -730,7 +759,7 @@ object LanceWriteSupport {
     }
     // DataFile.fields lists only fields that own a physical column (struct
     // parents own none; their leaves do)
-    val colFieldIds = layout.topFieldIdOfCol.map(_.toLong)
+    val colFieldIds = layout.topFieldIdOfCol.map(g => idOf(g).toLong)
     fragments.zipWithIndex.foreach { case ((path, rows, stats), i) =>
       val fw = new Proto.Writer
       val fid = startFragId + i

@@ -1,0 +1,118 @@
+package graft.sources.lance
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema evolution: add / rename / drop column as manifest-only commits.
+  * Old fragments null-fill added columns on read; appends after evolution
+  * keep the committed (non-positional) field ids; every step is a new
+  * version so time travel sees each schema.
+  */
+class LanceEvolutionSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def tmpDs(): String = {
+    val f = java.nio.file.Files.createTempDirectory("lance_evo").toFile
+    f.delete()
+    f.getAbsolutePath + "/ds.lance"
+  }
+
+  private def seed(ds: String, n: Int): Unit =
+    spark.range(n).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v",
+        "concat('tag_', id % 3) AS tag")
+      .coalesce(2).write.format("lance").mode("append").save(ds)
+
+  test("addColumn null-fills old fragments; appends fill new ones") {
+    val ds = tmpDs()
+    seed(ds, 100)
+    LanceMaintenance.addColumn(spark, ds, "score", DoubleType)
+    val after = spark.read.format("lance").load(ds)
+    assert(after.schema.fieldNames.toSeq == Seq("id", "v", "tag", "score"))
+    assert(after.count() == 100)
+    assert(after.filter(col("score").isNull).count() == 100)
+    // mixed projections across old fragments work
+    assert(after.select("id", "score").filter("id < 10 AND score IS NULL").count() == 10)
+
+    // append rows WITH the new column: old fragments stay null, new ones real
+    spark.range(100, 150).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v",
+        "concat('tag_', id % 3) AS tag", "CAST(id AS DOUBLE) / 10 AS score")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    val mixed = spark.read.format("lance").load(ds)
+    assert(mixed.count() == 150)
+    assert(mixed.filter(col("score").isNull).count() == 100)
+    assert(mixed.filter("score >= 10.0").count() == 50)
+    assert(mixed.filter("id = 120").head.getDouble(3) == 12.0)
+  }
+
+  test("renameColumn keeps data; dropColumn hides it; history keeps both") {
+    val ds = tmpDs()
+    seed(ds, 60)
+    val v1 = 1L
+    val v2 = LanceMaintenance.renameColumn(spark, ds, "v", "value")
+    val renamed = spark.read.format("lance").load(ds)
+    assert(renamed.schema.fieldNames.toSeq == Seq("id", "value", "tag"))
+    assert(renamed.agg(sum("value")).head.getDouble(0) == (0 until 60).map(_ * 2.5).sum)
+
+    val v3 = LanceMaintenance.dropColumn(spark, ds, "tag")
+    val dropped = spark.read.format("lance").load(ds)
+    assert(dropped.schema.fieldNames.toSeq == Seq("id", "value"))
+    assert(dropped.count() == 60)
+
+    // time travel: each schema state still reads
+    val orig = spark.read.format("lance").option("versionAsOf", v1).load(ds)
+    assert(orig.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    assert(orig.filter("tag = 'tag_1'").count() == 20)
+    val mid = spark.read.format("lance").option("versionAsOf", v2).load(ds)
+    assert(mid.schema.fieldNames.toSeq == Seq("id", "value", "tag"))
+    assert(v3 == v2 + 1)
+  }
+
+  test("append after drop keeps committed field ids (no column remap)") {
+    val ds = tmpDs()
+    seed(ds, 40)
+    LanceMaintenance.dropColumn(spark, ds, "v") // ids now 0, 2 (hole at 1)
+    spark.range(40, 60).selectExpr("id", "concat('tag_', id % 3) AS tag")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 60)
+    // tag values from BOTH old (id 3) and new (id resolved via prev ids)
+    // fragments decode as strings, not as the dropped double column
+    assert(back.filter("tag = 'tag_0'").count() ==
+      (0 until 60).count(_ % 3 == 0))
+    assert(back.filter("id >= 40").select("tag").distinct().count() == 3)
+    // and old versions still see the dropped column
+    val v1 = spark.read.format("lance").option("versionAsOf", 1).load(ds)
+    assert(v1.schema.fieldNames.contains("v"))
+    assert(v1.agg(sum("v")).head.getDouble(0) == (0 until 40).map(_ * 2.5).sum)
+  }
+
+  test("evolution composes with deletes and mergeInsert") {
+    val ds = tmpDs()
+    seed(ds, 80)
+    LanceMaintenance.addColumn(spark, ds, "rank", LongType)
+    LanceMaintenance.deleteWhere(spark, ds, "id % 4 = 0")
+    val src = spark.range(70, 90).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v",
+      "concat('tag_', id % 3) AS tag", "id * 100 AS rank")
+    LanceMaintenance.mergeInsert(spark, ds, src, Seq("id"))
+    val back = spark.read.format("lance").load(ds)
+    // 80 - 20 deleted = 60; ids 70..79 live ones replaced; 70,72,..78 were
+    // deleted but re-inserted by the merge; +10 new (80..89)
+    val expectIds = ((0 until 70).filter(_ % 4 != 0) ++ (70 until 90)).map(_.toLong).toSet
+    assert(back.select("id").collect().map(_.getLong(0)).toSet == expectIds)
+    assert(back.filter("rank IS NOT NULL").count() == 20)
+    assert(back.filter("id = 85").head.getLong(3) == 8500L)
+  }
+
+  test("SQL ALTER TABLE through the lance catalog") {
+    val ds = tmpDs()
+    seed(ds, 30)
+    spark.sql(s"ALTER TABLE lance.`$ds` ADD COLUMN note STRING")
+    spark.sql(s"ALTER TABLE lance.`$ds` RENAME COLUMN tag TO label")
+    spark.sql(s"ALTER TABLE lance.`$ds` DROP COLUMN v")
+    val back = spark.read.format("lance").load(ds)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "label", "note"))
+    assert(back.filter(col("note").isNull).count() == 30)
+    assert(back.filter("label = 'tag_2'").count() == 10)
+  }
+}
