@@ -140,6 +140,32 @@ object LanceOps {
       SELECT o_orderpriority, COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS total
       FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // UPDATE analogue end-to-end: predicate-matched rows replaced with
+    // transformed selves (deletion vectors + staged fragments, one
+    // version); oracle applies the same CASE rewrite relationally
+    QDef("l08_lance_update", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/lineitem_upd.lance"
+      t("lineitem").select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_discount", "l_returnflag")
+        .write.format("lance").mode("overwrite").save(ds)
+      graft.sources.lance.LanceMaintenance.updateWhere(s, ds,
+        "l_returnflag = 'R' AND l_discount > 0.05",
+        Map("l_quantity" -> "l_quantity + 100", "l_returnflag" -> "'X'"))
+      s.read.format("lance").load(ds)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")
+    }, Some(s"""
+      WITH updated AS (
+        SELECT CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+                    THEN l_quantity + 100 ELSE l_quantity END AS l_quantity,
+               CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+                    THEN 'X' ELSE l_returnflag END AS l_returnflag
+        FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n, ${Det.oSum("l_quantity")} AS qty
+      FROM updated GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // schema evolution end-to-end: add column (old fragments null-fill),
     // rename column (id kept), append rows carrying the new column — the
     // oracle reconstructs the evolved state relationally, so a mis-mapped

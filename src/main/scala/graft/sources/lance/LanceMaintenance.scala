@@ -128,14 +128,58 @@ object LanceMaintenance {
 
     // matched target rows -> per-fragment deletion offsets
     val keyCols = keys.map(org.apache.spark.sql.functions.col)
-    val matched: Map[Long, Array[Int]] = target
-      .join(src.select(keyCols: _*).distinct(), keys, "left_semi")
-      .select(org.apache.spark.sql.functions.col("_rowaddr")).as[Long]
+    val matched: Map[Long, Array[Int]] = collectAddrs(spark,
+      target.join(src.select(keyCols: _*).distinct(), keys, "left_semi"))
+    commitReplacement(spark, path, manifest, matched, src, tgtFields)
+  }
+
+  /** UPDATE analogue: rows matching `condition` are replaced by themselves
+    * with the `set` expressions applied (column -> SQL expression, which
+    * may reference any target column) — one committed version, same
+    * delete-and-stage shape as [[mergeInsert]]. Returns the committed
+    * version (unchanged if nothing matched). */
+  def updateWhere(spark: SparkSession, path: String, condition: String,
+                  set: Map[String, String]): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val manifest = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None))
+    val target = spark.read.format("lance")
+      .option("withRowAddress", "true").load(path)
+    val tgtFields = target.schema.filterNot(_.name == "_rowaddr")
+    set.keys.foreach(c => require(tgtFields.exists(_.name == c),
+      s"updateWhere: no column '$c'"))
+    val matchedDf = target.filter(condition)
+    val matched = collectAddrs(spark, matchedDf)
+    if (matched.isEmpty) return manifest.version
+    val updated = set.foldLeft(matchedDf) { case (df, (c, e)) =>
+      df.withColumn(c, org.apache.spark.sql.functions.expr(e)
+        .cast(tgtFields.find(_.name == c).get.dataType))
+    }.select(tgtFields.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
+    commitReplacement(spark, path, manifest, matched, updated, tgtFields)
+  }
+
+  /** `_rowaddr`s of `df` grouped per fragment (skinny shuffle; only
+    * (fragId, sorted offsets) reach the driver). */
+  private def collectAddrs(spark: SparkSession,
+                           df: org.apache.spark.sql.DataFrame): Map[Long, Array[Int]] = {
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col("_rowaddr")).as[Long]
       .groupByKey(a => a >>> 32)
       .mapGroups((frag, it) => (frag, it.map(a => (a & 0xffffffffL).toInt).toArray.sorted))
       .collect().toMap
+  }
 
-    // stage replacement fragments (same fixed_size_list spelling as target)
+  /** Shared upsert commit: stage `src` as fragment files, mask `matched`
+    * rows with deletion vectors, and write ONE manifest containing both. */
+  private def commitReplacement(spark: SparkSession, path: String,
+                                manifest: LanceFormat.Manifest,
+                                matched: Map[Long, Array[Int]],
+                                src: org.apache.spark.sql.DataFrame,
+                                tgtFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
     val fsl: Map[String, Int] = manifest.fields
       .filter(f => f.parentId == -1 && f.logicalType.startsWith("fixed_size_list:"))
       .map(f => f.name -> LanceFormat.fslParts(f.logicalType)._2).toMap
@@ -156,7 +200,7 @@ object LanceMaintenance {
         require(fs.rename(
           new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(sp, "data"), f.path),
           new org.apache.hadoop.fs.Path(dataDir, f.path)),
-          s"mergeInsert: failed to stage fragment ${f.path}")
+          s"lance upsert: failed to stage fragment ${f.path}")
       }
 
       // one commit: patched old fragments + staged new ones

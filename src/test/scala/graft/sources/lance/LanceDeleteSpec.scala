@@ -216,6 +216,25 @@ class LanceDeleteSpec extends AnyFunSuite {
     assert(!fs.listStatus(p).exists(_.getPath.getName.startsWith("_staging")))
   }
 
+  test("updateWhere rewrites matched rows in place (one version)") {
+    val ds = tmpDs()
+    writeIds(ds, 200, 2)
+    val v2 = LanceMaintenance.updateWhere(spark, ds, "grp = 3",
+      Map("v" -> "v * 100", "grp" -> "grp + 10"))
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 200)
+    assert(back.filter("grp = 3").count() == 0)
+    val updatedN = (0 until 200).count(_ % 7 == 3)
+    assert(back.filter("grp = 13").count() == updatedN)
+    assert(back.filter("id = 3").head.getDouble(2) == 3 * 1.5 * 100)
+    assert(back.filter("id = 4").head.getDouble(2) == 4 * 1.5) // untouched
+    // history intact, nothing matched -> no-op version
+    assert(spark.read.format("lance").option("versionAsOf", v2 - 1).load(ds)
+      .filter("grp = 3").count() == updatedN)
+    assert(LanceMaintenance.updateWhere(spark, ds, "grp = 99",
+      Map("v" -> "0.0")) == v2)
+  }
+
   test("compact materializes deletes and keeps history readable") {
     val ds = tmpDs()
     writeIds(ds, 400, 2)
