@@ -49,10 +49,19 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
     p.getOrElse(throw new IllegalArgumentException("lance: path required"))
   }
 
+  /** `versionAsOf` (numeric) or `tagAsOf` (named ref under `_refs/tags`),
+    * resolved to a concrete version. */
+  private def pinnedVersion(options: CaseInsensitiveStringMap,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            path: Path): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("tagAsOf"))
+        .map(t => LanceMaintenance.resolveTag(fs, path, t)))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val (fs, path) = LanceFormat.fileSystem(datasetPath(options), conf)
-    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val versionAsOf = pinnedVersion(options, fs, path)
     val manifest = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, path, versionAsOf))
     val base = LanceFormat.toStructType(manifest)
     // opt-in metadata column: lance row address (fragId << 32 | rowOffset)
@@ -65,8 +74,14 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new LanceTable(datasetPath(options), schema,
-      Option(options.get("versionAsOf")).map(_.toLong))
+    val dsPath = datasetPath(options)
+    val pinned =
+      if (options.containsKey("tagAsOf") && !options.containsKey("versionAsOf")) {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val (fs, path) = LanceFormat.fileSystem(dsPath, conf)
+        pinnedVersion(options, fs, path)
+      } else Option(options.get("versionAsOf")).map(_.toLong)
+    new LanceTable(dsPath, schema, pinned)
   }
 
   override def supportsExternalMetadata(): Boolean = true

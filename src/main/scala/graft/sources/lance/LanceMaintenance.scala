@@ -222,6 +222,59 @@ object LanceMaintenance {
     }
   }
 
+  // ---- tags (named version refs) ----------------------------------------
+
+  /** Pin a version under a name: `_refs/tags/<tag>.json` holding
+    * `{"version":N}` (the lance tag layout). Tags make time travel
+    * humane — `option("tagAsOf", "v1-training")` — and protect the tagged
+    * version from any future cleanup policy. Creation is atomic
+    * (create-no-overwrite); re-tagging requires deleteTag first. */
+  def createTag(spark: SparkSession, path: String, tag: String,
+                version: Option[Long] = None): Long = {
+    require(tag.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$tag'")
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val v = version.getOrElse(LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version)
+    // validate the version exists
+    LanceFormat.latestManifestPath(fs, p, Some(v))
+    val dir = new org.apache.hadoop.fs.Path(p, "_refs/tags")
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$tag.json"),
+      /* overwrite = */ false)
+    try out.write(s"""{"version":$v}""".getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  def deleteTag(spark: SparkSession, path: String, tag: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    fs.delete(new org.apache.hadoop.fs.Path(p, s"_refs/tags/$tag.json"), false)
+  }
+
+  def listTags(spark: SparkSession, path: String): Map[String, Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val dir = new org.apache.hadoop.fs.Path(p, "_refs/tags")
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".json")).map { st =>
+      st.getPath.getName.stripSuffix(".json") ->
+        resolveTag(fs, p, st.getPath.getName.stripSuffix(".json"))
+    }.toMap
+  }
+
+  /** Version a tag points at (shared with the read path's `tagAsOf`). */
+  def resolveTag(fs: org.apache.hadoop.fs.FileSystem,
+                 p: org.apache.hadoop.fs.Path, tag: String): Long = {
+    val f = new org.apache.hadoop.fs.Path(p, s"_refs/tags/$tag.json")
+    require(fs.exists(f), s"lance: no tag '$tag' on $p")
+    val body = new String(LanceFormat.readWholeFile(fs, f), "UTF-8")
+    "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"lance: malformed tag file $f: $body"))
+  }
+
   // ---- schema evolution (manifest-only; no data files rewritten) --------
 
   /** Add a nullable column: existing fragments simply lack the new field

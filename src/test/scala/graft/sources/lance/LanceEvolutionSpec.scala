@@ -104,6 +104,31 @@ class LanceEvolutionSpec extends AnyFunSuite {
     assert(back.filter("id = 85").head.getLong(3) == 8500L)
   }
 
+  test("tags pin versions by name and resolve through tagAsOf") {
+    val ds = tmpDs()
+    seed(ds, 50)
+    val v1 = LanceMaintenance.createTag(spark, ds, "baseline")
+    spark.range(50, 90).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v",
+        "concat('tag_', id % 3) AS tag")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    val v2 = LanceMaintenance.createTag(spark, ds, "with-extra")
+    assert(v2 == v1 + 1)
+    assert(LanceMaintenance.listTags(spark, ds) ==
+      Map("baseline" -> v1, "with-extra" -> v2))
+
+    assert(spark.read.format("lance").option("tagAsOf", "baseline").load(ds)
+      .count() == 50)
+    assert(spark.read.format("lance").option("tagAsOf", "with-extra").load(ds)
+      .count() == 90)
+    assert(spark.read.format("lance").load(ds).count() == 90)
+    // duplicate tag rejected; unknown tag errors clearly
+    intercept[Exception](LanceMaintenance.createTag(spark, ds, "baseline"))
+    intercept[Exception](
+      spark.read.format("lance").option("tagAsOf", "nope").load(ds).count())
+    assert(LanceMaintenance.deleteTag(spark, ds, "baseline"))
+    assert(LanceMaintenance.listTags(spark, ds) == Map("with-extra" -> v2))
+  }
+
   test("SQL ALTER TABLE through the lance catalog") {
     val ds = tmpDs()
     seed(ds, 30)
