@@ -63,18 +63,37 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val fragments = messages.collect {
       case LanceCommitMessage(name, rows, stats) if rows > 0 => (name, rows, stats)
     }.toSeq
-    val (prevFragments, prevFields, prevMaxFragId, version) =
-      if (fs.exists(new Path(dataset, "_versions"))) {
-        val m = LanceFormat.readManifest(fs,
-          LanceFormat.latestManifestPath(fs, dataset, None))
-        // append keeps the committed field ids (schema evolution may have
-        // left them non-positional); overwrite starts a fresh id space
-        val prev = if (truncate) Nil else m.fragments
-        val pf = if (truncate) Nil else m.fields
-        (prev, pf, m.fragments.map(_.id).foldLeft(-1L)(math.max), m.version + 1)
-      } else (Nil, Nil, -1L, 1L)
-    LanceWriteSupport.writeManifest(conf, dataset, schema, fragments,
-      prevMaxFragId + 1, prevFragments, version, fsl, prevFields)
+    // Optimistic commit: the data plane (fragment files) is already
+    // durable and conflict-free (UUID names), so losing the version-claim
+    // race costs only a manifest re-read + re-write. Rebase on the new
+    // latest and retry — appends from concurrent jobs all land, in some
+    // serial order (the lance optimistic-commit model).
+    val maxAttempts = 20
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val (prevFragments, prevFields, prevMaxFragId, version) =
+        if (fs.exists(new Path(dataset, "_versions"))) {
+          val m = LanceFormat.readManifest(fs,
+            LanceFormat.latestManifestPath(fs, dataset, None))
+          // append keeps the committed field ids (schema evolution may have
+          // left them non-positional); overwrite starts a fresh id space
+          val prev = if (truncate) Nil else m.fragments
+          val pf = if (truncate) Nil else m.fields
+          (prev, pf, m.fragments.map(_.id).foldLeft(-1L)(math.max), m.version + 1)
+        } else (Nil, Nil, -1L, 1L)
+      try {
+        LanceWriteSupport.writeManifest(conf, dataset, schema, fragments,
+          prevMaxFragId + 1, prevFragments, version, fsl, prevFields)
+        done = true
+      } catch {
+        case e: LanceCommitConflict =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          // tiny jittered backoff so racing committers interleave
+          Thread.sleep(5 + scala.util.Random.nextInt(20))
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -809,8 +809,14 @@ object LanceWriteSupport {
     } catch {
       case e: Exception =>
         fs.delete(tmp, false)
-        throw new java.io.IOException(
+        throw new LanceCommitConflict(
           s"lance: concurrent write detected committing $dest", e)
     }
   }
 }
+
+/** A concurrent committer claimed this version first (the Rename.NONE
+  * version-claim failed). Appends catch this and rebase on the new
+  * latest manifest. */
+class LanceCommitConflict(msg: String, cause: Throwable)
+    extends java.io.IOException(msg, cause)

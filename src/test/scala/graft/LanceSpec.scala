@@ -393,6 +393,32 @@ class LanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent"))
   }
 
+  test("concurrent appends all land via optimistic commit retry") {
+    val ds = tmpDs()
+    spark.range(0, 10).coalesce(1).write.format("lance").mode("append").save(ds)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { t =>
+      new Thread(() => {
+        try spark.range(t * 100, t * 100 + 10).coalesce(1)
+          .write.format("lance").mode("append").save(ds)
+        catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"concurrent appends failed: ${failures.peek()}")
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 70)
+    assert(back.select("id").distinct().count() == 70)
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = graft.sources.lance.LanceFormat.fileSystem(ds, conf)
+    val m = graft.sources.lance.LanceFormat.readManifest(fs,
+      graft.sources.lance.LanceFormat.latestManifestPath(fs, p, None))
+    // one version per committer, every fragment id unique
+    assert(m.version == 7)
+    assert(m.fragments.map(_.id).distinct.length == m.fragments.length)
+  }
+
   test("versionAsOf resolves an explicit manifest version") {
     val df = spark.read.format("lance").option("versionAsOf", "1").load(golden)
     assert(df.count() == 5)

@@ -235,6 +235,27 @@ class LanceDeleteSpec extends AnyFunSuite {
       Map("v" -> "0.0")) == v2)
   }
 
+  test("failed maintenance ops leave the dataset version untouched") {
+    val ds = tmpDs()
+    writeIds(ds, 50, 1)
+    def version(): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      val (fs, p) = LanceFormat.fileSystem(ds, conf)
+      LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version
+    }
+    val v = version()
+    intercept[Exception](LanceMaintenance.updateWhere(spark, ds, "grp = 1",
+      Map("no_such_col" -> "1")))
+    intercept[Exception](LanceMaintenance.updateWhere(spark, ds, "syntax ((",
+      Map("v" -> "1.0")))
+    intercept[Exception](LanceMaintenance.mergeInsert(spark, ds,
+      spark.range(5).selectExpr("id", "id AS wrong_cols"), Seq("id")))
+    intercept[Exception](LanceMaintenance.renameColumn(spark, ds, "ghost", "x"))
+    intercept[Exception](LanceMaintenance.dropColumn(spark, ds, "ghost"))
+    assert(version() == v)
+    assert(spark.read.format("lance").load(ds).count() == 50)
+  }
+
   test("compact materializes deletes and keeps history readable") {
     val ds = tmpDs()
     writeIds(ds, 400, 2)
