@@ -97,7 +97,8 @@ class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LanceScanBuilder(path, tableSchema, versionAsOf)
+    new LanceScanBuilder(path, tableSchema, versionAsOf,
+      fromVersion = Option(options.get("fromVersion")).map(_.toLong))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new LanceWriteBuilder(path, info)
@@ -209,7 +210,8 @@ object ZoneFilter {
   }
 }
 
-class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long])
+class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long],
+                       fromVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -277,7 +279,7 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new LanceScan(path, full, required, versionAsOf, limit, zoneFilters)
+    new LanceScan(path, full, required, versionAsOf, limit, zoneFilters, fromVersion)
 }
 
 /** One InputPartition per Lance fragment; rowLimit caps decoded LIVE rows
@@ -295,21 +297,48 @@ case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
 
 class LanceScan(path: String, full: StructType, required: StructType,
                 versionAsOf: Option[Long], limit: Option[Int] = None,
-                zoneFilters: Seq[ZoneFilter] = Nil)
+                zoneFilters: Seq[ZoneFilter] = Nil,
+                fromVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"LanceScan($path, columns=[${required.fieldNames.mkString(",")}]" +
       limit.map(n => s", limit=$n").getOrElse("") +
+      fromVersion.map(v => s", fromVersion=$v").getOrElse("") +
       (if (zoneFilters.nonEmpty)
          s", zoneFilters=[${zoneFilters.map(f => s"${f.colName}${f.op}${if (f.isStr) "str" else f.value}").mkString(",")}]"
        else "") + ")"
 
-  @transient private lazy val manifest = {
+  @transient private lazy val manifest0 = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
     LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, versionAsOf))
+  }
+
+  /** Incremental batch read (`option("fromVersion", v)`): only fragments
+    * appended AFTER version v remain — the batch-CDC face of the
+    * streaming source's (start, end] version-range planning, with the
+    * same append-only guard (a fragment-set shrink means overwrite or
+    * compaction rewrote history, which cannot be tailed). */
+  @transient private lazy val manifest: LanceFormat.Manifest = fromVersion match {
+    case None => manifest0
+    case Some(v) =>
+      require(v <= manifest0.version,
+        s"lance: fromVersion $v is newer than the read version ${manifest0.version}")
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val (fs, p) = LanceFormat.fileSystem(path, conf)
+      val baseIds =
+        if (v == 0) Set.empty[Long]
+        else LanceFormat.readManifest(fs,
+          LanceFormat.latestManifestPath(fs, p, Some(v))).fragments.map(_.id).toSet
+      val endIds = manifest0.fragments.map(_.id).toSet
+      require(baseIds.subsetOf(endIds),
+        s"lance: fragments ${baseIds.diff(endIds).toSeq.sorted.mkString(",")} " +
+        s"disappeared after version $v — the dataset was overwritten or " +
+        "compacted; incremental reads cannot continue across a rewrite")
+      manifest0.copy(fragments =
+        manifest0.fragments.filterNot(f => baseIds.contains(f.id)))
   }
 
   /** Row count + size from the manifest — feeds the cost model so e.g.

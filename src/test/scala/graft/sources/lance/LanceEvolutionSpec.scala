@@ -129,6 +129,34 @@ class LanceEvolutionSpec extends AnyFunSuite {
     assert(LanceMaintenance.listTags(spark, ds) == Map("with-extra" -> v2))
   }
 
+  test("fromVersion reads only rows appended after a version (batch CDC)") {
+    val ds = tmpDs()
+    spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v", "'a' AS tag")
+      .coalesce(1).write.format("lance").mode("append").save(ds) // v1
+    spark.range(10, 15).selectExpr("id", "CAST(id AS DOUBLE) AS v", "'b' AS tag")
+      .coalesce(1).write.format("lance").mode("append").save(ds) // v2
+    spark.range(15, 22).selectExpr("id", "CAST(id AS DOUBLE) AS v", "'c' AS tag")
+      .coalesce(1).write.format("lance").mode("append").save(ds) // v3
+
+    def from(v: Long) =
+      spark.read.format("lance").option("fromVersion", v).load(ds)
+    assert(from(1).count() == 12)
+    assert(from(2).count() == 7)
+    assert(from(2).select("tag").distinct().collect().map(_.getString(0)).toSeq == Seq("c"))
+    assert(from(3).count() == 0)
+    // windowed: appended in (1, 2]
+    assert(spark.read.format("lance")
+      .option("fromVersion", 1).option("versionAsOf", 2).load(ds).count() == 5)
+    // deletes on new fragments are honored
+    LanceMaintenance.deleteWhere(spark, ds, "id >= 20") // v4
+    assert(from(2).count() == 5)
+    // compaction rewrites history -> incremental read refuses
+    LanceMaintenance.compact(spark, ds)
+    val e = intercept[Exception](from(2).count())
+    assert(e.getMessage.contains("overwritten or compacted") ||
+           e.getCause != null && e.getCause.getMessage.contains("overwritten or compacted"))
+  }
+
   test("SQL ALTER TABLE through the lance catalog") {
     val ds = tmpDs()
     seed(ds, 30)
