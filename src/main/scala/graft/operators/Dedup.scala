@@ -92,27 +92,49 @@ object Dedup {
     // signatures feed four plan branches (two band sides, two estimate
     // sides); materialize once — at 100 TB this is the "write the
     // signature table" step every production dedup pipeline has
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes).cache()
-    // candidate generation stays skinny: (id, band, band_hash) only — the
+    // Collapse identical signatures first (a dup-dense corpus concentrates
+    // there): intra-group pairs have estimated jaccard 1.0 by definition
+    // and are emitted straight off the member lists — no banding, no
+    // distinct, no estimate kernel. Banding, candidate distinct, and the
+    // estimate then run once per DISTINCT-signature pair instead of once
+    // per doc pair. localCheckpoint pins the surrogate gid (nondeterminism
+    // guard) and materializes the signature table once — at 100 TB this is
+    // the "write the signature table" step every dedup pipeline has.
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes)
+    val reps = sigs.groupBy("sig")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .withColumn("gid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val intra = reps.filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est_jaccard", lit(1.0))
+    // candidate generation stays skinny: (gid, band, band_hash) only — the
     // wide signature arrays are joined back after the distinct, so the
     // candidate shuffle moves 16-byte rows, not kilobyte signature pairs.
     // band hashes come from ONE compact kernel call (the nested multi-arg
     // xxhash64 form compiled an ~80-node expression per side)
-    val bandRows = sigs.select(col(idCol),
+    val bandRows = reps.select(col("gid"),
         posexplode(graft.functions.SketchAggs.bandHashes(col("sig"), bands)))
-      .select(col(idCol), col("pos").as("band"), col("col").as("band_hash"))
-    val l = bandRows.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
-    val rr = bandRows.select(col(idCol).as("doc_b"), col("band").as("band_r"), col("band_hash").as("band_hash_r"))
+      .select(col("gid"), col("pos").as("band"), col("col").as("band_hash"))
+    val l = bandRows.select(col("gid").as("gid_a"), col("band"), col("band_hash"))
+    val rr = bandRows.select(col("gid").as("gid_b"), col("band").as("band_r"), col("band_hash").as("band_hash_r"))
     val candidates = l.join(rr, col("band") === col("band_r") &&
-        col("band_hash") === col("band_hash_r") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
+        col("band_hash") === col("band_hash_r") && col("gid_a") < col("gid_b"))
+      .select("gid_a", "gid_b").distinct()
+    val sa = reps.select(col("gid").as("gid_a"), col("sig").as("sig_a"), col("ids").as("ids_a"))
+    val sb = reps.select(col("gid").as("gid_b"), col("sig").as("sig_b"), col("ids").as("ids_b"))
     val est = graft.functions.ArrayKernels.longEqCount(col("sig_a"), col("sig_b"))
       .cast(DoubleType) / numHashes.toDouble
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+    val inter = candidates.join(sa, "gid_a").join(sb, "gid_b")
+      .select(col("ids_a"), col("ids_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= jaccardThreshold)
+      .select(col("est_jaccard"), col("ids_b"), explode(col("ids_a")).as("a"))
+      .select(col("est_jaccard"), col("a"), explode(col("ids_b")).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+              greatest(col("a"), col("b")).as("doc_b"), col("est_jaccard"))
+    intra.select("doc_a", "doc_b", "est_jaccard").unionAll(inter)
   }
 
   /** The canonical two-stage production pipeline: MinHash-LSH candidate
@@ -202,26 +224,44 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    // unlike minHashLsh (where signatures are 64x8 bytes and must stay out
-    // of the candidate shuffle), a simhash is ONE long — carrying it through
-    // the chunk join costs 8 bytes/row and lets the hamming filter run
-    // BEFORE the distinct, so the distinct dedups only true near-dup pairs
-    // instead of every bucket collision (the round-1 hot spot: joining
-    // signatures back to every candidate pair)
-    // cache = a plan boundary too: without it CollapseProject inlines the
-    // kernel into every chunk expression (5 evals/row) and both join sides
-    val sigs = simHash(df, idCol, textCol).cache()
-    val chunks = sigs.select(col(idCol), col("simhash"),
+    // A dup-dense corpus concentrates in IDENTICAL signatures, and every
+    // intra-bucket pair would match in all 4 chunks — generated 4x, then
+    // deduped. So collapse to one row per DISTINCT signature first:
+    //  - hamming-0 pairs come straight off the per-signature member lists
+    //    (explode x explode, no join, no distinct);
+    //  - the chunk-band join runs over distinct signatures only, its
+    //    distinct() dedups (sig_a, sig_b) candidates (small) instead of
+    //    doc pairs (the output, large), and member lists explode after.
+    // At 100 TB the same shape holds: the signature-collapse is one hash
+    // aggregate, and the quadratic work tracks distinct-signature bucket
+    // sizes, not duplicate-cluster sizes.
+    val sigs = simHash(df, idCol, textCol)
+    val groups = sigs.groupBy("simhash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids")).cache()
+
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", lit(0))
+
+    val chunks = groups.select(col("simhash"), col("ids"),
         posexplode(array((0 until 4).map(c => expr(s"(shiftright(simhash, ${c * 16})) & 65535")): _*)))
-      .select(col(idCol), col("simhash"), col("pos").as("chunk"), col("col").as("chunk_val"))
-    val l = chunks.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
+      .select(col("simhash"), col("ids"), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val l = chunks.select(col("simhash").as("sh_a"), col("ids").as("ids_a"),
                           col("chunk"), col("chunk_val"))
-    val r = chunks.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
+    val r = chunks.select(col("simhash").as("sh_b"), col("ids").as("ids_b"),
                           col("chunk").as("chunk_r"), col("chunk_val").as("chunk_val_r"))
-    l.join(r, col("chunk") === col("chunk_r") &&
-        col("chunk_val") === col("chunk_val_r") && col("doc_a") < col("doc_b"))
+    val inter = l.join(r, col("chunk") === col("chunk_r") &&
+        col("chunk_val") === col("chunk_val_r") && col("sh_a") < col("sh_b"))
       .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast(IntegerType))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming").distinct()
+      .select("sh_a", "sh_b", "ids_a", "ids_b", "hamming").distinct()
+      .select(col("hamming"), col("ids_b"), explode(col("ids_a")).as("a"))
+      .select(col("hamming"), col("a"), explode(col("ids_b")).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+              greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+
+    intra.select("doc_a", "doc_b", "hamming").unionAll(inter)
   }
 }
