@@ -49,21 +49,42 @@ object Dedup {
     // unchanged (xxhash64 collisions are negligible)
     // tokens hashed to int64 and SORTED once per doc: every pair compare is
     // then a codegen'd O(n+m) merge walk (no per-pair hash set)
+    //
+    // Identical token sets collapse before the pair join (dup-dense
+    // corpora concentrate there): intra-group pairs are jaccard 1.0 by
+    // definition and explode straight off the member lists; the O(n²)
+    // block join and the merge-intersect kernel run once per DISTINCT set
+    // pair. Groups are ordered by their (distinct) min ids, members
+    // re-normalized with least/greatest — the output pair set is
+    // unchanged.
     val t = tokenSets(df, idCol, textCol, Seq(blockCol))
-      .select(col(idCol), col(blockCol),
+      .select(col(idCol), col(blockCol).as("blk"),
               array_sort(array_distinct(transform(col("toks"), tk => xxhash64(tk)))).as("toks"))
+    val reps = t.groupBy(col("blk"), col("toks"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .cache()
-    val a = t.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("toks").as("toks_a"))
-    val b = t.select(col(idCol).as("doc_b"), col(blockCol).as("blk_b"), col("toks").as("toks_b"))
-    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+    val intra = reps.filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", lit(1.0))
+    val a = reps.select(col("ids").as("ids_a"), col("blk"), col("toks").as("toks_a"))
+    val b = reps.select(col("ids").as("ids_b"), col("blk").as("blk_b"), col("toks").as("toks_b"))
+    val inter = a.join(b, col("blk") === col("blk_b") &&
+        element_at(col("ids_a"), 1) < element_at(col("ids_b"), 1))
       // stage the intersect size once so it isn't re-evaluated per use
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("ids_a"), col("ids_b"),
               graft.functions.ArrayKernels.sortedIntersectCount(col("toks_a"), col("toks_b")).as("n_inter"),
               size(col("toks_a")).as("n_a"), size(col("toks_b")).as("n_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("ids_a"), col("ids_b"),
               (col("n_inter").cast(DoubleType) /
                (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .select(col("jaccard"), col("ids_b"), explode(col("ids_a")).as("a"))
+      .select(col("jaccard"), col("a"), explode(col("ids_b")).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+              greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    intra.select("doc_a", "doc_b", "jaccard").unionAll(inter)
   }
 
   /** MinHash signatures: one row per doc with a `sig` array<bigint> of
@@ -184,9 +205,14 @@ object Dedup {
   def connectedComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
     // localCheckpoint per round truncates the growing lineage — without it
-    // round N replays rounds 1..N-1 and the loop goes quadratic
+    // round N replays rounds 1..N-1 and the loop goes quadratic.
+    // repartition on v first: the two unions would otherwise stack up the
+    // upstream partition counts (each round pays task overhead per edge
+    // partition), and v is the per-round join key — edges stay put while
+    // only the labels side shuffles each round
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .repartition(col("v"))
       .localCheckpoint(true)
     var labels = docs.select(col(idCol).as("u"), col(idCol).as("label"))
       .localCheckpoint(true)
