@@ -33,12 +33,55 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
         n -> d.toInt
       }.toMap
     }.getOrElse(Map.empty[String, Int])
-    new LanceWrite(path, info.schema(), doTruncate, fsl)
+    def cols(key: String): Seq[String] =
+      Option(info.options.get(key)).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new LanceWrite(path, info.schema(), doTruncate, fsl,
+      clusterBy = cols("clusterBy"), sortBy = cols("sortBy"),
+      numPartitions = Option(info.options.get("writePartitions"))
+        .map(_.toInt).getOrElse(0))
   }
 }
 
+/** Write-side layout control (DSv2 RequiresDistributionAndOrdering — the
+  * exchange/sort happen in the write query itself, before fragment files
+  * are cut):
+  *
+  *  - `sortBy` alone = GLOBAL range sort: fragments get disjoint key
+  *    ranges, so the manifest min/max stats prune point and range
+  *    predicates to few fragments (the clustered-table story without a
+  *    new file format);
+  *  - `clusterBy` = hash co-location (same keys land in the same
+  *    fragment — dedup/join locality), with `sortBy` ordering rows
+  *    within each fragment for page-level zone selectivity. Hash buckets
+  *    interleave ranges, so prefer plain `sortBy` for range pruning. */
 class LanceWrite(path: String, schema: StructType, truncate: Boolean,
-                 fsl: Map[String, Int]) extends Write {
+                 fsl: Map[String, Int],
+                 clusterBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
+                 numPartitions: Int = 0)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  private def sortOrders: Array[SortOrder] =
+    sortBy.map(c => Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+      .toArray
+
+  override def requiredDistribution(): Distribution =
+    if (clusterBy.nonEmpty)
+      Distributions.clustered(
+        clusterBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else if (sortBy.nonEmpty) Distributions.ordered(sortOrders)
+    else Distributions.unspecified()
+
+  /** option("writePartitions", n): exact fragment count for the clustered
+    * write (0 = let Spark/AQE size the exchange — which may coalesce a
+    * small write into one fragment). */
+  override def requiredNumPartitions(): Int = numPartitions
+
+  override def requiredOrdering(): Array[SortOrder] = sortOrders
+
   override def toBatch: BatchWrite = new LanceBatchWrite(path, schema, truncate, fsl)
 }
 

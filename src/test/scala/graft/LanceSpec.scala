@@ -419,6 +419,52 @@ class LanceSpec extends AnyFunSuite {
     assert(m.fragments.map(_.id).distinct.length == m.fragments.length)
   }
 
+  test("sortBy writes produce range-disjoint fragments the planner prunes") {
+    val ds = tmpDs()
+    // global range sort on grp,id: each fragment covers a narrow grp slice
+    spark.range(40000).selectExpr("id", "id % 8 AS grp", "CAST(id AS DOUBLE) AS v")
+      .repartition(4) // scrambled input — the WRITE must arrange the layout
+      .write.format("lance")
+      .option("sortBy", "grp,id").option("writePartitions", "4")
+      .mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 40000)
+    assert(back.filter("grp = 3").count() == 5000)
+    // a point filter plans only the fragment(s) whose manifest range
+    // covers that grp value
+    val all = back.rdd.getNumPartitions
+    val pruned = back.filter("grp = 3").rdd.getNumPartitions
+    assert(all >= 3, s"expected multiple fragments, got $all")
+    assert(pruned <= 2, s"grp=3 planned $pruned of $all fragments — no pruning")
+    assert(back.filter("id BETWEEN 100 AND 110").count() == 11)
+  }
+
+  test("clusterBy writes co-locate keys (one fragment per hash bucket)") {
+    val ds = tmpDs()
+    spark.range(20000).selectExpr("id", "id % 6 AS grp")
+      .repartition(5)
+      .write.format("lance")
+      .option("clusterBy", "grp").option("sortBy", "id")
+      .option("writePartitions", "3")
+      .mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 20000)
+    // every grp value lives in exactly one fragment: grouping by the
+    // cluster key needs no wide shuffle of row data, and exact-dedup by
+    // grp would be fragment-local
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = graft.sources.lance.LanceFormat.fileSystem(ds, conf)
+    val m = graft.sources.lance.LanceFormat.readManifest(fs,
+      graft.sources.lance.LanceFormat.latestManifestPath(fs, p, None))
+    assert(m.fragments.length >= 2)
+    val byFrag = back.withColumn("_f", org.apache.spark.sql.functions
+        .spark_partition_id())
+    val spread = byFrag.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.countDistinct("_f").as("nf"))
+      .agg(org.apache.spark.sql.functions.max("nf")).head.getLong(0)
+    assert(spread == 1, s"a grp value spans $spread fragments")
+  }
+
   test("versionAsOf resolves an explicit manifest version") {
     val df = spark.read.format("lance").option("versionAsOf", "1").load(golden)
     assert(df.count() == 5)
