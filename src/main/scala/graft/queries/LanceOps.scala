@@ -140,6 +140,34 @@ object LanceOps {
       SELECT o_orderpriority, COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS total
       FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // layout-controlled write end-to-end: a GLOBAL range sort on
+    // l_shipdate at write time (DSv2 RequiresDistributionAndOrdering)
+    // gives range-disjoint fragments, and the date-range scan plans only
+    // the fragments whose manifest stats cover the window — the oracle
+    // checks the aggregate is exact, LanceSpec asserts the pruning
+    QDef("l09_lance_sorted_scan", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/lineitem_sorted.lance"
+      t("lineitem").select("l_orderkey", "l_shipdate", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .write.format("lance")
+        .option("sortBy", "l_shipdate").option("writePartitions", "8")
+        .mode("overwrite").save(ds)
+      s.read.format("lance").load(ds)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("qty"),
+             Det.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n, ${Det.oSum("l_quantity")} AS qty,
+             ${Det.oSum("l_extendedprice")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // UPDATE analogue end-to-end: predicate-matched rows replaced with
     // transformed selves (deletion vectors + staged fragments, one
     // version); oracle applies the same CASE rewrite relationally

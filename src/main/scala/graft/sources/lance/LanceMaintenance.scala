@@ -18,11 +18,20 @@ object LanceMaintenance {
     * version number. Live data is unchanged (deleted rows are materialized
     * away — the masked read drops them, so compaction doubles as delete
     * cleanup). */
-  def compact(spark: SparkSession, path: String, targetFragments: Int = 1): Long = {
+  def compact(spark: SparkSession, path: String, targetFragments: Int = 1,
+              sortBy: Seq[String] = Nil): Long = {
     require(targetFragments > 0, "targetFragments must be positive")
-    spark.read.format("lance").load(path)
-      .repartition(targetFragments)
-      .write.format("lance").mode("overwrite").save(path)
+    // sortBy = recluster while compacting (the OPTIMIZE ... SORT analogue):
+    // the write's range exchange produces range-disjoint fragments, so
+    // stats pruning gets sharper as a side effect of the same rewrite
+    val src = spark.read.format("lance").load(path)
+    val wr =
+      if (sortBy.nonEmpty)
+        src.write.format("lance")
+          .option("sortBy", sortBy.mkString(","))
+          .option("writePartitions", targetFragments.toString)
+      else src.repartition(targetFragments).write.format("lance")
+    wr.mode("overwrite").save(path)
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
     LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version

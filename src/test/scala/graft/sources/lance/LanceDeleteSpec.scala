@@ -271,5 +271,12 @@ class LanceDeleteSpec extends AnyFunSuite {
     // the pre-compaction version still reads through its deletion vector
     assert(spark.read.format("lance").option("versionAsOf", vDel).load(ds)
       .count() == live)
+
+    // recluster while compacting: range-sorted fragments prune point scans
+    LanceMaintenance.compact(spark, ds, targetFragments = 4, sortBy = Seq("id"))
+    val sorted = spark.read.format("lance").load(ds)
+    assert(sorted.count() == live)
+    assert(sorted.rdd.getNumPartitions == 4)
+    assert(sorted.filter("id BETWEEN 300 AND 310").rdd.getNumPartitions <= 2)
   }
 }
