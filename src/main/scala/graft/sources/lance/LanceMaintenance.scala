@@ -231,6 +231,67 @@ object LanceMaintenance {
     }
   }
 
+  // ---- vacuum ------------------------------------------------------------
+
+  /** Remove old versions and any files only they reference (the
+    * `lance.auto_cleanup` policy analogue — the golden manifest carries
+    * those tags). Keeps the latest `keepVersions` manifests PLUS every
+    * tagged version; then deletes unreferenced data files, deletion
+    * files, transaction logs, and orphaned `_staging-*` dirs. Returns
+    * (versions removed, files removed). Readers of kept versions are
+    * unaffected; time travel to a vacuumed version fails with the usual
+    * missing-version error. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "vacuum must keep at least the latest version")
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val vdir = new org.apache.hadoop.fs.Path(p, "_versions")
+    val versions = fs.listStatus(vdir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest").toLong).sorted
+    val tagged = listTags(spark, path).values.toSet
+    val keep = versions.takeRight(keepVersions).toSet ++ tagged.filter(versions.contains)
+    val drop = versions.filterNot(keep.contains)
+    if (drop.isEmpty && !fs.exists(p)) return (0, 0)
+
+    // everything the kept versions still reference stays
+    val keptManifests = keep.toSeq.sorted.map(v =>
+      LanceFormat.readManifest(fs, new org.apache.hadoop.fs.Path(vdir, s"$v.manifest")))
+    val liveData: Set[String] =
+      keptManifests.flatMap(_.fragments.flatMap(_.files.map(_.path))).toSet
+    val liveDeletions: Set[String] = keptManifests.flatMap(_.fragments.flatMap(fr =>
+      fr.deletion.map(_.fileName(fr.id)))).toSet
+
+    var removed = 0
+    def sweep(dirName: String, live: Set[String]): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(p, dirName)
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        if (!live.contains(st.getPath.getName)) {
+          if (fs.delete(st.getPath, false)) removed += 1
+        }
+      }
+    }
+    sweep("data", liveData)
+    sweep("_deletions", liveDeletions)
+    // transaction logs predate the kept window wholesale; staging dirs are
+    // upsert leftovers from crashed jobs
+    val txDir = new org.apache.hadoop.fs.Path(p, "_transactions")
+    if (fs.exists(txDir)) fs.listStatus(txDir).foreach { st =>
+      val v = st.getPath.getName.takeWhile(_.isDigit)
+      if (v.nonEmpty && drop.contains(v.toLong)) {
+        if (fs.delete(st.getPath, false)) removed += 1
+      }
+    }
+    fs.listStatus(p).foreach { st =>
+      if (st.getPath.getName.startsWith("_staging-")) {
+        if (fs.delete(st.getPath, true)) removed += 1
+      }
+    }
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(vdir, s"$v.manifest"), false)
+    }
+    (drop.length, removed)
+  }
+
   // ---- tags (named version refs) ----------------------------------------
 
   /** Pin a version under a name: `_refs/tags/<tag>.json` holding

@@ -157,6 +157,33 @@ class LanceEvolutionSpec extends AnyFunSuite {
            e.getCause != null && e.getCause.getMessage.contains("overwritten or compacted"))
   }
 
+  test("vacuum drops old versions but keeps tagged ones and live files") {
+    val ds = tmpDs()
+    seed(ds, 30) // v1
+    LanceMaintenance.createTag(spark, ds, "keepme") // pins v1
+    spark.range(30, 60).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v",
+        "concat('tag_', id % 3) AS tag")
+      .coalesce(1).write.format("lance").mode("append").save(ds) // v2
+    LanceMaintenance.deleteWhere(spark, ds, "id < 5") // v3
+    LanceMaintenance.compact(spark, ds) // v4 rewrites data files
+
+    val (droppedVersions, removedFiles) = LanceMaintenance.vacuum(spark, ds, keepVersions = 1)
+    assert(droppedVersions == 2) // v2, v3 gone; v1 tagged, v4 latest
+    assert(removedFiles > 0)
+    // latest and the tagged version still read correctly
+    assert(spark.read.format("lance").load(ds).count() == 55)
+    assert(spark.read.format("lance").option("tagAsOf", "keepme").load(ds)
+      .count() == 30)
+    // vacuumed versions are gone
+    intercept[Exception](
+      spark.read.format("lance").option("versionAsOf", 2).load(ds).count())
+    // dropping the tag frees v1 on the next vacuum
+    LanceMaintenance.deleteTag(spark, ds, "keepme")
+    val (d2, _) = LanceMaintenance.vacuum(spark, ds, keepVersions = 1)
+    assert(d2 == 1)
+    assert(spark.read.format("lance").load(ds).count() == 55)
+  }
+
   test("SQL ALTER TABLE through the lance catalog") {
     val ds = tmpDs()
     seed(ds, 30)
