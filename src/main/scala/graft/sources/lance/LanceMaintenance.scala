@@ -354,10 +354,17 @@ object LanceMaintenance {
   def addColumn(spark: SparkSession, path: String, name: String,
                 dataType: org.apache.spark.sql.types.DataType,
                 fslDim: Option[Int] = None): Long =
-    patchFields(spark, path) { fields =>
+    patchFields(spark, path) { manifest =>
+      val fields = manifest.fields
       require(!fields.exists(f => f.parentId == -1 && f.name == name),
         s"lance addColumn: column '$name' already exists")
-      val nextId = fields.map(_.id).foldLeft(-1)(math.max) + 1
+      // NEVER reuse an id a data file still carries: a dropped column's id
+      // lives on in old fragments' file lists, and reusing it would make
+      // the new column resolve to the old column's pages (model-based
+      // fuzz found exactly this). Ids referenced by no file (e.g. after
+      // compaction rewrote every fragment) are safe to reuse.
+      val inFiles = manifest.fragments.flatMap(_.files.flatMap(_.fieldIds))
+      val nextId = (fields.map(_.id) ++ inFiles).foldLeft(-1)(math.max) + 1
       val fsl = fslDim.map(d => name -> d).toMap
       val sub = LanceSchemaLayout.of(org.apache.spark.sql.types.StructType(
         Seq(org.apache.spark.sql.types.StructField(name, dataType))), fsl)
@@ -369,7 +376,8 @@ object LanceMaintenance {
   /** Rename a top-level column (id unchanged — data files untouched). */
   def renameColumn(spark: SparkSession, path: String, oldName: String,
                    newName: String): Long =
-    patchFields(spark, path) { fields =>
+    patchFields(spark, path) { manifest =>
+      val fields = manifest.fields
       val f = fields.find(f => f.parentId == -1 && f.name == oldName).getOrElse(
         throw new IllegalArgumentException(s"lance renameColumn: no column '$oldName'"))
       require(!fields.exists(f => f.parentId == -1 && f.name == newName),
@@ -382,7 +390,8 @@ object LanceMaintenance {
     * but the field ids vanish from the manifest, so current-version scans
     * never request them. */
   def dropColumn(spark: SparkSession, path: String, name: String): Long =
-    patchFields(spark, path) { fields =>
+    patchFields(spark, path) { manifest =>
+      val fields = manifest.fields
       val root = fields.find(f => f.parentId == -1 && f.name == name).getOrElse(
         throw new IllegalArgumentException(s"lance dropColumn: no column '$name'"))
       require(fields.count(_.parentId == -1) > 1,
@@ -406,12 +415,12 @@ object LanceMaintenance {
     * deletion vectors, writer tags, unmodeled fields) are re-emitted
     * verbatim. */
   private def patchFields(spark: SparkSession, path: String)(
-      edit: Seq[LanceFormat.LanceField] => FieldPatch): Long = {
+      edit: LanceFormat.Manifest => FieldPatch): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
     val manifestPath = LanceFormat.latestManifestPath(fs, p, None)
     val manifest = LanceFormat.readManifest(fs, manifestPath)
-    val patch = edit(manifest.fields)
+    val patch = edit(manifest)
     val newVersion = manifest.version + 1
 
     val rawAll = LanceFormat.readWholeFile(fs, manifestPath)

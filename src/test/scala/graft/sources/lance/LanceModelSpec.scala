@@ -1,0 +1,181 @@
+package graft.sources.lance
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based randomized testing of the table surface: a random sequence
+  * of append / deleteWhere / updateWhere / mergeInsert / addColumn /
+  * renameColumn / dropColumn / compact is applied BOTH to a lance dataset
+  * and to an in-memory reference model; after every op the full dataset
+  * contents must equal the model. This is where interaction bugs live
+  * (evolution over deletion vectors, merges after renames, appends after
+  * drops) — single-feature specs can't reach those orderings.
+  */
+class LanceModelSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def tmpDs(): String = {
+    val f = java.nio.file.Files.createTempDirectory("lance_model").toFile
+    f.delete()
+    f.getAbsolutePath + "/ds.lance"
+  }
+
+  /** The reference model: ordered columns + rows as column-name maps. */
+  private final class Model {
+    var cols: Vector[(String, DataType)] =
+      Vector("id" -> LongType, "v" -> DoubleType, "tag" -> StringType)
+    val rows = mutable.ArrayBuffer.empty[mutable.Map[String, Any]]
+    private var nextColId = 0
+
+    def freshColName(): String = { nextColId += 1; s"c$nextColId" }
+
+    def toDf: DataFrame = {
+      val schema = StructType(cols.map { case (n, t) => StructField(n, t) })
+      val data = rows.map(r => Row.fromSeq(cols.map(c => r.getOrElse(c._1, null)))).toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 2), schema)
+    }
+  }
+
+  private def canon(df: DataFrame, cols: Seq[String]): Seq[String] =
+    df.selectExpr(cols.map(c => s"CAST(`$c` AS STRING) AS `$c`"): _*)
+      .collect()
+      .map(r => (0 until r.length).map(i => if (r.isNullAt(i)) "\\N" else r.getString(i)).mkString("|"))
+      .sorted.toSeq
+
+  private def check(ds: String, m: Model, step: String): Unit = try {
+    doCheck(ds, m, step)
+  } catch {
+    case e: Throwable =>
+      throw new AssertionError(s"[$step] cols=${m.cols.map(_._1)}: ${e.getMessage}", e)
+  }
+
+  private def doCheck(ds: String, m: Model, step: String): Unit = {
+    val back = spark.read.format("lance").load(ds)
+    assert(back.schema.fieldNames.toSeq == m.cols.map(_._1),
+      s"[$step] schema ${back.schema.fieldNames.toSeq} != ${m.cols.map(_._1)}")
+    val names = m.cols.map(_._1)
+    val got = canon(back, names)
+    val want = canon(m.toDf, names)
+    assert(got.length == want.length,
+      s"[$step] ${got.length} rows, expected ${want.length}")
+    assert(got == want, {
+      val missing = want.diff(got).take(3)
+      val extra = got.diff(want).take(3)
+      s"[$step] content mismatch; missing=$missing extra=$extra"
+    })
+  }
+
+  private def runSequence(seed: Long, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val ds = tmpDs()
+    val m = new Model
+    var nextId = 0L
+
+    def freshRows(n: Int): Seq[mutable.Map[String, Any]] = (0 until n).map { _ =>
+      val r = mutable.Map[String, Any]("id" -> nextId)
+      m.cols.foreach {
+        case ("id", _) => ()
+        case (c, DoubleType) => r(c) = nextId * 1.5 + c.length
+        case (c, LongType) => r(c) = nextId * 7 + c.length
+        case (c, StringType) => r(c) = s"${c}_${nextId % 4}"
+        case (c, t) => throw new IllegalStateException(s"$c: $t")
+      }
+      nextId += 1
+      r
+    }
+
+    def dfOf(rws: Seq[mutable.Map[String, Any]]): DataFrame = {
+      val schema = StructType(m.cols.map { case (n, t) => StructField(n, t) })
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rws.map(r =>
+          Row.fromSeq(m.cols.map(c => r.getOrElse(c._1, null)))), 2), schema)
+    }
+
+    // seed the dataset
+    val first = freshRows(30)
+    m.rows ++= first
+    dfOf(first).write.format("lance").mode("append").save(ds)
+    check(ds, m, "seed")
+
+    (1 to nOps).foreach { step =>
+      val op = rnd.nextInt(8)
+      val label = s"seed=$seed step=$step op=$op"
+      op match {
+        case 0 => // append
+          val rws = freshRows(5 + rnd.nextInt(10))
+          m.rows ++= rws
+          dfOf(rws).write.format("lance").mode("append").save(ds)
+        case 1 => // deleteWhere on an id residue
+          val k = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(k)
+          LanceMaintenance.deleteWhere(spark, ds, s"id % $k = $r")
+          val dead = m.rows.filter(x => x("id").asInstanceOf[Long] % k == r)
+          dead.foreach(m.rows -= _)
+        case 2 => // updateWhere bumping a double column (if one exists)
+          m.cols.find(_._2 == DoubleType) match {
+            case Some((c, _)) =>
+              val k = 2 + rnd.nextInt(4)
+              LanceMaintenance.updateWhere(spark, ds, s"id % $k = 0",
+                Map(c -> s"`$c` + 1000"))
+              m.rows.foreach { x =>
+                if (x("id").asInstanceOf[Long] % k == 0)
+                  x(c) = (x.getOrElse(c, null) match {
+                    case null => null
+                    case d: Double => d + 1000
+                  })
+              }
+            case None => ()
+          }
+        case 3 => // mergeInsert: update half the recent rows + insert new
+          val updates = m.rows.takeRight(6).map(_.clone())
+          m.cols.find(_._2 == StringType).foreach { case (c, _) =>
+            updates.foreach(u => u(c) = "merged")
+          }
+          val inserts = freshRows(4)
+          if (updates.nonEmpty || inserts.nonEmpty) {
+            LanceMaintenance.mergeInsert(spark, ds,
+              dfOf(updates.toSeq ++ inserts), Seq("id"))
+            val updIds = updates.map(_("id")).toSet
+            val replaced = m.rows.filter(r => updIds.contains(r("id")))
+            replaced.foreach(m.rows -= _)
+            m.rows ++= updates
+            m.rows ++= inserts
+          }
+        case 4 => // addColumn (nulls for existing rows)
+          val c = m.freshColName()
+          val t = if (rnd.nextBoolean()) DoubleType else StringType
+          LanceMaintenance.addColumn(spark, ds, c, t)
+          m.cols = m.cols :+ (c -> t)
+        case 5 => // renameColumn (never id)
+          val candidates = m.cols.filter(_._1 != "id")
+          if (candidates.nonEmpty) {
+            val (old, t) = candidates(rnd.nextInt(candidates.length))
+            val nu = m.freshColName()
+            LanceMaintenance.renameColumn(spark, ds, old, nu)
+            m.cols = m.cols.map { case (n, ty) => if (n == old) (nu, ty) else (n, ty) }
+            m.rows.foreach { r => if (r.contains(old)) { r(nu) = r(old); r -= old } }
+            val _ = t
+          }
+        case 6 => // dropColumn (never id; keep at least 2 columns)
+          val candidates = m.cols.filter(_._1 != "id")
+          if (candidates.length >= 2) {
+            val (c, _) = candidates(rnd.nextInt(candidates.length))
+            LanceMaintenance.dropColumn(spark, ds, c)
+            m.cols = m.cols.filterNot(_._1 == c)
+            m.rows.foreach(_ -= c)
+          }
+        case 7 => // compact (materializes deletes, rewrites layout)
+          LanceMaintenance.compact(spark, ds, targetFragments = 1 + rnd.nextInt(3))
+      }
+      check(ds, m, label)
+    }
+  }
+
+  test("random op sequences match the reference model (3 seeds x 12 ops)") {
+    Seq(101L, 202L, 303L).foreach(runSequence(_, 12))
+  }
+}
