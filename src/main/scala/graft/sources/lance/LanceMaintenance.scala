@@ -45,60 +45,90 @@ object LanceMaintenance {
     *
     * Scale shape: the predicate is evaluated distributed (full scan with
     * the `_rowaddr` metadata column), matching addresses shuffle once on
-    * fragment id, and each group reduces to a compact serialized bitmap —
-    * only (fragId, bitmap bytes) land on the driver, never row data.
+    * fragment id, and each group writes its deletion file FROM THE
+    * EXECUTOR — only the metas (fragId, file id, count) land on the
+    * driver, so a mass delete of 10^9 rows ships kilobytes, not offsets.
     *
     * Returns the committed version (unchanged if nothing matched). */
   def deleteWhere(spark: SparkSession, path: String, condition: String): Long = {
-    import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
     val manifestPath = LanceFormat.latestManifestPath(fs, p, None)
     val manifest = LanceFormat.readManifest(fs, manifestPath)
 
     val df = spark.read.format("lance").option("withRowAddress", "true").load(path)
-    val newDeletes: Map[Long, Array[Int]] = df.filter(condition)
-      .select(org.apache.spark.sql.functions.col("_rowaddr")).as[Long]
-      .groupByKey(a => a >>> 32)
-      .mapGroups((frag, it) => (frag, it.map(a => (a & 0xffffffffL).toInt).toArray.sorted))
-      .collect().toMap
-    if (newDeletes.isEmpty) return manifest.version
+    val delMetas = writeDeletionFiles(spark, path, manifest, df.filter(condition))
+    if (delMetas.isEmpty) return manifest.version
 
     val newVersion = manifest.version + 1
-    val delMetas = writeDeletionFiles(fs, p, manifest, newDeletes)
     commitDeletionPatch(conf, p, manifestPath, delMetas, newVersion)
     newVersion
   }
 
-  /** Write per-fragment roaring deletion bitmaps (merged with any existing
-    * bitmap — offsets are physical, so old and new union cleanly) and
-    * return the metas to commit. Shared by deleteWhere and mergeInsert. */
+  /** Write per-fragment roaring deletion bitmaps from `matched` (any frame
+    * carrying a `_rowaddr` column), merged with each fragment's existing
+    * deletion file (either lance format — offsets are physical, so old and
+    * new union cleanly). The sort+merge+serialize+write all happen inside
+    * `mapGroups` on executors; the driver collects only the metas. A
+    * speculative/retried task leaves at most an unreferenced file behind
+    * (fresh random id per attempt), which vacuum sweeps.
+    * Shared by deleteWhere, mergeInsert, and updateWhere. */
   private def writeDeletionFiles(
-      fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path,
+      spark: SparkSession, path: String,
       manifest: LanceFormat.Manifest,
-      newDeletes: Map[Long, Array[Int]]): Map[Long, LanceFormat.DeletionFileMeta] = {
+      matched: org.apache.spark.sql.DataFrame): Map[Long, LanceFormat.DeletionFileMeta] = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
     val delDir = new org.apache.hadoop.fs.Path(p, "_deletions")
     fs.mkdirs(delDir)
-    val rng = new java.security.SecureRandom()
-    newDeletes.map { case (fragId, offs) =>
-      val frag = manifest.fragments.find(_.id == fragId).getOrElse(
-        throw new IllegalStateException(s"fragment $fragId vanished mid-delete"))
-      val merged = frag.deletion match {
-        case Some(d) =>
-          val old = Roaring.deserialize(LanceFormat.readWholeFile(fs,
-            new org.apache.hadoop.fs.Path(delDir, d.fileName(fragId))))
-          (old ++ offs).distinct.sorted
-        case None => offs
+    val delDirStr = delDir.toString
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val readVersion = manifest.version
+    // tiny closure state: fragId -> existing deletion file to merge, and
+    // the valid fragment ids (a matched addr outside them means the scan
+    // and manifest disagree — fail loudly, not silently)
+    val existing: Map[Long, String] = manifest.fragments.flatMap(fr =>
+      fr.deletion.map(d => fr.id -> d.fileName(fr.id))).toMap
+    val validFrags = manifest.fragments.map(_.id).toSet
+
+    matched
+      .select(org.apache.spark.sql.functions.col("_rowaddr")).as[Long]
+      .groupByKey(a => a >>> 32)
+      .mapGroups { (frag, it) =>
+        if (!validFrags.contains(frag))
+          throw new IllegalStateException(s"fragment $frag vanished mid-delete")
+        val offs = it.map(a => (a & 0xffffffffL).toInt).toArray
+        java.util.Arrays.sort(offs)
+        val merged = existing.get(frag) match {
+          case Some(name) =>
+            val bs = DeletionFiles.read(s"$delDirStr/$name", serConf.value)
+            offs.foreach(bs.set)
+            val out = new Array[Int](bs.cardinality())
+            var i = bs.nextSetBit(0); var k = 0
+            while (i >= 0) { out(k) = i; k += 1; i = bs.nextSetBit(i + 1) }
+            out
+          case None => // dedupe in place (scans can't dup an addr, but be safe)
+            var k = 0
+            var i = 0
+            while (i < offs.length) {
+              if (k == 0 || offs(i) != offs(k - 1)) { offs(k) = offs(i); k += 1 }
+              i += 1
+            }
+            java.util.Arrays.copyOf(offs, k)
+        }
+        val id = new java.security.SecureRandom().nextInt(Int.MaxValue).toLong
+        val meta = LanceFormat.DeletionFileMeta(readVersion, id, 1, merged.length.toLong)
+        val (dfs, dp) = LanceFormat.fileSystem(
+          s"$delDirStr/${meta.fileName(frag)}", serConf.value)
+        val out = dfs.create(dp, true)
+        try out.write(Roaring.serialize(merged)) finally out.close()
+        (frag, id, merged.length.toLong)
       }
-      val meta = LanceFormat.DeletionFileMeta(
-        readVersion = manifest.version,
-        id = rng.nextInt(Int.MaxValue).toLong,
-        fileType = 1, numDeleted = merged.length.toLong)
-      val out = fs.create(new org.apache.hadoop.fs.Path(delDir, meta.fileName(fragId)), true)
-      try out.write(Roaring.serialize(merged)) finally out.close()
-      fragId -> meta
-    }
+      .collect()
+      .map { case (frag, id, n) =>
+        frag -> LanceFormat.DeletionFileMeta(readVersion, id, 1, n)
+      }.toMap
   }
 
   /** Upsert (lance merge_insert analogue): rows of `source` whose `keys`
@@ -118,7 +148,6 @@ object LanceMaintenance {
   def mergeInsert(spark: SparkSession, path: String,
                   source: org.apache.spark.sql.DataFrame,
                   keys: Seq[String]): Long = {
-    import spark.implicits._
     require(keys.nonEmpty, "mergeInsert needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
@@ -135,10 +164,10 @@ object LanceMaintenance {
       org.apache.spark.sql.functions.col(f.name)): _*)
     if (src.isEmpty) return manifest.version
 
-    // matched target rows -> per-fragment deletion offsets
+    // matched target rows (left-semi on keys) -> deletion vectors, written
+    // executor-side by writeDeletionFiles inside commitReplacement
     val keyCols = keys.map(org.apache.spark.sql.functions.col)
-    val matched: Map[Long, Array[Int]] = collectAddrs(spark,
-      target.join(src.select(keyCols: _*).distinct(), keys, "left_semi"))
+    val matched = target.join(src.select(keyCols: _*).distinct(), keys, "left_semi")
     commitReplacement(spark, path, manifest, matched, src, tgtFields)
   }
 
@@ -160,31 +189,20 @@ object LanceMaintenance {
     set.keys.foreach(c => require(tgtFields.exists(_.name == c),
       s"updateWhere: no column '$c'"))
     val matchedDf = target.filter(condition)
-    val matched = collectAddrs(spark, matchedDf)
-    if (matched.isEmpty) return manifest.version
+    if (matchedDf.isEmpty) return manifest.version
     val updated = set.foldLeft(matchedDf) { case (df, (c, e)) =>
       df.withColumn(c, org.apache.spark.sql.functions.expr(e)
         .cast(tgtFields.find(_.name == c).get.dataType))
     }.select(tgtFields.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
-    commitReplacement(spark, path, manifest, matched, updated, tgtFields)
-  }
-
-  /** `_rowaddr`s of `df` grouped per fragment (skinny shuffle; only
-    * (fragId, sorted offsets) reach the driver). */
-  private def collectAddrs(spark: SparkSession,
-                           df: org.apache.spark.sql.DataFrame): Map[Long, Array[Int]] = {
-    import spark.implicits._
-    df.select(org.apache.spark.sql.functions.col("_rowaddr")).as[Long]
-      .groupByKey(a => a >>> 32)
-      .mapGroups((frag, it) => (frag, it.map(a => (a & 0xffffffffL).toInt).toArray.sorted))
-      .collect().toMap
+    commitReplacement(spark, path, manifest, matchedDf, updated, tgtFields)
   }
 
   /** Shared upsert commit: stage `src` as fragment files, mask `matched`
-    * rows with deletion vectors, and write ONE manifest containing both. */
+    * rows (a frame carrying `_rowaddr`) with executor-written deletion
+    * vectors, and write ONE manifest containing both. */
   private def commitReplacement(spark: SparkSession, path: String,
                                 manifest: LanceFormat.Manifest,
-                                matched: Map[Long, Array[Int]],
+                                matched: org.apache.spark.sql.DataFrame,
                                 src: org.apache.spark.sql.DataFrame,
                                 tgtFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
     val conf = spark.sessionState.newHadoopConf()
@@ -212,8 +230,10 @@ object LanceMaintenance {
           s"lance upsert: failed to stage fragment ${f.path}")
       }
 
-      // one commit: patched old fragments + staged new ones
-      val delMetas = writeDeletionFiles(fs, p, manifest, matched)
+      // one commit: patched old fragments + staged new ones. The matched
+      // scan reads the pre-commit version, so the just-renamed staged
+      // files (not yet in any manifest) are invisible to it.
+      val delMetas = writeDeletionFiles(spark, path, manifest, matched)
       val patchedPrev = manifest.fragments.map(fr =>
         delMetas.get(fr.id).map(m => fr.copy(deletion = Some(m))).getOrElse(fr))
       val newFrags = staged.fragments.map { fr =>
@@ -240,18 +260,28 @@ object LanceMaintenance {
     * files, transaction logs, and orphaned `_staging-*` dirs. Returns
     * (versions removed, files removed). Readers of kept versions are
     * unaffected; time travel to a vacuumed version fails with the usual
-    * missing-version error. */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): (Int, Int) = {
+    * missing-version error.
+    *
+    * `olderThanMs` is the concurrency guard (the reference cleanup's
+    * `before` cutoff): an in-flight append or upsert has durable data
+    * files BEFORE its manifest commits, and those look identical to
+    * garbage — except they're young. Only unreferenced files whose
+    * modification time is older than the cutoff are swept, so a vacuum
+    * racing a writer never deletes a file a soon-to-commit manifest will
+    * reference. Pass 0 only when no writer can be active. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             olderThanMs: Long = 3600000L): (Int, Int) = {
     require(keepVersions >= 1, "vacuum must keep at least the latest version")
+    require(olderThanMs >= 0, "olderThanMs must be non-negative")
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val vdir = new org.apache.hadoop.fs.Path(p, "_versions")
     val versions = fs.listStatus(vdir).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest").toLong).sorted
     val tagged = listTags(spark, path).values.toSet
     val keep = versions.takeRight(keepVersions).toSet ++ tagged.filter(versions.contains)
     val drop = versions.filterNot(keep.contains)
-    if (drop.isEmpty && !fs.exists(p)) return (0, 0)
 
     // everything the kept versions still reference stays
     val keptManifests = keep.toSeq.sorted.map(v =>
@@ -265,15 +295,16 @@ object LanceMaintenance {
     def sweep(dirName: String, live: Set[String]): Unit = {
       val dir = new org.apache.hadoop.fs.Path(p, dirName)
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-        if (!live.contains(st.getPath.getName)) {
+        if (!live.contains(st.getPath.getName) && st.getModificationTime < cutoff) {
           if (fs.delete(st.getPath, false)) removed += 1
         }
       }
     }
     sweep("data", liveData)
     sweep("_deletions", liveDeletions)
-    // transaction logs predate the kept window wholesale; staging dirs are
-    // upsert leftovers from crashed jobs
+    // transaction logs of dropped versions are committed history — safe to
+    // remove regardless of age; staging dirs are upsert leftovers, young
+    // ones may belong to a LIVE upsert, so the age cutoff applies
     val txDir = new org.apache.hadoop.fs.Path(p, "_transactions")
     if (fs.exists(txDir)) fs.listStatus(txDir).foreach { st =>
       val v = st.getPath.getName.takeWhile(_.isDigit)
@@ -282,7 +313,8 @@ object LanceMaintenance {
       }
     }
     fs.listStatus(p).foreach { st =>
-      if (st.getPath.getName.startsWith("_staging-")) {
+      if (st.getPath.getName.startsWith("_staging-") &&
+          st.getModificationTime < cutoff) {
         if (fs.delete(st.getPath, true)) removed += 1
       }
     }

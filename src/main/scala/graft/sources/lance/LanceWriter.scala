@@ -769,7 +769,11 @@ object LanceWriteSupport {
         .packed(3, colFieldIds.indices.map(_.toLong)).varint(4, 2L)
       fw.message(2, dw)
       fw.varint(4, rows)
-      statMsgs(fw, stats)
+      // stats arrive keyed by generated positional ids (fileStats uses
+      // layout.topFieldIdOfCol) — on an evolved dataset those differ from
+      // the committed ids the fragment's fieldIds use, so remap through
+      // idOf or pruning would read the wrong column's min/max
+      statMsgs(fw, stats.map { case (fid, mn, mx) => (idOf(fid), mn, mx) })
       w.message(2, fw)
     }
     w.varint(3, version)

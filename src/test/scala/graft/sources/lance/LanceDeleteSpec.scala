@@ -177,6 +177,14 @@ class LanceDeleteSpec extends AnyFunSuite {
     assert(back.filter(col("id").isin(deleted.map(_.toLong): _*)).count() == 0)
     assert(back.agg(sum("id")).head.getLong(0) ==
       (0L until 200L).sum - deleted.map(_.toLong).sum)
+
+    // a later deleteWhere must MERGE with the arrow-form file (the crate's
+    // sparse-delete spelling), not assume its own roaring format
+    LanceMaintenance.deleteWhere(spark, ds, "id >= 190")
+    val merged = spark.read.format("lance").load(ds)
+    val dead = deleted.map(_.toLong).toSet ++ (190L until 200L)
+    assert(merged.count() == 200 - dead.size)
+    assert(merged.filter(col("id").isin(dead.toSeq: _*)).count() == 0)
   }
 
   test("mergeInsert upserts matched rows and inserts new ones in one version") {

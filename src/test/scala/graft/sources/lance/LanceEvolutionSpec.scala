@@ -167,7 +167,8 @@ class LanceEvolutionSpec extends AnyFunSuite {
     LanceMaintenance.deleteWhere(spark, ds, "id < 5") // v3
     LanceMaintenance.compact(spark, ds) // v4 rewrites data files
 
-    val (droppedVersions, removedFiles) = LanceMaintenance.vacuum(spark, ds, keepVersions = 1)
+    val (droppedVersions, removedFiles) =
+      LanceMaintenance.vacuum(spark, ds, keepVersions = 1, olderThanMs = 0)
     assert(droppedVersions == 2) // v2, v3 gone; v1 tagged, v4 latest
     assert(removedFiles > 0)
     // latest and the tagged version still read correctly
@@ -179,9 +180,79 @@ class LanceEvolutionSpec extends AnyFunSuite {
       spark.read.format("lance").option("versionAsOf", 2).load(ds).count())
     // dropping the tag frees v1 on the next vacuum
     LanceMaintenance.deleteTag(spark, ds, "keepme")
-    val (d2, _) = LanceMaintenance.vacuum(spark, ds, keepVersions = 1)
+    val (d2, _) = LanceMaintenance.vacuum(spark, ds, keepVersions = 1, olderThanMs = 0)
     assert(d2 == 1)
     assert(spark.read.format("lance").load(ds).count() == 55)
+  }
+
+  test("vacuum age threshold protects young unreferenced files") {
+    val ds = tmpDs()
+    seed(ds, 30) // v1
+    LanceMaintenance.compact(spark, ds) // v2 rewrites data files -> v1's unreferenced
+    // default-style cutoff: everything here is seconds old, nothing swept
+    val (d1, r1) = LanceMaintenance.vacuum(spark, ds, keepVersions = 1,
+      olderThanMs = 3600000L)
+    assert(d1 == 1 && r1 == 0) // manifest dropped, data files protected
+    assert(spark.read.format("lance").load(ds).count() == 30)
+    // zero cutoff sweeps the now-unreferenced files
+    val (_, r2) = LanceMaintenance.vacuum(spark, ds, keepVersions = 1, olderThanMs = 0)
+    assert(r2 > 0)
+    assert(spark.read.format("lance").load(ds).count() == 30)
+  }
+
+  test("vacuum racing concurrent appends never breaks a committed version") {
+    val ds = tmpDs()
+    seed(ds, 20)
+    // appender and vacuumer race; the age threshold keeps in-flight
+    // (durable-but-uncommitted) fragment files safe
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try {
+        (0 until 6).foreach { i =>
+          spark.range(100 + i * 10, 110 + i * 10)
+            .selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v",
+              "concat('tag_', id % 3) AS tag")
+            .coalesce(1).write.format("lance").mode("append").save(ds)
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val vacuumer = new Thread(() => {
+      try {
+        (0 until 6).foreach { _ =>
+          LanceMaintenance.vacuum(spark, ds, keepVersions = 1)
+          Thread.sleep(5)
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    appender.start(); vacuumer.start()
+    appender.join(120000); vacuumer.join(120000)
+    assert(errs.isEmpty, s"concurrent append/vacuum failed: ${errs.peek()}")
+    // every surviving version reads cleanly and the latest has all rows
+    assert(spark.read.format("lance").load(ds).count() == 20 + 60)
+  }
+
+  test("fragment stats after dropColumn+append prune by the right column") {
+    val ds = tmpDs()
+    seed(ds, 40) // columns (id, v, tag); v = id * 2.5 in [0, 97.5]
+    LanceMaintenance.dropColumn(spark, ds, "id") // committed ids: v=1, tag=2
+    // append a fragment whose v range is disjoint from the seed's: if its
+    // stats were written under POSITIONAL ids (v->0, tag->1), the v filter
+    // would read tag's string-prefix bits as v's min/max and silently
+    // skip this fragment
+    spark.range(1000, 1020).selectExpr("CAST(id AS DOUBLE) AS v",
+        "concat('tag_', id % 3) AS tag")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.count() == 60)
+    assert(back.filter("v >= 1000.0").count() == 20)
+    assert(back.filter("v < 100.0").count() == 40)
+    // bounded predicates are the decisive ones: tag's prefix bits read as
+    // a double are astronomically large, so a misskeyed fragment would be
+    // pruned for any finite upper bound
+    assert(back.filter("v = 1005.0").count() == 1)
+    assert(back.filter("v BETWEEN 1000.0 AND 1009.0").count() == 10)
+    assert(back.filter("tag = 'tag_1'").count() ==
+      (0 until 40).count(_ % 3 == 1) + (1000 until 1020).count(_ % 3 == 1))
   }
 
   test("SQL ALTER TABLE through the lance catalog") {
