@@ -325,6 +325,156 @@ case class StopwordHits(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** ADC (asymmetric distance computation) scoring for product-quantized
+  * vectors: `left` is a packed PQ code (one byte per subspace,
+  * little-endian in an int64 — M <= 8 subspaces), `right` a foldable
+  * array<double> lookup table of length 2*M*256 where `[m*256 + b]` holds
+  * dot(query_m, codebook_m[b]) and `[M*256 + m*256 + b]` holds
+  * |codebook_m[b]|^2. Result = sum(dot) / sqrt(sum(norm)) — the
+  * approximate cosine up to the constant 1/|q|, which the caller divides
+  * out. One table lookup per subspace instead of a dim-length float loop:
+  * the reason PQ probes scan 10-30x faster than raw vectors.
+  *
+  * Construction follows the public PQ scheme (Jégou/Douze/Schmid, PAMI
+  * 2011), the same family lance-index's IVF_PQ implements
+  * (`/root/reference/Cargo.lock`: lance-index). */
+/** Product-quantization encoder: `left` is an array<float> vector, `right`
+  * a foldable array<array<double>> of M*256 codebook centroids (subspace-
+  * major: entry `s*256 + b` is code b of subspace s, each of length
+  * dim/M). Result: the vector's packed code — per subspace, the index of
+  * the nearest (L2) centroid, one byte each, little-endian in an int64.
+  * Runs once at index build; 256*dim flops per vector, fused into the
+  * build scan's codegen stage (no UDF boxing). */
+case class PqEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_encode expects (array<float>, array<array<double>>), got ($l, $r)")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cbs = b.asInstanceOf[ArrayData]
+    val m = cbs.numElements() >> 8
+    val dsub = vec.numElements() / math.max(m, 1)
+    var code = 0L
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < 256) {
+        val cent = cbs.getArray(s * 256 + c)
+        var d2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val t = vec.getFloat(s * dsub + d).toDouble - cent.getDouble(d)
+          d2 += t * t
+          d += 1
+        }
+        if (d2 < bd) { bd = d2; best = c }
+        c += 1
+      }
+      code |= best.toLong << (s * 8)
+      s += 1
+    }
+    code
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val dsub = ctx.freshName("dsub")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd")
+      val d2 = ctx.freshName("d2")
+      val t = ctx.freshName("t")
+      val cent = ctx.freshName("cent")
+      val code = ctx.freshName("code")
+      s"""
+         |int $m = $b.numElements() >> 8;
+         |int $dsub = $a.numElements() / java.lang.Math.max($m, 1);
+         |long $code = 0L;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $best = 0;
+         |  double $bd = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < 256; $c++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cent = $b.getArray($s * 256 + $c);
+         |    double $d2 = 0.0;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      double $t = (double) $a.getFloat($s * $dsub + $d) - $cent.getDouble($d);
+         |      $d2 += $t * $t;
+         |    }
+         |    if ($d2 < $bd) { $bd = $d2; $best = $c; }
+         |  }
+         |  $code |= ((long) $best) << ($s * 8);
+         |}
+         |${ev.value} = $code;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc expects (bigint, array<double>), got ($l, $r)")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Long]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = lut.numElements() >> 9 // 2 * 256 entries per subspace
+    var dots = 0.0
+    var nrm = 0.0
+    var s = 0
+    while (s < m) {
+      val byte = ((code >>> (s * 8)) & 0xffL).toInt
+      dots += lut.getDouble(s * 256 + byte)
+      nrm += lut.getDouble((m + s) * 256 + byte)
+      s += 1
+    }
+    if (nrm > 0.0) dots / math.sqrt(nrm) else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val byte = ctx.freshName("byt")
+      val dots = ctx.freshName("dots")
+      val nrm = ctx.freshName("nrm")
+      s"""
+         |int $m = $b.numElements() >> 9;
+         |double $dots = 0.0;
+         |double $nrm = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $byte = (int) (($a >>> ($s * 8)) & 0xffL);
+         |  $dots += $b.getDouble($s * 256 + $byte);
+         |  $nrm += $b.getDouble(($m + $s) * 256 + $byte);
+         |}
+         |${ev.value} = $nrm > 0.0 ? $dots / java.lang.Math.sqrt($nrm) : 0.0;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayKernels {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def longDot(a: Column, b: Column): Column = column(LongDot(expression(a), expression(b)))
@@ -338,6 +488,10 @@ object ArrayKernels {
     column(StopwordHits(expression(toks), expression(lists)))
   def bigramShingles(text: Column): Column =
     column(BigramShingleSummary(expression(text)))
+  def pqAdcScore(code: Column, lut: Column): Column =
+    column(PqAdcScore(expression(code), expression(lut)))
+  def pqEncode(vec: Column, codebooks: Column): Column =
+    column(PqEncode(expression(vec), expression(codebooks)))
 
   /** Register SQL names (done by GraftExtensions). */
   def register(reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {

@@ -180,6 +180,162 @@ object Similarity {
     ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
   }
 
+  // ---- IVF_PQ: product-quantized persisted index (lance-index IVF_PQ
+  // analogue — /root/reference/Cargo.lock: lance-index) -------------------
+
+  /** Train per-subspace PQ codebooks (Jégou/Douze/Schmid PQ, PAMI 2011)
+    * with seeded Lloyd k-means on a bounded sample. Codebook training is
+    * small-sample by design (256 centroids per 8-dim subspace saturate
+    * quickly; the lance crate trains on a sample too), so the driver-side
+    * sample here is a deliberate, bounded cost — NOT a scan collect.
+    * Returns [m][256][dim/m]; when the sample has fewer than 256 distinct
+    * points the tail codes duplicate code 0 (never emitted by the
+    * encoder's strict-< argmin). */
+  def pqTrain(sample: Array[Array[Float]], m: Int, iters: Int = 12,
+              seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "pqTrain needs a non-empty sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by $m subspaces")
+    require(m >= 1 && m <= 8, s"pqTrain: m=$m must be in [1,8] (codes pack into int64)")
+    val dsub = dim / m
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => Array.tabulate(dsub)(d => v(s * dsub + d).toDouble))
+      val k = math.min(256, subs.length)
+      val centroids = rnd.shuffle(subs.indices.toList).take(k)
+        .map(subs(_).clone).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, dsub)(0.0)
+        val counts = new Array[Int](k)
+        subs.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < k) {
+            var d2 = 0.0; var d = 0
+            while (d < dsub) { val t = v(d) - centroids(c)(d); d2 += t * t; d += 1 }
+            if (d2 < bd) { bd = d2; best = c }
+            c += 1
+          }
+          var d = 0
+          while (d < dsub) { sums(best)(d) += v(d); d += 1 }
+          counts(best) += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var d = 0
+            while (d < dsub) { centroids(c)(d) = sums(c)(d) / counts(c); d += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      if (k < 256) centroids ++ Array.fill(256 - k)(centroids(0).clone)
+      else centroids
+    }
+  }
+
+  /** Build and persist an IVF_PQ index under `indexPath`:
+    * `pq.lance` holds (id, list_id, pq_code int64) — 8-byte codes instead
+    * of dim*4-byte vectors, range-partitioned by list so fragment stats
+    * prune unprobed lists — plus tiny `centroids.lance` (coarse) and
+    * `pq_codebooks.lance` sidecars. Unlike [[ivfBuildPersist]] the corpus
+    * is NOT copied: at 100 TB the index is ~2-3% of the data, and re-rank
+    * reads the original table for just the candidate ids. */
+  def ivfPqBuildPersist(df: DataFrame, idCol: String, vecCol: String,
+                        nLists: Int, indexPath: String, m: Int = 8,
+                        sampleN: Int = 16384): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (indexed, centroids) = ivfIndex(df, idCol, vecCol, nLists)
+    val sample = df.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val codebooks = pqTrain(sample, m)
+    val cbLit = typedlit(codebooks.flatMap(_.map(_.toSeq)).toSeq)
+    indexed
+      .select(col(idCol), col("list_id"),
+        graft.functions.ArrayKernels.pqEncode(col(vecCol), cbLit).as("pq_code"))
+      .repartitionByRange(math.max(nLists / 2, 1), col("list_id"))
+      .sortWithinPartitions("list_id")
+      .write.format("lance").mode("overwrite").save(s"$indexPath/pq.lance")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid").coalesce(1)
+      .write.format("lance").mode("overwrite").save(s"$indexPath/centroids.lance")
+    // float storage halves the sidecar; training precision stays double
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cent, b) => (s, b, cent.map(_.toFloat).toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
+      .write.format("lance").mode("overwrite").save(s"$indexPath/pq_codebooks.lance")
+    centroidCache.put(indexPath, centroids)
+    pqCbCache.put(indexPath, codebooks)
+  }
+
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]
+
+  /** Test hook: simulate a fresh session for the PQ path. */
+  private[graft] def clearPqCache(): Unit = pqCbCache.clear()
+
+  def pqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                  indexPath: String): Array[Array[Array[Double]]] =
+    pqCbCache.computeIfAbsent(indexPath, _ =>
+      spark.read.format("lance").load(s"$indexPath/pq_codebooks.lance")
+        .orderBy("sub", "code").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.map(_.getSeq[Float](2).map(_.toDouble).toArray)).toArray)
+
+  /** Probe an IVF_PQ index: pick `nProbe` lists driver-side, scan only
+    * their fragments of `pq.lance`, score codes with the one-lookup-per-
+    * subspace ADC kernel, keep the top `k * rerank` candidates, then
+    * re-rank those ids EXACTLY against `corpus` (the id filter pushes into
+    * the corpus scan's zone maps, so re-rank touches candidate rows, not
+    * the table). Two bounded driver transfers: probe lists (nLists rows)
+    * and candidate ids (k*rerank rows). */
+  def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                  corpus: DataFrame, idCol: String, vecCol: String,
+                  query: Seq[Float], k: Int, nProbe: Int = 6,
+                  rerank: Int = 4): DataFrame = {
+    val cents = ivfCentroids(spark, indexPath)
+    val cbs = pqCodebooks(spark, indexPath)
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    val qd = query.map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(c.length, qd.length)) { val d = c(i) - qd(i); s += d * d; i += 1 }
+      s
+    }
+    val probeLists = cents.zipWithIndex.sortBy(p => dist2(p._1)).take(nProbe).map(_._2)
+    // ADC lookup table: dot(query_s, code) and |code|^2 per (subspace, code)
+    val lut = new Array[Double](2 * m * 256)
+    var s = 0
+    while (s < m) {
+      var b = 0
+      while (b < 256) {
+        val cent = cbs(s)(b)
+        var dot = 0.0; var nrm = 0.0; var d = 0
+        while (d < dsub) { val c = cent(d); dot += c * qd(s * dsub + d); nrm += c * c; d += 1 }
+        lut(s * 256 + b) = dot
+        lut((m + s) * 256 + b) = nrm
+        b += 1
+      }
+      s += 1
+    }
+    val qNorm = math.sqrt(qd.map(x => x * x).sum)
+    val cand = spark.read.format("lance").load(s"$indexPath/pq.lance")
+      .filter(col("list_id").isin(probeLists.toIndexedSeq: _*))
+      .select(col(idCol),
+        (graft.functions.ArrayKernels.pqAdcScore(col("pq_code"), typedlit(lut.toSeq))
+          / lit(qNorm)).as("acos"))
+      .orderBy(col("acos").desc, col(idCol))
+      .limit(k * rerank)
+    val candIds = cand.select(col(idCol)).collect().map(_.get(0))
+    corpus.filter(col(idCol).isin(candIds.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Similarity JOIN within an L2 radius via MLlib's
     * BucketedRandomProjectionLSH (the §2.5-suggested building block):
     * (id_a, id_b, dist) pairs with dist <= radius, id_a < id_b.

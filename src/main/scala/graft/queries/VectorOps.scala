@@ -52,6 +52,15 @@ object VectorOps {
     }
   }
 
+  private def ensureIvfPq(s: SparkSession, dir: String): Unit = {
+    val pq = new java.io.File(s"${ivfPath(dir)}/pq.lance/_versions")
+    if (!pq.exists()) {
+      val t = Tables.register(s, dir)
+      Similarity.ivfPqBuildPersist(t("embeddings").filter(col("vec_id") > 0),
+        "vec_id", "embedding", nLists = 16, indexPath = ivfPath(dir))
+    }
+  }
+
   private def cosExpr(dot: Column, na: Column, nb: Column): Column =
     round(dot.cast(DoubleType) /
       (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType))), 9)
@@ -209,6 +218,44 @@ object VectorOps {
                 Similarity.cosine(col("embedding"), typedlit(query)).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+        .select(col("vec_id"), round(col("cos"), 9).as("cos"))
+    }, None),
+
+    // IVF_PQ build, labeled offline (lance-index IVF_PQ analogue): writes
+    // 8-byte codes instead of raw vectors; output is the compression
+    // story — (rows, index_bytes, raw_bytes) with the ratio asserted
+    // <= 10% by SimilaritySpec (rows-only: byte sizes are encoding-
+    // specific).
+    QDef("e08_build", (s, dir) => {
+      import s.implicits._
+      val t = Tables.register(s, dir)
+      ensureIvfPq(s, dir)
+      val corpus = t("embeddings").filter(col("vec_id") > 0)
+      val n = corpus.count()
+      val dim = corpus.select(col("embedding")).head().getSeq[Float](0).length
+      def bytesOf(p: String): Long = {
+        val f = new java.io.File(p)
+        if (!f.exists()) 0L
+        else if (f.isFile) f.length()
+        else f.listFiles().map(x => bytesOf(x.getPath)).sum
+      }
+      val idx = bytesOf(s"${ivfPath(dir)}/pq.lance/data") +
+        bytesOf(s"${ivfPath(dir)}/pq_codebooks.lance/data") +
+        bytesOf(s"${ivfPath(dir)}/centroids.lance/data")
+      Seq((n, idx, n * dim * 4L)).toDF("n_vectors", "index_bytes", "raw_bytes")
+    }, None),
+
+    // IVF_PQ probe: ADC lookup scoring over the probed lists' 8-byte
+    // codes + exact re-rank of the top candidates against the corpus
+    // (recall >= 0.9 vs exact e01 pinned by SimilaritySpec)
+    QDef("e08_ivfpq_topk", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val query = t("embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      ensureIvfPq(s, dir)
+      Similarity.ivfPqSearch(s, ivfPath(dir),
+          t("embeddings").filter(col("vec_id") > 0), "vec_id", "embedding",
+          query, k = 10, nProbe = 6)
         .select(col("vec_id"), round(col("cos"), 9).as("cos"))
     }, None),
 

@@ -189,6 +189,64 @@ class SimilaritySpec extends AnyFunSuite {
       s"probe did not prune fragments: $probedParts vs $fullParts")
   }
 
+  test("IVF_PQ: index <= 10% of raw bytes, recall >= 0.9 with re-rank") {
+    // clustered synthetic corpus: 16 true clusters, 64 dims, 30k vectors —
+    // large enough that the O(1) codebook sidecar amortizes into the
+    // 10%-of-raw budget it would occupy at production scale
+    val n = 30000
+    val corpus = spark.range(n.toLong).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), d -> CAST(sin((id % 16) * 7 + d) " +
+        "+ 0.1 * sin(id * 131 + d) AS FLOAT)) AS embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.ivfPqBuildPersist(corpus, "vec_id", "embedding", nLists = 16,
+      indexPath = idx)
+
+    def bytesOf(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length()
+      else f.listFiles().map(x => bytesOf(x.getPath)).sum
+    }
+    val indexBytes = bytesOf(s"$idx/pq.lance/data") +
+      bytesOf(s"$idx/pq_codebooks.lance/data") + bytesOf(s"$idx/centroids.lance/data")
+    val rawBytes = n.toLong * 64 * 4
+    assert(indexBytes <= rawBytes / 10,
+      s"IVF_PQ index $indexBytes bytes > 10% of raw $rawBytes")
+
+    val rest = corpus.filter(col("vec_id") =!= 42)
+    val query = corpus.filter(col("vec_id") === 42)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.cosineTopK(rest, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // fresh-session path: caches dropped -> codebooks/centroids reload
+    Similarity.clearCentroidCache()
+    Similarity.clearPqCache()
+    val approx = Similarity.ivfPqSearch(spark, idx, rest, "vec_id", "embedding",
+        query, k = 10, nProbe = 10, rerank = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.9, s"IVF_PQ recall $recall: $exact vs $approx")
+  }
+
+  test("IVF_PQ probe on fixture embeddings reaches 0.9 recall vs exact") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") > 0)
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_fix").toString
+    Similarity.ivfPqBuildPersist(corpus, "vec_id", "embedding", nLists = 16,
+      indexPath = idx)
+    val exact = Similarity.cosineTopK(corpus, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // 500 weakly-similar vectors scatter true neighbours across lists, so
+    // the fixture needs a wide probe (nProbe tracks corpus size in
+    // practice); ADC+re-rank quality is what this pins down
+    val approx = Similarity.ivfPqSearch(spark, idx, corpus, "vec_id", "embedding",
+        query, k = 10, nProbe = 14, rerank = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.9, s"fixture IVF_PQ recall $recall: $exact vs $approx")
+  }
+
   test("ORDER BY graft_cosine DESC LIMIT k over a registered index is probe-pruned") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
