@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` (iterator of batches in, iterator of batches out; no
   * per-row UDF dispatch, bounded memory per partition).
   *
-  * The container ships no image/audio codecs, so `decodeStub` is a
-  * deterministic fake decoder (documented, per the builder brief): it
-  * produces stable pseudo-features from the payload bytes. The Spark-side
-  * plumbing — schema, batch shape, partitioning — is real and is what the
-  * tests exercise.
+  * The decode step is REAL for container formats whose headers are pure
+  * byte layout — PNG (IHDR), JPEG (SOF segment scan), GIF (logical screen
+  * descriptor), BMP (BITMAPINFOHEADER): dimensions and mime come from the
+  * payload bytes, no codec jars needed. Pixel-level decode (which would
+  * need actual codecs absent from this container) is intentionally out of
+  * scope; byte statistics (length / mean / entropy) are computed for every
+  * payload regardless of format.
   */
 object Multimodal {
 
@@ -30,21 +32,60 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Deterministic stand-in for a real media decode (no codecs in the
-    * container): dimensions derived from a stable hash of the payload,
-    * plus genuine byte statistics. Runs partition-wise over row batches. */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Container-format sniff: (mime, width, height) from the payload's
+    * header bytes, or (passThroughMime, -1, -1) when the bytes aren't a
+    * recognized image container. Formats and offsets follow the public
+    * specs: PNG (ISO 15948 §5.3/§11.2.2 IHDR), JPEG/JFIF (ITU T.81 SOF
+    * markers), GIF87a/89a logical screen descriptor, BMP BITMAPINFOHEADER. */
+  def sniffDims(b: Array[Byte], passThroughMime: String): (String, Int, Int) = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+
+    if (b.length >= 24 && b.startsWith(PngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      ("image/png", be32(16), be32(20))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk marker segments until a start-of-frame carries the dims
+      var i = 2
+      while (i + 9 < b.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker == 0xff) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else {
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) return ("image/jpeg", be16(i + 7), be16(i + 5))
+          i += 2 + be16(i + 2)
+        }
+      }
+      ("image/jpeg", -1, -1)
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+               b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      ("image/gif", le16(6), le16(8))
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      ("image/bmp", le32(18), le32(22))
+    } else (passThroughMime, -1, -1)
+  }
+
+  /** Decode media rows partition-wise: real header dims + mime via
+    * [[sniffDims]], plus byte statistics over the whole payload. */
+  def decode(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.payload
-        var h = 1125899906842597L // deterministic FNV-ish fold
         var sum = 0L
         val hist = new Array[Long](256)
         var i = 0
         while (i < bytes.length) {
           val b = bytes(i) & 0xff
-          h = h * 31 + b
           sum += b
           hist(b) += 1
           i += 1
@@ -59,11 +100,49 @@ object Multimodal {
           }
           j += 1
         }
-        val w = 16 + (math.abs(h) % 1905).toInt      // fake 16..1920
-        val ht = 16 + (math.abs(h >> 17) % 1065).toInt
-        MediaFeatures(r.doc_id, r.mime, bytes.length, w, ht,
+        val (mime, w, h) = sniffDims(bytes, r.mime)
+        MediaFeatures(r.doc_id, mime, bytes.length, w, h,
           sum.toDouble / n, entropy)
       }
     }
+  }
+
+  /** Test/fixture encoder: wrap `body` in a minimal-but-valid image
+    * container header so [[decode]] has real dimensions to find. Supported
+    * mimes: image/png (signature + IHDR), image/jpeg (SOI + APP0 + SOF0). */
+  def syntheticImage(mime: String, width: Int, height: Int,
+                     body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def be32(v: Int): Unit = { be16((v >> 16) & 0xffff); be16(v & 0xffff) }
+    mime match {
+      case "image/png" =>
+        out.write(PngSig)
+        be32(13) // IHDR length
+        out.write("IHDR".getBytes("US-ASCII"))
+        be32(width); be32(height)
+        out.write(8)  // bit depth
+        out.write(2)  // color type: truecolor
+        out.write(0); out.write(0); out.write(0) // compression/filter/interlace
+        be32(0) // CRC placeholder (dims sniffing doesn't validate CRCs)
+      case "image/jpeg" =>
+        out.write(0xff); out.write(0xd8) // SOI
+        out.write(0xff); out.write(0xe0) // APP0
+        be16(16)
+        out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+        out.write(1); out.write(1) // version
+        out.write(0); be16(1); be16(1) // density
+        out.write(0); out.write(0)  // thumbnail
+        out.write(0xff); out.write(0xc0) // SOF0 (baseline)
+        be16(11) // segment length: 8 + 3 * 1 component
+        out.write(8)       // precision
+        be16(height); be16(width)
+        out.write(1)       // 1 component
+        out.write(1); out.write(0x11); out.write(0) // id, sampling, quant table
+      case other =>
+        throw new IllegalArgumentException(s"syntheticImage: unsupported mime $other")
+    }
+    out.write(body)
+    out.toByteArray
   }
 }

@@ -123,11 +123,25 @@ object Extras {
     }, None),
 
     // --- multimodal decode pipeline (mapPartitions batch operator) ---------
+    // Deterministic synthetic media: even doc_ids wrap their text bytes in
+    // a PNG container, odd ones in a JPEG; decode() recovers mime and dims
+    // FROM THE HEADER BYTES (IHDR / SOF0 scan), not from metadata. Byte
+    // stats cover header+body, so this stays rows-only; dims correctness
+    // is pinned exactly by ExtrasSpec.
     QDef("m02_multimodal_decode", (s, dir) => {
+      import s.implicits._
       val t = Tables.register(s, dir)
-      val feats = Multimodal.decodeStub(Multimodal.asMedia(t("documents")))
-      feats.toDF()
-        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+      val media = t("documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val mime = if (id % 2 == 0) "image/png" else "image/jpeg"
+          Multimodal.MediaRow(id,
+            Multimodal.syntheticImage(mime, (16 + id % 1905).toInt,
+              (16 + (id * 7) % 1065).toInt, text.getBytes("UTF-8")), mime)
+        }
+      Multimodal.decode(media).toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+                col("width"), col("height"),
                 round(col("mean_byte"), 6).as("mean_byte"),
                 round(col("entropy"), 6).as("entropy"))
         .orderBy("doc_id")

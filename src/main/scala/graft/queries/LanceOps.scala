@@ -233,8 +233,8 @@ object LanceOps {
     // lance dataset, decoded partition-wise on re-read (SURVEY §2.5
     // multimodal + the connector's struct/binary surface together).
     // Oracle recomputes the byte statistics (length / mean byte / histogram
-    // entropy) from the source text; the hash-derived fake dimensions stay
-    // rows-only in m02 (not expressible in SQL without a fold).
+    // entropy) from the source text; header-derived dimensions are m02's
+    // story (text payloads have none).
     QDef("l04_lance_multimodal", (s, dir) => {
       val t = Tables.register(s, dir)
       val ds = s"$workDir/media.lance"
@@ -247,7 +247,7 @@ object LanceOps {
       val media = s.read.format("lance").load(ds)
         .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
       import s.implicits._
-      graft.operators.Multimodal.decodeStub(media.as[graft.operators.Multimodal.MediaRow])
+      graft.operators.Multimodal.decode(media.as[graft.operators.Multimodal.MediaRow])
         .toDF()
         .select(col("doc_id"), col("n_bytes"),
                 round(col("mean_byte"), 6).as("mean_byte"),

@@ -401,9 +401,17 @@ class LanceScan(path: String, full: StructType, required: StructType,
   /** Required column names -> ColSpec field trees (minus `_rowaddr`). */
   private def requiredSpecs: Array[ColSpec] = {
     val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f).toMap
-    def specOf(f: LanceFormat.LanceField): ColSpec =
-      ColSpec(f.id, f.logicalType, f.name,
-        manifest.fields.filter(_.parentId == f.id).map(specOf).toArray)
+    def specOf(f: LanceFormat.LanceField): ColSpec = {
+      // maps normalize to [key, value] kids whichever spelling the writer
+      // used (direct children vs Arrow's intermediate entries struct);
+      // the physical column layout is identical either way
+      val kids =
+        if (f.logicalType == "map") {
+          val (k, v) = LanceFormat.mapKeyValue(manifest, f)
+          Array(specOf(k), specOf(v))
+        } else manifest.fields.filter(_.parentId == f.id).map(specOf).toArray
+      ColSpec(f.id, f.logicalType, f.name, kids)
+    }
     required.fieldNames.filterNot(_ == "_rowaddr").map(n => specOf(byName(n)))
   }
 
@@ -714,6 +722,19 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
           i += 1
         }
         out
+      case "list" | "large_list" | "map"
+          if (pageMetasOf(spec.fieldId)(pageIdx).enc match {
+            case fz: LanceEncodings.FullZipPage => fz.hasRep
+            case _ => false
+          }) =>
+        // 2.1 structural encoding: the whole list rides ONE zipped page of
+        // the list field (rep/def levels + leaf values); no child column
+        require(spec.logicalType != "map",
+          "lance: full-zip rep-level map pages are unsupported")
+        val fz = pageMetasOf(spec.fieldId)(pageIdx).enc
+          .asInstanceOf[LanceEncodings.FullZipPage]
+        LanceEncodings.decodeFullZipRep(spec.kids(0).logicalType, fz,
+          readPageBufs(spec.fieldId, pageIdx), rows)
       case "list" | "large_list" | "map" =>
         val offBufs = readPageBufs(spec.fieldId, pageIdx)
         val (validity, offs) =

@@ -59,12 +59,16 @@ object LanceEncodings {
     override def foreign = true
   }
   /** 2.1 full-zip page: items stored self-contained in one buffer. Layout
-    * per item (assumed, fixture-pinned): optional 1-byte def marker when
-    * `hasDef` (0 = null, no value bytes follow), then the value — fixed
-    * `bits/8` bytes for [[CFlat]], or a `bits_per_offset/8`-byte LE length
-    * prefix + bytes for [[CVariable]]. Repetition levels (nested zips)
-    * unsupported — clear error. */
-  final case class FullZipPage(enc: CEnc, hasDef: Boolean) extends PageEnc {
+    * per item (assumed, fixture-pinned): optional 1-byte rep level when
+    * `hasRep` (Parquet-style shredding restricted to one nesting level:
+    * 0 = the item starts a new top-level row, 1 = it extends the current
+    * row's list), optional 1-byte def marker when `hasDef` (0 = null —
+    * null ROW under `hasRep` — with no value bytes; 1 = empty list under
+    * `hasRep`; max = value present), then the value — fixed `bits/8`
+    * bytes for [[CFlat]], or a `bits_per_offset/8`-byte LE length prefix
+    * + bytes for [[CVariable]]. */
+  final case class FullZipPage(enc: CEnc, hasDef: Boolean,
+                               hasRep: Boolean = false) extends PageEnc {
     override def foreign = true
   }
   case object AllNullPage extends PageEnc { override def foreign = true }
@@ -236,15 +240,11 @@ object LanceEncodings {
       val m = Proto.parse(fz)
       val bitsRep = Proto.firstVarint(m, 1).getOrElse(0L).toInt
       val bitsDef = Proto.firstVarint(m, 2).getOrElse(0L).toInt
-      if (bitsRep > 0)
-        ForeignArray(AUnsupported("full-zip page with repetition levels")): PageEnc
-      else {
-        val enc = Proto.firstBytes(m, 5).map(parseCompressive)
-          .orElse(Proto.firstVarint(m, 3).map(b => CFlat(b.toInt): CEnc))
-          .orElse(Proto.firstVarint(m, 4).map(b => CVariable(b.toInt): CEnc))
-          .getOrElse(CFlat(64))
-        FullZipPage(enc, hasDef = bitsDef > 0)
-      }
+      val enc = Proto.firstBytes(m, 5).map(parseCompressive)
+        .orElse(Proto.firstVarint(m, 3).map(b => CFlat(b.toInt): CEnc))
+        .orElse(Proto.firstVarint(m, 4).map(b => CVariable(b.toInt): CEnc))
+        .getOrElse(CFlat(64))
+      FullZipPage(enc, hasDef = bitsDef > 0, hasRep = bitsRep > 0): PageEnc
     }).orElse(Proto.firstBytes(fs, 3).map(_ => AllNullPage: PageEnc))
      .getOrElse(ForeignArray(AUnsupported("unrecognized 2.1 page layout")))
   }
@@ -277,7 +277,10 @@ object LanceEncodings {
       case ForeignArray(tree) => decodeTree(logicalType, tree, bufs, rows, out)
       case MiniBlockPage(valComp, defComp) =>
         decodeMiniBlock(logicalType, valComp, defComp, bufs, rows, out)
-      case FullZipPage(zenc, hasDef) =>
+      case FullZipPage(zenc, hasDef, hasRep) =>
+        require(!hasRep,
+          "full-zip repetition levels on a non-list column: structural " +
+          "pages decode through the list path (decodeFullZipRep)")
         decodeFullZip(logicalType, zenc, hasDef, bufs, rows, out)
       case AllNullPage => // out stays null
       case NativeShape =>
@@ -647,6 +650,67 @@ object LanceEncodings {
       case other => throw new UnsupportedOperationException(
         s"full-zip value encoding $other")
     }
+  }
+
+  /** Structural full-zip page with repetition levels (one nesting level —
+    * list<scalar>/list<string>): decode the zipped item stream into one
+    * ArrayData (or null) per top-level row. Item layout per the
+    * [[FullZipPage]] scaladoc: [rep][def?][value]; def semantics with
+    * `hasDef`: 0 = null row, 1 = empty list, >=2 = value present. ASSUMED
+    * layout, fixture-pinned (no crate-written nested 2.1 file exists in
+    * this container to byte-confirm against). */
+  def decodeFullZipRep(childLt: String, fz: FullZipPage,
+                       bufs: Seq[Array[Byte]], rows: Int): Array[Any] = {
+    require(bufs.nonEmpty, "full-zip page expects one data buffer")
+    val data = bufs(0)
+    val isBin = childLt.contains("binary")
+    val out = new Array[Any](rows)
+    val cur = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var row = -1
+    var curNull = false
+    var off = 0
+    val one = new Array[Any](1)
+    def flush(): Unit = if (row >= 0 && row < rows) {
+      out(row) =
+        if (curNull) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(cur.toArray)
+    }
+    var done = false
+    while (!done && off < data.length) {
+      val rep = data(off) & 0xff; off += 1
+      if (rep == 0) {
+        flush()
+        cur.clear(); curNull = false
+        row += 1
+        if (row >= rows) done = true // page decoded past the requested rows
+      }
+      if (!done) {
+        val defv = if (fz.hasDef) { val d = data(off) & 0xff; off += 1; d } else 2
+        if (defv == 0) curNull = true
+        else if (defv >= 2) {
+          fz.enc match {
+            case CFlat(bits) =>
+              val w = math.max(1, bits / 8)
+              LanceColumnDecoder.decodePage(
+                childLt, Seq(java.util.Arrays.copyOfRange(data, off, off + w)), 1, one, 0)
+              cur += one(0)
+              off += w
+            case CVariable(bpo) =>
+              require(bpo == 32, s"full-zip offset width $bpo unsupported")
+              val len = java.nio.ByteBuffer.wrap(data, off, 4)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+              off += 4
+              val slice = java.util.Arrays.copyOfRange(data, off, off + len)
+              cur += (if (isBin) slice else UTF8String.fromBytes(slice))
+              off += len
+            case other => throw new UnsupportedOperationException(
+              s"full-zip rep-level value encoding $other")
+          }
+        } // defv == 1: empty list — no value bytes
+      }
+    }
+    if (!done) flush()
+    out
   }
 
   private def decodeChunk(lt: String, valComp: CEnc, data: Array[Byte], off: Int,

@@ -197,15 +197,35 @@ object LanceFormat {
           StructField(c.name, typeOf(c), nullable = true)
         })
       case "map" =>
-        // two child fields, key then value (SURVEY §1.3 map mapping)
-        val kids = m.fields.filter(_.parentId == f.id)
-        require(kids.length == 2, s"map field ${f.name} expects 2 children")
-        MapType(typeOf(kids(0)), typeOf(kids(1)), valueContainsNull = true)
+        // OUR spelling: two direct children, key then value (SURVEY §1.3).
+        // ARROW spelling (what the lance crate writes): one "entries"
+        // struct child whose children are key/value — same physical
+        // layout (offsets column + key column + value column; the struct
+        // owns no column), different field tree.
+        mapKeyValue(m, f) match {
+          case (k, v) => MapType(typeOf(k), typeOf(v), valueContainsNull = true)
+        }
       case t => toSparkType(t)
     }
     StructType(m.fields.filter(_.parentId == -1).map { f =>
       StructField(f.name, typeOf(f), nullable = true)
     })
+  }
+
+  /** (key field, value field) of a map field in either spelling: two
+    * direct children (ours), or one intermediate struct child with two
+    * children (the Arrow `entries` form). */
+  def mapKeyValue(m: Manifest, f: LanceField): (LanceField, LanceField) = {
+    val kids = m.fields.filter(_.parentId == f.id)
+    if (kids.length == 2) (kids(0), kids(1))
+    else if (kids.length == 1 && kids.head.logicalType == "struct") {
+      val entries = m.fields.filter(_.parentId == kids.head.id)
+      require(entries.length == 2,
+        s"map field ${f.name}: entries struct expects 2 children, got ${entries.length}")
+      (entries(0), entries(1))
+    } else throw new IllegalStateException(
+      s"map field ${f.name} expects 2 children or an entries struct, " +
+      s"got ${kids.map(k => s"${k.name}:${k.logicalType}").mkString(",")}")
   }
 
   // --- data file ---------------------------------------------------------

@@ -16,13 +16,33 @@ class ExtrasSpec extends AnyFunSuite {
     assert(out == Map(1L -> 24L, 2L -> 5L))
   }
 
-  test("multimodal decode is deterministic and batch-shaped") {
+  test("multimodal decode parses real PNG/JPEG header dims, passes through the rest") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(50)
-    val a = Multimodal.decodeStub(Multimodal.asMedia(docs)).collect().sortBy(_.doc_id)
-    val b = Multimodal.decodeStub(Multimodal.asMedia(docs)).collect().sortBy(_.doc_id)
+    val media = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val mime = if (id % 2 == 0) "image/png" else "image/jpeg"
+        Multimodal.MediaRow(id, Multimodal.syntheticImage(mime,
+          (100 + id).toInt, (50 + id).toInt, text.getBytes("UTF-8")), mime)
+      }
+    val a = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    val b = Multimodal.decode(media).collect().sortBy(_.doc_id)
     assert(a.toSeq == b.toSeq)
-    assert(a.forall(f => f.width >= 16 && f.height >= 16 && f.n_bytes > 0))
-    assert(a.forall(f => f.entropy > 0.0 && f.entropy <= 8.0))
+    assert(a.forall(f => f.width == 100 + f.doc_id && f.height == 50 + f.doc_id),
+      "header-parsed dims must match the encoded dims exactly")
+    assert(a.forall(f => f.mime ==
+      (if (f.doc_id % 2 == 0) "image/png" else "image/jpeg")))
+    assert(a.forall(f => f.entropy > 0.0 && f.entropy <= 8.0 && f.n_bytes > 0))
+    // non-image payloads keep their mime and report unknown dims
+    val raw = Multimodal.decode(Multimodal.asMedia(docs)).collect()
+    assert(raw.forall(f => f.width == -1 && f.height == -1 &&
+      f.mime == "application/octet-stream"))
+    // GIF and BMP headers sniff too
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0x2c, 0x01) ++ new Array[Byte](10) // 320 x 300 LE
+    assert(Multimodal.sniffDims(gif, "x") == ("image/gif", 320, 300))
+    val bmp = new Array[Byte](30)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(18) = 64; bmp(22) = 32
+    assert(Multimodal.sniffDims(bmp, "x") == ("image/bmp", 64, 32))
   }
 
   test("approx_count_distinct is within its error bound of exact") {

@@ -424,6 +424,131 @@ class LanceForeignSpec extends AnyFunSuite {
     assert(back.filter("num = 14").count() == 1) // i=2
   }
 
+  /** Like [[writeForeign]] but with an explicit field tree (id, parentId)
+    * and DataFile fieldIds — for structural (2.1 rep-level) fixtures where
+    * a list child field owns no physical column. */
+  private def writeForeignFields(ds: String,
+      cols: Seq[Seq[(Seq[Array[Byte]], Long, Array[Byte])]],
+      fields: Seq[(String, Int, Int, String)],
+      fileFieldIds: Seq[Int]): Unit = {
+    new java.io.File(ds, "data").mkdirs()
+    new java.io.File(ds, "_versions").mkdirs()
+    val out = new java.io.ByteArrayOutputStream()
+    def writeBuf(b: Array[Byte]): (Long, Long) = {
+      val off = out.size.toLong; out.write(b); (off, b.length.toLong)
+    }
+    val metas = cols.map { pages =>
+      val w = new Proto.Writer
+      pages.foreach { case (bufs, rows, encAny) =>
+        val placed = bufs.map(writeBuf)
+        val pw = new Proto.Writer
+        pw.packed(1, placed.map(_._1)).packed(2, placed.map(_._2)).varint(3, rows)
+        if (encAny.nonEmpty) pw.bytes(4, encAny)
+        w.message(2, pw)
+      }
+      w.result()
+    }
+    val metaOffs = metas.map(writeBuf)
+    val cmoStart = out.size.toLong
+    val cmo = ByteBuffer.allocate(16 * cols.length).order(ByteOrder.LITTLE_ENDIAN)
+    metaOffs.foreach { case (o, l) => cmo.putLong(o); cmo.putLong(l) }
+    out.write(cmo.array())
+    val footer = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    footer.putLong(0L).putLong(cmoStart).putLong(0L)
+      .putInt(0).putInt(cols.length).putShort(2).putShort(0)
+      .put("LANC".getBytes("ASCII"))
+    out.write(footer.array())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ds, "data", "frag0.lance"), out.toByteArray)
+    val rows = cols.head.map(_._2).sum
+    val mw = new Proto.Writer
+    fields.foreach { case (name, id, parentId, lt) =>
+      val f = new Proto.Writer
+      f.string(2, name)
+      if (id != 0) f.varint(3, id.toLong)
+      f.varint(4, if (parentId == -1) -1L else parentId.toLong)
+      f.string(5, lt)
+      mw.message(1, f)
+    }
+    val fw = new Proto.Writer
+    val dw = new Proto.Writer
+    dw.string(1, "frag0.lance")
+      .packed(2, fileFieldIds.map(_.toLong))
+      .packed(3, cols.indices.map(_.toLong))
+    fw.message(2, dw).varint(4, rows)
+    mw.message(2, fw)
+    mw.varint(3, 1L)
+    val pb = mw.result()
+    val mout = new java.io.ByteArrayOutputStream()
+    mout.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(pb.length).array())
+    mout.write(pb)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ds, "_versions", "1.manifest"), mout.toByteArray)
+  }
+
+  test("full-zip pages with repetition levels decode a zipped list column") {
+    val ds = tmpDs()
+    val lists: Seq[Option[Seq[Int]]] = Seq(
+      Some(Seq(1, 2, 3)), Some(Seq(4)), None, Some(Seq.empty),
+      Some(Seq(5, 6)), Some(Seq(7)))
+    val n = lists.length
+    // structural zip stream: [rep][def][value?] per item; null row and
+    // empty list are single items with def 0 / 1 and no value bytes
+    val zip = new java.io.ByteArrayOutputStream()
+    lists.foreach {
+      case None => zip.write(0); zip.write(0)
+      case Some(Nil) => zip.write(0); zip.write(1)
+      case Some(vs) => vs.zipWithIndex.foreach { case (v, i) =>
+        zip.write(if (i == 0) 0 else 1); zip.write(2)
+        zip.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(v).array())
+      }
+    }
+    val fz = new Proto.Writer
+    fz.varint(1, 8L).varint(2, 8L).varint(3, 32L) // bits_rep, bits_def, bits_per_value
+    val pl = new Proto.Writer; pl.message(2, fz)
+    val layout = anyWrap("/lance.encodings.PageLayout", pl.result())
+    writeForeignFields(ds,
+      cols = Seq(
+        Seq((Seq(longsLE((0L until n.toLong): _*)), n.toLong, Array.emptyByteArray)),
+        Seq((Seq(zip.toByteArray), n.toLong, layout))),
+      fields = Seq(("id", 0, -1, "int64"), ("vals", 1, -1, "list"),
+                   ("item", 2, 1, "int32")),
+      fileFieldIds = Seq(0, 1))
+    val back = spark.read.format("lance").load(ds).orderBy("id").collect()
+    assert(back.length == n)
+    val got = back.map(r => if (r.isNullAt(1)) None else Some(r.getSeq[Int](1)))
+    assert(got.toSeq == lists.map(_.map(_.toSeq)))
+  }
+
+  test("Arrow-spelled map (entries struct) decodes to MapType") {
+    val ds = tmpDs()
+    // maps: {1->10, 2->20}, {}, {3->30} — field tree in the crate's Arrow
+    // form: map -> entries struct -> (key, value); physical columns are
+    // the same [offsets, keys, values] as our two-child spelling
+    val ends = longsLE(2L, 2L, 3L)
+    val keys = ints(1, 2, 3)
+    val values = longsLE(10L, 20L, 30L)
+    writeForeignFields(ds,
+      cols = Seq(
+        Seq((Seq(longsLE(0L, 1L, 2L)), 3L, Array.emptyByteArray)),
+        Seq((Seq(ends), 3L, Array.emptyByteArray)),
+        Seq((Seq(keys), 3L, Array.emptyByteArray)),
+        Seq((Seq(values), 3L, Array.emptyByteArray))),
+      fields = Seq(("id", 0, -1, "int64"), ("m", 1, -1, "map"),
+                   ("entries", 2, 1, "struct"),
+                   ("key", 3, 2, "int32"), ("value", 4, 2, "int64")),
+      fileFieldIds = Seq(0, 1, 3, 4))
+    val back = spark.read.format("lance").load(ds)
+    assert(back.schema("m").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType, valueContainsNull = true))
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(_.getMap[Int, Long](1).toMap).toSeq ==
+      Seq(Map(1 -> 10L, 2 -> 20L), Map.empty[Int, Long], Map(3 -> 30L)))
+  }
+
   test("fsst-compressed string pages decode through the connector") {
     val ds = tmpDs()
     val n = 12
