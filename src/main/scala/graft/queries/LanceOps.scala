@@ -198,34 +198,51 @@ object LanceOps {
     // rename column (id kept), append rows carrying the new column — the
     // oracle reconstructs the evolved state relationally, so a mis-mapped
     // field id or a non-null backfill breaks the hash
+    // schema evolution end-to-end, top-level AND nested: add a double
+    // column, add + rename struct sub-fields (manifest-only commits),
+    // append rows carrying the evolved schema (path-keyed field-id
+    // matching), aggregate across both fragment eras.
     QDef("l07_lance_evolution", (s, dir) => {
       val t = Tables.register(s, dir)
       val ds = s"$workDir/customer_evo.lance"
-      t("customer").write.format("lance").mode("overwrite").save(ds)
+      t("customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+                struct(col("c_name").as("name"),
+                       col("c_mktsegment").as("seg")).as("info"))
+        .write.format("lance").mode("overwrite").save(ds)
       graft.sources.lance.LanceMaintenance.addColumn(
         s, ds, "loyalty", DoubleType)
+      graft.sources.lance.LanceMaintenance.addColumn(
+        s, ds, "info.tier", StringType)
       graft.sources.lance.LanceMaintenance.renameColumn(
-        s, ds, "c_mktsegment", "segment")
+        s, ds, "info.seg", "segment")
       t("customer").filter(col("c_custkey") % 5 === 0)
         .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
-                col("c_name"), col("c_nationkey"), col("c_acctbal"),
-                col("c_mktsegment").as("segment"),
+                col("c_acctbal"),
+                struct(col("c_name").as("name"),
+                       col("c_mktsegment").as("segment"),
+                       when(col("c_acctbal") > 5000.0, lit("gold"))
+                         .otherwise(lit("std")).as("tier")).as("info"),
                 (col("c_acctbal") / 100.0).as("loyalty"))
         .write.format("lance").mode("append").save(ds)
       s.read.format("lance").load(ds)
-        .groupBy("segment")
+        .groupBy(col("info.segment").as("segment"))
         .agg(count(lit(1)).as("n"),
              count(col("loyalty")).as("with_loyalty"),
+             count(col("info.tier")).as("with_tier"),
              Det.dsum(coalesce(col("loyalty"), lit(0.0))).as("loyalty_sum"))
         .orderBy("segment")
     }, Some(s"""
       WITH all_rows AS (
-        SELECT c_mktsegment AS segment, CAST(NULL AS DOUBLE) AS loyalty
+        SELECT c_mktsegment AS segment, CAST(NULL AS DOUBLE) AS loyalty,
+               CAST(NULL AS VARCHAR) AS tier
         FROM customer
         UNION ALL
-        SELECT c_mktsegment, c_acctbal / 100.0
+        SELECT c_mktsegment, c_acctbal / 100.0,
+               CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END
         FROM customer WHERE c_custkey % 5 = 0)
       SELECT segment, COUNT(*) AS n, COUNT(loyalty) AS with_loyalty,
+             COUNT(tier) AS with_tier,
              ${Det.oSum("COALESCE(loyalty, 0.0)")} AS loyalty_sum
       FROM all_rows GROUP BY segment ORDER BY segment""")),
 

@@ -46,19 +46,17 @@ class LanceCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     val spark = org.apache.spark.sql.SparkSession.active
+    // multi-part field names map onto dotted paths (one-level-or-deeper
+    // struct sub-fields; the maintenance ops validate each path step)
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          "lance ALTER TABLE: nested ADD COLUMN paths not supported")
-        LanceMaintenance.addColumn(spark, path, add.fieldNames()(0), add.dataType())
+        LanceMaintenance.addColumn(spark, path,
+          add.fieldNames().mkString("."), add.dataType())
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames().length == 1,
-          "lance ALTER TABLE: nested RENAME COLUMN paths not supported")
-        LanceMaintenance.renameColumn(spark, path, ren.fieldNames()(0), ren.newName())
+        LanceMaintenance.renameColumn(spark, path,
+          ren.fieldNames().mkString("."), ren.newName())
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames().length == 1,
-          "lance ALTER TABLE: nested DROP COLUMN paths not supported")
-        LanceMaintenance.dropColumn(spark, path, del.fieldNames()(0))
+        LanceMaintenance.dropColumn(spark, path, del.fieldNames().mkString("."))
       case other => throw new UnsupportedOperationException(
         s"lance ALTER TABLE: ${other.getClass.getSimpleName}")
     }

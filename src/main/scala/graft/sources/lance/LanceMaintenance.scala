@@ -379,17 +379,49 @@ object LanceMaintenance {
 
   // ---- schema evolution (manifest-only; no data files rewritten) --------
 
+  /** Walk a dotted field path through struct parents; every step except
+    * the last must be a struct (evolution below list/map is structural
+    * surgery, not supported). Returns the resolved field. */
+  private def resolveField(fields: Seq[LanceFormat.LanceField],
+                           path: Seq[String]): LanceFormat.LanceField = {
+    require(path.nonEmpty, "lance: empty field path")
+    var parent = -1
+    var cur: LanceFormat.LanceField = null
+    path.foreach { name =>
+      if (cur != null) require(cur.logicalType == "struct",
+        s"lance: '${cur.name}' in path ${path.mkString(".")} is not a struct")
+      cur = fields.find(f => f.parentId == parent && f.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"lance: no field '${path.mkString(".")}'"))
+      parent = cur.id
+    }
+    cur
+  }
+
   /** Add a nullable column: existing fragments simply lack the new field
     * id, and the reader null-fills it. New ids continue the committed id
     * space (max + 1), so every old fragment's column mapping stays valid.
-    * Nested types are allowed (their subtree gets consecutive new ids). */
+    * Nested types are allowed (their subtree gets consecutive new ids).
+    * `name` may be a dotted path ("meta.note") to add a sub-field to an
+    * existing struct — appended as its last child. */
   def addColumn(spark: SparkSession, path: String, name: String,
                 dataType: org.apache.spark.sql.types.DataType,
                 fslDim: Option[Int] = None): Long =
     patchFields(spark, path) { manifest =>
       val fields = manifest.fields
-      require(!fields.exists(f => f.parentId == -1 && f.name == name),
-        s"lance addColumn: column '$name' already exists")
+      val parts = name.split('.').toSeq
+      val leaf = parts.last
+      // nested target: the parent path must resolve to a struct
+      val parentId =
+        if (parts.length == 1) -1
+        else {
+          val p = resolveField(fields, parts.init)
+          require(p.logicalType == "struct",
+            s"lance addColumn: '${parts.init.mkString(".")}' is not a struct")
+          p.id
+        }
+      require(!fields.exists(f => f.parentId == parentId && f.name == leaf),
+        s"lance addColumn: field '$name' already exists")
       // NEVER reuse an id a data file still carries: a dropped column's id
       // lives on in old fragments' file lists, and reusing it would make
       // the new column resolve to the old column's pages (model-based
@@ -397,37 +429,38 @@ object LanceMaintenance {
       // compaction rewrote every fragment) are safe to reuse.
       val inFiles = manifest.fragments.flatMap(_.files.flatMap(_.fieldIds))
       val nextId = (fields.map(_.id) ++ inFiles).foldLeft(-1)(math.max) + 1
-      val fsl = fslDim.map(d => name -> d).toMap
+      val fsl = fslDim.map(d => leaf -> d).toMap
       val sub = LanceSchemaLayout.of(org.apache.spark.sql.types.StructType(
-        Seq(org.apache.spark.sql.types.StructField(name, dataType))), fsl)
+        Seq(org.apache.spark.sql.types.StructField(leaf, dataType))), fsl)
       FieldPatch(append = sub.fields.map(f => LanceFormat.LanceField(
         id = f.id + nextId, name = f.name, logicalType = f.logicalType,
-        parentId = if (f.parentId == -1) -1 else f.parentId + nextId)))
+        parentId = if (f.parentId == -1) parentId else f.parentId + nextId)))
     }
 
-  /** Rename a top-level column (id unchanged — data files untouched). */
+  /** Rename a column or (dotted-path) struct sub-field — id unchanged,
+    * data files untouched. */
   def renameColumn(spark: SparkSession, path: String, oldName: String,
                    newName: String): Long =
     patchFields(spark, path) { manifest =>
       val fields = manifest.fields
-      val f = fields.find(f => f.parentId == -1 && f.name == oldName).getOrElse(
-        throw new IllegalArgumentException(s"lance renameColumn: no column '$oldName'"))
-      require(!fields.exists(f => f.parentId == -1 && f.name == newName),
-        s"lance renameColumn: column '$newName' already exists")
+      require(!newName.contains('.'), "lance renameColumn: new name is a bare name")
+      val f = resolveField(fields, oldName.split('.').toSeq)
+      require(!fields.exists(g => g.parentId == f.parentId && g.name == newName),
+        s"lance renameColumn: field '$newName' already exists")
       FieldPatch(rename = Map(f.id -> newName))
     }
 
-  /** Drop a top-level column (and its nested subtree) from the schema.
-    * Data files keep the physical bytes — old versions still read them —
-    * but the field ids vanish from the manifest, so current-version scans
-    * never request them. */
+  /** Drop a column or (dotted-path) struct sub-field, plus its nested
+    * subtree, from the schema. Data files keep the physical bytes — old
+    * versions still read them — but the field ids vanish from the
+    * manifest, so current-version scans never request them. */
   def dropColumn(spark: SparkSession, path: String, name: String): Long =
     patchFields(spark, path) { manifest =>
       val fields = manifest.fields
-      val root = fields.find(f => f.parentId == -1 && f.name == name).getOrElse(
-        throw new IllegalArgumentException(s"lance dropColumn: no column '$name'"))
-      require(fields.count(_.parentId == -1) > 1,
-        "lance dropColumn: cannot drop the last column")
+      val root = resolveField(fields, name.split('.').toSeq)
+      require(fields.count(_.parentId == root.parentId) > 1,
+        if (root.parentId == -1) "lance dropColumn: cannot drop the last column"
+        else s"lance dropColumn: cannot drop the last field of a struct")
       val dead = scala.collection.mutable.Set(root.id)
       var grew = true
       while (grew) {

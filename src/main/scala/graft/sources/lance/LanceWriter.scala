@@ -713,17 +713,36 @@ object LanceWriteSupport {
       layout.fields.zip(prevFields).exists { case (g, p) =>
         g.id != p.id || g.name != p.name || g.logicalType != p.logicalType
       })
-    if (keepPrevIds) {
-      require(layout.fields.length == prevFields.length &&
-        layout.fields.zip(prevFields).forall { case (g, p) =>
-          g.name == p.name && g.logicalType == p.logicalType
-        },
-        s"lance append: write schema ${layout.fields.map(f => s"${f.name}:${f.logicalType}")} " +
-        s"does not match dataset fields ${prevFields.map(f => s"${f.name}:${f.logicalType}")}")
+    // generated field id (== DFS position) -> committed manifest id.
+    // Matching is PATH-keyed, not positional: after nested evolution the
+    // manifest's field order is no longer this schema's DFS order (an
+    // appended struct sub-field sits at the end of the field list), but
+    // (parent-path, name) still identifies every field uniquely.
+    def dottedPaths(ids: Seq[Int], parents: Seq[Int],
+                    names: Seq[String]): Map[Int, String] = {
+      val parentOf = ids.zip(parents).toMap
+      val nameOf = ids.zip(names).toMap
+      def walk(i: Int): String = {
+        val p = parentOf(i)
+        if (p == -1) nameOf(i) else walk(p) + "." + nameOf(i)
+      }
+      ids.map(id => id -> walk(id)).toMap
     }
-    // generated field id (== DFS position) -> committed manifest id
     val idOf: Int => Int =
-      if (keepPrevIds) genId => prevFields(genId).id else identity
+      if (!keepPrevIds) identity
+      else {
+        val genPathOf = dottedPaths(layout.fields.map(_.id),
+          layout.fields.map(_.parentId), layout.fields.map(_.name))
+        val prevPathOf = dottedPaths(prevFields.map(_.id),
+          prevFields.map(_.parentId), prevFields.map(_.name))
+        val prevByPath = prevFields.map(f => prevPathOf(f.id) -> f).toMap
+        val unmatched = layout.fields.filterNot(g =>
+          prevByPath.get(genPathOf(g.id)).exists(_.logicalType == g.logicalType))
+        require(unmatched.isEmpty && layout.fields.length == prevFields.length,
+          s"lance append: write schema ${layout.fields.map(f => s"${genPathOf(f.id)}:${f.logicalType}")} " +
+          s"does not match dataset fields ${prevFields.map(f => s"${prevPathOf(f.id)}:${f.logicalType}")}")
+        genId => prevByPath(genPathOf(genId)).id
+      }
     val w = new Proto.Writer
     if (keepPrevIds) prevFields.foreach(f => w.message(1, fieldProtoOf(f)))
     else layout.fields.foreach(f => w.message(1, fieldProto(f)))

@@ -255,6 +255,67 @@ class LanceEvolutionSpec extends AnyFunSuite {
       (0 until 40).count(_ % 3 == 1) + (1000 until 1020).count(_ % 3 == 1))
   }
 
+  test("nested evolution: add/rename/drop a struct sub-field") {
+    val ds = tmpDs()
+    spark.range(40).selectExpr("id",
+        "named_struct('mime', concat('t/', id % 2), 'n', id * 3) AS meta")
+      .coalesce(2).write.format("lance").mode("append").save(ds)
+
+    // ADD meta.note: old fragments null-fill the new leaf
+    LanceMaintenance.addColumn(spark, ds, "meta.note", StringType)
+    val added = spark.read.format("lance").load(ds)
+    assert(added.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("mime", "n", "note"))
+    assert(added.filter("meta.note IS NULL").count() == 40)
+    assert(added.filter("meta.n = 9").count() == 1)
+
+    // append WITH the new sub-field: path-keyed id matching must route
+    // the nested columns to their committed (non-DFS) ids
+    spark.range(40, 50).selectExpr("id",
+        "named_struct('mime', concat('t/', id % 2), 'n', id * 3, " +
+        "'note', concat('note_', id)) AS meta")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    val mixed = spark.read.format("lance").load(ds)
+    assert(mixed.count() == 50)
+    assert(mixed.filter("meta.note IS NOT NULL").count() == 10)
+    assert(mixed.filter("id = 45").select("meta.note").head.getString(0) == "note_45")
+    assert(mixed.filter("id = 45").select("meta.n").head.getLong(0) == 135)
+    assert(mixed.filter("meta.mime = 't/1'").count() == 25)
+
+    // RENAME meta.n -> meta.count (ids unchanged, both fragment eras read)
+    LanceMaintenance.renameColumn(spark, ds, "meta.n", "count")
+    val renamed = spark.read.format("lance").load(ds)
+    assert(renamed.filter("meta.count = 135").count() == 1)
+
+    // DROP meta.note: hidden from the current version, history intact
+    val vBeforeDrop = LanceMaintenance.dropColumn(spark, ds, "meta.note") - 1
+    val dropped = spark.read.format("lance").load(ds)
+    assert(dropped.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("mime", "count"))
+    assert(spark.read.format("lance").option("versionAsOf", vBeforeDrop).load(ds)
+      .filter("meta.note IS NOT NULL").count() == 10)
+
+    // guardrails: last struct field, non-struct path step
+    LanceMaintenance.dropColumn(spark, ds, "meta.mime")
+    intercept[Exception](LanceMaintenance.dropColumn(spark, ds, "meta.count"))
+    intercept[Exception](LanceMaintenance.addColumn(spark, ds, "id.sub", LongType))
+  }
+
+  test("nested evolution through SQL ALTER TABLE") {
+    val ds = tmpDs()
+    spark.range(20).selectExpr("id",
+        "named_struct('a', id, 'b', CAST(id AS DOUBLE)) AS s")
+      .coalesce(1).write.format("lance").mode("append").save(ds)
+    spark.sql(s"ALTER TABLE lance.`$ds` ADD COLUMN s.tag STRING")
+    spark.sql(s"ALTER TABLE lance.`$ds` RENAME COLUMN s.a TO a2")
+    spark.sql(s"ALTER TABLE lance.`$ds` DROP COLUMN s.b")
+    val back = spark.read.format("lance").load(ds)
+    assert(back.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("a2", "tag"))
+    assert(back.filter("s.a2 = 7").count() == 1)
+    assert(back.filter("s.tag IS NULL").count() == 20)
+  }
+
   test("SQL ALTER TABLE through the lance catalog") {
     val ds = tmpDs()
     seed(ds, 30)
