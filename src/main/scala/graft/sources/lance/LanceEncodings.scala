@@ -709,7 +709,16 @@ object LanceEncodings {
         } // defv == 1: empty list — no value bytes
       }
     }
-    if (!done) flush()
+    if (!done) {
+      flush()
+      // fail closed: an assumed-layout misread would desynchronize the
+      // stream — the fully-consumed buffer must have produced exactly the
+      // declared row count, no silent null tails
+      if (row != rows - 1 || off != data.length)
+        throw new IllegalStateException(
+          s"lance full-zip rep stream decoded ${row + 1}/$rows rows, " +
+          s"consumed $off/${data.length} bytes — layout mismatch")
+    }
     out
   }
 

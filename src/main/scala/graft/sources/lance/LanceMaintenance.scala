@@ -165,10 +165,12 @@ object LanceMaintenance {
     if (src.isEmpty) return manifest.version
 
     // matched target rows (left-semi on keys) -> deletion vectors, written
-    // executor-side by writeDeletionFiles inside commitReplacement
+    // executor-side BEFORE staging (files stay unreferenced until the one
+    // manifest commit, so ordering is free)
     val keyCols = keys.map(org.apache.spark.sql.functions.col)
     val matched = target.join(src.select(keyCols: _*).distinct(), keys, "left_semi")
-    commitReplacement(spark, path, manifest, matched, src, tgtFields)
+    val delMetas = writeDeletionFiles(spark, path, manifest, matched)
+    commitReplacement(spark, path, manifest, delMetas, src, tgtFields)
   }
 
   /** UPDATE analogue: rows matching `condition` are replaced by themselves
@@ -189,20 +191,22 @@ object LanceMaintenance {
     set.keys.foreach(c => require(tgtFields.exists(_.name == c),
       s"updateWhere: no column '$c'"))
     val matchedDf = target.filter(condition)
-    if (matchedDf.isEmpty) return manifest.version
+    // one scan decides emptiness AND writes the deletion files
+    val delMetas = writeDeletionFiles(spark, path, manifest, matchedDf)
+    if (delMetas.isEmpty) return manifest.version
     val updated = set.foldLeft(matchedDf) { case (df, (c, e)) =>
       df.withColumn(c, org.apache.spark.sql.functions.expr(e)
         .cast(tgtFields.find(_.name == c).get.dataType))
     }.select(tgtFields.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
-    commitReplacement(spark, path, manifest, matchedDf, updated, tgtFields)
+    commitReplacement(spark, path, manifest, delMetas, updated, tgtFields)
   }
 
-  /** Shared upsert commit: stage `src` as fragment files, mask `matched`
-    * rows (a frame carrying `_rowaddr`) with executor-written deletion
-    * vectors, and write ONE manifest containing both. */
+  /** Shared upsert commit: stage `src` as fragment files, patch the
+    * pre-written `delMetas` deletion vectors onto the old fragments, and
+    * write ONE manifest containing both. */
   private def commitReplacement(spark: SparkSession, path: String,
                                 manifest: LanceFormat.Manifest,
-                                matched: org.apache.spark.sql.DataFrame,
+                                delMetas: Map[Long, LanceFormat.DeletionFileMeta],
                                 src: org.apache.spark.sql.DataFrame,
                                 tgtFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
     val conf = spark.sessionState.newHadoopConf()
@@ -230,10 +234,7 @@ object LanceMaintenance {
           s"lance upsert: failed to stage fragment ${f.path}")
       }
 
-      // one commit: patched old fragments + staged new ones. The matched
-      // scan reads the pre-commit version, so the just-renamed staged
-      // files (not yet in any manifest) are invisible to it.
-      val delMetas = writeDeletionFiles(spark, path, manifest, matched)
+      // one commit: patched old fragments + staged new ones
       val patchedPrev = manifest.fragments.map(fr =>
         delMetas.get(fr.id).map(m => fr.copy(deletion = Some(m))).getOrElse(fr))
       val newFrags = staged.fragments.map { fr =>
