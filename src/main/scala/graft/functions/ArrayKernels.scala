@@ -493,11 +493,6 @@ object ArrayKernels {
   def pqEncode(vec: Column, codebooks: Column): Column =
     column(PqEncode(expression(vec), expression(codebooks)))
 
-  /** Register SQL names (done by GraftExtensions). */
-  def register(reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {
-    reg.createOrReplaceTempFunction("graft_long_dot",
-      exprs => LongDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => FloatCosine(exprs(0), exprs(1)), "built-in")
-  }
+  // SQL names for every kernel are registered by GraftExtensions
+  // (injectFunction) — see graft.plans.GraftExtensions.
 }

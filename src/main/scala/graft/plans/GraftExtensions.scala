@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => LongEqCount(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_intersect_count"), info("graft_intersect_count"),
       exprs => SortedLongIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_hyperplane_bucket"), info("graft_hyperplane_bucket"),
+      exprs => HyperplaneBucket(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_stopword_hits"), info("graft_stopword_hits"),
+      exprs => StopwordHits(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_bigram_shingles"), info("graft_bigram_shingles"),
+      exprs => BigramShingleSummary(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_pq_encode"), info("graft_pq_encode"),
+      exprs => PqEncode(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_pq_adc"), info("graft_pq_adc"),
+      exprs => PqAdcScore(exprs(0), exprs(1))))
   }
 }
 

@@ -76,6 +76,27 @@ class ExtrasSpec extends AnyFunSuite {
     val d = spark.sql(
       "SELECT graft_long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L))").head().getLong(0)
     assert(d == 32L)
+    // the full kernel surface has SQL names
+    val sh = spark.sql(
+      "SELECT graft_bigram_shingles('a b c').n_bigrams").head().getInt(0)
+    assert(sh == 2)
+    val hits = spark.sql(
+      "SELECT graft_stopword_hits(array('the', 'cat'), array(array('the'), array('dog')))")
+      .head().getSeq[Int](0)
+    assert(hits == Seq(1, 0))
+    // PQ pair: encode a 4-dim vector into 2 subspaces x 256 codes, score it
+    val enc = spark.sql(
+      """SELECT graft_pq_adc(
+           graft_pq_encode(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT),
+                                 CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)),
+                           cb.books),
+           lut.t) AS s
+         FROM (SELECT transform(sequence(0, 511),
+                 i -> array(CAST(IF(i % 256 = 0, 1.0, 0.0) AS DOUBLE),
+                            CAST(IF(i % 256 = 0, 0.0, 1.0) AS DOUBLE))) AS books) cb,
+              (SELECT transform(sequence(0, 1023), i -> CAST(1.0 AS DOUBLE)) AS t) lut""")
+      .head().getDouble(0)
+    assert(enc > 0.0)
   }
 
   test("unpivot produces one row per (priority, status)") {

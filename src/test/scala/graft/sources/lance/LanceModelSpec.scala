@@ -178,4 +178,108 @@ class LanceModelSpec extends AnyFunSuite {
   test("random op sequences match the reference model (3 seeds x 12 ops)") {
     Seq(101L, 202L, 303L).foreach(runSequence(_, 12))
   }
+
+  /** Nested-evolution fuzz: a struct column whose LEAVES evolve (add /
+    * rename / drop sub-fields) interleaved with appends, deletes, merges,
+    * and compaction. The model stores leaves flat under dotted keys; the
+    * dataset stores them as a real struct — the comparison flattens both.
+    */
+  private def runNestedSequence(seed: Long, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val ds = tmpDs()
+    var leaves: Vector[(String, DataType)] =
+      Vector("a" -> DoubleType, "b" -> StringType)
+    val rows = mutable.ArrayBuffer.empty[mutable.Map[String, Any]]
+    var nextId = 0L
+    var nextLeaf = 0
+
+    def freshRows(n: Int): Seq[mutable.Map[String, Any]] = (0 until n).map { _ =>
+      val r = mutable.Map[String, Any]("id" -> nextId)
+      leaves.foreach {
+        case (c, DoubleType) => r(s"meta.$c") = nextId * 1.5 + c.length
+        case (c, StringType) => r(s"meta.$c") = s"${c}_${nextId % 4}"
+        case (c, t) => throw new IllegalStateException(s"$c: $t")
+      }
+      nextId += 1
+      r
+    }
+
+    def dfOf(rws: Seq[mutable.Map[String, Any]]): DataFrame = {
+      val flat = StructType(StructField("id", LongType) +:
+        leaves.map { case (n, t) => StructField(s"f_$n", t) })
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rws.map(r => Row.fromSeq(
+          r("id") +: leaves.map(c => r.getOrElse(s"meta.${c._1}", null)))), 2), flat)
+      df.selectExpr("id",
+        s"named_struct(${leaves.map(c => s"'${c._1}', `f_${c._1}`").mkString(", ")}) AS meta")
+    }
+
+    def checkNested(step: String): Unit = {
+      val names = "id" +: leaves.map(c => s"meta.${c._1}")
+      val back = spark.read.format("lance").load(ds)
+      assert(back.schema("meta").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == leaves.map(_._1), s"[$step] struct fields")
+      def flatCanon(df: DataFrame): Seq[String] =
+        df.selectExpr(names.map(c => s"CAST($c AS STRING)"): _*)
+          .collect()
+          .map(r => (0 until r.length).map(i =>
+            if (r.isNullAt(i)) "\\N" else r.getString(i)).mkString("|"))
+          .sorted.toSeq
+      val got = flatCanon(back)
+      val want = flatCanon(dfOf(rows.toSeq))
+      assert(got == want, s"[$step] mismatch; missing=${want.diff(got).take(3)} " +
+        s"extra=${got.diff(want).take(3)}")
+    }
+
+    val first = freshRows(25)
+    rows ++= first
+    dfOf(first).write.format("lance").mode("append").save(ds)
+    checkNested("seed")
+
+    (1 to nOps).foreach { step =>
+      val op = rnd.nextInt(6)
+      val label = s"nested seed=$seed step=$step op=$op"
+      op match {
+        case 0 => // append with the current leaf set
+          val rws = freshRows(4 + rnd.nextInt(8))
+          rows ++= rws
+          dfOf(rws).write.format("lance").mode("append").save(ds)
+        case 1 => // delete
+          val k = 2 + rnd.nextInt(4)
+          val r = rnd.nextInt(k)
+          LanceMaintenance.deleteWhere(spark, ds, s"id % $k = $r")
+          rows.filter(x => x("id").asInstanceOf[Long] % k == r)
+            .foreach(rows -= _)
+        case 2 => // add a struct sub-field (null for existing rows)
+          nextLeaf += 1
+          val c = s"n$nextLeaf"
+          val t = if (rnd.nextBoolean()) DoubleType else StringType
+          LanceMaintenance.addColumn(spark, ds, s"meta.$c", t)
+          leaves = leaves :+ (c -> t)
+        case 3 => // rename a sub-field
+          val (old, _) = leaves(rnd.nextInt(leaves.length))
+          nextLeaf += 1
+          val nu = s"n$nextLeaf"
+          LanceMaintenance.renameColumn(spark, ds, s"meta.$old", nu)
+          leaves = leaves.map { case (n, ty) => if (n == old) (nu, ty) else (n, ty) }
+          rows.foreach { r =>
+            if (r.contains(s"meta.$old")) { r(s"meta.$nu") = r(s"meta.$old"); r -= s"meta.$old" }
+          }
+        case 4 => // drop a sub-field (keep at least one)
+          if (leaves.length >= 2) {
+            val (c, _) = leaves(rnd.nextInt(leaves.length))
+            LanceMaintenance.dropColumn(spark, ds, s"meta.$c")
+            leaves = leaves.filterNot(_._1 == c)
+            rows.foreach(_ -= s"meta.$c")
+          }
+        case 5 => // compact
+          LanceMaintenance.compact(spark, ds, targetFragments = 1 + rnd.nextInt(2))
+      }
+      checkNested(label)
+    }
+  }
+
+  test("nested-evolution op sequences match the model (2 seeds x 10 ops)") {
+    Seq(404L, 505L).foreach(runNestedSequence(_, 10))
+  }
 }
