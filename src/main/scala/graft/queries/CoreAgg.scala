@@ -232,11 +232,11 @@ object CoreAgg {
                ROUND((sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 10) AS corr_qty_price
         FROM (
           SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-                 ${oSum("l_quantity")} AS sx,
-                 ${oSum("l_extendedprice")} AS sy,
-                 ${oSum("l_quantity * l_quantity")} AS sxx,
-                 ${oSum("l_extendedprice * l_extendedprice")} AS syy,
-                 ${oSum("l_quantity * l_extendedprice")} AS sxy
+                 ${sSum("l_quantity")} AS sx,
+                 ${sSum("l_extendedprice")} AS sy,
+                 ${sSum("l_quantity * l_quantity")} AS sxx,
+                 ${sSumSq("l_extendedprice")} AS syy,
+                 ${sSum("l_quantity * l_extendedprice")} AS sxy
           FROM lineitem GROUP BY l_returnflag
         ) ORDER BY l_returnflag""")
     }, Some(s"""
@@ -249,7 +249,7 @@ object CoreAgg {
                ${oSum("l_quantity")} AS sx,
                ${oSum("l_extendedprice")} AS sy,
                ${oSum("l_quantity * l_quantity")} AS sxx,
-               ${oSum("l_extendedprice * l_extendedprice")} AS syy,
+               ${oSumSq("l_extendedprice")} AS syy,
                ${oSum("l_quantity * l_extendedprice")} AS sxy
         FROM lineitem GROUP BY l_returnflag
       ) ORDER BY l_returnflag""")),

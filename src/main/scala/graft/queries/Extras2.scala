@@ -146,10 +146,10 @@ object Extras2 {
                      POW((s2 / n - m * m), 2.0) - 3.0, 8) AS kurt_qty
         FROM (
           SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-                 ${Det.oSum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS m,
-                 ${Det.oSum("l_quantity * l_quantity")} AS s2,
-                 ${Det.oSum("l_quantity * l_quantity * l_quantity")} AS s3,
-                 ${Det.oSum("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+                 ${Det.sSum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS m,
+                 ${Det.sSum("l_quantity * l_quantity")} AS s2,
+                 ${Det.sSum("l_quantity * l_quantity * l_quantity")} AS s3,
+                 ${Det.sSum("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
           FROM lineitem GROUP BY l_returnflag
         ) ORDER BY l_returnflag""")
     }, Some(s"""

@@ -106,8 +106,8 @@ object Extras3 {
                price_min, price_max, cust_min, cust_max
         FROM (
           SELECT COUNT(*) AS o_count,
-                 ${Det.oSum("o_totalprice")} AS sx,
-                 ${Det.oSum("o_totalprice * o_totalprice")} AS sxx,
+                 ${Det.sSum("o_totalprice")} AS sx,
+                 ${Det.sSumSq("o_totalprice")} AS sxx,
                  MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max,
                  MIN(o_custkey) AS cust_min, MAX(o_custkey) AS cust_max
           FROM orders)""")
@@ -119,7 +119,7 @@ object Extras3 {
       FROM (
         SELECT COUNT(*) AS o_count,
                ${Det.oSum("o_totalprice")} AS sx,
-               ${Det.oSum("o_totalprice * o_totalprice")} AS sxx,
+               ${Det.oSumSq("o_totalprice")} AS sxx,
                MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max,
                MIN(o_custkey) AS cust_min, MAX(o_custkey) AS cust_max
         FROM orders)""")),

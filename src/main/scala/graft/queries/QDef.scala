@@ -17,20 +17,109 @@ final case class QDef(
   *
   * Floating-point SUM/AVG are accumulation-order dependent, so a
   * distributed Spark sum and a DuckDB single-node sum would differ in the
-  * low bits. We instead aggregate through DECIMAL(38,6) — exact and
-  * associative, hence order-independent — and cast the final value back to
-  * DOUBLE. Both engines then produce bit-identical doubles.
+  * low bits. We instead aggregate through an exact, associative (hence
+  * order-independent) fixed-point interior and cast the final value back
+  * to DOUBLE. Both engines then produce bit-identical doubles.
+  *
+  * Two interiors exist:
+  *
+  *  - [[dsum]] (fast, the default): per row the value is scaled to a
+  *    micro-unit long `k = round_half_away(x * 1e6)` and accumulated as
+  *    TWO native long sums (`k >> 20` and `k & 0xFFFFF`), recombined in
+  *    decimal only once per group. The whole per-row path is long
+  *    arithmetic inside whole-stage codegen — no per-row BigDecimal.
+  *    Overflow headroom: the split keeps partial sums exact up to
+  *    ~2^63 / 2^20 rows x max|x| micro-units, i.e. ~8.8e12 row-units of
+  *    |x| <= 1e6 — orders of magnitude past a 100 TB sum of money/
+  *    quantity columns (and far past where a single long sum of `k`
+  *    would wrap).
+  *  - [[dsumWide]] (exact-decimal): per-row CAST to DECIMAL(38,6) and a
+  *    decimal SUM, as DuckDB's oracle computes it. Needed only when
+  *    |x| can exceed ~1e9 (e.g. squares of prices), where the double
+  *    ulp passes 1e-6 and binary rounding of `x * 1e6` is no longer
+  *    provably identical to decimal-string rounding.
+  *
+  * Why [[dsum]] equals [[dsumWide]] bit-for-bit on this data: every
+  * summed expression here is a product of <=2-decimal columns, so its
+  * TRUE value v has <= 6 decimal digits and |v| < ~5e6. The decimal cast
+  * rounds the double's shortest decimal string w (|w - v| <= ulp(x) ~
+  * 1e-9 << 1e-6, so it recovers exactly k = v*1e6); the binary path
+  * computes round(x*1e6) whose multiply error is <= ulp(5e12)/2 ~ 5e-4
+  * << 0.5, recovering the same k. Both interiors therefore accumulate
+  * the identical integer k per row; the final decimal-to-double cast is
+  * the identical correctly-rounded conversion. DetSpec pins this
+  * equality on the real tables; the bound |x| < 1e9 is asserted-safe by
+  * the data audit in that spec.
   */
 object Det {
   private[queries] val Dec = DecimalType(38, 6)
+  private val Acc  = DecimalType(38, 0)
+  private val Mask = (1L << 20) - 1
 
-  /** Order-independent sum of a double column (exact decimal interior). */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  /** Half-away-from-zero micro-unit scaling (matches DECIMAL HALF_UP). */
+  private def scaledLong(c: Column): Column = {
+    val pos = (c * lit(1e6) + lit(0.5)).cast(LongType)
+    val neg = (-((-c) * lit(1e6) + lit(0.5))).cast(LongType)
+    when(c < 0, neg).otherwise(pos)
+  }
 
-  /** Order-independent average: exact decimal sum / non-null count. */
+  /** Order-independent sum of a double column — fast fixed-point interior
+    * (two codegen long sums). Valid for |values| < 1e9 with <= 6 true
+    * decimal digits; use [[dsumWide]] beyond that.
+    */
+  def dsum(c: Column): Column = {
+    val k  = scaledLong(c)
+    val hi = sum(shiftright(k, 20)).cast(Acc)
+    val lo = sum(k.bitwiseAND(lit(Mask))).cast(Acc)
+    ((hi * lit(1L << 20) + lo) / lit(1000000L)).cast(DoubleType)
+  }
+
+  /** Order-independent sum via per-row DECIMAL(38,6) — for wide values
+    * (|x| >= 1e9, e.g. squared prices) where the fast path's binary
+    * rounding is not provably identical to the oracle's decimal cast.
+    */
+  def dsumWide(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Order-independent average: exact fixed-point sum / non-null count. */
   def davg(c: Column): Column = (dsum(c) / count(c)).cast(DoubleType)
 
-  /** Oracle-side (DuckDB SQL) twin of [[dsum]]. */
+  /** Spark-SQL-side spelling of [[dsum]] for queries expressed as SQL
+    * strings (same fixed-point interior, same result as [[oSum]]).
+    */
+  def sSum(x: String): String = {
+    val k = s"CAST(CASE WHEN ($x) < 0D THEN -((-($x)) * 1e6 + 0.5D)" +
+      s" ELSE ($x) * 1e6 + 0.5D END AS BIGINT)"
+    s"CAST((CAST(SUM(SHIFTRIGHT($k, 20)) AS DECIMAL(38,0)) * 1048576" +
+      s" + CAST(SUM(($k) & 1048575) AS DECIMAL(38,0))) / 1000000 AS DOUBLE)"
+  }
+
+  /** Spark-SQL-side spelling of [[davg]]. */
+  def sAvg(x: String): String = s"CAST(${sSum(x)} / COUNT($x) AS DOUBLE)"
+
+  /** Exact sum-of-squares of a 2-decimal column, Spark-side fast
+    * spelling: the value is taken to cents exactly (`p = round(x*100)`,
+    * a long), squared exactly in long arithmetic (p^2 <= ~1e14 for
+    * |x| <= 1e5), and accumulated via the same hi/lo split. Unlike
+    * squaring in double first, no intermediate rounding exists at all,
+    * so the [[oSumSq]] oracle twin (decimal x decimal product) agrees
+    * bit-for-bit by construction.
+    */
+  def sSumSq(x: String): String = {
+    val p = s"CAST(CASE WHEN ($x) < 0D THEN -((-($x)) * 100D + 0.5D)" +
+      s" ELSE ($x) * 100D + 0.5D END AS BIGINT)"
+    val k = s"(($p) * ($p))"
+    s"CAST((CAST(SUM(SHIFTRIGHT($k, 20)) AS DECIMAL(38,0)) * 1048576" +
+      s" + CAST(SUM(($k) & 1048575) AS DECIMAL(38,0))) / 10000 AS DOUBLE)"
+  }
+
+  /** Oracle-side twin of [[sSumSq]]: exact decimal-squared sum. */
+  def oSumSq(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(19,2)) * CAST($x AS DECIMAL(19,2))) AS DOUBLE)"
+
+  /** Oracle-side (DuckDB SQL) twin of [[dsum]]/[[dsumWide]] — DuckDB
+    * evaluates the decimal interior natively fast, so the oracle keeps
+    * the one-step spelling.
+    */
   def oSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
 
   /** Oracle-side twin of [[davg]]. */

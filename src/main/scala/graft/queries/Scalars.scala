@@ -70,7 +70,7 @@ object Scalars {
       s.sql(s"""
         SELECT p_partkey, p_retailprice
         FROM part
-        WHERE p_retailprice > (SELECT ${oAvg("p_retailprice")} FROM part)
+        WHERE p_retailprice > (SELECT ${sAvg("p_retailprice")} FROM part)
         ORDER BY p_partkey""")
     }, Some(s"""
       SELECT p_partkey, p_retailprice
@@ -84,7 +84,7 @@ object Scalars {
       s.sql(s"""
         SELECT o_orderkey, o_totalprice
         FROM orders o
-        WHERE o_totalprice > (SELECT ${oAvg("o2.o_totalprice")} * 2.0
+        WHERE o_totalprice > (SELECT ${sAvg("o2.o_totalprice")} * 2.0
                               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")
     }, Some(s"""

@@ -113,7 +113,7 @@ object SetsAndShape {
       Tables.register(s, dir)
       s.sql(s"""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               ${Det.oSum("l_quantity")} AS sum_qty
+               ${Det.sSum("l_quantity")} AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
