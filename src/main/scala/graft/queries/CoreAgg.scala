@@ -137,21 +137,23 @@ object CoreAgg {
     // --- DISTINCT aggregates ---------------------------------------------
     QDef("q25_count_distinct", (s, dir) => {
       val t = Tables.register(s, dir)
-      // decomposed multi-distinct: Spark's native form Expands every row
-      // 3x ahead of ONE serial two-stage aggregate; computing each
-      // distinct as its own branch instead lets map-side partial dedup
-      // shrink the supp/part shuffles to ~|distinct| rows and runs the
-      // branches' stages concurrently, then broadcast-joins 3-row frames
-      val li = t("lineitem").select("l_returnflag", "l_suppkey", "l_partkey")
-      val sp = li.distinct() // the one heavy shuffle; Exchange reuse shares it
-      def cnt(df: org.apache.spark.sql.DataFrame, as: String) =
-        df.groupBy("l_returnflag").agg(count(lit(1)).as(as))
-      cnt(sp, "n_sp")
-        .join(cnt(sp.select("l_returnflag", "l_suppkey").distinct(), "n_supp"), "l_returnflag")
-        .join(cnt(sp.select("l_returnflag", "l_partkey").distinct(), "n_part"), "l_returnflag")
-        .join(cnt(li, "n"), "l_returnflag")
-        .select(col("l_returnflag"), col("n_supp"), col("n_part"),
-                col("n_sp"), col("n"))
+      // decomposed multi-distinct: Spark's native form Expands every RAW
+      // row 3x ahead of one serial two-stage aggregate. Instead, ONE
+      // grouped pass over lineitem dedups to (rf, supp, part) -> count —
+      // the only full-width shuffle (map-side partial dedup shrinks it
+      // to ~|distinct| rows) — and the multi-distinct then Expands only
+      // that already-tiny frame: COUNT(*) comes back as sum(c), the pair
+      // count as COUNT(*), and the per-key distincts as real
+      // COUNT(DISTINCT) over |distinct triples| rows. One scan, two
+      // exchanges, no join.
+      t("lineitem")
+        .groupBy("l_returnflag", "l_suppkey", "l_partkey")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part"),
+             count(lit(1)).as("n_sp"),
+             sum(col("c")).as("n"))
         .orderBy("l_returnflag")
     }, Some("""
       SELECT l_returnflag,
