@@ -238,6 +238,31 @@ object Dedup {
     labels.select(col("u").as(idCol), col("label").as("keep_id"))
   }
 
+  /** SemDeDup-style semantic deduplication over an embedding column:
+    * K-means clusters block the candidate space (the pair join runs
+    * within clusters only — the quadratic term is bounded by the largest
+    * cluster, the SemDeDup trick), pairs above the cosine threshold feed
+    * [[connectedComponents]], and each component keeps its minimum id.
+    * Returns (idCol, keep_id); rows with keep_id != id are the semantic
+    * near-duplicates to drop. At 100 TB the clustering is the same
+    * offline K-means as the IVF index build (and the index's list
+    * assignments can be reused directly as the blocking key).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, cosThreshold: Double): DataFrame = {
+    import graft.operators.Similarity
+    val (indexed, _) =
+      Similarity.ivfIndexCached(df, idCol, vecCol, nClusters, s"semdedup:$vecCol")
+    val a = indexed.select(col("list_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = indexed.select(col("list_id").as("lb"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val pairs = a.join(b, col("list_id") === col("lb") && col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+              Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= cosThreshold)
+      .select("doc_a", "doc_b")
+    connectedComponents(df.select(col(idCol)), idCol, pairs)
+  }
+
   /** 64-bit SimHash per document — per-row codegen kernel over the token
     * array (map-only; see [[minHashSignatures]]). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -375,6 +375,100 @@ object TextOps {
                AS rolling_hash
       FROM whashes GROUP BY doc_id ORDER BY doc_id""")),
 
+    // --- benchmark decontamination: n-gram overlap against an eval set ----
+    // The GPT-3/Pile training-data rule: drop (or flag) corpus documents
+    // sharing any word n-gram with a benchmark/eval set. Scale shape: the
+    // benchmark's distinct-gram set is MBs while the corpus is TBs, so
+    // the overlap test is a BROADCAST semi-join against the corpus's
+    // exploded grams — the corpus is never shuffled; only per-doc hit
+    // counts (skinny) aggregate. Here docs 0..19 stand in for the
+    // benchmark, the rest for the corpus; 5-gram granularity.
+    QDef("d15_decontaminate", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val toks = split(col("text"), " ")
+      val grams5 = when(size(toks) >= 5,
+          array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
+            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                      element_at(toks, i + 2), element_at(toks, i + 3),
+                      element_at(toks, i + 4)))))
+        .otherwise(array().cast("array<string>"))
+      val grams = t("documents").select(col("doc_id"), explode(grams5).as("g"))
+      val bench = broadcast(grams.filter(col("doc_id") < 20).select("g").distinct())
+      val hits = grams.filter(col("doc_id") >= 20)
+        .join(bench, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      t("documents").filter(col("doc_id") >= 20).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("n_hits"), lit(0L)).as("n_contaminated_grams"),
+                (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(generate_series(1, len(t) - 4),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        FROM toks),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+      hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_hits
+        FROM grams c JOIN bench b ON c.g = b.g
+        WHERE c.doc_id >= 20 GROUP BY c.doc_id)
+      SELECT d.doc_id,
+             COALESCE(h.n_hits, 0) AS n_contaminated_grams,
+             COALESCE(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id >= 20
+      ORDER BY d.doc_id""")),
+
+    // --- repetition filters (Gopher/MassiveText quality rules) -------------
+    // Per-document duplicate-n-gram fractions: top-bigram occupancy and
+    // the fraction of bigram occurrences that are repeats; `keep` applies
+    // Gopher-style thresholds. Scale shape: one explode + two-stage
+    // keyed aggregate on (doc_id, gram) — map-side partial aggregation
+    // collapses in-document repeats before the (skinny) shuffle; no
+    // cross-document state.
+    QDef("d16_gopher_repetition", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val toks = split(col("text"), " ")
+      // guard: Spark's sequence(1, 0) yields a DESCENDING [1,0], not []
+      val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      t("documents")
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("total"), max(col("c")).as("mx"),
+             count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"),
+                (col("mx").cast(DoubleType) / col("total").cast(DoubleType))
+                  .as("top_bigram_frac"),
+                ((col("total") - col("n_distinct")).cast(DoubleType) /
+                 col("total").cast(DoubleType)).as("dup_bigram_frac"))
+        .withColumn("keep",
+          col("top_bigram_frac") <= 0.18 && col("dup_bigram_frac") <= 0.4)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH bg AS (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+      agg AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS mx,
+                     COUNT(*) AS n_distinct
+              FROM cnt GROUP BY doc_id)
+      SELECT doc_id,
+             CAST(mx AS DOUBLE) / CAST(total AS DOUBLE) AS top_bigram_frac,
+             CAST(total - n_distinct AS DOUBLE) / CAST(total AS DOUBLE) AS dup_bigram_frac,
+             (CAST(mx AS DOUBLE) / CAST(total AS DOUBLE)) <= 0.18 AND
+             (CAST(total - n_distinct AS DOUBLE) / CAST(total AS DOUBLE)) <= 0.4 AS keep
+      FROM agg
+      ORDER BY doc_id""")),
+
     // --- multimodal column conventions: binary payload + typed metadata ----
     // Text stands in for an opaque media payload (the container has no
     // image/audio codecs — SURVEY §2.5 multimodal: the decode step is a

@@ -270,6 +270,20 @@ object VectorOps {
         Similarity.ivfIndexCached(corpus, "vec_id", "embedding", nLists = 16, key = dir)
       Similarity.ivfCosineTopK(indexed, centroids, "vec_id", "embedding", query,
                                k = 10, nProbe = 6)
+    }, None),
+
+    // --- SemDeDup-style semantic dedup: cluster-blocked cosine pairs ->
+    //     connected components -> keep min id per component ---------------
+    // (cluster assignments depend on the K-means fit -> rows-only; the
+    // invariants — fixpoint reps, no two same-cluster survivors above the
+    // threshold — are pinned by OperatorsSpec)
+    QDef("e09_semantic_dedup", (s, dir) => {
+      val t = Tables.register(s, dir)
+      graft.operators.Dedup.semanticDedup(
+          t("embeddings"), "vec_id", "embedding",
+          nClusters = 16, cosThreshold = 0.92)
+        .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
+        .orderBy("keep_id")
     }, None)
   )
 }

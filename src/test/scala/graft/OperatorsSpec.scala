@@ -89,6 +89,32 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L))
   }
+
+  test("semanticDedup: fixpoint reps, and no same-cluster survivors above the bar") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val tau = 0.92
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", nClusters = 8, tau)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size == emb.count())                  // total function over ids
+    rows.foreach { case (id, keep) =>
+      assert(keep <= id, s"rep $keep > member $id")   // min-id representative
+      assert(rows(keep) == keep, s"rep $keep not a fixpoint")
+    }
+    // completeness invariant: two SURVIVORS in the same cluster can never
+    // be cosine >= tau — such a pair would have been an edge and merged
+    val (indexed, _) = Similarity.ivfIndexCached(
+      emb, "vec_id", "embedding", 8, "semdedup:embedding")
+    val kept = rows.collect { case (id, keep) if id == keep => id }.toSeq
+    val k = indexed.filter(col("vec_id").isin(kept: _*))
+      .select(col("list_id"), col("vec_id"), col("embedding"))
+    val offenders = k.alias("x").join(k.alias("y"),
+        col("x.list_id") === col("y.list_id") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= tau)
+      .count()
+    assert(offenders == 0L)
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
