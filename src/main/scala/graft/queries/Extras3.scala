@@ -43,11 +43,20 @@ object Extras3 {
     // --- SQL PIVOT keyword ------------------------------------------------
     QDef("q64_sql_pivot", (s, dir) => {
       Tables.register(s, dir)
+      // fast fixed-point interior through the PIVOT: the pivoted aggregate
+      // sums micro-unit longs (exact; |sum| < 2^63 up to ~1.8e11 rows of
+      // qty <= 50), rescaled to double outside — same value as the
+      // oracle's decimal interior
       s.sql("""
-        SELECT * FROM (
-          SELECT l_returnflag, l_linestatus, CAST(l_quantity AS DECIMAL(38,6)) AS q
-          FROM lineitem)
-        PIVOT (CAST(SUM(q) AS DOUBLE) FOR l_linestatus IN ('F' AS f_qty, 'O' AS o_qty))
+        SELECT l_returnflag,
+               CAST(CAST(f_qty AS DECIMAL(38,0)) / 1000000 AS DOUBLE) AS f_qty,
+               CAST(CAST(o_qty AS DECIMAL(38,0)) / 1000000 AS DOUBLE) AS o_qty
+        FROM (
+          SELECT * FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity * 1e6 + 0.5D AS BIGINT) AS q
+            FROM lineitem)
+          PIVOT (SUM(q) FOR l_linestatus IN ('F' AS f_qty, 'O' AS o_qty)))
         ORDER BY l_returnflag""")
     }, Some("""
       SELECT l_returnflag,

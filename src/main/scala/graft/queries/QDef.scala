@@ -83,6 +83,15 @@ object Det {
   /** Order-independent average: exact fixed-point sum / non-null count. */
   def davg(c: Column): Column = (dsum(c) / count(c)).cast(DoubleType)
 
+  /** Windowed [[dsum]]: both long sums evaluate over the same frame in
+    * one Window pass, recombined per row. */
+  def dwsum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val k  = scaledLong(c)
+    val hi = sum(shiftright(k, 20)).over(w).cast(Acc)
+    val lo = sum(k.bitwiseAND(lit(Mask))).over(w).cast(Acc)
+    ((hi * lit(1L << 20) + lo) / lit(1000000L)).cast(DoubleType)
+  }
+
   /** Spark-SQL-side spelling of [[dsum]] for queries expressed as SQL
     * strings (same fixed-point interior, same result as [[oSum]]).
     */

@@ -72,7 +72,7 @@ object Windows {
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t("lineitem").filter(col("l_suppkey") < 5)
-        .withColumn("running_qty", sum(col("l_quantity").cast(Dec)).over(w).cast(DoubleType))
+        .withColumn("running_qty", Det.dwsum(col("l_quantity"), w))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }, Some("""
