@@ -469,6 +469,41 @@ object TextOps {
       FROM agg
       ORDER BY doc_id""")),
 
+    // --- token-budget stratified sampling (data-mixing budgeter) ----------
+    // The mixture step of a training-data pipeline: per stratum (lang),
+    // take documents in quality order until a token budget fills.
+    // Deterministic: quality ranking tie-broken by doc_id; the running
+    // token total is a window cumsum (exact integers), cut at the budget.
+    // Scale shape: one window over (lang) — at 100 TB the stratum-ordered
+    // cumsum is a range-partitioned sort per stratum, no driver state.
+    QDef("d17_token_budget_sample", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val toks = size(split(col("text"), " "))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      t("documents")
+        .select(col("doc_id"), col("lang"), toks.cast("long").as("n_tokens"),
+                col("n_chars"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 3000L)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("lang", "cum_tokens")
+    }, Some("""
+      SELECT doc_id, lang, n_tokens, cum_tokens
+      FROM (
+        SELECT doc_id, lang,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               SUM(CAST(LEN(string_split(text, ' ')) AS BIGINT)) OVER (
+                 PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM documents)
+      WHERE cum_tokens <= 3000
+      ORDER BY lang, cum_tokens""")),
+
     // --- multimodal column conventions: binary payload + typed metadata ----
     // Text stands in for an opaque media payload (the container has no
     // image/audio codecs — SURVEY §2.5 multimodal: the decode step is a
