@@ -385,4 +385,50 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Batched ANN: per-query IVF top-k for a whole TABLE of query vectors
+    * — the shape dedup/retrieval pipelines actually run (N queries x
+    * corpus, not one driver-side vector at a time). Fully distributed on
+    * both sides:
+    *
+    *  1. probe assignment — centroids ship as one broadcast literal;
+    *     each query row ranks them with array HOFs and explodes its
+    *     `nProbe` closest list ids (no driver loop over queries);
+    *  2. candidate generation — the skinny (qid, qvec, list_id) frame
+    *     joins the indexed corpus ON list_id, so each query only meets
+    *     the ~nProbe/nLists fraction of the corpus co-located with it;
+    *  3. scoring + selection — codegen cosine per candidate, then the
+    *     bounded-heap [[graft.functions.TopKAgg]] per qid: map-side
+    *     partials mean only k rows per (mapper, query) reach the final
+    *     shuffle.
+    *
+    * Returns (qid, rank, idCol, cos) with rank 1..k per query.
+    */
+  def ivfBatchCosineTopK(indexed: DataFrame, centroids: Array[Array[Double]],
+                         idCol: String, vecCol: String,
+                         queries: DataFrame, qidCol: String, qvecCol: String,
+                         k: Int, nProbe: Int): DataFrame = {
+    val cLit = typedlit(centroids.map(_.toSeq).toSeq)
+    def dist2(q: Column, c: Column): Column =
+      aggregate(zip_with(q, c, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val probes = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+      .withColumn("probe_lists",
+        slice(transform(
+          array_sort(transform(cLit, (c, i) =>
+            struct(dist2(col("qvec"), c).as("d"), i.as("list")))),
+          s => s.getField("list")), 1, nProbe))
+      .select(col("qid"), col("qvec"), explode(col("probe_lists")).as("list_id"))
+    val scored = probes.join(indexed, "list_id")
+      .select(col("qid"),
+              cosine(col(vecCol), col("qvec")).as("cos"),
+              col(idCol).cast("long").as("cand"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKAgg.top_k(col("cos"), col("cand"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+              col("col.payload").as(idCol), col("col.ord").as("cos"))
+  }
 }

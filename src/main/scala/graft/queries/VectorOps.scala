@@ -272,6 +272,25 @@ object VectorOps {
                                k = 10, nProbe = 6)
     }, None),
 
+    // --- batched ANN: per-query IVF top-k for a TABLE of query vectors ----
+    // (the retrieval/dedup-pipeline shape: N queries join the corpus on
+    // probed lists, grouped bounded-heap top-k per query — no driver loop;
+    // rows-only: probe sets depend on the K-means fit; recall pinned by
+    // SimilaritySpec)
+    QDef("e10_batch_ann", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val corpus = t("embeddings").filter(col("vec_id") >= 10)
+      val queries = t("embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (indexed, centroids) =
+        Similarity.ivfIndexCached(corpus, "vec_id", "embedding",
+                                  nLists = 16, key = s"$dir:batch")
+      Similarity.ivfBatchCosineTopK(indexed, centroids, "vec_id", "embedding",
+                                    queries, "qid", "qvec", k = 5, nProbe = 6)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 9).as("cos"))
+        .orderBy("qid", "rank")
+    }, None),
+
     // --- SemDeDup-style semantic dedup: cluster-blocked cosine pairs ->
     //     connected components -> keep min id per component ---------------
     // (cluster assignments depend on the K-means fit -> rows-only; the

@@ -111,7 +111,10 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // race costs only a manifest re-read + re-write. Rebase on the new
     // latest and retry — appends from concurrent jobs all land, in some
     // serial order (the lance optimistic-commit model).
-    val maxAttempts = 20
+    // generous cap: a lost race costs one manifest re-read + re-write, so
+    // retrying more is nearly free — 20 proved exhaustible under a loaded
+    // host (GC pauses stack the race window for 6+ simultaneous committers)
+    val maxAttempts = 100
     var attempt = 0
     var done = false
     while (!done) {

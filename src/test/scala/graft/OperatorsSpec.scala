@@ -188,6 +188,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.intersect(approx).size >= 3, s"ivf recall too low: $exact vs $approx")
   }
 
+  test("batched ANN: per-query IVF top-k agrees with per-query brute force") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val (indexed, centroids) = Similarity.ivfIndex(corpus, "vec_id", "embedding", nLists = 16)
+    val batch = Similarity.ivfBatchCosineTopK(indexed, centroids, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nProbe = 6)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(batch.size == 10, s"expected 10 query groups, got ${batch.size}")
+    var hit = 0; var total = 0
+    queries.collect().foreach { r =>
+      val qid = r.getLong(0)
+      val exact = Similarity.cosineTopK(corpus, "vec_id", "embedding",
+          r.getSeq[Float](1), 5).select("vec_id").as[Long].collect().toSet
+      assert(batch(qid).size == 5)
+      hit += exact.intersect(batch(qid)).size; total += 5
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8, s"batched-ANN recall $recall")
+  }
+
   test("persisted IVF index: fresh-session probe matches in-session search") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
