@@ -488,6 +488,8 @@ object ArrayKernels {
     column(StopwordHits(expression(toks), expression(lists)))
   def bigramShingles(text: Column): Column =
     column(BigramShingleSummary(expression(text)))
+  def wordGramStats(text: Column, n: Int): Column =
+    column(WordGramStats(expression(text), n))
   def pqAdcScore(code: Column, lut: Column): Column =
     column(PqAdcScore(expression(code), expression(lut)))
   def pqEncode(vec: Column, codebooks: Column): Column =

@@ -40,6 +40,90 @@ case class BigramShingleSummary(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass word n-gram statistics over a document (SURVEY §2.5
+  * decontamination d15 / repetition filters d16).
+  *
+  * Tokenizes on single spaces (split-with-empties semantics), hashes each
+  * token once (XXH64), forms rolling n-gram hashes by chaining the n
+  * token hashes, and accumulates multiplicity in one hash map — replacing
+  * an explode + two-stage aggregate (d16) or a gram join (d15) with a
+  * MAP-ONLY pass: no per-gram string concat, no shuffle. Gram identity is
+  * the 64-bit hash (collisions negligible — the d06 precedent; the DuckDB
+  * oracles keep string grams).
+  *
+  * Output: struct(total, n_distinct, max_count: bigint,
+  *                hashes: array<bigint> sorted distinct gram hashes).
+  */
+case class WordGramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+  override def dataType: DataType = WordGramStats.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_word_gram_stats expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordGramStats.stats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordGramStats.stats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramStats =
+    copy(child = newChild)
+}
+
+object WordGramStats {
+  val schema: StructType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_count", LongType, nullable = false),
+    StructField("hashes", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  private val Space = UTF8String.fromString(" ")
+  private val Seed = 42L
+
+  /** Static helper the generated code calls directly. */
+  def stats(text: UTF8String, n: Int): InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = text.split(Space, -1)
+    val total = math.max(toks.length - n + 1, 0)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
+      i += 1
+    }
+    val counts = new java.util.HashMap[java.lang.Long, Integer](math.max(total * 2, 8))
+    i = 0
+    while (i < total) {
+      var h = Seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      val prev = counts.get(h)
+      counts.put(h, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var maxCount = 0L
+    val hashes = new Array[Long](counts.size)
+    var k = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.longValue > maxCount) maxCount = e.getValue.longValue
+      hashes(k) = e.getKey.longValue
+      k += 1
+    }
+    java.util.Arrays.sort(hashes)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total.toLong, counts.size.toLong, maxCount,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes)))
+  }
+}
+
 object BigramShingleSummary {
   val schema: StructType = StructType(Seq(
     StructField("n_bigrams", IntegerType, nullable = false),

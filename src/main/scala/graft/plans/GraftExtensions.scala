@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => StopwordHits(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_bigram_shingles"), info("graft_bigram_shingles"),
       exprs => BigramShingleSummary(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_word_gram_stats"), info("graft_word_gram_stats"),
+      exprs => WordGramStats(exprs(0), {
+        val n = exprs(1).eval(null)
+        require(n != null, "graft_word_gram_stats: n must be a literal int")
+        n.asInstanceOf[Number].intValue
+      })))
     e.injectFunction((FunctionIdentifier("graft_pq_encode"), info("graft_pq_encode"),
       exprs => PqEncode(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_pq_adc"), info("graft_pq_adc"),

@@ -385,23 +385,26 @@ object TextOps {
     // benchmark, the rest for the corpus; 5-gram granularity.
     QDef("d15_decontaminate", (s, dir) => {
       val t = Tables.register(s, dir)
-      val toks = split(col("text"), " ")
-      val grams5 = when(size(toks) >= 5,
-          array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
-            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-                      element_at(toks, i + 2), element_at(toks, i + 3),
-                      element_at(toks, i + 4)))))
-        .otherwise(array().cast("array<string>"))
-      val grams = t("documents").select(col("doc_id"), explode(grams5).as("g"))
-      val bench = broadcast(grams.filter(col("doc_id") < 20).select("g").distinct())
-      val hits = grams.filter(col("doc_id") >= 20)
-        .join(bench, "g")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      t("documents").filter(col("doc_id") >= 20).select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
+      // one-pass WordGramStats kernel per doc (tokenize + hash + rolling
+      // 5-gram in a single JVM loop — the d14 lesson: per-gram string
+      // concat dominates at volume, and HOF formulations re-evaluate the
+      // token-hash array per element access). The benchmark's distinct
+      // gram-hash set is tiny by definition (an eval set), so it ships as
+      // one sorted array literal and the corpus side is MAP-ONLY: n_hits
+      // = codegen sorted-merge intersect per doc, no join, NO shuffle at
+      // all before the final sort. Gram identity is the 64-bit hash
+      // (collisions negligible — d06 precedent; the oracle keeps strings).
+      val grams = graft.functions.ArrayKernels.wordGramStats(col("text"), 5)
+        .getField("hashes")
+      val benchSet = t("documents").filter(col("doc_id") < 20)
+        .select(explode(grams).as("g")).distinct()
+        .orderBy("g").collect().map(_.getLong(0)).toSeq
+      val benchLit = typedlit(benchSet)
+      t("documents").filter(col("doc_id") >= 20)
         .select(col("doc_id"),
-                coalesce(col("n_hits"), lit(0L)).as("n_contaminated_grams"),
-                (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+                graft.functions.ArrayKernels
+                  .sortedIntersectCount(grams, benchLit).as("n_contaminated_grams"))
+        .withColumn("contaminated", col("n_contaminated_grams") > 0)
         .orderBy("doc_id")
     }, Some("""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -431,23 +434,18 @@ object TextOps {
     // cross-document state.
     QDef("d16_gopher_repetition", (s, dir) => {
       val t = Tables.register(s, dir)
-      val toks = split(col("text"), " ")
-      // guard: Spark's sequence(1, 0) yields a DESCENDING [1,0], not []
-      val bigrams = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1), i =>
-            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
+      // the Gopher rule is PER-DOCUMENT, so the scale-right shape is
+      // map-only: the one-pass kernel returns (total, distinct, max
+      // multiplicity) per row — no explode, no shuffle before the sort
+      val st = graft.functions.ArrayKernels.wordGramStats(col("text"), 2)
       t("documents")
-        .select(col("doc_id"), explode(bigrams).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("total"), max(col("c")).as("mx"),
-             count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), st.as("st"))
+        .filter(col("st.total") > 0) // <2-token docs emit no bigrams (oracle drops them)
         .select(col("doc_id"),
-                (col("mx").cast(DoubleType) / col("total").cast(DoubleType))
-                  .as("top_bigram_frac"),
-                ((col("total") - col("n_distinct")).cast(DoubleType) /
-                 col("total").cast(DoubleType)).as("dup_bigram_frac"))
+                (col("st.max_count").cast(DoubleType) /
+                 col("st.total").cast(DoubleType)).as("top_bigram_frac"),
+                ((col("st.total") - col("st.n_distinct")).cast(DoubleType) /
+                 col("st.total").cast(DoubleType)).as("dup_bigram_frac"))
         .withColumn("keep",
           col("top_bigram_frac") <= 0.18 && col("dup_bigram_frac") <= 0.4)
         .orderBy("doc_id")
