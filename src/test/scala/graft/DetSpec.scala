@@ -127,4 +127,77 @@ class DetSpec extends AnyFunSuite {
     assertSame(empty.agg(Det.dsum(col("l_quantity")).as("v")),
                empty.agg(Det.dsumWide(col("l_quantity")).as("v")))
   }
+
+  test("fuzz: interiors agree on random cent values and their products") {
+    import org.scalacheck.Gen
+    // in-domain fuzz: 2-decimal "money" values (pos+neg) and products of
+    // two of them (4 true decimals) — the documented fast-path universe
+    val centsGen = Gen.chooseNum(-10000000L, 10000000L).map(_ / 100.0)
+    (1L to 5L).foreach { seedN =>
+      val seed = org.scalacheck.rng.Seed(seedN)
+      val vals = Gen.listOfN(500, Gen.zip(centsGen, Gen.chooseNum(-100L, 100L).map(_ / 100.0)))
+        .pureApply(Gen.Parameters.default, seed)
+      val df = vals.toDF("a", "b").select(col("a"), (col("a") * col("b")).as("ab"))
+      assertSame(
+        df.agg(Det.dsum(col("a")).as("sa"), Det.dsum(col("ab")).as("sab")),
+        df.agg(Det.dsumWide(col("a")).as("sa"), Det.dsumWide(col("ab")).as("sab")))
+    }
+  }
+}
+
+/** Differential test for the WordGramStats kernel: the HOF formulation
+  * (split -> gram strings -> groupBy counts) is the semantics anchor;
+  * the kernel's total/distinct/max must agree on adversarial strings
+  * (empty tokens, repeated grams, unicode). */
+class WordGramStatsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  private def hofStats(text: String, n: Int): (Long, Long, Long) = {
+    val toks = text.split(" ", -1).toSeq
+    val grams = (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+    if (grams.isEmpty) (0L, 0L, 0L)
+    else {
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      (grams.size.toLong, counts.size.toLong, counts.values.max)
+    }
+  }
+
+  test("kernel total/distinct/max == reference on adversarial strings") {
+    val cases = Seq(
+      "a b a b a b", "x", "", "  ", "a  b", "a a a a a",
+      "uno dos tres uno dos tres uno", "héllo wörld héllo wörld",
+      "k1 v1 k1 v1 k2 v2 k1 v1", "single pair", "a b c d e f g h")
+    val df = cases.toDF("text")
+      .select(col("text"), graft.functions.ArrayKernels.wordGramStats(col("text"), 2).as("st"))
+      .select(col("text"), col("st.total"), col("st.n_distinct"), col("st.max_count"))
+      .collect()
+    df.foreach { r =>
+      val (t, d, m) = hofStats(r.getString(0), 2)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((t, d, m)),
+             s"mismatch on '${r.getString(0)}'")
+    }
+  }
+
+  test("kernel fuzz vs reference (random token streams, n=2 and n=5)") {
+    import org.scalacheck.Gen
+    val tokGen = Gen.oneOf("a", "b", "cc", "", "δ", "tok")
+    val textGen = Gen.listOfN(30, tokGen).map(_.mkString(" "))
+    (1L to 3L).foreach { seedN =>
+      val texts = Gen.listOfN(50, textGen)
+        .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(seedN))
+      Seq(2, 5).foreach { n =>
+        val out = texts.toDF("text")
+          .select(col("text"), graft.functions.ArrayKernels.wordGramStats(col("text"), n).as("st"))
+          .select(col("text"), col("st.total"), col("st.n_distinct"), col("st.max_count"),
+                  size(col("st.hashes")).cast("long").as("nh"))
+          .collect()
+        out.foreach { r =>
+          val (t, d, m) = hofStats(r.getString(0), n)
+          assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((t, d, m, d)),
+                 s"seed $seedN n=$n text='${r.getString(0)}'")
+        }
+      }
+    }
+  }
 }
