@@ -402,8 +402,11 @@ object TextOps {
       val benchLit = typedlit(benchSet)
       t("documents").filter(col("doc_id") >= 20)
         .select(col("doc_id"),
-                graft.functions.ArrayKernels
-                  .sortedIntersectCount(grams, benchLit).as("n_contaminated_grams"))
+                // null text -> null kernel output; the oracle's left join
+                // shape counts such docs as 0 hits
+                coalesce(graft.functions.ArrayKernels
+                  .sortedIntersectCount(grams, benchLit), lit(0L))
+                  .as("n_contaminated_grams"))
         .withColumn("contaminated", col("n_contaminated_grams") > 0)
         .orderBy("doc_id")
     }, Some("""
