@@ -345,6 +345,62 @@ case class StopwordHits(left: Expression, right: Expression) extends BinaryExpre
   * the nearest (L2) centroid, one byte each, little-endian in an int64.
   * Runs once at index build; 256*dim flops per vector, fused into the
   * build scan's codegen stage (no UDF boxing). */
+/** Index of the nearest (L2) centroid for a float vector — the IVF
+  * coarse-assignment kernel. `right` is the full centroid table
+  * (array<array<double>>, any count); ties keep the lowest index. One
+  * tight codegen loop per row at index build / cluster blocking — no
+  * MLlib model broadcast, no UDF boxing. */
+case class NearestCentroid(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nearest_centroid expects (array<float>, array<array<double>>), got ($l, $r)")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    NearestCentroid.nearest(vec, cents)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.NearestCentroid.nearest($v, $c)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object NearestCentroid {
+  /** Static helper the generated code calls directly. */
+  def nearest(vec: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    val dim = vec.numElements()
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val cent = cents.getArray(c)
+      val d2max = math.min(dim, cent.numElements())
+      var d2 = 0.0
+      var d = 0
+      while (d < d2max) {
+        val t = vec.getFloat(d).toDouble - cent.getDouble(d)
+        d2 += t * t
+        d += 1
+      }
+      if (d2 < bd) { bd = d2; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 case class PqEncode(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -494,6 +550,8 @@ object ArrayKernels {
     column(PqAdcScore(expression(code), expression(lut)))
   def pqEncode(vec: Column, codebooks: Column): Column =
     column(PqEncode(expression(vec), expression(codebooks)))
+  def nearestCentroid(vec: Column, centroids: Column): Column =
+    column(NearestCentroid(expression(vec), expression(centroids)))
 
   // SQL names for every kernel are registered by GraftExtensions
   // (injectFunction) — see graft.plans.GraftExtensions.

@@ -84,15 +84,67 @@ object Similarity {
     */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
                nLists: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    // vectorized builtin array->Vector bridge, not a per-row Scala UDF
-    val featured = df.withColumn("__features",
-      org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("__features").setPredictionCol("list_id")
-      .fit(featured)
-    val indexed = model.transform(featured).drop("__features")
-    (indexed, model.clusterCenters.map(_.toArray))
+    // The quantizer trains on a bounded DETERMINISTIC sample (hash-gated
+    // then head-limited — the lance-index recipe: coarse quantizers never
+    // see the full corpus) with a seeded driver-side Lloyd; assignment is
+    // then ONE codegen NearestCentroid pass over the corpus. This replaces
+    // the MLlib KMeans fit, which paid several Spark jobs per iteration
+    // plus a model broadcast — at 100 TB the sample collect is MBs and the
+    // assignment is a map-only scan.
+    val sampled = df.select(col(vecCol))
+      .where(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+      .limit(16384).collect()
+    val rows = if (sampled.nonEmpty) sampled
+               else df.select(col(vecCol)).limit(math.max(nLists, 1)).collect()
+    val sample = rows.map(_.getSeq[Float](0).toArray)
+    val centroids = lloydFit(sample, nLists, iters = 8, seed)
+    val cLit = typedlit(centroids.map(_.toSeq).toSeq)
+    val indexed = df.withColumn("list_id",
+      graft.functions.ArrayKernels.nearestCentroid(col(vecCol), cLit))
+    (indexed, centroids)
+  }
+
+  /** Seeded full-dimension Lloyd k-means on a driver-side sample (the
+    * coarse-quantizer twin of [[pqTrain]]'s per-subspace loop). Empty
+    * clusters keep their previous centroid; if the sample has fewer than
+    * k points, the table pads with clones of centroid 0 (never nearest
+    * except on exact ties, which keep the lower index). */
+  private[operators] def lloydFit(sample: Array[Array[Float]], k: Int,
+                                  iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "lloydFit needs a non-empty sample")
+    val dim = sample.head.length
+    val kk = math.min(k, sample.length)
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toList).take(kk)
+      .map(i => sample(i).map(_.toDouble)).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk, dim)(0.0)
+      val counts = new Array[Int](kk)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < kk) {
+          var d2 = 0.0; var d = 0
+          while (d < dim) { val t = v(d) - centroids(c)(d); d2 += t * t; d += 1 }
+          if (d2 < bd) { bd = d2; best = c }
+          c += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < dim) { centroids(c)(d) = sums(c)(d) / counts(c); d += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    if (kk < k) centroids ++ Array.fill(k - kk)(centroids(0).clone)
+    else centroids
   }
 
   /** Build-once/probe-many IVF: the index (list assignments + centroids) is

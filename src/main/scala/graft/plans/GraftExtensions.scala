@@ -56,6 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => PqEncode(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_pq_adc"), info("graft_pq_adc"),
       exprs => PqAdcScore(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_nearest_centroid"), info("graft_nearest_centroid"),
+      exprs => NearestCentroid(exprs(0), exprs(1))))
   }
 }
 
