@@ -60,9 +60,34 @@ object LanceMaintenance {
     val delMetas = writeDeletionFiles(spark, path, manifest, df.filter(condition))
     if (delMetas.isEmpty) return manifest.version
 
-    val newVersion = manifest.version + 1
-    commitDeletionPatch(conf, p, manifestPath, delMetas, newVersion)
-    newVersion
+    // Optimistic commit with SAFE rebase (the append path's model): losing
+    // the version race to a concurrent APPEND is harmless — an append only
+    // adds fragments, so the bitmaps computed at readVersion still apply —
+    // rebase on the new latest and re-patch. Any interleaving that touched
+    // a patched fragment (another delete/update/compaction: deletion entry
+    // or id gone) makes the bitmaps stale, so fail loudly instead.
+    var attempt = 0
+    while (true) {
+      val latestPath = LanceFormat.latestManifestPath(fs, p, None)
+      val latest = LanceFormat.readManifest(fs, latestPath)
+      val baseById = manifest.fragments.map(f => f.id -> f).toMap
+      val safe = delMetas.keys.forall { fid =>
+        latest.fragments.find(_.id == fid).exists(lf =>
+          baseById.get(fid).exists(bf => lf.deletion == bf.deletion))
+      }
+      if (!safe) throw new LanceCommitConflict(
+        s"lance: fragments changed under deleteWhere on $path — recompute the delete", null)
+      try {
+        commitDeletionPatch(conf, p, latestPath, delMetas, latest.version + 1)
+        return latest.version + 1
+      } catch {
+        case e: LanceCommitConflict =>
+          attempt += 1
+          if (attempt >= 100) throw e
+          Thread.sleep(5 + scala.util.Random.nextInt(20))
+      }
+    }
+    -1L // unreachable
   }
 
   /** Write per-fragment roaring deletion bitmaps from `matched` (any frame

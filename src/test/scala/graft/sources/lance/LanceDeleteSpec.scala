@@ -48,6 +48,34 @@ class LanceDeleteSpec extends AnyFunSuite {
     assert(deletedTotal == 3000000L - expectedLive)
   }
 
+  test("deleteWhere rebases over a concurrent append (snapshot-delete semantics)") {
+    val ds = tmpDs()
+    writeIds(ds, 50000, 4)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (1 to 3).foreach { i =>
+        spark.range(1000000L + i * 1000, 1000000L + i * 1000 + 500)
+          .selectExpr("id", "id % 7 AS grp", "CAST(id * 1.5 AS DOUBLE) AS v")
+          .coalesce(1).write.format("lance").mode("append").save(ds)
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    val deleter = new Thread(() => {
+      try LanceMaintenance.deleteWhere(spark, ds, "grp = 2 AND id < 1000000")
+      catch { case e: Throwable => failures.add(e) }
+    })
+    appender.start(); deleter.start()
+    appender.join(); deleter.join()
+    assert(failures.isEmpty, s"concurrent append/delete failed: ${failures.peek()}")
+    val back = spark.read.format("lance").load(ds)
+    // the delete's snapshot rows are masked; every appended row survives
+    // (even grp=2 ones — they were not visible at the delete's readVersion
+    // and are excluded by the predicate's id guard)
+    assert(back.filter("id < 1000000 AND grp = 2").count() == 0)
+    assert(back.filter("id >= 1000000").count() == 1500)
+    val expectedLive = (0L until 50000L).count(_ % 7 != 2)
+    assert(back.filter("id < 1000000").count() == expectedLive)
+  }
+
   test("roaring codec round-trips array and bitmap containers") {
     val small = Array(0, 1, 5, 65535, 65536, 131072 + 9)
     assert(Roaring.deserialize(Roaring.serialize(small)).toSeq == small.toSeq)
