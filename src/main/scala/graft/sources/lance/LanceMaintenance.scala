@@ -259,19 +259,47 @@ object LanceMaintenance {
           s"lance upsert: failed to stage fragment ${f.path}")
       }
 
-      // one commit: patched old fragments + staged new ones
-      val patchedPrev = manifest.fragments.map(fr =>
-        delMetas.get(fr.id).map(m => fr.copy(deletion = Some(m))).getOrElse(fr))
+      // one commit: patched old fragments + staged new ones. The staged
+      // data files are already durable, so ONLY the manifest write races;
+      // like deleteWhere, losing the version claim to a concurrent APPEND
+      // is provably harmless (the interleave only added fragments, which
+      // pass through unpatched under the upsert's snapshot semantics) —
+      // rebase on the new latest and retry. Any interleave that touched a
+      // snapshot fragment or the field tree makes the staged rewrite
+      // stale: fail loudly, version untouched.
       val newFrags = staged.fragments.map { fr =>
         require(fr.files.length == 1, "staged fragment expects one data file")
         (fr.files.head.path, fr.physicalRows, fr.stats)
       }
-      val newVersion = manifest.version + 1
-      LanceWriteSupport.writeManifest(conf, p,
-        org.apache.spark.sql.types.StructType(tgtFields), newFrags,
-        manifest.fragments.map(_.id).foldLeft(-1L)(math.max) + 1,
-        patchedPrev, newVersion, fsl, manifest.fields)
-      newVersion
+      var attempt = 0
+      var committed = -1L
+      while (committed < 0) {
+        val latestPath = LanceFormat.latestManifestPath(fs, p, None)
+        val latest = LanceFormat.readManifest(fs, latestPath)
+        val baseById = manifest.fragments.map(f => f.id -> f).toMap
+        val safe = latest.version == manifest.version || (
+          latest.fields == manifest.fields &&
+          manifest.fragments.forall(bf =>
+            latest.fragments.find(_.id == bf.id).contains(bf)))
+        if (!safe) throw new LanceCommitConflict(
+          s"lance: fragments or schema changed under upsert on $path — recompute", null)
+        val patchedPrev = latest.fragments.map(fr =>
+          delMetas.get(fr.id).map(m => fr.copy(deletion = Some(m))).getOrElse(fr))
+        val newVersion = latest.version + 1
+        try {
+          LanceWriteSupport.writeManifest(conf, p,
+            org.apache.spark.sql.types.StructType(tgtFields), newFrags,
+            latest.fragments.map(_.id).foldLeft(-1L)(math.max) + 1,
+            patchedPrev, newVersion, fsl, latest.fields)
+          committed = newVersion
+        } catch {
+          case e: LanceCommitConflict =>
+            attempt += 1
+            if (attempt >= 100) throw e
+            Thread.sleep(5 + scala.util.Random.nextInt(20))
+        }
+      }
+      committed
     } finally {
       fs.delete(stagingDir, true)
     }

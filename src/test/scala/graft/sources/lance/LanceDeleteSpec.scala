@@ -76,6 +76,36 @@ class LanceDeleteSpec extends AnyFunSuite {
     assert(back.filter("id < 1000000").count() == expectedLive)
   }
 
+  test("mergeInsert rebases over a concurrent append") {
+    val ds = tmpDs()
+    writeIds(ds, 20000, 2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (1 to 3).foreach { i =>
+        spark.range(2000000L + i * 1000, 2000000L + i * 1000 + 400)
+          .selectExpr("id", "id % 7 AS grp", "CAST(id * 1.5 AS DOUBLE) AS v")
+          .coalesce(1).write.format("lance").mode("append").save(ds)
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    val upserter = new Thread(() => {
+      try {
+        // update 100 existing rows' v and insert 50 fresh ids
+        val src = spark.range(0, 150)
+          .selectExpr("CASE WHEN id < 100 THEN id ELSE 3000000 + id END AS id",
+                      "id % 7 AS grp", "CAST(-1.0 AS DOUBLE) AS v")
+        LanceMaintenance.mergeInsert(spark, ds, src, Seq("id"))
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    appender.start(); upserter.start()
+    appender.join(); upserter.join()
+    assert(failures.isEmpty, s"concurrent append/upsert failed: ${failures.peek()}")
+    val back = spark.read.format("lance").load(ds)
+    assert(back.filter("id < 100 AND v = -1.0").count() == 100)   // updated
+    assert(back.filter("id >= 3000000").count() == 50)            // inserted
+    assert(back.filter("id >= 2000000 AND id < 3000000").count() == 1200) // appends all landed
+    assert(back.filter("id < 2000000").count() == 20000)          // no snapshot row lost
+  }
+
   test("roaring codec round-trips array and bitmap containers") {
     val small = Array(0, 1, 5, 65535, 65536, 131072 + 9)
     assert(Roaring.deserialize(Roaring.serialize(small)).toSeq == small.toSeq)
