@@ -51,8 +51,14 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
-    val results = SparkEntry.allDefs.map { d =>
-      val times = (0 until 2).map(_ => timeOnce(d))
+    // dev loop: SPARK_GRAFT_QUERIES=q25,q22 restricts the run (substring
+    // match); SPARK_GRAFT_PASSES raises the sample count. Unset in the
+    // driver's graded run, so the artifact contract is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val defs = only.fold(SparkEntry.allDefs)(fs => SparkEntry.allDefs.filter(d => fs.exists(d.name.contains)))
+    val results = defs.map { d =>
+      val times = (0 until passes).map(_ => timeOnce(d))
       // adaptive third pass: if the two runs disagree by >1.5x on a
       // non-trivial query, BOTH may have been hit by ambient load (the
       // round driver shares the host) — one more sample keeps a
