@@ -505,6 +505,122 @@ object TextOps {
       WHERE cum_tokens <= 3000
       ORDER BY lang, cum_tokens""")),
 
+    // --- corpus-level boilerplate n-gram census (C4-style) -----------------
+    // The C4/CCNet boilerplate rule adapted to gram granularity: a 3-gram
+    // appearing in >= 3 distinct documents is "common" (boilerplate);
+    // each document reports what fraction of its distinct grams are
+    // common, with a keep threshold. Scale shape: the census is ONE
+    // hash aggregate over (gram-hash) — the only full shuffle, and it
+    // carries 8-byte hashes, not strings; the common set is small by
+    // definition (boilerplate = high-df tail of a zipfian distribution),
+    // so applying it back to the corpus is a BROADCAST semi-join + a
+    // skinny per-doc count. Gram identity is the 64-bit kernel hash
+    // (d06/d15 precedent; the oracle keeps strings).
+    QDef("d18_boilerplate_ngrams", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val st = graft.functions.ArrayKernels.wordGramStats(col("text"), 3)
+      val docGrams = t("documents")
+        .select(col("doc_id"), st.getField("hashes").as("hs"))
+      val grams = docGrams.select(col("doc_id"), explode(col("hs")).as("g"))
+      val common = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select("g")
+      val hits = grams.join(broadcast(common), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      docGrams.select(col("doc_id"), size(col("hs")).cast(LongType).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+                coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .withColumn("boilerplate_frac",
+          when(col("n_grams") === 0L, lit(0.0))
+            .otherwise(col("n_common").cast(DoubleType) / col("n_grams").cast(DoubleType)))
+        .withColumn("keep", col("boilerplate_frac") <= 0.5)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        FROM toks),
+      df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+      common AS (SELECT g FROM df WHERE df >= 3),
+      hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_common
+        FROM grams c JOIN common b ON c.g = b.g
+        GROUP BY c.doc_id),
+      per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(p.n_grams, 0) AS n_grams,
+             COALESCE(h.n_common, 0) AS n_common,
+             CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+                  ELSE CAST(COALESCE(h.n_common, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+             END AS boilerplate_frac,
+             CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+                  ELSE CAST(COALESCE(h.n_common, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+             END <= 0.5 AS keep
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+                       LEFT JOIN hits h ON d.doc_id = h.doc_id
+      ORDER BY d.doc_id""")),
+
+    // --- unigram-LM quality scoring (CCNet-style perplexity filter) --------
+    // A smoothed unigram language model is fit on a reference slice
+    // (source 'src0' stands in for the high-quality corpus); every
+    // document is scored by average negative log-likelihood and bucketed
+    // head/middle/tail on fixed calibrated thresholds (CCNet uses fixed
+    // thresholds from a held-out calibration, precisely because a
+    // data-dependent tercile would need a global sort at 100 TB).
+    // Scale shape: the vocabulary count table is bounded (a vocab), so
+    // it ships as a BROADCAST; the corpus side is explode -> broadcast
+    // left join -> per-doc partial aggregate — the only shuffle carries
+    // one pre-aggregated row per document. Determinism: per-token
+    // -ln p is snapped to a scaled long (ROUND(ln*1e8)) so the per-doc
+    // sum is exact integer arithmetic; the final double expression runs
+    // once per doc from identical integer inputs on both engines
+    // (the d13/q22 fixed-point pattern).
+    QDef("d19_lm_quality", (s, dir) => {
+      val t = Tables.register(s, dir)
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val ref = toks(t("documents").filter(col("source") === "src0"))
+      val counts = ref.groupBy("tok").agg(count(lit(1)).as("c"))
+      val scal = ref.agg(count(lit(1)).as("nn"), countDistinct(col("tok")).as("vv"))
+      toks(t("documents"))
+        .join(broadcast(counts), Seq("tok"), "left")
+        .select(col("doc_id"),
+                round(log(coalesce(col("c"), lit(0L)) + lit(1.0)) * lit(1e8), 0)
+                  .cast(LongType).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(col("s")).as("sum_s"), count(lit(1)).as("n_tok"))
+        .crossJoin(broadcast(scal))
+        .select(col("doc_id"), col("n_tok"),
+                round(log(col("nn") + col("vv")) -
+                      (col("sum_s").cast(DoubleType) / lit(1e8)) / col("n_tok"), 6)
+                  .as("avg_nll"))
+        .withColumn("quality_bucket",
+          when(col("avg_nll") <= 3.40, "head")
+            .when(col("avg_nll") <= 3.43, "middle")
+            .otherwise("tail"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH ref AS (
+        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0'),
+      counts AS (SELECT tok, COUNT(*) AS c FROM ref GROUP BY tok),
+      scal AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT tok) AS vv FROM ref),
+      corpus AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      scored AS (
+        SELECT c.doc_id,
+               CAST(ROUND(LN(COALESCE(k.c, 0) + 1.0) * 1e8, 0) AS BIGINT) AS s
+        FROM corpus c LEFT JOIN counts k ON c.tok = k.tok),
+      per_doc AS (
+        SELECT doc_id, SUM(s) AS sum_s, COUNT(*) AS n_tok FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_tok,
+             ROUND(LN(nn + vv) - (CAST(sum_s AS DOUBLE) / 1e8) / n_tok, 6) AS avg_nll,
+             CASE WHEN ROUND(LN(nn + vv) - (CAST(sum_s AS DOUBLE) / 1e8) / n_tok, 6) <= 3.40 THEN 'head'
+                  WHEN ROUND(LN(nn + vv) - (CAST(sum_s AS DOUBLE) / 1e8) / n_tok, 6) <= 3.43 THEN 'middle'
+                  ELSE 'tail' END AS quality_bucket
+      FROM per_doc CROSS JOIN scal
+      ORDER BY doc_id""")),
+
     // --- multimodal column conventions: binary payload + typed metadata ----
     // Text stands in for an opaque media payload (the container has no
     // image/audio codecs — SURVEY §2.5 multimodal: the decode step is a

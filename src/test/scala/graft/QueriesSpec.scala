@@ -52,6 +52,34 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d18 boilerplate fractions are consistent") {
+    val rows = SparkEntry.queries("d18_boilerplate_ngrams")(spark, dir).collect()
+    rows.foreach { r =>
+      val nGrams = r.getAs[Long]("n_grams")
+      val nCommon = r.getAs[Long]("n_common")
+      val frac = r.getAs[Double]("boilerplate_frac")
+      val keep = r.getAs[Boolean]("keep")
+      assert(nCommon <= nGrams, s"doc ${r.get(0)}: common > distinct grams")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(keep == (frac <= 0.5))
+    }
+    // the synthetic corpus is near-dup dense at every sf: the census must
+    // actually find shared grams somewhere, or the query degenerated
+    assert(rows.exists(_.getAs[Long]("n_common") > 0), "no common grams found")
+  }
+
+  test("d19 LM buckets are threshold-consistent and reward the reference slice") {
+    val rows = SparkEntry.queries("d19_lm_quality")(spark, dir).collect()
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      val b = r.getAs[String]("quality_bucket")
+      assert(nll > 0.0)
+      assert(b == (if (nll <= 3.40) "head" else if (nll <= 3.43) "middle" else "tail"))
+    }
+    // every in-vocabulary token scores below the OOV floor ln(N+V)
+    assert(rows.forall(_.getAs[Double]("avg_nll") <= math.log(1e9)))
+  }
+
   test("q37 recursive cte computes fibonacci") {
     val rows = SparkEntry.queries("q37_recursive_cte")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
