@@ -546,6 +546,8 @@ object ArrayKernels {
     column(BigramShingleSummary(expression(text)))
   def wordGramStats(text: Column, n: Int): Column =
     column(WordGramStats(expression(text), n))
+  def rollingDocHash(text: Column): Column =
+    column(RollingDocHash(expression(text)))
   def pqAdcScore(code: Column, lut: Column): Column =
     column(PqAdcScore(expression(code), expression(lut)))
   def pqEncode(vec: Column, codebooks: Column): Column =

@@ -75,6 +75,66 @@ case class WordGramStats(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass position-weighted polynomial document hash (SURVEY §2.5 doc
+  * fingerprinting; d10).
+  *
+  * Computes, in a single fused loop, exactly what d10's two-level
+  * posexplode + two-stage aggregate computes (the DuckDB oracle pins the
+  * semantics): per word at 0-based wpos,
+  * `whash = sum_cpos (codeunit % 128) * 8^min(cpos,15) mod 1e9+7`, and the
+  * document hash is `sum_wpos (wpos * 1000003 + whash) mod 2^31-1`, all
+  * bounded inside BIGINT (127 * 8^15 * 500 chars < 2^63). Character
+  * identity is the UTF-16 code unit, matching `split(word, '')` + ascii()
+  * on the ASCII corpus. Replaces a 1.5M-row double explode + window
+  * re-aggregation with a MAP-ONLY pass.
+  */
+case class RollingDocHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_rolling_doc_hash expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    RollingDocHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingDocHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingDocHash =
+    copy(child = newChild)
+}
+
+object RollingDocHash {
+  private val Pow8 = Array.iterate(1L, 16)(_ * 8L)
+
+  /** Static helper the generated code calls directly. */
+  def hash(text: UTF8String): Long = {
+    val s = text.toString
+    var doc = 0L
+    var wpos = 0L
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      // word = s[i, next space); the final word ends at n
+      var whash = 0L
+      var cpos = 0
+      var j = i
+      while (j < n && s.charAt(j) != ' ') {
+        whash += (s.charAt(j).toLong % 128L) * Pow8(math.min(cpos, 15))
+        cpos += 1
+        j += 1
+      }
+      doc += (wpos * 1000003L + whash % 1000000007L) % 2147483647L
+      wpos += 1
+      i = j + 1
+    }
+    doc % 2147483647L
+  }
+}
+
 object WordGramStats {
   val schema: StructType = StructType(Seq(
     StructField("total", LongType, nullable = false),

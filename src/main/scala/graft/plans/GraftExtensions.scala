@@ -52,6 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(n != null, "graft_word_gram_stats: n must be a literal int")
         n.asInstanceOf[Number].intValue
       })))
+    e.injectFunction((FunctionIdentifier("graft_rolling_doc_hash"), info("graft_rolling_doc_hash"),
+      exprs => RollingDocHash(exprs(0))))
     e.injectFunction((FunctionIdentifier("graft_pq_encode"), info("graft_pq_encode"),
       exprs => PqEncode(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_pq_adc"), info("graft_pq_adc"),

@@ -335,24 +335,15 @@ object TextOps {
     // deterministic, and every intermediate bounded inside BIGINT
     // (127 * 8^15 * 500 chars ≈ 2.2e18 < 2^63).
     QDef("d10_rolling_hash", (s, dir) => {
-      Tables.register(s, dir)
-      s.sql("""
-        WITH chars AS (
-          SELECT doc_id, w.wpos AS wpos, c.cpos AS cpos, c.ch AS ch
-          FROM documents
-          LATERAL VIEW posexplode(split(text, ' ')) w AS wpos, word
-          LATERAL VIEW posexplode(split(w.word, '')) c AS cpos, ch
-        ),
-        whashes AS (
-          SELECT doc_id, wpos,
-                 pmod(SUM(pmod(ascii(ch), 128) *
-                          CAST(POW(8, LEAST(cpos, 15)) AS BIGINT)), 1000000007) AS whash
-          FROM chars GROUP BY doc_id, wpos
-        )
-        SELECT doc_id,
-               CAST(pmod(SUM(pmod(wpos * 1000003 + whash, 2147483647)), 2147483647) AS BIGINT)
-                 AS rolling_hash
-        FROM whashes GROUP BY doc_id ORDER BY doc_id""")
+      val t = Tables.register(s, dir)
+      // one-pass RollingDocHash kernel — same value as the two-level
+      // posexplode + two-stage aggregate it replaced (the DuckDB oracle
+      // still computes it that way and pins the semantics); MAP-ONLY
+      // instead of a 1.5M-char-row explode + two keyed aggregations
+      t("documents")
+        .select(col("doc_id"),
+                graft.functions.ArrayKernels.rollingDocHash(col("text")).as("rolling_hash"))
+        .orderBy("doc_id")
     }, Some("""
       WITH words AS (
         SELECT doc_id, i - 1 AS wpos, toks[i] AS word

@@ -201,3 +201,53 @@ class WordGramStatsSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Differential test for the RollingDocHash kernel: the explicit
+  * word/char fold (the d10 SQL semantics anchor) recomputed in plain
+  * Scala must agree on adversarial strings. */
+class RollingDocHashSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  private def refHash(text: String): Long = {
+    val words = text.split(" ", -1)
+    val terms = words.zipWithIndex.map { case (w, wpos) =>
+      val whash = w.toCharArray.zipWithIndex.map { case (ch, cpos) =>
+        (ch.toLong % 128L) * math.pow(8, math.min(cpos, 15)).toLong
+      }.sum % 1000000007L
+      (wpos.toLong * 1000003L + whash) % 2147483647L
+    }
+    terms.sum % 2147483647L
+  }
+
+  test("kernel == reference fold on adversarial strings") {
+    val cases = Seq(
+      "a b a b", "x", "", "  ", "a  b", "trailing ", " leading",
+      "one word word one", "k1 v1 k2", "a" * 40 + " tail",
+      "exactly fifteen-plus chars wwwwwwwwwwwwwwwwwwww end")
+    val out = cases.toDF("text")
+      .select(col("text"),
+              graft.functions.ArrayKernels.rollingDocHash(col("text")).as("h"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == refHash(r.getString(0)),
+             s"mismatch on '${r.getString(0)}'")
+    }
+  }
+
+  test("kernel fuzz vs reference fold") {
+    import org.scalacheck.Gen
+    val tokGen = Gen.oneOf("a", "b", "word", "", "Zz", "qqqqqqqqqqqqqqqqqqqq")
+    val textGen = Gen.listOfN(20, tokGen).map(_.mkString(" "))
+    val texts = Gen.listOfN(100, textGen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L))
+    val out = texts.toDF("text")
+      .select(col("text"),
+              graft.functions.ArrayKernels.rollingDocHash(col("text")).as("h"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == refHash(r.getString(0)),
+             s"mismatch on '${r.getString(0)}'")
+    }
+  }
+}
