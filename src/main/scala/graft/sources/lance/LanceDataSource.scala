@@ -90,9 +90,22 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
 class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[Long])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"lance.`$path`"
   override def schema(): StructType = tableSchema
+
+  /** `_rowaddr` as a DSv2 metadata column: referenced by name it joins the
+    * scan output, hidden from `SELECT *` otherwise — the idiomatic face of
+    * the same synthetic column the DML paths (delete/update/merge) request
+    * internally and that `option("withRowAddress", true)` exposes for
+    * pre-metadata-column readers. Value is lance's row address,
+    * `(fragment_id << 32) | physical_row_offset` (reference: the lance
+    * crate's ROW_ADDR scanner projection; address-based row ids are the
+    * 0.32.1 default). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(LanceTable.RowAddrColumn)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
@@ -113,6 +126,18 @@ class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[
       if (filters.isEmpty) "true"
       else filters.flatMap(LanceFilterSql.toSql).map(s => s"($s)").mkString(" AND ")
     LanceMaintenance.deleteWhere(SparkSession.active, path, cond)
+  }
+}
+
+object LanceTable {
+  /** Metadata-column descriptor for the lance row address. */
+  object RowAddrColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_rowaddr"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "lance row address: (fragment_id << 32) | physical_row_offset"
   }
 }
 
@@ -221,9 +246,15 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
   private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // preserve lance field order; requiredSchema may reorder
+    // preserve lance field order; requiredSchema may reorder. `_rowaddr`
+    // arrives here only as a requested METADATA column (it has no entry in
+    // the table schema unless opted in via withRowAddress) — keep it,
+    // appended, so the scan weaves it in.
     val want = requiredSchema.fieldNames.toSet
-    required = StructType(full.fields.filter(f => want.contains(f.name)))
+    val base = full.fields.filter(f => want.contains(f.name))
+    val meta = requiredSchema.fields.filter(f =>
+      f.name == "_rowaddr" && !full.fieldNames.contains("_rowaddr"))
+    required = StructType(base ++ meta)
   }
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 

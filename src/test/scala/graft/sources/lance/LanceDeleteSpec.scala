@@ -196,6 +196,31 @@ class LanceDeleteSpec extends AnyFunSuite {
     assert(offs.head == 0L && offs.last == offs.length - 1)
   }
 
+  test("_rowaddr resolves as a DSv2 metadata column without the option") {
+    val ds = tmpDs()
+    writeIds(ds, 300, 3)
+    val df = spark.read.format("lance").load(ds)
+    // hidden from SELECT * ...
+    assert(!df.schema.fieldNames.contains("_rowaddr"))
+    // ... but referenced by name it joins the output
+    val rows = df.select("_rowaddr", "id").collect()
+    assert(rows.map(_.getLong(0)).distinct.length == 300)
+    val frags = rows.map(_.getLong(0) >>> 32).distinct.sorted
+    assert(frags.sameElements(Array(0L, 1L, 2L)))
+    // SQL face through the lance catalog
+    val viaSql = spark.sql(s"SELECT _rowaddr, id FROM lance.`$ds` WHERE id < 5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(viaSql.length == 5 && viaSql.map(_._2).sameElements(Array(0L, 1L, 2L, 3L, 4L)))
+    // addresses survive deletes: remaining rows keep their PHYSICAL offset
+    LanceMaintenance.deleteWhere(spark, ds, "id = 0")
+    val after = spark.read.format("lance").load(ds)
+      .select("_rowaddr", "id").collect()
+    assert(after.length == 299)
+    val before = rows.map(r => r.getLong(1) -> r.getLong(0)).toMap
+    after.foreach(r => assert(before(r.getLong(1)) == r.getLong(0),
+      s"row ${r.getLong(1)} changed address after delete"))
+  }
+
   test("SQL DELETE FROM through the lance catalog writes deletion vectors") {
     val ds = tmpDs()
     writeIds(ds, 600, 2)
