@@ -214,13 +214,19 @@ object Dedup {
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .repartition(col("v"))
       .localCheckpoint(true)
+    // round 1 fused: labels start as the identity, so propagating them
+    // through edges is just min(neighbor id) — one aggregate over the
+    // (already v-partitioned) edges, no labels join at all
+    val nbr0 = edges.groupBy("u").agg(min(col("v")).as("nbr_label"))
     var labels = docs.select(col(idCol).as("u"), col(idCol).as("label"))
+      .join(nbr0, Seq("u"), "left")
+      .select(col("u"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       .localCheckpoint(true)
     // labels are monotonically non-increasing per node, so the label sum
     // strictly decreases until the fixpoint — convergence is one cheap
     // aggregate over the (checkpointed) labels instead of a self-join diff
     var prevSum = labels.agg(sum("label")).head().getLong(0)
-    var iter = 0
+    var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
       val nbrLabels = edges.join(labels.withColumnRenamed("u", "v2"),
