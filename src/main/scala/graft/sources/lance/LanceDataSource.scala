@@ -224,6 +224,27 @@ case class ZoneFilter(colName: String, op: String, value: Double,
   }
 }
 
+/** Pushed predicate on the synthetic `_rowaddr` column — the take() path:
+  * ANN/index probes return row addresses, and fetching those rows should
+  * open only the fragments (and decode only the pages) whose address
+  * range can match (reference: the lance crate's `Dataset::take`).
+  * Addresses are exact longs (`fragId << 32 | offset` exceeds double's
+  * 2^53 integer range, so these do NOT reuse the double-domain
+  * [[ZoneFilter]] channel). Always conservative: every filter also stays
+  * residual, Spark re-evaluates on the produced rows. */
+sealed trait AddrFilter extends Serializable {
+  /** May any address in [start, start + rows) match? */
+  def mayMatch(start: Long, rows: Long): Boolean
+}
+case class AddrRange(lo: Long, hi: Long) extends AddrFilter {
+  override def mayMatch(start: Long, rows: Long): Boolean =
+    lo < start + rows && hi >= start
+}
+case class AddrIn(vs: Seq[Long]) extends AddrFilter {
+  override def mayMatch(start: Long, rows: Long): Boolean =
+    vs.exists(v => v >= start && v < start + rows)
+}
+
 object ZoneFilter {
   /** First 8 bytes, big-endian, zero-padded — unsigned order equals
     * lexicographic byte order wherever the prefixes differ. */
@@ -243,6 +264,7 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
   private var required: StructType = full
   private var limit: Option[Int] = None
   private var zoneFilters: Seq[ZoneFilter] = Nil
+  private var addrFilters: Seq[AddrFilter] = Nil
   private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -303,14 +325,32 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
       case In(a, vs) => zoneIn(a, vs)
       case _ => None
     }
+    // `_rowaddr` comparisons prune by exact address range (take path)
+    def addrLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(n.longValue)
+      case n: java.lang.Integer => Some(n.longValue)
+      case _ => None
+    }
+    def af(f: Filter): Option[AddrFilter] = f match {
+      case EqualTo("_rowaddr", v) => addrLong(v).map(x => AddrRange(x, x))
+      case GreaterThan("_rowaddr", v) => addrLong(v).map(x => AddrRange(x + 1, Long.MaxValue))
+      case GreaterThanOrEqual("_rowaddr", v) => addrLong(v).map(x => AddrRange(x, Long.MaxValue))
+      case LessThan("_rowaddr", v) => addrLong(v).map(x => AddrRange(Long.MinValue, x - 1))
+      case LessThanOrEqual("_rowaddr", v) => addrLong(v).map(x => AddrRange(Long.MinValue, x))
+      case In("_rowaddr", vs) if vs != null && vs.nonEmpty && vs.forall(addrLong(_).isDefined) =>
+        Some(AddrIn(vs.flatMap(addrLong).toSeq))
+      case _ => None
+    }
     zoneFilters = filters.flatMap(zf(_)).toSeq
-    accepted = filters.filter(zf(_).isDefined)
+    addrFilters = filters.flatMap(af(_)).toSeq
+    accepted = filters.filter(f => zf(f).isDefined || af(f).isDefined)
     filters // all residual
   }
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    new LanceScan(path, full, required, versionAsOf, limit, zoneFilters, fromVersion)
+    new LanceScan(path, full, required, versionAsOf, limit, zoneFilters, fromVersion,
+                  addrFilters)
 }
 
 /** One InputPartition per Lance fragment; rowLimit caps decoded LIVE rows
@@ -329,7 +369,8 @@ case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
 class LanceScan(path: String, full: StructType, required: StructType,
                 versionAsOf: Option[Long], limit: Option[Int] = None,
                 zoneFilters: Seq[ZoneFilter] = Nil,
-                fromVersion: Option[Long] = None)
+                fromVersion: Option[Long] = None,
+                addrFilters: Seq[AddrFilter] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -339,7 +380,8 @@ class LanceScan(path: String, full: StructType, required: StructType,
       fromVersion.map(v => s", fromVersion=$v").getOrElse("") +
       (if (zoneFilters.nonEmpty)
          s", zoneFilters=[${zoneFilters.map(f => s"${f.colName}${f.op}${if (f.isStr) "str" else f.value}").mkString(",")}]"
-       else "") + ")"
+       else "") +
+      (if (addrFilters.nonEmpty) s", addrFilters=${addrFilters.size}" else "") + ")"
 
   @transient private lazy val manifest0 = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -402,7 +444,10 @@ class LanceScan(path: String, full: StructType, required: StructType,
           case None => true
         }
       }
-    val all = manifest.fragments.filter(fragMayMatch).flatMap { frag =>
+    // take path: a fragment owns addresses [id << 32, id << 32 + physRows)
+    def addrMayMatch(frag: LanceFormat.FragmentMeta): Boolean =
+      addrFilters.forall(_.mayMatch(frag.id << 32, frag.physicalRows))
+    val all = manifest.fragments.filter(f => fragMayMatch(f) && addrMayMatch(f)).flatMap { frag =>
       val delPath = frag.deletion.map(d =>
         new Path(new Path(path, "_deletions"), d.fileName(frag.id)).toString)
       frag.files.map { f =>
@@ -478,7 +523,7 @@ class LanceScan(path: String, full: StructType, required: StructType,
       needed.exists(id => !have.contains(id))
     }
     new LanceReaderFactory(cols.toArray, serConf, zf, rowAddrPos,
-      anyDeletions || anyMissing)
+      anyDeletions || anyMissing, addrFilters)
   }
 }
 
@@ -510,11 +555,12 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
                          conf: org.apache.spark.util.SerializableConfiguration,
                          zf: Seq[(Int, ZoneFilter)] = Nil,
                          rowAddrPos: Int = -1,
-                         anyDeletions: Boolean = false)
+                         anyDeletions: Boolean = false,
+                         addrFilters: Seq[AddrFilter] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    new LancePartitionReader(p, colSpecs, zf, conf.value, rowAddrPos)
+    new LancePartitionReader(p, colSpecs, zf, conf.value, rowAddrPos, addrFilters)
   }
 
   /** Columnar path: scalar projections, list-of-numeric columns (the
@@ -564,7 +610,9 @@ private[lance] final case class PMeta(offs: Seq[Long], sizes: Seq[Long],
 private[lance] final class FragmentPages(part: LanceInputPartition,
                                          colSpecs: Array[ColSpec],
                                          zoneFilters: Seq[(Int, ZoneFilter)],
-                                         conf: Configuration) extends AutoCloseable {
+                                         conf: Configuration,
+                                         addrFilters: Seq[AddrFilter] = Nil)
+    extends AutoCloseable {
   private val (fs, p) = LanceFormat.fileSystem(part.dataFilePath, conf)
   private val fileLen = fs.getFileStatus(p).getLen
   private val in = fs.open(p)
@@ -657,6 +705,21 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     * stats are never pruned). */
   private val keep: Array[Boolean] = {
     val base = Array.fill(nPages)(true)
+    // take path: a page at physical rows [cum, cum + rows) owns addresses
+    // [fragStart + cum, ...) — pages outside every pushed address range
+    // are never read (a point lookup decodes ONE page of the fragment)
+    if (aligned && addrFilters.nonEmpty && nPages > 0) {
+      val metas = pageMetasOf(rowAlignedIds.head)
+      val fragStart = part.fragId << 32
+      var cum = 0L
+      var i = 0
+      while (i < nPages) {
+        if (!addrFilters.forall(_.mayMatch(fragStart + cum, metas(i).rows)))
+          base(i) = false
+        cum += metas(i).rows
+        i += 1
+      }
+    }
     // zone filters on columns this fragment predates can't prune (the
     // column reads all-null here)
     if (aligned) zoneFilters.withFilter(f => present(f._1)).foreach { case (fid, z) =>
@@ -1017,10 +1080,11 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
 class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
                            zoneFilters: Seq[(Int, ZoneFilter)] = Nil,
                            conf: Configuration = new Configuration(),
-                           rowAddrPos: Int = -1)
+                           rowAddrPos: Int = -1,
+                           addrFilters: Seq[AddrFilter] = Nil)
     extends PartitionReader[InternalRow] {
 
-  private val pages = new FragmentPages(part, colSpecs, zoneFilters, conf)
+  private val pages = new FragmentPages(part, colSpecs, zoneFilters, conf, addrFilters)
   private val nCols = colSpecs.length
 
   private val rows: Iterator[InternalRow] = {

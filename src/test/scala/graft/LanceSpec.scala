@@ -131,6 +131,42 @@ class LanceSpec extends AnyFunSuite {
     assert(sum == 199999L * 200000 / 2)
   }
 
+  test("take path: _rowaddr predicates prune fragments and pages") {
+    val ds = tmpDs()
+    // 4 single-page fragments of 1000 rows each (fragment ids 0..3)
+    (0 until 4).foreach { k =>
+      spark.range(k * 1000, (k + 1) * 1000).selectExpr("id", "id * 2 AS v")
+        .coalesce(1).write.format("lance").mode("append").save(ds)
+    }
+    val all = spark.read.format("lance").load(ds)
+    assert(all.rdd.getNumPartitions == 4)
+
+    // point lookup: one fragment planned, row correct
+    val pt = all.select("_rowaddr", "id").filter(col("_rowaddr") === ((2L << 32) | 5L))
+    assert(pt.rdd.getNumPartitions == 1, s"point lookup planned ${pt.rdd.getNumPartitions}")
+    assert(pt.collect().map(_.getLong(1)).toSeq == Seq(2005L))
+
+    // IN-list across two fragments
+    val in = all.select("_rowaddr", "id")
+      .filter(col("_rowaddr").isin((0L << 32) | 7L, (3L << 32) | 999L))
+    assert(in.rdd.getNumPartitions == 2, s"IN lookup planned ${in.rdd.getNumPartitions}")
+    assert(in.collect().map(_.getLong(1)).sorted.toSeq == Seq(7L, 3999L))
+
+    // range: tail fragment only; empty range plans nothing
+    assert(all.filter(col("_rowaddr") >= (3L << 32)).rdd.getNumPartitions == 1)
+    assert(all.filter(col("_rowaddr") >= (9L << 32)).rdd.getNumPartitions == 0)
+
+    // page level: a 4-page fragment still answers a point address right
+    // (the one-surviving-page assertion lives in LanceDeleteSpec, which
+    // can see the package-private FragmentPages)
+    val big = tmpDs()
+    spark.range(200000).selectExpr("id").coalesce(1)
+      .write.format("lance").mode("append").save(big)
+    val got = spark.read.format("lance").load(big)
+      .filter(col("_rowaddr") === 150000L).select("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(150000L))
+  }
+
   test("struct columns round-trip (grouped leaf columns)") {
     val ds = tmpDs()
     val src = spark.range(500).selectExpr(

@@ -221,6 +221,33 @@ class LanceDeleteSpec extends AnyFunSuite {
       s"row ${r.getLong(1)} changed address after delete"))
   }
 
+  test("take path: a point _rowaddr decodes ONE page of a multi-page fragment") {
+    val ds = tmpDs()
+    spark.range(200000).selectExpr("id").coalesce(1)
+      .write.format("lance").mode("append").save(ds) // 65536-row pages -> 4 pages
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(ds, conf)
+    val manifest = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None))
+    val frag = manifest.fragments.head
+    val f = frag.files.head
+    val part = LanceInputPartition(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(ds, "data"), f.path).toString,
+      f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows, fragId = frag.id)
+    val idField = manifest.fields.find(_.name == "id").get
+    val cols = Array(ColSpec(idField.id, idField.logicalType))
+    val probe = (frag.id << 32) | 150000L // page 3 of 4
+    val pages = new FragmentPages(part, cols, Nil, conf, Seq(AddrIn(Seq(probe))))
+    assert(pages.pagePlan.length == 1,
+      s"expected 1 surviving page, got ${pages.pagePlan.length}")
+    pages.close()
+    // a range spanning the page boundary keeps exactly the two pages
+    val range = new FragmentPages(part, cols, Nil, conf,
+      Seq(AddrRange((frag.id << 32) | 65000L, (frag.id << 32) | 66000L)))
+    assert(range.pagePlan.length == 2,
+      s"expected 2 surviving pages, got ${range.pagePlan.length}")
+    range.close()
+  }
+
   test("SQL DELETE FROM through the lance catalog writes deletion vectors") {
     val ds = tmpDs()
     writeIds(ds, 600, 2)
