@@ -60,12 +60,22 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
   }
 
   /** Global descending-cosine sort directly over Project(relation) → same
-    * sort with the probe filter injected below the projection. */
+    * sort with the probe filter injected below the projection. The
+    * filtered variant (lance's PREFILTER: `WHERE … ORDER BY cos DESC
+    * LIMIT k` ranks only rows passing the predicate) keeps the user
+    * filter and nests the probe filter beneath it; the `list_id` guard
+    * keeps the rule from re-matching its own output in the fixed-point
+    * batch. */
   private def rewriteSort(s: Sort): Option[Sort] = s match {
     // leading sort key decides the ranking; tie-breakers may follow
     case Sort(SortOrder(sortExpr, Descending, _, _) +: _, true,
               p @ Project(projList, rel: DataSourceV2Relation), _) =>
       rewrite(sortExpr, projList, rel).map(f => s.copy(child = p.copy(child = f)))
+    case Sort(SortOrder(sortExpr, Descending, _, _) +: _, true,
+              p @ Project(projList, f @ Filter(cond, rel: DataSourceV2Relation)), _)
+        if !cond.references.exists(_.name == "list_id") =>
+      rewrite(sortExpr, projList, rel)
+        .map(pf => s.copy(child = p.copy(child = f.copy(child = pf))))
     case _ => None
   }
 

@@ -221,6 +221,28 @@ object VectorOps {
         .select(col("vec_id"), round(col("cos"), 9).as("cos"))
     }, None),
 
+    // filtered ANN (lance PREFILTER analogue): a plain WHERE composes with
+    // the declarative top-k — AnnTopKRewrite keeps the user predicate and
+    // nests the probe filter beneath it, so ranking applies only to rows
+    // passing the filter while the scan still prunes unprobed index
+    // fragments (rows-only: probe set is index-specific; recall pinned by
+    // SimilaritySpec's filtered-ANN test)
+    QDef("e06d_ann_filtered", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val query = t("embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      ensureIvf(s, dir)
+      graft.plans.GraftAnn.register(s"${ivfPath(dir)}/vectors.lance",
+        Similarity.ivfCentroids(s, ivfPath(dir)), 6)
+      s.read.format("lance").load(s"${ivfPath(dir)}/vectors.lance")
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"),
+                Similarity.cosine(col("embedding"), typedlit(query)).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 9).as("cos"))
+    }, None),
+
     // IVF_PQ build, labeled offline (lance-index IVF_PQ analogue): writes
     // 8-byte codes instead of raw vectors; output is the compression
     // story — (rows, index_bytes, raw_bytes) with the ratio asserted

@@ -320,6 +320,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaRule == imperative)
   }
 
+  test("filtered ANN (prefilter): WHERE composes with the probe rewrite") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") > 0)
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_prefilter").toString
+    Similarity.ivfBuildPersist(corpus, "vec_id", "embedding", nLists = 16,
+      indexPath = idx, nProbe = 6)
+
+    val df = spark.read.format("lance").load(s"$idx/vectors.lance")
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+              Similarity.cosine(col("embedding"), typedlit(query)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("list_id"),
+      s"filtered shape was not probe-rewritten:\n$optimized")
+    val got = df.select("vec_id").as[Long].collect().toSeq
+    // every result passes the predicate, and recall vs the exact FILTERED
+    // top-10 stays high (same bar as the unfiltered ANN tests)
+    assert(got.nonEmpty && got.forall(_ % 2 == 0))
+    val exact = Similarity.cosineTopK(corpus.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.intersect(got.toSet).size >= 5,
+      s"filtered recall too low: $exact vs $got")
+    // a filter that mentions list_id is left alone (no double-inject loop)
+    val manual = spark.read.format("lance").load(s"$idx/vectors.lance")
+      .filter(col("list_id") === 3)
+      .select(col("vec_id"),
+              Similarity.cosine(col("embedding"), typedlit(query)).as("cos"))
+      .orderBy(col("cos").desc).limit(5)
+    assert(manual.count() <= 5) // just runs; rewrite skipped by the guard
+  }
+
   test("ann lsh top-k achieves high recall vs brute force on fixtures") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
