@@ -168,6 +168,34 @@ object LanceOps {
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // take path end-to-end (lance Dataset::take analogue): rows fetched by
+    // _rowaddr from a doc_id-sorted single-fragment dataset — the pushed
+    // IN-list prunes to one fragment and, on multi-page fragments, to the
+    // pages owning the addresses. Writing sorted makes offset i the i-th
+    // smallest doc_id, so DuckDB reproduces the fetch with ROW_NUMBER.
+    QDef("l10_lance_take", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/documents_sorted.lance"
+      t("documents").orderBy("doc_id").coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .write.format("lance").mode("overwrite").save(ds)
+      val rel = s.read.format("lance").load(ds)
+      // fragment ids grow across overwrites in a shared workDir — resolve
+      // the base address once, then take by literal addresses (pushdown
+      // needs literals, exactly like an ANN probe handing back row ids)
+      val base = rel.select(min(col("_rowaddr"))).head().getLong(0)
+      val offs = Seq(3L, 17L, 128L, 311L, 499L)
+      rel.filter(col("_rowaddr").isin(offs.map(base + _): _*))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, lang, n_chars
+      FROM (SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+            FROM documents)
+      WHERE rn IN (3, 17, 128, 311, 499)
+      ORDER BY doc_id""")),
+
     // UPDATE analogue end-to-end: predicate-matched rows replaced with
     // transformed selves (deletion vectors + staged fragments, one
     // version); oracle applies the same CASE rewrite relationally

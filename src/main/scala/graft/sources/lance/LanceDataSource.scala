@@ -1094,6 +1094,15 @@ class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
         (0 until numRows).iterator
           .filter(r => !pages.isDeleted(r))
           .map(r => assemble(colValues, r, r))
+      } else if (colSpecs.isEmpty && rowAddrPos >= 0) {
+        // `_rowaddr`-only projection (e.g. min/max over addresses, or an
+        // address handoff to a take): no physical column decodes —
+        // addresses enumerate live physical offsets directly
+        val live = (0L until part.numRows).iterator
+          .filter(r => !pages.isDeleted(r))
+          .map(r => new GenericInternalRow(
+            Array[Any]((part.fragId << 32) | r)): InternalRow)
+        if (part.rowLimit < Int.MaxValue) live.take(part.rowLimit.toInt) else live
       } else if (colSpecs.isEmpty) {
         // synthetic count(*) page: take is already the live row count
         pages.pagePlan.iterator.flatMap { case (_, take) =>

@@ -221,6 +221,22 @@ class LanceDeleteSpec extends AnyFunSuite {
       s"row ${r.getLong(1)} changed address after delete"))
   }
 
+  test("_rowaddr-only projection decodes no columns and respects deletions") {
+    val ds = tmpDs()
+    writeIds(ds, 1000, 2)
+    val rel = spark.read.format("lance").load(ds)
+    assert(rel.select("_rowaddr").count() == 1000)
+    val mn = rel.select(min(col("_rowaddr"))).head().getLong(0)
+    assert((mn & 0xffffffffL) == 0L)
+    LanceMaintenance.deleteWhere(spark, ds, "id % 10 = 0")
+    val after = spark.read.format("lance").load(ds)
+    assert(after.select("_rowaddr").count() == 900)
+    // deleted rows' addresses are gone; survivors keep physical offsets
+    val addrs = after.select("_rowaddr", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(addrs.size == 900 && addrs.values.forall(_ % 10 != 0))
+  }
+
   test("take path: a point _rowaddr decodes ONE page of a multi-page fragment") {
     val ds = tmpDs()
     spark.range(200000).selectExpr("id").coalesce(1)
