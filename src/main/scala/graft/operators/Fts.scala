@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Full-text search with BM25 ranking — the lance-index FTS analogue.
+  *
+  * The reference engine gets full-text search from the lance crate's
+  * tantivy-backed inverted index (`/root/reference/Cargo.lock`: `lance-index`
+  * -> `tantivy 0.24`): `create_index` builds term postings, queries rank with
+  * BM25. This module re-expresses that Spark-first:
+  *
+  *  - [[buildIndex]] persists an inverted index as lance datasets:
+  *    `postings.lance` `(term, doc_id, tf, dl)` range-partitioned and sorted
+  *    by term — each fragment covers a narrow term range, so the manifest's
+  *    per-fragment/page min-max stats let a query's term IN-list prune
+  *    whole fragments without opening them (same mechanism the IVF index
+  *    uses for `list_id`); `terms.lance` `(term, df)` (vocabulary-sized,
+  *    same layout); `stats.lance` (one row: corpus size + total token
+  *    count).
+  *  - [[searchPersisted]] scores a term query against the index: the
+  *    postings scan reads only probed-term fragments, document frequencies
+  *    arrive via a broadcast join of the (pruned) vocabulary, scores
+  *    accumulate in an order-independent fixed-point interior, and the
+  *    final top-k fuses to TakeOrderedAndProject. At 100 TB the per-query
+  *    cost is proportional to the query terms' posting lists — never the
+  *    corpus — and the only shuffle is the skinny `(doc_id, long)`
+  *    aggregation.
+  *
+  * Scoring is Lucene/tantivy-shape BM25:
+  * {{{
+  *   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   w(t, d) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  * }}}
+  * with k1 = 1.2, b = 0.75.
+  *
+  * Determinism contract (the d13/Det recipe): `idf` is rounded to 8
+  * decimals (both engines' `ln` agree far past that at these magnitudes),
+  * each per-(doc,term) contribution is floored to an exact micro-unit long
+  * `floor(w * 1e6 + 0.5)`, and the per-doc score is the SUM of those longs
+  * — associative, order-independent, bit-identical between a distributed
+  * Spark aggregation and DuckDB's single-node oracle.
+  */
+object Fts {
+
+  val K1 = 1.2
+  val B  = 0.75
+
+  /** Tokenized postings `(doc_id, term, tf, dl)` — one row per distinct
+    * (document, term); `dl` is the document's token count. Tokenization is
+    * single-space split, matching the corpus convention (and the oracle's
+    * `string_split`).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+                split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+              explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus stats: one row `(n_docs, total_len)`. */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).cast(LongType).as("n_docs"),
+             sum(size(split(col(textCol), " ")).cast(LongType)).as("total_len"))
+
+  /** Build and persist the inverted index under `indexPath` (three lance
+    * datasets — see the object doc). The postings write is the one big job
+    * (a token explode + hash aggregate + range shuffle); everything else is
+    * vocabulary-sized or constant.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 indexPath: String, writePartitions: Int = 8): Unit = {
+    val p = postings(docs, idCol, textCol)
+    p.repartitionByRange(writePartitions, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.format("lance").mode("overwrite").save(s"$indexPath/postings.lance")
+    // df per term: postings are already one row per (doc, term)
+    p.groupBy("term").agg(count(lit(1)).as("df"))
+      .repartitionByRange(math.max(writePartitions / 4, 1), col("term"))
+      .sortWithinPartitions("term")
+      .write.format("lance").mode("overwrite").save(s"$indexPath/terms.lance")
+    corpusStats(docs, idCol, textCol).coalesce(1)
+      .write.format("lance").mode("overwrite").save(s"$indexPath/stats.lance")
+    statsCache.put(indexPath, readStats(docs.sparkSession, indexPath))
+  }
+
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+
+  private def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
+    val r = spark.read.format("lance").load(s"$indexPath/stats.lance").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Test hook: simulate a fresh session (forces the stats re-read). */
+  private[graft] def clearStatsCache(): Unit = statsCache.clear()
+
+  /** The fixed-point BM25 contribution of one posting row, as a long in
+    * micro-units. Columns required: term, tf, dl, df; `nDocs`/`avgdl` are
+    * corpus constants folded into the expression.
+    *
+    * Every constant is a plain decimal literal (`2.2`, `1.2`, `0.25`,
+    * `0.75`) so the Spark expression and the DuckDB oracle parse the SAME
+    * double — a computed `K1 + 1.0` could round differently from a parsed
+    * `2.2`. The operation order mirrors the oracle SQL's parse tree
+    * exactly; identical IEEE ops on identical inputs give identical bits.
+    */
+  private def contribMicro(nDocs: Long, avgdl: Double): org.apache.spark.sql.Column = {
+    val idf8 = round(log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 8)
+    val tfw = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+    floor(idf8 * tfw * lit(1e6) + lit(0.5)).cast(LongType)
+  }
+
+  /** Score `terms` against prepared postings+df frames (index-free path:
+    * both derived from the raw table; index path: both lance scans with the
+    * IN-list pushed). Returns `(doc_id, score)`, top `k` by score desc with
+    * doc_id tie-break.
+    */
+  def bm25TopK(postings: DataFrame, termDf: DataFrame, nDocs: Long,
+               totalLen: Long, terms: Seq[String], k: Int): DataFrame = {
+    val avgdl = totalLen.toDouble / nDocs
+    postings.filter(col("term").isin(terms: _*))
+      .join(broadcast(termDf.filter(col("term").isin(terms: _*))), "term")
+      .select(col("doc_id"), contribMicro(nDocs, avgdl).as("micro"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("micro")) / lit(1e6), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Index-free BM25 (the oracle-shaped path): everything computed from the
+    * raw table in one lineage. Used when no index exists — the full-corpus
+    * tokenize is the price.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int): DataFrame = {
+    val p  = postings(docs, idCol, textCol)
+    val df = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val st = corpusStats(docs, idCol, textCol).head()
+    bm25TopK(p, df, st.getLong(0), st.getLong(1), terms, k)
+  }
+
+  /** Search a persisted index: corpus stats from the (cached) one-row
+    * sidecar; postings and vocabulary scans carry the term IN-list into the
+    * lance source, so fragments outside the probed term ranges are never
+    * opened.
+    */
+  def searchPersisted(spark: SparkSession, indexPath: String,
+                      terms: Seq[String], k: Int): DataFrame = {
+    val (nDocs, totalLen) =
+      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    val p  = spark.read.format("lance").load(s"$indexPath/postings.lance")
+    val df = spark.read.format("lance").load(s"$indexPath/terms.lance")
+    bm25TopK(p, df, nDocs, totalLen, terms, k)
+  }
+
+  /** Phrase match (tantivy phrase-query analogue, positions recomputed
+    * rather than index-stored): documents whose token stream contains
+    * `phrase` as consecutive tokens. Position lists come from one
+    * `posexplode`; each adjacent pair is verified with a self-join on
+    * `(doc, pos+1)` — at scale both sides are term-filtered slivers of the
+    * corpus, and the join key `(doc_id, pos)` is near-unique so the shuffle
+    * is skinny and skew-free.
+    */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch needs at least one token")
+    val toks = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+              posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    val first = toks.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.toSeq.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      val next = toks.filter(col("term") === t)
+        .select(col("doc_id").as("d2"), (col("pos") - i).as("p2"))
+      acc.join(next, col("doc_id") === col("d2") && col("pos") === col("p2"))
+        .select(col("doc_id"), col("pos"))
+    }.select("doc_id").distinct()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar (BTREE-analogue) index over a lance dataset — the lance crate's
+  * `create_scalar_index` re-expressed Spark-first (`/root/reference/
+  * Cargo.lock`: `lance-index` ships btree/bitmap scalar indexes; the
+  * reference surfaces them through the lance scan's pushdown).
+  *
+  * Structure: the index IS a lance dataset of `(key, addr)` pairs written
+  * globally sorted by key (`sortBy` → RequiresDistributionAndOrdering →
+  * range-disjoint fragments). A point/range probe therefore prunes to the
+  * one fragment (and page) whose manifest stats cover the key — the same
+  * mechanism a BTREE's interior nodes provide, expressed as zone maps.
+  * The probe returns row ADDRESSES, and the fetch goes through the take
+  * path: a pushed `_rowaddr` IN-list plans only the owning fragments and
+  * decodes only the owning pages.
+  *
+  * At 100 TB: a lookup touches one index fragment (~1/writePartitions of
+  * the skinny key+addr sidecar) plus the take pages — never the corpus.
+  * The collect between probe and fetch is the index's result — a bounded
+  * row-id list, exactly what the crate's btree hands its take; `maxRows`
+  * fails loudly if a mis-used "lookup" would materialize a scan-sized
+  * result on the driver (use a plain pushed filter for that).
+  *
+  * Staleness contract (same as the crate): the index addresses the
+  * VERSION it was built from. Rows appended later are not covered until
+  * [[build]] runs again; rows deleted later are masked by the take path's
+  * deletion-vector handling (a stale addr fetches nothing, never a wrong
+  * row).
+  */
+object ScalarIndex {
+
+  /** Build (or rebuild) the index sidecar for `keyCol`. One range shuffle
+    * of `(key, addr)` — the index build is the offline cost.
+    */
+  def build(spark: SparkSession, datasetPath: String, keyCol: String,
+            indexPath: String, writePartitions: Int = 8): Unit =
+    spark.read.format("lance").load(datasetPath)
+      .select(col(keyCol).as("key"), col("_rowaddr").as("addr"))
+      .write.format("lance")
+      .option("sortBy", "key")
+      .option("writePartitions", writePartitions.toString)
+      .mode("overwrite").save(indexPath)
+
+  private def fetchByAddrs(spark: SparkSession, datasetPath: String,
+                           probe: DataFrame, maxRows: Int): DataFrame = {
+    val addrs = probe.select("addr")
+      .limit(maxRows + 1).collect().map(_.getLong(0))
+    require(addrs.length <= maxRows,
+      s"scalar-index lookup matched > $maxRows rows — this is a scan, " +
+        "not a lookup; filter the dataset directly instead")
+    val base = spark.read.format("lance").load(datasetPath)
+    if (addrs.isEmpty) base.limit(0)
+    else base.filter(col("_rowaddr").isin(addrs.toSeq: _*))
+  }
+
+  /** Point / IN-list lookup: zone-pruned index probe → take-path fetch. */
+  def lookup(spark: SparkSession, datasetPath: String, indexPath: String,
+             keys: Seq[Any], maxRows: Int = 100000): DataFrame = {
+    val probe = spark.read.format("lance").load(indexPath)
+      .filter(col("key").isin(keys: _*))
+    fetchByAddrs(spark, datasetPath, probe, maxRows)
+  }
+
+  /** Range lookup `lo <= key < hi` — the BTREE range-scan shape; the
+    * sorted layout prunes to the covering fragment run.
+    */
+  def lookupRange(spark: SparkSession, datasetPath: String, indexPath: String,
+                  lo: Any, hi: Any, maxRows: Int = 100000): DataFrame = {
+    val probe = spark.read.format("lance").load(indexPath)
+      .filter(col("key") >= lit(lo) && col("key") < lit(hi))
+    fetchByAddrs(spark, datasetPath, probe, maxRows)
+  }
+}

@@ -196,6 +196,33 @@ object LanceOps {
       WHERE rn IN (3, 17, 128, 311, 499)
       ORDER BY doc_id""")),
 
+    // scalar index end-to-end (lance create_scalar_index BTREE analogue):
+    // build the sorted (key, addr) sidecar over an UNSORTED base dataset,
+    // point-lookup through it (zone-pruned probe -> _rowaddr take), plus a
+    // range probe — the oracle recomputes both from the parquet source, so
+    // a stale addr, mis-sorted sidecar, or wrong take decode breaks the
+    // hash. ScalarIndexSpec asserts the pruning.
+    QDef("l11_scalar_index_lookup", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/customer_sidx.lance"
+      // shuffle the write order: the index, not base-table order, must
+      // locate the keys
+      t("customer").orderBy(col("c_name").desc)
+        .write.format("lance").mode("overwrite").save(ds)
+      val ix = s"$workDir/customer_sidx_idx.lance"
+      graft.operators.ScalarIndex.build(s, ds, "c_custkey", ix)
+      val pts = graft.operators.ScalarIndex.lookup(s, ds, ix,
+        Seq(7L, 42L, 101L, 149L))
+      val rng = graft.operators.ScalarIndex.lookupRange(s, ds, ix, 60L, 70L)
+      pts.unionByName(rng)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey IN (7, 42, 101, 149)
+         OR (c_custkey >= 60 AND c_custkey < 70)
+      ORDER BY c_custkey""")),
+
     // UPDATE analogue end-to-end: predicate-matched rows replaced with
     // transformed selves (deletion vectors + staged fragments, one
     // version); oracle applies the same CASE rewrite relationally

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Fts
+import org.apache.spark.sql.functions._
+
+/** Full-text search queries (SURVEY §2 FTS parity — the reference's
+  * tantivy-backed lance FTS index, re-expressed Spark-first; see
+  * [[graft.operators.Fts]]).
+  *
+  * Scores are DuckDB-oracled end-to-end: the BM25 fixed-point contract
+  * makes even the persisted-index path hash-comparable (an inverted index
+  * is an EXACT structure — unlike IVF there is no approximation, so the
+  * oracle recomputes the same ranking from the raw table).
+  */
+object Search {
+
+  private lazy val workDir =
+    java.nio.file.Files.createTempDirectory("graft-fts-q").toString
+
+  /** Build-once per session (the e06 memoization pattern): a solo run of
+    * any index query still builds; a full Verify run builds once.
+    */
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def ensureIndex(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    built.computeIfAbsent(dir, _ => {
+      val t = Tables.register(s, dir)
+      // one index per source dir — a shared path would let a second scale
+      // factor in the same JVM overwrite the first one's postings
+      val ix = s"$workDir/fts-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Fts.buildIndex(t("documents"), "doc_id", "text", ix)
+      ix
+    })
+
+  /** The shared oracle text for a BM25 ranking over `documents` — the
+    * DuckDB spelling of [[Fts.bm25TopK]]'s math, CTE by CTE. `terms` must
+    * be plain words (quoted into an IN-list).
+    */
+  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""
+      WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfv AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_len
+             FROM documents),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                 ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - dfv.df + 0.5) / (dfv.df + 0.5)), 8)
+                 * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                     / (CAST(st.total_len AS DOUBLE) / st.n_docs))))
+                 * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM tf JOIN dfv USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        WHERE tf.term IN ($inList))
+      SELECT doc_id, ROUND(SUM(micro) / 1e6, 6) AS score
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // --- BM25 ranking, index-free (the scoring math itself) --------------
+    QDef("f01_bm25_rank", (s, dir) => {
+      val t = Tables.register(s, dir)
+      Fts.bm25(t("documents"), "doc_id", "text",
+               Seq("merge", "window", "batch"), 15)
+    }, Some(bm25OracleSql(Seq("merge", "window", "batch"), 15))),
+
+    // --- index build, verified through the vocabulary sidecar ------------
+    // (terms.lance df values against a from-scratch DuckDB recount: a
+    // wrong tf grouping, lost posting, or mis-sorted range write that
+    // dropped rows breaks the hash)
+    QDef("f02_fts_build", (s, dir) => {
+      val ix = ensureIndex(s, dir)
+      s.read.format("lance").load(s"$ix/terms.lance")
+        .orderBy(col("df").desc, col("term")).limit(12)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      SELECT term, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY term
+      ORDER BY df DESC, term LIMIT 12""")),
+
+    // --- BM25 over the PERSISTED index: term IN-list pushed into the
+    // lance postings scan (term-range fragments pruned via zone maps),
+    // broadcast vocabulary join, fixed-point score, fused top-k. Exact
+    // structure -> the oracle recomputes the identical ranking raw. ------
+    QDef("f03_fts_search", (s, dir) => {
+      val ix = ensureIndex(s, dir)
+      Fts.searchPersisted(s, ix, Seq("customer", "stream", "query"), 15)
+    }, Some(bm25OracleSql(Seq("customer", "stream", "query"), 15))),
+
+    // --- phrase query (consecutive-token match) ---------------------------
+    // single-space tokenization makes the position-join semantics exactly
+    // LIKE-expressible, so the oracle is an independent formulation
+    QDef("f04_fts_phrase", (s, dir) => {
+      val t = Tables.register(s, dir)
+      Fts.phraseMatch(t("documents"), "doc_id", "text",
+                      Seq("part", "filter"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id FROM documents
+      WHERE ' ' || text || ' ' LIKE '% part filter %'
+      ORDER BY doc_id"""))
+  )
+}

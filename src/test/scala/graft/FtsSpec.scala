@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Fts
+
+/** BM25 full-text search — the tantivy-backed lance FTS analogue
+  * (operators/Fts.scala). The oracle pins score values; these tests pin
+  * the index mechanics: persisted == index-free, fragment pruning on the
+  * term IN-list, fresh-session reload, phrase semantics.
+  */
+class FtsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+
+  private lazy val idx: String = {
+    val p = java.nio.file.Files.createTempDirectory("fts_spec").toString
+    Fts.buildIndex(docs, "doc_id", "text", s"$p/fts")
+    s"$p/fts"
+  }
+
+  test("persisted-index search equals the index-free BM25, including ties") {
+    val terms = Seq("merge", "window", "batch")
+    val direct = Fts.bm25(docs, "doc_id", "text", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIdx = Fts.searchPersisted(spark, idx, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(direct == viaIdx)
+    assert(direct.nonEmpty && direct.map(_._2).sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _         => true
+    })
+  }
+
+  test("term IN-list prunes postings fragments at plan time") {
+    val postings = spark.read.format("lance").load(s"$idx/postings.lance")
+    val full = postings.rdd.getNumPartitions
+    val probed = postings.filter(col("term").isin("merge")).rdd.getNumPartitions
+    assert(full >= 4, s"expected a multi-fragment index, got $full")
+    assert(probed < full,
+      s"term probe should prune fragments: planned $probed of $full")
+  }
+
+  test("fresh session: stats reload from the sidecar, same results") {
+    val terms = Seq("customer", "stream")
+    val warm = Fts.searchPersisted(spark, idx, terms, 10)
+      .collect().map(_.getLong(0)).toSeq
+    Fts.clearStatsCache()
+    val cold = Fts.searchPersisted(spark, idx, terms, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(warm == cold)
+  }
+
+  test("bm25 favors higher tf and rarer terms") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha beta beta beta gamma"),
+      (2L, "alpha delta epsilon zeta eta"),
+      (3L, "theta iota kappa lambda mu"),
+      (4L, "beta nu xi omicron pi")).toDF("doc_id", "text")
+    val r = Fts.bm25(tiny, "doc_id", "text", Seq("beta"), 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 1 (tf=3) above doc 4 (tf=1); docs without the term absent
+    assert(r.map(_._1).toSeq == Seq(1L, 4L))
+    assert(r(0)._2 > r(1)._2)
+  }
+
+  test("phrase match equals a regex check over the token stream") {
+    val phrase = Seq("part", "filter")
+    val got = Fts.phraseMatch(docs, "doc_id", "text", phrase)
+      .collect().map(_.getLong(0)).toSet
+    val want = docs.select("doc_id", "text").collect()
+      .filter(r => (" " + r.getString(1) + " ").contains(" part filter "))
+      .map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should contain the phrase")
+  }
+
+  test("single-token phrase degenerates to containment") {
+    val got = Fts.phraseMatch(docs, "doc_id", "text", Seq("merge"))
+      .count()
+    val want = docs.filter(
+      array_contains(split(col("text"), " "), "merge")).count()
+    assert(got == want)
+  }
+}

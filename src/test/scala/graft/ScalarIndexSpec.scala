@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScalarIndex
+
+/** Scalar (BTREE-analogue) index: sorted (key, addr) lance sidecar →
+  * zone-pruned probe → _rowaddr take fetch. l11 oracles the values; these
+  * tests pin the mechanics.
+  */
+class ScalarIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDs(): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("sidx").toString
+    val ds  = s"$dir/base.lance"
+    val ix  = s"$dir/idx.lance"
+    // write UNSORTED in key so only the index can localize a key
+    spark.range(20000)
+      .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS tag",
+                  "CAST(id AS DOUBLE) * 1.5 AS v")
+      .orderBy(expr("hash(id)"))
+      .repartition(4)
+      .write.format("lance").mode("overwrite").save(ds)
+    ScalarIndex.build(spark, ds, "k", ix)
+    (ds, ix)
+  }
+
+  test("point lookup equals a plain filter; range lookup too") {
+    val (ds, ix) = freshDs()
+    val keys = Seq(3L, 777L, 19999L)
+    val got = ScalarIndex.lookup(spark, ds, ix, keys)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == keys.map(k => (k, k * 1.5)).toSet)
+    val rng = ScalarIndex.lookupRange(spark, ds, ix, 500L, 520L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(rng == (500L until 520L).toSet)
+  }
+
+  test("index probe prunes to a fragment subset at plan time") {
+    val (_, ix) = freshDs()
+    val probe = spark.read.format("lance").load(ix)
+    val full = probe.rdd.getNumPartitions
+    val pt = probe.filter(col("key") === 777L).rdd.getNumPartitions
+    assert(full >= 4, s"expected multi-fragment index, got $full")
+    assert(pt < full, s"point probe should prune: planned $pt of $full")
+  }
+
+  test("deleted rows are masked, not resurrected, through a stale index") {
+    val (ds, ix) = freshDs()
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, "k >= 10000")
+    val got = ScalarIndex.lookup(spark, ds, ix, Seq(5L, 15000L))
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(5L), s"stale addr must fetch nothing, got $got")
+  }
+
+  test("oversized lookup fails loudly instead of collecting a scan") {
+    val (ds, ix) = freshDs()
+    intercept[IllegalArgumentException] {
+      ScalarIndex.lookupRange(spark, ds, ix, 0L, 20000L, maxRows = 100)
+    }
+  }
+
+  test("empty lookup returns an empty frame with the base schema") {
+    val (ds, ix) = freshDs()
+    val r = ScalarIndex.lookup(spark, ds, ix, Seq(-5L))
+    assert(r.columns.toSeq == Seq("k", "tag", "v"))
+    assert(r.count() == 0)
+  }
+}
