@@ -612,6 +612,65 @@ object TextOps {
       FROM per_doc CROSS JOIN scal
       ORDER BY doc_id""")),
 
+    // --- exact duplicated-span coverage (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better") ---------------------------
+    // Per document: how much of it is an exact 8-token span that also
+    // occurs verbatim in ANOTHER document (the substring-dedup signal; a
+    // high fraction marks boilerplate clones the fuzzy pipelines miss).
+    // Scale shape: the kernel emits distinct gram HASHES map-only (one
+    // JVM pass per doc); the cross-doc census is one hash aggregate over
+    // 8-byte keys; marking back is a shuffle join on the same skinny key
+    // carrying (hash, doc_id) pairs — no strings ever shuffle, no
+    // all-pairs stage exists. The oracle recomputes with real substrings
+    // (collisions at 64 bits are negligible; d06/d15 precedent).
+    QDef("d20_dup_span_coverage", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val st = graft.functions.ArrayKernels.wordGramStats(col("text"), 8)
+      val base = t("documents")
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"), col("st.total").as("n_grams"),
+                col("st.n_distinct").as("n_distinct"),
+                col("st.hashes").as("hs"))
+      val g = base.select(col("doc_id"), explode(col("hs")).as("gh"))
+      val shared = g.groupBy("gh").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select("gh")
+      val ns = g.join(shared, Seq("gh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      base.drop("hs")
+        .join(ns, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+                coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("dup_frac",
+          when(col("n_distinct") === 0L, lit(0.0))
+            .otherwise(round(col("n_shared").cast(DoubleType) /
+                             col("n_distinct").cast(DoubleType), 6)))
+        .withColumn("keep", col("dup_frac") < 0.5)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - 7)) AS i FROM t)),
+      gd AS (SELECT DISTINCT doc_id, gram FROM g),
+      per_doc AS (
+        SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_grams FROM t),
+      nd AS (SELECT doc_id, COUNT(*) AS n_distinct FROM gd GROUP BY doc_id),
+      sh AS (SELECT gram FROM gd GROUP BY gram HAVING COUNT(*) > 1),
+      ns AS (SELECT doc_id, COUNT(*) AS n_shared
+             FROM gd JOIN sh USING (gram) GROUP BY doc_id)
+      SELECT p.doc_id, p.n_grams,
+             COALESCE(nd.n_distinct, 0) AS n_distinct,
+             COALESCE(ns.n_shared, 0) AS n_shared,
+             CASE WHEN COALESCE(nd.n_distinct, 0) = 0 THEN 0.0
+                  ELSE ROUND(CAST(COALESCE(ns.n_shared, 0) AS DOUBLE)
+                             / CAST(nd.n_distinct AS DOUBLE), 6) END AS dup_frac,
+             CASE WHEN COALESCE(nd.n_distinct, 0) = 0 THEN 0.0
+                  ELSE ROUND(CAST(COALESCE(ns.n_shared, 0) AS DOUBLE)
+                             / CAST(nd.n_distinct AS DOUBLE), 6) END < 0.5 AS keep
+      FROM per_doc p LEFT JOIN nd ON p.doc_id = nd.doc_id
+                     LEFT JOIN ns ON p.doc_id = ns.doc_id
+      ORDER BY p.doc_id""")),
+
     // --- multimodal column conventions: binary payload + typed metadata ----
     // Text stands in for an opaque media payload (the container has no
     // image/audio codecs — SURVEY §2.5 multimodal: the decode step is a
