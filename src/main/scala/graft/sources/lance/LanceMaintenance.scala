@@ -305,6 +305,54 @@ object LanceMaintenance {
     }
   }
 
+  // ---- restore -----------------------------------------------------------
+
+  /** Restore an old version as the NEW head (lance `Dataset::restore` /
+    * checkout-then-restore): re-commits version `version`'s manifest
+    * verbatim under `latest + 1` — fragments, schema, deletion files and
+    * stats all revert in one commit; the intermediate history stays
+    * readable via time travel until vacuumed. Optimistic-retries the
+    * version claim like every other committer. Returns the new head
+    * version.
+    *
+    * Fragment ids from the restored era may later be reused by appends
+    * (next id = max over the new head) while a time-travel manifest
+    * still uses the same id for a different fragment — harmless here:
+    * manifests are self-contained (data files are UUID-named, deletion
+    * files embed the monotone read-version), and no reader state is
+    * keyed by fragment id across versions.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val rawAll = LanceFormat.readWholeFile(fs,
+      LanceFormat.latestManifestPath(fs, p, Some(version)))
+    val pbLen = (rawAll(0) & 0xff) | ((rawAll(1) & 0xff) << 8) |
+                ((rawAll(2) & 0xff) << 16) | ((rawAll(3) & 0xff) << 24)
+    val top = Proto.parse(rawAll, 4, 4 + pbLen)
+    var attempt = 0
+    while (true) {
+      val latest = LanceFormat.readManifest(fs,
+        LanceFormat.latestManifestPath(fs, p, None))
+      if (latest.version == version) return version // restoring the head: no-op
+      val newVersion = latest.version + 1
+      val w = new Proto.Writer
+      top.foreach { f =>
+        if (f.tag == 3 && f.wire == 0) w.varint(3, newVersion) else w.raw(f)
+      }
+      try {
+        LanceWriteSupport.commitManifest(conf, p, w.result(), newVersion)
+        return newVersion
+      } catch {
+        case e: LanceCommitConflict =>
+          attempt += 1
+          if (attempt >= 100) throw e
+          Thread.sleep(5 + scala.util.Random.nextInt(20))
+      }
+    }
+    -1L // unreachable
+  }
+
   // ---- vacuum ------------------------------------------------------------
 
   /** Remove old versions and any files only they reference (the

@@ -104,6 +104,32 @@ class LanceEvolutionSpec extends AnyFunSuite {
     assert(back.filter("id = 85").head.getLong(3) == 8500L)
   }
 
+  test("restore re-commits an old version as the new head") {
+    val ds = tmpDs()
+    seed(ds, 100) // v1
+    spark.range(100, 150).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v",
+        "concat('tag_', id % 3) AS tag")
+      .write.format("lance").mode("append").save(ds) // v2
+    LanceMaintenance.deleteWhere(spark, ds, "id < 10") // v3
+    assert(spark.read.format("lance").load(ds).count() == 140)
+
+    val head = LanceMaintenance.restore(spark, ds, 1L)
+    assert(head == 4L)
+    val restored = spark.read.format("lance").load(ds)
+    assert(restored.count() == 100) // appended rows gone, deletes reverted
+    assert(restored.agg(sum("id")).head().getLong(0) == 99L * 100 / 2)
+    // intermediate history still time-travels
+    assert(spark.read.format("lance").option("versionAsOf", 3).load(ds)
+      .count() == 140)
+    // appends on the restored head keep working, ids self-consistent
+    spark.range(500, 510).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v",
+        "concat('tag_', id % 3) AS tag")
+      .write.format("lance").mode("append").save(ds)
+    assert(spark.read.format("lance").load(ds).count() == 110)
+    // restoring the current head is a no-op
+    assert(LanceMaintenance.restore(spark, ds, 5L) == 5L)
+  }
+
   test("tags pin versions by name and resolve through tagAsOf") {
     val ds = tmpDs()
     seed(ds, 50)
