@@ -73,4 +73,30 @@ object ScalarIndex {
       .filter(col("key") >= lit(lo) && col("key") < lit(hi))
     fetchByAddrs(spark, datasetPath, probe, maxRows)
   }
+
+  /** LABEL_LIST-analogue index over an ARRAY column (the lance-index
+    * label-list type, which backs `array_has_any` queries): one
+    * `(key, addr)` row per array ELEMENT, sorted by key — the posting-list
+    * layout. A membership probe prunes to the labels' fragments; the addr
+    * set dedupes before the take (a row tagged with two probed labels
+    * fetches once).
+    */
+  def buildLabels(spark: SparkSession, datasetPath: String, arrayCol: String,
+                  indexPath: String, writePartitions: Int = 8): Unit =
+    spark.read.format("lance").load(datasetPath)
+      .select(explode(col(arrayCol)).as("key"), col("_rowaddr").as("addr"))
+      .write.format("lance")
+      .option("sortBy", "key")
+      .option("writePartitions", writePartitions.toString)
+      .mode("overwrite").save(indexPath)
+
+  /** Rows whose indexed array contains ANY of `labels` (`array_has_any`). */
+  def lookupAnyLabel(spark: SparkSession, datasetPath: String,
+                     indexPath: String, labels: Seq[Any],
+                     maxRows: Int = 100000): DataFrame = {
+    val probe = spark.read.format("lance").load(indexPath)
+      .filter(col("key").isin(labels: _*))
+      .select("addr").distinct()
+    fetchByAddrs(spark, datasetPath, probe, maxRows)
+  }
 }

@@ -223,6 +223,32 @@ object LanceOps {
          OR (c_custkey >= 60 AND c_custkey < 70)
       ORDER BY c_custkey""")),
 
+    // label-list index end-to-end (lance-index LABEL_LIST analogue, the
+    // array_has_any query shape): docs carry a token-prefix tag array;
+    // the exploded (label, addr) posting sidecar probes two labels,
+    // dedupes addrs, take-fetches. Oracle recomputes membership over the
+    // same 4-token prefix with LIKE (order-stable, version-safe spelling).
+    QDef("l12_labellist_lookup", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/documents_tags.lance"
+      t("documents")
+        .select(col("doc_id"), col("lang"),
+                slice(split(col("text"), " "), 1, 4).as("tags"))
+        .write.format("lance").mode("overwrite").save(ds)
+      val ix = s"$workDir/documents_tags_idx.lance"
+      graft.operators.ScalarIndex.buildLabels(s, ds, "tags", ix)
+      graft.operators.ScalarIndex.lookupAnyLabel(s, ds, ix,
+          Seq("merge", "filter"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ' ' || array_to_string(string_split(text, ' ')[1:4], ' ') || ' ' AS pfx
+        FROM documents)
+      WHERE pfx LIKE '% merge %' OR pfx LIKE '% filter %'
+      ORDER BY doc_id""")),
+
     // UPDATE analogue end-to-end: predicate-matched rows replaced with
     // transformed selves (deletion vectors + staged fragments, one
     // version); oracle applies the same CASE rewrite relationally

@@ -61,6 +61,27 @@ class ScalarIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("label-list index: any-label lookup equals arrays_overlap, deduped") {
+    val dir = java.nio.file.Files.createTempDirectory("sidx_lbl").toString
+    val ds  = s"$dir/base.lance"
+    val ix  = s"$dir/lbl.lance"
+    spark.range(5000)
+      .selectExpr("id AS k",
+        "array(concat('t', id % 11), concat('t', id % 7), concat('t', (id + 3) % 11)) AS tags")
+      .repartition(4)
+      .write.format("lance").mode("overwrite").save(ds)
+    ScalarIndex.buildLabels(spark, ds, "tags", ix)
+    val got = ScalarIndex.lookupAnyLabel(spark, ds, ix, Seq("t3", "t5"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val want = spark.read.format("lance").load(ds)
+      .filter(arrays_overlap(col("tags"), typedlit(Seq("t3", "t5"))))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty)
+    // a row matching BOTH labels fetches once (distinct addrs)
+    val both = ScalarIndex.lookupAnyLabel(spark, ds, ix, Seq("t3"))
+    assert(both.count() == both.select("k").distinct().count())
+  }
+
   test("empty lookup returns an empty frame with the base schema") {
     val (ds, ix) = freshDs()
     val r = ScalarIndex.lookup(spark, ds, ix, Seq(-5L))
