@@ -101,8 +101,23 @@ class LanceModelSpec extends AnyFunSuite {
     dfOf(first).write.format("lance").mode("append").save(ds)
     check(ds, m, "seed")
 
+    // version-keyed model snapshots back the restore op: restoring to a
+    // committed version must roll the model to what it held right after
+    // the op that committed it
+    val snapshots = mutable.Map.empty[Long, (Vector[(String, DataType)],
+                                             Seq[Map[String, Any]])]
+    def headVersion(): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      val (fs, p) = LanceFormat.fileSystem(ds, conf)
+      LanceFormat.readManifest(fs,
+        LanceFormat.latestManifestPath(fs, p, None)).version
+    }
+    def snap(): Unit =
+      snapshots(headVersion()) = (m.cols, m.rows.map(_.toMap).toSeq)
+    snap()
+
     (1 to nOps).foreach { step =>
-      val op = rnd.nextInt(8)
+      val op = rnd.nextInt(9)
       val label = s"seed=$seed step=$step op=$op"
       op match {
         case 0 => // append
@@ -170,7 +185,16 @@ class LanceModelSpec extends AnyFunSuite {
           }
         case 7 => // compact (materializes deletes, rewrites layout)
           LanceMaintenance.compact(spark, ds, targetFragments = 1 + rnd.nextInt(3))
+        case 8 => // restore to a random earlier version
+          val vs = snapshots.keys.toSeq.sorted
+          val v = vs(rnd.nextInt(vs.length))
+          LanceMaintenance.restore(spark, ds, v)
+          val (c, r) = snapshots(v)
+          m.cols = c
+          m.rows.clear()
+          m.rows ++= r.map(x => mutable.Map(x.toSeq: _*))
       }
+      snap()
       check(ds, m, label)
     }
   }
