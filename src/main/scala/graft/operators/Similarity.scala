@@ -232,6 +232,37 @@ object Similarity {
     ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
   }
 
+  /** Delete-aware probe of a persisted IVF index — the crate's semantics:
+    * deletions on the BASE dataset mask index hits at query time. The
+    * plain IVF index stores a COPY of the vectors, so a row deleted from
+    * `sourcePath` after the build would otherwise still surface. Here the
+    * probe over-fetches 2k candidates, verifies the bounded candidate id
+    * set's liveness against the source with a pushed IN-list (zone-pruned
+    * point reads — O(k) like the crate's per-candidate deletion-bitmap
+    * check, never a corpus scan), and returns the top k live survivors
+    * (fewer only if deletions gutted the over-fetch margin).
+    *
+    * The PQ path ([[ivfPqSearch]]) needs none of this: its exact re-rank
+    * reads the source, where deletion vectors already mask dead rows.
+    */
+  def ivfSearchPersistedLive(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, sourcePath: String,
+                             idCol: String, vecCol: String,
+                             query: Seq[Float], k: Int,
+                             nProbe: Int = 6): DataFrame = {
+    val candsDf = ivfSearchPersisted(spark, indexPath, idCol, vecCol,
+      query, 2 * k, nProbe)
+    val cands = candsDf.collect()
+    val ids = cands.map(_.get(0))
+    val live =
+      if (ids.isEmpty) Set.empty[Any]
+      else spark.read.format("lance").load(sourcePath)
+        .filter(col(idCol).isin(ids.toSeq: _*)).select(col(idCol))
+        .collect().map(_.get(0)).toSet
+    val out = cands.filter(r => live.contains(r.get(0))).take(k).toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), candsDf.schema)
+  }
+
   // ---- IVF_PQ: product-quantized persisted index (lance-index IVF_PQ
   // analogue — /root/reference/Cargo.lock: lance-index) -------------------
 

@@ -671,6 +671,71 @@ object TextOps {
                      LEFT JOIN ns ON p.doc_id = ns.doc_id
       ORDER BY p.doc_id""")),
 
+    // --- end-to-end pipeline composition: quality -> dedup -> budget -------
+    // The three core stages of a training-data pipeline CHAINED in one
+    // declarative plan (what a user actually runs): Gopher-style
+    // repetition gate (thresholds calibrated to bite on this corpus) ->
+    // exact-text dedup keeping the smallest doc_id -> per-language token
+    // budget. One kernel pass, one dedup window, one budget window — the
+    // whole pipeline is three shuffles at any scale, no driver state.
+    QDef("d21_pipeline_end2end", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val st = graft.functions.ArrayKernels.wordGramStats(col("text"), 2)
+      val kept = t("documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+                st.as("st"))
+        .filter(col("st.total") > 0)
+        .filter(col("st.max_count").cast(DoubleType) /
+                  col("st.total").cast(DoubleType) <= 0.04 &&
+                (col("st.total") - col("st.n_distinct")).cast(DoubleType) /
+                  col("st.total").cast(DoubleType) <= 0.05)
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("text").orderBy("doc_id")
+      val sur = kept.withColumn("rk", row_number().over(wd))
+        .filter(col("rk") === 1)
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      sur.select(col("doc_id"), col("lang"),
+                 size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+                 col("n_chars"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wb))
+        .filter(col("cum_tokens") <= 1500L)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("lang", "cum_tokens")
+    }, Some("""
+      WITH bg AS (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+      agg AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS mx,
+                     COUNT(*) AS n_distinct
+              FROM cnt GROUP BY doc_id),
+      kept AS (
+        SELECT doc_id FROM agg
+        WHERE CAST(mx AS DOUBLE) / total <= 0.04
+          AND CAST(total - n_distinct AS DOUBLE) / total <= 0.05),
+      sur AS (
+        SELECT doc_id, lang, text, n_chars FROM (
+          SELECT d.doc_id, d.lang, d.text, d.n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY d.text ORDER BY d.doc_id) AS rk
+          FROM documents d JOIN kept k ON d.doc_id = k.doc_id)
+        WHERE rk = 1),
+      sel AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                 PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM sur)
+      SELECT doc_id, lang, n_tokens, cum_tokens
+      FROM sel WHERE cum_tokens <= 1500
+      ORDER BY lang, cum_tokens""")),
+
     // --- multimodal column conventions: binary payload + typed metadata ----
     // Text stands in for an opaque media payload (the container has no
     // image/audio codecs — SURVEY §2.5 multimodal: the decode step is a

@@ -211,6 +211,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"batched-ANN recall $recall")
   }
 
+  test("delete-aware IVF probe masks rows deleted from the source after build") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_live").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0).write.format("lance").mode("overwrite").save(src)
+    val corpus = spark.read.format("lance").load(src)
+    Similarity.ivfBuildPersist(corpus, "vec_id", "embedding", nLists = 16,
+      indexPath = dir)
+
+    val before = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 6).select("vec_id").as[Long].collect().toSeq
+    // delete the top two hits from the SOURCE (the index copy keeps them)
+    val gone = before.take(2)
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, src,
+      s"vec_id IN (${gone.mkString(",")})")
+
+    val stale = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 6).select("vec_id").as[Long].collect().toSeq
+    assert(gone.forall(stale.contains), "plain probe reads the index copy")
+
+    val live = Similarity.ivfSearchPersistedLive(spark, dir, src,
+      "vec_id", "embedding", query, k = 10, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(gone.forall(g => !live.contains(g)), s"deleted ids surfaced: $live")
+    assert(live.length == 10, s"over-fetch margin should refill to k: $live")
+    // exactly the over-fetched candidate ranking minus the dead rows
+    val cand20 = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 20, nProbe = 6).select("vec_id").as[Long].collect().toSeq
+    assert(live == cand20.filterNot(gone.contains).take(10))
+  }
+
   test("persisted IVF index: fresh-session probe matches in-session search") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
