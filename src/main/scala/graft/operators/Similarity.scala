@@ -232,6 +232,58 @@ object Similarity {
     ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
   }
 
+  /** Build the persisted IVF index FOR a lance dataset, recording the
+    * source head version in the centroid sidecar (`built_version`
+    * column). [[ivfSearchCombined]] uses it to brute-force the unindexed
+    * append tail — the crate's behavior for fragments not covered by the
+    * index.
+    */
+  def ivfBuildPersistLance(spark: org.apache.spark.sql.SparkSession,
+                           sourcePath: String, idCol: String, vecCol: String,
+                           nLists: Int, indexPath: String,
+                           nProbe: Int = 6): Long = {
+    import graft.sources.lance.LanceFormat
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(sourcePath, conf)
+    val builtV = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+    // pin the snapshot: a concurrent append between version read and scan
+    // must not leak half-indexed rows past the recorded version
+    val df = spark.read.format("lance")
+      .option("versionAsOf", builtV).load(sourcePath)
+    ivfBuildPersist(df, idCol, vecCol, nLists, indexPath, nProbe)
+    val meta = spark.createDataFrame(Seq(Tuple1(builtV))).toDF("built_version")
+    meta.coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$indexPath/meta.lance")
+    builtV
+  }
+
+  /** Combined search (crate semantics for a stale index): probe the
+    * persisted index for rows it covers AND brute-force the rows appended
+    * to `sourcePath` after the recorded build version (a `fromVersion`
+    * CDC scan plans ONLY the new fragments — the tail stays a sliver of
+    * the corpus until the next index rebuild), then merge the two top-k
+    * streams. The tail side reads the live dataset, so deletions among
+    * appended rows are masked for free; deletions of INDEXED rows need
+    * [[ivfSearchPersistedLive]] (compose when both apply).
+    */
+  def ivfSearchCombined(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, sourcePath: String,
+                        idCol: String, vecCol: String,
+                        query: Seq[Float], k: Int,
+                        nProbe: Int = 6): DataFrame = {
+    val builtV = spark.read.format("lance").load(s"$indexPath/meta.lance")
+      .head().getLong(0)
+    val idxTop = ivfSearchPersisted(spark, indexPath, idCol, vecCol,
+      query, k, nProbe)
+    val tail = spark.read.format("lance")
+      .option("fromVersion", builtV).load(sourcePath)
+    val tailTop = cosineTopK(tail, idCol, vecCol, query, k)
+    idxTop.unionByName(tailTop)
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Delete-aware probe of a persisted IVF index — the crate's semantics:
     * deletions on the BASE dataset mask index hits at query time. The
     * plain IVF index stores a COPY of the vectors, so a row deleted from

@@ -243,6 +243,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(live == cand20.filterNot(gone.contains).take(10))
   }
 
+  test("combined search covers rows appended after the index build") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_comb").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 =!= 0)
+      .write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    // append the held-out fifth AFTER the build — not covered by the index
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 === 0)
+      .write.format("lance").mode("append").save(src)
+
+    val combined = Similarity.ivfSearchCombined(spark, dir, src,
+      "vec_id", "embedding", query, k = 10, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(combined.length == 10)
+    // the exact top-k over the FULL live dataset restricted to (probed
+    // lists ∪ tail) must agree where the tail holds top hits: at minimum,
+    // any exact top-3 hit from the appended tail must surface
+    val exact = Similarity.cosineTopK(
+      spark.read.format("lance").load(src), "vec_id", "embedding", query, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    exact.filter(_ % 5 == 0).foreach { id =>
+      assert(combined.contains(id), s"appended top hit $id missing: $combined")
+    }
+    // stale plain probe cannot see appended rows at all
+    val stale = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 50, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+    assert(stale.forall(_ % 5 != 0))
+  }
+
   test("persisted IVF index: fresh-session probe matches in-session search") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
