@@ -33,16 +33,28 @@ import org.apache.spark.sql.functions._
 object ScalarIndex {
 
   /** Build (or rebuild) the index sidecar for `keyCol`. One range shuffle
-    * of `(key, addr)` — the index build is the offline cost.
+    * of `(key, addr)` — the index build is the offline cost. The source
+    * head version is recorded alongside (`meta.lance`) so [[lookupCombined]]
+    * can cover the append tail.
     */
   def build(spark: SparkSession, datasetPath: String, keyCol: String,
-            indexPath: String, writePartitions: Int = 8): Unit =
-    spark.read.format("lance").load(datasetPath)
+            indexPath: String, writePartitions: Int = 8): Long = {
+    import graft.sources.lance.LanceFormat
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(datasetPath, conf)
+    val builtV = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+    spark.read.format("lance").option("versionAsOf", builtV).load(datasetPath)
       .select(col(keyCol).as("key"), col("_rowaddr").as("addr"))
       .write.format("lance")
       .option("sortBy", "key")
       .option("writePartitions", writePartitions.toString)
-      .mode("overwrite").save(indexPath)
+      .mode("overwrite").save(s"$indexPath/keys.lance")
+    spark.createDataFrame(Seq((builtV, keyCol))).toDF("built_version", "key_col")
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$indexPath/meta.lance")
+    builtV
+  }
 
   private def fetchByAddrs(spark: SparkSession, datasetPath: String,
                            probe: DataFrame, maxRows: Int): DataFrame = {
@@ -59,7 +71,7 @@ object ScalarIndex {
   /** Point / IN-list lookup: zone-pruned index probe → take-path fetch. */
   def lookup(spark: SparkSession, datasetPath: String, indexPath: String,
              keys: Seq[Any], maxRows: Int = 100000): DataFrame = {
-    val probe = spark.read.format("lance").load(indexPath)
+    val probe = spark.read.format("lance").load(s"$indexPath/keys.lance")
       .filter(col("key").isin(keys: _*))
     fetchByAddrs(spark, datasetPath, probe, maxRows)
   }
@@ -69,9 +81,33 @@ object ScalarIndex {
     */
   def lookupRange(spark: SparkSession, datasetPath: String, indexPath: String,
                   lo: Any, hi: Any, maxRows: Int = 100000): DataFrame = {
-    val probe = spark.read.format("lance").load(indexPath)
+    val probe = spark.read.format("lance").load(s"$indexPath/keys.lance")
       .filter(col("key") >= lit(lo) && col("key") < lit(hi))
     fetchByAddrs(spark, datasetPath, probe, maxRows)
+  }
+
+  /** Point / IN-list lookup that ALSO covers rows appended after the
+    * index build (crate semantics for a stale index — the ANN combined
+    * search's scalar twin): index probe for the covered prefix, plus a
+    * `fromVersion` CDC scan of ONLY the post-build fragments with the
+    * key filter pushed (zone maps still prune inside the tail). Union of
+    * addrs, one take fetch; rows deleted since the build stay masked on
+    * both sides (index addrs by the take path's deletion vectors, the
+    * tail by reading the live dataset).
+    */
+  def lookupCombined(spark: SparkSession, datasetPath: String,
+                     indexPath: String, keys: Seq[Any],
+                     maxRows: Int = 100000): DataFrame = {
+    val meta = spark.read.format("lance").load(s"$indexPath/meta.lance").head()
+    val builtV = meta.getLong(0)
+    val keyCol = meta.getString(1)
+    val idxProbe = spark.read.format("lance").load(s"$indexPath/keys.lance")
+      .filter(col("key").isin(keys: _*)).select("addr")
+    val tailProbe = spark.read.format("lance")
+      .option("fromVersion", builtV).load(datasetPath)
+      .filter(col(keyCol).isin(keys: _*))
+      .select(col("_rowaddr").as("addr"))
+    fetchByAddrs(spark, datasetPath, idxProbe.unionByName(tailProbe), maxRows)
   }
 
   /** LABEL_LIST-analogue index over an ARRAY column (the lance-index
@@ -82,19 +118,20 @@ object ScalarIndex {
     * fetches once).
     */
   def buildLabels(spark: SparkSession, datasetPath: String, arrayCol: String,
-                  indexPath: String, writePartitions: Int = 8): Unit =
+                  indexPath: String, writePartitions: Int = 8): Unit = {
     spark.read.format("lance").load(datasetPath)
       .select(explode(col(arrayCol)).as("key"), col("_rowaddr").as("addr"))
       .write.format("lance")
       .option("sortBy", "key")
       .option("writePartitions", writePartitions.toString)
-      .mode("overwrite").save(indexPath)
+      .mode("overwrite").save(s"$indexPath/keys.lance")
+  }
 
   /** Rows whose indexed array contains ANY of `labels` (`array_has_any`). */
   def lookupAnyLabel(spark: SparkSession, datasetPath: String,
                      indexPath: String, labels: Seq[Any],
                      maxRows: Int = 100000): DataFrame = {
-    val probe = spark.read.format("lance").load(indexPath)
+    val probe = spark.read.format("lance").load(s"$indexPath/keys.lance")
       .filter(col("key").isin(labels: _*))
       .select("addr").distinct()
     fetchByAddrs(spark, datasetPath, probe, maxRows)

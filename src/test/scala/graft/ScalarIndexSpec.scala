@@ -39,7 +39,7 @@ class ScalarIndexSpec extends AnyFunSuite {
 
   test("index probe prunes to a fragment subset at plan time") {
     val (_, ix) = freshDs()
-    val probe = spark.read.format("lance").load(ix)
+    val probe = spark.read.format("lance").load(s"$ix/keys.lance")
     val full = probe.rdd.getNumPartitions
     val pt = probe.filter(col("key") === 777L).rdd.getNumPartitions
     assert(full >= 4, s"expected multi-fragment index, got $full")
@@ -59,6 +59,26 @@ class ScalarIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ScalarIndex.lookupRange(spark, ds, ix, 0L, 20000L, maxRows = 100)
     }
+  }
+
+  test("combined lookup covers rows appended after the index build") {
+    val (ds, ix) = freshDs()
+    spark.range(20000, 20050)
+      .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS tag",
+                  "CAST(id AS DOUBLE) * 1.5 AS v")
+      .write.format("lance").mode("append").save(ds)
+    // plain lookup misses the appended key; combined finds it
+    val plain = ScalarIndex.lookup(spark, ds, ix, Seq(3L, 20010L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(3L))
+    val combined = ScalarIndex.lookupCombined(spark, ds, ix, Seq(3L, 20010L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(combined == Set(3L, 20010L))
+    // deletes after build are masked on the combined path too
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, "k = 3")
+    val after = ScalarIndex.lookupCombined(spark, ds, ix, Seq(3L, 20010L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(after == Set(20010L))
   }
 
   test("label-list index: any-label lookup equals arrays_overlap, deduped") {
