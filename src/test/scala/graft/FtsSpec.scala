@@ -77,6 +77,41 @@ class FtsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture should contain the phrase")
   }
 
+  test("randomized corpora: bm25 matches an independent in-JVM reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    (1 to 3).foreach { trial =>
+      val corpus = (0 until 60).map { id =>
+        val n = 3 + rnd.nextInt(12)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val terms = Seq(vocab(rnd.nextInt(vocab.length)),
+                      vocab(rnd.nextInt(vocab.length))).distinct
+      val got = Fts.bm25(corpus.toDF("doc_id", "text"), "doc_id", "text", terms, 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      // independent reference: plain Scala, same contract
+      val toks = corpus.map { case (id, t) => id -> t.split(' ').toSeq }.toMap
+      val n = corpus.size.toLong
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      def df(t: String) = toks.values.count(_.contains(t)).toLong
+      val want = corpus.flatMap { case (id, _) =>
+        val micro = terms.filter(t => toks(id).contains(t)).map { t =>
+          val idf8 = BigDecimal(math.log(1.0 + (n.toDouble - df(t) + 0.5) / (df(t) + 0.5)))
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val tf = toks(id).count(_ == t).toDouble
+          val tfw = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+          math.floor(idf8 * tfw * 1e6 + 0.5).toLong
+        }.sum
+        if (micro == 0L) None
+        else Some((id, BigDecimal(micro / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.sortBy { case (id, s) => (-s, id) }
+      assert(got == want, s"trial $trial terms=$terms")
+    }
+  }
+
   test("single-token phrase degenerates to containment") {
     val got = Fts.phraseMatch(docs, "doc_id", "text", Seq("merge"))
       .count()

@@ -74,6 +74,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("f03 FTS probe: broadcast vocab join, one skinny exchange, fused top-k") {
+    val plan = physical("f03_fts_search")
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not fused:\n$plan")
+    // exactly one shuffle: the per-doc score aggregation (broadcast side
+    // excluded — BroadcastExchange is not a shuffle)
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle, found $shuffles:\n$plan")
+  }
+
   test("e03 cosine kernel participates in whole-stage codegen") {
     val df = SparkEntry.queries("e03_cosine_topk_kernel")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
