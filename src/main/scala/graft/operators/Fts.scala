@@ -124,7 +124,13 @@ object Fts {
                totalLen: Long, terms: Seq[String], k: Int): DataFrame = {
     val avgdl = totalLen.toDouble / nDocs
     postings.filter(col("term").isin(terms: _*))
-      .join(broadcast(termDf.filter(col("term").isin(terms: _*))), "term")
+      // left join + df->0: identical to inner when postings and vocabulary
+      // derive from the same corpus (every posted term has a df row);
+      // lets [[searchCombined]]'s tail-only terms score at the formula's
+      // df->0 limit instead of vanishing
+      .join(broadcast(termDf.filter(col("term").isin(terms: _*))),
+            Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .select(col("doc_id"), contribMicro(nDocs, avgdl).as("micro"))
       .groupBy("doc_id")
       .agg(round(sum(col("micro")) / lit(1e6), 6).as("score"))
@@ -156,6 +162,53 @@ object Fts {
     val p  = spark.read.format("lance").load(s"$indexPath/postings.lance")
     val df = spark.read.format("lance").load(s"$indexPath/terms.lance")
     bm25TopK(p, df, nDocs, totalLen, terms, k)
+  }
+
+  /** Build the index FOR a lance dataset, recording the source head
+    * version in the stats sidecar so [[searchCombined]] can cover the
+    * append tail (the ANN/scalar combined-search pattern applied to FTS).
+    */
+  def buildIndexLance(spark: SparkSession, sourcePath: String, idCol: String,
+                      textCol: String, indexPath: String,
+                      writePartitions: Int = 8): Long = {
+    import graft.sources.lance.LanceFormat
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(sourcePath, conf)
+    val builtV = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+    val docs = spark.read.format("lance")
+      .option("versionAsOf", builtV).load(sourcePath)
+    buildIndex(docs, idCol, textCol, indexPath, writePartitions)
+    spark.createDataFrame(Seq(Tuple1(builtV))).toDF("built_version")
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$indexPath/built.lance")
+    builtV
+  }
+
+  /** Search covering rows appended to `sourcePath` after the index build:
+    * the index probe unions with postings computed on the fly from ONLY
+    * the post-build fragments (a `fromVersion` CDC scan — a sliver until
+    * the next rebuild). Scores use the BUILD-ERA corpus statistics
+    * (df/N/avgdl), the standard stale-FTS contract (tantivy segments
+    * behave the same until a merge): rankings stay internally consistent,
+    * drift is bounded by the tail's relative size, and a rebuild
+    * refreshes. Tail-only terms (df = 0 in the vocabulary) are scored
+    * with the maximal idf `ln(1 + (N + 0.5) / 0.5)`, matching the
+    * formula's df -> 0 limit.
+    */
+  def searchCombined(spark: SparkSession, indexPath: String,
+                     sourcePath: String, idCol: String, textCol: String,
+                     terms: Seq[String], k: Int): DataFrame = {
+    val builtV = spark.read.format("lance").load(s"$indexPath/built.lance")
+      .head().getLong(0)
+    val (nDocs, totalLen) =
+      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    val idxPost = spark.read.format("lance").load(s"$indexPath/postings.lance")
+    val tailPost = postings(
+      spark.read.format("lance").option("fromVersion", builtV).load(sourcePath),
+      idCol, textCol)
+    val termDf = spark.read.format("lance").load(s"$indexPath/terms.lance")
+    bm25TopK(idxPost.unionByName(tailPost), termDf, nDocs, totalLen, terms, k)
   }
 
   /** Phrase match (tantivy phrase-query analogue, positions recomputed

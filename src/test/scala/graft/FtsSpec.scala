@@ -112,6 +112,34 @@ class FtsSpec extends AnyFunSuite {
     }
   }
 
+  test("combined search covers docs appended after the index build") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_comb").toString
+    val src = s"$dir/docs.lance"
+    Seq((1L, "ant bee cat"), (2L, "cat dog elk"), (3L, "elk fox gnu"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    // appended after the build: one doc rich in a known term, one with a
+    // term the vocabulary has never seen
+    Seq((10L, "cat cat cat bee"), (11L, "zebra zebra yak"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("append").save(src)
+
+    val stale = Fts.searchPersisted(spark, s"$dir/ix", Seq("cat"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stale == Set(1L, 2L), "plain probe sees only indexed docs")
+
+    val comb = Fts.searchCombined(spark, s"$dir/ix", src, "doc_id", "text",
+      Seq("cat"), 10).select("doc_id").as[Long].collect().toSet
+    assert(comb == Set(1L, 2L, 10L), s"tail doc missing: $comb")
+
+    // a term only the tail contains scores at the df->0 max-idf limit
+    val zebra = Fts.searchCombined(spark, s"$dir/ix", src, "doc_id", "text",
+      Seq("zebra"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(zebra.map(_._1).toSeq == Seq(11L) && zebra.head._2 > 0.0)
+  }
+
   test("single-token phrase degenerates to containment") {
     val got = Fts.phraseMatch(docs, "doc_id", "text", Seq("merge"))
       .count()
