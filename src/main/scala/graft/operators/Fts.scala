@@ -159,14 +159,55 @@ object Fts {
                       terms: Seq[String], k: Int): DataFrame = {
     val (nDocs, totalLen) =
       statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    searchWithStats(spark, indexPath, nDocs, totalLen, terms, k)
+  }
+
+  /** The probe plan with corpus stats supplied by the caller — shared by
+    * [[searchPersisted]] and the declarative rewrite
+    * ([[graft.plans.FtsTopKRewrite]], whose registry caches the stats at
+    * registration so PLANNING never runs a job).
+    */
+  def searchWithStats(spark: SparkSession, indexPath: String, nDocs: Long,
+                      totalLen: Long, terms: Seq[String], k: Int): DataFrame = {
     val p  = spark.read.format("lance").load(s"$indexPath/postings.lance")
     val df = spark.read.format("lance").load(s"$indexPath/terms.lance")
     bm25TopK(p, df, nDocs, totalLen, terms, k)
   }
 
+  /** Delete-aware search of a persisted index (the ANN
+    * `ivfSearchPersistedLive` contract applied to FTS): postings store a
+    * COPY of the term statistics, so a document deleted from `sourcePath`
+    * after the build would otherwise still rank. The probe over-fetches a
+    * bounded candidate set, verifies liveness against the source with a
+    * pushed id IN-list (zone-pruned point reads — O(k), never a corpus
+    * scan), and returns the top `k` live survivors. Scores keep the
+    * build-era statistics (the stale-FTS contract — tantivy segments
+    * likewise score deleted-doc-free results with segment-era stats until
+    * a merge).
+    */
+  def searchPersistedLive(spark: SparkSession, indexPath: String,
+                          sourcePath: String, idCol: String,
+                          terms: Seq[String], k: Int): DataFrame = {
+    val over = math.max(4 * k, k + 64)
+    val candsDf = searchPersisted(spark, indexPath, terms, over)
+    val cands = candsDf.collect()
+    val ids = cands.map(_.get(0))
+    val live =
+      if (ids.isEmpty) Set.empty[Any]
+      else spark.read.format("lance").load(sourcePath)
+        .filter(col(idCol).isin(ids.toSeq: _*)).select(col(idCol))
+        .collect().map(_.get(0)).toSet
+    val out = cands.filter(r => live.contains(r.get(0))).take(k).toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), candsDf.schema)
+  }
+
   /** Build the index FOR a lance dataset, recording the source head
-    * version in the stats sidecar so [[searchCombined]] can cover the
-    * append tail (the ANN/scalar combined-search pattern applied to FTS).
+    * version and column names in the `built.lance` sidecar so
+    * [[searchCombined]] can cover the append tail (the ANN/scalar
+    * combined-search pattern applied to FTS) and [[attachIndex]] can
+    * re-register in a fresh session. Also registers the index with
+    * [[graft.plans.GraftFts]], enabling the declarative
+    * `graft_bm25(...) ORDER BY ... LIMIT k` rewrite over `sourcePath`.
     */
   def buildIndexLance(spark: SparkSession, sourcePath: String, idCol: String,
                       textCol: String, indexPath: String,
@@ -179,10 +220,90 @@ object Fts {
     val docs = spark.read.format("lance")
       .option("versionAsOf", builtV).load(sourcePath)
     buildIndex(docs, idCol, textCol, indexPath, writePartitions)
-    spark.createDataFrame(Seq(Tuple1(builtV))).toDF("built_version")
+    spark.createDataFrame(Seq((builtV, idCol, textCol)))
+      .toDF("built_version", "id_col", "text_col")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/built.lance")
+    val (nDocs, totalLen) = statsCache.get(indexPath)
+    graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
+      indexPath, idCol, textCol, nDocs, totalLen, builtV))
     builtV
+  }
+
+  /** Incrementally fold the post-build append tail into the persisted
+    * index — the crate's `optimize_indices` analogue (tantivy adds a
+    * segment; it does not re-tokenize old ones). Cost is O(tail), never
+    * O(corpus):
+    *
+    *  - tail postings (a `fromVersion` CDC scan of only the new
+    *    fragments) APPEND to `postings.lance` as new range-sorted
+    *    fragments — old fragments are untouched, and term IN-list
+    *    pruning keeps working per fragment;
+    *  - the vocabulary merges tail dfs into `terms.lance` (vocabulary-
+    *    sized rewrite — the one small non-incremental piece, same as a
+    *    tantivy segment-metadata merge);
+    *  - corpus stats advance by the tail's exact delta (no rescan).
+    *
+    * Appended doc_ids are NEW documents, so `df_new = df_old + df_tail`
+    * and the merged statistics equal a from-scratch rebuild's EXACTLY —
+    * [[searchPersisted]] after an update is bit-identical to a fresh
+    * [[buildIndexLance]] at the head version (pinned by FtsSpec's
+    * differential test). Returns the new covered version.
+    */
+  def updateIndex(spark: SparkSession, sourcePath: String, indexPath: String,
+                  writePartitions: Int = 4): Long = {
+    import graft.sources.lance.LanceFormat
+    val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
+    val (builtV, idCol, textCol) = (b.getLong(0), b.getString(1), b.getString(2))
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, sp) = LanceFormat.fileSystem(sourcePath, conf)
+    val headV = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, sp, None)).version
+    if (headV == builtV) return builtV
+    val tail = spark.read.format("lance")
+      .option("fromVersion", builtV).option("versionAsOf", headV)
+      .load(sourcePath)
+    val tp = postings(tail, idCol, textCol)
+    tp.repartitionByRange(writePartitions, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.format("lance").mode("append").save(s"$indexPath/postings.lance")
+    // terms.lance is both input and output; safe because lance is
+    // versioned — the scan pins the old manifest at planning, data files
+    // are immutable, and the overwrite commits a NEW version afterwards
+    spark.read.format("lance").load(s"$indexPath/terms.lance")
+      .unionByName(tp.groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .repartitionByRange(math.max(writePartitions / 4, 1), col("term"))
+      .sortWithinPartitions("term")
+      .write.format("lance").mode("overwrite").save(s"$indexPath/terms.lance")
+    val ts = corpusStats(tail, idCol, textCol).head()
+    val (oldN, oldLen) =
+      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    val (newN, newLen) = (oldN + ts.getLong(0), oldLen + ts.getLong(1))
+    spark.createDataFrame(Seq((newN, newLen))).toDF("n_docs", "total_len")
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$indexPath/stats.lance")
+    spark.createDataFrame(Seq((headV, idCol, textCol)))
+      .toDF("built_version", "id_col", "text_col")
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$indexPath/built.lance")
+    statsCache.put(indexPath, (newN, newLen))
+    graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
+      indexPath, idCol, textCol, newN, newLen, headV))
+    headV
+  }
+
+  /** Re-attach a persisted index in a fresh session: corpus stats and
+    * column names reload from the sidecars, and the rewrite registry is
+    * repopulated — the FTS twin of re-registering an IVF index from its
+    * centroid sidecar. */
+  def attachIndex(spark: SparkSession, sourcePath: String,
+                  indexPath: String): Unit = {
+    val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
+    val (nDocs, totalLen) =
+      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
+      indexPath, b.getString(1), b.getString(2), nDocs, totalLen, b.getLong(0)))
   }
 
   /** Search covering rows appended to `sourcePath` after the index build:

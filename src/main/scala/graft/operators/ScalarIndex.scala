@@ -56,6 +56,39 @@ object ScalarIndex {
     builtV
   }
 
+  /** Incrementally extend the index over rows appended after the build —
+    * the crate's `optimize_indices` for a scalar index, O(tail): the
+    * post-build fragments' `(key, addr)` pairs append as NEW range-sorted
+    * fragments (existing fragments untouched; a probe prunes by zone maps
+    * per fragment, so it opens at most one old + one new fragment), and
+    * `meta.lance` advances to the covered version. After an update,
+    * [[lookup]] covers exactly what a full [[build]] at the head would —
+    * the addr SET is identical, only the fragment layout differs.
+    */
+  def update(spark: SparkSession, datasetPath: String, indexPath: String,
+             writePartitions: Int = 2): Long = {
+    import graft.sources.lance.LanceFormat
+    val meta = spark.read.format("lance").load(s"$indexPath/meta.lance").head()
+    val (builtV, keyCol) = (meta.getLong(0), meta.getString(1))
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(datasetPath, conf)
+    val headV = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+    if (headV == builtV) return builtV
+    spark.read.format("lance")
+      .option("fromVersion", builtV).option("versionAsOf", headV)
+      .load(datasetPath)
+      .select(col(keyCol).as("key"), col("_rowaddr").as("addr"))
+      .write.format("lance")
+      .option("sortBy", "key")
+      .option("writePartitions", writePartitions.toString)
+      .mode("append").save(s"$indexPath/keys.lance")
+    spark.createDataFrame(Seq((headV, keyCol))).toDF("built_version", "key_col")
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$indexPath/meta.lance")
+    headV
+  }
+
   private def fetchByAddrs(spark: SparkSession, datasetPath: String,
                            probe: DataFrame, maxRows: Int): DataFrame = {
     val addrs = probe.select("addr")

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the operator-optimization batch so its injected list_id filter still
     // reaches DSv2 scan pushdown
     e.injectOptimizerRule(_ => AnnTopKRewrite)
+    // FTS scan substitution over persisted BM25 indexes: replaces the
+    // canonical graft_bm25 ranking shape with a postings/vocabulary probe
+    e.injectOptimizerRule(session => FtsTopKRewrite(session))
     // SQL names for the codegen kernels (usable from spark.sql)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -60,6 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => PqAdcScore(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_nearest_centroid"), info("graft_nearest_centroid"),
       exprs => NearestCentroid(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_bm25"), info("graft_bm25"),
+      exprs => Bm25Score(exprs(0), exprs(1))))
   }
 }
 

@@ -33,11 +33,48 @@ object Search {
       ix
     })
 
+  /** Lance round-trip of `documents` + persisted index + rewrite
+    * registration, once per source dir (the ensureIndex pattern). */
+  private val builtSql = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private def ensureSqlFts(s: org.apache.spark.sql.SparkSession,
+                           dir: String): (String, String) =
+    builtSql.computeIfAbsent(dir, _ => {
+      val t = Tables.register(s, dir)
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = s"$workDir/docs-$key.lance"
+      t("documents").select("doc_id", "text")
+        .write.format("lance").mode("overwrite").save(docs)
+      val ix = s"$workDir/ftsx-$key"
+      Fts.buildIndexLance(s, docs, "doc_id", "text", ix)
+      (docs, ix)
+    })
+
+  /** A second lance copy for the delete-masking query: index built at the
+    * full corpus, then docs with `doc_id % 7 = 0` deleted from the SOURCE
+    * (the index keeps their postings — masking is query-time). */
+  private val builtLive = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private def ensureLiveFts(s: org.apache.spark.sql.SparkSession,
+                            dir: String): (String, String) =
+    builtLive.computeIfAbsent(dir, _ => {
+      val t = Tables.register(s, dir)
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = s"$workDir/livedocs-$key.lance"
+      t("documents").select("doc_id", "text")
+        .write.format("lance").mode("overwrite").save(docs)
+      val ix = s"$workDir/liveix-$key"
+      Fts.buildIndexLance(s, docs, "doc_id", "text", ix)
+      graft.sources.lance.LanceMaintenance.deleteWhere(s, docs, "doc_id % 7 = 0")
+      (docs, ix)
+    })
+
   /** The shared oracle text for a BM25 ranking over `documents` — the
     * DuckDB spelling of [[Fts.bm25TopK]]'s math, CTE by CTE. `terms` must
-    * be plain words (quoted into an IN-list).
+    * be plain words (quoted into an IN-list). `liveWhere` restricts the
+    * FINAL ranked set only (corpus statistics stay build-era) — the
+    * delete-masking contract of [[Fts.searchPersistedLive]].
     */
-  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+  private def bm25OracleSql(terms: Seq[String], k: Int,
+                            liveWhere: String = "TRUE"): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""
       WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
@@ -57,7 +94,7 @@ object Search {
         FROM tf JOIN dfv USING (term) JOIN dl USING (doc_id) CROSS JOIN st
         WHERE tf.term IN ($inList))
       SELECT doc_id, ROUND(SUM(micro) / 1e6, 6) AS score
-      FROM scored GROUP BY doc_id
+      FROM scored WHERE $liveWhere GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT $k"""
   }
 
@@ -93,6 +130,28 @@ object Search {
       val ix = ensureIndex(s, dir)
       Fts.searchPersisted(s, ix, Seq("customer", "stream", "query"), 15)
     }, Some(bm25OracleSql(Seq("customer", "stream", "query"), 15))),
+
+    // --- DECLARATIVE SQL face: the FtsTopKRewrite scan substitution ------
+    // (documents round-tripped to lance, index built over it; the SQL
+    // below never touches the corpus text at execution — the optimizer
+    // replaces the subtree with the postings/vocabulary probe. The oracle
+    // recomputes the identical exact ranking from the raw table.)
+    QDef("f05_fts_sql_rewrite", (s, dir) => {
+      val (docs, _) = ensureSqlFts(s, dir)
+      s.sql(s"SELECT doc_id, graft_bm25(text, 'merge customer index') AS score " +
+            s"FROM lance.`$docs` ORDER BY score DESC, doc_id LIMIT 15")
+    }, Some(bm25OracleSql(Seq("merge", "customer", "index"), 15))),
+
+    // --- delete-masked search (crate semantics: deletions on the source
+    // mask index hits; scores keep build-era statistics). Docs divisible
+    // by 7 are deleted AFTER the build; the oracle scores the full corpus
+    // and excludes them from the final ranked set only. ------------------
+    QDef("f06_fts_live", (s, dir) => {
+      val (docs, ix) = ensureLiveFts(s, dir)
+      Fts.searchPersistedLive(s, ix, docs, "doc_id",
+                              Seq("stream", "partition", "vector"), 12)
+    }, Some(bm25OracleSql(Seq("stream", "partition", "vector"), 12,
+                          liveWhere = "doc_id % 7 <> 0"))),
 
     // --- phrase query (consecutive-token match) ---------------------------
     // single-space tokenization makes the position-join semantics exactly

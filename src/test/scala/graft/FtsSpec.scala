@@ -140,6 +140,91 @@ class FtsSpec extends AnyFunSuite {
     assert(zebra.map(_._1).toSeq == Seq(11L) && zebra.head._2 > 0.0)
   }
 
+  test("declarative rewrite: graft_bm25 ORDER BY ... LIMIT probes the index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_sql").toString
+    val src = s"$dir/docs.lance"
+    docs.select("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+
+    val q = spark.sql(
+      s"SELECT doc_id, graft_bm25(text, 'merge window batch') AS score " +
+      s"FROM lance.`$src` ORDER BY score DESC, doc_id LIMIT 20")
+    // the substituted plan scans postings, never the corpus text
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("postings.lance"), s"rewrite did not fire:\n$phys")
+    assert(!phys.contains("docs.lance"), "corpus scan should be gone")
+
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Fts.searchPersisted(spark, s"$dir/ix",
+      Seq("merge", "window", "batch"), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+
+    // no tie-break spelling works too
+    val bare = spark.sql(
+      s"SELECT doc_id, graft_bm25(text, 'merge window batch') AS score " +
+      s"FROM lance.`$src` ORDER BY score DESC LIMIT 20")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bare == want)
+  }
+
+  test("declarative rewrite: fresh session re-attaches from the sidecars") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_attach").toString
+    val src = s"$dir/docs.lance"
+    Seq((1L, "ant bee cat"), (2L, "cat cat dog"), (3L, "elk fox gnu"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    // simulate a fresh session: registry and stats cache both cold
+    graft.plans.GraftFts.clear()
+    Fts.clearStatsCache()
+    val cold = spark.sql(
+      s"SELECT doc_id, graft_bm25(text, 'cat') AS score " +
+      s"FROM lance.`$src` ORDER BY score DESC, doc_id LIMIT 5")
+    // unregistered: the marker fails loudly instead of mis-ranking
+    val e = intercept[Exception] { cold.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("graft_bm25")), s"unhelpful error: $e")
+
+    Fts.attachIndex(spark, src, s"$dir/ix")
+    val got = spark.sql(
+      s"SELECT doc_id, graft_bm25(text, 'cat') AS score " +
+      s"FROM lance.`$src` ORDER BY score DESC, doc_id LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 1L))
+  }
+
+  test("live search masks documents deleted after the build") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_live").toString
+    val src = s"$dir/docs.lance"
+    Seq((1L, "cat cat cat"), (2L, "cat cat dog"), (3L, "cat elk fox"),
+        (4L, "gnu hen ibis"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, src, "doc_id = 1")
+
+    val stale = Fts.searchPersisted(spark, s"$dir/ix", Seq("cat"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stale.contains(1L), "plain probe still surfaces the deleted doc")
+
+    val liveR = Fts.searchPersistedLive(spark, s"$dir/ix", src, "doc_id",
+      Seq("cat"), 10)
+    val liveIds = liveR.select("doc_id").as[Long].collect().toSeq
+    assert(liveIds == Seq(2L, 3L), s"expected deleted doc masked: $liveIds")
+    // build-era scores are preserved for the survivors
+    val staleScores = Fts.searchPersisted(spark, s"$dir/ix", Seq("cat"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    liveR.collect().foreach { r =>
+      assert(r.getDouble(1) == staleScores(r.getLong(0)))
+    }
+  }
+
   test("single-token phrase degenerates to containment") {
     val got = Fts.phraseMatch(docs, "doc_id", "text", Seq("merge"))
       .count()
