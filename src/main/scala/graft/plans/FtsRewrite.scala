@@ -61,6 +61,13 @@ case class FtsTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case lim @ GlobalLimit(IntegerLiteral(k), LocalLimit(_, s: Sort)) =>
       rewriteSort(s, k).getOrElse(lim)
+    // column pruning may interpose a narrowing Project between the limit
+    // and the sort (e.g. under COUNT(*) nothing above needs the ranked
+    // columns); rewrite the sort subtree and keep the pruning on top
+    case lim @ GlobalLimit(IntegerLiteral(k),
+                           LocalLimit(_, p @ Project(_, s: Sort)))
+        if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      rewriteSort(s, k).map(r => p.copy(child = r)).getOrElse(lim)
   }
 
   private def rewriteSort(s: Sort, k: Int): Option[LogicalPlan] = s match {
