@@ -47,18 +47,22 @@ object Fts {
   val K1 = 1.2
   val B  = 0.75
 
-  /** Tokenized postings `(doc_id, term, tf, dl)` — one row per distinct
-    * (document, term); `dl` is the document's token count. Tokenization is
-    * single-space split, matching the corpus convention (and the oracle's
-    * `string_split`).
+  /** Tokenized postings `(doc_id, term, tf, dl, positions)` — one row per
+    * distinct (document, term); `dl` is the document's token count and
+    * `positions` the sorted token offsets (what tantivy's
+    * `with_position` postings store — they power persisted phrase
+    * queries and cost nothing at ranking time: BM25 scans prune the
+    * column). Tokenization is single-space split, matching the corpus
+    * convention (and the oracle's `string_split`).
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast(LongType).as("doc_id"),
                 split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
-              explode(col("toks")).as("term"))
+              posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+           sort_array(collect_list(col("pos"))).as("positions"))
 
   /** Corpus stats: one row `(n_docs, total_len)`. */
   def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -346,6 +350,30 @@ object Fts {
     val toks = docs
       .select(col(idCol).cast(LongType).as("doc_id"),
               posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    phraseFrom(toks, phrase)
+  }
+
+  /** Phrase search over the PERSISTED index (tantivy phrase-query parity):
+    * the stored position lists replace re-tokenization entirely — the
+    * postings scan reads only the phrase terms' fragments (term IN-list →
+    * zone maps) plus their `positions` column, and the adjacency joins run
+    * over those slivers. At 100 TB the cost is the phrase terms' posting
+    * lists, never the corpus.
+    */
+  def phrasePersisted(spark: SparkSession, indexPath: String,
+                      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrasePersisted needs at least one token")
+    val toks = spark.read.format("lance").load(s"$indexPath/postings.lance")
+      .filter(col("term").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+    phraseFrom(toks, phrase)
+  }
+
+  /** Adjacency verification shared by the raw and persisted phrase paths:
+    * each phrase token i must occur at `pos(first) + i` — a self-join per
+    * adjacent pair on the near-unique skinny key `(doc_id, pos)`.
+    */
+  private def phraseFrom(toks: DataFrame, phrase: Seq[String]): DataFrame = {
     val first = toks.filter(col("term") === phrase.head)
       .select(col("doc_id"), col("pos"))
     phrase.toSeq.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>

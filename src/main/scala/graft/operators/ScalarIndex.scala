@@ -169,4 +169,142 @@ object ScalarIndex {
       .select("addr").distinct()
     fetchByAddrs(spark, datasetPath, probe, maxRows)
   }
+
+  // --------------------------------------------------------------------------
+  // BITMAP index (lance-index BITMAP scalar-index type)
+  // --------------------------------------------------------------------------
+
+  import graft.sources.lance.Roaring
+
+  private val serBitmap = udf((offs: Seq[Int]) =>
+    Roaring.serialize(offs.toArray.sorted))
+  private val unionBitmaps = udf((bms: Seq[Array[Byte]]) =>
+    Roaring.serialize(bms.flatMap(Roaring.deserialize).distinct.sorted.toArray))
+  private val andBitmaps = udf((a: Array[Byte], b: Array[Byte]) => {
+    // merge-intersect of two sorted offset arrays
+    val xs = Roaring.deserialize(a); val ys = Roaring.deserialize(b)
+    val out = Array.newBuilder[Int]
+    var i = 0; var j = 0
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) == ys(j)) { out += xs(i); i += 1; j += 1 }
+      else if (xs(i) < ys(j)) i += 1 else j += 1
+    }
+    out.result()
+  })
+
+  /** BITMAP-analogue index for LOW-CARDINALITY columns (the lance-index
+    * BITMAP scalar-index type): one roaring bitmap of local row offsets per
+    * `(key, fragment)`, persisted as a lance sidecar sorted by key. The
+    * per-fragment sharding is what makes it distributed — bitmaps build
+    * executor-side (the same `Roaring` codec the deletion files use), a
+    * probe reads only matched-key rows (zone-pruned), and set algebra
+    * (OR within an index, AND across indexes) runs on the skinny
+    * `(frag, bitmap)` frames before any row is fetched.
+    *
+    * Keys are stored in the column's canonical string spelling — bitmap
+    * indexes target string/integer dictionary columns where that cast is
+    * lossless; probes cast their literals identically.
+    */
+  def buildBitmap(spark: SparkSession, datasetPath: String, keyCol: String,
+                  indexPath: String, writePartitions: Int = 4): Unit = {
+    spark.read.format("lance").load(datasetPath)
+      .select(col(keyCol).cast("string").as("key"),
+              shiftrightunsigned(col("_rowaddr"), 32).as("frag"),
+              col("_rowaddr").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("off"))
+      .groupBy("key", "frag")
+      .agg(count(lit(1)).as("card"),
+           serBitmap(sort_array(collect_list(col("off")))).as("bitmap"))
+      .write.format("lance")
+      .option("sortBy", "key")
+      .option("writePartitions", writePartitions.toString)
+      .mode("overwrite").save(s"$indexPath/bitmaps.lance")
+  }
+
+  /** Per-fragment OR of the bitmaps matching `keys` (one index) —
+    * `(frag, bitmap)`, all executor-side. */
+  private def fragBitmaps(spark: SparkSession, indexPath: String,
+                          keys: Seq[Any]): DataFrame =
+    spark.read.format("lance").load(s"$indexPath/bitmaps.lance")
+      .filter(col("key").isin(keys.map(_.toString): _*))
+      .groupBy("frag")
+      .agg(unionBitmaps(collect_list(col("bitmap"))).as("bitmap"))
+
+  /** Rows whose indexed key is IN `keys` — bitmap OR, then take-fetch. */
+  def lookupBitmap(spark: SparkSession, datasetPath: String,
+                   indexPath: String, keys: Seq[Any],
+                   maxRows: Int = 100000): DataFrame = {
+    val probe = fragBitmaps(spark, indexPath, keys)
+      .select(col("frag"), explode(deserBitmap(col("bitmap"))).as("off"))
+      .select((col("frag") * lit(1L << 32) + col("off")).as("addr"))
+    fetchByAddrs(spark, datasetPath, probe, maxRows)
+  }
+
+  private val deserBitmap = udf((bm: Array[Byte]) => Roaring.deserialize(bm))
+
+  /** Conjunctive probe across TWO bitmap indexes of the same dataset —
+    * the query shape bitmap indexes exist for (`WHERE a IN (...) AND
+    * b IN (...)`): per index a per-fragment OR over its matched keys,
+    * then a per-fragment AND across the indexes via merge-intersect of
+    * the compressed offset sets, and ONE take-fetch of the surviving
+    * addresses. Rows never materialize before the conjunction.
+    */
+  def lookupBitmapAnd(spark: SparkSession, datasetPath: String,
+                      indexA: String, keysA: Seq[Any],
+                      indexB: String, keysB: Seq[Any],
+                      maxRows: Int = 100000): DataFrame = {
+    val a = fragBitmaps(spark, indexA, keysA)
+    val b = fragBitmaps(spark, indexB, keysB)
+      .withColumnRenamed("bitmap", "bitmap_b")
+    val probe = a.join(b, Seq("frag"))
+      .select(col("frag"),
+              explode(andBitmaps(col("bitmap"), col("bitmap_b"))).as("off"))
+      .select((col("frag") * lit(1L << 32) + col("off")).as("addr"))
+    fetchByAddrs(spark, datasetPath, probe, maxRows)
+  }
+
+  // --------------------------------------------------------------------------
+  // NGRAM index (lance-index NGRAM scalar-index type)
+  // --------------------------------------------------------------------------
+
+  /** NGRAM-analogue index for substring (`LIKE '%needle%'` / `contains`)
+    * queries over a text column — the lance-index NGRAM type: one
+    * `(gram, addr)` posting row per DISTINCT character trigram of each
+    * document, range-sorted by gram (the LABEL_LIST layout over derived
+    * labels). A needle probe reads only its trigrams' posting fragments.
+    */
+  def buildNgram(spark: SparkSession, datasetPath: String, textCol: String,
+                 indexPath: String, n: Int = 3,
+                 writePartitions: Int = 8): Unit = {
+    spark.read.format("lance").load(datasetPath)
+      .select(col("_rowaddr").as("addr"), col(textCol).as("t"))
+      .select(col("addr"), explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length(t) - ${n - 1}, 0))," +
+          s" i -> substring(t, i, $n))"))).as("key"))
+      .write.format("lance")
+      .option("sortBy", "key")
+      .option("writePartitions", writePartitions.toString)
+      .mode("overwrite").save(s"$indexPath/keys.lance")
+  }
+
+  /** Rows whose `textCol` CONTAINS `needle` — exact (not approximate):
+    * candidate rows must post ALL of the needle's trigrams (an
+    * intersection expressed as a `HAVING count = n_grams` aggregate over
+    * the probed slivers), and the take-fetched candidates re-verify with
+    * a real `contains` — false positives (grams present but
+    * non-adjacent) are filtered, false negatives are impossible. Needles
+    * shorter than the gram size fall back to a pushed filter scan.
+    */
+  def lookupContains(spark: SparkSession, datasetPath: String,
+                     indexPath: String, textCol: String, needle: String,
+                     n: Int = 3, maxRows: Int = 100000): DataFrame = {
+    val base = spark.read.format("lance").load(datasetPath)
+    if (needle.length < n) return base.filter(col(textCol).contains(needle))
+    val grams = needle.sliding(n).toSeq.distinct
+    val probe = spark.read.format("lance").load(s"$indexPath/keys.lance")
+      .filter(col("key").isin(grams: _*))
+      .groupBy("addr").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === grams.size)
+    fetchByAddrs(spark, datasetPath, probe, maxRows)
+      .filter(col(textCol).contains(needle))
+  }
 }

@@ -249,6 +249,54 @@ object LanceOps {
       WHERE pfx LIKE '% merge %' OR pfx LIKE '% filter %'
       ORDER BY doc_id""")),
 
+    // BITMAP index end-to-end (lance-index BITMAP scalar-index type): one
+    // roaring bitmap per (key, fragment) built executor-side with the
+    // deletion-file codec, probed conjunctively across TWO indexes — the
+    // per-fragment OR-then-AND runs on compressed offset sets before any
+    // row materializes, then one take-fetch. The oracle recomputes the
+    // conjunction relationally, so a wrong bitmap bit, a lost fragment
+    // shard, or a bad intersect breaks the hash.
+    QDef("l13_bitmap_index", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/customer_bmx.lance"
+      // unsorted write: the bitmaps, not data order, must find the rows
+      t("customer").orderBy(col("c_acctbal"))
+        .write.format("lance").mode("overwrite").save(ds)
+      val ixSeg = s"$workDir/customer_bmx_seg"
+      val ixNat = s"$workDir/customer_bmx_nat"
+      graft.operators.ScalarIndex.buildBitmap(s, ds, "c_mktsegment", ixSeg)
+      graft.operators.ScalarIndex.buildBitmap(s, ds, "c_nationkey", ixNat)
+      graft.operators.ScalarIndex.lookupBitmapAnd(s, ds,
+          ixSeg, Seq("BUILDING"), ixNat, Seq(7L, 12L))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_nationkey IN (7, 12)
+      ORDER BY c_custkey""")),
+
+    // NGRAM index end-to-end (lance-index NGRAM scalar-index type, the
+    // LIKE '%needle%' accelerator): distinct character trigrams post to a
+    // range-sorted (gram, addr) sidecar; the probe intersects the
+    // needle's gram posting slivers (HAVING count = n_grams), take-fetches
+    // the candidates, and re-verifies with a real contains — exact by
+    // construction, and the oracle IS the LIKE scan it replaces.
+    QDef("l14_ngram_index", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/documents_ngx.lance"
+      t("documents").select("doc_id", "lang", "text")
+        .write.format("lance").mode("overwrite").save(ds)
+      val ix = s"$workDir/documents_ngx_idx"
+      graft.operators.ScalarIndex.buildNgram(s, ds, "text", ix)
+      graft.operators.ScalarIndex.lookupContains(s, ds, ix, "text",
+          "merge window")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE text LIKE '%merge window%'
+      ORDER BY doc_id""")),
+
     // UPDATE analogue end-to-end: predicate-matched rows replaced with
     // transformed selves (deletion vectors + staged fragments, one
     // version); oracle applies the same CASE rewrite relationally

@@ -164,6 +164,19 @@ object Search {
     }, Some("""
       SELECT doc_id FROM documents
       WHERE ' ' || text || ' ' LIKE '% part filter %'
+      ORDER BY doc_id""")),
+
+    // --- phrase query over the PERSISTED index (tantivy with_position
+    // parity): the stored per-(doc,term) position lists answer adjacency
+    // without touching the corpus text — the probe reads two terms'
+    // posting slivers. Oracle: the independent LIKE formulation. ---------
+    QDef("f07_fts_phrase_indexed", (s, dir) => {
+      val (_, ix) = ensureSqlFts(s, dir)
+      Fts.phrasePersisted(s, ix, Seq("merge", "window"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id FROM documents
+      WHERE ' ' || text || ' ' LIKE '% merge window %'
       ORDER BY doc_id"""))
   )
 }

@@ -736,6 +736,44 @@ object TextOps {
       FROM sel WHERE cum_tokens <= 1500
       ORDER BY lang, cum_tokens""")),
 
+    // --- sequence packing (concat-and-chunk training batches) --------------
+    // The GPT-style packing shape: documents concatenate in a stable order
+    // and split into fixed-length training sequences; each doc reports the
+    // sequence span it lands in (first_seq..last_seq) plus how many
+    // boundaries cut it. Packing runs PER LANGUAGE (the stratum key), so
+    // at 100 TB each stratum's cumulative sum is an independent window —
+    // shard by stratum, never a global single-partition scan. One window
+    // pass, no shuffle beyond the partition-by.
+    QDef("d22_pack_sequences", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val L = 256L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      t("documents")
+        .select(col("doc_id"), col("lang"),
+                size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("end_tok", sum(col("n_tok")).over(w))
+        .withColumn("start_tok", col("end_tok") - col("n_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+                floor(col("start_tok") / L).cast(LongType).as("first_seq"),
+                floor((col("end_tok") - 1L) / L).cast(LongType).as("last_seq"))
+        .withColumn("n_splits", col("last_seq") - col("first_seq"))
+        .orderBy("lang", "doc_id")
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+        FROM documents)
+      SELECT doc_id, lang, n_tok,
+             CAST(FLOOR((end_tok - n_tok) / 256.0) AS BIGINT) AS first_seq,
+             CAST(FLOOR((end_tok - 1) / 256.0) AS BIGINT) AS last_seq,
+             CAST(FLOOR((end_tok - 1) / 256.0) AS BIGINT)
+               - CAST(FLOOR((end_tok - n_tok) / 256.0) AS BIGINT) AS n_splits
+      FROM s ORDER BY lang, doc_id""")),
+
     // --- multimodal column conventions: binary payload + typed metadata ----
     // Text stands in for an opaque media payload (the container has no
     // image/audio codecs — SURVEY §2.5 multimodal: the decode step is a

@@ -77,6 +77,24 @@ class FtsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture should contain the phrase")
   }
 
+  test("persisted phrase search equals the index-free path, via stored positions") {
+    val phrase = Seq("part", "filter")
+    val got = Fts.phrasePersisted(spark, idx, phrase)
+      .collect().map(_.getLong(0)).toSet
+    val want = Fts.phraseMatch(docs, "doc_id", "text", phrase)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty)
+    // repeated-token phrase: positions must align per occurrence, and the
+    // persisted path must agree with a direct token-stream check
+    val rep = Fts.phrasePersisted(spark, idx, Seq("the", "the"))
+      .collect().map(_.getLong(0)).toSet
+    val repWant = docs.select("doc_id", "text").collect()
+      .filter(r => r.getString(1).split(" ").sliding(2)
+        .exists(w => w.length == 2 && w(0) == "the" && w(1) == "the"))
+      .map(_.getLong(0)).toSet
+    assert(rep == repWant)
+  }
+
   test("randomized corpora: bm25 matches an independent in-JVM reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242L)

@@ -108,4 +108,66 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(r.columns.toSeq == Seq("k", "tag", "v"))
     assert(r.count() == 0)
   }
+
+  test("bitmap index: OR within an index, AND across indexes, vs filters") {
+    val dir = java.nio.file.Files.createTempDirectory("sidx_bm").toString
+    val ds  = s"$dir/base.lance"
+    spark.range(30000)
+      .selectExpr("id AS k", "CAST(id % 5 AS STRING) AS a",
+                  "id % 13 AS b")
+      .orderBy(expr("hash(id)")).repartition(4)
+      .write.format("lance").mode("overwrite").save(ds)
+    ScalarIndex.buildBitmap(spark, ds, "a", s"$dir/ixa")
+    ScalarIndex.buildBitmap(spark, ds, "b", s"$dir/ixb")
+    val base = spark.read.format("lance").load(ds)
+    // single-index OR probe
+    val or = ScalarIndex.lookupBitmap(spark, ds, s"$dir/ixa", Seq("1", "4"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val orWant = base.filter(col("a").isin("1", "4"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(or == orWant && or.nonEmpty)
+    // conjunction across two indexes, bitmaps intersected per fragment
+    val and = ScalarIndex.lookupBitmapAnd(spark, ds,
+        s"$dir/ixa", Seq("2"), s"$dir/ixb", Seq(3L, 7L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val andWant = base.filter(col("a") === "2" && col("b").isin(3L, 7L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(and == andWant && and.nonEmpty)
+  }
+
+  test("bitmap index masks rows deleted after the build") {
+    val dir = java.nio.file.Files.createTempDirectory("sidx_bmd").toString
+    val ds  = s"$dir/base.lance"
+    spark.range(8000).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS a")
+      .repartition(2).write.format("lance").mode("overwrite").save(ds)
+    ScalarIndex.buildBitmap(spark, ds, "a", s"$dir/ixa")
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, "k >= 4000")
+    val got = ScalarIndex.lookupBitmap(spark, ds, s"$dir/ixa", Seq("1"))
+      .select("k").collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(_ < 4000L))
+  }
+
+  test("ngram index: contains lookup equals the LIKE scan, verified exact") {
+    val dir = java.nio.file.Files.createTempDirectory("sidx_ng").toString
+    val ds  = s"$dir/base.lance"
+    spark.range(4000)
+      .selectExpr("id AS k",
+        "concat('alpha ', CASE WHEN id % 17 = 0 THEN 'needle in hay' " +
+          "WHEN id % 29 = 0 THEN 'need leeway' ELSE 'plain text' END, " +
+          "' omega ', id) AS t")
+      .repartition(3).write.format("lance").mode("overwrite").save(ds)
+    ScalarIndex.buildNgram(spark, ds, "t", s"$dir/ng")
+    val got = ScalarIndex.lookupContains(spark, ds, s"$dir/ng", "t", "needle in")
+      .select("k").collect().map(_.getLong(0)).toSet
+    val want = spark.read.format("lance").load(ds)
+      .filter(col("t").contains("needle in"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // 'need leeway' posts 'nee'/'eed' but not the adjacency — it must be
+    // filtered by the verify step, not returned as a false positive
+    assert(!got.exists(_ % 29 == 0) || got.forall(k => k % 17 == 0 || k % 29 != 0))
+    // short needles fall back to a pushed filter scan (no index probe)
+    val short = ScalarIndex.lookupContains(spark, ds, s"$dir/ng", "t", "ha")
+    assert(short.count() > 0)
+  }
 }
