@@ -206,18 +206,69 @@ object ScalarIndex {
     * lossless; probes cast their literals identically.
     */
   def buildBitmap(spark: SparkSession, datasetPath: String, keyCol: String,
-                  indexPath: String, writePartitions: Int = 4): Unit = {
-    spark.read.format("lance").load(datasetPath)
-      .select(col(keyCol).cast("string").as("key"),
-              shiftrightunsigned(col("_rowaddr"), 32).as("frag"),
-              col("_rowaddr").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("off"))
-      .groupBy("key", "frag")
-      .agg(count(lit(1)).as("card"),
-           serBitmap(sort_array(collect_list(col("off")))).as("bitmap"))
+                  indexPath: String, writePartitions: Int = 4): Long = {
+    val builtV = headVersion(spark, datasetPath)
+    bitmapRows(spark, datasetPath, keyCol, Some((0L, builtV)))
       .write.format("lance")
       .option("sortBy", "key")
       .option("writePartitions", writePartitions.toString)
       .mode("overwrite").save(s"$indexPath/bitmaps.lance")
+    writeMeta(spark, indexPath, builtV, keyCol)
+    builtV
+  }
+
+  private def headVersion(spark: SparkSession, datasetPath: String): Long = {
+    import graft.sources.lance.LanceFormat
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(datasetPath, conf)
+    LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+  }
+
+  private def writeMeta(spark: SparkSession, indexPath: String,
+                        builtV: Long, keyCol: String): Unit =
+    spark.createDataFrame(Seq((builtV, keyCol))).toDF("built_version", "key_col")
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$indexPath/meta.lance")
+
+  /** The per-(key, fragment) bitmap frame; `range = Some((fromV, toV))`
+    * restricts to fragments committed in that version window (the
+    * incremental-update slice). */
+  private def bitmapRows(spark: SparkSession, datasetPath: String,
+                         keyCol: String,
+                         range: Option[(Long, Long)]): DataFrame = {
+    val rd = spark.read.format("lance")
+    val src = range match {
+      case Some((from, to)) if from > 0 =>
+        rd.option("fromVersion", from).option("versionAsOf", to).load(datasetPath)
+      case Some((_, to)) => rd.option("versionAsOf", to).load(datasetPath)
+      case None => rd.load(datasetPath)
+    }
+    src.select(col(keyCol).cast("string").as("key"),
+               shiftrightunsigned(col("_rowaddr"), 32).as("frag"),
+               col("_rowaddr").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("off"))
+      .groupBy("key", "frag")
+      .agg(count(lit(1)).as("card"),
+           serBitmap(sort_array(collect_list(col("off")))).as("bitmap"))
+  }
+
+  /** Incrementally extend the bitmap index over post-build appends — new
+    * fragments' bitmaps append as new key-sorted rows (a `(key, frag)`
+    * never repeats across version windows, so probes stay exact); O(tail).
+    */
+  def updateBitmap(spark: SparkSession, datasetPath: String,
+                   indexPath: String, writePartitions: Int = 2): Long = {
+    val meta = spark.read.format("lance").load(s"$indexPath/meta.lance").head()
+    val (builtV, keyCol) = (meta.getLong(0), meta.getString(1))
+    val headV = headVersion(spark, datasetPath)
+    if (headV == builtV) return builtV
+    bitmapRows(spark, datasetPath, keyCol, Some((builtV, headV)))
+      .write.format("lance")
+      .option("sortBy", "key")
+      .option("writePartitions", writePartitions.toString)
+      .mode("append").save(s"$indexPath/bitmaps.lance")
+    writeMeta(spark, indexPath, headV, keyCol)
+    headV
   }
 
   /** Per-fragment OR of the bitmaps matching `keys` (one index) —
@@ -274,16 +325,49 @@ object ScalarIndex {
     */
   def buildNgram(spark: SparkSession, datasetPath: String, textCol: String,
                  indexPath: String, n: Int = 3,
-                 writePartitions: Int = 8): Unit = {
-    spark.read.format("lance").load(datasetPath)
-      .select(col("_rowaddr").as("addr"), col(textCol).as("t"))
-      .select(col("addr"), explode(array_distinct(expr(
-        s"transform(sequence(1, greatest(length(t) - ${n - 1}, 0))," +
-          s" i -> substring(t, i, $n))"))).as("key"))
+                 writePartitions: Int = 8): Long = {
+    val builtV = headVersion(spark, datasetPath)
+    ngramRows(spark, datasetPath, textCol, n, Some((0L, builtV)))
       .write.format("lance")
       .option("sortBy", "key")
       .option("writePartitions", writePartitions.toString)
       .mode("overwrite").save(s"$indexPath/keys.lance")
+    writeMeta(spark, indexPath, builtV, s"$textCol#$n")
+    builtV
+  }
+
+  private def ngramRows(spark: SparkSession, datasetPath: String,
+                        textCol: String, n: Int,
+                        range: Option[(Long, Long)]): DataFrame = {
+    val rd = spark.read.format("lance")
+    val src = range match {
+      case Some((from, to)) if from > 0 =>
+        rd.option("fromVersion", from).option("versionAsOf", to).load(datasetPath)
+      case Some((_, to)) => rd.option("versionAsOf", to).load(datasetPath)
+      case None => rd.load(datasetPath)
+    }
+    src.select(col("_rowaddr").as("addr"), col(textCol).as("t"))
+      .select(col("addr"), explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length(t) - ${n - 1}, 0))," +
+          s" i -> substring(t, i, $n))"))).as("key"))
+  }
+
+  /** Incrementally extend the ngram index over post-build appends (new
+    * fragments' gram postings as new range-sorted fragments; O(tail)). */
+  def updateNgram(spark: SparkSession, datasetPath: String,
+                  indexPath: String, writePartitions: Int = 2): Long = {
+    val meta = spark.read.format("lance").load(s"$indexPath/meta.lance").head()
+    val builtV = meta.getLong(0)
+    val Array(textCol, nStr) = meta.getString(1).split('#')
+    val headV = headVersion(spark, datasetPath)
+    if (headV == builtV) return builtV
+    ngramRows(spark, datasetPath, textCol, nStr.toInt, Some((builtV, headV)))
+      .write.format("lance")
+      .option("sortBy", "key")
+      .option("writePartitions", writePartitions.toString)
+      .mode("append").save(s"$indexPath/keys.lance")
+    writeMeta(spark, indexPath, headV, meta.getString(1))
+    headV
   }
 
   /** Rows whose `textCol` CONTAINS `needle` — exact (not approximate):

@@ -297,6 +297,38 @@ object LanceOps {
       WHERE text LIKE '%merge window%'
       ORDER BY doc_id""")),
 
+    // column-merge end-to-end (crate Dataset::merge / add_columns): a
+    // per-customer aggregate joins onto the customer dataset by key and
+    // lands as column-slice files (existing data files untouched); the
+    // read routes field ids across each fragment's slices. The oracle
+    // recomputes the join relationally, so a misaligned slice offset, a
+    // wrong null-fill, or a mis-routed field id breaks the hash.
+    QDef("l15_lance_merge_columns", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/customer_mergec.lance"
+      t("customer").write.format("lance").mode("overwrite").save(ds)
+      val orderAgg = t("orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             Det.dsum(col("o_totalprice")).as("order_total"))
+      graft.sources.lance.LanceMaintenance.mergeColumns(
+        s, ds, orderAgg, "c_custkey", "o_custkey")
+      s.read.format("lance").load(ds)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             count(col("n_orders")).as("with_orders"),
+             Det.dsum(coalesce(col("order_total"), lit(0.0))).as("seg_total"))
+        .orderBy("c_mktsegment")
+    }, Some(s"""
+      WITH oa AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ${Det.oSum("o_totalprice")} AS order_total
+        FROM orders GROUP BY o_custkey)
+      SELECT c_mktsegment, COUNT(*) AS n,
+             COUNT(oa.n_orders) AS with_orders,
+             ${Det.oSum("COALESCE(oa.order_total, 0.0)")} AS seg_total
+      FROM customer c LEFT JOIN oa ON c.c_custkey = oa.o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // UPDATE analogue end-to-end: predicate-matched rows replaced with
     // transformed selves (deletion vectors + staged fragments, one
     // version); oracle applies the same CASE rewrite relationally

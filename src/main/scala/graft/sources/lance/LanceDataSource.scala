@@ -353,17 +353,26 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
                   addrFilters)
 }
 
+/** One column-slice of a fragment: a data file carrying a subset of the
+  * fragment's field ids (crate `merge`/`add_columns` writes these — every
+  * file of a fragment has the same physical row count, split by column). */
+case class LanceFileSlice(path: String, fieldIds: Array[Int],
+                          columnIndices: Array[Int]) extends Serializable
+
 /** One InputPartition per Lance fragment; rowLimit caps decoded LIVE rows
   * when a LIMIT was pushed down (whole trailing fragments are pruned
   * away). deletionPath/numDeleted come from the fragment's deletion_file:
   * readers mask those row offsets out. fragId feeds the `_rowaddr`
-  * metadata column ((fragId << 32) | rowOffset — lance's row address). */
+  * metadata column ((fragId << 32) | rowOffset — lance's row address).
+  * extraFiles carries the fragment's additional column-slice files
+  * (column-merged fragments); field ids route to the owning file. */
 case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
                                columnIndices: Array[Int], numRows: Long,
                                rowLimit: Long = Long.MaxValue,
                                fragId: Long = 0L,
                                deletionPath: Option[String] = None,
-                               numDeleted: Long = 0L)
+                               numDeleted: Long = 0L,
+                               extraFiles: Array[LanceFileSlice] = Array.empty)
   extends InputPartition
 
 class LanceScan(path: String, full: StructType, required: StructType,
@@ -447,16 +456,21 @@ class LanceScan(path: String, full: StructType, required: StructType,
     // take path: a fragment owns addresses [id << 32, id << 32 + physRows)
     def addrMayMatch(frag: LanceFormat.FragmentMeta): Boolean =
       addrFilters.forall(_.mayMatch(frag.id << 32, frag.physicalRows))
-    val all = manifest.fragments.filter(f => fragMayMatch(f) && addrMayMatch(f)).flatMap { frag =>
+    val all = manifest.fragments.filter(f => fragMayMatch(f) && addrMayMatch(f)).map { frag =>
       val delPath = frag.deletion.map(d =>
         new Path(new Path(path, "_deletions"), d.fileName(frag.id)).toString)
-      frag.files.map { f =>
-        LanceInputPartition(
-          new Path(new Path(path, "data"), f.path).toString,
-          f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows,
-          fragId = frag.id, deletionPath = delPath,
-          numDeleted = frag.deletion.map(_.numDeleted).getOrElse(0L))
-      }
+      // a fragment is ONE partition; additional data files are column
+      // slices of the same rows (crate merge/add_columns), not more rows
+      val head = frag.files.head
+      val extras = frag.files.tail.map(f => LanceFileSlice(
+        new Path(new Path(path, "data"), f.path).toString,
+        f.fieldIds.toArray, f.columnIndices.toArray)).toArray
+      LanceInputPartition(
+        new Path(new Path(path, "data"), head.path).toString,
+        head.fieldIds.toArray, head.columnIndices.toArray, frag.physicalRows,
+        fragId = frag.id, deletionPath = delPath,
+        numDeleted = frag.deletion.map(_.numDeleted).getOrElse(0L),
+        extraFiles = extras)
     }
     limit match {
       case None => all.toArray
@@ -613,20 +627,46 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
                                          conf: Configuration,
                                          addrFilters: Seq[AddrFilter] = Nil)
     extends AutoCloseable {
-  private val (fs, p) = LanceFormat.fileSystem(part.dataFilePath, conf)
-  private val fileLen = fs.getFileStatus(p).getLen
-  private val in = fs.open(p)
-
-  private def readRange(off: Long, len: Int): Array[Byte] = {
-    val b = new Array[Byte](len); in.readFully(off, b); b
+  /** One open data file of the fragment (the primary file, or a column
+    * slice added by a column merge): lazy footer + column-meta-offset
+    * table, ranged reads. */
+  private final class SliceHandle(val path: String, val fieldIds: Array[Int],
+                                  val columnIndices: Array[Int]) {
+    private val (fs, p) = LanceFormat.fileSystem(path, conf)
+    private val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    def readRange(off: Long, len: Int): Array[Byte] = {
+      val b = new Array[Byte](len); in.readFully(off, b); b
+    }
+    private val footer = readRange(fileLen - 40, 40)
+    private val footerBB =
+      java.nio.ByteBuffer.wrap(footer).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(footer(36) == 'L' && footer(39) == 'C', s"bad lance magic in $path")
+    val cmoBB = java.nio.ByteBuffer.wrap(
+      readRange(footerBB.getLong(8), footerBB.getInt(28) * 16))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
   }
 
-  private val footer = readRange(fileLen - 40, 40)
-  private val footerBB = java.nio.ByteBuffer.wrap(footer).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-  require(footer(36) == 'L' && footer(39) == 'C', s"bad lance magic in ${part.dataFilePath}")
-  private val cmoBB = java.nio.ByteBuffer.wrap(
-    readRange(footerBB.getLong(8), footerBB.getInt(28) * 16))
-    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  private val primary =
+    new SliceHandle(part.dataFilePath, part.fieldIds, part.columnIndices)
+  // extra column-slice files open lazily — a scan projecting none of a
+  // slice's columns never touches its file
+  private val extraHandles = new Array[SliceHandle](part.extraFiles.length)
+  private def extraHandle(i: Int): SliceHandle = {
+    if (extraHandles(i) == null) {
+      val s = part.extraFiles(i)
+      extraHandles(i) = new SliceHandle(s.path, s.fieldIds, s.columnIndices)
+    }
+    extraHandles(i)
+  }
+  /** The file owning `fieldId`, or null if no file of this fragment
+    * carries it (column added after the fragment was written). */
+  private def handleOf(fieldId: Int): SliceHandle =
+    if (part.fieldIds.contains(fieldId)) primary
+    else {
+      val i = part.extraFiles.indexWhere(_.fieldIds.contains(fieldId))
+      if (i < 0) null else extraHandle(i)
+    }
 
   private val metaCache = scala.collection.mutable.HashMap.empty[Int, IndexedSeq[PMeta]]
 
@@ -640,10 +680,12 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
 
   /** Parsed page metas of a column (cached; one ranged read per column). */
   def pageMetasOf(fieldId: Int): IndexedSeq[PMeta] = metaCache.getOrElseUpdate(fieldId, {
-    val fi = part.fieldIds.indexOf(fieldId)
-    require(fi >= 0, s"field id $fieldId not in fragment ${part.dataFilePath}")
-    val colIdx = part.columnIndices(fi)
-    val metaBytes = readRange(cmoBB.getLong(colIdx * 16), cmoBB.getLong(colIdx * 16 + 8).toInt)
+    val h = handleOf(fieldId)
+    require(h != null, s"field id $fieldId not in fragment ${part.dataFilePath}")
+    val fi = h.fieldIds.indexOf(fieldId)
+    val colIdx = h.columnIndices(fi)
+    val cmoBB = h.cmoBB
+    val metaBytes = h.readRange(cmoBB.getLong(colIdx * 16), cmoBB.getLong(colIdx * 16 + 8).toInt)
     val fsMeta = Proto.parse(metaBytes)
     Proto.all(fsMeta, 2).map { pg =>
       val pf = Proto.parse(pg.bytes)
@@ -668,7 +710,7 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
 
   /** Is this field id physically present in the fragment? (A fragment
     * written before an addColumn lacks the new ids — reads null-fill.) */
-  private def present(id: Int): Boolean = part.fieldIds.contains(id)
+  private def present(id: Int): Boolean = handleOf(id) != null
 
   /** Columns whose page row counts equal the output row count (scalars,
     * struct leaves at any depth, list/map offset columns — NOT element
@@ -791,10 +833,12 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     out.result()
   }
 
-  /** Raw buffers of one page (lazy ranged reads). */
+  /** Raw buffers of one page (lazy ranged reads, routed to the owning
+    * file slice). */
   def readPageBufs(fieldId: Int, pageIdx: Int): Seq[Array[Byte]] = {
     val m = pageMetasOf(fieldId)(pageIdx)
-    m.offs.zip(m.sizes).map { case (o, s) => readRange(o, s.toInt) }
+    val h = handleOf(fieldId)
+    m.offs.zip(m.sizes).map { case (o, s) => h.readRange(o, s.toInt) }
   }
 
   /** Boxed decode of the first `rows` rows of one page of `spec`
@@ -921,7 +965,10 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     (colValues, colValues.headOption.map(_.length).getOrElse(numRows))
   }
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    primary.in.close()
+    extraHandles.foreach(h => if (h != null) h.in.close())
+  }
 }
 
 /** Columnar reader: one ColumnarBatch PER PAGE, decoded straight into

@@ -156,6 +156,166 @@ object LanceMaintenance {
       }.toMap
   }
 
+  /** Column-merge — the lance crate's `Dataset::merge` / `add_columns`
+    * analogue: LEFT-join `right` onto the dataset by key and persist the
+    * new columns as ONE COLUMN-SLICE DATA FILE PER FRAGMENT, aligned to
+    * the fragment's physical row order. Existing data files are never
+    * rewritten; the commit is one manifest version appending the new
+    * fields and each fragment's slice file. Unmatched rows (and offsets
+    * already deleted) null-fill; fragments whose rows all miss simply get
+    * no slice (the reader null-fills absent field ids).
+    *
+    * Scale shape: the join shuffles only `(key, _rowaddr)` plus the new
+    * columns; each fragment's slice writes executor-side in one
+    * offset-sorted pass (page-buffered, gaps null-filled); the driver
+    * collects only `(fragId, fileName)` metas.
+    *
+    * Returns the committed version. */
+  def mergeColumns(spark: SparkSession, path: String,
+                   right: org.apache.spark.sql.DataFrame,
+                   leftOn: String, rightOn: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val manifestPath = LanceFormat.latestManifestPath(fs, p, None)
+    val manifest = LanceFormat.readManifest(fs, manifestPath)
+    val newFields = right.schema.fields.filterNot(_.name == rightOn)
+    require(newFields.nonEmpty, "lance mergeColumns: right side adds no columns")
+    newFields.foreach { f =>
+      require(!manifest.fields.exists(g => g.parentId == -1 && g.name == f.name),
+        s"lance mergeColumns: column '${f.name}' already exists")
+    }
+    // crate merge precondition: right keys are unique (a duplicate would
+    // fan a row's merge value out nondeterministically)
+    require(right.groupBy(col(rightOn)).count()
+      .filter(col("count") > 1).limit(1).count() == 0,
+      s"lance mergeColumns: duplicate '$rightOn' keys in right side")
+
+    val sliceSchema = StructType(newFields.map(f =>
+      StructField(f.name, f.dataType, nullable = true)).toSeq)
+    val subLayout = LanceSchemaLayout.of(sliceSchema)
+    // new ids continue the committed id space — same rule as addColumn
+    val inFiles = manifest.fragments.flatMap(_.files.flatMap(_.fieldIds))
+    val nextId = (manifest.fields.map(_.id) ++ inFiles).foldLeft(-1)(math.max) + 1
+    val appendFields = subLayout.fields.map(f => LanceFormat.LanceField(
+      id = f.id + nextId, name = f.name, logicalType = f.logicalType,
+      parentId = if (f.parentId == -1) -1 else f.parentId + nextId))
+    val sliceColIds = subLayout.topFieldIdOfCol.map(_ + nextId)
+
+    val base = spark.read.format("lance")
+      .option("versionAsOf", manifest.version.toString).load(path)
+      .select(col(leftOn).as("__k"), col("_rowaddr").as("__addr"))
+    val joined = base
+      .join(right.withColumnRenamed(rightOn, "__k"), Seq("__k"), "left")
+      .drop("__k")
+    val physRows = manifest.fragments.map(fr => fr.id -> fr.physicalRows).toMap
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val pathStr = path
+    val prepared = joined
+      .withColumn("__frag", expr("shiftrightunsigned(__addr, 32)"))
+      .repartition(math.max(manifest.fragments.length, 1), col("__frag"))
+      .sortWithinPartitions("__frag", "__addr")
+    val outSchema = prepared.schema
+    val addrIdx = outSchema.fieldIndex("__addr")
+    val fragIdx = outSchema.fieldIndex("__frag")
+    val colIdxs = newFields.map(f => outSchema.fieldIndex(f.name))
+    val colTypes = newFields.map(_.dataType)
+    val bPhys = spark.sparkContext.broadcast(physRows)
+    val sliceMetas = prepared.queryExecution.toRdd.mapPartitions { it =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var curFrag = -1L
+      var writer: LanceFragmentWriter = null
+      var os: java.io.OutputStream = null
+      var fname: String = null
+      var nextOff = 0L
+      val nulls = new GenericInternalRow(new Array[Any](colIdxs.length))
+      def pad(until: Long): Unit =
+        while (nextOff < until) { writer.write(nulls); nextOff += 1 }
+      def closeCur(): Unit = if (writer != null) {
+        pad(bPhys.value(curFrag)) // trailing unmatched/deleted offsets
+        writer.finish(); os.close()
+        out += ((curFrag, fname))
+        writer = null; os = null
+      }
+      it.foreach { row =>
+        val frag = row.getLong(fragIdx)
+        if (frag != curFrag) {
+          closeCur()
+          curFrag = frag
+          fname = s"${java.util.UUID.randomUUID()}.lance"
+          val fp = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(pathStr), "data"), fname)
+          os = fp.getFileSystem(serConf.value).create(fp, true)
+          writer = new LanceFragmentWriter(os, sliceSchema)
+          nextOff = 0L
+        }
+        val off = row.getLong(addrIdx) & 0xffffffffL
+        pad(off)
+        val vals = new Array[Any](colIdxs.length)
+        var i = 0
+        while (i < colIdxs.length) {
+          vals(i) = if (row.isNullAt(colIdxs(i))) null
+                    else row.get(colIdxs(i), colTypes(i))
+          i += 1
+        }
+        writer.write(new GenericInternalRow(vals))
+        nextOff += 1
+      }
+      closeCur()
+      out.iterator
+    }.collect().toMap
+
+    val newVersion = manifest.version + 1
+    commitMergePatch(conf, p, manifestPath, appendFields, sliceColIds,
+                     sliceMetas, newVersion)
+    newVersion
+  }
+
+  /** Proto-level manifest patch for [[mergeColumns]]: append the new
+    * fields after the existing field list and a column-slice DataFile to
+    * each fragment that got one; everything else re-emits verbatim. */
+  private def commitMergePatch(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path,
+      manifestPath: org.apache.hadoop.fs.Path,
+      appendFields: Seq[LanceFormat.LanceField],
+      sliceColIds: Seq[Int],
+      files: Map[Long, String],
+      newVersion: Long): Unit = {
+    val (fs, _) = LanceFormat.fileSystem(p.toString, conf)
+    val rawAll = LanceFormat.readWholeFile(fs, manifestPath)
+    val pbLen = (rawAll(0) & 0xff) | ((rawAll(1) & 0xff) << 8) |
+                ((rawAll(2) & 0xff) << 16) | ((rawAll(3) & 0xff) << 24)
+    val top = Proto.parse(rawAll, 4, 4 + pbLen)
+    val w = new Proto.Writer
+    val fieldTags = top.filter(f => f.tag == 1 && f.wire == 2)
+    top.foreach { f =>
+      if (f.tag == 1 && f.wire == 2) {
+        w.raw(f)
+        if (f eq fieldTags.last)
+          appendFields.foreach(nf => w.message(1, LanceWriteSupport.fieldProtoOf(nf)))
+      } else if (f.tag == 2 && f.wire == 2) {
+        val fragFields = Proto.parse(f.bytes)
+        val fragId = Proto.firstVarint(fragFields, 1).getOrElse(0L)
+        files.get(fragId) match {
+          case None => w.raw(f)
+          case Some(name) =>
+            val fw = new Proto.Writer
+            fragFields.foreach(fw.raw)
+            val dw = new Proto.Writer
+            dw.string(1, name).packed(2, sliceColIds.map(_.toLong))
+              .packed(3, sliceColIds.indices.map(_.toLong)).varint(4, 2L)
+            fw.message(2, dw)
+            w.message(2, fw)
+        }
+      } else if (f.tag == 3 && f.wire == 0) w.varint(3, newVersion)
+      else w.raw(f)
+    }
+    LanceWriteSupport.commitManifest(conf, p, w.result(), newVersion)
+  }
+
   /** Upsert (lance merge_insert analogue): rows of `source` whose `keys`
     * match an existing target row REPLACE it; the rest are inserted — all
     * in ONE committed version.

@@ -52,16 +52,19 @@ class LanceMicroBatchStream(path: String, colSpecs: Array[ColSpec],
       s"lance stream: fragments ${seen.diff(endIds).toSeq.sorted.mkString(",")} " +
       s"disappeared between versions $startV and $endV — the dataset was " +
       "overwritten or compacted; append-only tailing cannot continue")
-    endM.fragments.filterNot(f => seen.contains(f.id)).flatMap { frag =>
+    endM.fragments.filterNot(f => seen.contains(f.id)).map { frag =>
       val delPath = frag.deletion.map(d =>
         new Path(new Path(path, "_deletions"), d.fileName(frag.id)).toString)
-      frag.files.map { f =>
-        LanceInputPartition(
-          new Path(new Path(path, "data"), f.path).toString,
-          f.fieldIds.toArray, f.columnIndices.toArray, frag.physicalRows,
-          fragId = frag.id, deletionPath = delPath,
-          numDeleted = frag.deletion.map(_.numDeleted).getOrElse(0L))
-      }
+      val head = frag.files.head
+      val extras = frag.files.tail.map(f => LanceFileSlice(
+        new Path(new Path(path, "data"), f.path).toString,
+        f.fieldIds.toArray, f.columnIndices.toArray)).toArray
+      LanceInputPartition(
+        new Path(new Path(path, "data"), head.path).toString,
+        head.fieldIds.toArray, head.columnIndices.toArray, frag.physicalRows,
+        fragId = frag.id, deletionPath = delPath,
+        numDeleted = frag.deletion.map(_.numDeleted).getOrElse(0L),
+        extraFiles = extras)
     }.toArray
   }
 

@@ -170,4 +170,31 @@ class ScalarIndexSpec extends AnyFunSuite {
     val short = ScalarIndex.lookupContains(spark, ds, s"$dir/ng", "t", "ha")
     assert(short.count() > 0)
   }
+
+  test("bitmap and ngram indexes cover appends via incremental update") {
+    val dir = java.nio.file.Files.createTempDirectory("sidx_upd").toString
+    val ds  = s"$dir/base.lance"
+    spark.range(3000).selectExpr("id AS k", "CAST(id % 4 AS STRING) AS a",
+        "concat('text ', id % 4, ' tail') AS t")
+      .repartition(2).write.format("lance").mode("overwrite").save(ds)
+    ScalarIndex.buildBitmap(spark, ds, "a", s"$dir/bm")
+    ScalarIndex.buildNgram(spark, ds, "t", s"$dir/ng")
+    spark.range(3000, 3200).selectExpr("id AS k", "'9' AS a",
+        "concat('freshly appended ', id) AS t")
+      .write.format("lance").mode("append").save(ds)
+    // pre-update: the appended rows are invisible to both indexes
+    assert(ScalarIndex.lookupBitmap(spark, ds, s"$dir/bm", Seq("9")).count() == 0)
+    assert(ScalarIndex.lookupContains(spark, ds, s"$dir/ng", "t", "freshly")
+      .count() == 0)
+    ScalarIndex.updateBitmap(spark, ds, s"$dir/bm")
+    ScalarIndex.updateNgram(spark, ds, s"$dir/ng")
+    assert(ScalarIndex.lookupBitmap(spark, ds, s"$dir/bm", Seq("9")).count() == 200)
+    assert(ScalarIndex.lookupContains(spark, ds, s"$dir/ng", "t", "freshly")
+      .count() == 200)
+    // old keys still resolve after the incremental append
+    assert(ScalarIndex.lookupBitmap(spark, ds, s"$dir/bm", Seq("1")).count() == 750)
+    // idempotent when already at head
+    assert(ScalarIndex.updateBitmap(spark, ds, s"$dir/bm") ==
+           ScalarIndex.updateBitmap(spark, ds, s"$dir/bm"))
+  }
 }
