@@ -117,7 +117,7 @@ class LanceModelSpec extends AnyFunSuite {
     snap()
 
     (1 to nOps).foreach { step =>
-      val op = rnd.nextInt(9)
+      val op = rnd.nextInt(10)
       val label = s"seed=$seed step=$step op=$op"
       op match {
         case 0 => // append
@@ -193,6 +193,24 @@ class LanceModelSpec extends AnyFunSuite {
           m.cols = c
           m.rows.clear()
           m.rows ++= r.map(x => mutable.Map(x.toSeq: _*))
+        case 9 => // mergeColumns: keyed right frame covering an id residue
+          val k = 2 + rnd.nextInt(3)
+          val ids = m.rows.map(_("id").asInstanceOf[Long])
+            .filter(_ % k == 0).distinct.toSeq
+          if (ids.nonEmpty) {
+            val c = m.freshColName()
+            val right = spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                ids.map(i => Row(i, i * 11.0 + 5)), 2),
+              StructType(Seq(StructField("rid", LongType),
+                             StructField(c, DoubleType))))
+            LanceMaintenance.mergeColumns(spark, ds, right, "id", "rid")
+            m.cols = m.cols :+ (c -> DoubleType)
+            m.rows.foreach { r =>
+              val i = r("id").asInstanceOf[Long]
+              if (i % k == 0) r(c) = i * 11.0 + 5
+            }
+          }
       }
       snap()
       check(ds, m, label)
