@@ -125,7 +125,15 @@ object Fts {
     * doc_id tie-break.
     */
   def bm25TopK(postings: DataFrame, termDf: DataFrame, nDocs: Long,
-               totalLen: Long, terms: Seq[String], k: Int): DataFrame = {
+               totalLen: Long, terms: Seq[String], k: Int): DataFrame =
+    bm25Scores(postings, termDf, nDocs, totalLen, terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Per-doc BM25 scores of `terms` (no ranking cut) — the shared interior
+    * of [[bm25TopK]] and [[searchBoolean]]. */
+  def bm25Scores(postings: DataFrame, termDf: DataFrame, nDocs: Long,
+                 totalLen: Long, terms: Seq[String]): DataFrame = {
     val avgdl = totalLen.toDouble / nDocs
     postings.filter(col("term").isin(terms: _*))
       // left join + df->0: identical to inner when postings and vocabulary
@@ -138,8 +146,6 @@ object Fts {
       .select(col("doc_id"), contribMicro(nDocs, avgdl).as("micro"))
       .groupBy("doc_id")
       .agg(round(sum(col("micro")) / lit(1e6), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** Index-free BM25 (the oracle-shaped path): everything computed from the
@@ -351,6 +357,39 @@ object Fts {
       .select(col(idCol).cast(LongType).as("doc_id"),
               posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
     phraseFrom(toks, phrase)
+  }
+
+  /** Boolean query over the persisted index (tantivy BooleanQuery parity:
+    * must / should / must_not): scoring sums BM25 contributions of the
+    * `must` and `should` terms; `must` terms gate candidacy (a doc must
+    * post ALL of them), `mustNot` terms exclude. Every clause is answered
+    * from term-pruned posting slivers — candidacy is a semi-join on the
+    * skinny `(doc_id)` key, exclusion an anti-join; the corpus is never
+    * scanned.
+    */
+  def searchBoolean(spark: SparkSession, indexPath: String,
+                    must: Seq[String], should: Seq[String],
+                    mustNot: Seq[String], k: Int): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty,
+      "searchBoolean needs at least one scoring (must/should) term")
+    val (nDocs, totalLen) =
+      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    val p  = spark.read.format("lance").load(s"$indexPath/postings.lance")
+    val df = spark.read.format("lance").load(s"$indexPath/terms.lance")
+    var scored = bm25Scores(p, df, nDocs, totalLen, (must ++ should).distinct)
+    if (must.nonEmpty) {
+      val mustOk = p.filter(col("term").isin(must.distinct: _*))
+        .groupBy("doc_id").agg(countDistinct(col("term")).as("nm"))
+        .filter(col("nm") === must.distinct.size)
+        .select("doc_id")
+      scored = scored.join(mustOk, Seq("doc_id"), "left_semi")
+    }
+    if (mustNot.nonEmpty) {
+      val bad = p.filter(col("term").isin(mustNot.distinct: _*))
+        .select("doc_id").distinct()
+      scored = scored.join(bad, Seq("doc_id"), "left_anti")
+    }
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
   /** Phrase search over the PERSISTED index (tantivy phrase-query parity):

@@ -166,6 +166,44 @@ object Search {
       WHERE ' ' || text || ' ' LIKE '% part filter %'
       ORDER BY doc_id""")),
 
+    // --- boolean query (tantivy BooleanQuery: must / should / must_not) --
+    // scoring over must+should posting slivers; must gates candidacy
+    // (all-terms semi-join), mustNot excludes (anti-join). The oracle
+    // recomputes the identical ranking and gates with EXISTS/NOT EXISTS.
+    QDef("f08_fts_boolean", (s, dir) => {
+      val ix = ensureIndex(s, dir)
+      Fts.searchBoolean(s, ix,
+        must = Seq("stream"), should = Seq("merge", "window"),
+        mustNot = Seq("error"), k = 15)
+    }, Some {
+      val inList = Seq("stream", "merge", "window").map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfv AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_len
+             FROM documents),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                 ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - dfv.df + 0.5) / (dfv.df + 0.5)), 8)
+                 * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                     / (CAST(st.total_len AS DOUBLE) / st.n_docs))))
+                 * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM tf JOIN dfv USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        WHERE tf.term IN ($inList)),
+      agg AS (SELECT doc_id, ROUND(SUM(micro) / 1e6, 6) AS score
+              FROM scored GROUP BY doc_id)
+      SELECT doc_id, score FROM agg
+      WHERE EXISTS (SELECT 1 FROM tf m WHERE m.doc_id = agg.doc_id
+                    AND m.term = 'stream')
+        AND NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = agg.doc_id
+                        AND x.term = 'error')
+      ORDER BY score DESC, doc_id LIMIT 15"""
+    }),
+
     // --- phrase query over the PERSISTED index (tantivy with_position
     // parity): the stored per-(doc,term) position lists answer adjacency
     // without touching the corpus text — the probe reads two terms'

@@ -95,6 +95,28 @@ class FtsSpec extends AnyFunSuite {
     assert(rep == repWant)
   }
 
+  test("boolean search: must gates, mustNot excludes, scores match bm25") {
+    val got = Fts.searchBoolean(spark, idx,
+      must = Seq("part"), should = Seq("filter"), mustNot = Seq("stream"),
+      k = 1000).collect()
+    assert(got.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    got.foreach { r =>
+      val toks = texts(r.getLong(0))
+      assert(toks.contains("part"), s"doc ${r.getLong(0)} misses must term")
+      assert(!toks.contains("stream"), s"doc ${r.getLong(0)} has mustNot term")
+    }
+    // nothing eligible is missing: every doc with 'part' and no 'stream'
+    val want = texts.filter { case (_, t) =>
+      t.contains("part") && !t.contains("stream") }.keySet
+    assert(got.map(_.getLong(0)).toSet == want)
+    // scores equal the plain bm25 ranking over the same scoring terms
+    val plain = Fts.searchPersisted(spark, idx, Seq("part", "filter"), 10000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(plain(r.getLong(0)) == r.getDouble(1)))
+  }
+
   test("randomized corpora: bm25 matches an independent in-JVM reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242L)
