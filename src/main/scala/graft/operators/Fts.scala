@@ -211,6 +211,42 @@ object Fts {
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), candsDf.schema)
   }
 
+  /** Fuzzy term search over a persisted index (tantivy `FuzzyTermQuery`
+    * parity — lance FTS exposes `fuzziness` on match queries): each query
+    * term expands to every VOCABULARY term within Levenshtein distance
+    * `maxDist`, and the union of expanded terms scores through the normal
+    * BM25 probe — each matched index term contributes with its OWN
+    * document frequency (tantivy semantics: a fuzzy query is an OR over
+    * the matched index terms, not a frequency merge).
+    *
+    * Scale shape: expansion is a scan of `terms.lance` (vocabulary-sized,
+    * millions of rows at worst — orders of magnitude under the corpus)
+    * with a codegen `levenshtein` filter; only the matched terms (a
+    * handful, bounded by `maxExpansions` like tantivy's 50-state cap)
+    * come back to the driver to become the probe's IN-list, which then
+    * prunes postings fragments exactly like an exact-term search. The
+    * collect is O(maxExpansions), never O(vocab).
+    */
+  def searchFuzzy(spark: SparkSession, indexPath: String,
+                  terms: Seq[String], maxDist: Int, k: Int,
+                  maxExpansions: Int = 50): DataFrame = {
+    val vocab = spark.read.format("lance").load(s"$indexPath/terms.lance")
+    val matched = vocab
+      .filter(terms.map(t => levenshtein(col("term"), lit(t)) <= maxDist)
+                   .reduce(_ || _))
+      // deterministic cap: most-frequent terms first (tantivy keeps the
+      // automaton's first matches; a df-ordered cap is the analogous
+      // bounded choice and is stable across runs)
+      .orderBy(col("df").desc, col("term"))
+      .limit(maxExpansions)
+      .select("term").collect().map(_.getString(0)).toSeq
+    val (nDocs, totalLen) =
+      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    if (matched.isEmpty)
+      searchWithStats(spark, indexPath, nDocs, totalLen, Seq(" "), k)
+    else searchWithStats(spark, indexPath, nDocs, totalLen, matched, k)
+  }
+
   /** Build the index FOR a lance dataset, recording the source head
     * version and column names in the `built.lance` sidecar so
     * [[searchCombined]] can cover the append tail (the ANN/scalar

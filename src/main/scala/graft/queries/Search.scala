@@ -74,8 +74,10 @@ object Search {
     * delete-masking contract of [[Fts.searchPersistedLive]].
     */
   private def bm25OracleSql(terms: Seq[String], k: Int,
-                            liveWhere: String = "TRUE"): String = {
+                            liveWhere: String = "TRUE",
+                            termPred: String = null): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pred = Option(termPred).getOrElse(s"tf.term IN ($inList)")
     s"""
       WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
       toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -92,7 +94,7 @@ object Search {
                      / (CAST(st.total_len AS DOUBLE) / st.n_docs))))
                  * 1e6 + 0.5) AS BIGINT) AS micro
         FROM tf JOIN dfv USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-        WHERE tf.term IN ($inList))
+        WHERE $pred)
       SELECT doc_id, ROUND(SUM(micro) / 1e6, 6) AS score
       FROM scored WHERE $liveWhere GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT $k"""
@@ -203,6 +205,20 @@ object Search {
                         AND x.term = 'error')
       ORDER BY score DESC, doc_id LIMIT 15"""
     }),
+
+    // --- fuzzy term query (tantivy FuzzyTermQuery / lance FTS fuzziness):
+    // misspelled query terms expand against the vocabulary sidecar by
+    // Levenshtein distance <= 1, each matched index term scoring with its
+    // own df. The oracle recomputes the expansion with DuckDB's own
+    // levenshtein() over the derived vocabulary — engine-independent
+    // semantics of standard edit distance, same df-ordered expansion cap.
+    QDef("f09_fts_fuzzy", (s, dir) => {
+      val ix = ensureIndex(s, dir)
+      Fts.searchFuzzy(s, ix, Seq("merg", "vectr"), maxDist = 1, k = 15)
+    }, Some(bm25OracleSql(Nil, 15, termPred = """tf.term IN (
+          SELECT term FROM dfv
+          WHERE levenshtein(term, 'merg') <= 1 OR levenshtein(term, 'vectr') <= 1
+          ORDER BY df DESC, term LIMIT 50)"""))),
 
     // --- phrase query over the PERSISTED index (tantivy with_position
     // parity): the stored per-(doc,term) position lists answer adjacency
