@@ -774,6 +774,79 @@ object TextOps {
                - CAST(FLOOR((end_tok - n_tok) / 256.0) AS BIGINT) AS n_splits
       FROM s ORDER BY lang, doc_id""")),
 
+    // --- DSIR importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling") -----------------------
+    // Select raw-corpus documents whose hashed-n-gram feature distribution
+    // looks like a TARGET domain (here: source 'src0'): per-bigram weight
+    // = smoothed log-likelihood ratio log p_target(g) - log p_raw(g); a
+    // document's importance is its bigram-count-weighted sum. Scale shape:
+    // the weight table is a bigram vocabulary (one census aggregate per
+    // distribution — the target census is a fraction of the raw one it
+    // joins into); the corpus side re-uses the same per-doc bigram counts
+    // and joins the vocabulary-sized weight table on the gram key — at
+    // 100 TB the paper's 2^20-bucket feature HASHING bounds the weight
+    // table to a broadcast; the unhashed gram spelling here keeps the
+    // oracle engine-independent (the hash seeds differ across engines).
+    // Determinism: each LN is rounded to 8 digits (the BM25 idf pattern),
+    // the difference snaps to micro-units, and per-doc sums are exact
+    // integer arithmetic.
+    QDef("d23_dsir_sample", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val bg = t("documents")
+        .select(col("doc_id"), col("source"),
+                posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(wl))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), col("source"),
+                concat(col("tok"), lit(" "), col("nxt")).as("g"))
+      val cnt = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val raw = bg.groupBy("g").agg(count(lit(1)).as("rc"))
+      val tgt = bg.filter(col("source") === "src0")
+        .groupBy("g").agg(count(lit(1)).as("tc"))
+      val scal = raw.agg(sum(col("rc")).as("rtot"), count(lit(1)).as("v"))
+        .crossJoin(bg.filter(col("source") === "src0")
+                     .agg(count(lit(1)).as("ttot")))
+      val wts = raw.join(tgt, Seq("g"), "left")
+        .withColumn("tc", coalesce(col("tc"), lit(0L)))
+        .crossJoin(broadcast(scal))
+        .select(col("g"),
+                floor((round(log((col("tc") + lit(0.5)) /
+                         (col("ttot").cast(DoubleType) + lit(0.5) * col("v").cast(DoubleType))), 8)
+                       - round(log((col("rc") + lit(0.5)) /
+                         (col("rtot").cast(DoubleType) + lit(0.5) * col("v").cast(DoubleType))), 8))
+                        * lit(1e6) + lit(0.5)).cast(LongType).as("wm"))
+      cnt.join(wts, Seq("g"))
+        .groupBy("doc_id")
+        .agg(round(sum(col("c") * col("wm")) / lit(1e6), 6).as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(25)
+    }, Some("""
+      WITH bg AS (
+        SELECT doc_id, source,
+               UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1])) AS g
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+      raw AS (SELECT g, COUNT(*) AS rc FROM bg GROUP BY g),
+      tgt AS (SELECT g, COUNT(*) AS tc FROM bg WHERE source = 'src0' GROUP BY g),
+      scal AS (SELECT (SELECT SUM(rc) FROM raw) AS rtot,
+                      (SELECT COUNT(*) FROM raw) AS v,
+                      (SELECT COUNT(*) FROM bg WHERE source = 'src0') AS ttot),
+      wts AS (
+        SELECT raw.g,
+               CAST(FLOOR((ROUND(LN((COALESCE(tgt.tc, 0) + 0.5)
+                                    / (CAST(scal.ttot AS DOUBLE) + 0.5 * CAST(scal.v AS DOUBLE))), 8)
+                         - ROUND(LN((raw.rc + 0.5)
+                                    / (CAST(scal.rtot AS DOUBLE) + 0.5 * CAST(scal.v AS DOUBLE))), 8))
+                          * 1e6 + 0.5) AS BIGINT) AS wm
+        FROM raw LEFT JOIN tgt ON raw.g = tgt.g CROSS JOIN scal)
+      SELECT doc_id, ROUND(SUM(c * wm) / 1e6, 6) AS dsir_score
+      FROM cnt JOIN wts ON cnt.g = wts.g
+      GROUP BY doc_id
+      ORDER BY dsir_score DESC, doc_id LIMIT 25""")),
+
     // --- multimodal column conventions: binary payload + typed metadata ----
     // Text stands in for an opaque media payload (the container has no
     // image/audio codecs — SURVEY §2.5 multimodal: the decode step is a
