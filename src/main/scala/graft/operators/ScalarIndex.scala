@@ -38,23 +38,54 @@ object ScalarIndex {
     * can cover the append tail.
     */
   def build(spark: SparkSession, datasetPath: String, keyCol: String,
-            indexPath: String, writePartitions: Int = 8): Long = {
+            indexPath: String, writePartitions: Int = 8,
+            stableRowIds: Boolean = false): Long = {
     import graft.sources.lance.LanceFormat
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(datasetPath, conf)
     val builtV = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, None)).version
+    // stable mode stores move-stable row IDS instead of addresses: the
+    // index keeps answering correctly after the dataset is compacted
+    // underneath it (ids survive the move; lookup resolves id -> current
+    // address through the manifest's sequences at probe time)
+    val addrCol = if (stableRowIds) "_rowid" else "_rowaddr"
     spark.read.format("lance").option("versionAsOf", builtV).load(datasetPath)
-      .select(col(keyCol).as("key"), col("_rowaddr").as("addr"))
+      .select(col(keyCol).as("key"), col(addrCol).as("addr"))
       .write.format("lance")
       .option("sortBy", "key")
       .option("writePartitions", writePartitions.toString)
       .mode("overwrite").save(s"$indexPath/keys.lance")
-    spark.createDataFrame(Seq((builtV, keyCol))).toDF("built_version", "key_col")
+    spark.createDataFrame(Seq((builtV, keyCol, stableRowIds)))
+      .toDF("built_version", "key_col", "stable")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/meta.lance")
     builtV
   }
+
+  /** Whether this index stores row ids (vs addresses) — third meta
+    * column; absent in pre-stable indexes, defaulting to false. */
+  private def isStable(meta: org.apache.spark.sql.Row): Boolean =
+    meta.length > 2 && !meta.isNullAt(2) && meta.getBoolean(2)
+
+  /** Translate a probed `addr` column to CURRENT row addresses: identity
+    * for an address index; for a stable index, resolve ids through the
+    * head manifest's row-id sequences (driver-side metadata walk). Ids
+    * compacted away with their deletes simply vanish — a stale id fetches
+    * nothing, never a wrong row.
+    */
+  private def resolveAddrs(spark: SparkSession, datasetPath: String,
+                           stable: Boolean, vals: Array[Long]): Array[Long] =
+    if (!stable) vals
+    else {
+      import graft.sources.lance.LanceFormat
+      val conf = spark.sessionState.newHadoopConf()
+      val (fs, p) = LanceFormat.fileSystem(datasetPath, conf)
+      val m = LanceFormat.readManifest(fs,
+        LanceFormat.latestManifestPath(fs, p, None))
+      val byId = LanceFormat.addrOfRowIds(m, vals.toSeq)
+      vals.flatMap(byId.get)
+    }
 
   /** Incrementally extend the index over rows appended after the build —
     * the crate's `optimize_indices` for a scalar index, O(tail): the
@@ -70,43 +101,52 @@ object ScalarIndex {
     import graft.sources.lance.LanceFormat
     val meta = spark.read.format("lance").load(s"$indexPath/meta.lance").head()
     val (builtV, keyCol) = (meta.getLong(0), meta.getString(1))
+    val stable = isStable(meta)
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(datasetPath, conf)
     val headV = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, None)).version
     if (headV == builtV) return builtV
+    val addrCol = if (stable) "_rowid" else "_rowaddr"
     spark.read.format("lance")
       .option("fromVersion", builtV).option("versionAsOf", headV)
       .load(datasetPath)
-      .select(col(keyCol).as("key"), col("_rowaddr").as("addr"))
+      .select(col(keyCol).as("key"), col(addrCol).as("addr"))
       .write.format("lance")
       .option("sortBy", "key")
       .option("writePartitions", writePartitions.toString)
       .mode("append").save(s"$indexPath/keys.lance")
-    spark.createDataFrame(Seq((headV, keyCol))).toDF("built_version", "key_col")
+    spark.createDataFrame(Seq((headV, keyCol, stable)))
+      .toDF("built_version", "key_col", "stable")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/meta.lance")
     headV
   }
 
   private def fetchByAddrs(spark: SparkSession, datasetPath: String,
-                           probe: DataFrame, maxRows: Int): DataFrame = {
-    val addrs = probe.select("addr")
+                           probe: DataFrame, maxRows: Int,
+                           stable: Boolean = false): DataFrame = {
+    val vals = probe.select("addr")
       .limit(maxRows + 1).collect().map(_.getLong(0))
-    require(addrs.length <= maxRows,
+    require(vals.length <= maxRows,
       s"scalar-index lookup matched > $maxRows rows — this is a scan, " +
         "not a lookup; filter the dataset directly instead")
+    val addrs = resolveAddrs(spark, datasetPath, stable, vals)
     val base = spark.read.format("lance").load(datasetPath)
     if (addrs.isEmpty) base.limit(0)
     else base.filter(col("_rowaddr").isin(addrs.toSeq: _*))
   }
+
+  private def metaStable(spark: SparkSession, indexPath: String): Boolean =
+    isStable(spark.read.format("lance").load(s"$indexPath/meta.lance").head())
 
   /** Point / IN-list lookup: zone-pruned index probe → take-path fetch. */
   def lookup(spark: SparkSession, datasetPath: String, indexPath: String,
              keys: Seq[Any], maxRows: Int = 100000): DataFrame = {
     val probe = spark.read.format("lance").load(s"$indexPath/keys.lance")
       .filter(col("key").isin(keys: _*))
-    fetchByAddrs(spark, datasetPath, probe, maxRows)
+    fetchByAddrs(spark, datasetPath, probe, maxRows,
+                 metaStable(spark, indexPath))
   }
 
   /** Range lookup `lo <= key < hi` — the BTREE range-scan shape; the
@@ -116,7 +156,8 @@ object ScalarIndex {
                   lo: Any, hi: Any, maxRows: Int = 100000): DataFrame = {
     val probe = spark.read.format("lance").load(s"$indexPath/keys.lance")
       .filter(col("key") >= lit(lo) && col("key") < lit(hi))
-    fetchByAddrs(spark, datasetPath, probe, maxRows)
+    fetchByAddrs(spark, datasetPath, probe, maxRows,
+                 metaStable(spark, indexPath))
   }
 
   /** Point / IN-list lookup that ALSO covers rows appended after the
@@ -134,13 +175,16 @@ object ScalarIndex {
     val meta = spark.read.format("lance").load(s"$indexPath/meta.lance").head()
     val builtV = meta.getLong(0)
     val keyCol = meta.getString(1)
+    val stable = isStable(meta)
+    val addrCol = if (stable) "_rowid" else "_rowaddr"
     val idxProbe = spark.read.format("lance").load(s"$indexPath/keys.lance")
       .filter(col("key").isin(keys: _*)).select("addr")
     val tailProbe = spark.read.format("lance")
       .option("fromVersion", builtV).load(datasetPath)
       .filter(col(keyCol).isin(keys: _*))
-      .select(col("_rowaddr").as("addr"))
-    fetchByAddrs(spark, datasetPath, idxProbe.unionByName(tailProbe), maxRows)
+      .select(col(addrCol).as("addr"))
+    fetchByAddrs(spark, datasetPath, idxProbe.unionByName(tailProbe), maxRows,
+                 stable)
   }
 
   /** LABEL_LIST-analogue index over an ARRAY column (the lance-index

@@ -344,6 +344,33 @@ object LanceOps {
       FROM customer c LEFT JOIN oa ON c.c_custkey = oa.o_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Move-stable row ids end-to-end (crate `enable_move_stable_row_ids`):
+    // a scalar index keyed by `_rowid` is built, then the dataset is
+    // DELETED FROM and COMPACTED underneath it — rows move to new
+    // addresses, ids don't. The probe resolves id -> current address
+    // through the head manifest's sequences, so a wrong sequence after
+    // compaction, a leaked deleted id, or a bad id->addr walk breaks the
+    // hash. The oracle recomputes the filter relationally (deleted rows
+    // excluded — their ids vanished with the compaction).
+    QDef("l16_stable_rowid_index", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/supplier_rid.lance"
+      t("supplier").repartition(3).write.format("lance")
+        .option("stableRowIds", "true").mode("overwrite").save(ds)
+      val ix = s"$workDir/supplier_rid_ix"
+      graft.operators.ScalarIndex.build(s, ds, "s_nationkey", ix,
+        stableRowIds = true)
+      graft.sources.lance.LanceMaintenance.deleteWhere(s, ds, "s_acctbal < 0")
+      graft.sources.lance.LanceMaintenance.compactStable(s, ds,
+        targetFragments = 2)
+      graft.operators.ScalarIndex.lookup(s, ds, ix, Seq(3L, 9L, 14L))
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    }, Some("""
+      SELECT s_suppkey, s_name, s_nationkey FROM supplier
+      WHERE s_nationkey IN (3, 9, 14) AND s_acctbal >= 0
+      ORDER BY s_suppkey""")),
+
     // UPDATE analogue end-to-end: predicate-matched rows replaced with
     // transformed selves (deletion vectors + staged fragments, one
     // version); oracle applies the same CASE rewrite relationally

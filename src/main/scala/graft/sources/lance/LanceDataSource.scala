@@ -64,11 +64,17 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
     val versionAsOf = pinnedVersion(options, fs, path)
     val manifest = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, path, versionAsOf))
     val base = LanceFormat.toStructType(manifest)
-    // opt-in metadata column: lance row address (fragId << 32 | rowOffset)
-    if (options.getBoolean("withRowAddress", false))
-      base.add(org.apache.spark.sql.types.StructField(
-        "_rowaddr", org.apache.spark.sql.types.LongType, nullable = false))
-    else base
+    // opt-in metadata columns: lance row address (fragId << 32 | rowOffset)
+    // and the move-stable row id (when the dataset carries sequences)
+    val withAddr =
+      if (options.getBoolean("withRowAddress", false))
+        base.add(org.apache.spark.sql.types.StructField(
+          "_rowaddr", org.apache.spark.sql.types.LongType, nullable = false))
+      else base
+    if (options.getBoolean("withRowId", false))
+      withAddr.add(org.apache.spark.sql.types.StructField(
+        "_rowid", org.apache.spark.sql.types.LongType, nullable = false))
+    else withAddr
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -105,7 +111,7 @@ class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[
     * 0.32.1 default). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(LanceTable.RowAddrColumn)
+    Array(LanceTable.RowAddrColumn, LanceTable.RowIdColumn)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
@@ -138,6 +144,18 @@ object LanceTable {
     override def isNullable: Boolean = false
     override def comment(): String =
       "lance row address: (fragment_id << 32) | physical_row_offset"
+  }
+
+  /** Move-stable row id (requires the dataset written with
+    * `option("stableRowIds", true)` — scans of address-only datasets
+    * fail loudly when this column is referenced). */
+  object RowIdColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_rowid"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "lance move-stable row id (survives compaction; new id on update)"
   }
 }
 
@@ -275,7 +293,8 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
     val want = requiredSchema.fieldNames.toSet
     val base = full.fields.filter(f => want.contains(f.name))
     val meta = requiredSchema.fields.filter(f =>
-      f.name == "_rowaddr" && !full.fieldNames.contains("_rowaddr"))
+      (f.name == "_rowaddr" || f.name == "_rowid") &&
+        !full.fieldNames.contains(f.name))
     required = StructType(base ++ meta)
   }
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
@@ -372,7 +391,8 @@ case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
                                fragId: Long = 0L,
                                deletionPath: Option[String] = None,
                                numDeleted: Long = 0L,
-                               extraFiles: Array[LanceFileSlice] = Array.empty)
+                               extraFiles: Array[LanceFileSlice] = Array.empty,
+                               rowIdSegs: Array[Byte] = null)
   extends InputPartition
 
 class LanceScan(path: String, full: StructType, required: StructType,
@@ -465,12 +485,20 @@ class LanceScan(path: String, full: StructType, required: StructType,
       val extras = frag.files.tail.map(f => LanceFileSlice(
         new Path(new Path(path, "data"), f.path).toString,
         f.fieldIds.toArray, f.columnIndices.toArray)).toArray
+      // the `_rowid` projection ships the fragment's row-id sequence
+      // (manifest-resident segments — metadata bytes, not data)
+      val segs =
+        if (!required.fieldNames.contains("_rowid")) null
+        else LanceFormat.encodeRowIds(frag.rowIds.getOrElse(
+          throw new IllegalStateException(
+            s"lance: fragment ${frag.id} of $path has no row-id sequence — " +
+              "the dataset was not written with stableRowIds")))
       LanceInputPartition(
         new Path(new Path(path, "data"), head.path).toString,
         head.fieldIds.toArray, head.columnIndices.toArray, frag.physicalRows,
         fragId = frag.id, deletionPath = delPath,
         numDeleted = frag.deletion.map(_.numDeleted).getOrElse(0L),
-        extraFiles = extras)
+        extraFiles = extras, rowIdSegs = segs)
     }
     limit match {
       case None => all.toArray
@@ -502,7 +530,8 @@ class LanceScan(path: String, full: StructType, required: StructType,
         } else manifest.fields.filter(_.parentId == f.id).map(specOf).toArray
       ColSpec(f.id, f.logicalType, f.name, kids)
     }
-    required.fieldNames.filterNot(_ == "_rowaddr").map(n => specOf(byName(n)))
+    required.fieldNames.filterNot(n => n == "_rowaddr" || n == "_rowid")
+      .map(n => specOf(byName(n)))
   }
 
   /** Streaming source: tail appended versions as micro-batches. */
@@ -512,8 +541,10 @@ class LanceScan(path: String, full: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f).toMap
-    // `_rowaddr` is synthetic (no physical column): readers weave it in
+    // `_rowaddr`/`_rowid` are synthetic (no physical column): readers
+    // weave them in
     val rowAddrPos = required.fieldNames.indexOf("_rowaddr")
+    val rowIdPos = required.fieldNames.indexOf("_rowid")
     val cols = requiredSpecs
     // zone filters resolved to field ids (unknown columns dropped)
     val zf = zoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z)))
@@ -537,7 +568,7 @@ class LanceScan(path: String, full: StructType, required: StructType,
       needed.exists(id => !have.contains(id))
     }
     new LanceReaderFactory(cols.toArray, serConf, zf, rowAddrPos,
-      anyDeletions || anyMissing, addrFilters)
+      anyDeletions || anyMissing, addrFilters, rowIdPos)
   }
 }
 
@@ -570,11 +601,13 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
                          zf: Seq[(Int, ZoneFilter)] = Nil,
                          rowAddrPos: Int = -1,
                          anyDeletions: Boolean = false,
-                         addrFilters: Seq[AddrFilter] = Nil)
+                         addrFilters: Seq[AddrFilter] = Nil,
+                         rowIdPos: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LanceInputPartition]
-    new LancePartitionReader(p, colSpecs, zf, conf.value, rowAddrPos, addrFilters)
+    new LancePartitionReader(p, colSpecs, zf, conf.value, rowAddrPos, addrFilters,
+                             rowIdPos)
   }
 
   /** Columnar path: scalar projections, list-of-numeric columns (the
@@ -584,7 +617,7 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
     * projections fall back to the row reader (the choice is scan-wide:
     * Spark rejects mixed row/columnar partitions). */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    rowAddrPos < 0 && !anyDeletions &&
+    rowAddrPos < 0 && rowIdPos < 0 && !anyDeletions &&
     colSpecs.forall { cs =>
       cs.kids.isEmpty ||
         (cs.logicalType == "struct" && cs.kids.forall(_.kids.isEmpty)) ||
@@ -1128,11 +1161,35 @@ class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
                            zoneFilters: Seq[(Int, ZoneFilter)] = Nil,
                            conf: Configuration = new Configuration(),
                            rowAddrPos: Int = -1,
-                           addrFilters: Seq[AddrFilter] = Nil)
+                           addrFilters: Seq[AddrFilter] = Nil,
+                           rowIdPos: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val pages = new FragmentPages(part, colSpecs, zoneFilters, conf, addrFilters)
   private val nCols = colSpecs.length
+  private val nOut = nCols + (if (rowAddrPos >= 0) 1 else 0) +
+    (if (rowIdPos >= 0) 1 else 0)
+
+  /** Physical offset -> move-stable row id: prefix sums over the
+    * fragment's segments, binary-searched (segments are few; offsets
+    * within a run resolve by arithmetic). */
+  private val rowIdSegs: Array[LanceFormat.RowIdSeg] =
+    if (rowIdPos < 0) null else LanceFormat.decodeRowIds(part.rowIdSegs).toArray
+  private val segStarts: Array[Long] =
+    if (rowIdSegs == null) null
+    else rowIdSegs.scanLeft(0L)(_ + _.count)
+  private def rowIdOf(phys: Long): Long = {
+    var lo = 0
+    var hi = rowIdSegs.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (segStarts(mid) <= phys) lo = mid else hi = mid - 1
+    }
+    rowIdSegs(lo) match {
+      case LanceFormat.RangeSeg(s, _) => s + (phys - segStarts(lo))
+      case LanceFormat.ArraySeg(ids)  => ids((phys - segStarts(lo)).toInt)
+    }
+  }
 
   private val rows: Iterator[InternalRow] = {
     val base: Iterator[InternalRow] =
@@ -1141,14 +1198,13 @@ class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
         (0 until numRows).iterator
           .filter(r => !pages.isDeleted(r))
           .map(r => assemble(colValues, r, r))
-      } else if (colSpecs.isEmpty && rowAddrPos >= 0) {
-        // `_rowaddr`-only projection (e.g. min/max over addresses, or an
+      } else if (colSpecs.isEmpty && (rowAddrPos >= 0 || rowIdPos >= 0)) {
+        // metadata-only projection (e.g. min/max over addresses, or an
         // address handoff to a take): no physical column decodes —
         // addresses enumerate live physical offsets directly
         val live = (0L until part.numRows).iterator
           .filter(r => !pages.isDeleted(r))
-          .map(r => new GenericInternalRow(
-            Array[Any]((part.fragId << 32) | r)): InternalRow)
+          .map(r => assemble(Array.empty, 0, r))
         if (part.rowLimit < Int.MaxValue) live.take(part.rowLimit.toInt) else live
       } else if (colSpecs.isEmpty) {
         // synthetic count(*) page: take is already the live row count
@@ -1170,17 +1226,18 @@ class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
   }
 
   private def assemble(colValues: Array[Array[Any]], r: Int, phys: Long): InternalRow = {
-    if (rowAddrPos < 0) {
+    if (rowAddrPos < 0 && rowIdPos < 0) {
       val arr = new Array[Any](nCols)
       var i = 0
       while (i < nCols) { arr(i) = colValues(i)(r); i += 1 }
       new GenericInternalRow(arr)
     } else {
-      val arr = new Array[Any](nCols + 1)
+      val arr = new Array[Any](nOut)
       var i = 0 // source column cursor
       var o = 0 // output slot cursor
-      while (o < nCols + 1) {
+      while (o < nOut) {
         if (o == rowAddrPos) arr(o) = (part.fragId << 32) | phys
+        else if (o == rowIdPos) arr(o) = rowIdOf(phys)
         else { arr(o) = colValues(i)(r); i += 1 }
         o += 1
       }

@@ -49,15 +49,104 @@ object LanceFormat {
     }
   }
 
+  /** Move-stable row ids (the crate's `enable_move_stable_row_ids`): a
+    * fragment's PHYSICAL rows carry persistent u64 ids that survive
+    * compaction (rows move, ids don't); updates delete + re-insert under
+    * NEW ids — hence "move-stable". The per-fragment id sequence is
+    * mostly contiguous (assigned [next, next+rows) at write), so it
+    * stores as run segments: [[RangeSeg]] for a contiguous run,
+    * [[ArraySeg]] for the irregular tail compaction produces after
+    * deletes. Proto placement (format.proto numbering, consistent with
+    * the byte-confirmed 13=writer_version / 15=data_format tags):
+    * `DataFragment.row_id_meta = 5` wrapping `inline_row_ids = 1`;
+    * `Manifest.next_row_id = 14`. The inline BYTE layout is this
+    * writer's convention (varint segments — the crate's U64Segment
+    * codec is undocumented here), flagged assumed like the 2.1 layouts.
+    */
+  sealed trait RowIdSeg { def count: Long }
+  final case class RangeSeg(start: Long, n: Long) extends RowIdSeg { def count: Long = n }
+  final case class ArraySeg(ids: Array[Long]) extends RowIdSeg { def count: Long = ids.length }
+
+  def encodeRowIds(segs: Seq[RowIdSeg]): Array[Byte] = {
+    val w = new Proto.Writer
+    w.writeVarintRaw(segs.length.toLong)
+    segs.foreach {
+      case RangeSeg(s, n) => w.writeVarintRaw(0L); w.writeVarintRaw(s); w.writeVarintRaw(n)
+      case ArraySeg(ids)  => w.writeVarintRaw(1L); w.writeVarintRaw(ids.length.toLong); ids.foreach(w.writeVarintRaw)
+    }
+    w.result()
+  }
+
+  def decodeRowIds(b: Array[Byte]): Seq[RowIdSeg] = {
+    var p = 0
+    def rd(): Long = { val (v, np) = Proto.readVarint(b, p); p = np; v }
+    val n = rd().toInt
+    (0 until n).map { _ =>
+      rd() match {
+        case 0L => RangeSeg(rd(), rd())
+        case 1L => val m = rd().toInt; ArraySeg(Array.fill(m)(rd()))
+        case t  => throw new IllegalStateException(s"lance: unknown row-id segment tag $t")
+      }
+    }
+  }
+
+  /** Row id of one physical offset in a fragment's sequence. */
+  def rowIdAt(segs: Seq[RowIdSeg], offset: Long): Long = {
+    var acc = 0L
+    segs.foreach { s =>
+      if (offset < acc + s.count) return s match {
+        case RangeSeg(st, _) => st + (offset - acc)
+        case ArraySeg(ids)   => ids((offset - acc).toInt)
+      }
+      acc += s.count
+    }
+    throw new IllegalArgumentException(s"lance: offset $offset past row-id sequence ($acc rows)")
+  }
+
+  /** Resolve row ids to current `_rowaddr`s from the manifest's sequences
+    * (the crate's row-id index, built driver-side: segments live in the
+    * manifest, so this walks #fragments × #segments — bounded metadata,
+    * never data). Ids absent everywhere (deleted + compacted away, or
+    * never assigned) are simply missing from the result.
+    */
+  def addrOfRowIds(m: Manifest, ids: Seq[Long]): Map[Long, Long] = {
+    val want = ids.toSet
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    m.fragments.foreach { fr =>
+      var acc = 0L
+      fr.rowIds.getOrElse(Nil).foreach { s =>
+        s match {
+          case RangeSeg(st, n) =>
+            want.foreach { id =>
+              if (id >= st && id < st + n) out(id) = (fr.id << 32) | (acc + (id - st))
+            }
+          case ArraySeg(arr) =>
+            var i = 0
+            while (i < arr.length) {
+              if (want.contains(arr(i))) out(arr(i)) = (fr.id << 32) | (acc + i)
+              i += 1
+            }
+        }
+        acc += s.count
+      }
+    }
+    out.toMap
+  }
+
   /** stats: (top-level field id, min, max) numeric zone ranges for the
     * whole fragment — lets the planner skip fragments without opening
     * their files. */
   final case class FragmentMeta(id: Long, files: Seq[DataFileMeta], physicalRows: Long,
                                 stats: Seq[(Int, Double, Double)] = Nil,
-                                deletion: Option[DeletionFileMeta] = None) {
+                                deletion: Option[DeletionFileMeta] = None,
+                                rowIds: Option[Seq[RowIdSeg]] = None) {
     def liveRows: Long = physicalRows - deletion.map(_.numDeleted).getOrElse(0L)
   }
-  final case class Manifest(fields: Seq[LanceField], fragments: Seq[FragmentMeta], version: Long)
+  final case class Manifest(fields: Seq[LanceField], fragments: Seq[FragmentMeta], version: Long,
+                            nextRowId: Long = 0L) {
+    /** Move-stable row ids are on iff the manifest carries a next id. */
+    def stableRowIds: Boolean = nextRowId > 0L
+  }
 
   final case class PageMeta(bufferOffsets: Seq[Long], bufferSizes: Seq[Long], numRows: Long)
   final case class ColumnMeta(pages: Seq[PageMeta])
@@ -176,14 +265,24 @@ object LanceFormat {
           fileType = Proto.firstVarint(df, 3).getOrElse(0L).toInt,
           numDeleted = Proto.firstVarint(df, 4).getOrElse(0L))
       }
+      val rowIds = Proto.firstBytes(fs, 5).map { rm =>
+        val rf = Proto.parse(rm)
+        Proto.firstBytes(rf, 1) match {
+          case Some(inline) => decodeRowIds(inline)
+          case None => throw new IllegalStateException(
+            "lance: external row-id files are not supported (inline_row_ids only)")
+        }
+      }
       FragmentMeta(
         id = Proto.firstVarint(fs, 1).getOrElse(0L),
         files = files,
         physicalRows = Proto.firstVarint(fs, 4).getOrElse(0L),
         stats = stats,
-        deletion = deletion)
+        deletion = deletion,
+        rowIds = rowIds)
     }
-    Manifest(fields, fragments, Proto.firstVarint(top, 3).getOrElse(1L))
+    Manifest(fields, fragments, Proto.firstVarint(top, 3).getOrElse(1L),
+             nextRowId = Proto.firstVarint(top, 14).getOrElse(0L))
   }
 
   def toStructType(m: Manifest): StructType = {

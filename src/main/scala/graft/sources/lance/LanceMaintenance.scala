@@ -21,6 +21,18 @@ object LanceMaintenance {
   def compact(spark: SparkSession, path: String, targetFragments: Int = 1,
               sortBy: Seq[String] = Nil): Long = {
     require(targetFragments > 0, "targetFragments must be positive")
+    // a stable-row-id dataset must not be overwrite-compacted (ids would
+    // be reassigned): delegate to the id-preserving path
+    val conf0 = spark.sessionState.newHadoopConf()
+    val (fs0, p0) = LanceFormat.fileSystem(path, conf0)
+    val m0 = LanceFormat.readManifest(fs0,
+      LanceFormat.latestManifestPath(fs0, p0, None))
+    if (m0.stableRowIds) {
+      require(sortBy.isEmpty,
+        "lance compact: re-sorting a move-stable-row-id dataset would " +
+          "reorder rows inside fragments — supported only without sortBy")
+      return compactStable(spark, path, targetFragments)
+    }
     // sortBy = recluster while compacting (the OPTIMIZE ... SORT analogue):
     // the write's range exchange produces range-disjoint fragments, so
     // stats pruning gets sharper as a side effect of the same rewrite
@@ -35,6 +47,136 @@ object LanceMaintenance {
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
     LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version
+  }
+
+  /** Compaction that PRESERVES move-stable row ids (the crate's
+    * `compact_files` on a dataset with `enable_move_stable_row_ids`):
+    * fragments are concatenated in manifest order into `targetFragments`
+    * groups, deleted rows are materialized away, and each new fragment's
+    * row-id sequence records the surviving ids — rows MOVE (new
+    * addresses), ids DON'T, so indexes keyed by `_rowid` stay correct
+    * across the rewrite.
+    *
+    * Scale shape: one executor task per output fragment streams its
+    * group's live rows through a page-buffered writer (the mergeColumns
+    * pattern); row-id runs compress to range segments on the fly, so the
+    * driver receives per-fragment METADATA (file name, row count, stats,
+    * encoded segments), never rows. Plain [[compact]] delegates here on a
+    * stable dataset — an address-rewriting overwrite would reassign ids,
+    * which is exactly what the feature forbids.
+    */
+  def compactStable(spark: SparkSession, path: String,
+                    targetFragments: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{col, shiftrightunsigned, typedlit}
+    require(targetFragments > 0, "targetFragments must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val manifestPath = LanceFormat.latestManifestPath(fs, p, None)
+    val manifest = LanceFormat.readManifest(fs, manifestPath)
+    require(manifest.stableRowIds,
+      s"lance compactStable: $path has no move-stable row ids — use compact")
+    val schema = LanceFormat.toStructType(manifest)
+    val fsl: Map[String, Int] = manifest.fields
+      .filter(f => f.parentId == -1 && f.logicalType.startsWith("fixed_size_list:"))
+      .map(f => f.name -> LanceFormat.fslParts(f.logicalType)._2).toMap
+
+    // contiguous grouping in manifest order (the crate concatenates
+    // neighbours too — time-locality of appends is preserved)
+    val frags = manifest.fragments
+    val nGroups = math.min(targetFragments, math.max(frags.length, 1))
+    val per = math.ceil(frags.length.toDouble / nGroups).toInt
+    val groupOf: Map[Long, Int] =
+      frags.zipWithIndex.map { case (f, i) => f.id -> i / per }.toMap
+
+    val src = spark.read.format("lance")
+      .option("versionAsOf", manifest.version.toString).load(path)
+      .select(schema.fieldNames.map(col) :+ col("_rowaddr") :+ col("_rowid"): _*)
+    val grpMap = typedlit(groupOf)
+    val prepared = src
+      .withColumn("__grp",
+        org.apache.spark.sql.functions.element_at(
+          grpMap, shiftrightunsigned(col("_rowaddr"), 32)))
+      .repartition(nGroups, col("__grp"))
+      .sortWithinPartitions(col("__grp"), col("_rowaddr"))
+    val outSchema = prepared.schema
+    val addrIdx = outSchema.fieldIndex("_rowaddr")
+    val ridIdx = outSchema.fieldIndex("_rowid")
+    val grpIdx = outSchema.fieldIndex("__grp")
+    val dataIdxs = schema.fieldNames.map(outSchema.fieldIndex)
+    val dataTypes = schema.fields.map(_.dataType)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val pathStr = path
+    val fslB = fsl
+
+    val newFiles = prepared.queryExecution.toRdd.mapPartitions { it =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, Long, Seq[(Int, Double, Double)], Array[Byte])]
+      var curGrp = -1
+      var writer: LanceFragmentWriter = null
+      var os: java.io.OutputStream = null
+      var fname: String = null
+      var rows = 0L
+      val segs = scala.collection.mutable.ArrayBuffer.empty[LanceFormat.RowIdSeg]
+      var runStart = 0L
+      var runLen = 0L
+      def flushRun(): Unit = if (runLen > 0) {
+        segs += LanceFormat.RangeSeg(runStart, runLen); runLen = 0
+      }
+      def closeCur(): Unit = if (writer != null) {
+        writer.finish(); os.close()
+        flushRun()
+        out += ((curGrp, fname, rows, writer.fileStats,
+                 LanceFormat.encodeRowIds(segs.toSeq)))
+        writer = null; os = null; segs.clear()
+      }
+      it.foreach { row =>
+        val grp = row.getInt(grpIdx)
+        if (grp != curGrp) {
+          closeCur()
+          curGrp = grp
+          fname = s"${java.util.UUID.randomUUID()}.lance"
+          val fp = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(pathStr), "data"), fname)
+          os = fp.getFileSystem(serConf.value).create(fp, true)
+          writer = new LanceFragmentWriter(os, org.apache.spark.sql.types.StructType(
+            schema.fields), fsl = fslB)
+          rows = 0L
+        }
+        val id = row.getLong(ridIdx)
+        if (runLen > 0 && id == runStart + runLen) runLen += 1
+        else { flushRun(); runStart = id; runLen = 1 }
+        val vals = new Array[Any](dataIdxs.length)
+        var i = 0
+        while (i < dataIdxs.length) {
+          vals(i) = if (row.isNullAt(dataIdxs(i))) null
+                    else row.get(dataIdxs(i), dataTypes(i))
+          i += 1
+        }
+        writer.write(new GenericInternalRow(vals))
+        rows += 1
+      }
+      closeCur()
+      out.iterator
+    }.collect().sortBy(_._1)
+
+    // snapshot commit: a concurrent append would be dropped by this
+    // whole-fragment-set replacement — fail loudly instead (like the
+    // deleteWhere interleave guard); retry-after-recompute is the caller's
+    // decision.
+    val latest = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None))
+    if (latest.version != manifest.version) throw new LanceCommitConflict(
+      s"lance: dataset changed under compactStable on $path — recompute", null)
+    val newFrags = newFiles.map { case (_, f, r, st, _) => (f, r, st) }.toSeq
+    val newSegs = newFiles.map { case (_, _, _, _, b) =>
+      LanceFormat.decodeRowIds(b)
+    }.toSeq
+    val newVersion = manifest.version + 1
+    LanceWriteSupport.writeManifest(conf, p, schema, newFrags,
+      frags.map(_.id).foldLeft(-1L)(math.max) + 1, Nil, newVersion, fsl,
+      manifest.fields, newRowIds = newSegs, nextRowId = manifest.nextRowId)
+    newVersion
   }
 
   /** Delete rows matching a SQL `condition` without rewriting data files:
@@ -446,11 +588,24 @@ object LanceMaintenance {
         val patchedPrev = latest.fragments.map(fr =>
           delMetas.get(fr.id).map(m => fr.copy(deletion = Some(m))).getOrElse(fr))
         val newVersion = latest.version + 1
+        // move-stable semantics: an upsert's re-inserted rows are NEW rows
+        // — they take fresh ids from the head's counter (ids are stable
+        // under moves, not updates; the crate does the same)
+        val (segs, nextId) =
+          if (latest.nextRowId == 0L) (Nil, 0L)
+          else {
+            var next = latest.nextRowId
+            val s = newFrags.map { case (_, rows, _) =>
+              val seg = Seq(LanceFormat.RangeSeg(next, rows)); next += rows; seg
+            }
+            (s, next)
+          }
         try {
           LanceWriteSupport.writeManifest(conf, p,
             org.apache.spark.sql.types.StructType(tgtFields), newFrags,
             latest.fragments.map(_.id).foldLeft(-1L)(math.max) + 1,
-            patchedPrev, newVersion, fsl, latest.fields)
+            patchedPrev, newVersion, fsl, latest.fields,
+            newRowIds = segs, nextRowId = nextId)
           committed = newVersion
         } catch {
           case e: LanceCommitConflict =>

@@ -39,7 +39,9 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
     new LanceWrite(path, info.schema(), doTruncate, fsl,
       clusterBy = cols("clusterBy"), sortBy = cols("sortBy"),
       numPartitions = Option(info.options.get("writePartitions"))
-        .map(_.toInt).getOrElse(0))
+        .map(_.toInt).getOrElse(0),
+      stableRowIds = Option(info.options.get("stableRowIds"))
+        .exists(_.toBoolean))
   }
 }
 
@@ -58,7 +60,7 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
 class LanceWrite(path: String, schema: StructType, truncate: Boolean,
                  fsl: Map[String, Int],
                  clusterBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
-                 numPartitions: Int = 0)
+                 numPartitions: Int = 0, stableRowIds: Boolean = false)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -82,7 +84,8 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def requiredOrdering(): Array[SortOrder] = sortOrders
 
-  override def toBatch: BatchWrite = new LanceBatchWrite(path, schema, truncate, fsl)
+  override def toBatch: BatchWrite =
+    new LanceBatchWrite(path, schema, truncate, fsl, stableRowIds)
 }
 
 case class LanceCommitMessage(fileName: String, rows: Long,
@@ -90,7 +93,8 @@ case class LanceCommitMessage(fileName: String, rows: Long,
     extends WriterCommitMessage
 
 class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
-                      fsl: Map[String, Int] = Map.empty)
+                      fsl: Map[String, Int] = Map.empty,
+                      stableRowIds: Boolean = false)
     extends BatchWrite {
 
   private val hadoopConf = new SerializableConfiguration(
@@ -118,7 +122,7 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     var attempt = 0
     var done = false
     while (!done) {
-      val (prevFragments, prevFields, prevMaxFragId, version) =
+      val (prevFragments, prevFields, prevMaxFragId, version, prevNextRowId) =
         if (fs.exists(new Path(dataset, "_versions"))) {
           val m = LanceFormat.readManifest(fs,
             LanceFormat.latestManifestPath(fs, dataset, None))
@@ -126,11 +130,30 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
           // left them non-positional); overwrite starts a fresh id space
           val prev = if (truncate) Nil else m.fragments
           val pf = if (truncate) Nil else m.fields
-          (prev, pf, m.fragments.map(_.id).foldLeft(-1L)(math.max), m.version + 1)
-        } else (Nil, Nil, -1L, 1L)
+          (prev, pf, m.fragments.map(_.id).foldLeft(-1L)(math.max),
+           m.version + 1, m.nextRowId)
+        } else (Nil, Nil, -1L, 1L, 0L)
+      // Move-stable row ids: on by option for a fresh/overwrite write;
+      // appends to a stable dataset continue automatically (the manifest's
+      // next_row_id is authoritative). Overwrite of a stable dataset keeps
+      // the counter monotone — ids are NEVER reused within a dataset's
+      // history, so a stale index can fetch nothing, never a wrong row.
+      val stable = stableRowIds || prevNextRowId > 0L
+      val (rowIdSegs, nextRowId) =
+        if (!stable) (Nil, 0L)
+        else {
+          var next = math.max(prevNextRowId, 0L)
+          val segs = fragments.map { case (_, rows, _) =>
+            val s = Seq(LanceFormat.RangeSeg(next, rows))
+            next += rows
+            s
+          }
+          (segs, next)
+        }
       try {
         LanceWriteSupport.writeManifest(conf, dataset, schema, fragments,
-          prevMaxFragId + 1, prevFragments, version, fsl, prevFields)
+          prevMaxFragId + 1, prevFragments, version, fsl, prevFields,
+          newRowIds = rowIdSegs, nextRowId = nextRowId)
         done = true
       } catch {
         case e: LanceCommitConflict =>

@@ -702,7 +702,11 @@ object LanceWriteSupport {
                     startFragId: Long,
                     previous: Seq[LanceFormat.FragmentMeta], version: Long,
                     fsl: Map[String, Int] = Map.empty,
-                    prevFields: Seq[LanceFormat.LanceField] = Nil): Unit = {
+                    prevFields: Seq[LanceFormat.LanceField] = Nil,
+                    newRowIds: Seq[Seq[LanceFormat.RowIdSeg]] = Nil,
+                    nextRowId: Long = 0L): Unit = {
+    require(newRowIds.isEmpty || newRowIds.length == fragments.length,
+      "lance: newRowIds must align 1:1 with the new fragments")
     val layout = LanceSchemaLayout.of(schema, fsl)
     // On an evolved dataset (column added/dropped/renamed) field ids are no
     // longer the DFS positions this schema would regenerate — appends must
@@ -773,6 +777,13 @@ object LanceWriteSupport {
         fw.message(3, dv)
       }
       fw.varint(4, fr.physicalRows)
+      // move-stable row ids survive appends: re-emit the carried
+      // fragment's row_id_meta (DataFragment field 5, inline bytes)
+      fr.rowIds.foreach { segs =>
+        val rm = new Proto.Writer
+        rm.bytes(1, LanceFormat.encodeRowIds(segs))
+        fw.message(5, rm)
+      }
       statMsgs(fw, fr.stats)
       w.message(2, fw)
     }
@@ -788,6 +799,11 @@ object LanceWriteSupport {
         .packed(3, colFieldIds.indices.map(_.toLong)).varint(4, 2L)
       fw.message(2, dw)
       fw.varint(4, rows)
+      if (newRowIds.nonEmpty) {
+        val rm = new Proto.Writer
+        rm.bytes(1, LanceFormat.encodeRowIds(newRowIds(i)))
+        fw.message(5, rm)
+      }
       // stats arrive keyed by generated positional ids (fileStats uses
       // layout.topFieldIdOfCol) — on an evolved dataset those differ from
       // the committed ids the fragment's fieldIds use, so remap through
@@ -796,6 +812,7 @@ object LanceWriteSupport {
       w.message(2, fw)
     }
     w.varint(3, version)
+    if (nextRowId > 0L) w.varint(14, nextRowId)
     w.message(13, { val v = new Proto.Writer; v.string(1, "lance").string(2, "0.32.1"); v })
     w.message(15, { val v = new Proto.Writer; v.string(1, "lance").string(2, "2.0"); v })
     commitManifest(conf, dataset, w.result(), version)
