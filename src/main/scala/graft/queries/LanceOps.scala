@@ -371,6 +371,42 @@ object LanceOps {
       WHERE s_nationkey IN (3, 9, 14) AND s_acctbal >= 0
       ORDER BY s_suppkey""")),
 
+    // Row-level change feed between versions (full-fidelity CDC on top of
+    // move-stable row ids): insert = live id in v_to not in v_from,
+    // delete = converse — two metadata-only `_rowid` scans anti-joined,
+    // full rows fetched only for changed ids. A compaction BETWEEN the
+    // endpoints (rows move, ids don't) must contribute nothing; the
+    // oracle recomputes both legs relationally, so a reassigned id, a
+    // leaked compacted row, or a missed delete breaks the hash.
+    QDef("l17_change_feed", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/supplier_cdc.lance"
+      val sup = t("supplier")
+      sup.filter(col("s_suppkey") % 2 === 0)
+        .write.format("lance").option("stableRowIds", "true")
+        .mode("overwrite").save(ds)
+      graft.sources.lance.LanceMaintenance.deleteWhere(s, ds, "s_acctbal < 0")
+      sup.filter(col("s_suppkey") % 2 === 1)
+        .write.format("lance").mode("append").save(ds)
+      graft.sources.lance.LanceMaintenance.compactStable(s, ds,
+        targetFragments = 2)
+      val conf = s.sessionState.newHadoopConf()
+      val (fs, p) = graft.sources.lance.LanceFormat.fileSystem(ds, conf)
+      val head = graft.sources.lance.LanceFormat.readManifest(fs,
+        graft.sources.lance.LanceFormat.latestManifestPath(fs, p, None)).version
+      graft.sources.lance.LanceMaintenance.changesBetween(s, ds, 1L, head)
+        .select(col("_change"), col("s_suppkey"), col("s_name"),
+                col("s_acctbal"))
+        .orderBy("_change", "s_suppkey")
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'insert' AS _change, s_suppkey, s_name, s_acctbal
+        FROM supplier WHERE s_suppkey % 2 = 1
+        UNION ALL
+        SELECT 'delete' AS _change, s_suppkey, s_name, s_acctbal
+        FROM supplier WHERE s_suppkey % 2 = 0 AND s_acctbal < 0)
+      ORDER BY _change, s_suppkey""")),
+
     // UPDATE analogue end-to-end: predicate-matched rows replaced with
     // transformed selves (deletion vectors + staged fragments, one
     // version); oracle applies the same CASE rewrite relationally

@@ -668,6 +668,52 @@ object LanceMaintenance {
     -1L // unreachable
   }
 
+  /** Row-level change feed between two versions — the full-fidelity CDC
+    * the append-only `fromVersion` scan cannot give: with move-stable row
+    * ids, row identity is the persistent `_rowid`, so the feed is two
+    * id-set anti-joins — `insert` = live in `toVersion` but not in
+    * `fromVersion`, `delete` = the converse. An update (delete +
+    * re-insert under a fresh id — crate semantics) surfaces as one of
+    * each; compaction alone (rows move, ids don't) produces NO changes.
+    *
+    * Scale shape: both id sides project ONLY `_rowid` — the reader weaves
+    * it from the fragment's manifest-resident sequence with zero data
+    * pages decoded, and deletion masks apply as usual — so each anti-join
+    * shuffles 8-byte ids; full rows are fetched just for the rows that
+    * actually changed. No driver materialization anywhere.
+    *
+    * Returns the changed rows (schema of their own era: deletes carry
+    * `fromVersion`-era columns, inserts `toVersion`-era) under a
+    * `_change` column; column sets are unioned by name (evolution across
+    * the range null-fills).
+    */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromVersion: Long, toVersion: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion < toVersion,
+      s"changesBetween: fromVersion $fromVersion must precede toVersion $toVersion")
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val head = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None))
+    require(head.stableRowIds,
+      s"changesBetween needs move-stable row ids ($path has none): without " +
+        "them row identity does not survive compaction — use the " +
+        "fromVersion append-only scan instead")
+    def at(v: Long) = spark.read.format("lance")
+      .option("versionAsOf", v.toString).load(path)
+    def idsAt(v: Long) = at(v).select(col("_rowid"))
+    val inserted = at(toVersion)
+      .withColumn("_rowid", col("_rowid"))
+      .join(idsAt(fromVersion), Seq("_rowid"), "left_anti")
+      .withColumn("_change", lit("insert"))
+    val deleted = at(fromVersion)
+      .withColumn("_rowid", col("_rowid"))
+      .join(idsAt(toVersion), Seq("_rowid"), "left_anti")
+      .withColumn("_change", lit("delete"))
+    inserted.unionByName(deleted, allowMissingColumns = true)
+  }
+
   // ---- vacuum ------------------------------------------------------------
 
   /** Remove old versions and any files only they reference (the

@@ -146,6 +146,43 @@ class LanceRowIdSpec extends AnyFunSuite {
     assert(r == before - 11L)
   }
 
+  test("changesBetween: update = delete+insert; compaction-only range is empty") {
+    val p = tmp("rowid_cdc")
+    (0L until 10L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.format("lance")
+      .option("stableRowIds", "true").mode("overwrite").save(p)
+    val v1 = 1L
+    LanceMaintenance.updateWhere(spark, p, "k = 4", Map("v" -> "'patched'"))
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, path) = LanceFormat.fileSystem(p, conf)
+    def head(): Long = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, path, None)).version
+    val v2 = head()
+    val feed = LanceMaintenance.changesBetween(spark, p, v1, v2)
+      .select(col("_change"), col("k"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set(("delete", 4L, "v4"), ("insert", 4L, "patched")),
+      s"update must surface as one delete + one insert, got $feed")
+    // compaction alone moves every row but changes no identity
+    LanceMaintenance.compactStable(spark, p, targetFragments = 1)
+    val v3 = head()
+    assert(LanceMaintenance.changesBetween(spark, p, v2, v3).count() == 0L,
+      "a compaction-only range must produce an empty feed")
+    // and the full range still reports just the update
+    assert(LanceMaintenance.changesBetween(spark, p, v1, v3).count() == 2L)
+  }
+
+  test("changesBetween refuses an address-only dataset") {
+    val p = tmp("rowid_cdc_off")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("lance").mode("overwrite").save(p)
+    Seq((3L, "c")).toDF("k", "v").write.format("lance").mode("append").save(p)
+    val e = intercept[IllegalArgumentException] {
+      LanceMaintenance.changesBetween(spark, p, 1L, 2L)
+    }
+    assert(e.getMessage.contains("stable"))
+  }
+
   test("row-id codec round-trips ranges and arrays") {
     import LanceFormat._
     val segs = Seq(RangeSeg(0L, 5L), ArraySeg(Array(9L, 7L, 100L)), RangeSeg(200L, 2L))
