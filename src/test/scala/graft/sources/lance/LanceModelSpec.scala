@@ -69,7 +69,8 @@ class LanceModelSpec extends AnyFunSuite {
     })
   }
 
-  private def runSequence(seed: Long, nOps: Int): Unit = {
+  private def runSequence(seed: Long, nOps: Int,
+                          stable: Boolean = false): Unit = {
     val rnd = new Random(seed)
     val ds = tmpDs()
     val m = new Model
@@ -98,8 +99,37 @@ class LanceModelSpec extends AnyFunSuite {
     // seed the dataset
     val first = freshRows(30)
     m.rows ++= first
-    dfOf(first).write.format("lance").mode("append").save(ds)
+    dfOf(first).write.format("lance").mode("append")
+      .option("stableRowIds", stable.toString).save(ds)
     check(ds, m, "seed")
+
+    // stable mode: the (logical id -> _rowid) mapping, asserted after
+    // every op — untouched rows must keep their id, all ids stay unique
+    def rowIdMap(): Map[Long, Long] =
+      if (!stable) Map.empty
+      else spark.read.format("lance").load(ds).select("id", "_rowid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ridSnapshots = mutable.Map.empty[Long, Map[Long, Long]]
+    def checkStable(before: Map[Long, Long], touched: Set[Long],
+                    label: String): Map[Long, Long] = {
+      val after = rowIdMap()
+      if (stable) {
+        assert(after.values.toSet.size == after.size,
+          s"[$label] duplicate _rowid values")
+        val common = (before.keySet & after.keySet) -- touched
+        val moved = common.filter(id => before(id) != after(id))
+        assert(moved.isEmpty,
+          s"[$label] untouched rows changed _rowid: ${moved.take(5)}")
+        // rewritten rows are re-inserts: they must take FRESH ids, never
+        // one that was live before the op
+        val preIds = before.values.toSet
+        touched.foreach { id =>
+          after.get(id).foreach(rid => assert(!preIds.contains(rid),
+            s"[$label] rewritten row $id reused live _rowid $rid"))
+        }
+      }
+      after
+    }
 
     // version-keyed model snapshots back the restore op: restoring to a
     // committed version must roll the model to what it held right after
@@ -112,13 +142,19 @@ class LanceModelSpec extends AnyFunSuite {
       LanceFormat.readManifest(fs,
         LanceFormat.latestManifestPath(fs, p, None)).version
     }
-    def snap(): Unit =
-      snapshots(headVersion()) = (m.cols, m.rows.map(_.toMap).toSeq)
+    def snap(): Unit = {
+      val v = headVersion()
+      snapshots(v) = (m.cols, m.rows.map(_.toMap).toSeq)
+      if (stable) ridSnapshots(v) = rowIdMap()
+    }
     snap()
 
     (1 to nOps).foreach { step =>
       val op = rnd.nextInt(10)
       val label = s"seed=$seed step=$step op=$op"
+      val ridsBefore = rowIdMap()
+      var touched = Set.empty[Long]
+      var restoredTo = -1L
       op match {
         case 0 => // append
           val rws = freshRows(5 + rnd.nextInt(10))
@@ -136,6 +172,8 @@ class LanceModelSpec extends AnyFunSuite {
               val k = 2 + rnd.nextInt(4)
               LanceMaintenance.updateWhere(spark, ds, s"id % $k = 0",
                 Map(c -> s"`$c` + 1000"))
+              touched = m.rows.map(_("id").asInstanceOf[Long])
+                .filter(_ % k == 0).toSet
               m.rows.foreach { x =>
                 if (x("id").asInstanceOf[Long] % k == 0)
                   x(c) = (x.getOrElse(c, null) match {
@@ -155,6 +193,7 @@ class LanceModelSpec extends AnyFunSuite {
             LanceMaintenance.mergeInsert(spark, ds,
               dfOf(updates.toSeq ++ inserts), Seq("id"))
             val updIds = updates.map(_("id")).toSet
+            touched = updIds.map(_.asInstanceOf[Long])
             val replaced = m.rows.filter(r => updIds.contains(r("id")))
             replaced.foreach(m.rows -= _)
             m.rows ++= updates
@@ -193,6 +232,7 @@ class LanceModelSpec extends AnyFunSuite {
           m.cols = c
           m.rows.clear()
           m.rows ++= r.map(x => mutable.Map(x.toSeq: _*))
+          restoredTo = v
         case 9 => // mergeColumns: keyed right frame covering an id residue
           val k = 2 + rnd.nextInt(3)
           val ids = m.rows.map(_("id").asInstanceOf[Long])
@@ -212,6 +252,17 @@ class LanceModelSpec extends AnyFunSuite {
             }
           }
       }
+      if (stable) {
+        if (restoredTo >= 0) {
+          // restore must bring back EXACTLY that version's id assignment
+          val expect = ridSnapshots(restoredTo)
+          val got = rowIdMap()
+          assert(got == expect,
+            s"[$label] restore to v$restoredTo: id map diverged " +
+              s"(missing=${(expect.keySet -- got.keySet).take(3)}, " +
+              s"extra=${(got.keySet -- expect.keySet).take(3)})")
+        } else checkStable(ridsBefore, touched, label)
+      }
       snap()
       check(ds, m, label)
     }
@@ -219,6 +270,10 @@ class LanceModelSpec extends AnyFunSuite {
 
   test("random op sequences match the reference model (3 seeds x 12 ops)") {
     Seq(101L, 202L, 303L).foreach(runSequence(_, 12))
+  }
+
+  test("stable-row-id mode: ids persist through the same op soup (2 seeds x 12 ops)") {
+    Seq(404L, 505L).foreach(runSequence(_, 12, stable = true))
   }
 
   /** Nested-evolution fuzz: a struct column whose LEAVES evolve (add /
