@@ -66,6 +66,33 @@ object LanceOps {
       SELECT s_nationkey, COUNT(*) AS n, ${Det.oSum("s_acctbal")} AS total_bal
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    // compressed write end-to-end: zstd page-buffer compression (the 2.1
+    // general-compression analogue, applied by this writer at page
+    // granularity) + a range-sorted layout — the scan decompresses only
+    // surviving pages and the oracle aggregates the parquet source, so a
+    // mis-sized buffer, wrong raw length, or codec/zone interaction breaks
+    // the hash. LanceCompressionSpec pins the size win and plain fallback.
+    QDef("l18_lance_compressed", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/documents_zstd.lance"
+      t("documents")
+        .write.format("lance")
+        .option("compression", "zstd").option("sortBy", "doc_id")
+        .option("writePartitions", "4")
+        .mode("overwrite").save(ds)
+      s.read.format("lance").load(ds)
+        .filter(col("doc_id") % 3 === 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+             sum(length(col("text"))).as("text_chars"),
+             sum(length(col("source"))).as("src_chars"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
+             SUM(LENGTH(text)) AS text_chars, SUM(LENGTH(source)) AS src_chars
+      FROM documents WHERE doc_id % 3 = 0
+      GROUP BY lang ORDER BY lang""")),
+
     // vector search directly over a lance dataset (lance's core use case) —
     // scaled-long exact cosine (the e01 determinism recipe) over the
     // round-tripped embeddings, codegen LongDot kernel

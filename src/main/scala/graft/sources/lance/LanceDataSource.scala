@@ -641,7 +641,8 @@ private[lance] final case class PMeta(offs: Seq[Long], sizes: Seq[Long],
                                       sMin: Long = 0L, sMax: Long = 0L,
                                       hasStr: Boolean = false,
                                       dictEnc: Boolean = false,
-                                      enc: LanceEncodings.PageEnc = LanceEncodings.NativeShape)
+                                      enc: LanceEncodings.PageEnc = LanceEncodings.NativeShape,
+                                      codec: Int = 0, rawSizes: Seq[Long] = Nil)
 
 /** Page-granular fragment access: footer + column-metadata parse once, then
   * lazy ranged reads of individual page buffers. Readers iterate
@@ -729,6 +730,7 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
       val sMin = pf.find(f => f.tag == 12 && f.wire == 1).map(_.varint)
       val sMax = pf.find(f => f.tag == 13 && f.wire == 1).map(_.varint)
       val dictPage = Proto.firstVarint(pf, 14).contains(1L)
+      val codec = Proto.firstVarint(pf, 15).getOrElse(0L).toInt
       PMeta(Proto.packedVarints(pf, 1), Proto.packedVarints(pf, 2),
             Proto.firstVarint(pf, 3).getOrElse(0L), mn, mx,
             sMin.getOrElse(0L), sMax.getOrElse(0L),
@@ -736,8 +738,10 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
             dictEnc = dictPage,
             // our own dict marker wins; otherwise the page's encoding proto
             // decides foreign (bitpacked/dictionary/miniblock/…) vs native
-            enc = if (dictPage) LanceEncodings.NativeShape
-                  else LanceEncodings.parsePage(pf))
+            enc = if (dictPage || codec != 0) LanceEncodings.NativeShape
+                  else LanceEncodings.parsePage(pf),
+            codec = codec,
+            rawSizes = if (codec != 0) Proto.packedVarints(pf, 16) else Nil)
     }.toIndexedSeq
   })
 
@@ -871,7 +875,15 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
   def readPageBufs(fieldId: Int, pageIdx: Int): Seq[Array[Byte]] = {
     val m = pageMetasOf(fieldId)(pageIdx)
     val h = handleOf(fieldId)
-    m.offs.zip(m.sizes).map { case (o, s) => h.readRange(o, s.toInt) }
+    val raw = m.offs.zip(m.sizes).map { case (o, s) => h.readRange(o, s.toInt) }
+    if (m.codec == 0) raw
+    else {
+      require(m.rawSizes.length == raw.length,
+        s"lance: compressed page carries ${m.rawSizes.length} raw sizes for ${raw.length} buffers")
+      raw.zip(m.rawSizes).map { case (b, rs) =>
+        LanceCodec.decompress(m.codec, b, rs.toInt)
+      }
+    }
   }
 
   /** Boxed decode of the first `rows` rows of one page of `spec`

@@ -41,7 +41,12 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
       numPartitions = Option(info.options.get("writePartitions"))
         .map(_.toInt).getOrElse(0),
       stableRowIds = Option(info.options.get("stableRowIds"))
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      codec = {
+        val c = Option(info.options.get("compression")).getOrElse("")
+        LanceCodec.idOf(c) // validate driver-side, before any task launches
+        c
+      })
   }
 }
 
@@ -60,7 +65,8 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
 class LanceWrite(path: String, schema: StructType, truncate: Boolean,
                  fsl: Map[String, Int],
                  clusterBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
-                 numPartitions: Int = 0, stableRowIds: Boolean = false)
+                 numPartitions: Int = 0, stableRowIds: Boolean = false,
+                 codec: String = "")
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -85,7 +91,7 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
   override def requiredOrdering(): Array[SortOrder] = sortOrders
 
   override def toBatch: BatchWrite =
-    new LanceBatchWrite(path, schema, truncate, fsl, stableRowIds)
+    new LanceBatchWrite(path, schema, truncate, fsl, stableRowIds, codec)
 }
 
 case class LanceCommitMessage(fileName: String, rows: Long,
@@ -94,14 +100,14 @@ case class LanceCommitMessage(fileName: String, rows: Long,
 
 class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
                       fsl: Map[String, Int] = Map.empty,
-                      stableRowIds: Boolean = false)
+                      stableRowIds: Boolean = false, codec: String = "")
     extends BatchWrite {
 
   private val hadoopConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LanceDataWriterFactory(path, schema, hadoopConf, fsl)
+    new LanceDataWriterFactory(path, schema, hadoopConf, fsl, codec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = hadoopConf.value
@@ -177,20 +183,21 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
 class LanceDataWriterFactory(path: String, schema: StructType,
                              conf: SerializableConfiguration,
-                             fsl: Map[String, Int] = Map.empty) extends DataWriterFactory {
+                             fsl: Map[String, Int] = Map.empty,
+                             codec: String = "") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(path, schema, conf.value, fsl)
+    new LanceDataWriter(path, schema, conf.value, fsl, codec)
 }
 
 class LanceDataWriter(path: String, schema: StructType, conf: Configuration,
-                      fsl: Map[String, Int] = Map.empty)
+                      fsl: Map[String, Int] = Map.empty, codec: String = "")
     extends DataWriter[InternalRow] {
 
   private val fileName = s"${UUID.randomUUID()}.lance"
   private val filePath = new Path(new Path(new Path(path), "data"), fileName)
   private val fs = filePath.getFileSystem(conf)
   private val out = fs.create(filePath, true)
-  private val writer = new LanceFragmentWriter(out, schema, fsl = fsl)
+  private val writer = new LanceFragmentWriter(out, schema, fsl = fsl, codec = codec)
   private var rows = 0L
 
   override def write(record: InternalRow): Unit = { writer.write(record); rows += 1 }

@@ -128,8 +128,11 @@ object LanceSchemaLayout {
 
 class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
                           pageRows: Int = 1 << 16,
-                          fsl: Map[String, Int] = Map.empty) {
+                          fsl: Map[String, Int] = Map.empty,
+                          codec: String = "") {
   import LanceSchemaLayout._
+
+  private val codecId = LanceCodec.idOf(codec)
 
   private val layout = LanceSchemaLayout.of(schema, fsl)
   private val nPhys = layout.phys.length
@@ -157,6 +160,10 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
   private val strZoneMax = Array.fill[Array[Byte]](nPhys)(null)
   private val pageMetas = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
     .empty[(Seq[Long], Seq[Long], Long, Double, Double)])
+  // Some(raw buffer sizes) for pages stored compressed (codec helped);
+  // None for plain pages — parallel with pageMetas
+  private val compMetas = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
+    .empty[Option[Seq[Long]]])
   private val strZoneMetas = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
     .empty[Option[(Long, Long)]])
   private val dictFlags = Array.fill(nPhys)(scala.collection.mutable.ArrayBuffer
@@ -461,11 +468,11 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
         validBufs(c).write(validAcc(c)); validAcc(c) = 0; validBit(c) = 0
       }
       // pages that saw nulls get a leading validity-bitmap buffer
-      val validityBuf: Seq[(Long, Long)] =
-        if (sawNull(c)) Seq(writeBuf(validBufs(c).toByteArray)) else Nil
+      val validityRaw: Seq[Array[Byte]] =
+        if (sawNull(c)) Seq(validBufs(c).toByteArray) else Nil
       val useDict = varWidth && dictable(c) && !dictOverflow(c) &&
         dictMaps(c).size() > 0 && dictMaps(c).size() * 2 < rowsInPage
-      if (useDict) {
+      val rawBufs: Seq[Array[Byte]] = if (useDict) {
         // indices buffer (i32 LE), dictionary end-offsets (i64 LE), bytes
         val n = dictIdx(c).length
         val idxBB = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
@@ -478,24 +485,30 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
           dictBytes.write(k.array(), k.arrayOffset(), k.remaining())
           offBB.putLong(dictBytes.size().toLong)
         }
-        val bufsOut = validityBuf ++ Seq(
-          writeBuf(idxBB.array()), writeBuf(offBB.array()), writeBuf(dictBytes.toByteArray))
-        pageMetas(c) += ((bufsOut.map(_._1), bufsOut.map(_._2), pageRowCount, zoneMin(c), zoneMax(c)))
-        dictFlags(c) += true
         byteBufs(c).reset()
+        validityRaw ++ Seq(idxBB.array(), offBB.array(), dictBytes.toByteArray)
       } else if (varWidth) {
-        val (o1, s1) = writeBuf(fixedBufs(c).toByteArray)
-        val (o2, s2) = writeBuf(byteBufs(c).toByteArray)
-        val all = validityBuf ++ Seq((o1, s1), (o2, s2))
-        pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount, zoneMin(c), zoneMax(c)))
-        dictFlags(c) += false
+        val bufs = validityRaw ++ Seq(fixedBufs(c).toByteArray, byteBufs(c).toByteArray)
         byteBufs(c).reset()
+        bufs
       } else {
-        val (o, s) = writeBuf(fixedBufs(c).toByteArray)
-        val all = validityBuf ++ Seq((o, s))
-        pageMetas(c) += ((all.map(_._1), all.map(_._2), pageRowCount, zoneMin(c), zoneMax(c)))
-        dictFlags(c) += false
+        validityRaw ++ Seq(fixedBufs(c).toByteArray)
       }
+      // compress the page's buffers when a codec is configured AND it
+      // actually shrinks them; incompressible pages stay plain (no flag)
+      val compressed: Option[Seq[Array[Byte]]] =
+        if (codecId == LanceCodec.None) scala.None
+        else {
+          val comp = rawBufs.map(LanceCodec.compress(codecId, _))
+          if (comp.map(_.length.toLong).sum < rawBufs.map(_.length.toLong).sum)
+            Some(comp)
+          else scala.None
+        }
+      val written = compressed.getOrElse(rawBufs).map(writeBuf)
+      pageMetas(c) += ((written.map(_._1), written.map(_._2), pageRowCount,
+        zoneMin(c), zoneMax(c)))
+      compMetas(c) += compressed.map(_ => rawBufs.map(_.length.toLong))
+      dictFlags(c) += useDict
       strZoneMetas(c) +=
         (if (strZoneMin(c) != null)
            Some((graft.sources.lance.ZoneFilter.prefixLong(strZoneMin(c)),
@@ -548,6 +561,10 @@ class LanceFragmentWriter(out: java.io.OutputStream, schema: StructType,
           pw.fixed64(13, sMax)
         }
         if (dictFlags(c).lift(pi).contains(true)) pw.varint(14, 1L)
+        compMetas(c).lift(pi).flatten.foreach { rawSizes =>
+          pw.varint(15, codecId.toLong)
+          pw.packed(16, rawSizes)
+        }
         w.message(2, pw)
       }
       val b = w.result()
