@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   * startup isn't attributed to the first query.
   */
 object Bench {
+  /** First line of the outermost exception — the root cause a human needs,
+    * kept to one line so the driver's ~2000-char stdout tail preserves it. */
+  private def rootLine(e: Throwable): String = {
+    val msg = Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ").take(300)
+    s"${e.getClass.getSimpleName}: $msg"
+  }
+  private def jstr(s: String): String =
+    "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,20 +39,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: load all fixture views + run one small query end to end
-    Tables.register(spark, sfDir)
-    Tables.names.foreach(n => spark.table(n).limit(1).collect())
-    SparkEntry.allDefs.head.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // warmup: load all fixture views + run one small query end to end.
+    // NON-FATAL: a warmup failure (e.g. a fixture schema drift, round-5's
+    // events.ts regeneration) must not zero the whole round artifact — the
+    // root cause is printed ON STDOUT (the driver tails stdout; stack
+    // frames on stderr were getting truncated past the exception message)
+    // and the per-query loop still runs, failing only what actually fails.
+    try {
+      Tables.register(spark, sfDir)
+      Tables.names.foreach(n => spark.table(n).limit(1).collect())
+      SparkEntry.allDefs.head.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      println(s"""{"warmup_error":${jstr(rootLine(e))}}""")
+    }
 
     // each query runs twice and reports the min: the first pass pays
     // one-off codegen compilation (~2 s on complex plans) and is exposed
     // to CPU-contention spikes — a single noisy pass must not poison the
     // round artifact (round-3 lesson: one loaded run read as a 2x
     // regression that vanished on re-run)
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(d: graft.queries.QDef): Double = {
       val t0 = System.nanoTime()
       try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${d.name} failed: $e") }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${d.name} failed: $e")
+        failed(d.name) = rootLine(e)
+      }
       val t = (System.nanoTime() - t0) / 1e9
       // operators cache intermediates (LSH signatures etc.); drop them so
       // passes are measured independently and later queries don't evict
@@ -84,7 +106,11 @@ object Bench {
     // noise around it — this line must stay well under that
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","full":"BENCH_RESULT.json"}""")
+    // failed queries are an artifact-level fact, not just stderr noise —
+    // surface (count + first offender's root line) inside the tail-safe line
+    val failNote = if (failed.isEmpty) ""
+      else s""","failed":${failed.size},"first_failure":${jstr(failed.head._1 + " " + failed.head._2)}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","full":"BENCH_RESULT.json"$failNote}""")
     spark.stop()
   }
 }

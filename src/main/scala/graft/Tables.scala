@@ -17,16 +17,24 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read nanos as raw INT64 and truncate to microsecond
-    // timestamps (matches the DuckDB oracle contract, which also compares
-    // at microsecond precision via CAST(ts AS TIMESTAMP)).
+    // events.ts normalization is SCHEMA-DRIVEN: earlier testdata shipped
+    // parquet TIMESTAMP(NANOS) (read as raw INT64 via nanosAsLong and
+    // truncated to micros), current testdata ships TIMESTAMP(MICROS)
+    // without UTC adjustment (read as TIMESTAMP_NTZ). Either way the view
+    // exposes a session-UTC TimestampType at microsecond precision —
+    // matching the DuckDB oracle contract (CAST(ts AS TIMESTAMP)).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val ts = df.schema("ts").dataType match {
+        case LongType         => expr("timestamp_micros(ts div 1000)")
+        case TimestampNTZType => col("ts").cast("timestamp")
+        case _                => col("ts")
+      }
+      df.withColumn("ts", ts)
+    } else df
   }
 
   /** Register all fixture tables as temp views; returns a loader. */

@@ -220,10 +220,25 @@ object LanceFormat {
   }
 
   def readManifest(fs: FileSystem, manifestPath: Path): Manifest = {
-    val in = fs.open(manifestPath)
-    val len = fs.getFileStatus(manifestPath).getLen.toInt
-    val buf = new Array[Byte](len)
-    try in.readFully(0, buf) finally in.close()
+    def readVia(f: FileSystem): Array[Byte] = {
+      val len = f.getFileStatus(manifestPath).getLen.toInt
+      val in = f.open(manifestPath)
+      val buf = new Array[Byte](len)
+      try in.readFully(0, buf) finally in.close()
+      buf
+    }
+    val buf = try readVia(fs) catch {
+      case _: org.apache.hadoop.fs.ChecksumException =>
+        // Local ChecksumFileSystem moves a committed manifest's data file
+        // and its .crc sidecar in two separate renames; a read interleaved
+        // with a concurrent commit can pair the new manifest bytes with a
+        // stale sidecar. The manifest carries its own framing (u32 length
+        // prefix + magic tail) that parseManifest validates, so fall back
+        // to one checksum-free re-read on a non-cached FileSystem instance
+        // (never mutate the shared cached fs).
+        val raw = FileSystem.newInstance(manifestPath.toUri, fs.getConf)
+        try { raw.setVerifyChecksum(false); readVia(raw) } finally raw.close()
+    }
     // u32 LE length prefix, then the Manifest message
     val pbLen = (buf(0) & 0xff) | ((buf(1) & 0xff) << 8) | ((buf(2) & 0xff) << 16) | ((buf(3) & 0xff) << 24)
     parseManifest(buf, 4, 4 + pbLen)
