@@ -17,7 +17,7 @@ object SparkEntry {
     CoreAgg.defs ++ Joins.defs ++ Windows.defs ++ SetsAndShape.defs ++
       Scalars.defs ++ Arrays.defs ++ TextOps.defs ++ VectorOps.defs ++
       LanceOps.defs ++ Extras.defs ++ Extras2.defs ++ Extras3.defs ++
-      Search.defs ++ HybridQ.defs
+      Search.defs ++ HybridQ.defs ++ TrainOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

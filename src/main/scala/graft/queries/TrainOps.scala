@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Training-data curation operators, continued (SURVEY §2.5): stratified
+  * sampling, PII redaction, model-based quality filtering, and incremental
+  * dedup against a persisted fingerprint store.
+  *
+  * Everything here is deterministic (hash-ordered sampling, fixed
+  * classifier weights, exact integer scores) so the DuckDB oracle
+  * hash-matches; the Spark formulations keep the 100 TB shape (bounded-heap
+  * grouped top-k with map-side partials, map-only per-doc kernels, one
+  * skinny anti-join for the store probe).
+  */
+object TrainOps {
+
+  /** Deterministic per-doc sampling key: 52 bits of md5("id:text") as an
+    * exact-in-double long. Lexicographic order of the 13-char lowercase-hex
+    * prefix equals numeric order, so the DuckDB oracle can rank by the
+    * SUBSTR while Spark ranks by the converted long. */
+  private def sampleKey = conv(
+    substring(md5(concat(col("doc_id").cast(StringType), lit(":"), col("text"))), 1, 13),
+    16, 10).cast(LongType)
+
+  // fixed bag-of-words weights for the d26 linear quality classifier
+  // (fasttext-style inference: integer dot product, no model runtime)
+  private val weights: Seq[(String, Int)] = Seq(
+    "data" -> 3, "spark" -> 4, "vector" -> 5, "query" -> 2, "join" -> 2,
+    "window" -> 2, "stream" -> 3, "hash" -> 2, "fast" -> 2, "filter" -> 2,
+    "column" -> 2, "agg" -> 2, "table" -> 1, "scan" -> 1, "sort" -> 1,
+    "merge" -> 1, "batch" -> 1, "group" -> 1, "key" -> 1,
+    "value" -> -1, "small" -> -1, "big" -> -1, "slow" -> -3,
+    "a" -> -2, "the" -> -2)
+  private def weightCase(v: String): String =
+    s"CASE $v " + weights.map { case (w, x) => s"WHEN '$w' THEN $x" }.mkString(" ") + " ELSE 0 END"
+
+  // the deterministic PII augmentation (same expression in both dialects
+  // up to the string-type spelling): plants 2 emails, 2 phone spellings,
+  // 1 IPv4 per doc so the redaction regexes exercise real match shapes on
+  // the synthetic corpus
+  private def augSql(st: String) =
+    s"text || ' contact user' || CAST(doc_id AS $st) || '@mail' || " +
+    s"CAST(doc_id % 7 AS $st) || '.example.com or u' || CAST(doc_id AS $st) || " +
+    s"'@host.org, call 555-' || lpad(CAST(doc_id % 10000 AS $st), 4, '0') || " +
+    s"' or (212) 555-' || lpad(CAST(doc_id * 3 % 10000 AS $st), 4, '0') || " +
+    s"', ip 10.' || CAST(doc_id % 256 AS $st) || '.' || " +
+    s"CAST(doc_id * 7 % 256 AS $st) || '.' || CAST(doc_id * 13 % 256 AS $st)"
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "(\\(\\d{3}\\)\\s?)?\\d{3}-\\d{4}"
+  private val ipPat    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  val defs: Seq[QDef] = Seq(
+
+    // --- stratified sampling: exact k per stratum, hash-ordered ----------
+    // Data-mixing pipelines draw a FIXED quota per language/source; RNG
+    // sampling is neither exact-k nor reproducible across retries. Ranking
+    // by a content hash is both. The window formulation shuffles and sorts
+    // every row of every stratum; the TopKAgg bounded heap keeps k rows
+    // per (mapper, stratum) — at 100 TB the shuffle carries k x |strata|
+    // rows, not the corpus. The tiny winner set broadcast-joins back for
+    // payload columns.
+    QDef("d24_stratified_sample", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val k = 8
+      val docs = t("documents")
+      // heap keeps the k LARGEST (ord, payload); negate both so it selects
+      // ascending (hash, doc_id) — matching the oracle's ROW_NUMBER order
+      val picks = docs
+        .select(col("lang"), sampleKey.as("h"), col("doc_id"))
+        .groupBy("lang")
+        .agg(graft.functions.TopKAgg.top_k(
+          -col("h").cast(DoubleType), -col("doc_id"), k).as("top"))
+        .select(col("lang"), explode(col("top")).as("p"))
+        .select(col("lang"), (-col("p.payload")).cast(LongType).as("doc_id"))
+      docs.join(broadcast(picks), Seq("lang", "doc_id"))
+        .select("lang", "doc_id", "source", "n_chars")
+        .orderBy("lang", "doc_id")
+    }, Some("""
+      SELECT lang, doc_id, source, n_chars FROM (
+        SELECT lang, doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 13),
+                          doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 8
+      ORDER BY lang, doc_id""")),
+
+    // --- PII redaction census --------------------------------------------
+    // The scrub pass every released corpus runs: emails, phone numbers,
+    // IPv4s replaced by typed placeholder tokens. Map-only (regex per row,
+    // no shuffle before the output sort); counts come off the pre-redaction
+    // text, the md5 of the redacted text pins the exact rewrite.
+    QDef("d25_pii_redact", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("documents")
+        .withColumn("aug", expr(augSql("STRING")))
+        .select(
+          col("doc_id"),
+          size(expr(s"regexp_extract_all(aug, '${emailPat.replace("\\", "\\\\")}', 0)")).as("n_email"),
+          size(expr(s"regexp_extract_all(aug, '${phonePat.replace("\\", "\\\\")}', 0)")).as("n_phone"),
+          size(expr(s"regexp_extract_all(aug, '${ipPat.replace("\\", "\\\\")}', 0)")).as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>").as("red"))
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+                length(col("red")).as("red_len"), md5(col("red")).as("red_md5"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, '$emailPat')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(aug, '$phonePat')) AS INT) AS n_phone,
+             CAST(len(regexp_extract_all(aug, '$ipPat')) AS INT) AS n_ip,
+             CAST(length(regexp_replace(regexp_replace(regexp_replace(aug,
+               '$emailPat', '<EMAIL>', 'g'), '$ipPat', '<IP>', 'g'),
+               '$phonePat', '<PHONE>', 'g')) AS INT) AS red_len,
+             md5(regexp_replace(regexp_replace(regexp_replace(aug,
+               '$emailPat', '<EMAIL>', 'g'), '$ipPat', '<IP>', 'g'),
+               '$phonePat', '<PHONE>', 'g')) AS red_md5
+      FROM (SELECT doc_id, ${augSql("VARCHAR")} AS aug FROM documents) t
+      ORDER BY doc_id""")),
+
+    // --- linear quality classifier (fasttext-inference analogue) ---------
+    // Model-based quality filtering (the GPT-3/CCNet gate) at inference
+    // time is a dot product between a document's bag of words and a fixed
+    // weight vector. Exact integers → oracle hash-matches. Spark side is
+    // MAP-ONLY (one aggregate() lambda per row, no explode, no shuffle);
+    // the oracle uses the relational unnest+join formulation.
+    QDef("d26_quality_classifier", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, x) -> acc + ${weightCase("x")})").as("score"))
+        .withColumn("keep", (col("score") >= 10).cast(IntegerType))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT t.doc_id, d.lang, t.score,
+             CAST(CASE WHEN t.score >= 10 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM (
+        SELECT doc_id, SUM(${weightCase("tok")}) AS score
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u
+        GROUP BY doc_id) t
+      JOIN documents d ON t.doc_id = d.doc_id
+      ORDER BY t.doc_id""")),
+
+    // --- incremental dedup against a persisted fingerprint store ---------
+    // Continuous-ingestion dedup: sources 0-9 are "history" (their
+    // fingerprints initialize a lance store), sources 10+ arrive as a
+    // batch and dedupe via ONE anti-join on the 16-byte key; surviving
+    // fingerprints append as a new store version. The oracle replays the
+    // same set algebra relationally.
+    QDef("d27_incremental_dedup", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val docs = t("documents")
+      val store = java.nio.file.Files.createTempDirectory("graft-incdedup")
+        .toString + "/fingerprints.lance"
+      val srcNum = substring(col("source"), 4, 10).cast(IntegerType)
+      val hist = docs.filter(srcNum < 10)
+      val batch = docs.filter(srcNum >= 10)
+      graft.operators.IncrementalDedup.initStore(hist, "text", store)
+      val before = s.read.format("lance").load(store).count()
+      val fresh = graft.operators.IncrementalDedup.dedupeBatch(s, batch, "text", store)
+      graft.operators.IncrementalDedup.census(s, batch, fresh, store, before)
+    }, Some("""
+      WITH hist AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE CAST(substr(source, 4) AS INT) < 10),
+      batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+        WHERE CAST(substr(source, 4) AS INT) >= 10),
+      newd AS (SELECT * FROM batch WHERE h NOT IN (SELECT h FROM hist))
+      SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
+             (SELECT COUNT(*) FROM newd) AS n_new,
+             (SELECT COUNT(*) FROM hist) AS store_before,
+             (SELECT COUNT(*) FROM hist) +
+               (SELECT COUNT(DISTINCT h) FROM newd) AS store_after""")),
+
+    // --- approximate quantiles (mergeable sketch) ------------------------
+    // Exact percentiles (q22b) need a global sort; at 100 TB the real tool
+    // is a mergeable quantile sketch with map-side partials. Both engines'
+    // sketches are approximate and implementation-specific, so this is
+    // rows-only; TrainOpsSpec pins the error against the exact quantiles.
+    QDef("q72_approx_quantile", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+               array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+        .select(col("l_returnflag"),
+          col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
+        .orderBy("l_returnflag")
+    }, None))
+}
