@@ -24,7 +24,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // class + first message line + first cause line — getMessage alone
+        // can be empty (e.g. wrapped analysis errors), which made the
+        // round-5 regression undiagnosable from driver logs
+        def line(t: Throwable): String =
+          s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").linesIterator.take(2).mkString(" ").take(300)}"
+        val cause = Option(e.getCause).map(c => s" <- ${line(c)}").getOrElse("")
+        System.err.println(s"[verify] $name failed: ${line(e)}$cause")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

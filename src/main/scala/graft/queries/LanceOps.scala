@@ -93,6 +93,33 @@ object LanceOps {
       FROM documents WHERE doc_id % 3 = 0
       GROUP BY lang ORDER BY lang""")),
 
+    // blob refs end-to-end (lance blob / storage_class analogue): payloads
+    // written as a binary column, read back as struct<path,pos,len>
+    // REFERENCES (offsets-buffer-only decode — payload bytes never read by
+    // the scan), filtered, then resolved by ranged reads. md5/len of the
+    // fetched bytes against the parquet source pins the whole path:
+    // page layout, offset math, ref ranges, fetch. ref_len comes off the
+    // ref itself (never the bytes), pinning the offsets-derived lengths.
+    QDef("l19_blob_fetch", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/documents_blob.lance"
+      t("documents")
+        .select(col("doc_id"), col("lang"), col("text").cast(BinaryType).as("payload"))
+        .write.format("lance").mode("overwrite").save(ds)
+      val refs = s.read.format("lance").option("blobRefs", "payload").load(ds)
+        .filter(col("doc_id") % 17 === 0)
+      graft.operators.Blobs.fetch(refs, "payload", "bytes")
+        .select(col("doc_id"), col("lang"),
+          md5(col("bytes")).as("payload_md5"),
+          length(col("bytes")).cast(IntegerType).as("payload_len"),
+          col("payload.len").cast(IntegerType).as("ref_len"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, lang, md5(text) AS payload_md5,
+             CAST(LENGTH(text) AS INT) AS payload_len,
+             CAST(LENGTH(text) AS INT) AS ref_len
+      FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id""")),
+
     // vector search directly over a lance dataset (lance's core use case) —
     // scaled-long exact cosine (the e01 determinism recipe) over the
     // round-tripped embeddings, codegen LongDot kernel

@@ -30,6 +30,18 @@ import scala.jdk.CollectionConverters._
   * `cpp/lance_scan.cpp:257-258`) and only the projected columns' byte
   * ranges are read from storage.
   */
+object LanceDataSource {
+  /** Total bytes range-read by this JVM's lance scans (tests assert I/O
+    * shapes with it, e.g. that a blobRefs projection never reads payload
+    * buffers); monotonic, process-wide. */
+  val bytesRead = new java.util.concurrent.atomic.LongAdder
+
+  /** Parse the `blobRefs` option (comma-separated binary column names). */
+  private[lance] def blobRefCols(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("blobRefs")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+}
+
 class LanceDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "lance"
 
@@ -63,7 +75,18 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
     val (fs, path) = LanceFormat.fileSystem(datasetPath(options), conf)
     val versionAsOf = pinnedVersion(options, fs, path)
     val manifest = LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, path, versionAsOf))
-    val base = LanceFormat.toStructType(manifest)
+    val base0 = LanceFormat.toStructType(manifest)
+    // blob refs: the named binary columns surface as struct<path,pos,len>
+    // references decoded from offsets alone — payload bytes never read
+    // (graft.operators.Blobs; lance blob/storage_class analogue)
+    val base = LanceDataSource.blobRefCols(options).foldLeft(base0) { (st, c) =>
+      val i = st.fieldNames.indexOf(c)
+      require(i >= 0, s"lance: blobRefs column '$c' not in schema ${st.fieldNames.mkString(",")}")
+      require(st.fields(i).dataType == org.apache.spark.sql.types.BinaryType,
+        s"lance: blobRefs column '$c' is ${st.fields(i).dataType.simpleString}, not binary")
+      StructType(st.fields.updated(i,
+        st.fields(i).copy(dataType = graft.operators.Blobs.refType)))
+    }
     // opt-in metadata columns: lance row address (fragId << 32 | rowOffset)
     // and the move-stable row id (when the dataset carries sequences)
     val withAddr =
@@ -117,7 +140,8 @@ class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LanceScanBuilder(path, tableSchema, versionAsOf,
-      fromVersion = Option(options.get("fromVersion")).map(_.toLong))
+      fromVersion = Option(options.get("fromVersion")).map(_.toLong),
+      blobRefs = LanceDataSource.blobRefCols(options).toSet)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new LanceWriteBuilder(path, info)
@@ -275,7 +299,8 @@ object ZoneFilter {
 }
 
 class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long],
-                       fromVersion: Option[Long] = None)
+                       fromVersion: Option[Long] = None,
+                       blobRefs: Set[String] = Set.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -369,7 +394,7 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
 
   override def build(): Scan =
     new LanceScan(path, full, required, versionAsOf, limit, zoneFilters, fromVersion,
-                  addrFilters)
+                  addrFilters, blobRefs)
 }
 
 /** One column-slice of a fragment: a data file carrying a subset of the
@@ -399,7 +424,8 @@ class LanceScan(path: String, full: StructType, required: StructType,
                 versionAsOf: Option[Long], limit: Option[Int] = None,
                 zoneFilters: Seq[ZoneFilter] = Nil,
                 fromVersion: Option[Long] = None,
-                addrFilters: Seq[AddrFilter] = Nil)
+                addrFilters: Seq[AddrFilter] = Nil,
+                blobRefs: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -528,7 +554,13 @@ class LanceScan(path: String, full: StructType, required: StructType,
           val (k, v) = LanceFormat.mapKeyValue(manifest, f)
           Array(specOf(k), specOf(v))
         } else manifest.fields.filter(_.parentId == f.id).map(specOf).toArray
-      ColSpec(f.id, f.logicalType, f.name, kids)
+      // blob-ref projection: same physical column, refs-only decode
+      val lt =
+        if (blobRefs.contains(f.name) && f.parentId == -1 &&
+            (f.logicalType == "binary" || f.logicalType == "large_binary"))
+          "blobref"
+        else f.logicalType
+      ColSpec(f.id, lt, f.name, kids)
     }
     required.fieldNames.filterNot(n => n == "_rowaddr" || n == "_rowid")
       .map(n => specOf(byName(n)))
@@ -592,6 +624,7 @@ object ColSpec {
       case "map" =>
         org.apache.spark.sql.types.MapType(sparkTypeOf(cs.kids(0)),
           sparkTypeOf(cs.kids(1)), valueContainsNull = true)
+      case "blobref" => graft.operators.Blobs.refType
       case t => LanceFormat.toSparkType(t)
     }
 }
@@ -619,7 +652,7 @@ class LanceReaderFactory(colSpecs: Array[ColSpec],
   override def supportColumnarReads(partition: InputPartition): Boolean =
     rowAddrPos < 0 && rowIdPos < 0 && !anyDeletions &&
     colSpecs.forall { cs =>
-      cs.kids.isEmpty ||
+      (cs.kids.isEmpty && cs.logicalType != "blobref") ||
         (cs.logicalType == "struct" && cs.kids.forall(_.kids.isEmpty)) ||
         ((cs.logicalType == "list" || cs.logicalType == "large_list") &&
           cs.kids.head.kids.isEmpty &&
@@ -670,6 +703,7 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     private val fileLen = fs.getFileStatus(p).getLen
     val in = fs.open(p)
     def readRange(off: Long, len: Int): Array[Byte] = {
+      LanceDataSource.bytesRead.add(len)
       val b = new Array[Byte](len); in.readFully(off, b); b
     }
     private val footer = readRange(fileLen - 40, 40)
@@ -948,6 +982,41 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
           i += 1
         }
         out
+      case "blobref" =>
+        // refs-only decode: read the validity + offsets buffers, NEVER the
+        // bytes buffer — each row becomes (file path, absolute byte
+        // position, length), an externally-resolvable range in a stable
+        // data file (graft.operators.Blobs.fetch; lance blob API analogue)
+        val m = pageMetasOf(spec.fieldId)(pageIdx)
+        require(!m.dictEnc && m.codec == 0 && !m.enc.foreign,
+          "lance: blobRefs requires plain uncompressed binary pages (this " +
+          "page is " + (if (m.dictEnc) "dictionary-encoded"
+            else if (m.codec != 0) "page-compressed"
+            else "foreign-encoded") + ") — read the column without blobRefs")
+        val nBufs = m.offs.length
+        require(nBufs == 2 || nBufs == 3,
+          s"lance: blobref page expects 2-3 buffers, got $nBufs")
+        val h = handleOf(spec.fieldId)
+        val pathStr = org.apache.spark.unsafe.types.UTF8String.fromString(h.path)
+        val validity =
+          if (nBufs == 3) Some(h.readRange(m.offs(0), m.sizes(0).toInt)) else None
+        val offIdx = nBufs - 2
+        val offs = h.readRange(m.offs(offIdx), m.sizes(offIdx).toInt)
+        val bytesPos = m.offs(nBufs - 1)
+        val bb = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Any](rows)
+        var prev = 0L
+        var i = 0
+        while (i < rows) {
+          val end = bb.getLong(i * 8)
+          val isNull = validity.exists(vb => ((vb(i >> 3) >> (i & 7)) & 1) == 0)
+          out(i) =
+            if (isNull) null
+            else new GenericInternalRow(Array[Any](pathStr, bytesPos + prev, end - prev))
+          prev = end
+          i += 1
+        }
+        out
       case _ =>
         val m = pageMetasOf(spec.fieldId)(pageIdx)
         if (m.enc.foreign)
@@ -974,7 +1043,7 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     val colValues = colSpecs.map { spec =>
       if (pacerId(spec).isEmpty) {
         new Array[Any](numRows)
-      } else if (spec.kids.nonEmpty) {
+      } else if (spec.kids.nonEmpty || spec.logicalType == "blobref") {
         // per-column page walk (struct leaves / list offsets share row
         // counts; struct parents own no physical column — use a leaf's)
         val metas = pageMetasOf(pacerId(spec).get)
