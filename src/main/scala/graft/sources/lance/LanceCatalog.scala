@@ -9,23 +9,58 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
 
-/** Path catalog: `SELECT * FROM lance.`/path/ds.lance`` — the Spark-native
-  * face of the reference's replacement scan (R5). Register with
-  * `spark.sql.catalog.lance=graft.sources.lance.LanceCatalog`; the
-  * identifier's last part is the dataset path (namespace parts, if any,
-  * are joined back with '/').
+/** Lance catalog, two faces:
+  *
+  *  - **Path catalog** (always on): `SELECT * FROM lance.`/path/ds.lance``
+  *    — the Spark-native face of the reference's replacement scan (R5).
+  *    The identifier's last part is the dataset path (namespace parts, if
+  *    any, are joined back with '/').
+  *  - **Warehouse database** (opt-in): with
+  *    `spark.sql.catalog.lance.warehouse=/data/ldb`, a bare table name
+  *    resolves to `<warehouse>/<name>.lance` — the lancedb
+  *    `connect(uri)` database face (`create_table` = CTAS,
+  *    `table_names` = SHOW TABLES, `open_table` = SELECT,
+  *    `drop_table`/`rename_table` = DROP/ALTER RENAME). Identifiers
+  *    containing '/' or ending '.lance' stay path-resolved, so both faces
+  *    coexist on one catalog.
+  *
+  * Register with `spark.sql.catalog.lance=graft.sources.lance.LanceCatalog`.
   */
-class LanceCatalog extends TableCatalog {
+class LanceCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName = "lance"
+  private var warehouse: Option[String] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+  }
   override def name(): String = catalogName
 
-  private def pathOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString("/")
+  /** Is this identifier a warehouse-named table (vs a filesystem path)? */
+  private def named(ident: Identifier): Boolean =
+    warehouse.isDefined && ident.namespace().isEmpty &&
+      !ident.name().contains("/") && !ident.name().endsWith(".lance")
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+  private def pathOf(ident: Identifier): String =
+    if (named(ident)) s"${warehouse.get}/${ident.name()}.lance"
+    else (ident.namespace() :+ ident.name()).mkString("/")
+
+  private def hadoop(path: String) = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    LanceFormat.fileSystem(path, conf)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    warehouse match {
+      case Some(w) if namespace.isEmpty =>
+        val (fs, p) = hadoop(w)
+        if (!fs.exists(p)) Array.empty
+        else fs.listStatus(p)
+          .filter(st => st.isDirectory && st.getPath.getName.endsWith(".lance"))
+          .map(st => Identifier.of(Array.empty,
+            st.getPath.getName.stripSuffix(".lance")))
+      case _ => Array.empty
+    }
 
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
@@ -63,11 +98,51 @@ class LanceCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** Warehouse-named tables drop their dataset directory (lancedb
+    * `drop_table`); path identifiers refuse — deleting an arbitrary
+    * filesystem path through DROP TABLE is a footgun, use the fs. */
+  override def dropTable(ident: Identifier): Boolean =
+    if (!named(ident)) false
+    else {
+      val (fs, p) = hadoop(pathOf(ident))
+      fs.exists(p) && fs.delete(p, true)
+    }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("lance catalog: RENAME TABLE")
+  /** Warehouse-named tables rename atomically (lancedb `rename_table`);
+    * refuses to overwrite an existing target. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!named(oldIdent) || !named(newIdent))
+      throw new UnsupportedOperationException(
+        "lance catalog: RENAME TABLE needs warehouse-named tables " +
+        "(set spark.sql.catalog.<name>.warehouse)")
+    val (fs, from) = hadoop(pathOf(oldIdent))
+    val (_, to) = hadoop(pathOf(newIdent))
+    require(fs.exists(from), s"lance: no such table ${oldIdent.name()}")
+    require(!fs.exists(to), s"lance: table ${newIdent.name()} already exists")
+    require(fs.rename(from, to), s"lance: rename ${oldIdent.name()} failed")
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true } catch { case _: Exception => false }
+
+  // --- SupportsNamespaces (flat: the warehouse is one default namespace) --
+  override def listNamespaces(): Array[Array[String]] = Array.empty
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespace.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        name() +: namespace)
+    util.Collections.emptyMap()
+  }
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("lance catalog: CREATE NAMESPACE")
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("lance catalog: ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("lance catalog: DROP NAMESPACE")
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Warehouse catalog mode: bare table names resolve under a configured
+  * directory — the lancedb `connect(uri)` database face. Uses a second
+  * catalog name (`ldb`) so the shared session's path-mode `lance` catalog
+  * stays untouched. */
+class LanceWarehouseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val wh = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldb").toString
+    spark.conf.set("spark.sql.catalog.ldb", "graft.sources.lance.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.ldb.warehouse", dir)
+    dir
+  }
+
+  test("CTAS, SELECT, SHOW TABLES, INSERT, RENAME, DROP by bare name") {
+    val w = wh
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("ldb_src")
+    spark.sql("CREATE TABLE ldb.docs AS SELECT * FROM ldb_src")
+    assert(new java.io.File(s"$w/docs.lance/_versions").exists())
+    assert(spark.sql("SELECT * FROM ldb.docs").count() == 2)
+
+    val shown = spark.sql("SHOW TABLES IN ldb").select("tableName")
+      .as[String].collect().toSet
+    assert(shown.contains("docs"))
+
+    spark.sql("INSERT INTO ldb.docs SELECT 3L, 'c'")
+    assert(spark.sql("SELECT * FROM ldb.docs").count() == 3)
+
+    spark.sql("ALTER TABLE ldb.docs RENAME TO docs2")
+    assert(!new java.io.File(s"$w/docs.lance").exists())
+    assert(spark.sql("SELECT * FROM ldb.docs2").count() == 3)
+
+    spark.sql("DROP TABLE ldb.docs2")
+    assert(!new java.io.File(s"$w/docs2.lance").exists())
+    assert(spark.sql("SHOW TABLES IN ldb").count() == 0)
+  }
+
+  test("path identifiers still resolve through a warehouse catalog") {
+    val ds = java.nio.file.Files.createTempDirectory("graft-ldb-path").toString + "/x.lance"
+    Seq((7L, "z")).toDF("id", "v").write.format("lance").mode("overwrite").save(ds)
+    val wMode = wh // force warehouse init
+    assert(spark.sql(s"SELECT * FROM ldb.`$ds`").count() == 1)
+    // and DROP refuses on a path identifier (delete through the fs
+    // instead): whether Spark surfaces the false return as an error or a
+    // no-op, the dataset directory must survive
+    try spark.sql(s"DROP TABLE ldb.`$ds`") catch { case _: Exception => () }
+    assert(new java.io.File(ds).exists())
+  }
+
+  test("rename refuses to overwrite an existing table") {
+    val w = wh
+    spark.sql("CREATE TABLE ldb.t1 AS SELECT 1L AS id")
+    spark.sql("CREATE TABLE ldb.t2 AS SELECT 2L AS id")
+    intercept[Exception] { spark.sql("ALTER TABLE ldb.t1 RENAME TO t2") }
+    assert(spark.sql("SELECT id FROM ldb.t1").as[Long].head() == 1L)
+    spark.sql("DROP TABLE ldb.t1"); spark.sql("DROP TABLE ldb.t2")
+  }
+}
