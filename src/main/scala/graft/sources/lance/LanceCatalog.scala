@@ -26,9 +26,21 @@ import scala.jdk.CollectionConverters._
   *
   * Register with `spark.sql.catalog.lance=graft.sources.lance.LanceCatalog`.
   */
-class LanceCatalog extends TableCatalog with SupportsNamespaces {
+class LanceCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName = "lance"
   private var warehouse: Option[String] = None
+
+  // --- ProcedureCatalog: CALL lance.compact/vacuum/restore/tags/versions --
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LanceProcedures.procedures(warehouse).getOrElse(ident.name(),
+      throw new RuntimeException(
+        s"lance: no procedure '${ident.name()}' " +
+        s"(have: ${LanceProcedures.procedures(warehouse).keys.toSeq.sorted.mkString(", ")})"))
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LanceProcedures.procedures(warehouse).keys.toArray.sorted
+      .map(n => Identifier.of(namespace, n))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -1,0 +1,134 @@
+package graft.sources.lance
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` face for the lance maintenance surface (Spark 4 DSv2
+  * procedures): `CALL lance.compact('/p/ds.lance', 4)`,
+  * `CALL lance.vacuum(t => '/p/ds.lance', keep_versions => 3)`, etc. —
+  * the idiomatic-SQL spelling of the operations lancedb exposes as table
+  * methods (`optimize/compact_files`, `cleanup_old_versions`, `restore`,
+  * `tags.create/delete`, `list_versions`).
+  *
+  * Each procedure resolves its table argument like the catalog does: a
+  * bare name under the configured warehouse, otherwise a dataset path.
+  * Results come back as rows (a LocalScan), so `CALL` output composes
+  * with the SQL around it.
+  */
+private[lance] object LanceProcedures {
+
+  private def resolve(warehouse: Option[String], t: String): String =
+    warehouse match {
+      case Some(w) if !t.contains("/") && !t.endsWith(".lance") => s"$w/$t.lance"
+      case _ => t
+    }
+
+  /** One-row (or N-row) result scan. */
+  private final case class Rows(schema: StructType, out: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = schema
+  }
+
+  private def row(vals: Any*): InternalRow =
+    InternalRow.fromSeq(vals.map {
+      case s: String => UTF8String.fromString(s)
+      case v => v
+    })
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def paramDef(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** A procedure with fixed parameters and a body over the bound args. */
+  private final case class Proc(pname: String, ps: Array[ProcedureParameter],
+                                resultSchema: StructType,
+                                body: InternalRow => Array[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def description(): String = s"lance $pname"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = ps
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](Rows(resultSchema, body(input))).iterator()
+  }
+
+  def procedures(warehouse: Option[String]): Map[String, UnboundProcedure] = {
+    def spark = SparkSession.active
+    def path(in: InternalRow) = resolve(warehouse, in.getString(0))
+
+    val compact = Proc("compact",
+      Array(param("t", StringType), paramDef("target_fragments", IntegerType, "1")),
+      StructType(Seq(StructField("version", LongType))),
+      in => {
+        val v = LanceMaintenance.compact(spark, path(in),
+          if (in.isNullAt(1)) 1 else in.getInt(1))
+        Array(row(v))
+      })
+
+    val vacuum = Proc("vacuum",
+      Array(param("t", StringType), paramDef("keep_versions", IntegerType, "1"),
+            paramDef("older_than_ms", LongType, "3600000")),
+      StructType(Seq(StructField("manifests_removed", IntegerType),
+                     StructField("files_removed", IntegerType))),
+      in => {
+        val (m, f) = LanceMaintenance.vacuum(spark, path(in),
+          if (in.isNullAt(1)) 1 else in.getInt(1),
+          if (in.isNullAt(2)) 3600000L else in.getLong(2))
+        Array(row(m, f))
+      })
+
+    val restore = Proc("restore",
+      Array(param("t", StringType), param("version", LongType)),
+      StructType(Seq(StructField("version", LongType))),
+      in => Array(row(LanceMaintenance.restore(spark, path(in), in.getLong(1)))))
+
+    val createTag = Proc("create_tag",
+      Array(param("t", StringType), param("tag", StringType),
+            paramDef("version", LongType, "NULL")),
+      StructType(Seq(StructField("version", LongType))),
+      in => Array(row(LanceMaintenance.createTag(spark, path(in),
+        in.getString(1), if (in.isNullAt(2)) None else Some(in.getLong(2))))))
+
+    val deleteTag = Proc("delete_tag",
+      Array(param("t", StringType), param("tag", StringType)),
+      StructType(Seq(StructField("deleted", BooleanType))),
+      in => Array(row(LanceMaintenance.deleteTag(spark, path(in), in.getString(1)))))
+
+    val tags = Proc("tags",
+      Array(param("t", StringType)),
+      StructType(Seq(StructField("tag", StringType), StructField("version", LongType))),
+      in => LanceMaintenance.listTags(spark, path(in)).toArray.sortBy(_._1)
+        .map { case (tag, v) => row(tag, v) })
+
+    val versions = Proc("versions",
+      Array(param("t", StringType)),
+      StructType(Seq(StructField("version", LongType),
+                     StructField("fragments", IntegerType),
+                     StructField("live_rows", LongType))),
+      in => {
+        val conf = spark.sessionState.newHadoopConf()
+        val (fs, p) = LanceFormat.fileSystem(path(in), conf)
+        val dir = new org.apache.hadoop.fs.Path(p, "_versions")
+        fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.endsWith(".manifest"))
+          .map(_.stripSuffix(".manifest").toLong).sorted
+          .map { v =>
+            val m = LanceFormat.readManifest(fs,
+              new org.apache.hadoop.fs.Path(dir, s"$v.manifest"))
+            row(v, m.fragments.length, m.fragments.map(_.liveRows).sum)
+          }
+      })
+
+    Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
+        "create_tag" -> createTag, "delete_tag" -> deleteTag,
+        "tags" -> tags, "versions" -> versions)
+  }
+}

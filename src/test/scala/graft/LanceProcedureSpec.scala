@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL CALL procedures over the lance maintenance surface. */
+class LanceProcedureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkDs(): String = {
+    val ds = java.nio.file.Files.createTempDirectory("graft-proc").toString + "/t.lance"
+    (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4).write.format("lance").mode("overwrite").save(ds)
+    (101L to 120L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.format("lance").mode("append").save(ds)
+    ds
+  }
+
+  test("versions / compact / restore round-trip through CALL") {
+    val ds = mkDs()
+    val vs = spark.sql(s"CALL lance.versions('$ds')")
+      .as[(Long, Int, Long)].collect()
+    assert(vs.map(_._1).toSeq == Seq(1L, 2L))
+    assert(vs.last._3 == 120L)
+
+    val v3 = spark.sql(s"CALL lance.compact('$ds', 1)").as[Long].head()
+    assert(v3 == 3L)
+    assert(spark.read.format("lance").load(ds).count() == 120)
+    // compaction to one fragment
+    val after = spark.sql(s"CALL lance.versions('$ds')").as[(Long, Int, Long)].collect()
+    assert(after.last == ((3L, 1, 120L)))
+
+    val v4 = spark.sql(s"CALL lance.restore('$ds', 1)").as[Long].head()
+    assert(v4 == 4L)
+    assert(spark.read.format("lance").load(ds).count() == 100)
+  }
+
+  test("tags and vacuum through CALL, named arguments") {
+    val ds = mkDs()
+    val tagged = spark.sql(s"CALL lance.create_tag('$ds', 'gold', 1)").as[Long].head()
+    assert(tagged == 1L)
+    val tags = spark.sql(s"CALL lance.tags('$ds')").as[(String, Long)].collect()
+    assert(tags.toSeq == Seq(("gold", 1L)))
+    // vacuum with named args keeps the tagged version readable
+    spark.sql(s"CALL lance.vacuum(t => '$ds', keep_versions => 1, older_than_ms => 0)")
+    assert(spark.read.format("lance").option("tagAsOf", "gold").load(ds).count() == 100)
+    assert(spark.sql(s"CALL lance.delete_tag('$ds', 'gold')").as[Boolean].head())
+    assert(spark.sql(s"CALL lance.tags('$ds')").count() == 0)
+  }
+
+  test("warehouse-named tables resolve in procedures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-proc-wh").toString
+    spark.conf.set("spark.sql.catalog.ldbp", "graft.sources.lance.LanceCatalog")
+    spark.conf.set("spark.sql.catalog.ldbp.warehouse", dir)
+    spark.sql("CREATE TABLE ldbp.pt AS SELECT 1L AS id")
+    spark.sql("INSERT INTO ldbp.pt SELECT 2L")
+    val vs = spark.sql("CALL ldbp.versions('pt')").as[(Long, Int, Long)].collect()
+    assert(vs.map(_._1).toSeq == Seq(1L, 2L) && vs.last._3 == 2L)
+    spark.sql("CALL ldbp.compact('pt', 1)")
+    assert(spark.sql("SELECT * FROM ldbp.pt").count() == 2)
+  }
+
+  test("unknown procedure fails with the available list") {
+    val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
+    val msg = e.getMessage + String.valueOf(e.getCause)
+    assert(msg.contains("nope") || msg.contains("not") || msg.contains("compact"))
+  }
+}
