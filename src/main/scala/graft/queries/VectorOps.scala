@@ -325,6 +325,49 @@ object VectorOps {
           nClusters = 16, cosThreshold = 0.92)
         .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
         .orderBy("keep_id")
-    }, None)
+    }, None),
+
+    // --- late-interaction retrieval (ColBERT MaxSim; lancedb multivector) --
+    // A query is a SET of vectors, a document (here: a label group) a SET
+    // of vectors; score = sum over query vectors of the max cosine against
+    // the doc's vectors. Scale shape: the 3-vector query BROADCASTS, the
+    // corpus is touched once (codegen LongDot per pair), and only skinny
+    // (label, qid, max) partials shuffle — map-side max collapses each
+    // group before the exchange. Determinism: per-pair cosines round to 9
+    // decimals (exact scaled-long interior), per-query maxima re-scale to
+    // integer nano-units so the final per-doc SUM is order-independent.
+    QDef("e11_maxsim", (s, dir) => {
+      val e = quantized(s, dir)
+      val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val dv = e.filter(!col("vec_id").isin(1L, 2L, 3L))
+      dv.crossJoin(broadcast(q))
+        .select(col("label"), col("qid"),
+          cosExpr(longDot(col("v"), col("qv")),
+                  longDot(col("v"), col("v")),
+                  longDot(col("qv"), col("qv"))).as("c"))
+        .groupBy("label", "qid").agg(max(col("c")).as("mc"))
+        .select(col("label"), col("qid"),
+          round(col("mc") * 1e9).cast(LongType).as("mcs"))
+        .groupBy("label")
+        .agg(round(sum(col("mcs")).cast(DoubleType) / 1e9, 9).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("label"))
+    }, Some(s"""
+      WITH d AS ($oDims),
+      q AS (SELECT vec_id AS qid, i AS qi, v AS qv FROM d WHERE vec_id IN (1, 2, 3)),
+      qn AS (SELECT qid, CAST(SUM(qv * qv) AS BIGINT) AS qnrm FROM q GROUP BY qid),
+      dv AS (SELECT * FROM d WHERE vec_id NOT IN (1, 2, 3)),
+      nrm AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm FROM dv GROUP BY vec_id),
+      dots AS (SELECT dv.label, dv.vec_id, q.qid, CAST(SUM(dv.v * q.qv) AS BIGINT) AS dot
+               FROM dv JOIN q ON dv.i = q.qi GROUP BY dv.label, dv.vec_id, q.qid),
+      cosv AS (SELECT dots.label, dots.qid,
+                      ROUND(CAST(dot AS DOUBLE) /
+                            (SQRT(CAST(nrm AS DOUBLE)) * SQRT(CAST(qnrm AS DOUBLE))), 9) AS c
+               FROM dots JOIN nrm ON dots.vec_id = nrm.vec_id
+                         JOIN qn ON dots.qid = qn.qid),
+      mx AS (SELECT label, qid, CAST(ROUND(MAX(c) * 1000000000.0) AS BIGINT) AS mcs
+             FROM cosv GROUP BY label, qid)
+      SELECT label, ROUND(CAST(SUM(mcs) AS DOUBLE) / 1000000000.0, 9) AS maxsim
+      FROM mx GROUP BY label ORDER BY maxsim DESC, label"""))
   )
 }
