@@ -70,6 +70,17 @@ def main():
             print(f"FAIL {name}: columns differ spark={got_cols} oracle={exp_cols}")
             nfail += 1
             continue
+        # Driver-hash hazard: DuckDB SUM over integers yields HUGEINT
+        # (int128); the driver canonicalizes it differently from Spark's
+        # int64 even when every value is equal (round-6 d17/d21/d26/l18).
+        # Fail loudly here so the oracle gets an explicit BIGINT cast.
+        bad_types = [(c, str(t)) for c, t in zip(exp.columns, exp.types)
+                     if str(t) in ("HUGEINT", "UHUGEINT")]
+        if bad_types:
+            print(f"FAIL {name}: oracle emits int128 columns {bad_types}; "
+                  f"CAST them to BIGINT in the oracle SQL")
+            nfail += 1
+            continue
         if len(got_rows) != len(exp_rows):
             print(f"FAIL {name}: rowcount spark={len(got_rows)} oracle={len(exp_rows)}")
             nfail += 1

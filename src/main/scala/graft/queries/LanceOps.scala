@@ -88,8 +88,9 @@ object LanceOps {
              sum(length(col("source"))).as("src_chars"))
         .orderBy("lang")
     }, Some("""
-      SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars,
-             SUM(LENGTH(text)) AS text_chars, SUM(LENGTH(source)) AS src_chars
+      SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars,
+             CAST(SUM(LENGTH(source)) AS BIGINT) AS src_chars
       FROM documents WHERE doc_id % 3 = 0
       GROUP BY lang ORDER BY lang""")),
 
@@ -116,8 +117,8 @@ object LanceOps {
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id, lang, md5(text) AS payload_md5,
-             CAST(LENGTH(text) AS INT) AS payload_len,
-             CAST(LENGTH(text) AS INT) AS ref_len
+             CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_len,
+             CAST(octet_length(CAST(text AS BLOB)) AS INT) AS ref_len
       FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id""")),
 
     // vector search directly over a lance dataset (lance's core use case) —

@@ -488,10 +488,13 @@ object TextOps {
       FROM (
         SELECT doc_id, lang,
                CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               SUM(CAST(LEN(string_split(text, ' ')) AS BIGINT)) OVER (
+               -- CAST to BIGINT: DuckDB SUM over integers yields HUGEINT
+               -- (int128), which the driver's hasher canonicalizes
+               -- differently from Spark's int64 -> hash mismatch (r6 d17)
+               CAST(SUM(CAST(LEN(string_split(text, ' ')) AS BIGINT)) OVER (
                  PARTITION BY lang
                  ORDER BY n_chars DESC, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM documents)
       WHERE cum_tokens <= 3000
       ORDER BY lang, cum_tokens""")),
@@ -728,9 +731,10 @@ object TextOps {
       sel AS (
         SELECT doc_id, lang,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+               -- BIGINT cast: avoid HUGEINT in driver-hashed output (see d17)
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
                  PARTITION BY lang ORDER BY n_chars DESC, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM sur)
       SELECT doc_id, lang, n_tokens, cum_tokens
       FROM sel WHERE cum_tokens <= 1500

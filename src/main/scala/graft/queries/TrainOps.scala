@@ -17,6 +17,12 @@ import graft.Tables
   */
 object TrainOps {
 
+  /** One work dir per JVM (the LanceOps convention): lance-writing queries
+    * overwrite per run instead of minting fresh temp dirs (bench runs every
+    * query twice; per-invocation temp dirs leaked a store per run). */
+  private lazy val workDir =
+    java.nio.file.Files.createTempDirectory("graft-train-q").toString
+
   /** Deterministic per-doc sampling key: 52 bits of md5("id:text") as an
     * exact-in-double long. Lexicographic order of the 13-char lowercase-hex
     * prefix equals numeric order, so the DuckDB oracle can rank by the
@@ -124,7 +130,9 @@ object TrainOps {
     // --- linear quality classifier (fasttext-inference analogue) ---------
     // Model-based quality filtering (the GPT-3/CCNet gate) at inference
     // time is a dot product between a document's bag of words and a fixed
-    // weight vector. Exact integers → oracle hash-matches. Spark side is
+    // weight vector. Exact integer arithmetic on both sides; the oracle
+    // casts its SUM to BIGINT (DuckDB SUM(int) is HUGEINT, which the
+    // driver hashes differently from int64 — round-6 lesson). Spark side is
     // MAP-ONLY (one aggregate() lambda per row, no explode, no shuffle);
     // the oracle uses the relational unnest+join formulation.
     QDef("d26_quality_classifier", (s, dir) => {
@@ -138,7 +146,9 @@ object TrainOps {
       SELECT t.doc_id, d.lang, t.score,
              CAST(CASE WHEN t.score >= 10 THEN 1 ELSE 0 END AS INT) AS keep
       FROM (
-        SELECT doc_id, SUM(${weightCase("tok")}) AS score
+        -- BIGINT cast: DuckDB SUM(int) yields HUGEINT, which the driver's
+        -- hasher canonicalizes differently from Spark's int64 (r6 d26)
+        SELECT doc_id, CAST(SUM(${weightCase("tok")}) AS BIGINT) AS score
         FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u
         GROUP BY doc_id) t
       JOIN documents d ON t.doc_id = d.doc_id
@@ -153,8 +163,9 @@ object TrainOps {
     QDef("d27_incremental_dedup", (s, dir) => {
       val t = Tables.register(s, dir)
       val docs = t("documents")
-      val store = java.nio.file.Files.createTempDirectory("graft-incdedup")
-        .toString + "/fingerprints.lance"
+      val store = s"$workDir/fingerprints.lance"
+      // fresh store per run: initStore overwrites, so re-running the query
+      // (bench min-of-2) replays the same history -> deterministic census
       val srcNum = substring(col("source"), 4, 10).cast(IntegerType)
       val hist = docs.filter(srcNum < 10)
       val batch = docs.filter(srcNum >= 10)
