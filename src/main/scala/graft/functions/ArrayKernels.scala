@@ -544,6 +544,8 @@ object ArrayKernels {
     column(StopwordHits(expression(toks), expression(lists)))
   def bigramShingles(text: Column): Column =
     column(BigramShingleSummary(expression(text)))
+  def tokenQualityStats(text: Column, stopwords: Seq[String]): Column =
+    column(TokenQualityStats(expression(text), stopwords))
   def wordGramStats(text: Column, n: Int): Column =
     column(WordGramStats(expression(text), n))
   def rollingDocHash(text: Column): Column =

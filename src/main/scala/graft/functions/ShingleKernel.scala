@@ -107,6 +107,83 @@ case class RollingDocHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass token quality statistics over a document (SURVEY §2.5 quality
+  * scoring; d05).
+  *
+  * Replaces the `split → size + array_distinct + stopword kernel` stack —
+  * which materialized the token array three times and rebuilt the stopword
+  * list as a per-plan CreateArray of hundreds of literals (the round-6
+  * 3.3× regression: giant codegen + per-row array construction) — with a
+  * single tokenize pass. The stopword set is a constructor constant,
+  * built ONCE and handed to generated code via `addReferenceObj`, so the
+  * generated method body is one static call regardless of list size.
+  *
+  * Tokenization contract: split on single spaces keeping empty tokens
+  * (DuckDB `string_split(text, ' ')` — the d05 oracle pins it).
+  *
+  * Output: struct(n_tok int, n_uniq int, stop_hits int).
+  */
+case class TokenQualityStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = TokenQualityStats.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_token_quality expects string, got $other")
+    }
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](stopwords.size * 2)
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenQualityStats.stats(input.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenQualityStats.stats($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenQualityStats =
+    copy(child = newChild)
+}
+
+object TokenQualityStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("n_uniq", IntegerType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false)))
+
+  /** Static helper the generated code calls directly. One byte-scan pass:
+    * 0x20 never occurs inside a UTF-8 multibyte sequence, so token
+    * boundaries are found without decoding. */
+  def stats(text: UTF8String, stop: java.util.HashSet[UTF8String]): InternalRow = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val seen = new java.util.HashSet[UTF8String](16)
+    var nTok = 0
+    var hits = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        nTok += 1
+        seen.add(tok)
+        if (stop.contains(tok)) hits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, seen.size, hits))
+  }
+}
+
 object RollingDocHash {
   private val Pow8 = Array.iterate(1L, 16)(_ * 8L)
 

@@ -118,17 +118,20 @@ object TextOps {
     // --- quality score ------------------------------------------------------
     QDef("d05_quality_score", (s, dir) => {
       val t = Tables.register(s, dir)
-      val toks = split(col("text"), " ")
-      val nTok = size(toks).cast(DoubleType)
-      val uniqRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
-      val stopRatio = graft.functions.ArrayKernels
-        .stopwordHits(toks, array(array(stopEn.map(lit): _*)))(0)
-        .cast(DoubleType) / nTok
+      // one-pass kernel (n_tok, n_uniq, stop_hits) with the stopword set
+      // as an expression constant: replaces 3x split + array_distinct +
+      // a per-row CreateArray of literals (the round-6 3.3x regression)
+      val nTok = col("st.n_tok").cast(DoubleType)
+      val uniqRatio = col("st.n_uniq").cast(DoubleType) / nTok
+      val stopRatio = col("st.stop_hits").cast(DoubleType) / nTok
       t("documents")
+        .select(col("doc_id"),
+                graft.functions.ArrayKernels
+                  .tokenQualityStats(col("text"), stopEn).as("st"))
         .select(col("doc_id"),
                 (least(nTok / 50.0, lit(1.0)) * 0.4 + uniqRatio * 0.3 +
                  (lit(1.0) - stopRatio) * 0.3).as("quality"),
-                nTok.cast(IntegerType).as("n_tokens"))
+                col("st.n_tok").as("n_tokens"))
         .filter(col("quality") > 0.5)
         .orderBy("doc_id")
     }, Some(s"""
