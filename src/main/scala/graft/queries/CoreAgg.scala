@@ -137,23 +137,25 @@ object CoreAgg {
     // --- DISTINCT aggregates ---------------------------------------------
     QDef("q25_count_distinct", (s, dir) => {
       val t = Tables.register(s, dir)
-      // decomposed multi-distinct: Spark's native form Expands every RAW
-      // row 3x ahead of one serial two-stage aggregate. Instead, ONE
-      // grouped pass over lineitem dedups to (rf, supp, part) -> count —
-      // the only full-width shuffle (map-side partial dedup shrinks it
-      // to ~|distinct| rows) — and the multi-distinct then Expands only
-      // that already-tiny frame: COUNT(*) comes back as sum(c), the pair
-      // count as COUNT(*), and the per-key distincts as real
-      // COUNT(DISTINCT) over |distinct triples| rows. One scan, two
-      // exchanges, no join.
+      // exact multi-distinct via bitmap aggregation: suppkey and partkey
+      // are int-bounded dimension ids, and the (supp, part) pair composes
+      // into one int code (supp * 20001 + part < 2^31) — so all three
+      // distinct counts become roaring-bitmap buffers in ONE partial
+      // aggregate. The map side ors ids into per-returnflag bitmaps; the
+      // shuffle carries 3 groups x 32 partitions of compressed bitmaps
+      // (kilobytes) instead of ~600k row triples, and no Expand ever
+      // runs. For unbounded domains the two-level groupBy decomposition
+      // remains the fallback (see BitmapDistinctAgg scaladoc).
+      val pair = (col("l_suppkey").cast(IntegerType) * lit(20001) +
+                  col("l_partkey").cast(IntegerType))
       t("lineitem")
-        .groupBy("l_returnflag", "l_suppkey", "l_partkey")
-        .agg(count(lit(1)).as("c"))
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-             countDistinct(col("l_partkey")).as("n_part"),
-             count(lit(1)).as("n_sp"),
-             sum(col("c")).as("n"))
+        .agg(graft.functions.SketchAggs
+               .bitmapDistinct(col("l_suppkey").cast(IntegerType)).as("n_supp"),
+             graft.functions.SketchAggs
+               .bitmapDistinct(col("l_partkey").cast(IntegerType)).as("n_part"),
+             graft.functions.SketchAggs.bitmapDistinct(pair).as("n_sp"),
+             count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }, Some("""
       SELECT l_returnflag,

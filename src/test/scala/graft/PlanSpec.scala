@@ -92,4 +92,15 @@ class PlanSpec extends AnyFunSuite {
     // Project computing floatcosine must carry it
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("floatcosine")), plan)
   }
+
+  test("q25 bitmap multi-distinct: no Expand, one partial aggregate pass") {
+    val df = SparkEntry.queries("q25_count_distinct")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bitmap buffers make every distinct clause a partial agg — the
+    // native multi-COUNT(DISTINCT) Expand (3x row multiplication before
+    // the shuffle) must not appear
+    assert(!plan.contains("Expand"), s"Expand found:\n$plan")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle, found $shuffles:\n$plan")
+  }
 }
