@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -150,6 +150,30 @@ case class LongEqCount(left: Expression, right: Expression) extends BinaryExpres
 /** Intersection size of two SORTED array<bigint> columns (merge walk, no
   * per-row hash-set allocation — token sets are sorted once per document
   * at build time, then every pair comparison is O(n+m)). */
+/** Membership test of a long column against a CONSTANT sorted array,
+  * binary-searched — the take path's exact `_rowaddr` filter. Replaces a
+  * 100k-literal `isin` (whose `In` expression stressed analysis and plan
+  * size) with one reference object shared by all generated code; the
+  * coarse interval cover pushed into the scan handles pruning, this
+  * handles exactness. */
+case class LongInSortedArray(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_long_in_sorted expects bigint, got $other")
+    }
+  override def nullSafeEval(v: Any): Any =
+    java.util.Arrays.binarySearch(sorted, v.asInstanceOf[Long]) >= 0
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedAddrs", sorted, "long[]")
+    defineCodeGen(ctx, ev, c => s"java.util.Arrays.binarySearch($ref, $c) >= 0")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -538,6 +562,8 @@ object ArrayKernels {
   def longEqCount(a: Column, b: Column): Column = column(LongEqCount(expression(a), expression(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedLongIntersectCount(expression(a), expression(b)))
+  def longInSortedArray(c: Column, sorted: Array[Long]): Column =
+    column(LongInSortedArray(expression(c), sorted))
   def hyperplaneBucket(vec: Column, planes: Column): Column =
     column(HyperplaneBucket(expression(vec), expression(planes)))
   def stopwordHits(toks: Column, lists: Column): Column =

@@ -123,6 +123,25 @@ object ScalarIndex {
     headV
   }
 
+  /** Greedy coverage-optimal interval cover: split the sorted addrs at
+    * the (maxIntervals - 1) largest gaps — for a fixed interval budget
+    * this minimizes covered slack, so page pruning stays tight whether
+    * the matches cluster (sorted layout) or scatter. */
+  private[graft] def intervalCover(sorted: Array[Long],
+                                   maxIntervals: Int): Array[(Long, Long)] = {
+    if (sorted.isEmpty) return Array.empty
+    val n = sorted.length
+    if (n <= maxIntervals) return sorted.map(a => (a, a))
+    // indices i where a gap sorted(i+1) - sorted(i) opens; keep the largest
+    val gapIdx = (0 until n - 1).sortBy(i => -(sorted(i + 1) - sorted(i)))
+      .take(maxIntervals - 1).sorted
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](maxIntervals)
+    var start = 0
+    for (g <- gapIdx) { out += ((sorted(start), sorted(g))); start = g + 1 }
+    out += ((sorted(start), sorted(n - 1)))
+    out.toArray
+  }
+
   private def fetchByAddrs(spark: SparkSession, datasetPath: String,
                            probe: DataFrame, maxRows: Int,
                            stable: Boolean = false): DataFrame = {
@@ -131,10 +150,17 @@ object ScalarIndex {
     require(vals.length <= maxRows,
       s"scalar-index lookup matched > $maxRows rows — this is a scan, " +
         "not a lookup; filter the dataset directly instead")
-    val addrs = resolveAddrs(spark, datasetPath, stable, vals)
-    val base = spark.read.format("lance").load(datasetPath)
-    if (addrs.isEmpty) base.limit(0)
-    else base.filter(col("_rowaddr").isin(addrs.toSeq: _*))
+    val addrs = resolveAddrs(spark, datasetPath, stable, vals).sorted
+    if (addrs.isEmpty)
+      return spark.read.format("lance").load(datasetPath).limit(0)
+    // ship the probe result as a <=256-interval cover through a scan
+    // option (fragment + page pruning, no 100k-literal In expression);
+    // exactness comes from the binary-searched membership kernel below
+    val ranges = intervalCover(addrs, 256)
+      .map { case (lo, hi) => s"$lo:$hi" }.mkString(",")
+    spark.read.format("lance").option("addrRanges", ranges).load(datasetPath)
+      .filter(graft.functions.ArrayKernels
+        .longInSortedArray(col("_rowaddr"), addrs))
   }
 
   private def metaStable(spark: SparkSession, indexPath: String): Boolean =

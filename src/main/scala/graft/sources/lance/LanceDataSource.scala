@@ -141,7 +141,9 @@ class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LanceScanBuilder(path, tableSchema, versionAsOf,
       fromVersion = Option(options.get("fromVersion")).map(_.toLong),
-      blobRefs = LanceDataSource.blobRefCols(options).toSet)
+      blobRefs = LanceDataSource.blobRefCols(options).toSet,
+      optionAddrFilters =
+        Option(options.get("addrRanges")).map(AddrRangeSet.parse).toSeq)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new LanceWriteBuilder(path, info)
@@ -287,6 +289,44 @@ case class AddrIn(vs: Seq[Long]) extends AddrFilter {
     vs.exists(v => v >= start && v < start + rows)
 }
 
+/** Disjunction of sorted, disjoint address intervals, flat-packed as
+  * [lo0, hi0, lo1, hi1, ...] (inclusive bounds). The take path ships its
+  * probe result as a small interval cover through the `addrRanges` scan
+  * option instead of a 100k-literal Catalyst `In` (which stressed
+  * analysis and plan size); exact row membership is re-checked by an
+  * executor-side filter, so the cover only has to be conservative. */
+case class AddrRangeSet(bounds: Array[Long]) extends AddrFilter {
+  override def mayMatch(start: Long, rows: Long): Boolean = {
+    // first interval whose hi >= start, via binary search on hi values
+    var lo = 0
+    var hi = bounds.length / 2 - 1
+    var cand = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(2 * mid + 1) >= start) { cand = mid; hi = mid - 1 }
+      else lo = mid + 1
+    }
+    cand >= 0 && bounds(2 * cand) < start + rows
+  }
+}
+
+object AddrRangeSet {
+  /** Parse the `addrRanges` option: "lo:hi,lo:hi,..." (inclusive). */
+  def parse(s: String): AddrRangeSet = {
+    val parts = s.split(',').filter(_.nonEmpty)
+    val bounds = new Array[Long](parts.length * 2)
+    var i = 0
+    while (i < parts.length) {
+      val c = parts(i).indexOf(':')
+      require(c > 0, s"lance: bad addrRanges entry '${parts(i)}'")
+      bounds(2 * i) = java.lang.Long.parseLong(parts(i).substring(0, c))
+      bounds(2 * i + 1) = java.lang.Long.parseLong(parts(i).substring(c + 1))
+      i += 1
+    }
+    AddrRangeSet(bounds)
+  }
+}
+
 object ZoneFilter {
   /** First 8 bytes, big-endian, zero-padded — unsigned order equals
     * lexicographic byte order wherever the prefixes differ. */
@@ -300,7 +340,8 @@ object ZoneFilter {
 
 class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long],
                        fromVersion: Option[Long] = None,
-                       blobRefs: Set[String] = Set.empty)
+                       blobRefs: Set[String] = Set.empty,
+                       optionAddrFilters: Seq[AddrFilter] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -394,7 +435,7 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
 
   override def build(): Scan =
     new LanceScan(path, full, required, versionAsOf, limit, zoneFilters, fromVersion,
-                  addrFilters, blobRefs)
+                  optionAddrFilters ++ addrFilters, blobRefs)
 }
 
 /** One column-slice of a fragment: a data file carrying a subset of the

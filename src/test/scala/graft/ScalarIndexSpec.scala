@@ -46,6 +46,28 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(pt < full, s"point probe should prune: planned $pt of $full")
   }
 
+  test("large lookup plans as interval cover + membership kernel, not a literal In") {
+    val (ds, ix) = freshDs()
+    // 5k-key range lookup: the old take path built a 5k-literal isin —
+    // the new one ships a <=256-interval cover via the addrRanges option
+    // and keeps exactness in the binary-searched membership kernel
+    val df = ScalarIndex.lookupRange(spark, ds, ix, 1000L, 6000L, maxRows = 100000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("longinsortedarray") || plan.contains("LongInSortedArray"),
+      s"membership kernel missing:\n${plan.take(2000)}")
+    assert(!plan.contains(" IN ("), s"literal In leaked into the plan")
+    assert(plan.length < 20000,
+      s"plan string blew up (${plan.length} chars) — literals leaked")
+    // and the results are exactly the range
+    assert(df.select("k").collect().map(_.getLong(0)).toSet ==
+      (1000L until 6000L).toSet)
+    // interval cover: exact when small, coverage-optimal split when large
+    val small = ScalarIndex.intervalCover(Array(1L, 2L, 9L), 256)
+    assert(small.toSeq == Seq((1L, 1L), (2L, 2L), (9L, 9L)))
+    val two = ScalarIndex.intervalCover((1L to 100L).toArray ++ Array(5000L), 2)
+    assert(two.toSeq == Seq((1L, 100L), (5000L, 5000L)))
+  }
+
   test("deleted rows are masked, not resurrected, through a stale index") {
     val (ds, ix) = freshDs()
     graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, "k >= 10000")
