@@ -223,7 +223,7 @@ object LanceOps {
       t("lineitem").select("l_orderkey", "l_shipdate", "l_quantity",
           "l_extendedprice", "l_returnflag")
         .write.format("lance")
-        .option("sortBy", "l_shipdate").option("writePartitions", "8")
+        .option("sortBy", "l_shipdate").option("writePartitions", "16")
         .mode("overwrite").save(ds)
       s.read.format("lance").load(ds)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
