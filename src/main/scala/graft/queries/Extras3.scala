@@ -225,6 +225,49 @@ object Extras3 {
       SELECT * EXCLUDE (o_orderpriority, o_orderdate)
                REPLACE (ROUND(o_totalprice * 2.0, 2) AS o_totalprice)
       FROM orders WHERE o_orderkey < 500
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // --- GROUP BY ALL sugar (SURVEY §2.2) --------------------------------
+    // every non-aggregate select item becomes a grouping key; Spark 4.x
+    // resolves the ALL keyword natively with DuckDB-equivalent semantics,
+    // so this is a contract test, not a custom rule
+    QDef("q73_group_by_all", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6) AS total
+        FROM orders GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority""")
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6) AS total
+      FROM orders GROUP BY ALL
+      ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // --- collations (SURVEY §2.2 sort row) --------------------------------
+    // case-insensitive comparison + ORDER BY via Spark's native collation
+    // support (UTF8_LCASE ≡ DuckDB NOCASE for ASCII); the collation lives
+    // only in comparison/sort operands, so the OUTPUT schema stays plain
+    // strings. Mixed case is synthesized from doc parity (the fixture
+    // corpus is single-case); doc_id breaks collation-equal ties so the
+    // order is total and the driver's in-order hash is stable.
+    QDef("q74_collation_nocase", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT doc_id, mixed,
+               CAST(mixed COLLATE UTF8_LCASE = 'src_3' AS INT) AS is_src3
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN UPPER(source) ELSE source END AS mixed
+              FROM documents)
+        WHERE doc_id < 120
+        ORDER BY mixed COLLATE UTF8_LCASE, doc_id""")
+    }, Some("""
+      SELECT doc_id, mixed,
+             CAST(mixed COLLATE NOCASE = 'src_3' AS INT) AS is_src3
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN UPPER(source) ELSE source END AS mixed
+            FROM documents)
+      WHERE doc_id < 120
+      ORDER BY mixed COLLATE NOCASE, doc_id"""))
   )
 }
