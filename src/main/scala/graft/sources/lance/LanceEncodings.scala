@@ -152,9 +152,22 @@ object LanceEncodings {
       case ANoNull(v) => nativeLeaf(v)
       case _ => false
     }
+    def flatBits(e: AEnc): Option[Int] = e match {
+      case AFlat(b, _) => Some(b)
+      case ANoNull(v) => flatBits(v)
+      case _ => None
+    }
     enc match {
       case e if nativeLeaf(e) => NativeShape
-      case ABinary(i, b, _) if nativeLeaf(i) && nativeLeaf(b) => NativeShape
+      // positional binary decode hardcodes 64-bit offsets and
+      // end-exclusive semantics: a binary tree only qualifies when the
+      // proto says exactly that (i64 offset indices, null_adjustment 0).
+      // Foreign-written plain binary with i32 offsets or end+adjustment
+      // null encoding routes to decodeTree, which derives the layout from
+      // the tree — previously it slipped through and decoded garbage
+      // (silently wrong blob ranges through the blobRefs guard).
+      case ABinary(i, b, adj)
+          if flatBits(i).contains(64) && nativeLeaf(b) && adj == 0 => NativeShape
       case other => ForeignArray(other)
     }
   }

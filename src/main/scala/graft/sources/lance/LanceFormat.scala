@@ -232,12 +232,27 @@ object LanceFormat {
         // Local ChecksumFileSystem moves a committed manifest's data file
         // and its .crc sidecar in two separate renames; a read interleaved
         // with a concurrent commit can pair the new manifest bytes with a
-        // stale sidecar. The manifest carries its own framing (u32 length
-        // prefix + magic tail) that parseManifest validates, so fall back
-        // to one checksum-free re-read on a non-cached FileSystem instance
-        // (never mutate the shared cached fs).
+        // stale sidecar. Having lost the checksum's protection, validate
+        // the manifest's own framing EXPLICITLY before trusting the bytes
+        // (corrupt bytes can happen to protobuf-parse): the trailing LANC
+        // magic commitManifest writes must be present and the u32 length
+        // prefix must fit ahead of the 14-byte tail. Read on a non-cached
+        // FileSystem instance (never mutate the shared cached fs).
         val raw = FileSystem.newInstance(manifestPath.toUri, fs.getConf)
-        try { raw.setVerifyChecksum(false); readVia(raw) } finally raw.close()
+        val b = try { raw.setVerifyChecksum(false); readVia(raw) } finally raw.close()
+        val m = Magic
+        if (b.length < 18 ||
+            b(b.length - 4) != m(0) || b(b.length - 3) != m(1) ||
+            b(b.length - 2) != m(2) || b(b.length - 1) != m(3))
+          throw new java.io.IOException(
+            s"lance: manifest $manifestPath failed checksum AND framing " +
+            "validation (missing LANC magic tail) — refusing corrupt bytes")
+        val pl = (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+        if (pl < 0 || 4 + pl > b.length - 14)
+          throw new java.io.IOException(
+            s"lance: manifest $manifestPath failed checksum AND framing " +
+            s"validation (length prefix $pl out of bounds for ${b.length} bytes)")
+        b
     }
     // u32 LE length prefix, then the Manifest message
     val pbLen = (buf(0) & 0xff) | ((buf(1) & 0xff) << 8) | ((buf(2) & 0xff) << 16) | ((buf(3) & 0xff) << 24)

@@ -697,7 +697,14 @@ object LanceWriteSupport {
         bin.bytes(1, idx.result())
         val dat = new Proto.Writer; dat.message(2, flat(8, Some(1)))
         bin.bytes(2, dat.result())
-        bin.varint(3, 24L)
+        // null_adjustment = 0, truthfully: this writer emits PLAIN
+        // end-offsets (null rows get an empty range) with validity in a
+        // separate buffer — it does NOT use the end+adjustment null
+        // encoding. The golden file's 24 was cargo-culted here until
+        // round 7; stamping it made our own pages indistinguishable from
+        // foreign adjusted-offset pages, which the tightened classify()
+        // now routes to the tree-driven decoder.
+        bin.varint(3, 0L)
         enc.message(6, bin)
       case _ =>
         enc.message(2, flat(bits, None))

@@ -311,6 +311,55 @@ class LanceForeignSpec extends AnyFunSuite {
     assert(back.select("cat").distinct().count() == 3)
   }
 
+  test("foreign plain-binary variants: i32 offsets and null_adjustment pages") {
+    // The round-6 advice hole: classify() used to collapse ANY flat-leaf
+    // binary tree to the positional decode, which hardcodes i64 offsets
+    // and ignores null_adjustment — so these two public-encoding variants
+    // silently decoded garbage. They must route through decodeTree.
+    val ds = tmpDs()
+    val n = 5
+    val words = Seq("aa", "bbb", "c", "dddd", "ee")
+    // s32: i32 end-offsets, no nulls
+    val ends32 = words.scanLeft(0)(_ + _.length).tail
+    val s32 = (Seq(ints(ends32: _*), words.mkString.getBytes("UTF-8")), n.toLong,
+               anyWrap("/lance.encodings.ArrayEncoding",
+                 binaryEnc(flatEnc(32, 0), flatEnc(8, 1), 0L)))
+    // sadj: i64 offsets, nulls at rows 1 and 3 via end + null_adjustment
+    val adj = 1000L
+    val kept = Seq(Some("xy"), None, Some("zzz"), None, Some("w"))
+    var acc = 0L
+    val endsAdj = kept.map { o =>
+      acc += o.map(_.length).getOrElse(0).toLong
+      if (o.isEmpty) acc + adj else acc
+    }
+    val sadj = (Seq(longsLE(endsAdj: _*),
+                    kept.flatten.mkString.getBytes("UTF-8")), n.toLong,
+                anyWrap("/lance.encodings.ArrayEncoding",
+                  binaryEnc(flatEnc(64, 0), flatEnc(8, 1), adj)))
+    writeForeign(ds, Seq(
+      ("s32", "string", Seq(s32)),
+      ("sadj", "binary", Seq(sadj)),
+      ("k", "int32", Seq((Seq(ints(0 until n: _*)), n.toLong,
+        anyWrap("/lance.encodings.ArrayEncoding", flatEnc(32, 0)))))))
+    val rows = spark.read.format("lance").load(ds).orderBy("k").collect()
+    assert(rows.map(_.getString(0)).toSeq == words)
+    assert(rows.map(r => if (r.isNullAt(1)) null
+                         else new String(r.getAs[Array[Byte]](1), "UTF-8")).toSeq ==
+      kept.map(_.orNull))
+    // blobRefs over an adjusted-offset page must refuse loudly (the
+    // page-level guard — sadj IS binary-typed, so the schema check
+    // passes), not emit silently wrong ranges from the hardcoded layout
+    val ex = intercept[Exception] {
+      spark.read.format("lance").option("blobRefs", "sadj").load(ds)
+        .selectExpr("sadj.len").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("foreign-encoded") ||
+                               m.contains("blobRefs requires plain")),
+      s"wrong error: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("lance 2.1 miniblock pages: inline-bitpacked ints and variable strings") {
     val ds = tmpDs()
     val n = 10
