@@ -6,8 +6,15 @@ oracle, executes the oracle SQL in DuckDB over the same parquet tables and
 compares row counts + canonicalized values against the Spark result.
 
 Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+
+Timing mode (feeds BENCH_r{N}.json's oracle_secs column so the round
+artifact carries the DuckDB-side wall time for every oracled query):
+
+    python3 scripts/selfcheck.py <sfDir> <verifyOutDir> --timings ORACLE_SECS.json
+
+runs every oracle twice against <sfDir> and writes {"query": min_secs}.
 """
-import sys, os, json, math
+import sys, os, json, math, time
 
 import duckdb
 
@@ -31,13 +38,35 @@ def canon(v):
     return str(v)
 
 
+def time_oracles(con, oracle, out_path):
+    secs = {}
+    for name in sorted(oracle):
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                con.sql(oracle[name]).fetchall()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            secs[name] = round(best, 4)
+            print(f"TIME {name}: {secs[name]:.3f} s")
+        except Exception as e:
+            print(f"TIME {name}: oracle error: {e}")
+    json.dump(secs, open(out_path, "w"), indent=0, sort_keys=True)
+    print(f"\nwrote {len(secs)} timings to {out_path}")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if rest[:1] == ["--timings"]:
+        time_oracles(con, oracle, rest[1] if len(rest) > 1 else "ORACLE_SECS.json")
+        return
+    only = set(rest)
     npass = nfail = nskip = 0
     for name in sorted(oracle):
         if only and name not in only:

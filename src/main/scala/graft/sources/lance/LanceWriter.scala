@@ -856,25 +856,47 @@ object LanceWriteSupport {
     val fs = dataset.getFileSystem(conf)
     val versionsDir = new Path(dataset, "_versions")
     fs.mkdirs(versionsDir)
-    val tmp = new Path(versionsDir, s".$version.manifest.${UUID.randomUUID()}.tmp")
-    val os = fs.create(tmp, false)
-    try os.write(body.toByteArray) finally os.close()
     val dest = new Path(versionsDir, s"$version.manifest")
-    // FileContext.rename with Options.Rename.NONE refuses an existing dest
-    // (plain FileSystem.rename silently OVERWRITES on local/raw
-    // filesystems, losing a concurrent committer's manifest). The
-    // version-claim itself is read-modify-write of `latest`, so true
-    // multi-writer safety needs a coordinating catalog — single-writer per
-    // dataset is the documented assumption; concurrent commits to the SAME
-    // version are detected here and rejected.
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
-      fc.rename(tmp, dest)
-    } catch {
-      case e: Exception =>
-        fs.delete(tmp, false)
-        throw new LanceCommitConflict(
-          s"lance: concurrent write detected committing $dest", e)
+    // Commit strategy is conf-switchable (`graft.lance.commit.mode`):
+    //
+    //  - "rename" (default): stage to a .tmp and FileContext.rename with
+    //    Options.Rename.NONE, which refuses an existing dest (plain
+    //    FileSystem.rename silently OVERWRITES on local/raw filesystems,
+    //    losing a concurrent committer's manifest). Correct wherever
+    //    rename is atomic (local, HDFS).
+    //  - "create": write dest DIRECTLY with create(overwrite = false) —
+    //    the object-store shape. S3A/GCS rename is copy+delete and NOT
+    //    atomic, so the rename dance both costs a copy and proves
+    //    nothing there; a single PUT is atomically visible, and
+    //    create-no-overwrite maps to the store's conditional write.
+    //    Readers are protected against a torn in-progress manifest by
+    //    the framing validation (length prefix + LANC tail).
+    //
+    // The version-claim itself is read-modify-write of `latest`, so true
+    // multi-writer safety needs a coordinating catalog — single-writer
+    // per dataset is the documented assumption; concurrent commits to
+    // the SAME version are detected in either mode and rejected.
+    conf.get("graft.lance.commit.mode", "rename") match {
+      case "create" =>
+        val os = try fs.create(dest, false) catch {
+          case e: Exception =>
+            throw new LanceCommitConflict(
+              s"lance: concurrent write detected committing $dest", e)
+        }
+        try os.write(body.toByteArray) finally os.close()
+      case _ =>
+        val tmp = new Path(versionsDir, s".$version.manifest.${UUID.randomUUID()}.tmp")
+        val os = fs.create(tmp, false)
+        try os.write(body.toByteArray) finally os.close()
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+          fc.rename(tmp, dest)
+        } catch {
+          case e: Exception =>
+            fs.delete(tmp, false)
+            throw new LanceCommitConflict(
+              s"lance: concurrent write detected committing $dest", e)
+        }
     }
   }
 }

@@ -24,3 +24,36 @@ class StrictFs extends RawLocalFileSystem {
 /** FileContext binding (`fs.AbstractFileSystem.strictfs.impl`). */
 class StrictAbstractFs(uri: URI, conf: Configuration)
   extends DelegateToFileSystem(uri, new StrictFs, conf, "strictfs", false)
+
+/** Test-only filesystem under `s3like://` modeling the WORST object-store
+  * rename semantics: rename lands even when the destination exists
+  * (copy+delete with no atomic no-overwrite guarantee — the S3A shape).
+  * The FileContext layer's client-side dest check is bypassed too,
+  * modeling the visibility race where both committers pass the check
+  * before either PUT lands. Under these semantics the rename-based
+  * manifest commit silently loses a concurrent committer's manifest —
+  * which is why the writer's commit protocol is strategy-switchable
+  * (`graft.lance.commit.mode=create` commits via a single
+  * create-no-overwrite PUT instead).
+  */
+class OverwritingFs extends RawLocalFileSystem {
+  override def getScheme: String = "s3like"
+  override def getUri: URI = URI.create("s3like:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (exists(dst)) delete(dst, false)
+    super.rename(src, dst)
+  }
+}
+
+/** FileContext binding that skips the client-side dest-existence check —
+  * rename "wins" even onto an existing destination. */
+class OverwritingAbstractFs(uri: URI, conf: Configuration)
+  extends DelegateToFileSystem(uri, new OverwritingFs, conf, "s3like", false) {
+  private val raw = new OverwritingFs
+  raw.initialize(URI.create("s3like:///"), conf)
+  override def renameInternal(src: Path, dst: Path): Unit = { raw.rename(src, dst); () }
+  override def renameInternal(src: Path, dst: Path, overwrite: Boolean): Unit = {
+    raw.rename(src, dst); ()
+  }
+}

@@ -50,6 +50,52 @@ class StrictFsSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(ds).count() == merged.count())
   }
 
+  test("create-mode commit detects version conflicts where rename mode loses them") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3like.impl", classOf[OverwritingFs].getName)
+    hc.set("fs.AbstractFileSystem.s3like.impl", classOf[OverwritingAbstractFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("lance_s3like")
+    val ds = new org.apache.hadoop.fs.Path(s"s3like://$dir/ds.lance")
+    val conf = spark.sessionState.newHadoopConf()
+    val manifest = new org.apache.hadoop.fs.Path(ds, "_versions/7.manifest")
+    val (fs, _) = LanceFormat.fileSystem(ds.toString, conf)
+
+    // rename mode on overwriting-rename semantics: the second commit of
+    // the SAME version silently clobbers the first — the exact lost-update
+    // hazard of non-atomic object-store renames
+    LanceWriteSupport.commitManifest(conf, ds, Array[Byte](1, 1, 1), 7L)
+    val firstLen = fs.getFileStatus(manifest).getLen
+    LanceWriteSupport.commitManifest(conf, ds, Array[Byte](2, 2, 2, 2), 7L)
+    assert(fs.getFileStatus(manifest).getLen != firstLen,
+      "overwriting fs should have (dangerously) replaced the manifest")
+
+    // create mode: the duplicate commit is refused with a conflict
+    val conf2 = spark.sessionState.newHadoopConf()
+    conf2.set("graft.lance.commit.mode", "create")
+    intercept[LanceCommitConflict] {
+      LanceWriteSupport.commitManifest(conf2, ds, Array[Byte](3, 3), 7L)
+    }
+    // and a fresh version still commits fine in create mode
+    LanceWriteSupport.commitManifest(conf2, ds, Array[Byte](4, 4), 8L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ds, "_versions/8.manifest")))
+  }
+
+  test("full write / append / read round-trip under create-mode commits") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.lance.commit.mode", "create")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("lance_createmode")
+      val ds = s"strictfs://$dir/ds.lance"
+      spark.range(50).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).write.format("lance").mode("append").save(ds)
+      spark.range(50, 80).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).write.format("lance").mode("append").save(ds)
+      assert(spark.read.format("lance").load(ds).count() == 80)
+      assert(spark.read.format("lance").option("versionAsOf", 1).load(ds)
+        .count() == 50)
+    } finally hc.unset("graft.lance.commit.mode")
+  }
+
   test("strictfs refuses rename-onto-existing (the semantics under test)") {
     val dir = java.nio.file.Files.createTempDirectory("strictfs_sem")
     val conf = spark.sessionState.newHadoopConf()
