@@ -268,6 +268,26 @@ object Extras3 {
                    CASE WHEN doc_id % 2 = 0 THEN UPPER(source) ELSE source END AS mixed
             FROM documents)
       WHERE doc_id < 120
-      ORDER BY mixed COLLATE NOCASE, doc_id"""))
+      ORDER BY mixed COLLATE NOCASE, doc_id""")),
+
+    // --- parameterized SQL (SURVEY §2.2 prepared statements) --------------
+    // the PREPARE/EXECUTE analogue: named parameters bound server-side
+    // via spark.sql(sql, args) — same plan cache + injection-safe binding;
+    // the oracle inlines the same constants
+    QDef("q75_prepared_params", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+           FROM orders
+           WHERE o_totalprice >= :lo AND o_totalprice < :hi
+             AND o_orderstatus = :status
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        Map("lo" -> 100000.0, "hi" -> 200000.0, "status" -> "F"))
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+        AND o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
