@@ -270,6 +270,52 @@ object Extras3 {
       WHERE doc_id < 120
       ORDER BY mixed COLLATE NOCASE, doc_id""")),
 
+    // --- bounded GROUPS frame + EXCLUDE GROUP / EXCLUDE TIES --------------
+    // completes the q69 family (verdict r6 "missing #4"): a bounded
+    // GROUPS frame is RANGE over dense_rank with the same bounds, and the
+    // remaining EXCLUDE variants decompose exactly:
+    //   EXCLUDE GROUP = frame - peer_group    (NULL when frame == group)
+    //   EXCLUDE TIES  = frame - peer_group + current row   (never empty)
+    // where peer_group is the RANGE(0,0) window (the current row's peers).
+    // All arithmetic in DECIMAL(38,6), so the decomposition is exact; the
+    // oracle checks DuckDB's NATIVE EXCLUDE over the identical frame.
+    QDef("q76_groups_exclude", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val bucket = round(col("s_acctbal"), -2)
+      val dr = dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("s_nationkey").orderBy(bucket))
+      def w(lo: Long, hi: Long) = org.apache.spark.sql.expressions.Window
+        .partitionBy("s_nationkey").orderBy(col("__dr")).rangeBetween(lo, hi)
+      val bal = col("s_acctbal").cast(Det.Dec)
+      t("supplier")
+        .withColumn("__dr", dr)
+        .withColumn("__f", sum(bal).over(w(-2, 0)))
+        .withColumn("__fc", count(lit(1)).over(w(-2, 0)))
+        .withColumn("__g", sum(bal).over(w(0, 0)))
+        .withColumn("__gc", count(lit(1)).over(w(0, 0)))
+        .select(col("s_suppkey"),
+                col("__f").cast(DoubleType).as("f_sum"),
+                when(col("__fc") === col("__gc"), lit(null))
+                  .otherwise((col("__f") - col("__g")).cast(DoubleType))
+                  .as("excl_group"),
+                (col("__f") - col("__g") + bal).cast(DoubleType).as("excl_ties"))
+        .orderBy("s_suppkey")
+    }, Some("""
+      SELECT s_suppkey,
+             CAST(SUM(bal) OVER (PARTITION BY s_nationkey ORDER BY dr
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS f_sum,
+             CAST(SUM(bal) OVER (PARTITION BY s_nationkey ORDER BY dr
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS DOUBLE) AS excl_group,
+             CAST(SUM(bal) OVER (PARTITION BY s_nationkey ORDER BY dr
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS DOUBLE) AS excl_ties
+      FROM (SELECT s_suppkey, s_nationkey,
+                   DENSE_RANK() OVER (PARTITION BY s_nationkey
+                     ORDER BY ROUND(s_acctbal, -2)) AS dr,
+                   CAST(s_acctbal AS DECIMAL(38,6)) AS bal
+            FROM supplier)
+      ORDER BY s_suppkey""")),
+
     // --- parameterized SQL (SURVEY §2.2 prepared statements) --------------
     // the PREPARE/EXECUTE analogue: named parameters bound server-side
     // via spark.sql(sql, args) — same plan cache + injection-safe binding;
