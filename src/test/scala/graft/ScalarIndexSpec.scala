@@ -219,4 +219,32 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(ScalarIndex.updateBitmap(spark, ds, s"$dir/bm") ==
            ScalarIndex.updateBitmap(spark, ds, s"$dir/bm"))
   }
+
+  test("interval cover + range-set pruning agree with naive membership under fuzz") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(500)
+      val addrs = Array.fill(n)(rnd.nextLong().abs % 1000000L).sorted.distinct
+      val maxIv = 1 + rnd.nextInt(16)
+      val cover = ScalarIndex.intervalCover(addrs, maxIv)
+      assert(cover.length <= maxIv, s"trial $trial: ${cover.length} > $maxIv")
+      // sorted, disjoint, and every addr is covered
+      cover.sliding(2).foreach {
+        case Array((_, h1), (l2, _)) => assert(h1 < l2)
+        case _ =>
+      }
+      assert(addrs.forall(a => cover.exists { case (l, h) => a >= l && a <= h }))
+      // AddrRangeSet.mayMatch is conservative-exact vs a naive scan over
+      // random [start, start+rows) windows
+      val bounds = cover.flatMap { case (l, h) => Seq(l, h) }
+      val rs = graft.sources.lance.AddrRangeSet(bounds)
+      for (_ <- 0 until 40) {
+        val start = rnd.nextLong().abs % 1000000L
+        val rows = 1L + rnd.nextInt(5000)
+        val naive = cover.exists { case (l, h) => l < start + rows && h >= start }
+        assert(rs.mayMatch(start, rows) == naive,
+          s"trial $trial: window [$start, ${start + rows}) disagreed")
+      }
+    }
+  }
 }
