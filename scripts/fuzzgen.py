@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Seeded random-query generator for Spark-vs-DuckDB differential testing.
+
+Emits queries in the COMMON SQL subset of Spark 4.x and DuckDB (the traps
+catalogued in .claude/skills/verify/SKILL.md are designed out):
+
+- exact values only: integer aggregates are CAST to BIGINT (DuckDB SUM of
+  ints is HUGEINT — the round-6 hash lesson); double SUMs go through
+  DECIMAL(38,6) and round; avg is avoided (order-dependent FP).
+- every query carries a total ORDER BY (all projected columns, NULLS FIRST
+  spelled explicitly) so both engines produce one canonical row order.
+- functions restricted to the proven-identical set used by the oracled
+  query corpus (abs/length/lower/upper/substr/coalesce/CASE/round).
+
+Usage: python3 scripts/fuzzgen.py <seed> <count> <out.json>
+Then:  sbt "runMain graft.FuzzVerify <sfDir> <outDir> <out.json>"
+       python3 scripts/selfcheck.py <sfDir> <outDir>
+"""
+import json, random, sys
+
+# exact fixture schemas (TESTDATA.md; date/timestamp columns excluded —
+# their literal spellings diverge across the two dialects)
+TABLES = {
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "dbl": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "str": ["l_returnflag", "l_linestatus"],
+    },
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "dbl": ["o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "dbl": ["c_acctbal"],
+        "str": ["c_name", "c_mktsegment"],
+    },
+    "part": {
+        "int": ["p_partkey", "p_size"],
+        "dbl": ["p_retailprice"],
+        "str": ["p_name", "p_brand", "p_type"],
+    },
+    "supplier": {
+        "int": ["s_suppkey", "s_nationkey"],
+        "dbl": ["s_acctbal"],
+        "str": ["s_name"],
+    },
+    "documents": {
+        "int": ["doc_id", "n_chars"],
+        "dbl": [],
+        "str": ["lang", "source"],
+    },
+}
+
+
+def gen_query(rnd, qid):
+    t = rnd.choice(list(TABLES))
+    cols = TABLES[t]
+    ints, dbls, strs = cols["int"], cols["dbl"], cols["str"]
+
+    def int_col(): return rnd.choice(ints)
+    def str_col(): return rnd.choice(strs)
+    def any_col(): return rnd.choice(ints + dbls + strs)
+
+    def scalar_int():
+        c = int_col()
+        return rnd.choice([
+            c,
+            f"ABS({c} - {rnd.randint(0, 1000)})",
+            f"{c} % {rnd.randint(2, 97)}",
+            f"LENGTH({str_col()})",
+        ])
+
+    def scalar_str():
+        c = str_col()
+        return rnd.choice([
+            c,
+            f"LOWER({c})",
+            f"UPPER({c})",
+            f"SUBSTR({c}, 1, {rnd.randint(1, 6)})",
+            f"COALESCE({c}, 'x')",
+        ])
+
+    def pred():
+        kind = rnd.randint(0, 5)
+        if kind == 0:
+            return f"{int_col()} {rnd.choice(['<', '<=', '>', '>=', '='])} {rnd.randint(0, 5000)}"
+        if kind == 1:
+            return f"{int_col()} % {rnd.randint(2, 13)} = {rnd.randint(0, 1)}"
+        if kind == 2:
+            c = str_col()
+            return f"LENGTH({c}) {rnd.choice(['<', '>', '='])} {rnd.randint(3, 15)}"
+        if kind == 3:
+            c = str_col()
+            return f"SUBSTR({c}, 1, 1) IN ({', '.join(repr(ch) for ch in rnd.sample('abcdefABC123s', rnd.randint(1, 4)))})"
+        if kind == 4:
+            return f"{int_col()} BETWEEN {rnd.randint(0, 500)} AND {rnd.randint(501, 5000)}"
+        return f"NOT ({int_col()} = {rnd.randint(0, 100)})"
+
+    def preds():
+        n = rnd.randint(1, 3)
+        return (" " + rnd.choice(["AND", "OR"]) + " ").join(f"({pred()})" for _ in range(n))
+
+    if rnd.random() < 0.5:
+        # grouped aggregate
+        keys = [scalar_str() if rnd.random() < 0.6 else scalar_int()
+                for _ in range(rnd.randint(1, 2))]
+        key_aliases = [f"k{i}" for i in range(len(keys))]
+        aggs = ["COUNT(*) AS n"]
+        for i in range(rnd.randint(1, 3)):
+            kind = rnd.randint(0, 3)
+            if kind == 0:
+                aggs.append(f"CAST(SUM(CAST({scalar_int()} AS BIGINT)) AS BIGINT) AS a{i}")
+            elif kind == 1:
+                aggs.append(f"MIN({any_col()}) AS a{i}")
+            elif kind == 2:
+                aggs.append(f"MAX({any_col()}) AS a{i}")
+            elif dbls:
+                d = rnd.choice(dbls)
+                aggs.append(
+                    f"ROUND(CAST(SUM(CAST({d} AS DECIMAL(38,6))) AS DOUBLE), 4) AS a{i}")
+            else:
+                aggs.append(f"CAST(COUNT({any_col()}) AS BIGINT) AS a{i}")
+        sel = ", ".join(f"{k} AS {a}" for k, a in zip(keys, key_aliases)) + ", " + ", ".join(aggs)
+        where = f"WHERE {preds()}" if rnd.random() < 0.7 else ""
+        having = f"HAVING COUNT(*) > {rnd.randint(0, 3)}" if rnd.random() < 0.3 else ""
+        order = ", ".join(f"{a} NULLS FIRST" for a in key_aliases)
+        sql = (f"SELECT {sel} FROM {t} {where} GROUP BY "
+               + ", ".join(key_aliases) + f" {having} ORDER BY {order}")
+    else:
+        # projection + filter (+ LIMIT over a total order)
+        projs = []
+        for i in range(rnd.randint(2, 4)):
+            if rnd.random() < 0.4:
+                projs.append(f"{scalar_int()} AS c{i}")
+            elif rnd.random() < 0.7:
+                projs.append(f"{scalar_str()} AS c{i}")
+            else:
+                c = str_col()
+                projs.append(
+                    f"CASE WHEN LENGTH({c}) > {rnd.randint(4, 10)} THEN 'long' "
+                    f"WHEN {int_col()} % 2 = 0 THEN 'even' ELSE 'other' END AS c{i}")
+        # ORDER BY the ENTIRE projected tuple: the synthetic fixtures have
+        # no guaranteed unique key (lineitem duplicates even (l_orderkey,
+        # l_linenumber)), so any partial order leaves tie rows whose
+        # relative order — and LIMIT-boundary membership — legitimately
+        # differs between engines. Ordering by every output column makes
+        # ties full-duplicate rows, which compare equal either way. (The
+        # first two fuzz runs caught exactly this class.)
+        key = ints[0]
+        where = f"WHERE {preds()}" if rnd.random() < 0.8 else ""
+        limit = f"LIMIT {rnd.randint(10, 200)}" if rnd.random() < 0.5 else ""
+        aliases = ["pk"] + [p.split(" AS ")[-1] for p in projs]
+        order = ", ".join(f"{a} NULLS FIRST" for a in aliases)
+        sql = (f"SELECT {key} AS pk, " + ", ".join(projs) +
+               f" FROM {t} {where} ORDER BY {order} {limit}")
+    return " ".join(sql.split())
+
+
+def main():
+    seed, count, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    rnd = random.Random(seed)
+    qs = {f"fz{seed}_{i:03d}": gen_query(rnd, i) for i in range(count)}
+    json.dump(qs, open(out, "w"), indent=1, sort_keys=True)
+    print(f"wrote {count} queries (seed {seed}) to {out}")
+
+
+if __name__ == "__main__":
+    main()
