@@ -102,7 +102,52 @@ def gen_query(rnd, qid):
         n = rnd.randint(1, 3)
         return (" " + rnd.choice(["AND", "OR"]) + " ").join(f"({pred()})" for _ in range(n))
 
-    if rnd.random() < 0.5:
+    shape = rnd.random()
+    if shape < 0.18:
+        # two-table equi join (star FK edges), aggregated — total order on
+        # the group keys
+        fk = rnd.choice([
+            ("orders", "customer", "o_custkey", "c_custkey"),
+            ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+            ("lineitem", "part", "l_partkey", "p_partkey"),
+            ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+        ])
+        lt, rt, lk, rk = fk
+        lcols, rcols = TABLES[lt], TABLES[rt]
+        gkey = rnd.choice(rcols["str"] + lcols["str"])
+        agg2 = rnd.choice([
+            f"CAST(SUM(CAST({rnd.choice(lcols['int'])} AS BIGINT)) AS BIGINT)",
+            f"MIN({rnd.choice(lcols['int'] + rcols['int'])})",
+            f"MAX({rnd.choice(lcols['str'] + rcols['str'])})",
+        ])
+        jpred = f"{rnd.choice(lcols['int'])} < {rnd.randint(100, 5000)}"
+        if rnd.random() < 0.5:
+            jpred += f" AND LENGTH({rnd.choice(rcols['str'])}) > {rnd.randint(2, 8)}"
+        sql = (f"SELECT {gkey} AS k, COUNT(*) AS n, {agg2} AS a "
+               f"FROM {lt} JOIN {rt} ON {lk} = {rk} WHERE {jpred} "
+               f"GROUP BY k ORDER BY k NULLS FIRST")
+        return " ".join(sql.split())
+    if shape < 0.32:
+        # window functions — only TIE-SAFE ones: rank/dense_rank depend
+        # only on key values; sum/count over RANGE frames are
+        # peer-inclusive. (row_number and ROWS frames are tie-order-
+        # dependent and would produce legitimate cross-engine diffs.)
+        part = str_col()
+        okey = int_col()
+        wf = rnd.choice([
+            f"RANK() OVER (PARTITION BY {part} ORDER BY {okey})",
+            f"DENSE_RANK() OVER (PARTITION BY {part} ORDER BY {okey})",
+            f"CAST(SUM(CAST({okey} AS BIGINT)) OVER (PARTITION BY {part} ORDER BY {okey} "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+            f"COUNT(*) OVER (PARTITION BY {part})",
+            f"MIN({int_col()}) OVER (PARTITION BY {part})",
+        ])
+        where = f"WHERE {preds()}" if rnd.random() < 0.6 else ""
+        sql = (f"SELECT {ints[0]} AS pk, {part} AS p, {okey} AS o, {wf} AS w "
+               f"FROM {t} {where} "
+               f"ORDER BY pk NULLS FIRST, p NULLS FIRST, o NULLS FIRST, w NULLS FIRST")
+        return " ".join(sql.split())
+    if shape < 0.62:
         # grouped aggregate
         keys = [scalar_str() if rnd.random() < 0.6 else scalar_int()
                 for _ in range(rnd.randint(1, 2))]
