@@ -116,7 +116,13 @@ object Bench {
         val shared = results.collect {
           case (k, v) if oracleSecs.get(k).exists(_ > 0) => v / oracleSecs(k) }
         val med = if (shared.isEmpty) 0.0
-          else shared.sorted.apply(shared.size / 2)
+          else {
+            val s = shared.sorted
+            // true median: average the middle pair on even sizes (size/2
+            // alone is the upper-middle — biased the headline ratio up)
+            if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+          }
         val os = results.flatMap { case (k, _) => oracleSecs.get(k).map(s =>
           "\"" + k + "\":" + fmt(s)) }.mkString("{", ",", "}")
         s""","oracle_secs":$os,"vs_oracle_median":${fmt(med)}"""

@@ -269,6 +269,14 @@ case class BitmapDistinctAgg(child: Expression,
                              inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[org.roaringbitmap.RoaringBitmap] {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case IntegerType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_distinct expects int (use graft_bitmap_distinct64 " +
+        s"for bigint), got $other")
+    }
+
   override def createAggregationBuffer(): org.roaringbitmap.RoaringBitmap =
     new org.roaringbitmap.RoaringBitmap()
 
@@ -310,12 +318,71 @@ case class BitmapDistinctAgg(child: Expression,
     copy(child = cs.head)
 }
 
+/** 64-bit sibling of [[BitmapDistinctAgg]] for composed pair codes or id
+  * spaces beyond int32 (Roaring64 buffers; same one-partial-agg shape). */
+case class BitmapDistinct64Agg(child: Expression,
+                               mutableAggBufferOffset: Int = 0,
+                               inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[org.roaringbitmap.longlong.Roaring64Bitmap] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_distinct64 expects bigint, got $other")
+    }
+
+  override def createAggregationBuffer(): org.roaringbitmap.longlong.Roaring64Bitmap =
+    new org.roaringbitmap.longlong.Roaring64Bitmap()
+
+  override def update(buf: org.roaringbitmap.longlong.Roaring64Bitmap,
+                      input: InternalRow): org.roaringbitmap.longlong.Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) buf.addLong(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: org.roaringbitmap.longlong.Roaring64Bitmap,
+                     b2: org.roaringbitmap.longlong.Roaring64Bitmap)
+      : org.roaringbitmap.longlong.Roaring64Bitmap = {
+    b1.or(b2)
+    b1
+  }
+
+  override def eval(buf: org.roaringbitmap.longlong.Roaring64Bitmap): Any =
+    buf.getLongCardinality
+
+  override def serialize(buf: org.roaringbitmap.longlong.Roaring64Bitmap): Array[Byte] = {
+    buf.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    buf.serialize(new java.io.DataOutputStream(bos))
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): org.roaringbitmap.longlong.Roaring64Bitmap = {
+    val r = new org.roaringbitmap.longlong.Roaring64Bitmap()
+    r.deserialize(new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)))
+    r
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): BitmapDistinct64Agg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapDistinct64Agg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+}
+
 object SketchAggs {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def minhash(c: Column, numHashes: Int): Column =
     column(MinHashAgg(expression(c), numHashes).toAggregateExpression())
   def bitmapDistinct(c: Column): Column =
     column(BitmapDistinctAgg(expression(c)).toAggregateExpression())
+  def bitmapDistinct64(c: Column): Column =
+    column(BitmapDistinct64Agg(expression(c)).toAggregateExpression())
   def simhash(c: Column): Column =
     column(SimHashAgg(expression(c)).toAggregateExpression())
   def minhashArray(toks: Column, numHashes: Int): Column =

@@ -339,6 +339,20 @@ object LanceEncodings {
         // null rows carry end + null_adjustment (public binary encoding)
         val isNull = nullAdj > 0 && raw >= nullAdj
         val end = if (isNull) raw - nullAdj else raw
+        // consistency guard: under the adjustment interpretation the
+        // effective ends must stay monotone and inside the bytes buffer.
+        // A violation means the page does NOT use adjusted offsets — the
+        // known case is pre-round-7 files from THIS writer, which stamped
+        // null_adjustment=24 (copied from the golden file) while writing
+        // PLAIN end-offsets + separate validity. Refuse loudly instead of
+        // emitting nulls/garbage slices.
+        if (end < prev || end > bytes.length)
+          throw new UnsupportedOperationException(
+            s"lance: binary page decode inconsistent at row $i (end $end, " +
+            s"prev $prev, bytes ${bytes.length}, null_adjustment $nullAdj) — " +
+            "either the page is corrupt, or it was written by a pre-2026-08 " +
+            "version of this library that mis-stamped null_adjustment=24 with " +
+            "plain offsets; rewrite the dataset with the current writer")
         out(i) =
           if (isNull) null
           else {

@@ -227,32 +227,42 @@ object LanceFormat {
       try in.readFully(0, buf) finally in.close()
       buf
     }
-    val buf = try readVia(fs) catch {
+    // Framing validation applied to EVERY read (not just the checksum
+    // fallback): a torn or corrupt manifest must be refused with a clear
+    // IOException, never fed to the protobuf parser (corrupt bytes can
+    // happen to parse; truncated bytes crash with index errors). The
+    // contract holds for foreign manifests too — the lance format ends
+    // every manifest with the LANC magic, and the u32 length prefix must
+    // leave room for the >=14-byte tail (larger foreign tails are fine:
+    // the bound is <=, not ==). This is also what makes create-mode
+    // commits (single PUT, no staging rename) safe to read concurrently
+    // on filesystems where an in-progress write is visible.
+    def validated(b: Array[Byte], how: String): Array[Byte] = {
+      val m = Magic
+      if (b.length < 18 ||
+          b(b.length - 4) != m(0) || b(b.length - 3) != m(1) ||
+          b(b.length - 2) != m(2) || b(b.length - 1) != m(3))
+        throw new java.io.IOException(
+          s"lance: manifest $manifestPath failed framing validation$how " +
+          "(missing LANC magic tail) — torn or corrupt manifest")
+      val pl = (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+      if (pl < 0 || 4 + pl > b.length - 14)
+        throw new java.io.IOException(
+          s"lance: manifest $manifestPath failed framing validation$how " +
+          s"(length prefix $pl out of bounds for ${b.length} bytes)")
+      b
+    }
+    val buf = try validated(readVia(fs), "") catch {
       case _: org.apache.hadoop.fs.ChecksumException =>
         // Local ChecksumFileSystem moves a committed manifest's data file
         // and its .crc sidecar in two separate renames; a read interleaved
         // with a concurrent commit can pair the new manifest bytes with a
-        // stale sidecar. Having lost the checksum's protection, validate
-        // the manifest's own framing EXPLICITLY before trusting the bytes
-        // (corrupt bytes can happen to protobuf-parse): the trailing LANC
-        // magic commitManifest writes must be present and the u32 length
-        // prefix must fit ahead of the 14-byte tail. Read on a non-cached
-        // FileSystem instance (never mutate the shared cached fs).
+        // stale sidecar. Re-read checksum-free on a non-cached FileSystem
+        // instance (never mutate the shared cached fs) — the framing
+        // validation above is the only integrity check left on this path.
         val raw = FileSystem.newInstance(manifestPath.toUri, fs.getConf)
         val b = try { raw.setVerifyChecksum(false); readVia(raw) } finally raw.close()
-        val m = Magic
-        if (b.length < 18 ||
-            b(b.length - 4) != m(0) || b(b.length - 3) != m(1) ||
-            b(b.length - 2) != m(2) || b(b.length - 1) != m(3))
-          throw new java.io.IOException(
-            s"lance: manifest $manifestPath failed checksum AND framing " +
-            "validation (missing LANC magic tail) — refusing corrupt bytes")
-        val pl = (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
-        if (pl < 0 || 4 + pl > b.length - 14)
-          throw new java.io.IOException(
-            s"lance: manifest $manifestPath failed checksum AND framing " +
-            s"validation (length prefix $pl out of bounds for ${b.length} bytes)")
-        b
+        validated(b, " (after checksum-free re-read)")
     }
     // u32 LE length prefix, then the Manifest message
     val pbLen = (buf(0) & 0xff) | ((buf(1) & 0xff) << 8) | ((buf(2) & 0xff) << 16) | ((buf(3) & 0xff) << 24)

@@ -883,7 +883,20 @@ object LanceWriteSupport {
             throw new LanceCommitConflict(
               s"lance: concurrent write detected committing $dest", e)
         }
-        try os.write(body.toByteArray) finally os.close()
+        // Object-store PUT visibility is all-or-nothing, so a failed PUT
+        // leaves nothing. On a POSIX fs an interrupted create+write CAN
+        // leave torn bytes at the final path — best-effort delete on any
+        // write failure so retries aren't blocked by a poisoned version;
+        // readers racing a torn manifest are rejected by readManifest's
+        // framing validation either way. (For POSIX deployments the
+        // default rename mode stages through a .tmp and never exposes
+        // partial bytes.)
+        try os.write(body.toByteArray)
+        catch { case e: Throwable =>
+          try { os.close(); fs.delete(dest, false) } catch { case _: Throwable => () }
+          throw e
+        }
+        os.close()
       case _ =>
         val tmp = new Path(versionsDir, s".$version.manifest.${UUID.randomUUID()}.tmp")
         val os = fs.create(tmp, false)

@@ -112,6 +112,11 @@ class LanceForeignSpec extends AnyFunSuite {
     val mout = new java.io.ByteArrayOutputStream()
     mout.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(pb.length).array())
     mout.write(pb)
+    // real manifests end with the LANC footer (readManifest validates it
+    // on every read since round 7) — fixtures must conform to the format
+    mout.write(new Array[Byte](8))
+    mout.write(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(1.toShort).array())
+    mout.write("LANC".getBytes("ASCII"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(ds, "_versions", "1.manifest"), mout.toByteArray)
 
@@ -240,6 +245,11 @@ class LanceForeignSpec extends AnyFunSuite {
     val mout = new java.io.ByteArrayOutputStream()
     mout.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(pb.length).array())
     mout.write(pb)
+    // real manifests end with the LANC footer (readManifest validates it
+    // on every read since round 7) — fixtures must conform to the format
+    mout.write(new Array[Byte](8))
+    mout.write(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(1.toShort).array())
+    mout.write("LANC".getBytes("ASCII"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(ds, "_versions", "1.manifest"), mout.toByteArray)
   }
@@ -531,6 +541,11 @@ class LanceForeignSpec extends AnyFunSuite {
     val mout = new java.io.ByteArrayOutputStream()
     mout.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(pb.length).array())
     mout.write(pb)
+    // real manifests end with the LANC footer (readManifest validates it
+    // on every read since round 7) — fixtures must conform to the format
+    mout.write(new Array[Byte](8))
+    mout.write(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(1.toShort).array())
+    mout.write("LANC".getBytes("ASCII"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(ds, "_versions", "1.manifest"), mout.toByteArray)
   }
