@@ -103,7 +103,65 @@ def gen_query(rnd, qid):
         return (" " + rnd.choice(["AND", "OR"]) + " ").join(f"({pred()})" for _ in range(n))
 
     shape = rnd.random()
-    if shape < 0.18:
+    if shape < 0.08:
+        # set operations: same projection, different predicates. No LIMIT,
+        # full-tuple ORDER BY -> tie-proof. (ALL variants keep duplicate
+        # multiplicities; distinct variants dedupe — both well-defined.)
+        a, b = int_col(), str_col()
+        op = rnd.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                         "INTERSECT ALL", "EXCEPT ALL"])
+        sql = (f"SELECT {a} AS x, {b} AS y FROM {t} WHERE {pred()} "
+               f"{op} "
+               f"SELECT {a} AS x, {b} AS y FROM {t} WHERE {pred()} "
+               f"ORDER BY x NULLS FIRST, y NULLS FIRST")
+        return " ".join(sql.split())
+    if shape < 0.16:
+        # correlated EXISTS / uncorrelated IN over a star FK edge,
+        # aggregated to a total-ordered group count
+        fk = rnd.choice([
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("customer", "orders", "c_custkey", "o_custkey"),
+            ("part", "lineitem", "p_partkey", "l_partkey"),
+            ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+        ])
+        ot, it_, ok, ik = fk
+        ocols, icols = TABLES[ot], TABLES[it_]
+        inner_pred = f"{rnd.choice(icols['int'])} {rnd.choice(['<', '>', '>='])} {rnd.randint(0, 3000)}"
+        gkey = rnd.choice(ocols["str"])
+        neg = rnd.choice(["", "NOT "])
+        if rnd.random() < 0.5:
+            sub = f"{neg}EXISTS (SELECT 1 FROM {it_} WHERE {ik} = {ok} AND {inner_pred})"
+        else:
+            sub = f"{ok} {neg}IN (SELECT {ik} FROM {it_} WHERE {inner_pred})"
+        sql = (f"SELECT {gkey} AS k, COUNT(*) AS n FROM {ot} "
+               f"WHERE {sub} GROUP BY k ORDER BY k NULLS FIRST")
+        return " ".join(sql.split())
+    if shape < 0.22:
+        # scalar subquery in the predicate (exact integer arithmetic only)
+        c = int_col()
+        inner = f"SELECT MIN({int_col()}) + {rnd.randint(0, 2000)} FROM {t}"
+        gkey = str_col()
+        sql = (f"SELECT {gkey} AS k, COUNT(*) AS n, MIN({c}) AS lo "
+               f"FROM {t} WHERE {c} > ({inner}) "
+               f"GROUP BY k ORDER BY k NULLS FIRST")
+        return " ".join(sql.split())
+    if shape < 0.30:
+        # ROLLUP with GROUPING() markers (disambiguates rolled-up NULLs
+        # from genuine NULL keys); total order on markers + keys
+        if len(strs) >= 2:
+            k1, k2 = rnd.sample(strs, 2)
+        else:
+            k1, k2 = strs[0], int_col()
+        agg = f"CAST(SUM(CAST({int_col()} AS BIGINT)) AS BIGINT)"
+        where = f"WHERE {preds()}" if rnd.random() < 0.5 else ""
+        sql = (f"SELECT CAST(GROUPING({k1}) AS INT) AS g1, "
+               f"CAST(GROUPING({k2}) AS INT) AS g2, "
+               f"{k1} AS k1, {k2} AS k2, COUNT(*) AS n, {agg} AS a "
+               f"FROM {t} {where} GROUP BY ROLLUP({k1}, {k2}) "
+               f"ORDER BY g1 NULLS FIRST, g2 NULLS FIRST, "
+               f"k1 NULLS FIRST, k2 NULLS FIRST")
+        return " ".join(sql.split())
+    if shape < 0.42:
         # two-table equi join (star FK edges), aggregated — total order on
         # the group keys
         fk = rnd.choice([
@@ -127,7 +185,7 @@ def gen_query(rnd, qid):
                f"FROM {lt} JOIN {rt} ON {lk} = {rk} WHERE {jpred} "
                f"GROUP BY k ORDER BY k NULLS FIRST")
         return " ".join(sql.split())
-    if shape < 0.32:
+    if shape < 0.56:
         # window functions — only TIE-SAFE ones: rank/dense_rank depend
         # only on key values; sum/count over RANGE frames are
         # peer-inclusive. (row_number and ROWS frames are tie-order-
@@ -147,7 +205,7 @@ def gen_query(rnd, qid):
                f"FROM {t} {where} "
                f"ORDER BY pk NULLS FIRST, p NULLS FIRST, o NULLS FIRST, w NULLS FIRST")
         return " ".join(sql.split())
-    if shape < 0.62:
+    if shape < 0.82:
         # grouped aggregate
         keys = [scalar_str() if rnd.random() < 0.6 else scalar_int()
                 for _ in range(rnd.randint(1, 2))]

@@ -576,6 +576,36 @@ object LanceOps {
              ROUND(-SUM((cnt / CAST(t.n AS DOUBLE)) * LOG2(cnt / CAST(t.n AS DOUBLE))), 6) AS entropy
       FROM hist h JOIN tot t ON h.doc_id = t.doc_id
       GROUP BY t.doc_id, t.n
-      ORDER BY t.doc_id"""))
+      ORDER BY t.doc_id""")),
+
+    // runtime (dynamic-pruning) filtering: the lance fact is range-sorted
+    // on the join key, the dim filter is selective, and the scan
+    // implements SupportsRuntimeV2Filtering — Spark hands the realized
+    // build-side key set to the scan, which prunes whole fragments via
+    // manifest stats before opening a file. The result is layout- and
+    // pruning-invariant (the join re-checks every key), so the oracle is
+    // the same join over the parquet source; LanceRuntimeFilterSpec pins
+    // that the filter actually reaches the scan and drops fragments.
+    QDef("l20_runtime_prune", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/orders_bykey.lance"
+      t("orders").select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+        .write.format("lance")
+        .option("sortBy", "o_custkey").option("writePartitions", "16")
+        .mode("overwrite").save(ds)
+      val fact = s.read.format("lance").load(ds)
+      val dim = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+        .select("c_custkey")
+      fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

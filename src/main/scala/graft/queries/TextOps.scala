@@ -199,6 +199,71 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     }, None),
 
+    // --- MinHash-LSH with PORTABLE salted-md5 hashing: the same
+    //     band-bucket pipeline as d07, but every hash is md5-based so
+    //     DuckDB reproduces the ENTIRE sketch bit-for-bit — the hash
+    //     oracle for the minhash family (d07 keeps the fast xxhash64
+    //     kernel; its band/bucket/estimate plumbing is identical). 8
+    //     salted min-hashes (mh_p = min over tokens of md5("p:" || tok)
+    //     prefix), 4 bands of 2, signature-estimated jaccard = equal
+    //     positions / 8. Scale shape preserved: banded candidates, pair
+    //     distinct on skinny ids, signatures joined back — no all-pairs.
+    QDef("d28_minhash_portable", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val P = 8; val B = 4
+      val sig = t("documents").select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .select(col("doc_id"),
+          array((0 until P).map(p =>
+            array_min(transform(col("toks"), tk =>
+              substring(md5(concat(lit(p + ":"), tk)), 1, 13)))): _*).as("sig"))
+      val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until B).map(b =>
+            md5(concat_ws(",", col("sig")(2 * b), col("sig")(2 * b + 1)))): _*)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      val est = (0 until P).map(i =>
+          when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+        .reduce(_ + _).cast(DoubleType) / P
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.75)
+        .orderBy("doc_a", "doc_b")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+      sig AS (
+        SELECT doc_id, p,
+               MIN(substr(md5(CAST(p AS VARCHAR) || ':' || tok), 1, 13)) AS mh
+        FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(p)
+        GROUP BY 1, 2),
+      sigv AS (SELECT doc_id, LIST(mh ORDER BY p) AS s FROM sig GROUP BY 1),
+      bands AS (
+        SELECT doc_id, b, md5(s[2*b+1] || ',' || s[2*b+2]) AS bh
+        FROM sigv CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8
+                 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, est_jaccard FROM est
+      WHERE est_jaccard >= 0.75
+      ORDER BY doc_a, doc_b""")),
+
     // --- SimHash near-dup candidates (Spark-only) --------------------------
     QDef("d08_simhash", (s, dir) => {
       val t = Tables.register(s, dir)

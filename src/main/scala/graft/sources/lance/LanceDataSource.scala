@@ -467,8 +467,45 @@ class LanceScan(path: String, full: StructType, required: StructType,
                 fromVersion: Option[Long] = None,
                 addrFilters: Seq[AddrFilter] = Nil,
                 blobRefs: Set[String] = Set.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
+
+  /** Runtime (dynamic-pruning) zone filters, installed by Spark AFTER the
+    * build side of a join materializes: the optimizer's PartitionPruning
+    * rule sees `filterAttributes` on this scan, attaches an IN-subquery
+    * over the join keys, and calls [[filter]] with the realized key set
+    * before input partitions are planned. Fragments whose [min,max] stats
+    * cannot contain any build-side key are never opened — at 100 TB this
+    * is the difference between scanning the whole fact table and scanning
+    * the few fragments a selective dim filter actually touches. Purely
+    * additive pruning: the join re-evaluates the keys, so a conservative
+    * (or absent) stat never affects correctness. */
+  @volatile private var runtimeZoneFilters: Seq[ZoneFilter] = Nil
+
+  private def allZoneFilters: Seq[ZoneFilter] = zoneFilters ++ runtimeZoneFilters
+
+  /** Columns eligible for runtime pruning = projected top-level fields
+    * whose type lands in the writer's fixed64 stat channel
+    * (numeric/temporal values, string 8-byte prefixes). Restricted to the
+    * READ schema — Spark resolves these against the column-pruned scan
+    * output, and a join key is necessarily projected. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.types._
+    required.fields.collect {
+      case f if (f.dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _ => false
+      }) => org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+  }
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    runtimeZoneFilters = predicates.toSeq.flatMap(LanceScan.runtimeZone)
+  }
+  /** Test-visible view of what the runtime installed. */
+  private[lance] def installedRuntimeFilters: Seq[ZoneFilter] = runtimeZoneFilters
   override def toBatch: Batch = this
   override def description(): String =
     s"LanceScan($path, columns=[${required.fieldNames.mkString(",")}]" +
@@ -527,7 +564,7 @@ class LanceScan(path: String, full: StructType, required: StructType,
     // [min,max] cannot satisfy every numeric zone filter is never planned —
     // its file is never even opened (fragments without stats are kept)
     val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f.id).toMap
-    val resolved = zoneFilters.flatMap(z => byName.get(z.colName).map(fid => (fid, z)))
+    val resolved = allZoneFilters.flatMap(z => byName.get(z.colName).map(fid => (fid, z)))
     def fragMayMatch(frag: LanceFormat.FragmentMeta): Boolean =
       resolved.forall { case (fid, z) =>
         frag.stats.find(_._1 == fid) match {
@@ -619,8 +656,11 @@ class LanceScan(path: String, full: StructType, required: StructType,
     val rowAddrPos = required.fieldNames.indexOf("_rowaddr")
     val rowIdPos = required.fieldNames.indexOf("_rowid")
     val cols = requiredSpecs
-    // zone filters resolved to field ids (unknown columns dropped)
-    val zf = zoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z)))
+    // zone filters resolved to field ids (unknown columns dropped);
+    // includes any runtime (DPP) filters — BatchScanExec applies runtime
+    // filters before building the reader factory, so page-level zone
+    // pruning sees them too (and an earlier-built factory just prunes less)
+    val zf = allZoneFilters.flatMap(z => byName.get(z.colName).map(f => (f.id, z)))
     // ship the session's Hadoop conf to executors (object-store credentials,
     // fs settings) — a bare `new Configuration()` there would only see
     // defaults, breaking any non-local filesystem
@@ -642,6 +682,62 @@ class LanceScan(path: String, full: StructType, required: StructType,
     }
     new LanceReaderFactory(cols.toArray, serConf, zf, rowAddrPos,
       anyDeletions || anyMissing, addrFilters, rowIdPos)
+  }
+}
+
+object LanceScan {
+  import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.types._
+
+  /** Above this many build-side keys the per-fragment IN check would cost
+    * more than it saves — collapse to a [min,max] range pair instead. */
+  private val InListCap = 4096
+
+  /** Translate a runtime V2 predicate (`IN(col, v1..vn)` / `=(col, v)`,
+    * the shapes Spark's runtime-filter translation emits) into zone
+    * filters. V2 literals carry CATALYST-internal values (UTF8String,
+    * days-int for dates, micros-long for timestamps) — the same units the
+    * writer's stat channel records, so no re-encoding beyond widening. */
+  private[lance] def runtimeZone(p: Predicate): Seq[ZoneFilter] = {
+    val kids = p.children()
+    if ((p.name() != "IN" && p.name() != "=") || kids.length < 2) return Nil
+    val col = kids(0) match {
+      case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+      case _ => return Nil
+    }
+    val lits = kids.drop(1)
+    if (!lits.forall(_.isInstanceOf[V2Literal[_]])) return Nil
+    val typed = lits.map(_.asInstanceOf[V2Literal[_]])
+    def num(l: V2Literal[_]): Option[Double] = (l.dataType(), l.value()) match {
+      case (_, null) => None
+      case (_: NumericType, v: java.math.BigDecimal) => Some(v.doubleValue())
+      case (_: NumericType, v: org.apache.spark.sql.types.Decimal) => Some(v.toDouble)
+      case (_: NumericType | DateType | TimestampType | TimestampNTZType, v: Number) =>
+        Some(v.doubleValue())
+      case _ => None
+    }
+    def strPrefix(l: V2Literal[_]): Option[Long] = (l.dataType(), l.value()) match {
+      case (StringType, v) if v != null =>
+        Some(ZoneFilter.prefixLong(v.toString.getBytes("UTF-8")))
+      case _ => None
+    }
+    val nums = typed.flatMap(num)
+    val strs = typed.flatMap(strPrefix)
+    if (nums.length == typed.length) {
+      if (nums.length <= InListCap) Seq(ZoneFilter(col, "in", 0.0, values = nums.toSeq))
+      else Seq(ZoneFilter(col, ">=", nums.min), ZoneFilter(col, "<=", nums.max))
+    } else if (strs.length == typed.length) {
+      import java.lang.Long.compareUnsigned
+      if (strs.length <= InListCap)
+        Seq(ZoneFilter(col, "in", 0.0, isStr = true, strPrefixes = strs.toSeq))
+      else {
+        val mn = strs.reduce((a, b) => if (compareUnsigned(a, b) <= 0) a else b)
+        val mx = strs.reduce((a, b) => if (compareUnsigned(a, b) >= 0) a else b)
+        Seq(ZoneFilter(col, ">=", 0.0, mn, isStr = true),
+            ZoneFilter(col, "<=", 0.0, mx, isStr = true))
+      }
+    } else Nil
   }
 }
 
