@@ -30,6 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // FTS scan substitution over persisted BM25 indexes: replaces the
     // canonical graft_bm25 ranking shape with a postings/vocabulary probe
     e.injectOptimizerRule(session => FtsTopKRewrite(session))
+    // SQL-standard grand-total row for ROLLUP/CUBE over empty input
+    // (fuzzer-found Spark-vs-DuckDB divergence; see the rule's scaladoc).
+    // Post-hoc resolution, NOT optimizer: ConvertToLocalRelation folds a
+    // statically-empty input away before optimizer rules would see the
+    // Aggregate/Expand shape.
+    e.injectPostHocResolutionRule(_ => StandardEmptyGroupingSets)
     // SQL names for the codegen kernels (usable from spark.sql)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

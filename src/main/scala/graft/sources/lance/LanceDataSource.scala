@@ -343,13 +343,103 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
                        blobRefs: Set[String] = Set.empty,
                        optionAddrFilters: Seq[AddrFilter] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = full
   private var limit: Option[Int] = None
   private var zoneFilters: Seq[ZoneFilter] = Nil
   private var addrFilters: Seq[AddrFilter] = Nil
   private var accepted: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Array[Any], String)] = None
+
+  /** Manifest-only aggregates: COUNT(*) is the deletion-aware live row
+    * count; MIN/MAX over integral/temporal columns read the exact
+    * per-fragment stats the writer records — the whole query costs one
+    * metadata read, no data file is ever opened. At 100 TB this is the
+    * difference between a count costing a full scan and costing
+    * milliseconds. Only COMPLETE pushdown is offered, and only when it is
+    * provably exact:
+    *  - no pushed filters (ours all stay residual, so Spark only offers
+    *    aggregates on filterless scans — guarded anyway);
+    *  - MIN/MAX: no deletion files anywhere (a dead row may hold the
+    *    extremum), every non-empty fragment carries the column's stat
+    *    (absent = all-null or foreign-written), integral/date/timestamp
+    *    types only (the fixed64 stat channel is a double: big longs round,
+    *    float/double NaN never enters stats), |stat| < 2^52;
+    *  - COUNT(*): always exact (physicalRows - numDeleted per fragment).
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val t = translateAgg(agg)
+    t.foreach(r => pushedAgg = Some(r))
+    t.isDefined
+  }
+
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any], String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (zoneFilters.nonEmpty || addrFilters.nonEmpty ||
+        optionAddrFilters.nonEmpty || limit.isDefined ||
+        fromVersion.isDefined || blobRefs.nonEmpty) return None
+    val manifest =
+      try {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val (fs, p) = LanceFormat.fileSystem(path, conf)
+        LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, versionAsOf))
+      } catch { case _: Exception => return None }
+    val frags = manifest.fragments
+    val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f.id).toMap
+    val Exact = 1L << 52
+
+    def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
+               isMin: Boolean): Option[(StructField, Any)] = {
+      val name = col match {
+        case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+        case _ => return None
+      }
+      val sf = full.fields.find(_.name == name).getOrElse(return None)
+      val fid = byName.getOrElse(name, return None)
+      sf.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType => ()
+        case _ => return None
+      }
+      if (frags.exists(_.deletion.isDefined)) return None
+      val live = frags.filter(_.physicalRows > 0)
+      if (live.isEmpty)
+        return Some((StructField(name, sf.dataType, nullable = true), null))
+      val stats = live.map(_.stats.find(_._1 == fid).getOrElse(return None))
+      val v = if (isMin) stats.map(_._2).min else stats.map(_._3).max
+      if (math.abs(v) >= Exact) return None
+      val internal: Any = sf.dataType match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType | DateType => v.toInt
+        case LongType | TimestampType | TimestampNTZType => v.toLong
+        case _ => return None
+      }
+      Some((StructField(name, sf.dataType, nullable = true), internal))
+    }
+
+    val translated = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        (StructField("count_star", LongType, nullable = false),
+         frags.map(_.liveRows).sum: Any)
+      case m: Min => minMax(m.column(), isMin = true).getOrElse(return None)
+      case m: Max => minMax(m.column(), isMin = false).getOrElse(return None)
+      case _ => return None
+    }
+    Some((StructType(translated.map(_._1)), translated.map(_._2).toArray,
+          agg.aggregateExpressions().mkString(", ")))
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve lance field order; requiredSchema may reorder. `_rowaddr`
@@ -433,9 +523,42 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new LanceScan(path, full, required, versionAsOf, limit, zoneFilters, fromVersion,
-                  optionAddrFilters ++ addrFilters, blobRefs)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, values, desc)) =>
+      new LanceManifestAggScan(path, schema, values, desc)
+    case None =>
+      new LanceScan(path, full, required, versionAsOf, limit, zoneFilters, fromVersion,
+                    optionAddrFilters ++ addrFilters, blobRefs)
+  }
+}
+
+/** A fully-pushed-down aggregate answered from the manifest: one
+  * partition, one row, zero data-file reads (see
+  * [[LanceScanBuilder.supportCompletePushDown]]). */
+class LanceManifestAggScan(path: String, schema: StructType,
+                           values: Array[Any], desc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LanceManifestAggScan($path, pushed=[$desc])"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LanceAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LanceAggReaderFactory
+}
+
+case class LanceAggPartition(values: Array[Any]) extends InputPartition
+
+class LanceAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vs = p.asInstanceOf[LanceAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vs.clone())
+      override def close(): Unit = ()
+    }
 }
 
 /** One column-slice of a fragment: a data file carrying a subset of the
