@@ -211,30 +211,54 @@ object TextOps {
     QDef("d28_minhash_portable", (s, dir) => {
       val t = Tables.register(s, dir)
       val P = 8; val B = 4
+      // identical signatures COLLAPSE before banding (the d07 shape): a
+      // dup-dense corpus concentrates on equal sketches, whose intra-group
+      // pairs are est 1.0 by definition — banding/distinct/estimate then
+      // run per DISTINCT-signature pair, never quadratic in group size
+      // (the naive doc-level band self-join was 17-45 s at sf0.1; this is
+      // the same output from ~|distinct sigs|² candidate work)
       val sig = t("documents").select(col("doc_id"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .select(col("doc_id"),
           array((0 until P).map(p =>
             array_min(transform(col("toks"), tk =>
               substring(md5(concat(lit(p + ":"), tk)), 1, 13)))): _*).as("sig"))
-      val bands = sig.select(col("doc_id"),
+      val reps = sig.groupBy("sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .withColumn("gid", monotonically_increasing_id())
+        .localCheckpoint(true)
+      val intra = reps.filter(size(col("ids")) > 1)
+        .select(col("ids"), explode(col("ids")).as("a"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+                lit(1.0).as("est_jaccard"))
+      val bands = reps.select(col("gid"),
           posexplode(array((0 until B).map(b =>
             md5(concat_ws(",", col("sig")(2 * b), col("sig")(2 * b + 1)))): _*)))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+        .select(col("gid"), col("pos").as("band"), col("col").as("bh"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
         .distinct()
-      val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      val sa = reps.select(col("gid").as("gid_a"), col("sig").as("sig_a"),
+                           col("ids").as("ids_a"))
+      val sb = reps.select(col("gid").as("gid_b"), col("sig").as("sig_b"),
+                           col("ids").as("ids_b"))
       val est = (0 until P).map(i =>
           when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
         .reduce(_ + _).cast(DoubleType) / P
-      cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      // est = 1.0 implies identical sigs, which collapsed — cross-group
+      // pairs never overlap the intra set
+      val inter = cand.join(sa, "gid_a").join(sb, "gid_b")
+        .select(col("ids_a"), col("ids_b"), est.as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.75)
-        .orderBy("doc_a", "doc_b")
+        .select(col("est_jaccard"), col("ids_b"), explode(col("ids_a")).as("a"))
+        .select(col("est_jaccard"), col("a"), explode(col("ids_b")).as("b"))
+        .select(least(col("a"), col("b")).as("doc_a"),
+                greatest(col("a"), col("b")).as("doc_b"), col("est_jaccard"))
+      intra.unionAll(inter).orderBy("doc_a", "doc_b")
     }, Some("""
       WITH toks AS (
         SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok

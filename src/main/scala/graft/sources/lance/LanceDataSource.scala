@@ -143,7 +143,8 @@ class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[
       fromVersion = Option(options.get("fromVersion")).map(_.toLong),
       blobRefs = LanceDataSource.blobRefCols(options).toSet,
       optionAddrFilters =
-        Option(options.get("addrRanges")).map(AddrRangeSet.parse).toSeq)
+        Option(options.get("addrRanges")).map(AddrRangeSet.parse).toSeq,
+      splitRows = Option(options.get("splitRows")).map(_.toLong).getOrElse(0L))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new LanceWriteBuilder(path, info)
@@ -341,7 +342,8 @@ object ZoneFilter {
 class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long],
                        fromVersion: Option[Long] = None,
                        blobRefs: Set[String] = Set.empty,
-                       optionAddrFilters: Seq[AddrFilter] = Nil)
+                       optionAddrFilters: Seq[AddrFilter] = Nil,
+                       splitRows: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
@@ -528,7 +530,7 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
       new LanceManifestAggScan(path, schema, values, desc)
     case None =>
       new LanceScan(path, full, required, versionAsOf, limit, zoneFilters, fromVersion,
-                    optionAddrFilters ++ addrFilters, blobRefs)
+                    optionAddrFilters ++ addrFilters, blobRefs, splitRows)
   }
 }
 
@@ -581,7 +583,12 @@ case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
                                deletionPath: Option[String] = None,
                                numDeleted: Long = 0L,
                                extraFiles: Array[LanceFileSlice] = Array.empty,
-                               rowIdSegs: Array[Byte] = null)
+                               rowIdSegs: Array[Byte] = null,
+                               // physical row slice of the fragment this
+                               // partition covers (sliceRows < 0 = whole
+                               // fragment); see option("splitRows", n)
+                               sliceStart: Long = 0L,
+                               sliceRows: Long = -1L)
   extends InputPartition
 
 class LanceScan(path: String, full: StructType, required: StructType,
@@ -589,7 +596,8 @@ class LanceScan(path: String, full: StructType, required: StructType,
                 zoneFilters: Seq[ZoneFilter] = Nil,
                 fromVersion: Option[Long] = None,
                 addrFilters: Seq[AddrFilter] = Nil,
-                blobRefs: Set[String] = Set.empty)
+                blobRefs: Set[String] = Set.empty,
+                splitRows: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -728,6 +736,20 @@ class LanceScan(path: String, full: StructType, required: StructType,
         extraFiles = extras, rowIdSegs = segs)
     }
     limit match {
+      case None if splitRows > 0 =>
+        // fragment splitting (`option("splitRows", n)`): a fragment bigger
+        // than n physical rows fans out over ceil(rows/n) tasks instead of
+        // one — the read-side parallelism story for datasets whose WRITER
+        // cut huge fragments (a 10 GB crate-written fragment should not be
+        // one task on a 1000-executor cluster). Slices address PHYSICAL
+        // rows, so `_rowaddr`, deletion masks, and row-id segments stay
+        // exact; readers clip boundary pages. Not combined with a pushed
+        // LIMIT (whole-fragment trimming is already minimal there).
+        all.flatMap { p =>
+          if (p.numRows <= splitRows) Seq(p)
+          else (0L until p.numRows by splitRows).map(lo =>
+            p.copy(sliceStart = lo, sliceRows = math.min(splitRows, p.numRows - lo)))
+        }.toArray
       case None => all.toArray
       case Some(n) =>
         // keep fragments until the cumulative LIVE row count covers the limit
@@ -803,8 +825,12 @@ class LanceScan(path: String, full: StructType, required: StructType,
       val have = fr.files.flatMap(_.fieldIds).toSet
       needed.exists(id => !have.contains(id))
     }
+    // sliced partitions clip boundary pages — the row reader handles that;
+    // Spark requires all partitions of a scan to agree row-vs-columnar
+    val anySplit = limit.isEmpty && splitRows > 0 &&
+      manifest.fragments.exists(_.physicalRows > splitRows)
     new LanceReaderFactory(cols.toArray, serConf, zf, rowAddrPos,
-      anyDeletions || anyMissing, addrFilters, rowIdPos)
+      anyDeletions || anyMissing || anySplit, addrFilters, rowIdPos)
   }
 }
 
@@ -1131,31 +1157,54 @@ private[lance] final class FragmentPages(part: LanceInputPartition,
     * emit the fragment's LIVE row count as one synthetic page. With
     * deletions, pages decode whole (masking happens per row in the
     * reader); the limit counts live rows and the reader re-applies it. */
-  val pagePlan: Array[(Int, Int)] = if (rowAlignedIds.isEmpty) {
+  /** Physical row slice this partition covers (whole fragment unless a
+    * `splitRows` scan split it). */
+  val sliceLo: Long = part.sliceStart
+  val sliceHi: Long =
+    if (part.sliceRows < 0) part.numRows
+    else math.min(part.numRows, part.sliceStart + part.sliceRows)
+  private val sliced = part.sliceRows >= 0
+
+  /** Plan entries are (pageIdx, skipRowsInPage, takeRows): a sliced
+    * partition clips its boundary pages (decode skip+take rows, emit the
+    * tail `take`); unsliced scans always have skip 0. */
+  val pagePlan: Array[(Int, Int, Int)] = if (rowAlignedIds.isEmpty) {
     if (hasDeletions && colSpecs.nonEmpty) {
       // every projected column postdates this fragment (null-fill): emit
       // physical rows so the reader's deletion mask indexes correctly
-      Array((0, part.numRows.toInt))
+      Array((0, sliceLo.toInt, (sliceHi - sliceLo).toInt))
+    } else if (sliced) {
+      // synthetic count page over a slice: live rows within [lo, hi)
+      val dead =
+        if (!hasDeletions) 0L
+        else deletedRows.get.get(sliceLo.toInt, sliceHi.toInt).cardinality().toLong
+      Array((0, 0, (sliceHi - sliceLo - dead).toInt))
     } else {
       val live = part.numRows - part.numDeleted
-      Array((0, math.min(live, part.rowLimit).toInt))
+      Array((0, 0, math.min(live, part.rowLimit).toInt))
     }
   } else {
-    val out = Array.newBuilder[(Int, Int)]
+    val out = Array.newBuilder[(Int, Int, Int)]
     var remaining = part.rowLimit
     var i = 0
     while (i < nPages && remaining > 0) {
-      if (keep(i)) {
-        val metas = pageMetasOf(rowAlignedIds.head)
-        if (hasDeletions) {
-          val take = metas(i).rows.toInt
-          out += ((i, take))
-          val start = pageStarts(i)
-          val dead = deletedRows.get.get(start.toInt, (start + take).toInt).cardinality()
-          remaining -= (take - dead)
+      val metas = pageMetasOf(rowAlignedIds.head)
+      val pStart = pageStarts(i)
+      val pRows = metas(i).rows
+      val ovLo = math.max(pStart, sliceLo)
+      val ovHi = math.min(pStart + pRows, sliceHi)
+      if (keep(i) && ovLo < ovHi) {
+        if (hasDeletions || sliced) {
+          val skip = (ovLo - pStart).toInt
+          val take = (ovHi - ovLo).toInt
+          out += ((i, skip, take))
+          if (hasDeletions) {
+            val dead = deletedRows.get.get(ovLo.toInt, ovHi.toInt).cardinality()
+            remaining -= (take - dead)
+          } else remaining -= take
         } else {
-          val take = math.min(metas(i).rows, remaining).toInt
-          out += ((i, take))
+          val take = math.min(pRows, remaining).toInt
+          out += ((i, 0, take))
           remaining -= take
         }
       }
@@ -1366,7 +1415,9 @@ class LanceColumnarReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
     if (batch != null) { batch.close(); batch = null }
     if (!pages.aligned) return nextFallback()
     if (planIdx >= pages.pagePlan.length) return false
-    val (pi, rows) = pages.pagePlan(planIdx)
+    val (pi, skip, rows) = pages.pagePlan(planIdx)
+    // sliced partitions force the row-based reader at the factory level
+    require(skip == 0, "lance: columnar reader cannot serve a sliced partition")
     planIdx += 1
     val vectors = OnHeapColumnVector.allocateColumns(rows, schema)
     var c = 0
@@ -1535,29 +1586,34 @@ class LancePartitionReader(part: LanceInputPartition, colSpecs: Array[ColSpec],
   private val rows: Iterator[InternalRow] = {
     val base: Iterator[InternalRow] =
       if (!pages.aligned) {
+        // fallback materializes ALL physical rows; a slice iterates its
+        // physical sub-range of the materialized columns
         val (colValues, numRows) = pages.decodeAllFallback()
-        (0 until numRows).iterator
+        (pages.sliceLo.toInt until math.min(pages.sliceHi, numRows.toLong).toInt)
+          .iterator
           .filter(r => !pages.isDeleted(r))
           .map(r => assemble(colValues, r, r))
       } else if (colSpecs.isEmpty && (rowAddrPos >= 0 || rowIdPos >= 0)) {
         // metadata-only projection (e.g. min/max over addresses, or an
         // address handoff to a take): no physical column decodes —
         // addresses enumerate live physical offsets directly
-        val live = (0L until part.numRows).iterator
+        val live = (pages.sliceLo until pages.sliceHi).iterator
           .filter(r => !pages.isDeleted(r))
           .map(r => assemble(Array.empty, 0, r))
         if (part.rowLimit < Int.MaxValue) live.take(part.rowLimit.toInt) else live
       } else if (colSpecs.isEmpty) {
         // synthetic count(*) page: take is already the live row count
-        pages.pagePlan.iterator.flatMap { case (_, take) =>
+        pages.pagePlan.iterator.flatMap { case (_, _, take) =>
           (0 until take).iterator.map(_ => new GenericInternalRow(0): InternalRow)
         }
-      } else pages.pagePlan.iterator.flatMap { case (pi, take) =>
-        val colValues = colSpecs.map(s => pages.decodeBoxedPage(s, pi, take))
+      } else pages.pagePlan.iterator.flatMap { case (pi, skip, take) =>
+        // boundary pages of a slice decode skip+take rows and emit the
+        // tail `take`; physical offsets stay exact for deletions/_rowaddr
+        val colValues = colSpecs.map(s => pages.decodeBoxedPage(s, pi, skip + take))
         val start = pages.pageStarts(pi)
         (0 until take).iterator
-          .filter(r => !pages.isDeleted(start + r))
-          .map(r => assemble(colValues, r, start + r))
+          .filter(r => !pages.isDeleted(start + skip + r))
+          .map(r => assemble(colValues, skip + r, start + skip + r))
       }
     // with deletions, page-level planning over-decodes; the live-row limit
     // is re-applied here (no-op when nothing was pushed down)
