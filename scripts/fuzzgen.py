@@ -172,6 +172,18 @@ def gen_query(rnd, qid):
         ])
         lt, rt, lk, rk = fk
         lcols, rcols = TABLES[lt], TABLES[rt]
+        if rnd.random() < 0.35:
+            # LEFT JOIN with a filtered right side (some rows unmatched):
+            # COUNT(*) vs COUNT(right_col) vs SUM(COALESCE(...)) pin the
+            # null-extension semantics exactly
+            rint = rnd.choice(rcols["int"])
+            inner_pred = f"{rnd.choice(rcols['int'])} {rnd.choice(['<', '>'])} {rnd.randint(0, 3000)}"
+            gkey = rnd.choice(lcols["str"])
+            sql = (f"SELECT {gkey} AS k, COUNT(*) AS n, COUNT({rint}) AS m, "
+                   f"CAST(SUM(CAST(COALESCE({rint}, 0) AS BIGINT)) AS BIGINT) AS a "
+                   f"FROM {lt} LEFT JOIN (SELECT * FROM {rt} WHERE {inner_pred}) t "
+                   f"ON {lk} = {rk} GROUP BY k ORDER BY k NULLS FIRST")
+            return " ".join(sql.split())
         gkey = rnd.choice(rcols["str"] + lcols["str"])
         agg2 = rnd.choice([
             f"CAST(SUM(CAST({rnd.choice(lcols['int'])} AS BIGINT)) AS BIGINT)",
