@@ -14,6 +14,8 @@ object ExplainQ {
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -24,6 +24,8 @@ object FuzzVerify {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -12,6 +12,8 @@ object TimeQ {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.catalog.lance", "graft.sources.lance.LanceCatalog")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

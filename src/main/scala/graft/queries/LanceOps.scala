@@ -606,6 +606,66 @@ object LanceOps {
       SELECT o_orderpriority, COUNT(*) AS n, ${Det.oSum("o_totalprice")} AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // storage-partitioned join: orders and lineitem value-partitioned on a
+    // shared bucket key (o_orderkey % 16) and sorted by the join key within
+    // each fragment — the scan reports KeyGroupedPartitioning + SortOrder,
+    // so the fact-fact join runs with ZERO shuffle and ZERO sort (the
+    // grouped fragments zip pairwise; LancePartitionSpec pins the plan
+    // shape). At 100 TB this is the layout that removes the dominant
+    // exchange entirely. Oracle joins the parquet sources with the same
+    // (redundant) bucket-equality conjunct.
+    QDef("l21_partitioned_join", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val dsO = s"$workDir/orders_part.lance"
+      val dsL = s"$workDir/lineitem_part.lance"
+      t("orders").withColumn("bkt", col("o_orderkey") % 16)
+        .write.format("lance")
+        .option("partitionBy", "bkt").option("sortBy", "o_orderkey")
+        .mode("overwrite").save(dsO)
+      t("lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+        .withColumn("bkt", col("l_orderkey") % 16)
+        .write.format("lance")
+        .option("partitionBy", "bkt").option("sortBy", "l_orderkey")
+        .mode("overwrite").save(dsL)
+      val o = s.read.format("lance").load(dsO)
+      val l = s.read.format("lance").load(dsL)
+      o.join(l, o("bkt") === l("bkt") && o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             Det.dsum(col("l_extendedprice")).as("rev"),
+             sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ${Det.oSum("l_extendedprice")} AS rev,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM orders JOIN lineitem
+        ON (o_orderkey % 16) = (l_orderkey % 16) AND o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // partition-key aggregation over a lang-partitioned corpus: the
+    // documents table laid out one-fragment-per-language (the data-lake
+    // layout for per-language pipeline stages) aggregates by lang with NO
+    // exchange — partial aggs per fragment ARE the final groups.
+    QDef("l22_partitioned_agg", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/documents_bylang.lance"
+      t("documents").select("doc_id", "lang", "text", "n_chars")
+        .write.format("lance")
+        .option("partitionBy", "lang").option("sortBy", "doc_id")
+        .mode("overwrite").save(ds)
+      s.read.format("lance").load(ds)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+             sum("n_chars").as("chars"),
+             sum(length(col("text")).cast("long")).as("text_chars"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -588,8 +588,29 @@ case class LanceInputPartition(dataFilePath: String, fieldIds: Array[Int],
                                // partition covers (sliceRows < 0 = whole
                                // fragment); see option("splitRows", n)
                                sliceStart: Long = 0L,
-                               sliceRows: Long = -1L)
+                               sliceRows: Long = -1L,
+                               // set only when the scan reports
+                               // KeyGroupedPartitioning: the fragment's
+                               // partition values (codec strings) + types
+                               partKeyVals: Array[String] = null,
+                               partKeyTypes: Array[org.apache.spark.sql.types.DataType] = null)
   extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+
+  /** Grouping key for storage-partitioned joins; only consulted by Spark
+    * when the scan reported KeyGroupedPartitioning (partKeyVals set). */
+  override def partitionKey(): InternalRow = {
+    require(partKeyVals != null,
+      "lance: partitionKey() on a partition without partition values")
+    val vs = new Array[Any](partKeyVals.length)
+    var i = 0
+    while (i < vs.length) {
+      vs(i) = LanceFormat.PartValueCodec.toCatalyst(partKeyTypes(i), partKeyVals(i))
+      i += 1
+    }
+    new GenericInternalRow(vs)
+  }
+}
 
 class LanceScan(path: String, full: StructType, required: StructType,
                 versionAsOf: Option[Long], limit: Option[Int] = None,
@@ -599,7 +620,8 @@ class LanceScan(path: String, full: StructType, required: StructType,
                 blobRefs: Set[String] = Set.empty,
                 splitRows: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning with SupportsReportOrdering {
   override def readSchema(): StructType = required
 
   /** Runtime (dynamic-pruning) zone filters, installed by Spark AFTER the
@@ -678,6 +700,70 @@ class LanceScan(path: String, full: StructType, required: StructType,
         manifest0.fragments.filterNot(f => baseIds.contains(f.id)))
   }
 
+  /** Value-partitioned layout → KeyGroupedPartitioning: every fragment of
+    * a `partitionBy` write holds ONE combination of the partition columns'
+    * values, so fragments ARE hash-free key groups. Reporting them lets
+    * Spark run storage-partitioned joins (two lance datasets partitioned
+    * on the same columns join with ZERO shuffle — the grouped fragments
+    * zip pairwise) and partition-key aggregations without an exchange.
+    * At 100 TB this removes the dominant fact⋈fact data movement
+    * entirely; needs `spark.sql.sources.v2.bucketing.enabled=true`.
+    *
+    * Reported only when provably exact: every fragment carries values for
+    * every partition column (an unpartitioned append or a compaction
+    * clears this until a partitioned rewrite), all partition columns are
+    * in the read schema (Spark resolves the identity transforms against
+    * the scan output), and no LIMIT was pushed (limit trimming drops
+    * whole key groups). */
+  @transient private lazy val partReport
+      : Option[(Seq[String], Array[org.apache.spark.sql.types.DataType], Int)] = {
+    val cols = manifest.partitionCols
+    val frs = manifest.fragments
+    if (cols.isEmpty || frs.isEmpty || limit.isDefined) None
+    else if (!cols.forall(required.fieldNames.contains)) None
+    else if (frs.exists(_.partValues.length != cols.length)) None
+    else {
+      val types = cols.map(c => required.fields(required.fieldIndex(c)).dataType).toArray
+      if (!types.forall(LanceFormat.PartValueCodec.supported)) None
+      else Some((cols, types, frs.map(_.partValues).distinct.size))
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    partReport match {
+      case Some((cols, _, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          cols.map(c => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray, n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
+
+  /** Sorted layout → per-partition SortOrder. Valid because `sortCols` is
+    * a manifest-wide claim that EVERY fragment's rows are sorted by those
+    * columns (cleared by any write that can't prove it), each fragment is
+    * one input partition (splitRows off), and deletion masks preserve
+    * order. Claimed on the longest projected prefix. When partitioning is
+    * also reported, Spark may CONCATENATE same-key fragments into one
+    * group — sortedness survives only if every key owns a single
+    * fragment, so that is required. Combined with the partitioning
+    * report, a join keyed on (partitionCols ++ sortCols) plans with no
+    * exchange AND no sort. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val prefix = manifest.sortCols.takeWhile(required.fieldNames.contains)
+    val groupingSafe = partReport.isEmpty ||
+      manifest.fragments.map(_.partValues).distinct.size == manifest.fragments.size
+    if (prefix.isEmpty || limit.isDefined || splitRows > 0 || !groupingSafe)
+      Array.empty
+    else prefix.map(c =>
+      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+  }
+
   /** Row count + size from the manifest — feeds the cost model so e.g.
     * joins against small lance dims get planned as broadcasts. */
   override def estimateStatistics(): Statistics = new Statistics {
@@ -711,6 +797,7 @@ class LanceScan(path: String, full: StructType, required: StructType,
     // take path: a fragment owns addresses [id << 32, id << 32 + physRows)
     def addrMayMatch(frag: LanceFormat.FragmentMeta): Boolean =
       addrFilters.forall(_.mayMatch(frag.id << 32, frag.physicalRows))
+    val keyed = partReport // fragment partition keys, when reported
     val all = manifest.fragments.filter(f => fragMayMatch(f) && addrMayMatch(f)).map { frag =>
       val delPath = frag.deletion.map(d =>
         new Path(new Path(path, "_deletions"), d.fileName(frag.id)).toString)
@@ -733,7 +820,9 @@ class LanceScan(path: String, full: StructType, required: StructType,
         head.fieldIds.toArray, head.columnIndices.toArray, frag.physicalRows,
         fragId = frag.id, deletionPath = delPath,
         numDeleted = frag.deletion.map(_.numDeleted).getOrElse(0L),
-        extraFiles = extras, rowIdSegs = segs)
+        extraFiles = extras, rowIdSegs = segs,
+        partKeyVals = keyed.map(_ => frag.partValues.toArray).orNull,
+        partKeyTypes = keyed.map(_._2).orNull)
     }
     limit match {
       case None if splitRows > 0 =>

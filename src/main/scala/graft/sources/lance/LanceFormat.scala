@@ -139,11 +139,24 @@ object LanceFormat {
   final case class FragmentMeta(id: Long, files: Seq[DataFileMeta], physicalRows: Long,
                                 stats: Seq[(Int, Double, Double)] = Nil,
                                 deletion: Option[DeletionFileMeta] = None,
-                                rowIds: Option[Seq[RowIdSeg]] = None) {
+                                rowIds: Option[Seq[RowIdSeg]] = None,
+                                partValues: Seq[String] = Nil) {
     def liveRows: Long = physicalRows - deletion.map(_.numDeleted).getOrElse(0L)
   }
+  /** `partitionCols` / `sortCols` are this writer's layout extension
+    * (manifest tags 499/498, private range — a crate reader skips them):
+    *  - partitionCols: value-partitioned layout — every fragment written
+    *    under it holds ONE combination of those columns' values, recorded
+    *    per fragment (`partValues`, positional, [[PartValueCodec]] strings).
+    *    The scan reports KeyGroupedPartitioning from them, so co-partitioned
+    *    datasets join/aggregate WITHOUT a shuffle (storage-partitioned join).
+    *  - sortCols: every fragment's rows are sorted by these columns (the
+    *    write's RequiresDistributionAndOrdering proved it) — the scan
+    *    reports a per-partition SortOrder, eliminating local sorts. */
   final case class Manifest(fields: Seq[LanceField], fragments: Seq[FragmentMeta], version: Long,
-                            nextRowId: Long = 0L) {
+                            nextRowId: Long = 0L,
+                            partitionCols: Seq[String] = Nil,
+                            sortCols: Seq[String] = Nil) {
     /** Move-stable row ids are on iff the manifest carries a next id. */
     def stableRowIds: Boolean = nextRowId > 0L
   }
@@ -152,6 +165,36 @@ object LanceFormat {
   final case class ColumnMeta(pages: Seq[PageMeta])
 
   val Magic = "LANC".getBytes("ASCII")
+
+  /** Partition-value wire codec: catalyst value <-> manifest string, keyed
+    * by the column's Spark type. Raw underlying representations (date =
+    * epoch days, timestamp = micros) so the mapping is lossless and
+    * locale-free. Partition columns must be one of these types and non-null
+    * — the writer enforces both. */
+  object PartValueCodec {
+    def supported(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           StringType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    /** From an internal-row value (UTF8String for strings). */
+    def toStr(dt: DataType, v: Any): String = {
+      require(v != null, "lance: partition column value is NULL — " +
+        "partitionBy columns must be non-null")
+      v.toString // Int/Long/Boolean/UTF8String all round-trip as toString
+    }
+    /** Back to the catalyst representation. */
+    def toCatalyst(dt: DataType, s: String): Any = dt match {
+      case ByteType => s.toByte
+      case ShortType => s.toShort
+      case IntegerType | DateType => s.toInt
+      case LongType | TimestampType | TimestampNTZType => s.toLong
+      case BooleanType => s.toBoolean
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case _ => throw new UnsupportedOperationException(
+        s"lance: unsupported partition column type $dt")
+    }
+  }
 
   // --- type mapping (SURVEY §1.3 — wider than the reference's narrowing) --
   def toSparkType(logicalType: String): DataType = logicalType match {
@@ -319,10 +362,13 @@ object LanceFormat {
         physicalRows = Proto.firstVarint(fs, 4).getOrElse(0L),
         stats = stats,
         deletion = deletion,
-        rowIds = rowIds)
+        rowIds = rowIds,
+        partValues = Proto.all(fs, 10).map(f => new String(f.bytes, "UTF-8")))
     }
     Manifest(fields, fragments, Proto.firstVarint(top, 3).getOrElse(1L),
-             nextRowId = Proto.firstVarint(top, 14).getOrElse(0L))
+             nextRowId = Proto.firstVarint(top, 14).getOrElse(0L),
+             partitionCols = Proto.all(top, 499).map(f => new String(f.bytes, "UTF-8")),
+             sortCols = Proto.all(top, 498).map(f => new String(f.bytes, "UTF-8")))
   }
 
   def toStructType(m: Manifest): StructType = {

@@ -173,9 +173,15 @@ object LanceMaintenance {
       LanceFormat.decodeRowIds(b)
     }.toSeq
     val newVersion = manifest.version + 1
+    // compaction merges fragments across partition values: the partition
+    // COLUMNS survive (the dataset's declared layout), but the rewritten
+    // fragments carry no values, so KeyGroupedPartitioning reporting is
+    // disabled until a partitioned rewrite; per-fragment sortedness is
+    // likewise void after merging
     LanceWriteSupport.writeManifest(conf, p, schema, newFrags,
       frags.map(_.id).foldLeft(-1L)(math.max) + 1, Nil, newVersion, fsl,
-      manifest.fields, newRowIds = newSegs, nextRowId = manifest.nextRowId)
+      manifest.fields, newRowIds = newSegs, nextRowId = manifest.nextRowId,
+      partitionCols = manifest.partitionCols)
     newVersion
   }
 
@@ -601,11 +607,15 @@ object LanceMaintenance {
             (s, next)
           }
         try {
+          // carried fragments keep their partition values (patchedPrev is
+          // FragmentMeta); the upsert's new fragments carry none, which
+          // disables partitioning reporting until a partitioned rewrite
           LanceWriteSupport.writeManifest(conf, p,
             org.apache.spark.sql.types.StructType(tgtFields), newFrags,
             latest.fragments.map(_.id).foldLeft(-1L)(math.max) + 1,
             patchedPrev, newVersion, fsl, latest.fields,
-            newRowIds = segs, nextRowId = nextId)
+            newRowIds = segs, nextRowId = nextId,
+            partitionCols = latest.partitionCols)
           committed = newVersion
         } catch {
           case e: LanceCommitConflict =>

@@ -12,8 +12,8 @@ import org.apache.spark.util.SerializableConfiguration
 /** DSv2 write path (SURVEY §7 M3; reference R6-R8
   * `cpp/lance_copy.cpp:73-174`, `rust/writer.rs:17-53`).
   *
-  * Data plane on executors: each task streams its rows into one fragment
-  * file `data/<uuid>.lance` (page-buffered, bounded memory — explicitly
+  * Data plane on executors: each task streams its rows into fragment
+  * files `data/<uuid>.lance` (page-buffered, bounded memory — explicitly
   * NOT the reference's full-RAM materialization). Control plane on the
   * driver: commit() writes `_versions/<N+1>.manifest` via create-temp +
   * atomic rename; append mode carries the previous version's fragments
@@ -36,8 +36,22 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
     def cols(key: String): Seq[String] =
       Option(info.options.get(key)).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val partitionBy = cols("partitionBy")
+    val clusterBy = cols("clusterBy")
+    require(partitionBy.isEmpty || clusterBy.isEmpty,
+      "lance: partitionBy and clusterBy are mutually exclusive layouts")
+    // validate partition columns driver-side, before any task launches
+    partitionBy.foreach { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"lance: partitionBy column '$c' is not in the write schema"))
+      require(LanceFormat.PartValueCodec.supported(f.dataType),
+        s"lance: partitionBy column '$c' has type ${f.dataType} — " +
+        "partition columns must be integral, boolean, string, date, or timestamp")
+    }
     new LanceWrite(path, info.schema(), doTruncate, fsl,
-      clusterBy = cols("clusterBy"), sortBy = cols("sortBy"),
+      clusterBy = clusterBy, sortBy = cols("sortBy"),
+      partitionBy = partitionBy,
       numPartitions = Option(info.options.get("writePartitions"))
         .map(_.toInt).getOrElse(0),
       stableRowIds = Option(info.options.get("stableRowIds"))
@@ -61,10 +75,21 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
   *  - `clusterBy` = hash co-location (same keys land in the same
   *    fragment — dedup/join locality), with `sortBy` ordering rows
   *    within each fragment for page-level zone selectivity. Hash buckets
-  *    interleave ranges, so prefer plain `sortBy` for range pruning. */
+  *    interleave ranges, so prefer plain `sortBy` for range pruning;
+  *  - `partitionBy` = VALUE partitioning (Hive/Iceberg identity-partition
+  *    shape): rows hash-cluster on the partition columns and sort by them
+  *    within each task, and the data writer cuts a NEW fragment whenever
+  *    the partition value changes — every fragment holds exactly one
+  *    value combination, recorded in the manifest. The scan then reports
+  *    KeyGroupedPartitioning, so joins/aggregations keyed on the
+  *    partition columns run WITHOUT a shuffle (storage-partitioned join)
+  *    — at 100 TB this converts the dominant fact⋈fact exchange into a
+  *    zero-movement zip of co-partitioned fragments. Combine with
+  *    `sortBy` for shuffle-free AND sort-free merge joins. */
 class LanceWrite(path: String, schema: StructType, truncate: Boolean,
                  fsl: Map[String, Int],
                  clusterBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
+                 partitionBy: Seq[String] = Nil,
                  numPartitions: Int = 0, stableRowIds: Boolean = false,
                  codec: String = "")
     extends Write
@@ -72,15 +97,18 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
-  private def sortOrders: Array[SortOrder] =
-    sortBy.map(c => Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+  private def asc(cols: Seq[String]): Array[SortOrder] =
+    cols.map(c => Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
       .toArray
 
   override def requiredDistribution(): Distribution =
-    if (clusterBy.nonEmpty)
+    if (partitionBy.nonEmpty)
+      Distributions.clustered(
+        partitionBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else if (clusterBy.nonEmpty)
       Distributions.clustered(
         clusterBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
-    else if (sortBy.nonEmpty) Distributions.ordered(sortOrders)
+    else if (sortBy.nonEmpty) Distributions.ordered(asc(sortBy))
     else Distributions.unspecified()
 
   /** option("writePartitions", n): exact fragment count for the clustered
@@ -88,34 +116,46 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
     * small write into one fragment). */
   override def requiredNumPartitions(): Int = numPartitions
 
-  override def requiredOrdering(): Array[SortOrder] = sortOrders
+  override def requiredOrdering(): Array[SortOrder] =
+    if (partitionBy.nonEmpty) asc(partitionBy ++ sortBy) else asc(sortBy)
 
   override def toBatch: BatchWrite =
-    new LanceBatchWrite(path, schema, truncate, fsl, stableRowIds, codec)
+    new LanceBatchWrite(path, schema, truncate, fsl, stableRowIds, codec,
+      partitionBy = partitionBy, sortBy = sortBy)
 }
 
-case class LanceCommitMessage(fileName: String, rows: Long,
-                              stats: Seq[(Int, Double, Double)] = Nil)
+/** One finished fragment file from a write task. `partValues` positional
+  * per the write's partitionBy ([[LanceFormat.PartValueCodec]] strings). */
+case class LanceFragSpec(fileName: String, rows: Long,
+                         stats: Seq[(Int, Double, Double)] = Nil,
+                         partValues: Seq[String] = Nil)
+
+case class LanceCommitMessage(frags: Seq[LanceFragSpec])
     extends WriterCommitMessage
 
 class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
                       fsl: Map[String, Int] = Map.empty,
-                      stableRowIds: Boolean = false, codec: String = "")
+                      stableRowIds: Boolean = false, codec: String = "",
+                      partitionBy: Seq[String] = Nil,
+                      sortBy: Seq[String] = Nil)
     extends BatchWrite {
 
   private val hadoopConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LanceDataWriterFactory(path, schema, hadoopConf, fsl, codec)
+    new LanceDataWriterFactory(path, schema, hadoopConf, fsl, codec, partitionBy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = hadoopConf.value
     val dataset = new Path(path)
     val fs = dataset.getFileSystem(conf)
-    val fragments = messages.collect {
-      case LanceCommitMessage(name, rows, stats) if rows > 0 => (name, rows, stats)
-    }.toSeq
+    val specs = messages.toSeq.collect { case LanceCommitMessage(fr) => fr }
+      .flatten.filter(_.rows > 0)
+    val fragments = specs.map(s => (s.fileName, s.rows, s.stats))
+    // this write's within-fragment sortedness: partition columns are
+    // constant per fragment, so they prefix any declared sort for free
+    val thisSort = if (partitionBy.nonEmpty) partitionBy ++ sortBy else sortBy
     // Optimistic commit: the data plane (fragment files) is already
     // durable and conflict-free (UUID names), so losing the version-claim
     // race costs only a manifest re-read + re-write. Rebase on the new
@@ -128,7 +168,8 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     var attempt = 0
     var done = false
     while (!done) {
-      val (prevFragments, prevFields, prevMaxFragId, version, prevNextRowId) =
+      val (prevFragments, prevFields, prevMaxFragId, version, prevNextRowId,
+           prevPartCols, prevSortCols) =
         if (fs.exists(new Path(dataset, "_versions"))) {
           val m = LanceFormat.readManifest(fs,
             LanceFormat.latestManifestPath(fs, dataset, None))
@@ -137,8 +178,28 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
           val prev = if (truncate) Nil else m.fragments
           val pf = if (truncate) Nil else m.fields
           (prev, pf, m.fragments.map(_.id).foldLeft(-1L)(math.max),
-           m.version + 1, m.nextRowId)
-        } else (Nil, Nil, -1L, 1L, 0L)
+           m.version + 1, m.nextRowId,
+           if (truncate) Nil else m.partitionCols,
+           if (truncate) Nil else m.sortCols)
+        } else (Nil, Nil, -1L, 1L, 0L, Nil, Nil)
+      // Layout metadata rules for the committed manifest:
+      //  - a partitioned append must keep the dataset's partition columns
+      //    (repartitioning by different columns needs an overwrite);
+      //  - an UNpartitioned append into a partitioned dataset degrades
+      //    gracefully: the columns stay declared, but its value-less
+      //    fragments disable KeyGroupedPartitioning reporting until a
+      //    partitioned rewrite;
+      //  - sortCols survive only while every write declares the same sort
+      //    (per-fragment sortedness is a manifest-wide claim).
+      require(prevFragments.isEmpty || partitionBy.isEmpty ||
+              prevPartCols.isEmpty || partitionBy == prevPartCols,
+        s"lance: append partitioned by ${partitionBy.mkString(",")} into a " +
+        s"dataset partitioned by ${prevPartCols.mkString(",")} — overwrite to repartition")
+      val outPartCols = if (partitionBy.nonEmpty) partitionBy else prevPartCols
+      val outSortCols =
+        if (prevFragments.isEmpty) thisSort
+        else if (prevSortCols == thisSort) thisSort
+        else Nil
       // Move-stable row ids: on by option for a fresh/overwrite write;
       // appends to a stable dataset continue automatically (the manifest's
       // next_row_id is authoritative). Overwrite of a stable dataset keeps
@@ -159,7 +220,9 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
       try {
         LanceWriteSupport.writeManifest(conf, dataset, schema, fragments,
           prevMaxFragId + 1, prevFragments, version, fsl, prevFields,
-          newRowIds = rowIdSegs, nextRowId = nextRowId)
+          newRowIds = rowIdSegs, nextRowId = nextRowId,
+          newPartVals = specs.map(_.partValues),
+          partitionCols = outPartCols, sortCols = outSortCols)
         done = true
       } catch {
         case e: LanceCommitConflict =>
@@ -175,8 +238,9 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val conf = hadoopConf.value
     val dataset = new Path(path)
     val fs = dataset.getFileSystem(conf)
-    messages.collect { case LanceCommitMessage(name, _, _) =>
-      fs.delete(new Path(new Path(dataset, "data"), name), false)
+    messages.collect { case LanceCommitMessage(frags) =>
+      frags.foreach(f =>
+        fs.delete(new Path(new Path(dataset, "data"), f.fileName), false))
     }
   }
 }
@@ -184,34 +248,81 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
 class LanceDataWriterFactory(path: String, schema: StructType,
                              conf: SerializableConfiguration,
                              fsl: Map[String, Int] = Map.empty,
-                             codec: String = "") extends DataWriterFactory {
+                             codec: String = "",
+                             partitionBy: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(path, schema, conf.value, fsl, codec)
+    new LanceDataWriter(path, schema, conf.value, fsl, codec, partitionBy)
 }
 
+/** Streams a task's rows into fragment files. Unpartitioned: one fragment
+  * for the whole task (opened lazily — an empty task writes nothing).
+  * Partitioned: the incoming stream is sorted by the partition columns
+  * (the Write's requiredOrdering), so equal values arrive as one run — a
+  * new fragment is cut at each value change, giving exactly one fragment
+  * per (task, value); with the clustered distribution routing each value
+  * to one task, that is one fragment per value dataset-wide. */
 class LanceDataWriter(path: String, schema: StructType, conf: Configuration,
-                      fsl: Map[String, Int] = Map.empty, codec: String = "")
+                      fsl: Map[String, Int] = Map.empty, codec: String = "",
+                      partitionBy: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
-  private val fileName = s"${UUID.randomUUID()}.lance"
-  private val filePath = new Path(new Path(new Path(path), "data"), fileName)
-  private val fs = filePath.getFileSystem(conf)
-  private val out = fs.create(filePath, true)
-  private val writer = new LanceFragmentWriter(out, schema, fsl = fsl, codec = codec)
+  private val partOrds = partitionBy.map(schema.fieldIndex).toArray
+  private val partTypes = partOrds.map(schema.fields(_).dataType)
+
+  private var fileName: String = _
+  private var filePath: Path = _
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var writer: LanceFragmentWriter = _
   private var rows = 0L
+  private var curKey: Seq[String] = null
+  private val finished = Seq.newBuilder[LanceFragSpec]
+  private lazy val fs = new Path(path).getFileSystem(conf)
 
-  override def write(record: InternalRow): Unit = { writer.write(record); rows += 1 }
+  private def open(): Unit = {
+    fileName = s"${UUID.randomUUID()}.lance"
+    filePath = new Path(new Path(new Path(path), "data"), fileName)
+    out = fs.create(filePath, true)
+    writer = new LanceFragmentWriter(out, schema, fsl = fsl, codec = codec)
+    rows = 0L
+  }
 
-  override def commit(): WriterCommitMessage = {
+  private def closeCurrent(): Unit = if (writer != null) {
     writer.finish()
     out.close()
     if (rows == 0) fs.delete(filePath, false) // no empty fragments
-    LanceCommitMessage(fileName, rows, writer.fileStats)
+    else finished += LanceFragSpec(fileName, rows, writer.fileStats,
+      partValues = Option(curKey).getOrElse(Nil))
+    writer = null
+  }
+
+  override def write(record: InternalRow): Unit = {
+    if (partOrds.nonEmpty) {
+      var i = 0
+      val key = new Array[String](partOrds.length)
+      while (i < partOrds.length) {
+        require(!record.isNullAt(partOrds(i)),
+          s"lance: NULL in partition column '${partitionBy(i)}' — " +
+          "partitionBy columns must be non-null")
+        key(i) = LanceFormat.PartValueCodec.toStr(
+          partTypes(i), record.get(partOrds(i), partTypes(i)))
+        i += 1
+      }
+      val k = key.toSeq
+      if (curKey == null || k != curKey) { closeCurrent(); curKey = k; open() }
+    } else if (writer == null) open()
+    writer.write(record)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    LanceCommitMessage(finished.result())
   }
 
   override def abort(): Unit = {
-    out.close()
-    fs.delete(filePath, false)
+    if (writer != null) { out.close(); fs.delete(filePath, false) }
+    finished.result().foreach(f =>
+      fs.delete(new Path(new Path(new Path(path), "data"), f.fileName), false))
   }
 
   override def close(): Unit = ()

@@ -728,9 +728,14 @@ object LanceWriteSupport {
                     fsl: Map[String, Int] = Map.empty,
                     prevFields: Seq[LanceFormat.LanceField] = Nil,
                     newRowIds: Seq[Seq[LanceFormat.RowIdSeg]] = Nil,
-                    nextRowId: Long = 0L): Unit = {
+                    nextRowId: Long = 0L,
+                    newPartVals: Seq[Seq[String]] = Nil,
+                    partitionCols: Seq[String] = Nil,
+                    sortCols: Seq[String] = Nil): Unit = {
     require(newRowIds.isEmpty || newRowIds.length == fragments.length,
       "lance: newRowIds must align 1:1 with the new fragments")
+    require(newPartVals.isEmpty || newPartVals.length == fragments.length,
+      "lance: newPartVals must align 1:1 with the new fragments")
     val layout = LanceSchemaLayout.of(schema, fsl)
     // On an evolved dataset (column added/dropped/renamed) field ids are no
     // longer the DFS positions this schema would regenerate — appends must
@@ -809,6 +814,8 @@ object LanceWriteSupport {
         fw.message(5, rm)
       }
       statMsgs(fw, fr.stats)
+      // layout extension: carried fragments keep their partition values
+      fr.partValues.foreach(v => fw.string(10, v))
       w.message(2, fw)
     }
     // DataFile.fields lists only fields that own a physical column (struct
@@ -833,10 +840,14 @@ object LanceWriteSupport {
       // the committed ids the fragment's fieldIds use, so remap through
       // idOf or pruning would read the wrong column's min/max
       statMsgs(fw, stats.map { case (fid, mn, mx) => (idOf(fid), mn, mx) })
+      if (newPartVals.nonEmpty) newPartVals(i).foreach(v => fw.string(10, v))
       w.message(2, fw)
     }
     w.varint(3, version)
     if (nextRowId > 0L) w.varint(14, nextRowId)
+    // layout extension (private tags; see Manifest scaladoc)
+    partitionCols.foreach(c => w.string(499, c))
+    sortCols.foreach(c => w.string(498, c))
     w.message(13, { val v = new Proto.Writer; v.string(1, "lance").string(2, "0.32.1"); v })
     w.message(15, { val v = new Proto.Writer; v.string(1, "lance").string(2, "2.0"); v })
     commitManifest(conf, dataset, w.result(), version)

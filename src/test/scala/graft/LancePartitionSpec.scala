@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-partitioned lance layout (`option("partitionBy", cols)`) and the
+  * scan's KeyGroupedPartitioning / SortOrder reporting:
+  *
+  *  - storage-partitioned join: two datasets partitioned on the same
+  *    columns join with ZERO shuffle (the 100 TB fact⋈fact story);
+  *  - partition-key aggregation: no exchange;
+  *  - partitioned + sortBy: the join also plans with NO SortExec
+  *    (shuffle-free AND sort-free merge join);
+  *  - graceful degrade: an unpartitioned append disables reporting but
+  *    keeps results exact; compaction likewise;
+  *  - metadata survives deleteWhere; NULL partition values refuse. */
+class LancePartitionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft-lance-part").toString + s"/$name.lance"
+
+  private def leftDf: DataFrame =
+    (0 until 2000).map(i => (i % 10, i.toLong, s"l$i")).toDF("bkt", "k", "lv")
+  private def rightDf: DataFrame =
+    (0 until 1500).map(i => (i % 10, (i * 2).toLong, s"r$i")).toDF("bkt", "k", "rv")
+
+  private def collectPlan(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+  // AQE hides materialized exchanges inside leaf QueryStageExec nodes that
+  // tree collection does not descend into — but toString renders the full
+  // stage tree, so count plan LINES (the PlanSpec convention).
+  private def countShuffles(p: SparkPlan): Int =
+    p.toString.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+      l.contains("Exchange rangepartitioning") ||
+      l.contains("Exchange SinglePartition"))
+  private def countSorts(p: SparkPlan): Int =
+    p.toString.linesIterator.count(_.contains(" Sort ["))
+
+  // requireAllClusterKeysForCoPartition=false: partition keys may be a
+  // SUBSET of the join keys (join on (bkt, k), partitioned by bkt) — the
+  // standard setting for storage-partitioned joins
+  private def noBroadcast[T](f: => T): T =
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+             "spark.sql.requireAllClusterKeysForCoPartition" -> "false")(f)
+  private def withConf[T](kv: (String, String)*)(f: => T): T = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("partitioned write: round-trip exact, one fragment per value, manifest metadata") {
+    val ds = tmp("rt")
+    leftDf.write.format("lance").option("partitionBy", "bkt")
+      .mode("overwrite").save(ds)
+    val back = spark.read.format("lance").load(ds)
+    assert(back.exceptAll(leftDf).isEmpty && leftDf.exceptAll(back).isEmpty)
+    val (fs, p) = graft.sources.lance.LanceFormat.fileSystem(
+      ds, spark.sessionState.newHadoopConf())
+    val m = graft.sources.lance.LanceFormat.readManifest(
+      fs, graft.sources.lance.LanceFormat.latestManifestPath(fs, p, None))
+    assert(m.partitionCols == Seq("bkt"))
+    assert(m.sortCols == Seq("bkt"))
+    assert(m.fragments.size == 10) // one per value
+    assert(m.fragments.flatMap(_.partValues).toSet == (0 until 10).map(_.toString).toSet)
+  }
+
+  test("storage-partitioned join: zero shuffles, exact result") {
+    val l = tmp("jl"); val r = tmp("jr")
+    leftDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(l)
+    rightDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(r)
+    noBroadcast {
+      val lj = spark.read.format("lance").load(l)
+      val rj = spark.read.format("lance").load(r)
+      val j = lj.join(rj, Seq("bkt", "k")).groupBy("bkt")
+        .agg(count(lit(1)).as("n"), sum("k").as("sk"))
+      val plan = collectPlan(j)
+      assert(countShuffles(plan) == 0, s"expected no shuffle:\n$plan")
+      val expected = leftDf.join(rightDf, Seq("bkt", "k")).groupBy("bkt")
+        .agg(count(lit(1)).as("n"), sum("k").as("sk"))
+      assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
+    }
+  }
+
+  test("partition-key aggregation: no exchange") {
+    val ds = tmp("agg")
+    leftDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(ds)
+    val a = spark.read.format("lance").load(ds)
+      .groupBy("bkt").agg(sum("k").as("sk"))
+    val plan = collectPlan(a)
+    assert(countShuffles(plan) == 0, s"expected no shuffle:\n$plan")
+    val expected = leftDf.groupBy("bkt").agg(sum("k").as("sk"))
+    assert(a.exceptAll(expected).isEmpty && expected.exceptAll(a).isEmpty)
+  }
+
+  test("partitioned + sortBy: join plans with zero shuffles AND zero sorts") {
+    val l = tmp("sl"); val r = tmp("sr")
+    leftDf.write.format("lance").option("partitionBy", "bkt")
+      .option("sortBy", "k").mode("overwrite").save(l)
+    rightDf.write.format("lance").option("partitionBy", "bkt")
+      .option("sortBy", "k").mode("overwrite").save(r)
+    noBroadcast {
+      withConf("spark.sql.join.preferSortMergeJoin" -> "true") {
+        val lj = spark.read.format("lance").load(l)
+        val rj = spark.read.format("lance").load(r)
+        val j = lj.join(rj, Seq("bkt", "k")).select("bkt", "k", "lv", "rv")
+        val plan = collectPlan(j)
+        assert(countShuffles(plan) == 0, s"expected no shuffle:\n$plan")
+        assert(countSorts(plan) == 0, s"expected no sort:\n$plan")
+        val expected = leftDf.join(rightDf, Seq("bkt", "k")).select("bkt", "k", "lv", "rv")
+        assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
+      }
+    }
+  }
+
+  test("unpartitioned append degrades: shuffle returns, results stay exact") {
+    val ds = tmp("deg")
+    leftDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(ds)
+    val extra = Seq((3, 9999L, "x")).toDF("bkt", "k", "lv")
+    extra.write.format("lance").mode("append").save(ds)
+    val (fs, p) = graft.sources.lance.LanceFormat.fileSystem(
+      ds, spark.sessionState.newHadoopConf())
+    val m = graft.sources.lance.LanceFormat.readManifest(
+      fs, graft.sources.lance.LanceFormat.latestManifestPath(fs, p, None))
+    assert(m.partitionCols == Seq("bkt"), s"cols=${m.partitionCols}")
+    assert(m.fragments.size == 11, s"frags=${m.fragments.size}")
+    assert(m.fragments.count(_.partValues.isEmpty) == 1,
+      s"partValues=${m.fragments.map(_.partValues)}")
+    val a = spark.read.format("lance").load(ds).groupBy("bkt").agg(sum("k").as("sk"))
+    val plan = collectPlan(a)
+    assert(countShuffles(plan) > 0, s"value-less fragment must disable the report:\n$plan")
+    val expected = leftDf.unionAll(extra).groupBy("bkt").agg(sum("k").as("sk"))
+    assert(a.exceptAll(expected).isEmpty && expected.exceptAll(a).isEmpty)
+  }
+
+  test("partitioned append keeps reporting; mismatched partitionBy append refuses") {
+    val ds = tmp("app")
+    leftDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(ds)
+    Seq((10, 777L, "n")).toDF("bkt", "k", "lv")
+      .write.format("lance").option("partitionBy", "bkt").mode("append").save(ds)
+    val a = spark.read.format("lance").load(ds).groupBy("bkt").agg(count(lit(1)).as("n"))
+    assert(countShuffles(collectPlan(a)) == 0)
+    assert(a.count() == 11)
+    val e = intercept[Exception] {
+      Seq((1, 1L, "z")).toDF("bkt", "k", "lv")
+        .write.format("lance").option("partitionBy", "k").mode("append").save(ds)
+    }
+    assert(e.getMessage.contains("overwrite to repartition"))
+  }
+
+  test("deleteWhere preserves partition metadata and exactness") {
+    val ds = tmp("del")
+    leftDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(ds)
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, "k % 3 = 0")
+    val a = spark.read.format("lance").load(ds).groupBy("bkt").agg(sum("k").as("sk"))
+    assert(countShuffles(collectPlan(a)) == 0)
+    val expected = leftDf.filter(!($"k" % 3 === 0)).groupBy("bkt").agg(sum("k").as("sk"))
+    assert(a.exceptAll(expected).isEmpty && expected.exceptAll(a).isEmpty)
+  }
+
+  test("NULL partition value refuses loudly; unsupported type refuses driver-side") {
+    val ds = tmp("nulls")
+    val withNull = Seq((Some(1), 1L), (None, 2L)).toDF("bkt", "k")
+    val e = intercept[Exception] {
+      withNull.write.format("lance").option("partitionBy", "bkt")
+        .mode("overwrite").save(ds)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-null")))
+    val dbl = Seq((1.5, 1L)).toDF("bkt", "k")
+    val e2 = intercept[IllegalArgumentException] {
+      dbl.write.format("lance").option("partitionBy", "bkt")
+        .mode("overwrite").save(ds)
+    }
+    assert(e2.getMessage.contains("partition columns must be"))
+  }
+
+  test("string partition column round-trips and reports") {
+    val ds = tmp("str")
+    val df = (0 until 300).map(i => (s"lang${i % 4}", i.toLong)).toDF("lang", "v")
+    df.write.format("lance").option("partitionBy", "lang").mode("overwrite").save(ds)
+    val a = spark.read.format("lance").load(ds).groupBy("lang").agg(sum("v").as("sv"))
+    assert(countShuffles(collectPlan(a)) == 0)
+    val expected = df.groupBy("lang").agg(sum("v").as("sv"))
+    assert(a.exceptAll(expected).isEmpty && expected.exceptAll(a).isEmpty)
+  }
+
+  test("partition column pruned from projection: no report, exact results") {
+    val ds = tmp("prune")
+    leftDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(ds)
+    // projection drops bkt — identity transform would not resolve, so the
+    // scan must fall back to UnknownPartitioning; values stay exact
+    val a = spark.read.format("lance").load(ds).select("k", "lv")
+      .groupBy("lv").agg(sum("k").as("sk"))
+    val expected = leftDf.select("k", "lv").groupBy("lv").agg(sum("k").as("sk"))
+    assert(a.exceptAll(expected).isEmpty && expected.exceptAll(a).isEmpty)
+  }
+}
