@@ -200,6 +200,35 @@ class LancePartitionSpec extends AnyFunSuite {
     assert(a.exceptAll(expected).isEmpty && expected.exceptAll(a).isEmpty)
   }
 
+  test("runtime (DPP) filtering coexists with the partitioning report") {
+    // a selective broadcast-dim join installs runtime zone filters on the
+    // scan (l20 path) WHILE the scan also reports KeyGroupedPartitioning
+    // for the downstream partition-key aggregation — dropping fragments
+    // (and thus whole key groups) at runtime must not break grouping or
+    // results (Spark recomputes groups from the filtered partitions)
+    val ds = tmp("dpp")
+    leftDf.write.format("lance").option("partitionBy", "bkt")
+      .option("sortBy", "k").mode("overwrite").save(ds)
+    val dim = Seq((2, "keep"), (7, "keep")).toDF("dbkt", "tag")
+    val fact = spark.read.format("lance").load(ds)
+    val q = fact.join(broadcast(dim), fact("bkt") === dim("dbkt"))
+      .groupBy("bkt").agg(sum("k").as("sk"))
+    val expected = leftDf.filter($"bkt".isin(2, 7)).groupBy("bkt").agg(sum("k").as("sk"))
+    assert(q.exceptAll(expected).isEmpty && expected.exceptAll(q).isEmpty)
+    // and under an SPJ join in the same query: partitioned⋈partitioned
+    // with one side runtime-filtered by a broadcast dim
+    noBroadcast {
+      val r = tmp("dppr")
+      rightDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(r)
+      val rj = spark.read.format("lance").load(r)
+      val lf = spark.read.format("lance").load(ds).filter($"bkt" < 5)
+      val j = lf.join(rj, Seq("bkt", "k")).groupBy("bkt").agg(count(lit(1)).as("n"))
+      val expected2 = leftDf.filter($"bkt" < 5).join(rightDf, Seq("bkt", "k"))
+        .groupBy("bkt").agg(count(lit(1)).as("n"))
+      assert(j.exceptAll(expected2).isEmpty && expected2.exceptAll(j).isEmpty)
+    }
+  }
+
   test("partition column pruned from projection: no report, exact results") {
     val ds = tmp("prune")
     leftDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(ds)
