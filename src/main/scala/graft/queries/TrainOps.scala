@@ -187,6 +187,98 @@ object TrainOps {
              (SELECT COUNT(*) FROM hist) +
                (SELECT COUNT(DISTINCT h) FROM newd) AS store_after""")),
 
+    // --- URL canonicalization + URL-level dedup + domain quotas ----------
+    // The web-corpus front door: canonicalize URLs (lowercase host, strip
+    // www., strip the query string, strip the trailing slash), dedupe to
+    // one survivor per canonical URL (min doc_id — first crawl wins),
+    // then cap each registered domain's contribution (TopKAgg bounded
+    // heap by content length — the d24 shape: the shuffle carries k rows
+    // per (mapper, domain), never a per-domain sort of the corpus).
+    // URLs are constructed deterministically from the fixture columns so
+    // both engines canonicalize the SAME strings; collisions are real
+    // (the query string carries the only distinguishing id for many docs,
+    // so stripping it merges them). Map-only until the survivor groupBy.
+    QDef("d29_url_dedup", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val url = concat(lit("https://WWW."), col("source"),
+        when(col("doc_id") % 2 === 0, lit(".COM")).otherwise(lit(".org")),
+        lit("/p/"), (col("doc_id") % 50).cast(StringType),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&ref="), col("lang"),
+        lit("&id="), (col("doc_id") % 25).cast(StringType))
+      val u = t("documents")
+        .select(col("doc_id"), col("n_chars"), url.as("url"))
+        .withColumn("rest", substring_index(col("url"), "://", -1))
+        .withColumn("host", substring_index(col("rest"), "/", 1))
+        .withColumn("hostn", regexp_replace(lower(col("host")), "^www\\.", ""))
+        .withColumn("path", regexp_replace(
+          substring_index(expr("substr(rest, length(host) + 1)"), "?", 1),
+          "/$", ""))
+        .withColumn("canon", concat(lit("https://"), col("hostn"), col("path")))
+        .withColumn("domain", regexp_extract(col("hostn"), "([^.]+\\.[^.]+)$", 1))
+      val surv = u.groupBy("domain", "canon").agg(min("doc_id").as("doc_id"))
+      val sd = surv.join(u.select("doc_id", "n_chars"), Seq("doc_id"))
+      // quota = 10 per domain by (n_chars DESC, doc_id ASC): heap keeps the
+      // k largest ord = n_chars*2^32 - doc_id (exact in double to 2^53)
+      val picks = sd.groupBy("domain")
+        .agg(graft.functions.TopKAgg.top_k(
+          col("n_chars").cast(DoubleType) * 4294967296.0 -
+            col("doc_id").cast(DoubleType),
+          col("doc_id"), 10).as("top"))
+        .select(col("domain"), explode(col("top")).as("p"))
+        .select(col("domain"), col("p.payload").cast(LongType).as("doc_id"))
+      val kept = picks.join(broadcast(sd.select("doc_id", "n_chars")), Seq("doc_id"))
+      val aggAll = u.groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct("canon").as("n_canon"))
+      val aggKept = kept.groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+      aggAll.join(aggKept, Seq("domain")).orderBy("domain")
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id, n_chars,
+               regexp_replace(lower(split_part(rest, '/', 1)), '^www\.', '')
+                 AS hostn,
+               regexp_replace(split_part(substr(rest,
+                 length(split_part(rest, '/', 1)) + 1), '?', 1), '/$', '')
+                 AS path
+        FROM (
+          SELECT doc_id, n_chars, split_part(url, '://', 2) AS rest
+          FROM (
+            SELECT doc_id, n_chars,
+                   'https://WWW.' || source ||
+                   CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.org' END ||
+                   '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+                   CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+                   '?utm_source=feed&ref=' || lang ||
+                   '&id=' || CAST(doc_id % 25 AS VARCHAR) AS url
+            FROM documents) raw) r),
+      c AS (
+        SELECT doc_id, n_chars,
+               regexp_extract(hostn, '([^.]+\.[^.]+)$', 1) AS domain,
+               'https://' || hostn || path AS canon
+        FROM u),
+      surv AS (
+        SELECT domain, canon, MIN(doc_id) AS doc_id
+        FROM c GROUP BY domain, canon),
+      sd AS (
+        SELECT s.domain, s.doc_id, c.n_chars
+        FROM surv s JOIN c ON c.doc_id = s.doc_id AND c.canon = s.canon),
+      kept AS (
+        SELECT domain, doc_id, n_chars FROM (
+          SELECT domain, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY domain
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM sd) t
+        WHERE rn <= 10)
+      SELECT a.domain, a.n_urls, a.n_canon, b.n_kept, b.kept_chars
+      FROM (SELECT domain, COUNT(*) AS n_urls,
+                   COUNT(DISTINCT canon) AS n_canon
+            FROM c GROUP BY domain) a
+      JOIN (SELECT domain, COUNT(*) AS n_kept,
+                   CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+            FROM kept GROUP BY domain) b USING (domain)
+      ORDER BY domain""")),
+
     // --- approximate quantiles (mergeable sketch) ------------------------
     // Exact percentiles (q22b) need a global sort; at 100 TB the real tool
     // is a mergeable quantile sketch with map-side partials. Both engines'
