@@ -80,10 +80,14 @@ def gen_query(rnd, qid):
             f"UPPER({c})",
             f"SUBSTR({c}, 1, {rnd.randint(1, 6)})",
             f"COALESCE({c}, 'x')",
+            f"REPLACE({c}, '{rnd.choice('aeos')}', '{rnd.choice(['', '_', 'xx'])}')",
+            f"TRIM({c})",
+            f"REVERSE({c})",
+            f"CONCAT({c}, '#', {str_col()})",
         ])
 
     def pred():
-        kind = rnd.randint(0, 5)
+        kind = rnd.randint(0, 7)
         if kind == 0:
             return f"{int_col()} {rnd.choice(['<', '<=', '>', '>=', '='])} {rnd.randint(0, 5000)}"
         if kind == 1:
@@ -96,7 +100,17 @@ def gen_query(rnd, qid):
             return f"SUBSTR({c}, 1, 1) IN ({', '.join(repr(ch) for ch in rnd.sample('abcdefABC123s', rnd.randint(1, 4)))})"
         if kind == 4:
             return f"{int_col()} BETWEEN {rnd.randint(0, 500)} AND {rnd.randint(501, 5000)}"
-        return f"NOT ({int_col()} = {rnd.randint(0, 100)})"
+        if kind == 5:
+            return f"NOT ({int_col()} = {rnd.randint(0, 100)})"
+        if kind == 6:
+            # 3-valued logic: NULLIF manufactures NULLs, IS [NOT] DISTINCT
+            # FROM is the null-safe comparison — identical semantics in both
+            c = int_col()
+            m = rnd.randint(2, 7)
+            return (f"NULLIF({c} % {m}, {rnd.randint(0, m - 1)}) "
+                    f"IS {rnd.choice(['', 'NOT '])}DISTINCT FROM "
+                    f"{rnd.choice([str(rnd.randint(0, m - 1)), 'NULL'])}")
+        return f"SUBSTR({str_col()}, {rnd.randint(1, 3)}, 1) = '{rnd.choice('aeirst0135')}'"
 
     def preds():
         n = rnd.randint(1, 3)
@@ -161,7 +175,43 @@ def gen_query(rnd, qid):
                f"ORDER BY g1 NULLS FIRST, g2 NULLS FIRST, "
                f"k1 NULLS FIRST, k2 NULLS FIRST")
         return " ".join(sql.split())
-    if shape < 0.42:
+    if shape < 0.36:
+        # 3-way join: either a chain (lineitem->orders->customer) or two
+        # independent dims off the fact (part + supplier) — exercises join
+        # reorder; grouped to a total-ordered aggregate
+        if rnd.random() < 0.5:
+            frm = ("lineitem JOIN orders ON l_orderkey = o_orderkey "
+                   "JOIN customer ON o_custkey = c_custkey")
+            gkey = rnd.choice(["c_mktsegment", "o_orderstatus",
+                               "o_orderpriority", "l_returnflag"])
+            icols = ["l_suppkey", "l_partkey", "o_custkey", "c_nationkey"]
+        else:
+            frm = ("lineitem JOIN part ON l_partkey = p_partkey "
+                   "JOIN supplier ON l_suppkey = s_suppkey")
+            gkey = rnd.choice(["p_brand", "l_linestatus", "s_name"])
+            icols = ["l_orderkey", "p_size", "s_nationkey"]
+        agg = f"CAST(SUM(CAST({rnd.choice(icols)} AS BIGINT)) AS BIGINT)"
+        where = f"WHERE l_orderkey < {rnd.randint(200, 4000)}"
+        if rnd.random() < 0.5:
+            where += f" AND {rnd.choice(icols)} % {rnd.randint(2, 9)} = 0"
+        sql = (f"SELECT {gkey} AS k, COUNT(*) AS n, {agg} AS a, "
+               f"COUNT(DISTINCT {rnd.choice(icols)}) AS d "
+               f"FROM {frm} {where} GROUP BY k ORDER BY k NULLS FIRST")
+        return " ".join(sql.split())
+    if shape < 0.40:
+        # aggregate-of-aggregate through a CTE: the inner GROUP BY feeds an
+        # outer rollup of exact integer stats (one row — trivially ordered)
+        gkey = scalar_str()
+        inner_agg = f"CAST(SUM(CAST({int_col()} AS BIGINT)) AS BIGINT)"
+        where = f"WHERE {preds()}" if rnd.random() < 0.6 else ""
+        sql = (f"WITH g AS (SELECT {gkey} AS k, COUNT(*) AS n, {inner_agg} AS s "
+               f"FROM {t} {where} GROUP BY k) "
+               f"SELECT COUNT(*) AS groups, CAST(SUM(n) AS BIGINT) AS rows_total, "
+               f"MIN(s) AS lo, MAX(s) AS hi, "
+               f"CAST(SUM(CASE WHEN n > {rnd.randint(1, 20)} THEN 1 ELSE 0 END) AS BIGINT) AS big "
+               f"FROM g")
+        return " ".join(sql.split())
+    if shape < 0.46:
         # two-table equi join (star FK edges), aggregated — total order on
         # the group keys
         fk = rnd.choice([
@@ -197,7 +247,7 @@ def gen_query(rnd, qid):
                f"FROM {lt} JOIN {rt} ON {lk} = {rk} WHERE {jpred} "
                f"GROUP BY k ORDER BY k NULLS FIRST")
         return " ".join(sql.split())
-    if shape < 0.56:
+    if shape < 0.60:
         # window functions — only TIE-SAFE ones: rank/dense_rank depend
         # only on key values; sum/count over RANGE frames are
         # peer-inclusive. (row_number and ROWS frames are tie-order-
@@ -224,8 +274,10 @@ def gen_query(rnd, qid):
         key_aliases = [f"k{i}" for i in range(len(keys))]
         aggs = ["COUNT(*) AS n"]
         for i in range(rnd.randint(1, 3)):
-            kind = rnd.randint(0, 3)
-            if kind == 0:
+            kind = rnd.randint(0, 4)
+            if kind == 4:
+                aggs.append(f"COUNT(DISTINCT {any_col()}) AS a{i}")
+            elif kind == 0:
                 aggs.append(f"CAST(SUM(CAST({scalar_int()} AS BIGINT)) AS BIGINT) AS a{i}")
             elif kind == 1:
                 aggs.append(f"MIN({any_col()}) AS a{i}")
