@@ -60,6 +60,24 @@ object LanceOps {
       (dsO, dsL)
     })
 
+  private val bucketedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private def ensureBucketed(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (String, String) =
+    bucketedBuilt.computeIfAbsent(dir, _ => {
+      val t = Tables.register(s, dir)
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dsO = s"$workDir/orders_bkt_$key.lance"
+      val dsL = s"$workDir/lineitem_bkt_$key.lance"
+      t("orders").select("o_orderkey", "o_orderpriority")
+        .write.format("lance").option("bucketBy", "16:o_orderkey")
+        .option("writePartitions", "8").mode("overwrite").save(dsO)
+      t("lineitem").select("l_orderkey", "l_quantity")
+        .write.format("lance").option("bucketBy", "16:l_orderkey")
+        .option("writePartitions", "8").mode("overwrite").save(dsL)
+      (dsO, dsL)
+    })
+
   val defs: Seq[QDef] = Seq(
 
     // golden-dataset scan through the DSv2 connector (reference R1-R4);
@@ -656,6 +674,26 @@ object LanceOps {
              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       FROM orders JOIN lineitem
         ON (o_orderkey % 16) = (l_orderkey % 16) AND o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // hash-bucket layout + catalog `bucket` function: the join runs on the
+    // RAW high-cardinality key (o_orderkey) with no materialized bucket
+    // column and NO join-side shuffle — the catalog-resolved reads report
+    // bucket(16, key) KeyGroupedPartitioning on both sides and Spark
+    // zips the co-bucketed fragments (LanceBucketSpec pins the plan).
+    QDef("l23_bucketed_join", (s, dir) => {
+      val (dsO, dsL) = ensureBucketed(s, dir)
+      s.sql(s"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lance.`$dsO` o JOIN lance.`$dsL` l
+          ON o.o_orderkey = l.l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // partition-key aggregation over a lang-partitioned corpus: the

@@ -27,9 +27,20 @@ import scala.jdk.CollectionConverters._
   * Register with `spark.sql.catalog.lance=graft.sources.lance.LanceCatalog`.
   */
 class LanceCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
   private var catalogName = "lance"
   private var warehouse: Option[String] = None
+
+  // --- FunctionCatalog: the `bucket` transform for storage-partitioned
+  // joins over bucketBy-written datasets (see LanceBucket) ---------------
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") new LanceBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+      catalogName, ident.name())
 
   // --- ProcedureCatalog: CALL lance.compact/vacuum/restore/tags/versions --
   override def loadProcedure(ident: Identifier)

@@ -716,31 +716,51 @@ class LanceScan(path: String, full: StructType, required: StructType,
     * the scan output), and no LIMIT was pushed (limit trimming drops
     * whole key groups). */
   @transient private lazy val partReport
-      : Option[(Seq[String], Array[org.apache.spark.sql.types.DataType], Int)] = {
+      : Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
+                Array[org.apache.spark.sql.types.DataType], Int)] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
     val cols = manifest.partitionCols
     val frs = manifest.fragments
     if (cols.isEmpty || frs.isEmpty || limit.isDefined) None
-    else if (!cols.forall(required.fieldNames.contains)) None
     else if (frs.exists(_.partValues.length != cols.length)) None
     else {
-      val types = cols.map(c => required.fields(required.fieldIndex(c)).dataType).toArray
-      if (!types.forall(LanceFormat.PartValueCodec.supported)) None
-      else Some((cols, types, frs.map(_.partValues).distinct.size))
+      // each entry: a plain column (identity transform, key = the value)
+      // or "bucket(n,col)" (bucket transform, key = the bucket id; the
+      // transform resolves against the lance catalog's `bucket` function,
+      // so only catalog-resolved reads exploit it)
+      val parsed = cols.map { spec =>
+        LanceBucket.parseSpec(spec) match {
+          case Some((n, c)) if required.fieldNames.contains(c) =>
+            Some((Expressions.bucket(n, c)
+              : org.apache.spark.sql.connector.expressions.Expression,
+              org.apache.spark.sql.types.IntegerType
+              : org.apache.spark.sql.types.DataType))
+          case Some(_) => None
+          case None if required.fieldNames.contains(spec) =>
+            val t = required.fields(required.fieldIndex(spec)).dataType
+            if (LanceFormat.PartValueCodec.supported(t))
+              Some((Expressions.identity(spec)
+                : org.apache.spark.sql.connector.expressions.Expression, t))
+            else None
+          case None => None
+        }
+      }
+      if (parsed.exists(_.isEmpty)) None
+      else Some((parsed.flatten.map(_._1).toArray,
+                 parsed.flatten.map(_._2).toArray,
+                 frs.map(_.partValues).distinct.size))
     }
   }
 
   override def outputPartitioning()
-      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    import org.apache.spark.sql.connector.expressions.Expressions
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     partReport match {
-      case Some((cols, _, n)) =>
+      case Some((transforms, _, n)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          cols.map(c => Expressions.identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray, n)
+          transforms, n)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
-  }
 
   /** Sorted layout → per-partition SortOrder. Valid because `sortCols` is
     * a manifest-wide claim that EVERY fragment's rows are sorted by those

@@ -38,7 +38,31 @@ object LanceMaintenance {
     // stats pruning gets sharper as a side effect of the same rewrite
     val src = spark.read.format("lance").load(path)
     val wr =
-      if (sortBy.nonEmpty)
+      if (m0.partitionCols.nonEmpty) {
+        // partition-preserving compaction: rewrite under the SAME declared
+        // layout so KeyGroupedPartitioning (storage-partitioned joins)
+        // survives the merge — small fragments of one partition value /
+        // bucket coalesce into one. Fragment count is determined by the
+        // layout (one per value / bucket), not targetFragments. The
+        // within-fragment sort: an explicit sortBy re-sorts during the
+        // rewrite (OPTIMIZE ... SORT); otherwise the declared layout sort
+        // is recovered from sortCols (for identity layouts sortCols =
+        // partitionCols ++ sortBy — a degrade append may have cleared it).
+        val bucketSpec = m0.partitionCols.flatMap(c => LanceBucket.parseSpec(c).toSeq)
+        val w0 = src.write.format("lance")
+        val w1 =
+          if (bucketSpec.nonEmpty) {
+            val (n, c) = bucketSpec.head
+            w0.option("bucketBy", s"$n:$c")
+              .option("writePartitions", targetFragments.toString)
+          } else w0.option("partitionBy", m0.partitionCols.mkString(","))
+        val declaredSort =
+          if (sortBy.nonEmpty) sortBy
+          else m0.sortCols.drop(
+            if (bucketSpec.nonEmpty) 0 else m0.partitionCols.length)
+        if (declaredSort.nonEmpty) w1.option("sortBy", declaredSort.mkString(","))
+        else w1
+      } else if (sortBy.nonEmpty)
         src.write.format("lance")
           .option("sortBy", sortBy.mkString(","))
           .option("writePartitions", targetFragments.toString)

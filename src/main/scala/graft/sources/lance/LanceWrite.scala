@@ -38,20 +38,27 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val partitionBy = cols("partitionBy")
     val clusterBy = cols("clusterBy")
-    require(partitionBy.isEmpty || clusterBy.isEmpty,
-      "lance: partitionBy and clusterBy are mutually exclusive layouts")
+    // option("bucketBy", "16:col"): hash-bucket layout (see LanceBucket)
+    val bucketBy = Option(info.options.get("bucketBy")).map { spec =>
+      val Array(n, c) = spec.split(":", 2)
+      require(n.trim.toInt > 0, s"lance: bucketBy bucket count must be > 0")
+      (n.trim.toInt, c.trim)
+    }
+    require(Seq(partitionBy.nonEmpty, clusterBy.nonEmpty,
+                bucketBy.nonEmpty).count(identity) <= 1,
+      "lance: partitionBy, clusterBy, and bucketBy are mutually exclusive layouts")
     // validate partition columns driver-side, before any task launches
-    partitionBy.foreach { c =>
+    (partitionBy ++ bucketBy.map(_._2)).foreach { c =>
       val f = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
-          s"lance: partitionBy column '$c' is not in the write schema"))
+          s"lance: partition/bucket column '$c' is not in the write schema"))
       require(LanceFormat.PartValueCodec.supported(f.dataType),
-        s"lance: partitionBy column '$c' has type ${f.dataType} — " +
+        s"lance: partition/bucket column '$c' has type ${f.dataType} — " +
         "partition columns must be integral, boolean, string, date, or timestamp")
     }
     new LanceWrite(path, info.schema(), doTruncate, fsl,
       clusterBy = clusterBy, sortBy = cols("sortBy"),
-      partitionBy = partitionBy,
+      partitionBy = partitionBy, bucketBy = bucketBy,
       numPartitions = Option(info.options.get("writePartitions"))
         .map(_.toInt).getOrElse(0),
       stableRowIds = Option(info.options.get("stableRowIds"))
@@ -90,6 +97,7 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
                  fsl: Map[String, Int],
                  clusterBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
                  partitionBy: Seq[String] = Nil,
+                 bucketBy: Option[(Int, String)] = None,
                  numPartitions: Int = 0, stableRowIds: Boolean = false,
                  codec: String = "")
     extends Write
@@ -105,6 +113,12 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
     if (partitionBy.nonEmpty)
       Distributions.clustered(
         partitionBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else if (bucketBy.isDefined)
+      // cluster by the RAW column (each key lands in one task); the data
+      // writer routes rows to per-bucket fragment files itself — no
+      // transform resolution needed on the plain write path
+      Distributions.clustered(
+        Array(Expressions.identity(bucketBy.get._2): org.apache.spark.sql.connector.expressions.Expression))
     else if (clusterBy.nonEmpty)
       Distributions.clustered(
         clusterBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
@@ -121,7 +135,7 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def toBatch: BatchWrite =
     new LanceBatchWrite(path, schema, truncate, fsl, stableRowIds, codec,
-      partitionBy = partitionBy, sortBy = sortBy)
+      partitionBy = partitionBy, sortBy = sortBy, bucketBy = bucketBy)
 }
 
 /** One finished fragment file from a write task. `partValues` positional
@@ -137,14 +151,16 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
                       fsl: Map[String, Int] = Map.empty,
                       stableRowIds: Boolean = false, codec: String = "",
                       partitionBy: Seq[String] = Nil,
-                      sortBy: Seq[String] = Nil)
+                      sortBy: Seq[String] = Nil,
+                      bucketBy: Option[(Int, String)] = None)
     extends BatchWrite {
 
   private val hadoopConf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LanceDataWriterFactory(path, schema, hadoopConf, fsl, codec, partitionBy)
+    new LanceDataWriterFactory(path, schema, hadoopConf, fsl, codec, partitionBy,
+      bucketBy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = hadoopConf.value
@@ -155,7 +171,13 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val fragments = specs.map(s => (s.fileName, s.rows, s.stats))
     // this write's within-fragment sortedness: partition columns are
     // constant per fragment, so they prefix any declared sort for free
+    // (bucket ids are constant too, but they are not a COLUMN — only
+    // sortBy is claimable there)
     val thisSort = if (partitionBy.nonEmpty) partitionBy ++ sortBy else sortBy
+    // declared layout for the manifest: identity columns or a bucket spec
+    val layoutCols =
+      bucketBy.map { case (n, c) => Seq(LanceBucket.specOf(n, c)) }
+        .getOrElse(partitionBy)
     // Optimistic commit: the data plane (fragment files) is already
     // durable and conflict-free (UUID names), so losing the version-claim
     // race costs only a manifest re-read + re-write. Rebase on the new
@@ -191,11 +213,11 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
       //    partitioned rewrite;
       //  - sortCols survive only while every write declares the same sort
       //    (per-fragment sortedness is a manifest-wide claim).
-      require(prevFragments.isEmpty || partitionBy.isEmpty ||
-              prevPartCols.isEmpty || partitionBy == prevPartCols,
-        s"lance: append partitioned by ${partitionBy.mkString(",")} into a " +
+      require(prevFragments.isEmpty || layoutCols.isEmpty ||
+              prevPartCols.isEmpty || layoutCols == prevPartCols,
+        s"lance: append partitioned by ${layoutCols.mkString(",")} into a " +
         s"dataset partitioned by ${prevPartCols.mkString(",")} — overwrite to repartition")
-      val outPartCols = if (partitionBy.nonEmpty) partitionBy else prevPartCols
+      val outPartCols = if (layoutCols.nonEmpty) layoutCols else prevPartCols
       val outSortCols =
         if (prevFragments.isEmpty) thisSort
         else if (prevSortCols == thisSort) thisSort
@@ -249,9 +271,66 @@ class LanceDataWriterFactory(path: String, schema: StructType,
                              conf: SerializableConfiguration,
                              fsl: Map[String, Int] = Map.empty,
                              codec: String = "",
-                             partitionBy: Seq[String] = Nil) extends DataWriterFactory {
+                             partitionBy: Seq[String] = Nil,
+                             bucketBy: Option[(Int, String)] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LanceDataWriter(path, schema, conf.value, fsl, codec, partitionBy)
+    bucketBy match {
+      case Some((n, c)) =>
+        new LanceBucketedDataWriter(path, schema, conf.value, fsl, codec, n, c)
+      case None =>
+        new LanceDataWriter(path, schema, conf.value, fsl, codec, partitionBy)
+    }
+}
+
+/** Bucketed write: routes each row to one of `n` per-bucket fragment
+  * writers (opened lazily; a task typically holds every bucket since the
+  * distribution clusters by the RAW key, not the bucket id). Bounded
+  * memory: one page buffer per open bucket writer. */
+class LanceBucketedDataWriter(path: String, schema: StructType,
+                              conf: Configuration,
+                              fsl: Map[String, Int], codec: String,
+                              n: Int, bucketCol: String)
+    extends DataWriter[InternalRow] {
+  private val ord = schema.fieldIndex(bucketCol)
+  private val dt = schema.fields(ord).dataType
+  private val open = new scala.collection.mutable.HashMap[Int,
+    (String, Path, org.apache.hadoop.fs.FSDataOutputStream, LanceFragmentWriter, Long)]
+  private lazy val fs = new Path(path).getFileSystem(conf)
+
+  override def write(record: InternalRow): Unit = {
+    require(!record.isNullAt(ord),
+      s"lance: NULL in bucket column '$bucketCol' — bucketBy columns must be non-null")
+    val b = LanceBucket.bucketOf(record.get(ord, dt), n)
+    val (fn, fp, out, w, rows) = open.getOrElseUpdate(b, {
+      val fn = s"${UUID.randomUUID()}.lance"
+      val fp = new Path(new Path(new Path(path), "data"), fn)
+      val out = fs.create(fp, true)
+      (fn, fp, out, new LanceFragmentWriter(out, schema, fsl = fsl, codec = codec), 0L)
+    })
+    w.write(record)
+    open(b) = (fn, fp, out, w, rows + 1)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val specs = open.toSeq.sortBy(_._1).map { case (b, (fn, fp, out, w, rows)) =>
+      w.finish(); out.close()
+      if (rows == 0) { fs.delete(fp, false); None }
+      else Some(LanceFragSpec(fn, rows, w.fileStats, partValues = Seq(b.toString)))
+    }
+    open.clear()
+    LanceCommitMessage(specs.flatten)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { case (_, fp, out, _, _) =>
+      try out.close() catch { case _: Exception => () }
+      fs.delete(fp, false)
+    }
+    open.clear()
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Streams a task's rows into fragment files. Unpartitioned: one fragment

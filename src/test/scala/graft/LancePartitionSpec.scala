@@ -229,6 +229,50 @@ class LancePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("compact preserves the partitioned layout and restores it after a degrade") {
+    val ds = tmp("cmp")
+    leftDf.write.format("lance").option("partitionBy", "bkt")
+      .option("sortBy", "k").mode("overwrite").save(ds)
+    // unpartitioned append degrades the report...
+    val extra = Seq((3, 9999L, "x")).toDF("bkt", "k", "lv")
+    extra.write.format("lance").mode("append").save(ds)
+    assert(countShuffles(collectPlan(
+      spark.read.format("lance").load(ds).groupBy("bkt").agg(sum("k")))) > 0)
+    // ...and compaction IS the partitioned rewrite that restores it (the
+    // degrade append cleared the sort claim, so re-declare it explicitly)
+    graft.sources.lance.LanceMaintenance.compact(spark, ds, sortBy = Seq("k"))
+    val (fs, p) = graft.sources.lance.LanceFormat.fileSystem(
+      ds, spark.sessionState.newHadoopConf())
+    val m = graft.sources.lance.LanceFormat.readManifest(
+      fs, graft.sources.lance.LanceFormat.latestManifestPath(fs, p, None))
+    assert(m.partitionCols == Seq("bkt") && m.sortCols == Seq("bkt", "k"))
+    assert(m.fragments.size == 10 &&
+           m.fragments.forall(_.partValues.length == 1))
+    val a = spark.read.format("lance").load(ds).groupBy("bkt").agg(sum("k").as("sk"))
+    assert(countShuffles(collectPlan(a)) == 0)
+    val expected = leftDf.unionAll(extra).groupBy("bkt").agg(sum("k").as("sk"))
+    assert(a.exceptAll(expected).isEmpty && expected.exceptAll(a).isEmpty)
+  }
+
+  test("compact preserves a bucketed layout") {
+    val ds = tmp("cmpb")
+    val df = (0 until 2000).map(i => (i.toLong * 3 % 997, s"v$i")).toDF("k", "v")
+    df.write.format("lance").option("bucketBy", "4:k")
+      .option("writePartitions", "4").mode("overwrite").save(ds)
+    df.limit(100).write.format("lance").option("bucketBy", "4:k")
+      .mode("append").save(ds)
+    graft.sources.lance.LanceMaintenance.compact(spark, ds, targetFragments = 2)
+    val (fs, p) = graft.sources.lance.LanceFormat.fileSystem(
+      ds, spark.sessionState.newHadoopConf())
+    val m = graft.sources.lance.LanceFormat.readManifest(
+      fs, graft.sources.lance.LanceFormat.latestManifestPath(fs, p, None))
+    assert(m.partitionCols == Seq("bucket(4,k)"))
+    assert(m.fragments.forall(_.partValues.length == 1))
+    val back = spark.read.format("lance").load(ds)
+    val expected = df.unionAll(df.limit(100))
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+  }
+
   test("partition column pruned from projection: no report, exact results") {
     val ds = tmp("prune")
     leftDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(ds)
