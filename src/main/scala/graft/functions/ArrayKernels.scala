@@ -555,8 +555,82 @@ case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Binary quantization: pack the SIGN BITS of an array<bigint> vector into
+  * ceil(n/64) words (bit j of word j/64 set iff v[j] > 0) — the 1-bit
+  * sketch behind Hamming-space ANN (lance's binary-quantization shape):
+  * 64-dim float vector -> one long, a 256x byte reduction. */
+case class LongSignPack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_sign_pack expects array<bigint>, got $t")
+    }
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    LongSignPack.pack(x)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LongSignPack.pack($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+object LongSignPack {
+  def pack(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) > 0L) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
+  }
+}
+
+/** Hamming distance between two packed sign-bit vectors (xor + popcount —
+  * a 64-dim comparison is ONE xor and ONE popcount instruction). */
+case class LongHamming(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_hamming expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) { acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int ${ev.value}0 = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}0 += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = ${ev.value}0;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayKernels {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
+  def signPack(a: Column): Column = column(LongSignPack(expression(a)))
+  def hamming(a: Column, b: Column): Column = column(LongHamming(expression(a), expression(b)))
   def longDot(a: Column, b: Column): Column = column(LongDot(expression(a), expression(b)))
   def floatCosine(a: Column, b: Column): Column = column(FloatCosine(expression(a), expression(b)))
   def longEqCount(a: Column, b: Column): Column = column(LongEqCount(expression(a), expression(b)))

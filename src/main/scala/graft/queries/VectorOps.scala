@@ -368,6 +368,50 @@ object VectorOps {
       mx AS (SELECT label, qid, CAST(ROUND(MAX(c) * 1000000000.0) AS BIGINT) AS mcs
              FROM cosv GROUP BY label, qid)
       SELECT label, ROUND(CAST(SUM(mcs) AS DOUBLE) / 1000000000.0, 9) AS maxsim
-      FROM mx GROUP BY label ORDER BY maxsim DESC, label"""))
+      FROM mx GROUP BY label ORDER BY maxsim DESC, label""")),
+
+    // --- binary quantization (sign-bit sketch + Hamming + exact re-rank) --
+    // The 1-bit ANN tier (lance BQ shape): a 64-dim vector collapses to ONE
+    // long (256x fewer bytes than float32), candidate ranking is xor +
+    // popcount ([[graft.functions.LongHamming]] — one instruction pair per
+    // vector), and only the top-50 Hamming candidates touch full vectors
+    // for the exact integer-cosine re-rank. At 100 TB the code column is
+    // the only full scan (a TakeOrderedAndProject over a skinny
+    // map-only projection); the re-rank fetches 50 vectors via the take
+    // path. Sign bits live on the SAME 1e-7 quantized grid as the oracle's
+    // dims view, so candidates, distances, and the re-ranked top-10 are
+    // all hash-exact across engines (both orders are total).
+    QDef("e12_binary_quant", (s, dir) => {
+      import graft.functions.ArrayKernels.{hamming, signPack}
+      val e = quantized(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), signPack(col("v")).as("qcode"))
+      val cand = e.filter(col("vec_id") > 0)
+        .select(col("vec_id"), col("v"), signPack(col("v")).as("code"))
+        .crossJoin(broadcast(q))
+        .withColumn("ham", hamming(col("code"), col("qcode")))
+        .orderBy(col("ham"), col("vec_id")).limit(50)
+      cand.select(col("vec_id"), col("ham"),
+          cosExpr(longDot(col("v"), col("qv")),
+                  longDot(col("v"), col("v")),
+                  longDot(col("qv"), col("qv"))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    }, Some(s"""
+      WITH d AS ($oDims),
+      q AS (SELECT i AS qi, v AS qv FROM d WHERE vec_id = 0),
+      ham AS (SELECT vec_id,
+                     CAST(SUM(CASE WHEN (v > 0) <> (qv > 0) THEN 1 ELSE 0 END) AS INT) AS ham
+              FROM d JOIN q ON i = qi WHERE vec_id > 0 GROUP BY vec_id),
+      cand AS (SELECT vec_id, ham FROM ham ORDER BY ham, vec_id LIMIT 50),
+      qn AS (SELECT CAST(SUM(qv * qv) AS BIGINT) AS qnrm FROM q),
+      dots AS (SELECT d.vec_id, CAST(SUM(v * qv) AS BIGINT) AS dot,
+                      CAST(SUM(v * v) AS BIGINT) AS nrm
+               FROM d JOIN q ON i = qi JOIN cand c ON d.vec_id = c.vec_id
+               GROUP BY d.vec_id)
+      SELECT c.vec_id, c.ham,
+             ROUND(CAST(dot AS DOUBLE) /
+                   (SQRT(CAST(nrm AS DOUBLE)) * SQRT(CAST(qnrm AS DOUBLE))), 9) AS cos
+      FROM dots JOIN cand c ON dots.vec_id = c.vec_id CROSS JOIN qn
+      ORDER BY cos DESC, c.vec_id LIMIT 10"""))
   )
 }

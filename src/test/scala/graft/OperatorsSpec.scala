@@ -188,6 +188,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.intersect(approx).size >= 3, s"ivf recall too low: $exact vs $approx")
   }
 
+  test("binary quantization: sign-pack/hamming kernels + decent re-rank recall") {
+    import graft.functions.ArrayKernels.{hamming, signPack}
+    // kernel exactness on a known vector: signs of (3, -1, 0, 7) -> 0b1001
+    val one = Seq((Seq(3L, -1L, 0L, 7L), Seq(3L, 1L, 2L, -7L))).toDF("a", "b")
+    val row = one.select(signPack(col("a")).as("pa"), signPack(col("b")).as("pb"),
+                         hamming(signPack(col("a")), signPack(col("b"))).as("h")).head()
+    assert(row.getSeq[Long](0) == Seq(9L)) // bits 0 and 3
+    assert(row.getSeq[Long](1) == Seq(7L)) // bits 0,1,2
+    assert(row.getInt(2) == 3)             // differ at 1,2,3
+    // end-to-end: the e12 pipeline recovers most of the exact top-10
+    val exact = graft.SparkEntry.queries("e01_cosine_topk")(spark, TestSpark.sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    val bq = graft.SparkEntry.queries("e12_binary_quant")(spark, TestSpark.sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.intersect(bq).size >= 5,
+      s"binary-quant recall too low: $exact vs $bq")
+  }
+
   test("batched ANN: per-query IVF top-k agrees with per-query brute force") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") >= 10)
