@@ -93,6 +93,41 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     new LanceTable(path, schema, None)
   }
 
+  /** SQL time travel — `SELECT ... FROM lance.`/p` VERSION AS OF 3`:
+    * pins the scan to that manifest version (the crate's
+    * `checkout_version`; same mechanism as `option("versionAsOf", n)`). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"lance: VERSION AS OF expects a numeric manifest version, got '$version'")
+    }
+    val opts = new CaseInsensitiveStringMap(
+      Map("path" -> path, "versionAsOf" -> v.toString).asJava)
+    val schema = new LanceDataSource().inferSchema(opts)
+    new LanceTable(path, schema, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch): resolves to the NEWEST
+    * version whose manifest commit time is <= t. Commit time = the
+    * manifest file's modification time — this writer commits each version
+    * as one atomic manifest create, so mtime IS the commit instant. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    val (fs, p) = hadoop(path)
+    val versionsDir = new org.apache.hadoop.fs.Path(p, "_versions")
+    val cutoffMs = timestamp / 1000L
+    val candidates = fs.listStatus(versionsDir)
+      .filter(_.getPath.getName.endsWith(".manifest"))
+      .filter(_.getModificationTime <= cutoffMs)
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripSuffix(".manifest").toLong).toOption)
+    require(candidates.nonEmpty,
+      s"lance: no version of $path committed at or before timestamp " +
+      s"$timestamp (µs since epoch)")
+    loadTable(ident, candidates.max.toString)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =

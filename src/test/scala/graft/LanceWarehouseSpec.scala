@@ -41,6 +41,31 @@ class LanceWarehouseSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN ldb").count() == 0)
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val ds = s"$dir/tt.lance"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("lance").mode("overwrite").save(ds)     // version 1
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100) // manifest mtime granularity is a second on some FS
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("lance").mode("append").save(ds)        // version 2
+    assert(spark.sql(s"SELECT COUNT(*) FROM lance.`$ds`").head().getLong(0) == 3)
+    assert(spark.sql(s"SELECT COUNT(*) FROM lance.`$ds` VERSION AS OF 1")
+      .head().getLong(0) == 2)
+    assert(spark.sql(s"SELECT id FROM lance.`$ds` VERSION AS OF 2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // timestamp between the two commits resolves to version 1
+    val tt = java.time.Instant.ofEpochMilli(betweenMs).toString.replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(s"SELECT COUNT(*) FROM lance.`$ds` TIMESTAMP AS OF '$tt'")
+      .head().getLong(0) == 2)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM lance.`$ds` TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+
   test("path identifiers still resolve through a warehouse catalog") {
     val ds = java.nio.file.Files.createTempDirectory("graft-ldb-path").toString + "/x.lance"
     Seq((7L, "z")).toDF("id", "v").write.format("lance").mode("overwrite").save(ds)
