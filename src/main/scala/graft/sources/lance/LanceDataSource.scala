@@ -352,7 +352,7 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
   private var zoneFilters: Seq[ZoneFilter] = Nil
   private var addrFilters: Seq[AddrFilter] = Nil
   private var accepted: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, Array[Any], String)] = None
+  private var pushedAgg: Option[(StructType, Seq[Array[Any]], String)] = None
 
   /** Manifest-only aggregates: COUNT(*) is the deletion-aware live row
     * count; MIN/MAX over integral/temporal columns read the exact
@@ -383,11 +383,10 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
 
   private def translateAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any], String)] = {
+      : Option[(StructType, Seq[Array[Any]], String)] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types._
-    if (agg.groupByExpressions.nonEmpty) return None
     if (zoneFilters.nonEmpty || addrFilters.nonEmpty ||
         optionAddrFilters.nonEmpty || limit.isDefined ||
         fromVersion.isDefined || blobRefs.nonEmpty) return None
@@ -397,11 +396,43 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
         val (fs, p) = LanceFormat.fileSystem(path, conf)
         LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, versionAsOf))
       } catch { case _: Exception => return None }
-    val frags = manifest.fragments
     val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f.id).toMap
     val Exact = 1L << 52
 
-    def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
+    // GROUP BY pushdown: only when the group keys are exactly the
+    // dataset's identity partition columns (any order) and every fragment
+    // carries values — then each partition VALUE is a group whose
+    // fragments answer the aggregates from the manifest alone
+    // (`SELECT lang, COUNT(*) ... GROUP BY lang` over a lang-partitioned
+    // corpus reads ZERO data files). Groups whose rows were all deleted
+    // are dropped (SQL emits no group for zero rows).
+    val groupNames = agg.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+      case _ => return None
+    }
+    val fragGroups: Seq[(Array[Any], Seq[LanceFormat.FragmentMeta])] =
+      if (groupNames.isEmpty) Seq((Array.empty[Any], manifest.fragments))
+      else {
+        val pcols = manifest.partitionCols
+        if (pcols.isEmpty || pcols.exists(c => LanceBucket.parseSpec(c).isDefined))
+          return None
+        if (groupNames.sorted != pcols.sorted) return None
+        if (manifest.fragments.exists(_.partValues.length != pcols.length))
+          return None
+        val posOf = groupNames.map(pcols.indexOf) // group order -> value slot
+        val types = groupNames.map(n =>
+          full.fields.find(_.name == n).getOrElse(return None).dataType)
+        if (!types.forall(LanceFormat.PartValueCodec.supported)) return None
+        manifest.fragments.groupBy(_.partValues).toSeq
+          .filter(_._2.map(_.liveRows).sum > 0)
+          .map { case (vals, frs) =>
+            (posOf.zip(types).map { case (slot, t) =>
+              LanceFormat.PartValueCodec.toCatalyst(t, vals(slot)) }.toArray[Any], frs)
+          }
+      }
+
+    def minMax(frags: Seq[LanceFormat.FragmentMeta],
+               col: org.apache.spark.sql.connector.expressions.Expression,
                isMin: Boolean): Option[(StructField, Any)] = {
       val name = col match {
         case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
@@ -431,16 +462,34 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
       Some((StructField(name, sf.dataType, nullable = true), internal))
     }
 
-    val translated = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar =>
-        (StructField("count_star", LongType, nullable = false),
-         frags.map(_.liveRows).sum: Any)
-      case m: Min => minMax(m.column(), isMin = true).getOrElse(return None)
-      case m: Max => minMax(m.column(), isMin = false).getOrElse(return None)
-      case _ => return None
+    // group-key columns first, then aggregate columns (the DSv2 contract
+    // for complete aggregate pushdown)
+    val keyFields = groupNames.map(n =>
+      StructField(n, full.fields.find(_.name == n).get.dataType, nullable = false))
+    var aggFields: Seq[StructField] = null
+    val rows = fragGroups.map { case (keyVals, frs) =>
+      val translated = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          (StructField("count_star", LongType, nullable = false),
+           frs.map(_.liveRows).sum: Any)
+        case m: Min => minMax(frs, m.column(), isMin = true).getOrElse(return None)
+        case m: Max => minMax(frs, m.column(), isMin = false).getOrElse(return None)
+        case _ => return None
+      }
+      aggFields = translated.map(_._1)
+      keyVals ++ translated.map(_._2)
     }
-    Some((StructType(translated.map(_._1)), translated.map(_._2).toArray,
-          agg.aggregateExpressions().mkString(", ")))
+    if (aggFields == null) { // zero groups: still need the agg schema
+      aggFields = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => StructField("count_star", LongType, nullable = false)
+        case m: Min => minMax(Nil, m.column(), isMin = true).getOrElse(return None)._1
+        case m: Max => minMax(Nil, m.column(), isMin = false).getOrElse(return None)._1
+        case _ => return None
+      }
+    }
+    Some((StructType(keyFields ++ aggFields), rows,
+          (groupNames.map(g => s"group:$g") ++
+           agg.aggregateExpressions().map(_.toString)).mkString(", ")))
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -535,30 +584,31 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
 }
 
 /** A fully-pushed-down aggregate answered from the manifest: one
-  * partition, one row, zero data-file reads (see
+  * partition, one row per group (exactly one for the ungrouped case),
+  * zero data-file reads (see
   * [[LanceScanBuilder.supportCompletePushDown]]). */
 class LanceManifestAggScan(path: String, schema: StructType,
-                           values: Array[Any], desc: String)
+                           rows: Seq[Array[Any]], desc: String)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"LanceManifestAggScan($path, pushed=[$desc])"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LanceAggPartition(values))
+    Array(LanceAggPartition(rows.toArray))
   override def createReaderFactory(): PartitionReaderFactory =
     new LanceAggReaderFactory
 }
 
-case class LanceAggPartition(values: Array[Any]) extends InputPartition
+case class LanceAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 class LanceAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val vs = p.asInstanceOf[LanceAggPartition].values
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = new GenericInternalRow(vs.clone())
+      private val rs = p.asInstanceOf[LanceAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rs.length }
+      override def get(): InternalRow = new GenericInternalRow(rs(i).clone())
       override def close(): Unit = ()
     }
 }

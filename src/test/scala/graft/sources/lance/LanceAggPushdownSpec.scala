@@ -92,12 +92,56 @@ class LanceAggPushdownSpec extends AnyFunSuite {
     assert(!plan.contains("LanceManifestAggScan"), plan)
   }
 
-  test("grouped aggregates are not pushed — still exact") {
+  test("grouped aggregates on a NON-partitioned dataset are not pushed — still exact") {
     val ds = tmpDs("lance_aggpd_grp")
     write(ds, 7000, 4)
     val df = spark.read.format("lance").load(ds)
-    val rows = df.groupBy("grp").count().orderBy("grp").collect()
+    val q = df.groupBy("grp").count().orderBy("grp")
+    assert(!q.queryExecution.executedPlan.toString.contains("LanceManifestAggScan"))
+    val rows = q.collect()
     assert(rows.length == 7 && rows.forall(_.getLong(1) == 1000))
+  }
+
+  test("GROUP BY partition columns is answered entirely from the manifest") {
+    val ds = tmpDs("lance_aggpd_part")
+    spark.range(7000).selectExpr("id", "id % 7 AS grp",
+        "CONCAT('g', id % 5) AS tag", "CAST(id AS DOUBLE) AS v")
+      .write.format("lance").option("partitionBy", "grp")
+      .mode("overwrite").save(ds)
+    val df = spark.read.format("lance").load(ds)
+    val q = df.groupBy("grp").agg(count(lit(1)).as("n"),
+                                  min("id").as("lo"), max("id").as("hi"))
+      .orderBy("grp")
+    val before = LanceDataSource.bytesRead.sum()
+    val rows = q.collect()
+    assert(LanceDataSource.bytesRead.sum() == before,
+      "grouped manifest aggregate must not open data files")
+    assert(q.queryExecution.executedPlan.toString.contains("LanceManifestAggScan"))
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val g = r.getLong(0)
+      assert(r.getLong(1) == 1000)
+      assert(r.getLong(2) == g)           // min id of id%7==g is g
+      assert(r.getLong(3) == 6993 + g)    // max is 6993+g
+    }
+    // a group whose rows are ALL deleted disappears (COUNT stays pushed);
+    // min/max fall back to a scan under deletions but stay exact
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, "grp = 3")
+    val df2 = spark.read.format("lance").load(ds)
+    val counts = df2.groupBy("grp").count().orderBy("grp").collect()
+    assert(counts.length == 6 && !counts.map(_.getLong(0)).contains(3L))
+    val mm = df2.groupBy("grp").agg(min("id")).orderBy("grp").collect()
+    assert(mm.length == 6 && mm.forall(r => r.getLong(1) == r.getLong(0)))
+  }
+
+  test("GROUP BY a non-partition column of a partitioned dataset is not pushed") {
+    val ds = tmpDs("lance_aggpd_part2")
+    spark.range(1000).selectExpr("id", "id % 7 AS grp", "CONCAT('g', id % 5) AS tag")
+      .write.format("lance").option("partitionBy", "grp")
+      .mode("overwrite").save(ds)
+    val q = spark.read.format("lance").load(ds).groupBy("tag").count().orderBy("tag")
+    assert(!q.queryExecution.executedPlan.toString.contains("LanceManifestAggScan"))
+    assert(q.collect().forall(_.getLong(1) == 200))
   }
 
   test("count(*) respects time travel (versionAsOf)") {
