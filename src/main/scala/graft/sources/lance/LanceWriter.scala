@@ -912,9 +912,23 @@ object LanceWriteSupport {
         val tmp = new Path(versionsDir, s".$version.manifest.${UUID.randomUUID()}.tmp")
         val os = fs.create(tmp, false)
         try os.write(body.toByteArray) finally os.close()
+        val local = Option(dest.toUri.getScheme).forall(_ == "file")
         try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
-          fc.rename(tmp, dest)
+          if (local) {
+            // Local FS: FileContext.rename(NONE) is a client-side
+            // exists-check + POSIX rename (which CLOBBERS) — a TOCTOU
+            // window where two same-version committers both pass the
+            // check and one manifest is silently lost (observed under a
+            // loaded test box). link(2) is the kernel-atomic no-clobber
+            // primitive: it FAILS if dest exists, no window at all.
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dest.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            fs.delete(tmp, false)
+          } else {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+            fc.rename(tmp, dest)
+          }
         } catch {
           case e: Exception =>
             fs.delete(tmp, false)
