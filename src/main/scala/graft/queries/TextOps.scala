@@ -888,22 +888,26 @@ object TextOps {
     // integer arithmetic.
     QDef("d23_dsir_sample", (s, dir) => {
       val t = Tables.register(s, dir)
-      val wl = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
+      // bigrams via zip_with over the token array — MAP-ONLY. (The first
+      // formulation ran a lead() window over every token of the corpus:
+      // a full shuffle+sort whose only product was adjacency the array
+      // already encodes; it was 8x the oracle's wall time.)
       val bg = t("documents")
+        .withColumn("t", split(col("text"), " "))
         .select(col("doc_id"), col("source"),
-                posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("nxt", lead(col("tok"), 1).over(wl))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id"), col("source"),
-                concat(col("tok"), lit(" "), col("nxt")).as("g"))
-      val cnt = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val raw = bg.groupBy("g").agg(count(lit(1)).as("rc"))
-      val tgt = bg.filter(col("source") === "src0")
-        .groupBy("g").agg(count(lit(1)).as("tc"))
+          explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("g"))
+      // ONE explode + ONE (doc_id, g) shuffle; every other distribution
+      // (raw census, target census, scalars) aggregates the per-doc counts
+      // — the corpus-sized gram stream is scanned exactly once
+      val cnt = bg.groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
+      val raw = cnt.groupBy("g").agg(sum("c").as("rc"))
+      val tgt = cnt.filter(col("source") === "src0")
+        .groupBy("g").agg(sum("c").as("tc"))
       val scal = raw.agg(sum(col("rc")).as("rtot"), count(lit(1)).as("v"))
-        .crossJoin(bg.filter(col("source") === "src0")
-                     .agg(count(lit(1)).as("ttot")))
+        .crossJoin(tgt.agg(coalesce(sum(col("tc")), lit(0L)).as("ttot")))
       val wts = raw.join(tgt, Seq("g"), "left")
         .withColumn("tc", coalesce(col("tc"), lit(0L)))
         .crossJoin(broadcast(scal))

@@ -120,13 +120,17 @@ object VectorOps {
     // dot kernel runs per pair — |pairs| rows move, not |pairs| x dim.
     QDef("e02_embedding_neardup", (s, dir) => {
       val e = quantized(s, dir)
-      val a = e.select(col("vec_id").as("vec_a"), col("label").as("lbl"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label").as("lbl_b"), col("v").as("vb"))
+      // self-norms computed ONCE per row before the pair join — inside the
+      // join they would run per PAIR (|pairs| >> |rows|), tripling the
+      // kernel work for values that only depend on one side
+      val a = e.select(col("vec_id").as("vec_a"), col("label").as("lbl"),
+                       col("v").as("va"), longDot(col("v"), col("v")).as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label").as("lbl_b"),
+                       col("v").as("vb"), longDot(col("v"), col("v")).as("nb"))
       a.join(b, col("lbl") === col("lbl_b") && col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
                 cosExpr(longDot(col("va"), col("vb")),
-                        longDot(col("va"), col("va")),
-                        longDot(col("vb"), col("vb"))).as("cos"))
+                        col("na"), col("nb")).as("cos"))
         .filter(col("cos") >= 0.3)
         .orderBy("vec_a", "vec_b")
     }, Some(s"""
