@@ -279,6 +279,74 @@ object TrainOps {
             FROM kept GROUP BY domain) b USING (domain)
       ORDER BY domain""")),
 
+    // --- language-mixture reweighting + deterministic rate sampling ------
+    // Data mixing's other half (d17 fills a budget per stratum; this sets
+    // the CROSS-stratum rates): given target language shares and a global
+    // token budget, compute each language's sampling rate
+    // min(1, want/avail) and draw the sample with a portable hash
+    // threshold — doc kept iff its md5-uniform < rate, so the draw is
+    // reproducible across engines, retries, and partitionings (no RNG).
+    // Scale shape: one map-only pass + per-lang totals (a handful of
+    // rows) broadcast back over the corpus; the hex-string threshold
+    // compare avoids any engine-specific hash-to-float conversion.
+    QDef("d30_mixture_weights", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val B = 10000L
+      val share = when(col("lang") === "de", 0.5)
+        .when(col("lang") === "en", 0.1).when(col("lang") === "es", 0.15)
+        .when(col("lang") === "fr", 0.15).otherwise(0.1)
+      val toks = t("documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+        upper(substring(md5(concat(col("doc_id"), lit(":"), col("text"))), 1, 13)).as("h"))
+      val avail = toks.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("avail"))
+      val rates = avail
+        .withColumn("want", round(lit(B.toDouble) * share).cast(LongType))
+        .withColumn("rate", round(least(lit(1.0),
+          col("want").cast(DoubleType) / col("avail").cast(DoubleType)), 9))
+        .withColumn("cut", lpad(hex(
+          floor(col("rate") * lit(4503599627370496.0)).cast(LongType)), 13, "0"))
+      val kept = toks.join(broadcast(rates.select("lang", "rate", "cut")), Seq("lang"))
+        .filter(col("rate") >= 1.0 || col("h") < col("cut"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept_docs"), sum("n_tok").as("kept_tokens"))
+      rates.select("lang", "n_docs", "avail", "want", "rate")
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("avail"), col("want"), col("rate"),
+                coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+                coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("lang")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               upper(substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 13)) AS h
+        FROM documents),
+      avail AS (
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS avail
+        FROM toks GROUP BY lang),
+      rates AS (
+        SELECT lang, n_docs, avail,
+               CAST(ROUND(10000.0 * CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 0.1
+                 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 ELSE 0.1 END) AS BIGINT) AS want,
+               ROUND(LEAST(1.0, CAST(ROUND(10000.0 * CASE lang WHEN 'de' THEN 0.5
+                 WHEN 'en' THEN 0.1 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                 ELSE 0.1 END) AS BIGINT) / CAST(avail AS DOUBLE)), 9) AS rate
+        FROM avail),
+      cuts AS (
+        SELECT *, lpad(hex(CAST(FLOOR(rate * 4503599627370496.0) AS BIGINT)), 13, '0') AS cut
+        FROM rates),
+      kept AS (
+        SELECT t.lang, COUNT(*) AS kept_docs, CAST(SUM(t.n_tok) AS BIGINT) AS kept_tokens
+        FROM toks t JOIN cuts c ON t.lang = c.lang
+        WHERE c.rate >= 1.0 OR t.h < c.cut
+        GROUP BY t.lang)
+      SELECT c.lang, c.n_docs, c.avail, c.want, c.rate,
+             COALESCE(k.kept_docs, 0) AS kept_docs,
+             COALESCE(k.kept_tokens, 0) AS kept_tokens
+      FROM cuts c LEFT JOIN kept k ON c.lang = k.lang
+      ORDER BY c.lang""")),
+
     // --- approximate quantiles (mergeable sketch) ------------------------
     // Exact percentiles (q22b) need a global sort; at 100 TB the real tool
     // is a mergeable quantile sketch with map-side partials. Both engines'

@@ -229,6 +229,31 @@ class LancePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("asymmetric partition values: SPJ pushes missing values, exact join") {
+    // left covers bkt 0..9, right only 0..4 — Spark's pushPartValues
+    // aligns the key groups (empty partitions for the uncovered values);
+    // results must match the shuffled plan exactly
+    val l = tmp("al"); val r = tmp("ar")
+    leftDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(l)
+    val rHalf = rightDf.filter($"bkt" < 5)
+    rHalf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(r)
+    noBroadcast {
+      val lj = spark.read.format("lance").load(l)
+      val rj = spark.read.format("lance").load(r)
+      val j = lj.join(rj, Seq("bkt", "k")).groupBy("bkt").agg(count(lit(1)).as("n"))
+      val plan = collectPlan(j)
+      assert(countShuffles(plan) == 0, s"expected no shuffle:\n$plan")
+      val expected = leftDf.join(rHalf, Seq("bkt", "k")).groupBy("bkt")
+        .agg(count(lit(1)).as("n"))
+      assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
+      // outer joins over mismatched value sets must also stay exact
+      val lo = lj.join(rj, Seq("bkt", "k"), "left").select("bkt", "k", "lv", "rv")
+      val expectedLo = leftDf.join(rHalf, Seq("bkt", "k"), "left")
+        .select("bkt", "k", "lv", "rv")
+      assert(lo.exceptAll(expectedLo).isEmpty && expectedLo.exceptAll(lo).isEmpty)
+    }
+  }
+
   test("compact preserves the partitioned layout and restores it after a degrade") {
     val ds = tmp("cmp")
     leftDf.write.format("lance").option("partitionBy", "bkt")
