@@ -107,6 +107,88 @@ object Multimodal {
     }
   }
 
+  // --- audio (WAV/RIFF) — the audio modality's container metadata is as
+  // header-parseable as the image formats above: channels / sample rate /
+  // bit depth / sample count come straight from the fmt and data chunks
+  // (no codec needed for PCM). pcm_sum pins that the data bytes arrived
+  // intact end-to-end, not just the header.
+
+  case class AudioRow(doc_id: Long, payload: Array[Byte])
+  case class AudioFeatures(doc_id: Long, mime: String, n_bytes: Int,
+                           channels: Int, sample_rate: Int, bits: Int,
+                           n_samples: Long, duration_ms: Long, pcm_sum: Long)
+
+  /** RIFF/WAVE parse: (channels, sampleRate, bits, dataOffset, dataLen),
+    * or None if the bytes are not a WAV container. Chunk walk per the
+    * public RIFF spec: id(4) + size(4 LE), `fmt ` carries the PCM params,
+    * `data` the samples; unknown chunks skip (word-aligned). */
+  def sniffWav(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    @inline def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    @inline def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    while (i + 8 <= b.length) {
+      val size = le32(i + 4)
+      val id = new String(b, i, 4, "US-ASCII")
+      if (id == "fmt " && size >= 16)
+        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+      else if (id == "data")
+        return fmt.map { case (ch, rate, bits) =>
+          (ch, rate, bits, i + 8, math.min(size, b.length - i - 8)) }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Partition-wise audio metadata decode (the mapInPandas shape, same as
+    * [[decode]]): header params + exact duration + a data-chunk checksum. */
+  def decodeAudio(media: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        sniffWav(r.payload) match {
+          case Some((ch, rate, bits, off, len)) =>
+            val bytesPerSample = math.max(ch * bits / 8, 1)
+            val nSamples = len.toLong / bytesPerSample
+            var sum = 0L
+            var i = off
+            while (i < off + len) { sum += (r.payload(i) & 0xff); i += 1 }
+            AudioFeatures(r.doc_id, "audio/wav", r.payload.length, ch, rate,
+              bits, nSamples, nSamples * 1000L / rate, sum)
+          case None =>
+            AudioFeatures(r.doc_id, "application/octet-stream",
+              r.payload.length, -1, -1, -1, -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
+  /** Test/fixture encoder: a minimal valid PCM WAV whose data bytes are the
+    * deterministic stream ((seed*31 + i*7) mod 256) — reproducible by plain
+    * arithmetic on the oracle side, so end-to-end payload fidelity is
+    * hash-checkable without an audio codec anywhere. */
+  def syntheticWav(seed: Long, channels: Int, rate: Int, bits: Int,
+                   nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * (bits / 8)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1) // PCM
+    le16(channels); le32(rate)
+    le32(rate * channels * (bits / 8)) // byte rate
+    le16(channels * (bits / 8))        // block align
+    le16(bits)
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    var i = 0
+    while (i < dataLen) { out.write(((seed * 31 + i * 7) % 256).toInt); i += 1 }
+    out.toByteArray
+  }
+
   /** Test/fixture encoder: wrap `body` in a minimal-but-valid image
     * container header so [[decode]] has real dimensions to find. Supported
     * mimes: image/png (signature + IHDR), image/jpeg (SOI + APP0 + SOF0). */

@@ -967,6 +967,60 @@ object TextOps {
              'text/plain' AS mime,
              CAST(ASCII(text) AS INT) AS first_byte
       FROM documents
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // --- audio modality: real WAV/RIFF container parsing ------------------
+    // The audio twin of m02's image-header decode: payloads are VALID PCM
+    // WAV files synthesized from fixture columns (params derived from
+    // doc_id, data = a deterministic byte stream), the Spark side PARSES
+    // the RIFF/fmt/data chunks partition-wise (Multimodal.decodeAudio —
+    // the mapInPandas shape), and the oracle recomputes every field from
+    // the generating arithmetic — so a mis-parsed offset, a wrong
+    // endianness, or one corrupted data byte breaks the hash. Codec-free
+    // (PCM metadata is pure byte layout); pixel/sample DSP stays out of
+    // scope per SURVEY §2.5.
+    QDef("m03_wav_audio_meta", (s, dir) => {
+      import s.implicits._
+      val t = Tables.register(s, dir)
+      val rows = t("documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val channels = (1 + id % 2).toInt
+          val rate = (id % 3) match {
+            case 0 => 8000; case 1 => 16000; case _ => 44100 }
+          val bits = if (id % 2 == 0) 8 else 16
+          val n = math.min(nc, 200L).toInt
+          graft.operators.Multimodal.AudioRow(id,
+            graft.operators.Multimodal.syntheticWav(id, channels, rate, bits, n))
+        }
+      graft.operators.Multimodal.decodeAudio(rows)
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("channels"),
+                col("sample_rate"), col("bits"), col("n_samples"),
+                col("duration_ms"), col("pcm_sum"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END AS INT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+               LEAST(n_chars, 200) AS n
+        FROM documents),
+      sized AS (
+        SELECT *, n * channels * (bits // 8) AS data_len FROM base),
+      sums AS (
+        SELECT doc_id, CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS pcm_sum
+        FROM (SELECT doc_id, unnest(generate_series(0, CAST(data_len AS BIGINT) - 1)) AS i
+              FROM sized)
+        GROUP BY doc_id)
+      SELECT s.doc_id, 'audio/wav' AS mime,
+             CAST(44 + s.data_len AS INT) AS n_bytes,
+             s.channels, s.sample_rate, s.bits,
+             CAST(s.n AS BIGINT) AS n_samples,
+             CAST((s.n * 1000) // s.sample_rate AS BIGINT) AS duration_ms,
+             m.pcm_sum
+      FROM sized s JOIN sums m ON s.doc_id = m.doc_id
+      ORDER BY s.doc_id"""))
   )
 }
