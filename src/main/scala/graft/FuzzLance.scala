@@ -67,7 +67,9 @@ object FuzzLance {
       ("partitioned", (w, t) => w.option("partitionBy", partCol(t)), Map.empty),
       ("bucketed", (w, t) => w.option("bucketBy", s"8:${intCol(t)}")
          .option("writePartitions", "4"), Map.empty),
-      ("split", (w, _) => w, Map("splitRows" -> "1000")))
+      ("split", (w, _) => w, Map("splitRows" -> "1000")),
+      ("stable", (w, t) => w.option("stableRowIds", "true")
+         .option("sortBy", intCol(t)), Map.empty))
 
     var mismatches = 0
     layouts.foreach { case (layout, opts, readOpts) =>
