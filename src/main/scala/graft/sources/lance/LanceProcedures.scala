@@ -127,8 +127,40 @@ private[lance] object LanceProcedures {
           }
       })
 
+    // CALL lance.describe(t): the dataset's layout card — version, rows,
+    // declared partition/sort layout (the SPJ contract), whether the scan
+    // can currently REPORT it (every fragment valued), stable-row-id mode,
+    // deletions. The first thing a user asks a table.
+    val describe = Proc("describe",
+      Array(param("t", StringType)),
+      StructType(Seq(
+        StructField("version", LongType),
+        StructField("fragments", IntegerType),
+        StructField("live_rows", LongType),
+        StructField("deleted_rows", LongType),
+        StructField("partition_cols", StringType),
+        StructField("sort_cols", StringType),
+        StructField("partitioning_reportable", BooleanType),
+        StructField("stable_row_ids", BooleanType))),
+      in => {
+        val conf = spark.sessionState.newHadoopConf()
+        val (fs, p) = LanceFormat.fileSystem(path(in), conf)
+        val m = LanceFormat.readManifest(fs,
+          LanceFormat.latestManifestPath(fs, p, None))
+        val reportable = m.partitionCols.nonEmpty && m.fragments.nonEmpty &&
+          m.fragments.forall(_.partValues.length == m.partitionCols.length)
+        Array(row(m.version, m.fragments.length,
+          m.fragments.map(_.liveRows).sum,
+          m.fragments.flatMap(_.deletion).map(_.numDeleted).sum,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            m.partitionCols.mkString(",")),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            m.sortCols.mkString(",")),
+          reportable, m.stableRowIds))
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
-        "tags" -> tags, "versions" -> versions)
+        "tags" -> tags, "versions" -> versions, "describe" -> describe)
   }
 }

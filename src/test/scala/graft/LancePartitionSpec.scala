@@ -229,6 +229,46 @@ class LancePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("window over partitioned+sorted layout: no exchange, no sort") {
+    // PARTITION BY the layout's partition column ORDER BY its sort column:
+    // KeyGroupedPartitioning satisfies the window's clustering and the
+    // reported SortOrder its ordering — the whole window runs map-side
+    val ds = tmp("win")
+    leftDf.write.format("lance").option("partitionBy", "bkt")
+      .option("sortBy", "k").mode("overwrite").save(ds)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bkt").orderBy("k")
+    val q = spark.read.format("lance").load(ds)
+      .select(col("bkt"), col("k"), sum("k").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run"))
+    val plan = collectPlan(q)
+    assert(countShuffles(plan) == 0, s"expected no exchange:\n$plan")
+    assert(countSorts(plan) == 0, s"expected no sort:\n$plan")
+    val expected = leftDf.select(col("bkt"), col("k"), sum("k").over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run"))
+    assert(q.exceptAll(expected).isEmpty && expected.exceptAll(q).isEmpty)
+  }
+
+  test("multi-column partitioning reports and joins shuffle-free") {
+    val l = tmp("ml"); val r = tmp("mr")
+    val a = (0 until 1200).map(i => (i % 4, s"s${i % 3}", i.toLong, s"a$i"))
+      .toDF("p1", "p2", "k", "av")
+    val b = (0 until 900).map(i => (i % 4, s"s${i % 3}", (i * 2).toLong, s"b$i"))
+      .toDF("p1", "p2", "k", "bv")
+    a.write.format("lance").option("partitionBy", "p1,p2").mode("overwrite").save(l)
+    b.write.format("lance").option("partitionBy", "p1,p2").mode("overwrite").save(r)
+    noBroadcast {
+      val j = spark.read.format("lance").load(l)
+        .join(spark.read.format("lance").load(r), Seq("p1", "p2", "k"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+      val plan = collectPlan(j)
+      assert(countShuffles(plan) == 0, s"expected no shuffle:\n$plan")
+      val expected = a.join(b, Seq("p1", "p2", "k")).groupBy("p1", "p2")
+        .agg(count(lit(1)).as("n"))
+      assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
+    }
+  }
+
   test("asymmetric partition values: SPJ pushes missing values, exact join") {
     // left covers bkt 0..9, right only 0..4 — Spark's pushPartValues
     // aligns the key groups (empty partitions for the uncovered values);

@@ -61,6 +61,28 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM ldbp.pt").count() == 2)
   }
 
+  test("describe reports the layout card") {
+    val ds = java.nio.file.Files.createTempDirectory("graft-desc").toString + "/t.lance"
+    (0 until 600).map(i => (i % 5, i.toLong, s"v$i")).toDF("p", "k", "v")
+      .write.format("lance").option("partitionBy", "p").option("sortBy", "k")
+      .mode("overwrite").save(ds)
+    val d = spark.sql(s"CALL lance.describe('$ds')").head()
+    assert(d.getLong(0) == 1L)          // version
+    assert(d.getInt(1) == 5)            // one fragment per partition value
+    assert(d.getLong(2) == 600L)        // live rows
+    assert(d.getLong(3) == 0L)          // deleted
+    assert(d.getString(4) == "p")       // partition cols
+    assert(d.getString(5) == "p,k")     // sort cols
+    assert(d.getBoolean(6))             // reportable
+    assert(!d.getBoolean(7))            // no stable ids
+    // an unpartitioned append flips reportable off, count reflects it
+    Seq((1, 999L, "x")).toDF("p", "k", "v")
+      .write.format("lance").mode("append").save(ds)
+    val d2 = spark.sql(s"CALL lance.describe('$ds')").head()
+    assert(d2.getLong(2) == 601L && !d2.getBoolean(6))
+    assert(d2.getString(4) == "p") // declared layout survives
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
     val msg = e.getMessage + String.valueOf(e.getCause)
