@@ -72,6 +72,25 @@ object FuzzLance {
          .option("sortBy", intCol(t)), Map.empty))
 
     var mismatches = 0
+    def runLayout(layout: String, expect: Map[String, Seq[org.apache.spark.sql.Row]]): Unit = {
+      var bad = 0
+      qs.foreach { case (n, sql) =>
+        val got = try spark.sql(sql).collect().toSeq catch {
+          case e: Throwable =>
+            System.err.println(s"[fuzz-lance] $layout/$n threw: " +
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            null
+        }
+        if (got == null || got != expect(n)) {
+          bad += 1
+          mismatches += 1
+          if (bad <= 3) System.err.println(
+            s"[fuzz-lance] MISMATCH $layout/$n: " +
+            s"expected ${expect(n).size} rows, got ${Option(got).map(_.size)}")
+        }
+      }
+      println(s"[fuzz-lance] layout=$layout: ${qs.size - bad}/${qs.size} match")
+    }
     layouts.foreach { case (layout, opts, readOpts) =>
       tables.foreach { t =>
         val df = Tables.load(spark, sfDir, t)
@@ -81,28 +100,43 @@ object FuzzLance {
         readOpts.foreach { case (k, v) => r = r.option(k, v) }
         r.load(s"$work/$layout/$t.lance").createOrReplaceTempView(t)
       }
-      var bad = 0
-      qs.foreach { case (n, sql) =>
-        val got = try spark.sql(sql).collect().toSeq catch {
-          case e: Throwable =>
-            System.err.println(s"[fuzz-lance] $layout/$n threw: " +
-              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-            null
-        }
-        if (got == null || got != expected(n)) {
-          bad += 1
-          mismatches += 1
-          if (bad <= 3) System.err.println(
-            s"[fuzz-lance] MISMATCH $layout/$n: " +
-            s"expected ${expected(n).size} rows, got ${Option(got).map(_.size)}")
-        }
-      }
-      println(s"[fuzz-lance] layout=$layout: ${qs.size - bad}/${qs.size} match")
+      runLayout(layout, expected)
       // restore parquet views for the next layout's write source
       Tables.register(spark, sfDir)
     }
+
+    // deletion-vector differential: delete a deterministic slice of every
+    // lance table (DELETE = per-fragment roaring masks, no rewrite), apply
+    // the SAME predicate as a filter on the parquet ground truth, and
+    // demand every query still agrees — masking must be invisible to the
+    // whole relational surface (aggregates, joins, windows, set ops).
+    val delPred = Map(
+      "lineitem" -> "l_orderkey % 7 = 3", "orders" -> "o_orderkey % 7 = 3",
+      "customer" -> "c_custkey % 7 = 3", "part" -> "p_partkey % 7 = 3",
+      "supplier" -> "s_suppkey % 7 = 3", "documents" -> "doc_id % 7 = 3")
+    tables.foreach { t =>
+      val ds = s"$work/deleted/$t.lance"
+      Tables.load(spark, sfDir, t).write.format("lance")
+        .option("sortBy", intCol(t)).option("writePartitions", "3")
+        .mode("overwrite").save(ds)
+      graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, delPred(t))
+      spark.read.format("lance").load(ds).createOrReplaceTempView(t)
+    }
+    val expectedDel = {
+      val views = tables.map(t => t ->
+        Tables.load(spark, sfDir, t).filter(s"NOT (${delPred(t)})")).toMap
+      // compute ground truth on filtered parquet views, then restore lance
+      views.foreach { case (t, df) => df.createOrReplaceTempView(s"__del_$t") }
+      qs.map { case (n, sql) =>
+        val rewritten = tables.foldLeft(sql)((acc, t) =>
+          acc.replaceAll(s"\\b$t\\b", s"__del_$t"))
+        n -> spark.sql(rewritten).collect().toSeq
+      }.toMap
+    }
+    runLayout("deleted", expectedDel)
+
     println(s"[fuzz-lance] total mismatches: $mismatches over " +
-      s"${layouts.size} layouts x ${qs.size} queries")
+      s"${layouts.size + 1} layouts x ${qs.size} queries")
     spark.stop()
     if (mismatches > 0) sys.exit(1)
   }

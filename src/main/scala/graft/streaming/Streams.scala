@@ -181,12 +181,23 @@ object Streams {
     * with any non-idempotent foreachBatch sink). */
   def lanceSink(df: DataFrame, path: String,
                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    lanceSink(df, path, checkpoint, Nil)
+
+  /** Partitioned variant: every micro-batch appends under the SAME
+    * declared value-partitioned layout, so the growing dataset keeps its
+    * per-fragment partition values and the scan keeps reporting
+    * KeyGroupedPartitioning — streaming ingestion lands DIRECTLY in the
+    * storage-partitioned-join-ready layout (no post-hoc rewrite). */
+  def lanceSink(df: DataFrame, path: String, checkpoint: String,
+                partitionBy: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          batch.write.format("lance").mode("append").save(path)
+          val w = batch.write.format("lance").mode("append")
+          (if (partitionBy.nonEmpty) w.option("partitionBy", partitionBy.mkString(","))
+           else w).save(path)
         }
       }
       .start()

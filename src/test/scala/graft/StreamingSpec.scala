@@ -135,6 +135,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.format("lance").option("versionAsOf", "1").load(sinkDir).count() > 0)
   }
 
+  test("partitioned lance sink: streaming appends keep the SPJ-ready layout") {
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-psink").toString + "/events.lance"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pckpt").toString
+    val stream = Streams.readEventsStream(spark, streamDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val q = Streams.lanceSink(stream, sinkDir, ckpt, Seq("event_type"))
+    q.processAllAvailable()
+    q.stop()
+    val (fs, p) = graft.sources.lance.LanceFormat.fileSystem(
+      sinkDir, spark.sessionState.newHadoopConf())
+    val m = graft.sources.lance.LanceFormat.readManifest(
+      fs, graft.sources.lance.LanceFormat.latestManifestPath(fs, p, None))
+    assert(m.partitionCols == Seq("event_type"))
+    assert(m.fragments.forall(_.partValues.length == 1),
+      "every streamed fragment must carry its partition value")
+    // the landed dataset aggregates on the partition key with no exchange
+    val agg = spark.read.format("lance").load(sinkDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    assert(!plan.toString.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      s"partition-key agg over the streamed dataset must not exchange:\n$plan")
+    val batch = spark.read.parquet(streamDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val back = spark.read.format("lance").load(sinkDir)
+    assert(back.exceptAll(batch).isEmpty && batch.exceptAll(back).isEmpty)
+  }
+
   test("lance streaming source tails appended versions exactly once") {
     val ds = java.nio.file.Files.createTempDirectory("graft-src").toString + "/tail.lance"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-src-ckpt").toString
