@@ -159,8 +159,60 @@ private[lance] object LanceProcedures {
           reportable, m.stableRowIds))
       })
 
+    // CALL lance.update(t, condition, 'col=expr, col2=expr2'): SQL face of
+    // updateWhere (deletion-mask the old rows + append the rewritten ones
+    // — no fragment rewrite). SET parses at the FIRST '=' per comma item;
+    // expressions are arbitrary Spark SQL over the row's columns.
+    val update = Proc("update",
+      Array(param("t", StringType), param("condition", StringType),
+            param("set", StringType)),
+      StructType(Seq(StructField("version", LongType))),
+      in => {
+        // split on top-level commas only (not inside parens or quotes) —
+        // SET expressions are arbitrary SQL
+        def splitTop(s: String): Seq[String] = {
+          val out = Seq.newBuilder[String]
+          var depth = 0; var q = false; var start = 0
+          var i = 0
+          while (i < s.length) {
+            s.charAt(i) match {
+              case '\'' => q = !q
+              case '(' if !q => depth += 1
+              case ')' if !q => depth -= 1
+              case ',' if !q && depth == 0 =>
+                out += s.substring(start, i); start = i + 1
+              case _ => ()
+            }
+            i += 1
+          }
+          out += s.substring(start)
+          out.result().map(_.trim).filter(_.nonEmpty)
+        }
+        val sets = splitTop(in.getString(2)).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"lance update: SET item '$kv' is not col=expr")
+          kv.substring(0, i).trim -> kv.substring(i + 1).trim
+        }.toMap
+        Array(row(LanceMaintenance.updateWhere(
+          spark, path(in), in.getString(1), sets)))
+      })
+
+    // CALL lance.merge_insert(t, source_view, 'k1,k2'): SQL face of
+    // mergeInsert (upsert by key) — the source is a registered view/table
+    // name with the target's columns.
+    val mergeIns = Proc("merge_insert",
+      Array(param("t", StringType), param("source", StringType),
+            param("keys", StringType)),
+      StructType(Seq(StructField("version", LongType))),
+      in => {
+        val keys = in.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Array(row(LanceMaintenance.mergeInsert(
+          spark, path(in), spark.table(in.getString(1)), keys)))
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
-        "tags" -> tags, "versions" -> versions, "describe" -> describe)
+        "tags" -> tags, "versions" -> versions, "describe" -> describe,
+        "update" -> update, "merge_insert" -> mergeIns)
   }
 }

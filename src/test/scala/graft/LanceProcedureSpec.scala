@@ -83,6 +83,26 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(d2.getString(4) == "p") // declared layout survives
   }
 
+  test("update and merge_insert through CALL") {
+    val ds = mkDs() // ids 1..120
+    val v = spark.sql(
+      s"CALL lance.update('$ds', 'id <= 10', 'v = concat(v, ''!''), id = id + 1000')")
+      .as[Long].head()
+    assert(v >= 3L)
+    val after = spark.read.format("lance").load(ds)
+    assert(after.count() == 120)
+    assert(after.filter("id > 1000").count() == 10)
+    assert(after.filter("v = 'v3!'").select("id").as[Long].head() == 1003L)
+    // upsert: 2 updates + 1 insert by key
+    Seq((11L, "UPDATED"), (12L, "UPDATED"), (999L, "NEW")).toDF("id", "v")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(s"CALL lance.merge_insert('$ds', 'merge_src', 'id')")
+    val m = spark.read.format("lance").load(ds)
+    assert(m.count() == 121)
+    assert(m.filter("v = 'UPDATED'").select("id").as[Long].collect().toSet == Set(11L, 12L))
+    assert(m.filter("id = 999").select("v").as[String].head() == "NEW")
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
     val msg = e.getMessage + String.valueOf(e.getCause)
