@@ -190,6 +190,17 @@ class LancePartitionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partition columns must be"))
   }
 
+  test("date partition column round-trips and reports (raw epoch-day codec)") {
+    val ds = tmp("date")
+    val df = (0 until 400).map(i =>
+      (java.sql.Date.valueOf(s"2026-01-${1 + i % 9}"), i.toLong)).toDF("d", "v")
+    df.write.format("lance").option("partitionBy", "d").mode("overwrite").save(ds)
+    val a = spark.read.format("lance").load(ds).groupBy("d").agg(sum("v").as("sv"))
+    assert(countShuffles(collectPlan(a)) == 0)
+    val expected = df.groupBy("d").agg(sum("v").as("sv"))
+    assert(a.exceptAll(expected).isEmpty && expected.exceptAll(a).isEmpty)
+  }
+
   test("string partition column round-trips and reports") {
     val ds = tmp("str")
     val df = (0 until 300).map(i => (s"lang${i % 4}", i.toLong)).toDF("lang", "v")
