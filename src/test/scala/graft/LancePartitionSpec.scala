@@ -280,6 +280,34 @@ class LancePartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("partially-clustered SPJ: skewed partition splits, exact join") {
+    // one partition value holds ~70% of the fact side (the skew shape);
+    // partiallyClusteredDistribution lets Spark split that key group
+    // across tasks instead of one straggler — results must stay exact
+    val l = tmp("skl"); val r = tmp("skr")
+    val skewed = (0 until 4000).map { i =>
+      val b = if (i < 2800) 0 else 1 + i % 9
+      (b, i.toLong, s"l$i")
+    }.toDF("bkt", "k", "lv")
+    skewed.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(l)
+    rightDf.write.format("lance").option("partitionBy", "bkt").mode("overwrite").save(r)
+    noBroadcast {
+      withConf(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true") {
+        // the JOIN itself must be exchange-free; a downstream groupBy may
+        // legitimately re-shuffle (split key groups void the clustering)
+        val j = spark.read.format("lance").load(l)
+          .join(spark.read.format("lance").load(r), Seq("bkt", "k"))
+          .select("bkt", "k", "lv", "rv")
+        val plan = collectPlan(j)
+        assert(countShuffles(plan) == 0, s"expected no join shuffle:\n$plan")
+        val expected = skewed.join(rightDf, Seq("bkt", "k"))
+          .select("bkt", "k", "lv", "rv")
+        assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
+      }
+    }
+  }
+
   test("asymmetric partition values: SPJ pushes missing values, exact join") {
     // left covers bkt 0..9, right only 0..4 — Spark's pushPartValues
     // aligns the key groups (empty partitions for the uncovered values);
