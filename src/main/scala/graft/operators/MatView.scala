@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.sources.lance.{LanceFormat, LanceMaintenance}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained materialized aggregate views over lance
+  * datasets, driven by the row-level change feed
+  * ([[LanceMaintenance.changesBetween]]).
+  *
+  * A view is `SELECT keys, COUNT(*) AS cnt, SUM(c) AS sum_c ... GROUP BY
+  * keys` over a source lance dataset with move-stable row ids. `create`
+  * computes it once and stores it as its own lance dataset; `refresh`
+  * advances it to the source's head WITHOUT rescanning the source: the
+  * change feed between the last-refreshed version and the head yields the
+  * delta rows (inserts +1, deletes -1), which aggregate to per-group
+  * deltas; only AFFECTED groups are rewritten (one
+  * [[LanceMaintenance.upsertWithDeletes]] commit — groups whose count
+  * reaches zero are dropped).
+  *
+  * Exactness contract (refresh ≡ full recompute, bit-for-bit):
+  *  - `cnt` is a long count; delta arithmetic is long addition.
+  *  - every `SUM` column is accumulated as DECIMAL(38,6) (integral
+  *    sources as BIGINT) — associative exact arithmetic, so
+  *    `old + (Σ inserts − Σ deletes)` equals a recomputed sum exactly,
+  *    independent of accumulation order. No float sums anywhere.
+  *  - a group's sum with no non-null values is stored as 0, not NULL
+  *    (SQL's `SUM` of nothing is NULL, which is not incrementally
+  *    representable as `old + delta`); consumers wanting SQL semantics
+  *    apply `CASE WHEN cnt_nonnull = 0` themselves.
+  *  - group keys must be non-null (enforced): NULL keys don't equi-join
+  *    during the merge, which would duplicate groups.
+  *
+  * 100 TB shape: refresh work is proportional to the CHANGE SET, not the
+  * corpus — the change feed is two metadata-only `_rowid` anti-joins plus
+  * row fetches for changed rows only; the delta aggregate shuffles only
+  * changed rows; the merge broadcast-semi-prunes the view to affected
+  * groups before a delta-sized outer join; the upsert commit stages only
+  * affected groups and patches deletion bitmaps executor-side. A view
+  * over 100 TB with a 0.1% daily churn refreshes with ~0.1%-of-corpus
+  * I/O.
+  *
+  * Refresh metadata (source path, keys, sum columns, last refreshed
+  * source version) lives in `_matview/<mvVersion>.props`, keyed by the
+  * view's OWN manifest version so a reader always sees metadata
+  * consistent with the data it reads. The props file is written after
+  * the data commit; a crash in between leaves the view one refresh
+  * behind with stale-but-consistent metadata for the PREVIOUS version —
+  * `refresh` detects the orphaned head (no props for head version) and
+  * refuses with a "re-create" error rather than double-applying a delta.
+  *
+  * Reference direction: lance exposes CDC-style versioning
+  * (`/root/reference` crate's `Dataset` versions); materialized-view
+  * maintenance on top is our [EXT] extension — the standard
+  * delta-maintenance construction for distributive aggregates.
+  */
+object MatView {
+
+  final case class Spec(src: String, keys: Seq[String], sums: Seq[String],
+                        lastVersion: Long)
+
+  private def metaDir(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_matview")
+
+  private def writeSpec(spark: SparkSession, mvPath: String, spec: Spec,
+                        mvVersion: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(mvPath, conf)
+    fs.mkdirs(metaDir(p))
+    val props = new java.util.Properties
+    props.setProperty("src", spec.src)
+    props.setProperty("keys", spec.keys.mkString(","))
+    props.setProperty("sums", spec.sums.mkString(","))
+    props.setProperty("lastVersion", spec.lastVersion.toString)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(metaDir(p), s"$mvVersion.props"), true)
+    try props.store(out, "graft matview") finally out.close()
+  }
+
+  /** Load the spec consistent with the view's CURRENT head version. */
+  def loadSpec(spark: SparkSession, mvPath: String): (Spec, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(mvPath, conf)
+    val head = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+    val f = new org.apache.hadoop.fs.Path(metaDir(p), s"$head.props")
+    require(fs.exists(f),
+      s"matview $mvPath: no metadata for head version $head — the view was " +
+        "modified outside MatView (or a refresh crashed mid-commit); re-create it")
+    val props = new java.util.Properties
+    val in = fs.open(f)
+    try props.load(in) finally in.close()
+    def split(s: String) =
+      if (s == null || s.isEmpty) Nil else s.split(",").toSeq
+    (Spec(props.getProperty("src"), split(props.getProperty("keys")),
+          split(props.getProperty("sums")),
+          props.getProperty("lastVersion").toLong), head)
+  }
+
+  /** The exact-arithmetic aggregate list for one grouped pass. */
+  private def aggCols(df: DataFrame, sums: Seq[String]): Seq[Column] =
+    count(lit(1)).as("cnt") +: sums.map { c =>
+      val dt = df.schema(c).dataType
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          coalesce(sum(col(c)).cast(LongType), lit(0L)).as(s"sum_$c")
+        case _: DecimalType | DoubleType | FloatType =>
+          coalesce(sum(col(c).cast(DecimalType(38, 6))),
+                   lit(BigDecimal(0)).cast(DecimalType(38, 6))).as(s"sum_$c")
+        case other => throw new IllegalArgumentException(
+          s"matview: SUM over ${other.simpleString} column '$c' unsupported")
+      }
+    }
+
+  private def requireKeysNonNull(df: DataFrame, keys: Seq[String],
+                                 what: String): Unit = {
+    val nulls = df.filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1)
+    require(nulls.isEmpty,
+      s"matview: NULL group key in $what — keys must be non-null " +
+        "(NULL keys don't equi-join during incremental merge)")
+  }
+
+  /** Full compute + store; returns the source version the view reflects. */
+  def create(spark: SparkSession, srcPath: String, mvPath: String,
+             keys: Seq[String], sums: Seq[String]): Long = {
+    require(keys.nonEmpty, "matview needs at least one group key")
+    val conf = spark.sessionState.newHadoopConf()
+    val (sfs, sp) = LanceFormat.fileSystem(srcPath, conf)
+    val srcManifest = LanceFormat.readManifest(sfs,
+      LanceFormat.latestManifestPath(sfs, sp, None))
+    require(srcManifest.stableRowIds,
+      s"matview source $srcPath needs move-stable row ids " +
+        "(write it with option(\"stableRowIds\", true)) — the change feed " +
+        "that drives refresh requires stable row identity")
+    val v = srcManifest.version
+    // pin the snapshot: compute at exactly version v even if a concurrent
+    // writer advances the head mid-create
+    val src = spark.read.format("lance")
+      .option("versionAsOf", v.toString).load(srcPath)
+    requireKeysNonNull(src.select(keys.map(col): _*), keys, srcPath)
+    val aggs = aggCols(src, sums)
+    val mv = src.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    mv.write.format("lance").mode("overwrite").save(mvPath)
+    val (fs, p) = LanceFormat.fileSystem(mvPath, conf)
+    val mvVersion = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+    writeSpec(spark, mvPath, Spec(srcPath, keys, sums, v), mvVersion)
+    v
+  }
+
+  /** Advance the view to the source's head via the change feed; returns
+    * the source version the view now reflects. Work ∝ |change set|. */
+  def refresh(spark: SparkSession, mvPath: String): Long = {
+    val (spec, mvHead) = loadSpec(spark, mvPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val (sfs, sp) = LanceFormat.fileSystem(spec.src, conf)
+    val srcHead = LanceFormat.readManifest(sfs,
+      LanceFormat.latestManifestPath(sfs, sp, None)).version
+    if (srcHead == spec.lastVersion) return spec.lastVersion // up to date
+
+    val ch = LanceMaintenance.changesBetween(spark, spec.src,
+      spec.lastVersion, srcHead)
+    val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+    // per-group deltas in the SAME exact interiors as create()
+    val deltaAggs: Seq[Column] = sum(sign).as("d_cnt") +: spec.sums.map { c =>
+      val dt = ch.schema(c).dataType
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          coalesce(sum(sign * col(c)).cast(LongType), lit(0L)).as(s"d_$c")
+        case _ =>
+          coalesce(sum(sign.cast(DecimalType(38, 6)) *
+                       col(c).cast(DecimalType(38, 6))).cast(DecimalType(38, 6)),
+                   lit(BigDecimal(0)).cast(DecimalType(38, 6))).as(s"d_$c")
+      }
+    }
+    val delta = ch.groupBy(spec.keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    requireKeysNonNull(delta.select(spec.keys.map(col): _*), spec.keys,
+      s"change feed of ${spec.src}")
+
+    val cur = spark.read.format("lance").load(mvPath)
+    // broadcast-semi-prune the (big) view to affected groups, then the
+    // outer merge is delta-sized on both sides
+    val affected = cur.join(
+      broadcast(delta.select(spec.keys.map(col): _*)), spec.keys, "left_semi")
+    val merged = delta.join(affected, spec.keys, "left")
+    val newCnt = coalesce(col("cnt"), lit(0L)) + col("d_cnt")
+    val mvSchema = cur.schema
+    val outCols: Seq[Column] = spec.keys.map(col) ++
+      (newCnt.as("cnt") +: spec.sums.map { c =>
+        val tgt = mvSchema(s"sum_$c").dataType
+        (coalesce(col(s"sum_$c"), lit(0).cast(tgt)) + col(s"d_$c"))
+          .cast(tgt).as(s"sum_$c")
+      })
+    val resolved = merged.select((outCols :+ newCnt.as("_newCnt")): _*)
+    val upserts = resolved.filter(col("_newCnt") > 0).drop("_newCnt")
+    val zeros = resolved.filter(col("_newCnt") === 0)
+      .select(spec.keys.map(col): _*)
+    val committed = LanceMaintenance.upsertWithDeletes(
+      spark, mvPath, upserts, spec.keys, zeros)
+    writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)
+    srcHead
+  }
+
+  def read(spark: SparkSession, mvPath: String): DataFrame =
+    spark.read.format("lance").load(mvPath)
+}

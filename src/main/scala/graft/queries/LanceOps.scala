@@ -717,6 +717,40 @@ object LanceOps {
       SELECT lang, COUNT(*) AS n,
              CAST(SUM(n_chars) AS BIGINT) AS chars,
              CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Incrementally-maintained materialized view end-to-end: create over
+    // a subset, churn the source (delete + append), refresh via the
+    // change feed — ONLY affected groups rewrite. The oracle recomputes
+    // the final state relationally from parquet, so a missed delta, a
+    // double-applied delete, a dropped group, or inexact decimal
+    // maintenance arithmetic all break the hash.
+    QDef("l24_incremental_matview", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/orders_mv_src.lance"
+      val mv = s"$workDir/orders_mv.lance"
+      val ord = t("orders").select("o_orderkey", "o_orderpriority",
+        "o_totalprice")
+      ord.filter(col("o_orderkey") % 3 =!= 0)
+        .write.format("lance").option("stableRowIds", "true")
+        .mode("overwrite").save(ds)
+      graft.operators.MatView.create(s, ds, mv,
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+      graft.sources.lance.LanceMaintenance.deleteWhere(s, ds,
+        "o_totalprice > 400000")
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .write.format("lance").mode("append").save(ds)
+      graft.operators.MatView.refresh(s, mv)
+      graft.operators.MatView.read(s, mv)
+        .select(col("o_orderpriority"), col("cnt"),
+          col("sum_o_totalprice").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS cnt,
+             ${Det.oSum("o_totalprice")} AS total
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+         OR (o_orderkey % 3 <> 0 AND o_totalprice <= 400000)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -1,5 +1,6 @@
 package graft.sources.lance
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 
 /** Dataset maintenance operations.
@@ -238,28 +239,7 @@ object LanceMaintenance {
     // rebase on the new latest and re-patch. Any interleaving that touched
     // a patched fragment (another delete/update/compaction: deletion entry
     // or id gone) makes the bitmaps stale, so fail loudly instead.
-    var attempt = 0
-    while (true) {
-      val latestPath = LanceFormat.latestManifestPath(fs, p, None)
-      val latest = LanceFormat.readManifest(fs, latestPath)
-      val baseById = manifest.fragments.map(f => f.id -> f).toMap
-      val safe = delMetas.keys.forall { fid =>
-        latest.fragments.find(_.id == fid).exists(lf =>
-          baseById.get(fid).exists(bf => lf.deletion == bf.deletion))
-      }
-      if (!safe) throw new LanceCommitConflict(
-        s"lance: fragments changed under deleteWhere on $path — recompute the delete", null)
-      try {
-        commitDeletionPatch(conf, p, latestPath, delMetas, latest.version + 1)
-        return latest.version + 1
-      } catch {
-        case e: LanceCommitConflict =>
-          attempt += 1
-          if (attempt >= 100) throw e
-          Thread.sleep(5 + scala.util.Random.nextInt(20))
-      }
-    }
-    -1L // unreachable
+    commitDeletionLoop(conf, p, path, manifest, delMetas)
   }
 
   /** Write per-fragment roaring deletion bitmaps from `matched` (any frame
@@ -528,6 +508,87 @@ object LanceMaintenance {
     val matched = target.join(src.select(keyCols: _*).distinct(), keys, "left_semi")
     val delMetas = writeDeletionFiles(spark, path, manifest, matched)
     commitReplacement(spark, path, manifest, delMetas, src, tgtFields)
+  }
+
+  /** One committed version that (a) replaces every target row whose key
+    * appears in `source` with the source rows (the [[mergeInsert]]
+    * semantics) and (b) additionally DELETES every target row whose key
+    * appears in `deleteKeys` without replacement. The maintenance
+    * primitive for incremental materialized views (graft.operators
+    * .MatView): affected groups upsert, vanished groups drop, one
+    * snapshot commit.
+    *
+    * Scale shape: both key frames are deltas (small relative to the
+    * target), so the semi-join that computes deletion vectors broadcasts
+    * them; deletion files are written executor-side per fragment; only
+    * `source` is staged as new fragments. Work is proportional to the
+    * CHANGE set, never to the target's size.
+    */
+  def upsertWithDeletes(spark: SparkSession, path: String,
+                        source: org.apache.spark.sql.DataFrame,
+                        keys: Seq[String],
+                        deleteKeys: org.apache.spark.sql.DataFrame): Long = {
+    require(keys.nonEmpty, "upsertWithDeletes needs at least one key column")
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val manifest = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None))
+
+    val target = spark.read.format("lance")
+      .option("withRowAddress", "true").load(path)
+    val tgtFields = target.schema.filterNot(_.name == "_rowaddr")
+    require(tgtFields.map(_.name).toSet == source.schema.map(_.name).toSet,
+      s"upsertWithDeletes source columns ${source.columns.mkString(",")} " +
+      s"must match target ${tgtFields.map(_.name).mkString(",")}")
+    require(deleteKeys.columns.toSet == keys.toSet,
+      s"deleteKeys must carry exactly the key columns ${keys.mkString(",")}")
+    val keyCols = keys.map(org.apache.spark.sql.functions.col)
+    val src = source.select(tgtFields.map(f =>
+      org.apache.spark.sql.functions.col(f.name)): _*)
+    val allKeys = src.select(keyCols: _*)
+      .unionByName(deleteKeys.select(keyCols: _*)).distinct()
+    val matched = target.join(allKeys, keys, "left_semi")
+    val delMetas = writeDeletionFiles(spark, path, manifest, matched)
+    if (src.isEmpty) {
+      // deletion-only commit: patch bitmaps onto the head, no staging
+      if (delMetas.isEmpty) return manifest.version
+      commitDeletionLoop(conf, p, path, manifest, delMetas)
+    } else {
+      commitReplacement(spark, path, manifest, delMetas, src, tgtFields)
+    }
+  }
+
+  /** Optimistic deletion-vector-only commit (shared by [[deleteWhere]] and
+    * the deletes-only arm of [[upsertWithDeletes]]): rebase on concurrent
+    * appends (provably harmless — they only add fragments), fail loudly if
+    * a patched fragment's deletion entry changed underneath. */
+  private def commitDeletionLoop(conf: Configuration,
+                                 p: org.apache.hadoop.fs.Path, path: String,
+                                 base: LanceFormat.Manifest,
+                                 delMetas: Map[Long, LanceFormat.DeletionFileMeta]): Long = {
+    val fs = p.getFileSystem(conf)
+    var attempt = 0
+    while (true) {
+      val latestPath = LanceFormat.latestManifestPath(fs, p, None)
+      val latest = LanceFormat.readManifest(fs, latestPath)
+      val baseById = base.fragments.map(f => f.id -> f).toMap
+      val safe = delMetas.keys.forall { fid =>
+        latest.fragments.find(_.id == fid).exists(lf =>
+          baseById.get(fid).exists(bf => lf.deletion == bf.deletion))
+      }
+      if (!safe) throw new LanceCommitConflict(
+        s"lance: fragments changed under delete on $path — recompute", null)
+      try {
+        commitDeletionPatch(conf, p, latestPath, delMetas, latest.version + 1)
+        return latest.version + 1
+      } catch {
+        case e: LanceCommitConflict =>
+          attempt += 1
+          if (attempt >= 100) throw e
+          Thread.sleep(5 + scala.util.Random.nextInt(20))
+      }
+    }
+    -1L // unreachable
   }
 
   /** UPDATE analogue: rows matching `condition` are replaced by themselves

@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.MatView
+import graft.sources.lance.{LanceFormat, LanceMaintenance}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental materialized views: refresh via the change feed must equal
+  * a full recompute bit-for-bit, touch only affected groups, drop groups
+  * whose count reaches zero, and refuse inconsistent metadata. */
+class MatViewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private def srcRows(ks: Seq[(Long, String, Double)]): DataFrame =
+    ks.toDF("id", "grp", "amt")
+
+  private def writeSrc(path: String, df: DataFrame): Unit =
+    df.repartition(3).write.format("lance")
+      .option("stableRowIds", "true").mode("overwrite").save(path)
+
+  /** Full recompute with the same exact interiors the MV uses. */
+  private def recompute(src: String): DataFrame =
+    spark.read.format("lance").load(src)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(col("amt").cast("decimal(38,6)")),
+          lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"))
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.orderBy("grp").collect().map(_.mkString("|")).toSeq
+
+  test("refresh after append+delete equals full recompute exactly") {
+    val dir = tmp("mv_basic")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    writeSrc(src, srcRows((1L to 40L).map(i =>
+      (i, s"g${i % 5}", i * 1.25 + 0.001))))
+    MatView.create(spark, src, mv, Seq("grp"), Seq("amt"))
+    // churn: delete some rows, append rows into existing + new groups
+    LanceMaintenance.deleteWhere(spark, src, "id % 4 = 0")
+    srcRows(Seq((100L, "g1", 7.5), (101L, "g9", 2.25), (102L, "g9", -1.0)))
+      .write.format("lance").mode("append").save(src)
+    MatView.refresh(spark, mv)
+    assert(sorted(MatView.read(spark, mv)) == sorted(recompute(src)))
+  }
+
+  test("group reaching zero count is dropped from the view") {
+    val dir = tmp("mv_zero")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    writeSrc(src, srcRows(Seq(
+      (1L, "keep", 1.0), (2L, "keep", 2.0), (3L, "gone", 9.0))))
+    MatView.create(spark, src, mv, Seq("grp"), Seq("amt"))
+    LanceMaintenance.deleteWhere(spark, src, "grp = 'gone'")
+    MatView.refresh(spark, mv)
+    val grps = MatView.read(spark, mv).select("grp").as[String].collect().toSet
+    assert(grps == Set("keep"))
+    assert(sorted(MatView.read(spark, mv)) == sorted(recompute(src)))
+  }
+
+  test("refresh is delta-driven: unaffected groups' rows are not rewritten") {
+    val dir = tmp("mv_delta")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    writeSrc(src, srcRows((1L to 30L).map(i => (i, s"g${i % 10}", 1.0))))
+    MatView.create(spark, src, mv, Seq("grp"), Seq("amt"))
+    // touch ONLY group g3
+    srcRows(Seq((200L, "g3", 5.0))).write.format("lance")
+      .mode("append").save(src)
+    MatView.refresh(spark, mv)
+    // the upsert deleted exactly the affected group's single row
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(mv, conf)
+    val m = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None))
+    val deleted = m.fragments.flatMap(_.deletion).map(_.numDeleted).sum
+    assert(deleted == 1L, s"expected 1 tombstoned group row, got $deleted")
+    assert(sorted(MatView.read(spark, mv)) == sorted(recompute(src)))
+  }
+
+  test("no-op refresh when source did not advance; compaction-only is empty delta") {
+    val dir = tmp("mv_noop")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    writeSrc(src, srcRows((1L to 12L).map(i => (i, s"g${i % 3}", 0.5))))
+    val v0 = MatView.create(spark, src, mv, Seq("grp"), Seq("amt"))
+    assert(MatView.refresh(spark, mv) == v0) // head unchanged → same version
+    // compaction advances the version but moves rows without changing them
+    LanceMaintenance.compactStable(spark, src, targetFragments = 1)
+    MatView.refresh(spark, mv)
+    assert(sorted(MatView.read(spark, mv)) == sorted(recompute(src)))
+  }
+
+  test("integral sum column stays a long sum") {
+    val dir = tmp("mv_long")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)).toDF("id", "grp", "n")
+      .write.format("lance").option("stableRowIds", "true")
+      .mode("overwrite").save(src)
+    MatView.create(spark, src, mv, Seq("grp"), Seq("n"))
+    val schema = MatView.read(spark, mv).schema
+    assert(schema("sum_n").dataType.simpleString == "bigint")
+    Seq((4L, "b", 7L)).toDF("id", "grp", "n")
+      .write.format("lance").mode("append").save(src)
+    MatView.refresh(spark, mv)
+    val b = MatView.read(spark, mv).filter($"grp" === "b")
+      .select("cnt", "sum_n").as[(Long, Long)].collect().head
+    assert(b == ((2L, 12L)))
+  }
+
+  test("NULL group keys are refused at create") {
+    val dir = tmp("mv_nullkey")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    Seq((1L, Some("a"), 1.0), (2L, None, 2.0)).toDF("id", "grp", "amt")
+      .write.format("lance").option("stableRowIds", "true")
+      .mode("overwrite").save(src)
+    val e = intercept[IllegalArgumentException] {
+      MatView.create(spark, src, mv, Seq("grp"), Seq("amt"))
+    }
+    assert(e.getMessage.contains("NULL group key"))
+  }
+
+  test("view modified outside MatView is refused at refresh") {
+    val dir = tmp("mv_tamper")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    writeSrc(src, srcRows(Seq((1L, "a", 1.0))))
+    MatView.create(spark, src, mv, Seq("grp"), Seq("amt"))
+    // an out-of-band append bumps the view's version past its metadata
+    MatView.read(spark, mv).limit(1).write.format("lance")
+      .mode("append").save(mv)
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, mv)
+    }
+    assert(e.getMessage.contains("no metadata for head version"))
+  }
+
+  test("source without stable row ids is refused at create") {
+    val dir = tmp("mv_nostable")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    srcRows(Seq((1L, "a", 1.0))).write.format("lance")
+      .mode("overwrite").save(src)
+    val e = intercept[IllegalArgumentException] {
+      MatView.create(spark, src, mv, Seq("grp"), Seq("amt"))
+    }
+    assert(e.getMessage.contains("stable row ids"))
+  }
+}
