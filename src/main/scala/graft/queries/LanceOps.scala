@@ -751,6 +751,33 @@ object LanceOps {
       FROM orders
       WHERE o_orderkey % 3 = 0
          OR (o_orderkey % 3 <> 0 AND o_totalprice <= 400000)
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // NDV sketch sidecar end-to-end: build per-fragment HLL sketches,
+    // append (refresh sketches ONLY the new fragments), answer
+    // COUNT(DISTINCT) sidecar-only. The exact NDV is oracled directly;
+    // the sketch estimate is pinned as a hash-checked accuracy bit
+    // (within 5% of exact — a broken union, a missed fragment, or a
+    // stale sidecar flips it and breaks the hash).
+    QDef("l25_ndv_sidecar", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/documents_ndv.lance"
+      val ix = s"$workDir/documents_ndv_ix"
+      val docs = t("documents").select("doc_id", "n_chars")
+      docs.filter(col("doc_id") % 2 === 0).repartition(3)
+        .write.format("lance").mode("overwrite").save(ds)
+      graft.operators.SketchIndex.build(s, ds, "n_chars", ix)
+      docs.filter(col("doc_id") % 2 === 1).repartition(2)
+        .write.format("lance").mode("append").save(ds)
+      graft.operators.SketchIndex.refresh(s, ix)
+      val est = graft.operators.SketchIndex.ndv(s, ds, ix)
+      val exact = s.read.format("lance").load(ds)
+        .select("n_chars").distinct().count()
+      import s.implicits._
+      Seq((exact, math.abs(est - exact.toDouble) / exact < 0.05))
+        .toDF("ndv_exact", "sketch_ok")
+    }, Some("""
+      SELECT COUNT(DISTINCT n_chars) AS ndv_exact, true AS sketch_ok
+      FROM documents"""))
   )
 }
