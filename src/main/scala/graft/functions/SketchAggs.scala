@@ -375,6 +375,118 @@ case class BitmapDistinct64Agg(child: Expression,
     copy(child = cs.head)
 }
 
+/** Mergeable Misra-Gries heavy-hitters summary over a string column:
+  * array<struct<token,est>> with the MG guarantee
+  * `true_count - est <= n / (capacity + 1)` (n = total rows seen) — so
+  * every token with true count above that threshold is PRESENT in the
+  * summary. Update is O(1) amortized (a decrement-all event removes
+  * capacity+1 total count, so there are at most n/(capacity+1) of them);
+  * merge sums counters then applies the standard rank-(c+1) reduction,
+  * which preserves the additive guarantee across partials (Agarwal et
+  * al., "Mergeable Summaries").
+  *
+  * 100 TB shape: map-side partials are bounded at `capacity` entries per
+  * partition regardless of input size — the shuffle carries summaries,
+  * never tokens. Exact-top-k pipelines recount ONLY the summary's
+  * candidates (a broadcast semi-join) and can PROVE exactness when the
+  * k-th recounted frequency exceeds n/(capacity+1).
+  */
+case class FreqSketchAgg(child: Expression, capacity: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+  require(capacity > 0, "FreqSketchAgg capacity must be positive")
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long](capacity * 2)
+
+  override def update(buf: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val tok = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(tok)
+      if (cur != 0L || buf.containsKey(tok)) buf.put(tok, cur + 1L)
+      else if (buf.size < capacity) buf.put(tok, 1L)
+      else { // MG decrement-all: removes capacity+1 total count
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.HashMap[String, Long],
+                     b2: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      b1.merge(e.getKey, e.getValue, (a, b) => a + b)
+    }
+    if (b1.size > capacity) {
+      // subtract the (capacity+1)-th largest counter from all, drop <= 0
+      val counts = new Array[Long](b1.size)
+      var i = 0
+      val vs = b1.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val d = counts(b1.size - capacity - 1) // rank c+1 from the top
+      val es = b1.entrySet().iterator()
+      while (es.hasNext) {
+        val e = es.next()
+        if (e.getValue <= d) es.remove() else e.setValue(e.getValue - d)
+      }
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      arr(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+    }
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.put(in.readUTF(), in.readLong()))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("token", StringType),
+                   StructField("est", LongType))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}
+
 object SketchAggs {
   import org.apache.spark.sql.graftglue.ColumnBridge.{column, expression}
   def minhash(c: Column, numHashes: Int): Column =
@@ -391,4 +503,6 @@ object SketchAggs {
     column(SimHashArray(expression(toks)))
   def bandHashes(sig: Column, bands: Int): Column =
     column(BandHashes(expression(sig), bands))
+  def freqSketch(c: Column, capacity: Int): Column =
+    column(FreqSketchAgg(expression(c), capacity).toAggregateExpression())
 }

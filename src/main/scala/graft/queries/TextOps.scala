@@ -1021,6 +1021,50 @@ object TextOps {
              CAST((s.n * 1000) // s.sample_rate AS BIGINT) AS duration_ms,
              m.pcm_sum
       FROM sized s JOIN sums m ON s.doc_id = m.doc_id
-      ORDER BY s.doc_id"""))
+      ORDER BY s.doc_id""")),
+
+    // Heavy hitters with a PROVABLY-exact top-k: one merged Misra-Gries
+    // summary (map-side partials bounded at `cap` entries — the shuffle
+    // carries summaries, never tokens), then an exact recount of ONLY
+    // the summary's <= cap candidates (broadcast semi-join, map-only
+    // filter). The MG guarantee (any token with true count >
+    // n/(cap+1) is in the summary) plus the runtime check that the
+    // 20th recounted frequency clears that threshold makes the top-20
+    // EXACT — hash-verified against DuckDB's exact census. At 100 TB
+    // the corpus-wide token census this replaces would shuffle every
+    // token; this shuffles <= cap x partitions summary entries.
+    QDef("d31_heavy_hitters", (s, dir) => {
+      import graft.functions.SketchAggs
+      val t = Tables.register(s, dir)
+      val cap = 4096
+      val toks = t("documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val row = toks
+        .agg(SketchAggs.freqSketch(col("tok"), cap).as("mg"),
+             count(lit(1)).as("n"))
+        .collect().head // bounded: one row, <= cap summary entries
+      val n = row.getLong(1)
+      val cand = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      import s.implicits._
+      val candDf = cand.toDF("tok")
+      val top = toks.join(broadcast(candDf), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)
+        .collect()
+      val threshold = n / (cap + 1)
+      require(top.length < 20 || top.last.getLong(1) > threshold,
+        s"heavy-hitters: 20th frequency ${top.last.getLong(1)} does not " +
+          s"clear the MG threshold $threshold — raise cap for provable " +
+          "exactness at this scale")
+      s.createDataFrame(
+        s.sparkContext.parallelize(top.toIndexedSeq, 1),
+        StructType(Seq(StructField("tok", StringType, nullable = false),
+                       StructField("cnt", LongType, nullable = false))))
+    }, Some("""
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20"""))
   )
 }
