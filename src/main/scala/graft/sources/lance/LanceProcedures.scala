@@ -210,9 +210,50 @@ private[lance] object LanceProcedures {
           spark, path(in), spark.table(in.getString(1)), keys)))
       })
 
+    // CALL lance.create_matview(mv, src, 'k1,k2', 'sumcol1,sumcol2'):
+    // materialized COUNT/SUM view of src grouped by the keys, maintained
+    // incrementally from the change feed (graft.operators.MatView).
+    val createMv = Proc("create_matview",
+      Array(param("mv", StringType), param("src", StringType),
+            param("keys", StringType), paramDef("sums", StringType, "''")),
+      StructType(Seq(StructField("src_version", LongType))),
+      in => {
+        def csv(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sums = if (in.isNullAt(3)) Nil else csv(in.getString(3))
+        Array(row(graft.operators.MatView.create(spark,
+          resolve(warehouse, in.getString(1)), path(in),
+          csv(in.getString(2)), sums)))
+      })
+
+    // CALL lance.refresh_matview(mv): advance to the source head via the
+    // change feed — work proportional to the change set.
+    val refreshMv = Proc("refresh_matview",
+      Array(param("mv", StringType)),
+      StructType(Seq(StructField("src_version", LongType))),
+      in => Array(row(graft.operators.MatView.refresh(spark, path(in)))))
+
+    // CALL lance.ndv(t, col, ix): sidecar-only COUNT(DISTINCT col)
+    // estimate; builds-or-refreshes the per-fragment HLL sidecar first.
+    val ndv = Proc("ndv",
+      Array(param("t", StringType), param("col", StringType),
+            param("ix", StringType),
+            paramDef("allow_deletes", BooleanType, "false")),
+      StructType(Seq(StructField("ndv", LongType))),
+      in => {
+        val ds = path(in); val ix = resolve(warehouse, in.getString(2))
+        val conf = spark.sessionState.newHadoopConf()
+        val (fs, ip) = LanceFormat.fileSystem(s"$ix/_sketch.props", conf)
+        if (fs.exists(ip)) graft.operators.SketchIndex.refresh(spark, ix)
+        else graft.operators.SketchIndex.build(spark, ds, in.getString(1), ix)
+        Array(row(graft.operators.SketchIndex.ndv(spark, ds, ix,
+          allowDeletes = !in.isNullAt(3) && in.getBoolean(3))))
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
         "tags" -> tags, "versions" -> versions, "describe" -> describe,
-        "update" -> update, "merge_insert" -> mergeIns)
+        "update" -> update, "merge_insert" -> mergeIns,
+        "create_matview" -> createMv, "refresh_matview" -> refreshMv,
+        "ndv" -> ndv)
   }
 }

@@ -103,6 +103,38 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(m.filter("id = 999").select("v").as[String].head() == "NEW")
   }
 
+  test("matview create/refresh through CALL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-proc-mv").toString
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    (1L to 50L).map(i => (i, s"g${i % 4}", i * 2L)).toDF("id", "grp", "n")
+      .write.format("lance").option("stableRowIds", "true")
+      .mode("overwrite").save(src)
+    val v1 = spark.sql(
+      s"CALL lance.create_matview('$mv', '$src', 'grp', 'n')").as[Long].head()
+    assert(v1 == 1L)
+    (51L to 60L).map(i => (i, "g9", i)).toDF("id", "grp", "n")
+      .write.format("lance").mode("append").save(src)
+    val v2 = spark.sql(s"CALL lance.refresh_matview('$mv')").as[Long].head()
+    assert(v2 == 2L)
+    val got = spark.read.format("lance").load(mv)
+      .filter($"grp" === "g9").select("cnt", "sum_n")
+      .as[(Long, Long)].head()
+    assert(got == ((10L, (51L to 60L).sum)))
+  }
+
+  test("ndv sketch through CALL: builds then refreshes the sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-proc-ndv").toString
+    val ds = s"$dir/t.lance"; val ix = s"$dir/t_ndv"
+    (1L to 4000L).toDF("v").repartition(2)
+      .write.format("lance").mode("overwrite").save(ds)
+    val est1 = spark.sql(s"CALL lance.ndv('$ds', 'v', '$ix')").as[Long].head()
+    assert(math.abs(est1 - 4000.0) / 4000.0 < 0.05, s"est $est1")
+    (4001L to 6000L).toDF("v").coalesce(1)
+      .write.format("lance").mode("append").save(ds)
+    val est2 = spark.sql(s"CALL lance.ndv('$ds', 'v', '$ix')").as[Long].head()
+    assert(math.abs(est2 - 6000.0) / 6000.0 < 0.05, s"est $est2")
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
     val msg = e.getMessage + String.valueOf(e.getCause)
