@@ -778,6 +778,41 @@ object LanceOps {
         .toDF("ndv_exact", "sketch_ok")
     }, Some("""
       SELECT COUNT(DISTINCT n_chars) AS ndv_exact, true AS sketch_ok
-      FROM documents"""))
+      FROM documents""")),
+
+    // Hidden date-transform partitioning (days(ts)) end-to-end: two
+    // event datasets written day-partitioned storage-partition-join ON
+    // THE RAW TIMESTAMP (equal ts => equal day; the catalog's `days` V2
+    // function resolves the transform — zero join shuffle, pinned by
+    // LanceDaysSpec), then roll up per (day, type). The oracle recomputes
+    // relationally from parquet, so wrong day cuts, dropped fragments, or
+    // a bad partition-value codec all break the hash.
+    QDef("l26_days_partitioned", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val dsA = s"$workDir/events_days_a.lance"
+      val dsB = s"$workDir/events_days_b.lance"
+      val ev = t("events")
+      ev.filter(col("value") > 300)
+        .select(col("ts"), col("event_type"), col("value"))
+        .write.format("lance").option("partitionBy", "days(ts)")
+        .mode("overwrite").save(dsA)
+      ev.select(col("ts"), col("user_id"))
+        .write.format("lance").option("partitionBy", "days(ts)")
+        .mode("overwrite").save(dsB)
+      s.sql(
+        s"""SELECT CAST(a.ts AS DATE) AS day, a.event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(b.user_id) AS BIGINT) AS uid_sum,
+                   ${Det.sSum("a.value")} AS val_sum
+            FROM lance.`$dsA` a JOIN lance.`$dsB` b ON a.ts = b.ts
+            GROUP BY 1, 2 ORDER BY day, event_type""")
+    }, Some(s"""
+      SELECT CAST(CAST(a.ts AS TIMESTAMP) AS DATE) AS day, a.event_type,
+             COUNT(*) AS n,
+             CAST(SUM(b.user_id) AS BIGINT) AS uid_sum,
+             ${Det.oSum("a.value")} AS val_sum
+      FROM events a JOIN events b ON a.ts = b.ts
+      WHERE a.value > 300
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -67,6 +67,71 @@ object LanceBucket {
   def specOf(n: Int, col: String): String = s"bucket($n,$col)"
 }
 
+/** Hidden date-transform partitioning (the Iceberg `days(ts)` shape):
+  * `option("partitionBy", "days(ts)")` range-sorts the write by the raw
+  * timestamp and cuts a fragment whenever the UTC day changes, recording
+  * `days(ts)` + the epoch-day value per fragment in the manifest. Reads
+  * resolved through the lance catalog resolve the transform against
+  * [[LanceDaysFunction]], so two day-partitioned datasets
+  * storage-partition-join on the RAW timestamp (equal timestamps share a
+  * day — Spark's key-grouped compatibility rule for date transforms), and
+  * time-range predicates prune whole day-fragments from manifest stats.
+  * The time-partitioned event-log layout at 100 TB: daily appends create
+  * daily fragments, day-keyed joins/rollups never shuffle the fact. */
+object LanceDays {
+  private val SpecRe = """days\((.+)\)""".r
+  def parseSpec(s: String): Option[String] = s match {
+    case SpecRe(col) => Some(col)
+    case _ => None
+  }
+  def specOf(col: String): String = s"days($col)"
+
+  private val MicrosPerDay = 86400000000L
+
+  /** Epoch-day of an internal-row value (micros for timestamps, days for
+    * dates). Floor division: pre-1970 values round toward -inf, matching
+    * Spark's `days` transform and date_trunc semantics. */
+  def daysOf(v: Any, dt: DataType): Int = dt match {
+    case DateType => v.asInstanceOf[Int]
+    case TimestampType | TimestampNTZType =>
+      Math.floorDiv(v.asInstanceOf[Long], MicrosPerDay).toInt
+    case other => throw new UnsupportedOperationException(
+      s"lance days(): unsupported column type $other")
+  }
+
+  def supported(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+}
+
+/** The catalog-registered `days` V2 function (epoch-day of a date or
+  * timestamp) — Spark binds it when resolving the scan-reported
+  * `days(col)` transform for storage-partitioned joins. */
+class LanceDaysFunction extends UnboundFunction {
+  override def name(): String = "days"
+  override def description(): String =
+    "days(col): epoch-day of a date/timestamp (UTC, floor division)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"lance days(col) takes 1 argument, got ${inputType.fields.length}")
+    val colType = inputType.fields(0).dataType
+    require(LanceDays.supported(colType),
+      s"lance days: unsupported column type $colType")
+    LanceDaysBound(colType)
+  }
+}
+
+case class LanceDaysBound(colType: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(colType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "days"
+  override def canonicalName(): String = "graft.lance.days"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer =
+    LanceDays.daysOf(input.get(0, colType), colType)
+}
+
 /** The catalog-registered `bucket` V2 function. Spark binds it when
   * resolving the scan-reported `bucket(n, col)` transform; compatibility
   * across the two join sides is by [[BoundFunction.canonicalName]]. */

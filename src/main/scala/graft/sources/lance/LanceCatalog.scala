@@ -34,11 +34,14 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
   // --- FunctionCatalog: the `bucket` transform for storage-partitioned
   // joins over bucketBy-written datasets (see LanceBucket) ---------------
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, "bucket"),
+            Identifier.of(Array.empty, "days"))
     else Array.empty
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name() == "bucket") new LanceBucketFunction
+    else if (ident.name() == "days") new LanceDaysFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
       catalogName, ident.name())
 

@@ -414,7 +414,8 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
       if (groupNames.isEmpty) Seq((Array.empty[Any], manifest.fragments))
       else {
         val pcols = manifest.partitionCols
-        if (pcols.isEmpty || pcols.exists(c => LanceBucket.parseSpec(c).isDefined))
+        if (pcols.isEmpty || pcols.exists(c =>
+            LanceBucket.parseSpec(c).isDefined || LanceDays.parseSpec(c).isDefined))
           return None
         if (groupNames.sorted != pcols.sorted) return None
         if (manifest.fragments.exists(_.partValues.length != pcols.length))
@@ -779,20 +780,31 @@ class LanceScan(path: String, full: StructType, required: StructType,
       // transform resolves against the lance catalog's `bucket` function,
       // so only catalog-resolved reads exploit it)
       val parsed = cols.map { spec =>
-        LanceBucket.parseSpec(spec) match {
-          case Some((n, c)) if required.fieldNames.contains(c) =>
+        (LanceBucket.parseSpec(spec), LanceDays.parseSpec(spec)) match {
+          case (Some((n, c)), _) if required.fieldNames.contains(c) =>
             Some((Expressions.bucket(n, c)
               : org.apache.spark.sql.connector.expressions.Expression,
               org.apache.spark.sql.types.IntegerType
               : org.apache.spark.sql.types.DataType))
-          case Some(_) => None
-          case None if required.fieldNames.contains(spec) =>
+          case (Some(_), _) => None
+          // days(col): hidden date transform, key = epoch-day int; the
+          // transform resolves against the lance catalog's `days` V2
+          // function (catalog-resolved reads only, like bucket)
+          case (None, Some(c)) if required.fieldNames.contains(c) &&
+              LanceDays.supported(
+                required.fields(required.fieldIndex(c)).dataType) =>
+            Some((Expressions.days(c)
+              : org.apache.spark.sql.connector.expressions.Expression,
+              org.apache.spark.sql.types.IntegerType
+              : org.apache.spark.sql.types.DataType))
+          case (None, Some(_)) => None
+          case (None, None) if required.fieldNames.contains(spec) =>
             val t = required.fields(required.fieldIndex(spec)).dataType
             if (LanceFormat.PartValueCodec.supported(t))
               Some((Expressions.identity(spec)
                 : org.apache.spark.sql.connector.expressions.Expression, t))
             else None
-          case None => None
+          case _ => None
         }
       }
       if (parsed.exists(_.isEmpty)) None

@@ -47,14 +47,22 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
     require(Seq(partitionBy.nonEmpty, clusterBy.nonEmpty,
                 bucketBy.nonEmpty).count(identity) <= 1,
       "lance: partitionBy, clusterBy, and bucketBy are mutually exclusive layouts")
-    // validate partition columns driver-side, before any task launches
-    (partitionBy ++ bucketBy.map(_._2)).foreach { c =>
+    // validate partition columns driver-side, before any task launches;
+    // a partitionBy entry is a plain column (identity) or `days(col)`
+    // (hidden date transform — see LanceDays)
+    (partitionBy ++ bucketBy.map(_._2)).foreach { spec =>
+      val (c, isDays) = LanceDays.parseSpec(spec)
+        .map((_, true)).getOrElse((spec, false))
       val f = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"lance: partition/bucket column '$c' is not in the write schema"))
-      require(LanceFormat.PartValueCodec.supported(f.dataType),
-        s"lance: partition/bucket column '$c' has type ${f.dataType} — " +
-        "partition columns must be integral, boolean, string, date, or timestamp")
+      if (isDays)
+        require(LanceDays.supported(f.dataType),
+          s"lance: days($c) needs a date/timestamp column, got ${f.dataType}")
+      else
+        require(LanceFormat.PartValueCodec.supported(f.dataType),
+          s"lance: partition/bucket column '$c' has type ${f.dataType} — " +
+          "partition columns must be integral, boolean, string, date, or timestamp")
     }
     new LanceWrite(path, info.schema(), doTruncate, fsl,
       clusterBy = clusterBy, sortBy = cols("sortBy"),
@@ -109,8 +117,19 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
     cols.map(c => Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
       .toArray
 
+  /** partitionBy with `days(col)` specs resolved to their raw columns —
+    * what the exchange/sort can actually reference. */
+  private def innerPartCols: Seq[String] =
+    partitionBy.map(s => LanceDays.parseSpec(s).getOrElse(s))
+
   override def requiredDistribution(): Distribution =
-    if (partitionBy.nonEmpty)
+    if (partitionBy.exists(s => LanceDays.parseSpec(s).isDefined))
+      // date-transform layout: range-sort by the raw columns — rows of one
+      // day are contiguous (a day can straddle two adjacent tasks, which
+      // just yields two same-value fragments; SPJ handles the split). The
+      // transform itself needs no resolution on the write path.
+      Distributions.ordered(asc(innerPartCols ++ sortBy))
+    else if (partitionBy.nonEmpty)
       Distributions.clustered(
         partitionBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
     else if (bucketBy.isDefined)
@@ -131,7 +150,7 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
   override def requiredNumPartitions(): Int = numPartitions
 
   override def requiredOrdering(): Array[SortOrder] =
-    if (partitionBy.nonEmpty) asc(partitionBy ++ sortBy) else asc(sortBy)
+    if (partitionBy.nonEmpty) asc(innerPartCols ++ sortBy) else asc(sortBy)
 
   override def toBatch: BatchWrite =
     new LanceBatchWrite(path, schema, truncate, fsl, stableRowIds, codec,
@@ -172,8 +191,12 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // this write's within-fragment sortedness: partition columns are
     // constant per fragment, so they prefix any declared sort for free
     // (bucket ids are constant too, but they are not a COLUMN — only
-    // sortBy is claimable there)
-    val thisSort = if (partitionBy.nonEmpty) partitionBy ++ sortBy else sortBy
+    // sortBy is claimable there). days(col) layouts range-sorted by the
+    // RAW column, so the claimable sort is that column itself.
+    val thisSort =
+      if (partitionBy.nonEmpty)
+        partitionBy.map(s => LanceDays.parseSpec(s).getOrElse(s)) ++ sortBy
+      else sortBy
     // declared layout for the manifest: identity columns or a bucket spec
     val layoutCols =
       bucketBy.map { case (n, c) => Seq(LanceBucket.specOf(n, c)) }
@@ -345,7 +368,11 @@ class LanceDataWriter(path: String, schema: StructType, conf: Configuration,
                       partitionBy: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
-  private val partOrds = partitionBy.map(schema.fieldIndex).toArray
+  // each partitionBy entry: raw-column ordinal + type + whether the
+  // recorded value is the epoch-day of the column (`days(col)` spec)
+  private val partDays = partitionBy.map(s => LanceDays.parseSpec(s).isDefined).toArray
+  private val partOrds = partitionBy
+    .map(s => schema.fieldIndex(LanceDays.parseSpec(s).getOrElse(s))).toArray
   private val partTypes = partOrds.map(schema.fields(_).dataType)
 
   private var fileName: String = _
@@ -382,8 +409,12 @@ class LanceDataWriter(path: String, schema: StructType, conf: Configuration,
         require(!record.isNullAt(partOrds(i)),
           s"lance: NULL in partition column '${partitionBy(i)}' — " +
           "partitionBy columns must be non-null")
-        key(i) = LanceFormat.PartValueCodec.toStr(
-          partTypes(i), record.get(partOrds(i), partTypes(i)))
+        key(i) =
+          if (partDays(i))
+            LanceDays.daysOf(record.get(partOrds(i), partTypes(i)),
+              partTypes(i)).toString
+          else LanceFormat.PartValueCodec.toStr(
+            partTypes(i), record.get(partOrds(i), partTypes(i)))
         i += 1
       }
       val k = key.toSeq
