@@ -79,11 +79,21 @@ object LanceBucket {
   * The time-partitioned event-log layout at 100 TB: daily appends create
   * daily fragments, day-keyed joins/rollups never shuffle the fact. */
 object LanceDays {
-  private val SpecRe = """days\((.+)\)""".r
-  def parseSpec(s: String): Option[String] = s match {
-    case SpecRe(col) => Some(col)
+  /** The supported time-granularity transforms (the Iceberg family). */
+  val Units: Seq[String] = Seq("days", "months", "years")
+  private val SpecRe = """(days|months|years)\((.+)\)""".r
+
+  /** Any time-transform spec → (unit, raw column). */
+  def parseAny(s: String): Option[(String, String)] = s match {
+    case SpecRe(u, col) => Some((u, col))
     case _ => None
   }
+  /** Back-compat: the raw column of a `days(col)` spec specifically. */
+  def parseSpec(s: String): Option[String] =
+    parseAny(s).collect { case ("days", c) => c }
+  /** The raw column of ANY time-transform spec. */
+  def innerCol(s: String): Option[String] = parseAny(s).map(_._2)
+
   def specOf(col: String): String = s"days($col)"
 
   private val MicrosPerDay = 86400000000L
@@ -99,37 +109,55 @@ object LanceDays {
       s"lance days(): unsupported column type $other")
   }
 
+  /** Transform value for `unit`: epoch-day / months-since-1970 /
+    * years-since-1970 (proleptic Gregorian, UTC — Iceberg's convention). */
+  def unitOf(unit: String, v: Any, dt: DataType): Int = {
+    val days = daysOf(v, dt)
+    unit match {
+      case "days" => days
+      case "months" =>
+        val d = java.time.LocalDate.ofEpochDay(days.toLong)
+        (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+      case "years" =>
+        java.time.LocalDate.ofEpochDay(days.toLong).getYear - 1970
+      case other => throw new UnsupportedOperationException(
+        s"lance time transform: unknown unit '$other'")
+    }
+  }
+
   def supported(dt: DataType): Boolean = dt match {
     case DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 }
 
-/** The catalog-registered `days` V2 function (epoch-day of a date or
-  * timestamp) — Spark binds it when resolving the scan-reported
-  * `days(col)` transform for storage-partitioned joins. */
-class LanceDaysFunction extends UnboundFunction {
-  override def name(): String = "days"
+/** The catalog-registered time-transform V2 functions (`days`, `months`,
+  * `years` of a date/timestamp) — Spark binds them when resolving the
+  * scan-reported transforms for storage-partitioned joins. */
+class LanceDaysFunction(unit: String = "days") extends UnboundFunction {
+  require(LanceDays.Units.contains(unit), s"unknown time unit $unit")
+  override def name(): String = unit
   override def description(): String =
-    "days(col): epoch-day of a date/timestamp (UTC, floor division)"
+    s"$unit(col): $unit-since-epoch of a date/timestamp (UTC, floor)"
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 1,
-      s"lance days(col) takes 1 argument, got ${inputType.fields.length}")
+      s"lance $unit(col) takes 1 argument, got ${inputType.fields.length}")
     val colType = inputType.fields(0).dataType
     require(LanceDays.supported(colType),
-      s"lance days: unsupported column type $colType")
-    LanceDaysBound(colType)
+      s"lance $unit: unsupported column type $colType")
+    LanceDaysBound(colType, unit)
   }
 }
 
-case class LanceDaysBound(colType: DataType) extends ScalarFunction[Integer] {
+case class LanceDaysBound(colType: DataType, unit: String = "days")
+    extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(colType)
   override def resultType(): DataType = IntegerType
-  override def name(): String = "days"
-  override def canonicalName(): String = "graft.lance.days"
+  override def name(): String = unit
+  override def canonicalName(): String = s"graft.lance.$unit"
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): Integer =
-    LanceDays.daysOf(input.get(0, colType), colType)
+    LanceDays.unitOf(unit, input.get(0, colType), colType)
 }
 
 /** The catalog-registered `bucket` V2 function. Spark binds it when

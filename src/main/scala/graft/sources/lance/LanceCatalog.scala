@@ -35,13 +35,14 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
   // joins over bucketBy-written datasets (see LanceBucket) ---------------
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array(Identifier.of(Array.empty, "bucket"),
-            Identifier.of(Array.empty, "days"))
+      (Seq("bucket") ++ LanceDays.Units)
+        .map(n => Identifier.of(Array.empty, n)).toArray
     else Array.empty
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name() == "bucket") new LanceBucketFunction
-    else if (ident.name() == "days") new LanceDaysFunction
+    else if (LanceDays.Units.contains(ident.name()))
+      new LanceDaysFunction(ident.name())
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
       catalogName, ident.name())
 

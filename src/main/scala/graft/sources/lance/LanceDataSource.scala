@@ -415,7 +415,7 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
       else {
         val pcols = manifest.partitionCols
         if (pcols.isEmpty || pcols.exists(c =>
-            LanceBucket.parseSpec(c).isDefined || LanceDays.parseSpec(c).isDefined))
+            LanceBucket.parseSpec(c).isDefined || LanceDays.parseAny(c).isDefined))
           return None
         if (groupNames.sorted != pcols.sorted) return None
         if (manifest.fragments.exists(_.partValues.length != pcols.length))
@@ -780,7 +780,7 @@ class LanceScan(path: String, full: StructType, required: StructType,
       // transform resolves against the lance catalog's `bucket` function,
       // so only catalog-resolved reads exploit it)
       val parsed = cols.map { spec =>
-        (LanceBucket.parseSpec(spec), LanceDays.parseSpec(spec)) match {
+        (LanceBucket.parseSpec(spec), LanceDays.parseAny(spec)) match {
           case (Some((n, c)), _) if required.fieldNames.contains(c) =>
             Some((Expressions.bucket(n, c)
               : org.apache.spark.sql.connector.expressions.Expression,
@@ -790,10 +790,15 @@ class LanceScan(path: String, full: StructType, required: StructType,
           // days(col): hidden date transform, key = epoch-day int; the
           // transform resolves against the lance catalog's `days` V2
           // function (catalog-resolved reads only, like bucket)
-          case (None, Some(c)) if required.fieldNames.contains(c) &&
+          case (None, Some((u, c))) if required.fieldNames.contains(c) &&
               LanceDays.supported(
                 required.fields(required.fieldIndex(c)).dataType) =>
-            Some((Expressions.days(c)
+            val tf = u match {
+              case "days" => Expressions.days(c)
+              case "months" => Expressions.months(c)
+              case "years" => Expressions.years(c)
+            }
+            Some((tf
               : org.apache.spark.sql.connector.expressions.Expression,
               org.apache.spark.sql.types.IntegerType
               : org.apache.spark.sql.types.DataType))

@@ -51,14 +51,14 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
     // a partitionBy entry is a plain column (identity) or `days(col)`
     // (hidden date transform — see LanceDays)
     (partitionBy ++ bucketBy.map(_._2)).foreach { spec =>
-      val (c, isDays) = LanceDays.parseSpec(spec)
+      val (c, isDays) = LanceDays.innerCol(spec)
         .map((_, true)).getOrElse((spec, false))
       val f = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"lance: partition/bucket column '$c' is not in the write schema"))
       if (isDays)
         require(LanceDays.supported(f.dataType),
-          s"lance: days($c) needs a date/timestamp column, got ${f.dataType}")
+          s"lance: $spec needs a date/timestamp column, got ${f.dataType}")
       else
         require(LanceFormat.PartValueCodec.supported(f.dataType),
           s"lance: partition/bucket column '$c' has type ${f.dataType} — " +
@@ -120,10 +120,10 @@ class LanceWrite(path: String, schema: StructType, truncate: Boolean,
   /** partitionBy with `days(col)` specs resolved to their raw columns —
     * what the exchange/sort can actually reference. */
   private def innerPartCols: Seq[String] =
-    partitionBy.map(s => LanceDays.parseSpec(s).getOrElse(s))
+    partitionBy.map(s => LanceDays.innerCol(s).getOrElse(s))
 
   override def requiredDistribution(): Distribution =
-    if (partitionBy.exists(s => LanceDays.parseSpec(s).isDefined))
+    if (partitionBy.exists(s => LanceDays.parseAny(s).isDefined))
       // date-transform layout: range-sort by the raw columns — rows of one
       // day are contiguous (a day can straddle two adjacent tasks, which
       // just yields two same-value fragments; SPJ handles the split). The
@@ -195,7 +195,7 @@ class LanceBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // RAW column, so the claimable sort is that column itself.
     val thisSort =
       if (partitionBy.nonEmpty)
-        partitionBy.map(s => LanceDays.parseSpec(s).getOrElse(s)) ++ sortBy
+        partitionBy.map(s => LanceDays.innerCol(s).getOrElse(s)) ++ sortBy
       else sortBy
     // declared layout for the manifest: identity columns or a bucket spec
     val layoutCols =
@@ -370,9 +370,9 @@ class LanceDataWriter(path: String, schema: StructType, conf: Configuration,
 
   // each partitionBy entry: raw-column ordinal + type + whether the
   // recorded value is the epoch-day of the column (`days(col)` spec)
-  private val partDays = partitionBy.map(s => LanceDays.parseSpec(s).isDefined).toArray
+  private val partUnits = partitionBy.map(s => LanceDays.parseAny(s).map(_._1)).toArray
   private val partOrds = partitionBy
-    .map(s => schema.fieldIndex(LanceDays.parseSpec(s).getOrElse(s))).toArray
+    .map(s => schema.fieldIndex(LanceDays.innerCol(s).getOrElse(s))).toArray
   private val partTypes = partOrds.map(schema.fields(_).dataType)
 
   private var fileName: String = _
@@ -410,9 +410,9 @@ class LanceDataWriter(path: String, schema: StructType, conf: Configuration,
           s"lance: NULL in partition column '${partitionBy(i)}' — " +
           "partitionBy columns must be non-null")
         key(i) =
-          if (partDays(i))
-            LanceDays.daysOf(record.get(partOrds(i), partTypes(i)),
-              partTypes(i)).toString
+          if (partUnits(i).isDefined)
+            LanceDays.unitOf(partUnits(i).get,
+              record.get(partOrds(i), partTypes(i)), partTypes(i)).toString
           else LanceFormat.PartValueCodec.toStr(
             partTypes(i), record.get(partOrds(i), partTypes(i)))
         i += 1

@@ -137,6 +137,38 @@ class LanceDaysSpec extends AnyFunSuite {
     assert(spark.read.format("lance").load(ds).count() == 310)
   }
 
+  test("months/years layouts: month-cut fragments, month-since-epoch values") {
+    val ds = tmp("months")
+    // 90 days of data spanning 3 months of 1970
+    val df = (0 until 90).map { d =>
+      (new java.sql.Timestamp(d.toLong * 86400000L), d.toLong)
+    }.toDF("ts", "i")
+    df.write.format("lance").option("partitionBy", "months(ts)")
+      .mode("overwrite").save(ds)
+    val (fs, p) = graft.sources.lance.LanceFormat.fileSystem(
+      ds, spark.sessionState.newHadoopConf())
+    val m = graft.sources.lance.LanceFormat.readManifest(
+      fs, graft.sources.lance.LanceFormat.latestManifestPath(fs, p, None))
+    assert(m.partitionCols == Seq("months(ts)"))
+    assert(m.fragments.map(_.partValues.head.toInt).toSet == Set(0, 1, 2))
+    val back = spark.read.format("lance").load(ds)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // unit arithmetic: months/years since epoch, floor pre-1970
+    import org.apache.spark.sql.types._
+    val D = graft.sources.lance.LanceDays
+    assert(D.unitOf("months", 0L, TimestampType) == 0)
+    assert(D.unitOf("months", 31L * 86400000000L, TimestampType) == 1)
+    assert(D.unitOf("months", -1L, TimestampType) == -1) // Dec 1969
+    assert(D.unitOf("years", 365L * 86400000000L, TimestampType) == 1)
+    assert(D.unitOf("years", -1L, TimestampType) == -1)
+    // the catalog function binds for every unit
+    for (u <- Seq("days", "months", "years")) {
+      val f = new graft.sources.lance.LanceDaysFunction(u)
+      val b = f.bind(StructType(Seq(StructField("ts", TimestampType))))
+      assert(b.name() == u)
+    }
+  }
+
   test("days(col) on a non-temporal column is refused") {
     val ds = tmp("badcol")
     val e = intercept[Exception] {
