@@ -58,7 +58,7 @@ import org.apache.spark.sql.types._
 object MatView {
 
   final case class Spec(src: String, keys: Seq[String], sums: Seq[String],
-                        lastVersion: Long)
+                        lastVersion: Long, minMax: Seq[String] = Nil)
 
   private def metaDir(p: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(p, "_matview")
@@ -72,6 +72,7 @@ object MatView {
     props.setProperty("src", spec.src)
     props.setProperty("keys", spec.keys.mkString(","))
     props.setProperty("sums", spec.sums.mkString(","))
+    props.setProperty("minmax", spec.minMax.mkString(","))
     props.setProperty("lastVersion", spec.lastVersion.toString)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(metaDir(p), s"$mvVersion.props"), true)
@@ -95,12 +96,14 @@ object MatView {
       if (s == null || s.isEmpty) Nil else s.split(",").toSeq
     (Spec(props.getProperty("src"), split(props.getProperty("keys")),
           split(props.getProperty("sums")),
-          props.getProperty("lastVersion").toLong), head)
+          props.getProperty("lastVersion").toLong,
+          split(props.getProperty("minmax"))), head)
   }
 
   /** The exact-arithmetic aggregate list for one grouped pass. */
-  private def aggCols(df: DataFrame, sums: Seq[String]): Seq[Column] =
-    count(lit(1)).as("cnt") +: sums.map { c =>
+  private def aggCols(df: DataFrame, sums: Seq[String],
+                      minMax: Seq[String] = Nil): Seq[Column] =
+    (count(lit(1)).as("cnt") +: sums.map { c =>
       val dt = df.schema(c).dataType
       dt match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -111,7 +114,8 @@ object MatView {
         case other => throw new IllegalArgumentException(
           s"matview: SUM over ${other.simpleString} column '$c' unsupported")
       }
-    }
+    }) ++ minMax.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
 
   private def requireKeysNonNull(df: DataFrame, keys: Seq[String],
                                  what: String): Unit = {
@@ -121,9 +125,15 @@ object MatView {
         "(NULL keys don't equi-join during incremental merge)")
   }
 
-  /** Full compute + store; returns the source version the view reflects. */
+  /** Full compute + store; returns the source version the view reflects.
+    * `minMax` columns additionally maintain `min_<c>`/`max_<c>`: inserts
+    * merge incrementally (`least`/`greatest`); a delete CAN retire the
+    * extremum, so refresh recomputes delete-touched groups from the
+    * source (semi-join pruned — work ∝ those groups' rows, which a
+    * key-partitioned or sorted source layout prunes to few fragments). */
   def create(spark: SparkSession, srcPath: String, mvPath: String,
-             keys: Seq[String], sums: Seq[String]): Long = {
+             keys: Seq[String], sums: Seq[String],
+             minMax: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "matview needs at least one group key")
     val conf = spark.sessionState.newHadoopConf()
     val (sfs, sp) = LanceFormat.fileSystem(srcPath, conf)
@@ -139,13 +149,13 @@ object MatView {
     val src = spark.read.format("lance")
       .option("versionAsOf", v.toString).load(srcPath)
     requireKeysNonNull(src.select(keys.map(col): _*), keys, srcPath)
-    val aggs = aggCols(src, sums)
+    val aggs = aggCols(src, sums, minMax)
     val mv = src.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     mv.write.format("lance").mode("overwrite").save(mvPath)
     val (fs, p) = LanceFormat.fileSystem(mvPath, conf)
     val mvVersion = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, None)).version
-    writeSpec(spark, mvPath, Spec(srcPath, keys, sums, v), mvVersion)
+    writeSpec(spark, mvPath, Spec(srcPath, keys, sums, v, minMax), mvVersion)
     v
   }
 
@@ -162,8 +172,10 @@ object MatView {
     val ch = LanceMaintenance.changesBetween(spark, spec.src,
       spec.lastVersion, srcHead)
     val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
-    // per-group deltas in the SAME exact interiors as create()
-    val deltaAggs: Seq[Column] = sum(sign).as("d_cnt") +: spec.sums.map { c =>
+    val isIns = col("_change") === "insert"
+    // per-group deltas in the SAME exact interiors as create(); for
+    // min/max columns: insert-side extrema + a delete marker
+    val deltaAggs: Seq[Column] = (sum(sign).as("d_cnt") +: spec.sums.map { c =>
       val dt = ch.schema(c).dataType
       dt match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -173,11 +185,24 @@ object MatView {
                        col(c).cast(DecimalType(38, 6))).cast(DecimalType(38, 6)),
                    lit(BigDecimal(0)).cast(DecimalType(38, 6))).as(s"d_$c")
       }
-    }
-    val delta = ch.groupBy(spec.keys.map(col): _*)
+    }) ++ spec.minMax.flatMap(c => Seq(
+      min(when(isIns, col(c))).as(s"dmin_$c"),
+      max(when(isIns, col(c))).as(s"dmax_$c"))) :+
+      max(when(isIns, lit(0)).otherwise(lit(1))).as("_hasDel")
+    val delta0 = ch.groupBy(spec.keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-    requireKeysNonNull(delta.select(spec.keys.map(col): _*), spec.keys,
+    requireKeysNonNull(delta0.select(spec.keys.map(col): _*), spec.keys,
       s"change feed of ${spec.src}")
+
+    // a delete can retire a stored extremum, so delete-touched groups of a
+    // min/max view recompute from the source (semi-join pruned); pure
+    // count/sum views stay fully delta-arithmetic
+    val needRecompute = spec.minMax.nonEmpty
+    val delta = if (needRecompute) delta0.filter(col("_hasDel") === 0) else delta0
+    val touchedKeys =
+      if (needRecompute)
+        delta0.filter(col("_hasDel") === 1).select(spec.keys.map(col): _*)
+      else null
 
     val cur = spark.read.format("lance").load(mvPath)
     // broadcast-semi-prune the (big) view to affected groups, then the
@@ -192,11 +217,33 @@ object MatView {
         val tgt = mvSchema(s"sum_$c").dataType
         (coalesce(col(s"sum_$c"), lit(0).cast(tgt)) + col(s"d_$c"))
           .cast(tgt).as(s"sum_$c")
-      })
+      }) ++ spec.minMax.flatMap(c => Seq(
+        least(col(s"min_$c"), col(s"dmin_$c")).as(s"min_$c"),
+        greatest(col(s"max_$c"), col(s"dmax_$c")).as(s"max_$c")))
     val resolved = merged.select((outCols :+ newCnt.as("_newCnt")): _*)
-    val upserts = resolved.filter(col("_newCnt") > 0).drop("_newCnt")
-    val zeros = resolved.filter(col("_newCnt") === 0)
+    // insert-only groups can't reach zero; zeros come from pure-delta mode
+    val incUpserts = resolved.filter(col("_newCnt") > 0).drop("_newCnt")
+    val incZeros = resolved.filter(col("_newCnt") === 0)
       .select(spec.keys.map(col): _*)
+
+    val (upserts, zeros) =
+      if (!needRecompute) (incUpserts, incZeros)
+      else {
+        // recompute delete-touched groups at the pinned head snapshot
+        val srcNow = spark.read.format("lance")
+          .option("versionAsOf", srcHead.toString).load(spec.src)
+        val touchedRows = srcNow.join(broadcast(touchedKeys),
+          spec.keys, "left_semi")
+        val rAggs = aggCols(srcNow, spec.sums, spec.minMax)
+        val recomputed = touchedRows.groupBy(spec.keys.map(col): _*)
+          .agg(rAggs.head, rAggs.tail: _*)
+        // groups whose rows all vanished produce no recomputed row → drop
+        val vanished = touchedKeys.join(
+          recomputed.select(spec.keys.map(col): _*), spec.keys, "left_anti")
+        (incUpserts.unionByName(
+           recomputed.select(incUpserts.columns.map(col).toIndexedSeq: _*)),
+         incZeros.unionByName(vanished))
+      }
     val committed = LanceMaintenance.upsertWithDeletes(
       spark, mvPath, upserts, spec.keys, zeros)
     writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)

@@ -215,14 +215,16 @@ private[lance] object LanceProcedures {
     // incrementally from the change feed (graft.operators.MatView).
     val createMv = Proc("create_matview",
       Array(param("mv", StringType), param("src", StringType),
-            param("keys", StringType), paramDef("sums", StringType, "''")),
+            param("keys", StringType), paramDef("sums", StringType, "''"),
+            paramDef("minmax", StringType, "''")),
       StructType(Seq(StructField("src_version", LongType))),
       in => {
-        def csv(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val sums = if (in.isNullAt(3)) Nil else csv(in.getString(3))
+        def csv(i: Int) =
+          if (in.isNullAt(i)) Nil
+          else in.getString(i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         Array(row(graft.operators.MatView.create(spark,
           resolve(warehouse, in.getString(1)), path(in),
-          csv(in.getString(2)), sums)))
+          csv(2), csv(3), csv(4))))
       })
 
     // CALL lance.refresh_matview(mv): advance to the source head via the

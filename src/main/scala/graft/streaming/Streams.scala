@@ -201,4 +201,30 @@ object Streams {
         }
       }
       .start()
+
+  /** Continuous ingestion with an incrementally-maintained rollup: each
+    * micro-batch appends to a stable-row-id lance dataset, then advances
+    * a [[graft.operators.MatView]] through the change feed — the landed
+    * table AND its aggregate view stay consistent per epoch, with
+    * refresh work proportional to the batch (never the table). The
+    * streaming face of `CALL lance.create_matview/refresh_matview`. */
+  def lanceSinkWithMatView(df: DataFrame, path: String, checkpoint: String,
+                           mvPath: String, keys: Seq[String],
+                           sums: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          batch.write.format("lance").mode("append")
+            .option("stableRowIds", "true").save(path)
+          val conf = s.sessionState.newHadoopConf()
+          val (fs, mp) = graft.sources.lance.LanceFormat.fileSystem(mvPath, conf)
+          if (fs.exists(mp)) graft.operators.MatView.refresh(s, mvPath)
+          else graft.operators.MatView.create(s, path, mvPath, keys, sums)
+        }
+        ()
+      }
+      .start()
 }

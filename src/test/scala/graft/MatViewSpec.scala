@@ -109,6 +109,41 @@ class MatViewSpec extends AnyFunSuite {
     assert(b == ((2L, 12L)))
   }
 
+  test("min/max maintenance: inserts merge, deletes recompute the touched group") {
+    val dir = tmp("mv_minmax")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    writeSrc(src, srcRows((1L to 30L).map(i =>
+      (i, s"g${i % 3}", i.toDouble))))
+    MatView.create(spark, src, mv, Seq("grp"), Seq("amt"), Seq("amt"))
+    def recomputeMm(): Seq[String] =
+      spark.read.format("lance").load(src).groupBy("grp")
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum(col("amt").cast("decimal(38,6)")),
+            lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"),
+          min("amt").as("min_amt"), max("amt").as("max_amt"))
+        .orderBy("grp").collect().map(_.mkString("|")).toSeq
+    def mvRows(): Seq[String] = MatView.read(spark, mv)
+      .orderBy("grp").collect().map(_.mkString("|")).toSeq
+    assert(mvRows() == recomputeMm())
+    // insert-only path: new max in g1, brand-new group g7
+    srcRows(Seq((100L, "g1", 999.0), (101L, "g7", -5.0)))
+      .write.format("lance").mode("append").save(src)
+    MatView.refresh(spark, mv)
+    assert(mvRows() == recomputeMm())
+    // delete the maximum of g1 → group must recompute, not keep 999
+    LanceMaintenance.deleteWhere(spark, src, "amt = 999.0")
+    MatView.refresh(spark, mv)
+    assert(mvRows() == recomputeMm())
+    assert(MatView.read(spark, mv).filter($"grp" === "g1")
+      .select("max_amt").as[Double].head() < 999.0)
+    // delete an entire group → dropped
+    LanceMaintenance.deleteWhere(spark, src, "grp = 'g7'")
+    MatView.refresh(spark, mv)
+    assert(mvRows() == recomputeMm())
+    assert(!MatView.read(spark, mv).select("grp").as[String]
+      .collect().contains("g7"))
+  }
+
   test("NULL group keys are refused at create") {
     val dir = tmp("mv_nullkey")
     val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"

@@ -166,6 +166,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.exceptAll(batch).isEmpty && batch.exceptAll(back).isEmpty)
   }
 
+  test("streaming sink + per-epoch matview refresh stays consistent with the table") {
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-mvsink").toString + "/events.lance"
+    val mvDir = java.nio.file.Files.createTempDirectory("graft-mvsink").toString + "/mv.lance"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mvckpt").toString
+    val stream = Streams.readEventsStream(spark, streamDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val q = Streams.lanceSinkWithMatView(stream, sinkDir, ckpt, mvDir,
+      Seq("event_type"), Seq("value"))
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.format("lance").load(sinkDir)
+    assert(landed.count() == 1000)
+    val expect = landed.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(col("value").cast("decimal(38,6)")),
+          lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_value"))
+      .orderBy("event_type").collect().map(_.mkString("|")).toSeq
+    val got = graft.operators.MatView.read(spark, mvDir)
+      .orderBy("event_type").collect().map(_.mkString("|")).toSeq
+    assert(got == expect)
+  }
+
   test("lance streaming source tails appended versions exactly once") {
     val ds = java.nio.file.Files.createTempDirectory("graft-src").toString + "/tail.lance"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-src-ckpt").toString
