@@ -180,6 +180,57 @@ object Joins {
       ON p.user_id = v.user_id AND p.ts >= v.ts
       ORDER BY purchase_id""")),
 
+    // ASOF forward + strict (`l.ts < r.ts`): the NEXT event strictly
+    // after each purchase — same union+window kernel, descending order,
+    // left-before-right at ties. Oracled against DuckDB's native `<`.
+    QDef("q33b_asof_forward", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ev = t("events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOf.join(purchases, clicks, Seq("user_id"), "ts",
+          direction = "forward", strict = true)
+        .select(col("event_id").as("purchase_id"), col("click_id"))
+        .orderBy("purchase_id")
+    }, Some("""
+      SELECT p.event_id AS purchase_id, c.click_id
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+            FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN
+           (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+            FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts < c.ts
+      ORDER BY purchase_id""")),
+
+    // ASOF with tolerance (pandas merge_asof semantics): the backward
+    // match is kept only when it is within 1 hour — DuckDB reproduces
+    // match-then-filter with a CASE over the native ASOF's matched time.
+    QDef("q33c_asof_tolerance", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ev = t("events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      AsOf.join(purchases, views, Seq("user_id"), "ts",
+          tolerance = Some(3600L * 1000000L))
+        .select(col("event_id").as("purchase_id"), col("view_id"))
+        .orderBy("purchase_id")
+    }, Some("""
+      SELECT p.event_id AS purchase_id,
+             CASE WHEN v.ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+                  THEN v.view_id END AS view_id
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+            FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN
+           (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS view_id
+            FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY purchase_id""")),
+
     // --- positional join (zip by row position, explicit order) ------------
     QDef("q34_positional_join", (s, dir) => {
       val t = Tables.register(s, dir)
