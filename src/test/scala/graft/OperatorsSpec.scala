@@ -21,6 +21,36 @@ class AsOfSpec extends AnyFunSuite {
       (1L, 200L, "l2", "r3"),
       (2L, 150L, "l3", null))) // no right row at or before 150 for k=2
   }
+
+  test("strict backward excludes ties; forward picks the next row") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2")).toDF("k", "t", "lpay")
+    val right = Seq((1L, 100L, "r1"), (1L, 150L, "r2"), (1L, 200L, "r3"))
+      .toDF("k", "t", "rpay")
+    def run(dir: String, strict: Boolean) =
+      AsOf.join(left, right, Seq("k"), "t", direction = dir, strict = strict)
+        .select("t", "rpay").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(run("backward", false) == Seq((100L, "r1"), (200L, "r3")))
+    assert(run("backward", true) == Seq((100L, null), (200L, "r2")))
+    assert(run("forward", false) == Seq((100L, "r1"), (200L, "r3")))
+    assert(run("forward", true) == Seq((100L, "r2"), (200L, null)))
+  }
+
+  test("tolerance nulls matches beyond the window, numeric and timestamp time") {
+    val left = Seq((1L, 100L, "l1"), (1L, 500L, "l2")).toDF("k", "t", "lpay")
+    val right = Seq((1L, 90L, "r1"), (1L, 200L, "r2")).toDF("k", "t", "rpay")
+    val out = AsOf.join(left, right, Seq("k"), "t", tolerance = Some(50L))
+      .select("t", "rpay").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((100L, "r1"), (500L, null))) // 500-200=300 > 50
+    // timestamp time column: tolerance is in microseconds
+    val lts = Seq((1L, new java.sql.Timestamp(100000L), "l1"))
+      .toDF("k", "ts", "lpay")
+    val rts = Seq((1L, new java.sql.Timestamp(40000L), "r1"))
+      .toDF("k", "ts", "rpay")
+    val tsOut = AsOf.join(lts, rts, Seq("k"), "ts",
+        tolerance = Some(60000L * 1000L))
+      .select("rpay").as[String].collect().toSeq
+    assert(tsOut == Seq("r1")) // 60 s apart, tolerance exactly 60 s
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
