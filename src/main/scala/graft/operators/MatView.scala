@@ -191,8 +191,6 @@ object MatView {
       max(when(isIns, lit(0)).otherwise(lit(1))).as("_hasDel")
     val delta0 = ch.groupBy(spec.keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-    requireKeysNonNull(delta0.select(spec.keys.map(col): _*), spec.keys,
-      s"change feed of ${spec.src}")
 
     // a delete can retire a stored extremum, so delete-touched groups of a
     // min/max view recompute from the source (semi-join pruned); pure
@@ -220,12 +218,18 @@ object MatView {
       }) ++ spec.minMax.flatMap(c => Seq(
         least(col(s"min_$c"), col(s"dmin_$c")).as(s"min_$c"),
         greatest(col(s"max_$c"), col(s"dmax_$c")).as(s"max_$c")))
+    // ONE persisted materialization of the change-feed + merge DAG: the
+    // upsert/zero splits, the null-key guard, and the commit's three
+    // evaluations (deletion matching, emptiness probe, staging write)
+    // all read this delta-sized cache instead of re-running the feed
     val resolved = merged.select((outCols :+ newCnt.as("_newCnt")): _*)
+      .persist()
     // insert-only groups can't reach zero; zeros come from pure-delta mode
     val incUpserts = resolved.filter(col("_newCnt") > 0).drop("_newCnt")
     val incZeros = resolved.filter(col("_newCnt") === 0)
       .select(spec.keys.map(col): _*)
 
+    var recomputedCache: Option[DataFrame] = None
     val (upserts, zeros) =
       if (!needRecompute) (incUpserts, incZeros)
       else {
@@ -236,7 +240,8 @@ object MatView {
           spec.keys, "left_semi")
         val rAggs = aggCols(srcNow, spec.sums, spec.minMax)
         val recomputed = touchedRows.groupBy(spec.keys.map(col): _*)
-          .agg(rAggs.head, rAggs.tail: _*)
+          .agg(rAggs.head, rAggs.tail: _*).persist()
+        recomputedCache = Some(recomputed)
         // groups whose rows all vanished produce no recomputed row → drop
         val vanished = touchedKeys.join(
           recomputed.select(spec.keys.map(col): _*), spec.keys, "left_anti")
@@ -244,9 +249,19 @@ object MatView {
            recomputed.select(incUpserts.columns.map(col).toIndexedSeq: _*)),
          incZeros.unionByName(vanished))
       }
-    val committed = LanceMaintenance.upsertWithDeletes(
-      spark, mvPath, upserts, spec.keys, zeros)
-    writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)
+    try {
+      // NULL-key guard on the PERSISTED delta (a post-create append could
+      // introduce null keys, which would silently miss the equi-merge) —
+      // cache-hit cost, no extra change-feed evaluation
+      requireKeysNonNull(upserts.select(spec.keys.map(col): _*), spec.keys,
+        s"change feed of ${spec.src}")
+      val committed = LanceMaintenance.upsertWithDeletes(
+        spark, mvPath, upserts, spec.keys, zeros)
+      writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)
+    } finally {
+      resolved.unpersist(false)
+      recomputedCache.foreach(_.unpersist(false))
+    }
     srcHead
   }
 

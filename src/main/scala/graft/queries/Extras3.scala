@@ -334,6 +334,21 @@ object Extras3 {
       FROM orders
       WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
         AND o_orderstatus = 'F'
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // SQL macros (DuckDB CREATE MACRO ≙ Spark 4 SQL UDF: CREATE FUNCTION
+    // ... RETURN expr): the same scalar definition registered in each
+    // engine's native spelling, applied per row — identical IEEE double
+    // ops on both sides, so raw doubles hash-match without rounding.
+    QDef("q78_sql_macro", (s, dir) => {
+      val t = Tables.register(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_markup(x DOUBLE)
+               RETURNS DOUBLE RETURN x * 1.07 + 5.0""")
+      s.sql("""
+        SELECT o_orderkey, graft_markup(o_totalprice) AS marked
+        FROM orders ORDER BY o_orderkey LIMIT 50""")
+    }, Some("""
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 1.07 + 5.0 AS marked
+      FROM orders ORDER BY o_orderkey LIMIT 50"""))
   )
 }

@@ -1065,6 +1065,37 @@ object TextOps {
       SELECT tok, COUNT(*) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       WHERE tok <> ''
-      GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20"""))
+      GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""")),
+
+    // Document chunking (the RAG/embedding prep shape): fixed-size
+    // character windows with overlap — size 500, stride 400 (100-char
+    // overlap), every doc yields >= 1 chunk. Map-only: a sequence()
+    // posexplode per doc, no shuffle until the final presentation sort.
+    // Chunk content is pinned by md5, so an off-by-one in the stride,
+    // window clipping, or chunk count breaks the hash.
+    QDef("d32_chunking", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          expr("GREATEST(1, (length(text) + 299) DIV 400)").as("n"))
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0L), col("n") - 1)))
+        .select(col("doc_id"), col("col").as("ci"),
+          expr("substring(text, CAST(col * 400 + 1 AS INT), 500)").as("ch"))
+        .select(col("doc_id"), col("ci"),
+          length(col("ch")).as("chunk_len"), md5(col("ch")).as("chunk_md5"))
+        .orderBy("doc_id", "ci")
+    }, Some("""
+      SELECT doc_id, ci, CAST(LENGTH(ch) AS INT) AS chunk_len,
+             MD5(ch) AS chunk_md5
+      FROM (
+        SELECT doc_id, ci,
+               SUBSTRING(text, CAST(ci * 400 + 1 AS INT), 500) AS ch
+        FROM (
+          SELECT doc_id, text,
+                 unnest(generate_series(0,
+                   GREATEST(1, (LENGTH(text) + 299) // 400) - 1)) AS ci
+          FROM documents WHERE text IS NOT NULL))
+      ORDER BY doc_id, ci"""))
   )
 }

@@ -416,6 +416,51 @@ object VectorOps {
              ROUND(CAST(dot AS DOUBLE) /
                    (SQRT(CAST(nrm AS DOUBLE)) * SQRT(CAST(qnrm AS DOUBLE))), 9) AS cos
       FROM dots JOIN cand c ON dots.vec_id = c.vec_id CROSS JOIN qn
-      ORDER BY cos DESC, c.vec_id LIMIT 10"""))
+      ORDER BY cos DESC, c.vec_id LIMIT 10""")),
+
+    // int8 scalar quantization (the 4x embedding-compression ANN tier
+    // between full-precision e01 and 1-bit e12): per-vector symmetric
+    // codes q = round(127 * v / max|v|) computed in PURE INTEGER
+    // arithmetic on the scaled-long grid — round-half-away as
+    // (254|v| + m) div (2m) — so codes, int8 dot products, and the
+    // integer reconstruction error are all hash-exact across engines.
+    // At 100 TB the code column is 1/4 the bytes of f32; dots stay in
+    // int64 (one multiply-add per dim), exact re-rank via the e12 path.
+    QDef("e14_int8_quant", (s, dir) => {
+      val e = quantized(s, dir)
+      val coded = e.withColumn("m",
+          expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("q", expr(
+          """transform(v, x -> CASE WHEN m = 0 THEN 0L
+               ELSE CAST(SIGN(x) AS BIGINT) * ((254 * abs(x) + m) DIV (2 * m))
+             END)"""))
+      val qv = coded.filter(col("vec_id") === 0).select(col("q").as("p"))
+      coded.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          longDot(col("q"), col("p")).as("dot8"),
+          longDot(col("q"), col("q")).as("sum_q2"),
+          expr("""aggregate(zip_with(v, q, (a, b) -> abs(127 * a - b * m)),
+                  0L, (acc, x) -> acc + x)""").as("recon_l1"))
+        .orderBy(col("dot8").desc, col("vec_id")).limit(10)
+    }, Some(s"""
+      WITH d AS ($oDims),
+      m AS (SELECT vec_id, MAX(ABS(v)) AS m FROM d GROUP BY vec_id),
+      c AS (SELECT d.vec_id, i,
+                   v,
+                   m,
+                   CASE WHEN m = 0 THEN 0
+                        ELSE CAST(SIGN(v) AS BIGINT) *
+                             ((254 * ABS(v) + m) // (2 * m)) END AS q
+            FROM d JOIN m ON d.vec_id = m.vec_id),
+      p AS (SELECT i AS pi, q AS pq FROM c WHERE vec_id = 0),
+      agg AS (SELECT c.vec_id,
+                     CAST(SUM(q * pq) AS BIGINT) AS dot8,
+                     CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+                     CAST(SUM(ABS(127 * v - q * m)) AS BIGINT) AS recon_l1
+              FROM c JOIN p ON c.i = p.pi
+              WHERE c.vec_id > 0 GROUP BY c.vec_id)
+      SELECT vec_id, dot8, sum_q2, recon_l1 FROM agg
+      ORDER BY dot8 DESC, vec_id LIMIT 10"""))
   )
 }

@@ -268,6 +268,28 @@ object Windows {
                        LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
                 FROM events)))
-      GROUP BY user_id, session_id ORDER BY user_id, start_us"""))
+      GROUP BY user_id, session_id ORDER BY user_id, start_us""")),
+
+    // DISTINCT aggregates over windows (DuckDB: COUNT(DISTINCT x) OVER —
+    // Spark has no native window-DISTINCT): rewrite as
+    // size(collect_set(x) OVER w). Whole-partition frame, so the set is
+    // identical for every row of the partition; oracled against DuckDB's
+    // NATIVE windowed distinct.
+    QDef("q77_window_distinct", (s, dir) => {
+      val t = Tables.register(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+      t("orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          size(collect_set(col("o_orderpriority")).over(w)).as("n_prio"),
+          size(collect_set(col("o_orderstatus")).over(w)).as("n_status"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(COUNT(DISTINCT o_orderpriority)
+               OVER (PARTITION BY o_custkey) AS INT) AS n_prio,
+             CAST(COUNT(DISTINCT o_orderstatus)
+               OVER (PARTITION BY o_custkey) AS INT) AS n_status
+      FROM orders ORDER BY o_orderkey"""))
   )
 }
