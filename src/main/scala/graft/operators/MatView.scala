@@ -57,8 +57,15 @@ import org.apache.spark.sql.types._
   */
 object MatView {
 
+  /** `dim` = an optional broadcast dimension join applied BEFORE the
+    * aggregate (the star-rollup view shape): (dimPath, factKey, dimKey,
+    * dimVersion). The dim is pinned at `dimVersion`; refresh refuses if
+    * the dim advanced (a dim change invalidates every group — re-create,
+    * or version the dim separately). Inner join: fact rows with no dim
+    * match contribute nothing, identically in create and refresh. */
   final case class Spec(src: String, keys: Seq[String], sums: Seq[String],
-                        lastVersion: Long, minMax: Seq[String] = Nil)
+                        lastVersion: Long, minMax: Seq[String] = Nil,
+                        dim: Option[(String, String, String, Long)] = None)
 
   private def metaDir(p: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(p, "_matview")
@@ -74,6 +81,12 @@ object MatView {
     props.setProperty("sums", spec.sums.mkString(","))
     props.setProperty("minmax", spec.minMax.mkString(","))
     props.setProperty("lastVersion", spec.lastVersion.toString)
+    spec.dim.foreach { case (dp, fk, dk, dv) =>
+      props.setProperty("dim", dp)
+      props.setProperty("dimFactKey", fk)
+      props.setProperty("dimKey", dk)
+      props.setProperty("dimVersion", dv.toString)
+    }
     val out = fs.create(
       new org.apache.hadoop.fs.Path(metaDir(p), s"$mvVersion.props"), true)
     try props.store(out, "graft matview") finally out.close()
@@ -94,10 +107,13 @@ object MatView {
     try props.load(in) finally in.close()
     def split(s: String) =
       if (s == null || s.isEmpty) Nil else s.split(",").toSeq
+    val dim = Option(props.getProperty("dim")).map(dp =>
+      (dp, props.getProperty("dimFactKey"), props.getProperty("dimKey"),
+       props.getProperty("dimVersion").toLong))
     (Spec(props.getProperty("src"), split(props.getProperty("keys")),
           split(props.getProperty("sums")),
           props.getProperty("lastVersion").toLong,
-          split(props.getProperty("minmax"))), head)
+          split(props.getProperty("minmax")), dim), head)
   }
 
   /** The exact-arithmetic aggregate list for one grouped pass. */
@@ -125,6 +141,17 @@ object MatView {
         "(NULL keys don't equi-join during incremental merge)")
   }
 
+  /** Apply the spec'd broadcast dimension join (pinned dim version). */
+  private def joined(spark: SparkSession, df: DataFrame,
+                     dim: Option[(String, String, String, Long)]): DataFrame =
+    dim match {
+      case None => df
+      case Some((dp, fk, dk, dv)) =>
+        val d = spark.read.format("lance")
+          .option("versionAsOf", dv.toString).load(dp)
+        df.join(broadcast(d), col(fk) === d(dk))
+    }
+
   /** Full compute + store; returns the source version the view reflects.
     * `minMax` columns additionally maintain `min_<c>`/`max_<c>`: inserts
     * merge incrementally (`least`/`greatest`); a delete CAN retire the
@@ -133,7 +160,8 @@ object MatView {
     * key-partitioned or sorted source layout prunes to few fragments). */
   def create(spark: SparkSession, srcPath: String, mvPath: String,
              keys: Seq[String], sums: Seq[String],
-             minMax: Seq[String] = Nil): Long = {
+             minMax: Seq[String] = Nil,
+             dim: Option[(String, String, String)] = None): Long = {
     require(keys.nonEmpty, "matview needs at least one group key")
     val conf = spark.sessionState.newHadoopConf()
     val (sfs, sp) = LanceFormat.fileSystem(srcPath, conf)
@@ -148,14 +176,23 @@ object MatView {
     // writer advances the head mid-create
     val src = spark.read.format("lance")
       .option("versionAsOf", v.toString).load(srcPath)
-    requireKeysNonNull(src.select(keys.map(col): _*), keys, srcPath)
-    val aggs = aggCols(src, sums, minMax)
-    val mv = src.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // pin the dim at ITS current head — refresh joins the same version
+    val pinnedDim = dim.map { case (dp, fk, dk) =>
+      val (dfs, dpp) = LanceFormat.fileSystem(dp, conf)
+      val dv = LanceFormat.readManifest(dfs,
+        LanceFormat.latestManifestPath(dfs, dpp, None)).version
+      (dp, fk, dk, dv)
+    }
+    val base = joined(spark, src, pinnedDim)
+    requireKeysNonNull(base.select(keys.map(col): _*), keys, srcPath)
+    val aggs = aggCols(base, sums, minMax)
+    val mv = base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     mv.write.format("lance").mode("overwrite").save(mvPath)
     val (fs, p) = LanceFormat.fileSystem(mvPath, conf)
     val mvVersion = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, None)).version
-    writeSpec(spark, mvPath, Spec(srcPath, keys, sums, v, minMax), mvVersion)
+    writeSpec(spark, mvPath,
+      Spec(srcPath, keys, sums, v, minMax, pinnedDim), mvVersion)
     v
   }
 
@@ -169,8 +206,16 @@ object MatView {
       LanceFormat.latestManifestPath(sfs, sp, None)).version
     if (srcHead == spec.lastVersion) return spec.lastVersion // up to date
 
-    val ch = LanceMaintenance.changesBetween(spark, spec.src,
-      spec.lastVersion, srcHead)
+    spec.dim.foreach { case (dp, _, _, dv) =>
+      val (dfs, dpp) = LanceFormat.fileSystem(dp, conf)
+      val dHead = LanceFormat.readManifest(dfs,
+        LanceFormat.latestManifestPath(dfs, dpp, None)).version
+      require(dHead == dv,
+        s"matview $mvPath: dimension $dp advanced (v$dv -> v$dHead) — a dim " +
+          "change can invalidate every group; re-create the view")
+    }
+    val ch = joined(spark, LanceMaintenance.changesBetween(spark, spec.src,
+      spec.lastVersion, srcHead), spec.dim)
     val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
     val isIns = col("_change") === "insert"
     // per-group deltas in the SAME exact interiors as create(); for
@@ -234,8 +279,8 @@ object MatView {
       if (!needRecompute) (incUpserts, incZeros)
       else {
         // recompute delete-touched groups at the pinned head snapshot
-        val srcNow = spark.read.format("lance")
-          .option("versionAsOf", srcHead.toString).load(spec.src)
+        val srcNow = joined(spark, spark.read.format("lance")
+          .option("versionAsOf", srcHead.toString).load(spec.src), spec.dim)
         val touchedRows = srcNow.join(broadcast(touchedKeys),
           spec.keys, "left_semi")
         val rAggs = aggCols(srcNow, spec.sums, spec.minMax)

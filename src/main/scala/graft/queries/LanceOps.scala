@@ -813,6 +813,42 @@ object LanceOps {
              ${Det.oSum("a.value")} AS val_sum
       FROM events a JOIN events b ON a.ts = b.ts
       WHERE a.value > 300
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Joined (star-rollup) materialized view: orders fact x customer dim
+    // rolled up by market segment, maintained through the change feed
+    // with the dim pinned and broadcast — delta rows join the dim the
+    // same way the full compute did, so refresh ≡ recompute exactly.
+    // The oracle recomputes the final state relationally.
+    QDef("l27_joined_matview", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val ds = s"$workDir/orders_jmv_src.lance"
+      val dimP = s"$workDir/customer_jmv_dim.lance"
+      val mv = s"$workDir/orders_jmv.lance"
+      val ord = t("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      ord.filter(col("o_orderkey") % 4 =!= 0)
+        .write.format("lance").option("stableRowIds", "true")
+        .mode("overwrite").save(ds)
+      t("customer").select("c_custkey", "c_mktsegment")
+        .write.format("lance").mode("overwrite").save(dimP)
+      graft.operators.MatView.create(s, ds, mv,
+        Seq("c_mktsegment"), Seq("o_totalprice"),
+        dim = Some((dimP, "o_custkey", "c_custkey")))
+      graft.sources.lance.LanceMaintenance.deleteWhere(s, ds,
+        "o_totalprice < 50000")
+      ord.filter(col("o_orderkey") % 4 === 0)
+        .write.format("lance").mode("append").save(ds)
+      graft.operators.MatView.refresh(s, mv)
+      graft.operators.MatView.read(s, mv)
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_o_totalprice").cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS cnt,
+             ${Det.oSum("o_totalprice")} AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey % 4 = 0
+         OR (o_orderkey % 4 <> 0 AND o_totalprice >= 50000)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -144,6 +144,46 @@ class MatViewSpec extends AnyFunSuite {
       .collect().contains("g7"))
   }
 
+  test("joined (star-rollup) view: delta maintenance through a broadcast dim") {
+    val dir = tmp("mv_join")
+    val src = s"$dir/fact.lance"; val dimP = s"$dir/dim.lance"
+    val mv = s"$dir/mv.lance"
+    writeSrc(src, (1L to 40L).map(i => (i, s"c${i % 8}", i * 0.5)).toSeq
+      .toDF("id", "ck", "amt"))
+    (0 until 8).map(i => (s"c$i", s"seg${i % 3}")).toDF("dk", "seg")
+      .write.format("lance").mode("overwrite").save(dimP)
+    MatView.create(spark, src, mv, Seq("seg"), Seq("amt"),
+      dim = Some((dimP, "ck", "dk")))
+    def recomputeJ(): Seq[String] = {
+      val f = spark.read.format("lance").load(src)
+      val d = spark.read.format("lance").load(dimP)
+      f.join(d, f("ck") === d("dk")).groupBy("seg")
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum(col("amt").cast("decimal(38,6)")),
+            lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"))
+        .orderBy("seg").collect().map(_.mkString("|")).toSeq
+    }
+    def mvRows(): Seq[String] = MatView.read(spark, mv)
+      .orderBy("seg").collect().map(_.mkString("|")).toSeq
+    assert(mvRows() == recomputeJ())
+    // churn the fact: delete + append (incl. a key with no dim match —
+    // contributes nothing, identically on both paths)
+    LanceMaintenance.deleteWhere(spark, src, "id % 5 = 0")
+    Seq((100L, "c1", 9.0), (101L, "zz", 1.0)).toDF("id", "ck", "amt")
+      .write.format("lance").mode("append").save(src)
+    MatView.refresh(spark, mv)
+    assert(mvRows() == recomputeJ())
+    // dim advance → refresh refuses
+    Seq(("c9", "seg0")).toDF("dk", "seg")
+      .write.format("lance").mode("append").save(dimP)
+    Seq((102L, "c2", 3.0)).toDF("id", "ck", "amt")
+      .write.format("lance").mode("append").save(src)
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, mv)
+    }
+    assert(e.getMessage.contains("dimension"))
+  }
+
   test("NULL group keys are refused at create") {
     val dir = tmp("mv_nullkey")
     val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
