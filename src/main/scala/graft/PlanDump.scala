@@ -49,7 +49,11 @@ object PlanDump {
       "l22_partitioned_agg" -> "partition-key aggregation over a lang-partitioned corpus: partial aggs per value-fragment ARE the groups",
       "l23_bucketed_join" -> "bucket(16,key) SPJ through the lance catalog's bucket function: SMJ directly over the two scans, no join exchange",
       "e12_binary_quant" -> "binary quantization: sign-pack + hamming codegen kernels, top-50 candidates, exact integer-cosine re-rank",
-      "d29_url_dedup" -> "URL canonicalize (map-only) -> canonical-URL survivor groupBy -> TopKAgg domain quota -> census join")
+      "d29_url_dedup" -> "URL canonicalize (map-only) -> canonical-URL survivor groupBy -> TopKAgg domain quota -> census join",
+      "d31_heavy_hitters" -> "mergeable Misra-Gries summary (bounded map-side partials) -> broadcast-candidate exact recount -> provably-exact top-20",
+      "d32_chunking" -> "map-only chunking: sequence+posexplode per doc, md5-pinned windows, no shuffle before the presentation sort",
+      "l26_days_partitioned" -> "days(ts) SPJ through the catalog's days function: day-fragments zip on the raw timestamp (plan pinned in LanceDaysSpec)",
+      "e14_int8_quant" -> "int8 scalar quantization: integer-exact codes + int64 dots, broadcast query code, fused top-k")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")
     sb.append("Generated by `graft.PlanDump`; the shapes asserted in PlanSpec.\n")

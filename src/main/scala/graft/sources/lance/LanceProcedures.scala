@@ -251,11 +251,95 @@ private[lance] object LanceProcedures {
           allowDeletes = !in.isNullAt(3) && in.getBoolean(3))))
       })
 
+    // CALL lance.stats(t, col): the per-fragment zone map for one column
+    // — rows, live rows, recorded [min,max] (numeric channel) — the
+    // first tool for "why didn't my predicate prune".
+    val stats = Proc("stats",
+      Array(param("t", StringType), param("col", StringType)),
+      StructType(Seq(
+        StructField("fragment", LongType),
+        StructField("physical_rows", LongType),
+        StructField("live_rows", LongType),
+        StructField("min", DoubleType),
+        StructField("max", DoubleType))),
+      in => {
+        val conf = spark.sessionState.newHadoopConf()
+        val (fs, p) = LanceFormat.fileSystem(path(in), conf)
+        val m = LanceFormat.readManifest(fs,
+          LanceFormat.latestManifestPath(fs, p, None))
+        val fid = m.fields.find(f => f.parentId == -1 &&
+            f.name == in.getString(1)).map(_.id).getOrElse(
+          throw new IllegalArgumentException(
+            s"lance stats: no top-level column '${in.getString(1)}'"))
+        m.fragments.sortBy(_.id).map { fr =>
+          fr.stats.find(_._1 == fid) match {
+            case Some((_, mn, mx)) =>
+              row(fr.id, fr.physicalRows, fr.liveRows, mn, mx)
+            case None => row(fr.id, fr.physicalRows, fr.liveRows, null, null)
+          }
+        }.toArray
+      })
+
+    // CALL lance.verify(t): dataset integrity card — every referenced
+    // data file and deletion file must exist with plausible sizes, row-id
+    // segments must cover the physical rows, partition values must match
+    // the declared layout. Metadata + filesystem checks only (no data
+    // decode); returns one row per problem, or one OK row.
+    val verifyProc = Proc("verify",
+      Array(param("t", StringType)),
+      StructType(Seq(StructField("status", StringType),
+                     StructField("detail", StringType))),
+      in => {
+        val conf = spark.sessionState.newHadoopConf()
+        val (fs, p) = LanceFormat.fileSystem(path(in), conf)
+        val m = LanceFormat.readManifest(fs,
+          LanceFormat.latestManifestPath(fs, p, None))
+        val problems = Seq.newBuilder[(String, String)]
+        val dataDir = new org.apache.hadoop.fs.Path(p, "data")
+        m.fragments.foreach { fr =>
+          fr.files.foreach { f =>
+            val fp = new org.apache.hadoop.fs.Path(dataDir, f.path)
+            if (!fs.exists(fp))
+              problems += (("missing_data_file", s"fragment ${fr.id}: ${f.path}"))
+            else if (f.fileSizeBytes > 0 &&
+                     fs.getFileStatus(fp).getLen != f.fileSizeBytes)
+              problems += (("size_mismatch",
+                s"fragment ${fr.id}: ${f.path} manifest=${f.fileSizeBytes} " +
+                s"actual=${fs.getFileStatus(fp).getLen}"))
+          }
+          fr.deletion.foreach { d =>
+            val dp = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(p, "_deletions"), d.fileName(fr.id))
+            if (!fs.exists(dp))
+              problems += (("missing_deletion_file", s"fragment ${fr.id}: ${d.fileName(fr.id)}"))
+            if (d.numDeleted > fr.physicalRows)
+              problems += (("deletion_overflow",
+                s"fragment ${fr.id}: ${d.numDeleted} deleted > ${fr.physicalRows} physical"))
+          }
+          fr.rowIds.foreach { segs =>
+            val covered = segs.map(_.count).sum
+            if (covered != fr.physicalRows)
+              problems += (("rowid_gap",
+                s"fragment ${fr.id}: id segments cover $covered of ${fr.physicalRows} rows"))
+          }
+          if (m.partitionCols.nonEmpty && fr.partValues.nonEmpty &&
+              fr.partValues.length != m.partitionCols.length)
+            problems += (("partition_arity",
+              s"fragment ${fr.id}: ${fr.partValues.length} values for " +
+              s"${m.partitionCols.length} partition columns"))
+        }
+        val out = problems.result()
+        if (out.isEmpty)
+          Array(row("ok", s"version ${m.version}: ${m.fragments.length} " +
+            s"fragments, ${m.fragments.map(_.liveRows).sum} live rows"))
+        else out.map { case (st, d) => row(st, d) }.toArray
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
         "tags" -> tags, "versions" -> versions, "describe" -> describe,
         "update" -> update, "merge_insert" -> mergeIns,
         "create_matview" -> createMv, "refresh_matview" -> refreshMv,
-        "ndv" -> ndv)
+        "ndv" -> ndv, "stats" -> stats, "verify" -> verifyProc)
   }
 }

@@ -135,6 +135,31 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(math.abs(est2 - 6000.0) / 6000.0 < 0.05, s"est $est2")
   }
 
+  test("stats exposes per-fragment zone maps; verify reports ok and finds damage") {
+    val ds = mkDs()
+    val st = spark.sql(s"CALL lance.stats('$ds', 'id')")
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect()
+    assert(st.nonEmpty)
+    assert(st.map(_._2).sum == 120L) // physical rows across fragments
+    // recorded ranges cover the data and are consistent
+    st.foreach { case (_, _, _, mn, mx) =>
+      assert(mn.isDefined && mx.isDefined && mn.get <= mx.get)
+    }
+    assert(st.map(_._4.get).min == 1.0 && st.map(_._5.get).max == 120.0)
+
+    val ok = spark.sql(s"CALL lance.verify('$ds')")
+      .as[(String, String)].collect()
+    assert(ok.length == 1 && ok.head._1 == "ok", ok.toSeq.toString)
+
+    // damage: remove one data file → verify reports it
+    val dataDir = new java.io.File(s"$ds/data")
+    val victim = dataDir.listFiles().filter(_.getName.endsWith(".lance")).head
+    assert(victim.delete())
+    val bad = spark.sql(s"CALL lance.verify('$ds')")
+      .as[(String, String)].collect()
+    assert(bad.exists(_._1 == "missing_data_file"), bad.toSeq.toString)
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
     val msg = e.getMessage + String.valueOf(e.getCause)
