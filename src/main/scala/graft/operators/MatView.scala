@@ -57,15 +57,17 @@ import org.apache.spark.sql.types._
   */
 object MatView {
 
-  /** `dim` = an optional broadcast dimension join applied BEFORE the
-    * aggregate (the star-rollup view shape): (dimPath, factKey, dimKey,
-    * dimVersion). The dim is pinned at `dimVersion`; refresh refuses if
-    * the dim advanced (a dim change invalidates every group — re-create,
-    * or version the dim separately). Inner join: fact rows with no dim
-    * match contribute nothing, identically in create and refresh. */
+  /** `dims` = broadcast dimension joins applied BEFORE the aggregate
+    * (the star-rollup view shape), each (dimPath, factKey, dimKey,
+    * dimVersion) — chained in order, so a later dim may join on a column
+    * an earlier dim contributed (snowflake). Every dim is pinned at its
+    * recorded version; refresh refuses if any advanced (a dim change can
+    * invalidate every group — re-create, or version the dim separately).
+    * Inner joins: fact rows with no dim match contribute nothing,
+    * identically in create and refresh. */
   final case class Spec(src: String, keys: Seq[String], sums: Seq[String],
                         lastVersion: Long, minMax: Seq[String] = Nil,
-                        dim: Option[(String, String, String, Long)] = None)
+                        dims: Seq[(String, String, String, Long)] = Nil)
 
   private def metaDir(p: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(p, "_matview")
@@ -81,11 +83,11 @@ object MatView {
     props.setProperty("sums", spec.sums.mkString(","))
     props.setProperty("minmax", spec.minMax.mkString(","))
     props.setProperty("lastVersion", spec.lastVersion.toString)
-    spec.dim.foreach { case (dp, fk, dk, dv) =>
-      props.setProperty("dim", dp)
-      props.setProperty("dimFactKey", fk)
-      props.setProperty("dimKey", dk)
-      props.setProperty("dimVersion", dv.toString)
+    spec.dims.zipWithIndex.foreach { case ((dp, fk, dk, dv), i) =>
+      props.setProperty(s"dim.$i", dp)
+      props.setProperty(s"dim.$i.factKey", fk)
+      props.setProperty(s"dim.$i.dimKey", dk)
+      props.setProperty(s"dim.$i.version", dv.toString)
     }
     val out = fs.create(
       new org.apache.hadoop.fs.Path(metaDir(p), s"$mvVersion.props"), true)
@@ -107,13 +109,16 @@ object MatView {
     try props.load(in) finally in.close()
     def split(s: String) =
       if (s == null || s.isEmpty) Nil else s.split(",").toSeq
-    val dim = Option(props.getProperty("dim")).map(dp =>
-      (dp, props.getProperty("dimFactKey"), props.getProperty("dimKey"),
-       props.getProperty("dimVersion").toLong))
+    val dims = Iterator.from(0)
+      .map(i => Option(props.getProperty(s"dim.$i")).map(dp =>
+        (dp, props.getProperty(s"dim.$i.factKey"),
+         props.getProperty(s"dim.$i.dimKey"),
+         props.getProperty(s"dim.$i.version").toLong)))
+      .takeWhile(_.isDefined).flatten.toSeq
     (Spec(props.getProperty("src"), split(props.getProperty("keys")),
           split(props.getProperty("sums")),
           props.getProperty("lastVersion").toLong,
-          split(props.getProperty("minmax")), dim), head)
+          split(props.getProperty("minmax")), dims), head)
   }
 
   /** The exact-arithmetic aggregate list for one grouped pass. */
@@ -141,15 +146,14 @@ object MatView {
         "(NULL keys don't equi-join during incremental merge)")
   }
 
-  /** Apply the spec'd broadcast dimension join (pinned dim version). */
+  /** Apply the spec'd broadcast dimension joins (pinned versions),
+    * chained in declaration order. */
   private def joined(spark: SparkSession, df: DataFrame,
-                     dim: Option[(String, String, String, Long)]): DataFrame =
-    dim match {
-      case None => df
-      case Some((dp, fk, dk, dv)) =>
-        val d = spark.read.format("lance")
-          .option("versionAsOf", dv.toString).load(dp)
-        df.join(broadcast(d), col(fk) === d(dk))
+                     dims: Seq[(String, String, String, Long)]): DataFrame =
+    dims.foldLeft(df) { case (acc, (dp, fk, dk, dv)) =>
+      val d = spark.read.format("lance")
+        .option("versionAsOf", dv.toString).load(dp)
+      acc.join(broadcast(d), col(fk) === d(dk))
     }
 
   /** Full compute + store; returns the source version the view reflects.
@@ -161,7 +165,7 @@ object MatView {
   def create(spark: SparkSession, srcPath: String, mvPath: String,
              keys: Seq[String], sums: Seq[String],
              minMax: Seq[String] = Nil,
-             dim: Option[(String, String, String)] = None): Long = {
+             dims: Seq[(String, String, String)] = Nil): Long = {
     require(keys.nonEmpty, "matview needs at least one group key")
     val conf = spark.sessionState.newHadoopConf()
     val (sfs, sp) = LanceFormat.fileSystem(srcPath, conf)
@@ -176,14 +180,14 @@ object MatView {
     // writer advances the head mid-create
     val src = spark.read.format("lance")
       .option("versionAsOf", v.toString).load(srcPath)
-    // pin the dim at ITS current head — refresh joins the same version
-    val pinnedDim = dim.map { case (dp, fk, dk) =>
+    // pin each dim at ITS current head — refresh joins the same versions
+    val pinnedDims = dims.map { case (dp, fk, dk) =>
       val (dfs, dpp) = LanceFormat.fileSystem(dp, conf)
       val dv = LanceFormat.readManifest(dfs,
         LanceFormat.latestManifestPath(dfs, dpp, None)).version
       (dp, fk, dk, dv)
     }
-    val base = joined(spark, src, pinnedDim)
+    val base = joined(spark, src, pinnedDims)
     requireKeysNonNull(base.select(keys.map(col): _*), keys, srcPath)
     val aggs = aggCols(base, sums, minMax)
     val mv = base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -192,7 +196,7 @@ object MatView {
     val mvVersion = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, None)).version
     writeSpec(spark, mvPath,
-      Spec(srcPath, keys, sums, v, minMax, pinnedDim), mvVersion)
+      Spec(srcPath, keys, sums, v, minMax, pinnedDims), mvVersion)
     v
   }
 
@@ -206,7 +210,7 @@ object MatView {
       LanceFormat.latestManifestPath(sfs, sp, None)).version
     if (srcHead == spec.lastVersion) return spec.lastVersion // up to date
 
-    spec.dim.foreach { case (dp, _, _, dv) =>
+    spec.dims.foreach { case (dp, _, _, dv) =>
       val (dfs, dpp) = LanceFormat.fileSystem(dp, conf)
       val dHead = LanceFormat.readManifest(dfs,
         LanceFormat.latestManifestPath(dfs, dpp, None)).version
@@ -215,7 +219,7 @@ object MatView {
           "change can invalidate every group; re-create the view")
     }
     val ch = joined(spark, LanceMaintenance.changesBetween(spark, spec.src,
-      spec.lastVersion, srcHead), spec.dim)
+      spec.lastVersion, srcHead), spec.dims)
     val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
     val isIns = col("_change") === "insert"
     // per-group deltas in the SAME exact interiors as create(); for
@@ -280,7 +284,7 @@ object MatView {
       else {
         // recompute delete-touched groups at the pinned head snapshot
         val srcNow = joined(spark, spark.read.format("lance")
-          .option("versionAsOf", srcHead.toString).load(spec.src), spec.dim)
+          .option("versionAsOf", srcHead.toString).load(spec.src), spec.dims)
         val touchedRows = srcNow.join(broadcast(touchedKeys),
           spec.keys, "left_semi")
         val rAggs = aggCols(srcNow, spec.sums, spec.minMax)

@@ -833,7 +833,7 @@ object LanceOps {
         .write.format("lance").mode("overwrite").save(dimP)
       graft.operators.MatView.create(s, ds, mv,
         Seq("c_mktsegment"), Seq("o_totalprice"),
-        dim = Some((dimP, "o_custkey", "c_custkey")))
+        dims = Seq((dimP, "o_custkey", "c_custkey")))
       graft.sources.lance.LanceMaintenance.deleteWhere(s, ds,
         "o_totalprice < 50000")
       ord.filter(col("o_orderkey") % 4 === 0)

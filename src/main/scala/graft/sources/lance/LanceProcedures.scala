@@ -335,11 +335,63 @@ private[lance] object LanceProcedures {
         else out.map { case (st, d) => row(st, d) }.toArray
       })
 
+    // CALL lance.optimize(t, target_rows_per_fragment): policy-driven
+    // compaction — NO-OP when the layout is already healthy (fragment
+    // count within 2x of ceil(live/target) and no deletion debt), else
+    // one layout-preserving compact to the targeted fragment count.
+    // The small-files remedy a streaming-append table needs on a
+    // schedule, cheap enough to call unconditionally.
+    val optimize = Proc("optimize",
+      Array(param("t", StringType),
+            paramDef("target_rows", LongType, "1000000")),
+      StructType(Seq(StructField("action", StringType),
+                     StructField("version", LongType),
+                     StructField("fragments", IntegerType))),
+      in => {
+        val ds = path(in)
+        val target = if (in.isNullAt(1)) 1000000L else in.getLong(1)
+        require(target > 0, "lance optimize: target_rows must be positive")
+        val conf = spark.sessionState.newHadoopConf()
+        val (fs, p) = LanceFormat.fileSystem(ds, conf)
+        val m = LanceFormat.readManifest(fs,
+          LanceFormat.latestManifestPath(fs, p, None))
+        val live = m.fragments.map(_.liveRows).sum
+        val ideal = math.max(1L, (live + target - 1) / target).toInt
+        val deletionDebt = m.fragments.flatMap(_.deletion)
+          .map(_.numDeleted).sum > live / 10
+        if (m.fragments.length <= ideal * 2 && !deletionDebt)
+          Array(row("noop", m.version, m.fragments.length))
+        else {
+          val v = LanceMaintenance.compact(spark, ds, ideal)
+          val after = LanceFormat.readManifest(fs,
+            LanceFormat.latestManifestPath(fs, p, None))
+          Array(row("compacted", v, after.fragments.length))
+        }
+      })
+
+    // CALL lance.diff(t, from_version, to_version): change-feed summary
+    // (insert/delete row counts) — the cheap CDC probe before fetching
+    // full changed rows with LanceMaintenance.changesBetween.
+    val diff = Proc("diff",
+      Array(param("t", StringType), param("from_version", LongType),
+            param("to_version", LongType)),
+      StructType(Seq(StructField("inserts", LongType),
+                     StructField("deletes", LongType))),
+      in => {
+        val ch = LanceMaintenance.changesBetween(spark, path(in),
+          in.getLong(1), in.getLong(2))
+        val counts = ch.groupBy("_change").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        Array(row(counts.getOrElse("insert", 0L),
+                  counts.getOrElse("delete", 0L)))
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
         "tags" -> tags, "versions" -> versions, "describe" -> describe,
         "update" -> update, "merge_insert" -> mergeIns,
         "create_matview" -> createMv, "refresh_matview" -> refreshMv,
-        "ndv" -> ndv, "stats" -> stats, "verify" -> verifyProc)
+        "ndv" -> ndv, "stats" -> stats, "verify" -> verifyProc,
+        "optimize" -> optimize, "diff" -> diff)
   }
 }

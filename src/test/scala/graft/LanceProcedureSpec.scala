@@ -160,6 +160,38 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(bad.exists(_._1 == "missing_data_file"), bad.toSeq.toString)
   }
 
+  test("optimize is a no-op on healthy layouts and compacts fragmented ones") {
+    val ds = java.nio.file.Files.createTempDirectory("graft-proc-opt").toString + "/t.lance"
+    (1L to 50L).toDF("v").coalesce(1)
+      .write.format("lance").mode("overwrite").save(ds)
+    val first = spark.sql(s"CALL lance.optimize('$ds', 1000)")
+      .as[(String, Long, Int)].head()
+    assert(first._1 == "noop")
+    // fragment the dataset with many tiny appends
+    (1 to 8).foreach(i => Seq(i.toLong + 100).toDF("v").coalesce(1)
+      .write.format("lance").mode("append").save(ds))
+    val second = spark.sql(s"CALL lance.optimize('$ds', 1000)")
+      .as[(String, Long, Int)].head()
+    assert(second._1 == "compacted" && second._3 == 1, second.toString)
+    assert(spark.read.format("lance").load(ds).count() == 58)
+    val third = spark.sql(s"CALL lance.optimize('$ds', 1000)")
+      .as[(String, Long, Int)].head()
+    assert(third._1 == "noop")
+  }
+
+  test("diff summarizes the change feed between versions") {
+    val ds = java.nio.file.Files.createTempDirectory("graft-proc-diff").toString + "/t.lance"
+    (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.format("lance").option("stableRowIds", "true")
+      .mode("overwrite").save(ds)
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, "id > 25")
+    (31L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.format("lance").mode("append").save(ds)
+    val (ins, del) = spark.sql(s"CALL lance.diff('$ds', 1, 3)")
+      .as[(Long, Long)].head()
+    assert((ins, del) == ((10L, 5L)))
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
     val msg = e.getMessage + String.valueOf(e.getCause)

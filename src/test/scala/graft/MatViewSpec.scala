@@ -153,7 +153,7 @@ class MatViewSpec extends AnyFunSuite {
     (0 until 8).map(i => (s"c$i", s"seg${i % 3}")).toDF("dk", "seg")
       .write.format("lance").mode("overwrite").save(dimP)
     MatView.create(spark, src, mv, Seq("seg"), Seq("amt"),
-      dim = Some((dimP, "ck", "dk")))
+      dims = Seq((dimP, "ck", "dk")))
     def recomputeJ(): Seq[String] = {
       val f = spark.read.format("lance").load(src)
       val d = spark.read.format("lance").load(dimP)
@@ -182,6 +182,40 @@ class MatViewSpec extends AnyFunSuite {
       MatView.refresh(spark, mv)
     }
     assert(e.getMessage.contains("dimension"))
+  }
+
+  test("snowflake view: two chained dims, the second joins a column the first contributed") {
+    val dir = tmp("mv_snow")
+    val src = s"$dir/fact.lance"
+    val d1 = s"$dir/city.lance"; val d2 = s"$dir/country.lance"
+    val mv = s"$dir/mv.lance"
+    writeSrc(src, (1L to 24L).map(i => (i, s"city${i % 4}", i * 1.0)).toSeq
+      .toDF("id", "ck", "amt"))
+    (0 until 4).map(i => (s"city$i", s"cc${i % 2}")).toDF("city", "ccode")
+      .write.format("lance").mode("overwrite").save(d1)
+    (0 until 2).map(i => (s"cc$i", s"Country $i")).toDF("code", "cname")
+      .write.format("lance").mode("overwrite").save(d2)
+    MatView.create(spark, src, mv, Seq("cname"), Seq("amt"),
+      dims = Seq((d1, "ck", "city"), (d2, "ccode", "code")))
+    def recomputeS(): Seq[String] = {
+      val f = spark.read.format("lance").load(src)
+      val c1 = spark.read.format("lance").load(d1)
+      val c2 = spark.read.format("lance").load(d2)
+      f.join(c1, f("ck") === c1("city")).join(c2, col("ccode") === c2("code"))
+        .groupBy("cname")
+        .agg(count(lit(1)).as("cnt"),
+          coalesce(sum(col("amt").cast("decimal(38,6)")),
+            lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"))
+        .orderBy("cname").collect().map(_.mkString("|")).toSeq
+    }
+    def mvRows(): Seq[String] = MatView.read(spark, mv)
+      .orderBy("cname").collect().map(_.mkString("|")).toSeq
+    assert(mvRows() == recomputeS())
+    LanceMaintenance.deleteWhere(spark, src, "id % 3 = 0")
+    Seq((50L, "city2", 4.5)).toDF("id", "ck", "amt")
+      .write.format("lance").mode("append").save(src)
+    MatView.refresh(spark, mv)
+    assert(mvRows() == recomputeS())
   }
 
   test("NULL group keys are refused at create") {
