@@ -498,8 +498,20 @@ class LanceScanBuilder(path: String, full: StructType, versionAsOf: Option[Long]
     // arrives here only as a requested METADATA column (it has no entry in
     // the table schema unless opted in via withRowAddress) — keep it,
     // appended, so the scan weaves it in.
-    val want = requiredSchema.fieldNames.toSet
-    val base = full.fields.filter(f => want.contains(f.name))
+    //
+    // NESTED pruning: keep the REQUESTED field type, not the table's —
+    // when spark.sql.optimizer.nestedSchemaPruning trims a struct to the
+    // accessed subfields, the spec tree drops the unaccessed leaf columns
+    // and their byte ranges are never read (struct subfields are separate
+    // physical columns in lance). Subfield ORDER is preserved by Spark's
+    // pruning, so the spec tree and the reported schema stay aligned.
+    val reqByName = requiredSchema.fields.map(f => f.name -> f).toMap
+    val base = full.fields.filter(f => reqByName.contains(f.name))
+      // blobRefs columns surface a SYNTHETIC struct<path,pos,len> the
+      // decoder always emits whole — keep the full type (Spark projects
+      // the subfield above the scan); everything else takes the requested
+      // (possibly nested-pruned) type
+      .map(f => if (blobRefs.contains(f.name)) f else reqByName(f.name))
     val meta = requiredSchema.fields.filter(f =>
       (f.name == "_rowaddr" || f.name == "_rowid") &&
         !full.fieldNames.contains(f.name))
@@ -941,18 +953,33 @@ class LanceScan(path: String, full: StructType, required: StructType,
     }
   }
 
-  /** Required column names -> ColSpec field trees (minus `_rowaddr`). */
+  /** Required column names -> ColSpec field trees (minus `_rowaddr`).
+    * Struct kids follow the REQUIRED (possibly nested-pruned) type: a
+    * subfield Spark pruned away gets no spec, so its physical column's
+    * byte ranges are never read. */
   private def requiredSpecs: Array[ColSpec] = {
     val byName = manifest.fields.filter(_.parentId == -1).map(f => f.name -> f).toMap
-    def specOf(f: LanceFormat.LanceField): ColSpec = {
+    def specOf(f: LanceFormat.LanceField,
+               want: Option[org.apache.spark.sql.types.DataType]): ColSpec = {
       // maps normalize to [key, value] kids whichever spelling the writer
       // used (direct children vs Arrow's intermediate entries struct);
       // the physical column layout is identical either way
       val kids =
         if (f.logicalType == "map") {
           val (k, v) = LanceFormat.mapKeyValue(manifest, f)
-          Array(specOf(k), specOf(v))
-        } else manifest.fields.filter(_.parentId == f.id).map(specOf).toArray
+          Array(specOf(k, None), specOf(v, None))
+        } else {
+          val all = manifest.fields.filter(_.parentId == f.id)
+          want match {
+            case Some(st: org.apache.spark.sql.types.StructType)
+                if f.logicalType == "struct" =>
+              // nested pruning: manifest order, required subfields only,
+              // recursing with each subfield's requested type
+              all.filter(c => st.fieldNames.contains(c.name))
+                .map(c => specOf(c, Some(st(c.name).dataType))).toArray
+            case _ => all.map(specOf(_, None)).toArray
+          }
+        }
       // blob-ref projection: same physical column, refs-only decode
       val lt =
         if (blobRefs.contains(f.name) && f.parentId == -1 &&
@@ -961,8 +988,8 @@ class LanceScan(path: String, full: StructType, required: StructType,
         else f.logicalType
       ColSpec(f.id, lt, f.name, kids)
     }
-    required.fieldNames.filterNot(n => n == "_rowaddr" || n == "_rowid")
-      .map(n => specOf(byName(n)))
+    required.fields.filterNot(f => f.name == "_rowaddr" || f.name == "_rowid")
+      .map(f => specOf(byName(f.name), Some(f.dataType)))
   }
 
   /** Streaming source: tail appended versions as micro-batches. */
