@@ -86,6 +86,11 @@ def gen_query(rnd, qid):
             f"CONCAT({c}, '#', {str_col()})",
         ])
 
+
+    def gby():
+        # GROUP BY ALL ≡ GROUP BY k when k is the only non-aggregate
+        # select item (true for every site using this helper)
+        return "GROUP BY ALL" if rnd.random() < 0.25 else "GROUP BY k"
     def pred():
         kind = rnd.randint(0, 7)
         if kind == 0:
@@ -148,7 +153,7 @@ def gen_query(rnd, qid):
         else:
             sub = f"{ok} {neg}IN (SELECT {ik} FROM {it_} WHERE {inner_pred})"
         sql = (f"SELECT {gkey} AS k, COUNT(*) AS n FROM {ot} "
-               f"WHERE {sub} GROUP BY k ORDER BY k NULLS FIRST")
+               f"WHERE {sub} {gby()} ORDER BY k NULLS FIRST")
         return " ".join(sql.split())
     if shape < 0.22:
         # scalar subquery in the predicate (exact integer arithmetic only)
@@ -157,7 +162,7 @@ def gen_query(rnd, qid):
         gkey = str_col()
         sql = (f"SELECT {gkey} AS k, COUNT(*) AS n, MIN({c}) AS lo "
                f"FROM {t} WHERE {c} > ({inner}) "
-               f"GROUP BY k ORDER BY k NULLS FIRST")
+               f"{gby()} ORDER BY k NULLS FIRST")
         return " ".join(sql.split())
     if shape < 0.30:
         # ROLLUP with GROUPING() markers (disambiguates rolled-up NULLs
@@ -196,7 +201,7 @@ def gen_query(rnd, qid):
             where += f" AND {rnd.choice(icols)} % {rnd.randint(2, 9)} = 0"
         sql = (f"SELECT {gkey} AS k, COUNT(*) AS n, {agg} AS a, "
                f"COUNT(DISTINCT {rnd.choice(icols)}) AS d "
-               f"FROM {frm} {where} GROUP BY k ORDER BY k NULLS FIRST")
+               f"FROM {frm} {where} {gby()} ORDER BY k NULLS FIRST")
         return " ".join(sql.split())
     if shape < 0.40:
         # aggregate-of-aggregate through a CTE: the inner GROUP BY feeds an
@@ -232,7 +237,7 @@ def gen_query(rnd, qid):
             sql = (f"SELECT {gkey} AS k, COUNT(*) AS n, COUNT({rint}) AS m, "
                    f"CAST(SUM(CAST(COALESCE({rint}, 0) AS BIGINT)) AS BIGINT) AS a "
                    f"FROM {lt} LEFT JOIN (SELECT * FROM {rt} WHERE {inner_pred}) t "
-                   f"ON {lk} = {rk} GROUP BY k ORDER BY k NULLS FIRST")
+                   f"ON {lk} = {rk} {gby()} ORDER BY k NULLS FIRST")
             return " ".join(sql.split())
         gkey = rnd.choice(rcols["str"] + lcols["str"])
         agg2 = rnd.choice([
@@ -245,7 +250,7 @@ def gen_query(rnd, qid):
             jpred += f" AND LENGTH({rnd.choice(rcols['str'])}) > {rnd.randint(2, 8)}"
         sql = (f"SELECT {gkey} AS k, COUNT(*) AS n, {agg2} AS a "
                f"FROM {lt} JOIN {rt} ON {lk} = {rk} WHERE {jpred} "
-               f"GROUP BY k ORDER BY k NULLS FIRST")
+               f"{gby()} ORDER BY k NULLS FIRST")
         return " ".join(sql.split())
     if shape < 0.60:
         # window functions — only TIE-SAFE ones: rank/dense_rank depend
