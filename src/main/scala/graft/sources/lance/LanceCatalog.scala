@@ -89,12 +89,31 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
       case _ => Array.empty
     }
 
+  /** Declared layout recovered from the manifest → write defaults, so SQL
+    * INSERT INTO through the catalog keeps a partitioned/bucketed table's
+    * layout (the table-contract behavior; the plain path stays low-level
+    * and degrades, as its suites pin). */
+  private def layoutOf(path: String): (Seq[String], Seq[String]) = {
+    val (fs, p) = hadoop(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_versions"))) (Nil, Nil)
+    else {
+      val m = LanceFormat.readManifest(fs,
+        LanceFormat.latestManifestPath(fs, p, None))
+      val sort =
+        if (m.partitionCols.exists(c => LanceBucket.parseSpec(c).isDefined))
+          m.sortCols
+        else m.sortCols.drop(m.partitionCols.length)
+      (m.partitionCols, sort)
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
     val opts = new CaseInsensitiveStringMap(Map("path" -> path).asJava)
     val provider = new LanceDataSource
     val schema = provider.inferSchema(opts)
-    new LanceTable(path, schema, None)
+    val (layout, sort) = layoutOf(path)
+    new LanceTable(path, schema, None, layout, sort)
   }
 
   /** SQL time travel — `SELECT ... FROM lance.`/p` VERSION AS OF 3`:
@@ -132,10 +151,39 @@ class LanceCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident, candidates.max.toString)
   }
 
+  /** CREATE TABLE ... PARTITIONED BY (col | days(ts) | months(ts) |
+    * years(ts) | bucket(n, col)): transforms become the table's declared
+    * write layout — the first write (CTAS body, df.writeTo.create, or a
+    * later INSERT) lands in it. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    new LanceTable(pathOf(ident), schema, None)
+                           properties: util.Map[String, String]): Table = {
+    val specs = partitions.toSeq.map { t =>
+      def oneRef: String = {
+        require(t.references().length == 1,
+          s"lance: transform ${t.name()} takes exactly one column")
+        t.references().head.fieldNames().mkString(".")
+      }
+      t.name() match {
+        case "identity" => oneRef
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            "lance: bucket transform needs a numeric bucket count"))
+          LanceBucket.specOf(n, oneRef)
+        case u if LanceDays.Units.contains(u) => s"$u($oneRef)"
+        case other => throw new UnsupportedOperationException(
+          s"lance CREATE TABLE: unsupported partition transform '$other' " +
+            "(supported: identity columns, days/months/years, bucket)")
+      }
+    }
+    val bucketSpecs = specs.filter(s => LanceBucket.parseSpec(s).isDefined)
+    require(bucketSpecs.isEmpty || specs.length == 1,
+      "lance: bucket layout cannot combine with other partition transforms")
+    new LanceTable(pathOf(ident), schema, None, specs)
+  }
 
   /** Schema evolution via SQL: `ALTER TABLE lance.`/p/ds.lance` ADD COLUMN
     * x BIGINT` / `RENAME COLUMN a TO b` / `DROP COLUMN a` — mapped onto

@@ -116,7 +116,14 @@ class LanceDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[Long])
+/** `writeLayout` = the table's declared layout specs (identity columns,
+  * `days/months/years(col)`, or `bucket(n,col)`), carried from CREATE
+  * TABLE ... PARTITIONED BY or recovered from the manifest on load, plus
+  * any declared sort columns. Writes through this table that don't spell
+  * an explicit layout inherit it — SQL `INSERT INTO` keeps a partitioned
+  * dataset partitioned instead of degrading it. */
+class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[Long],
+                 writeLayout: Seq[String] = Nil, writeSort: Seq[String] = Nil)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -147,7 +154,7 @@ class LanceTable(val path: String, tableSchema: StructType, versionAsOf: Option[
       splitRows = Option(options.get("splitRows")).map(_.toLong).getOrElse(0L))
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new LanceWriteBuilder(path, info)
+    new LanceWriteBuilder(path, info, writeLayout, writeSort)
 
   // SQL `DELETE FROM lance.`path` WHERE ...` — filters render to a
   // condition string and run through LanceMaintenance.deleteWhere

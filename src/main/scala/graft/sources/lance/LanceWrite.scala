@@ -20,7 +20,9 @@ import org.apache.spark.util.SerializableConfiguration
   * forward, overwrite starts the new version empty (old versions stay
   * readable via versionAsOf — Lance versioning semantics).
   */
-class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
+class LanceWriteBuilder(path: String, info: LogicalWriteInfo,
+                        defaultLayout: Seq[String] = Nil,
+                        defaultSort: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -36,14 +38,24 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
     def cols(key: String): Seq[String] =
       Option(info.options.get(key)).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val partitionBy = cols("partitionBy")
     val clusterBy = cols("clusterBy")
+    // a write with no explicit layout inherits the table's declared one
+    // (CREATE TABLE ... PARTITIONED BY / the manifest's recorded layout):
+    // SQL INSERT INTO keeps partitioned datasets partitioned
+    val explicitLayout = Option(info.options.get("partitionBy")).isDefined ||
+      Option(info.options.get("bucketBy")).isDefined || clusterBy.nonEmpty
+    val inheritedBucket =
+      if (explicitLayout) None
+      else defaultLayout.flatMap(LanceBucket.parseSpec).headOption
+    val partitionBy =
+      if (explicitLayout || inheritedBucket.isDefined) cols("partitionBy")
+      else defaultLayout
     // option("bucketBy", "16:col"): hash-bucket layout (see LanceBucket)
     val bucketBy = Option(info.options.get("bucketBy")).map { spec =>
       val Array(n, c) = spec.split(":", 2)
       require(n.trim.toInt > 0, s"lance: bucketBy bucket count must be > 0")
       (n.trim.toInt, c.trim)
-    }
+    }.orElse(inheritedBucket)
     require(Seq(partitionBy.nonEmpty, clusterBy.nonEmpty,
                 bucketBy.nonEmpty).count(identity) <= 1,
       "lance: partitionBy, clusterBy, and bucketBy are mutually exclusive layouts")
@@ -64,8 +76,12 @@ class LanceWriteBuilder(path: String, info: LogicalWriteInfo)
           s"lance: partition/bucket column '$c' has type ${f.dataType} — " +
           "partition columns must be integral, boolean, string, date, or timestamp")
     }
+    val sortBy =
+      if (explicitLayout || Option(info.options.get("sortBy")).isDefined)
+        cols("sortBy")
+      else defaultSort
     new LanceWrite(path, info.schema(), doTruncate, fsl,
-      clusterBy = clusterBy, sortBy = cols("sortBy"),
+      clusterBy = clusterBy, sortBy = sortBy,
       partitionBy = partitionBy, bucketBy = bucketBy,
       numPartitions = Option(info.options.get("writePartitions"))
         .map(_.toInt).getOrElse(0),
