@@ -38,6 +38,45 @@ def canon(v):
     return str(v)
 
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def type_category(t):
+    """Collapse a DuckDB type to a hash-equivalence category.
+
+    The driver hashes canonicalized *values*, so int width doesn't matter
+    (python int is python int), but decimal scale, decimal-vs-float, and
+    float32-vs-float64 all change the canonical string. Two columns are
+    hash-compatible only when their categories are identical. Keeping the
+    category strict catches the DuckDB-version-skew class (local 1.0.0 vs
+    driver 1.3.2 canonicalizing ROUND/SUM-of-DECIMAL types differently)
+    before the driver does. Works token-wise so nested types (LIST/STRUCT/
+    MAP type strings like `BIGINT[]`, `STRUCT(a INTEGER)`) normalize too.
+    """
+    import re
+    s = str(t)
+
+    def repl(m):
+        tok = m.group(0)
+        if tok in INT_TYPES:
+            return "INT"
+        if tok in ("HUGEINT", "UHUGEINT"):
+            return "INT128"
+        if tok == "FLOAT":
+            return "F32"
+        if tok == "DOUBLE":
+            return "F64"
+        return tok
+
+    s = re.sub(r"[A-Z]+", repl, s)
+    # canonical rendering of DECIMAL depends on scale (trailing digits),
+    # not precision (Spark widens SUM to p+10, DuckDB differently — both
+    # render the same value as long as scale agrees)
+    s = re.sub(r"DECIMAL\((\d+),(\d+)\)", lambda m: f"DECIMAL(s={m.group(2)})", s)
+    return s
+
+
 def time_oracles(con, oracle, out_path):
     secs = {}
     for name in sorted(oracle):
@@ -99,7 +138,7 @@ def main():
             print(f"FAIL {name}: columns differ spark={got_cols} oracle={exp_cols}")
             nfail += 1
             continue
-        # Driver-hash hazard: DuckDB SUM over integers yields HUGEINT
+        # Driver-hash hazard #1: DuckDB SUM over integers yields HUGEINT
         # (int128); the driver canonicalizes it differently from Spark's
         # int64 even when every value is equal (round-6 d17/d21/d26/l18).
         # Fail loudly here so the oracle gets an explicit BIGINT cast.
@@ -108,6 +147,22 @@ def main():
         if bad_types:
             print(f"FAIL {name}: oracle emits int128 columns {bad_types}; "
                   f"CAST them to BIGINT in the oracle SQL")
+            nfail += 1
+            continue
+        # Driver-hash hazard #2 (round-7 q73): any oracle column whose
+        # numeric *category* differs from the Spark parquet column can
+        # canonicalize differently under the driver's DuckDB version even
+        # when every value is equal here. Compare categories by name.
+        exp_types = {c: type_category(t) for c, t in zip(exp.columns, exp.types)}
+        got_types = {c: type_category(t) for c, t in zip(got.columns, got.types)}
+        type_mismatch = [(c, got_types[c], exp_types[c]) for c in exp_cols
+                         if got_types.get(c) != exp_types.get(c)]
+        if type_mismatch:
+            for c, g, e in type_mismatch:
+                print(f"FAIL {name}: column '{c}' type category differs "
+                      f"spark={g} oracle={e}; make both sides the identical "
+                      f"type (explicit CAST) so driver DuckDB-version skew "
+                      f"cannot change the canonical hash")
             nfail += 1
             continue
         if len(got_rows) != len(exp_rows):

@@ -151,13 +151,35 @@ object Similarity {
     * memoized per (session, key) — the declared e06 query measures PROBING,
     * the production-relevant cost; at 100 TB the build is an offline job
     * that materializes the indexed table partitioned by list_id. */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Array[Array[Double]])]
+  private val sessionIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]
+  private def sessionId(s: org.apache.spark.sql.SparkSession): String =
+    sessionIds.synchronized {
+      val hit = sessionIds.get(s)
+      if (hit != null) hit
+      else { val id = java.util.UUID.randomUUID().toString; sessionIds.put(s, id); id }
+    }
+
+  private val ivfCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (DataFrame, Array[Array[Double]])](16, 0.75f, true) {
+      // bounded LRU: a long-lived JVM hosting many sessions must not
+      // accumulate one cached index per (session, key) forever
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (DataFrame, Array[Array[Double]])]): Boolean =
+        size() > 32
+    })
   def ivfIndexCached(df: DataFrame, idCol: String, vecCol: String,
-                     nLists: Int, key: String): (DataFrame, Array[Array[Double]]) =
-    ivfCache.computeIfAbsent(
-      s"${System.identityHashCode(df.sparkSession)}:$key:$nLists",
-      _ => ivfIndex(df, idCol, vecCol, nLists))
+                     nLists: Int, key: String): (DataFrame, Array[Array[Double]]) = {
+    // reference-keyed session ids: identityHashCode (used before round 8)
+    // can collide across sessions in one JVM; a weak map keyed on the
+    // session OBJECT cannot, and lets dead sessions' ids be collected
+    val cacheKey = s"${sessionId(df.sparkSession)}:$key:$nLists"
+    ivfCache.synchronized {
+      val hit = ivfCache.get(cacheKey)
+      if (hit != null) hit
+      else { val v = ivfIndex(df, idCol, vecCol, nLists); ivfCache.put(cacheKey, v); v }
+    }
+  }
 
   /** IVF search: probe the `nProbe` lists whose centroids are closest to
     * the query (picked driver-side — centroids are tiny), then exact

@@ -45,6 +45,11 @@ object SketchIndex {
     pr
   }
 
+  /** The one column an existing sidecar sketches (for caller mismatch
+    * checks — a sidecar is single-column by construction). */
+  def sketchedColumn(spark: SparkSession, ixPath: String): String =
+    props(spark, ixPath).getProperty("col")
+
   private def writeProps(spark: SparkSession, ixPath: String, src: String,
                          col: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()

@@ -102,7 +102,7 @@ object Arrays {
         .orderBy("r_regionkey")
     }, Some("""
       SELECT r_regionkey,
-             to_json({'key': r_regionkey, 'name': r_name}) AS info,
+             CAST(to_json({'key': r_regionkey, 'name': r_name}) AS VARCHAR) AS info,
              r_name AS extracted
       FROM region
       ORDER BY r_regionkey"""))

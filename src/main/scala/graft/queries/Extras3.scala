@@ -104,6 +104,29 @@ object Extras3 {
              countDistinct(col("c_nationkey")).as("n_nations"))
     }, None),
 
+    // --- reservoir-by-count sampling, PORTABLE twin (SURVEY §2.2
+    //     `USING SAMPLE reservoir(n ROWS)`): a uniform n-row draw spelled
+    //     as bottom-n by a keyed hash — deterministic on both engines
+    //     (md5 hex is engine-identical), so it hash-oracles, unlike an
+    //     RNG reservoir. 100 TB shape: ORDER BY hash LIMIT n plans as
+    //     TakeOrderedAndProject — each partition keeps its local bottom-n
+    //     (O(n) heap memory), the driver merges k·n rows; no global sort,
+    //     no shuffle of the corpus. o_orderkey breaks (impossible) md5
+    //     ties so the emitted order is total. ----------------------------
+    QDef("q67b_sample_reservoir", (s, dir) => {
+      val t = Tables.register(s, dir)
+      t("orders")
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+        .limit(50)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                col("o_totalprice").cast("double").as("o_totalprice"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+      LIMIT 50""")),
+
     // --- exact DESCRIBE twin: count/mean/std/min/max from decimal power
     //     sums (the oracle-checkable complement of rows-only q60) ----------
     QDef("q60b_describe_exact", (s, dir) => {
@@ -235,12 +258,12 @@ object Extras3 {
       Tables.register(s, dir)
       s.sql("""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
         FROM orders GROUP BY ALL
         ORDER BY o_orderstatus, o_orderpriority""")
     }, Some("""
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-             ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 6) AS total
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM orders GROUP BY ALL
       ORDER BY o_orderstatus, o_orderpriority""")),
 

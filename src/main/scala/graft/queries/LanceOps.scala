@@ -86,7 +86,7 @@ object LanceOps {
       s.read.format("lance").load("/root/reference/test/test_data.lance")
         .filter(col("age") > 20).orderBy("id")
     }, Some("""
-      SELECT * FROM (VALUES
+      SELECT id, name, age, CAST(score AS DOUBLE) AS score FROM (VALUES
         (1, 'Alice', 25, 85.5),
         (2, 'Bob', 30, 92.0),
         (3, 'Charlie', 35, 78.5),

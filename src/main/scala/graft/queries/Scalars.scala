@@ -268,6 +268,103 @@ object Scalars {
       FROM events WHERE event_id < 500
       ORDER BY event_id""")),
 
+    // --- JSON breadth: validity / keys / array length / typed transform ---
+    // (SURVEY §2.2 json row — DuckDB's autoloaded json extension surface:
+    // json_valid, json_keys, json_array_length, json_transform). Inputs
+    // are synthesized deterministically from `props` so all three JSON
+    // shapes (object, array, invalid) are exercised; every derived column
+    // is guarded by the SAME validity+shape CASE on both engines.
+    // Validity twin: Spark's get_json_object/try_parse_json are LENIENT
+    // about trailing garbage ('"k": 69}' parses as the string "k"), so
+    // is_valid is spelled as valid-object-or-valid-array —
+    // json_object_keys / json_array_length return NULL unless the whole
+    // doc is a well-formed object / array, matching DuckDB's json_valid
+    // on this query's doc shapes (object, array, garbage).
+    // json_transform(doc,'{"k":"INTEGER"}').k ≡ from_json(doc,'k INT').k.
+    QDef("q79_json_breadth", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""
+        WITH base AS (
+          SELECT event_id,
+                 CAST(get_json_object(props, '$.k') AS INT) AS k, props
+          FROM events WHERE event_id < 400
+        ), j AS (
+          SELECT event_id, k,
+                 CASE CAST(event_id % 4 AS INT)
+                   WHEN 0 THEN props
+                   WHEN 1 THEN concat('{"a":', CAST(k AS STRING),
+                                      ',"b":[1,2,', CAST(k AS STRING), ']}')
+                   WHEN 2 THEN concat('[', CAST(k AS STRING), ',',
+                                      CAST(k + 1 AS STRING), ',',
+                                      CAST(k + 2 AS STRING), ']')
+                   ELSE substr(props, 2)
+                 END AS doc
+          FROM base
+        )
+        SELECT event_id,
+               (json_object_keys(doc) IS NOT NULL
+                OR json_array_length(doc) IS NOT NULL) AS is_valid,
+               array_join(json_object_keys(doc), ',') AS keys,
+               CAST(json_array_length(doc) AS BIGINT) AS alen,
+               CASE WHEN json_object_keys(doc) IS NOT NULL
+                    THEN from_json(doc, 'k INT').k END AS k_typed
+        FROM j ORDER BY event_id""")
+    }, Some("""
+      WITH base AS (
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k, props
+        FROM events WHERE event_id < 400
+      ), j AS (
+        SELECT event_id, k,
+               CASE CAST(event_id % 4 AS INT)
+                 WHEN 0 THEN props
+                 WHEN 1 THEN concat('{"a":', CAST(k AS VARCHAR),
+                                    ',"b":[1,2,', CAST(k AS VARCHAR), ']}')
+                 WHEN 2 THEN concat('[', CAST(k AS VARCHAR), ',',
+                                    CAST(k + 1 AS VARCHAR), ',',
+                                    CAST(k + 2 AS VARCHAR), ']')
+                 ELSE substr(props, 2)
+               END AS doc
+        FROM base
+      )
+      SELECT event_id,
+             (json_valid(doc) AND (doc LIKE '{%' OR doc LIKE '[%')) AS is_valid,
+             CASE WHEN json_valid(doc) AND doc LIKE '{%'
+                  THEN array_to_string(json_keys(doc), ',') END AS keys,
+             CASE WHEN json_valid(doc) AND doc LIKE '[%'
+                  THEN CAST(json_array_length(doc) AS BIGINT) END AS alen,
+             CASE WHEN json_valid(doc) AND doc LIKE '{%'
+                  THEN (json_transform(doc, '{"k":"INTEGER"}')).k END AS k_typed
+      FROM j ORDER BY event_id""")),
+
+    // --- GLOB / SIMILAR TO (SURVEY §2.2 predicates row) -------------------
+    // full-string semantics, rewritten to anchored codegen rlike by
+    // [[graft.functions.StringPredicates]] (see its scaladoc for the
+    // DuckDB-verified semantics: SIMILAR TO is a plain full-match regex,
+    // GLOB is a shell glob with * ? [..] [!..])
+    QDef("q80_glob_similar", (s, dir) => {
+      import graft.functions.StringPredicates.{glob, similarTo}
+      val t = Tables.register(s, dir)
+      t("part").filter(col("p_partkey") < 400)
+        .select(col("p_partkey"), col("p_name"),
+          glob(col("p_name"), "*red*").as("glob_hit"),
+          glob(col("p_name"), "r?d*").as("glob_q"),
+          glob(col("p_name"), "[rb]*wid*").as("glob_cls"),
+          glob(col("p_name"), "[!a-m]*").as("glob_neg"),
+          similarTo(col("p_name"), "(red|blue).*").as("sim_alt"),
+          similarTo(col("p_name"), "[a-z]+ [a-z]+").as("sim_two"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, p_name,
+             p_name GLOB '*red*' AS glob_hit,
+             p_name GLOB 'r?d*' AS glob_q,
+             p_name GLOB '[rb]*wid*' AS glob_cls,
+             p_name GLOB '[!a-m]*' AS glob_neg,
+             p_name SIMILAR TO '(red|blue).*' AS sim_alt,
+             p_name SIMILAR TO '[a-z]+ [a-z]+' AS sim_two
+      FROM part WHERE p_partkey < 400
+      ORDER BY p_partkey""")),
+
     // --- string similarity: levenshtein / char-set jaccard / hamming -------
     // jaccard + hamming are spelled out identically on both engines (set
     // algebra over split characters) rather than trusting builtin

@@ -245,8 +245,17 @@ private[lance] object LanceProcedures {
         val ds = path(in); val ix = resolve(warehouse, in.getString(2))
         val conf = spark.sessionState.newHadoopConf()
         val (fs, ip) = LanceFormat.fileSystem(s"$ix/_sketch.props", conf)
-        if (fs.exists(ip)) graft.operators.SketchIndex.refresh(spark, ix)
-        else graft.operators.SketchIndex.build(spark, ds, in.getString(1), ix)
+        if (fs.exists(ip)) {
+          // an existing sidecar sketches exactly one column; calling ndv
+          // with a different one must not silently return the old
+          // column's estimate (round-7 ADVICE)
+          val stored = graft.operators.SketchIndex.sketchedColumn(spark, ix)
+          require(stored == in.getString(1),
+            s"lance ndv: sketch index at '$ix' was built for column " +
+            s"'$stored', not '${in.getString(1)}' — use a different ix " +
+            s"path or drop the sidecar to rebuild")
+          graft.operators.SketchIndex.refresh(spark, ix)
+        } else graft.operators.SketchIndex.build(spark, ds, in.getString(1), ix)
         Array(row(graft.operators.SketchIndex.ndv(spark, ds, ix,
           allowDeletes = !in.isNullAt(3) && in.getBoolean(3))))
       })

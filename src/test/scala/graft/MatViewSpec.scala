@@ -23,13 +23,15 @@ class MatViewSpec extends AnyFunSuite {
     df.repartition(3).write.format("lance")
       .option("stableRowIds", "true").mode("overwrite").save(path)
 
-  /** Full recompute with the same exact interiors the MV uses. */
+  /** Full recompute with the same exact interiors the MV uses
+    * (including the per-sum non-null count `cntnn_<c>`). */
   private def recompute(src: String): DataFrame =
     spark.read.format("lance").load(src)
       .groupBy("grp")
       .agg(count(lit(1)).as("cnt"),
         coalesce(sum(col("amt").cast("decimal(38,6)")),
-          lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"))
+          lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"),
+        count(col("amt")).as("cntnn_amt"))
 
   private def sorted(df: DataFrame): Seq[String] =
     df.orderBy("grp").collect().map(_.mkString("|")).toSeq
@@ -120,6 +122,7 @@ class MatViewSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("cnt"),
           coalesce(sum(col("amt").cast("decimal(38,6)")),
             lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"),
+          count(col("amt")).as("cntnn_amt"),
           min("amt").as("min_amt"), max("amt").as("max_amt"))
         .orderBy("grp").collect().map(_.mkString("|")).toSeq
     def mvRows(): Seq[String] = MatView.read(spark, mv)
@@ -160,7 +163,8 @@ class MatViewSpec extends AnyFunSuite {
       f.join(d, f("ck") === d("dk")).groupBy("seg")
         .agg(count(lit(1)).as("cnt"),
           coalesce(sum(col("amt").cast("decimal(38,6)")),
-            lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"))
+            lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"),
+          count(col("amt")).as("cntnn_amt"))
         .orderBy("seg").collect().map(_.mkString("|")).toSeq
     }
     def mvRows(): Seq[String] = MatView.read(spark, mv)
@@ -205,7 +209,8 @@ class MatViewSpec extends AnyFunSuite {
         .groupBy("cname")
         .agg(count(lit(1)).as("cnt"),
           coalesce(sum(col("amt").cast("decimal(38,6)")),
-            lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"))
+            lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_amt"),
+          count(col("amt")).as("cntnn_amt"))
         .orderBy("cname").collect().map(_.mkString("|")).toSeq
     }
     def mvRows(): Seq[String] = MatView.read(spark, mv)

@@ -181,7 +181,8 @@ class StreamingSpec extends AnyFunSuite {
     val expect = landed.groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
         coalesce(sum(col("value").cast("decimal(38,6)")),
-          lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_value"))
+          lit(BigDecimal(0)).cast("decimal(38,6)")).as("sum_value"),
+        count(col("value")).as("cntnn_value"))
       .orderBy("event_type").collect().map(_.mkString("|")).toSeq
     val got = graft.operators.MatView.read(spark, mvDir)
       .orderBy("event_type").collect().map(_.mkString("|")).toSeq
