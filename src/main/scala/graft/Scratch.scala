@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only scratch profiler for the matview lifecycle (delete before
+  * round end if it stops being useful). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.lance", "graft.sources.lance.LanceCatalog")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables.register(spark, dir)
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    (1 to 2).foreach { pass =>
+      println(s"--- pass $pass ---")
+      val workDir = java.nio.file.Files.createTempDirectory("scratch-mv").toString
+      val ds = s"$workDir/orders_mv_src.lance"
+      val mv = s"$workDir/orders_mv.lance"
+      val ord = t("orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+      time("write source") {
+        ord.filter(col("o_orderkey") % 3 =!= 0)
+          .write.format("lance").option("stableRowIds", "true")
+          .mode("overwrite").save(ds)
+      }
+      time("create") {
+        graft.operators.MatView.create(spark, ds, mv,
+          Seq("o_orderpriority"), Seq("o_totalprice"))
+      }
+      time("deleteWhere") {
+        graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds,
+          "o_totalprice > 400000")
+      }
+      time("append") {
+        ord.filter(col("o_orderkey") % 3 === 0)
+          .write.format("lance").mode("append").save(ds)
+      }
+      time("refresh") {
+        graft.operators.MatView.refresh(spark, mv)
+      }
+      time("read+noop") {
+        graft.operators.MatView.read(spark, mv)
+          .select(col("o_orderpriority"), col("cnt"),
+            col("sum_o_totalprice").cast("double").as("total"))
+          .orderBy("o_orderpriority")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -204,6 +204,15 @@ object MatView {
 
   /** Advance the view to the source's head via the change feed; returns
     * the source version the view now reflects. Work ∝ |change set|. */
+  // dev-only phase timing (GRAFT_MV_TIMING=1)
+  private def mvTime[A](label: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_MV_TIMING")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[mv] $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
   def refresh(spark: SparkSession, mvPath: String): Long = {
     val (spec, mvHead) = loadSpec(spark, mvPath)
     val conf = spark.sessionState.newHadoopConf()
@@ -249,10 +258,18 @@ object MatView {
     // min/max view recompute from the source (semi-join pruned); pure
     // count/sum views stay fully delta-arithmetic
     val needRecompute = spec.minMax.nonEmpty
-    val delta = if (needRecompute) delta0.filter(col("_hasDel") === 0) else delta0
+    // the per-group delta appears repeatedly downstream (under the
+    // broadcast semi-prune, as the outer-join probe side, and as
+    // touchedKeys in recompute mode) — persist it so the change feed is
+    // evaluated once: the broadcast subjob fills the cache, every later
+    // stage reads it
+    val deltaCached = delta0.persist()
+    val delta =
+      if (needRecompute) deltaCached.filter(col("_hasDel") === 0)
+      else deltaCached
     val touchedKeys =
       if (needRecompute)
-        delta0.filter(col("_hasDel") === 1).select(spec.keys.map(col): _*)
+        deltaCached.filter(col("_hasDel") === 1).select(spec.keys.map(col): _*)
       else null
 
     val cur = spark.read.format("lance").load(mvPath)
@@ -305,25 +322,65 @@ object MatView {
          incZeros.unionByName(vanished))
       }
     try {
-      // NULL-key guard on the PERSISTED delta (a post-create append could
-      // introduce null keys, which would silently miss the equi-merge) —
-      // cache-hit cost, no extra change-feed evaluation
-      requireKeysNonNull(upserts.select(spec.keys.map(col): _*), spec.keys,
-        s"change feed of ${spec.src}")
-      // a merged count below zero means the change feed is inconsistent
-      // with the stored view (out-of-band source edit, double-applied
-      // delta): such a group matches neither the upsert nor the zero
-      // branch, so without this probe the stale row would silently
-      // survive — fail loudly instead (round-7 ADVICE)
-      require(resolved.filter(col("_newCnt") < 0).limit(1).isEmpty,
-        s"matview $mvPath: merged group count went negative — the change " +
-          "feed is inconsistent with the stored view (source modified " +
-          "outside lance-tracked commits?); re-create the view")
-      val committed = LanceMaintenance.upsertWithDeletes(
-        spark, mvPath, upserts, spec.keys, zeros)
-      writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)
+      val keyNull = spec.keys.map(col(_).isNull).reduce(_ || _)
+      if (!needRecompute) {
+        // ONE action materializes the delta cache AND answers every
+        // guard + both branch sizes (pure-delta mode: upserts/zeros are
+        // filters of `resolved`, so its stats cover them exactly):
+        //  - NULL group key (would silently miss the equi-merge)
+        //  - negative merged count (inconsistent feed — such a group
+        //    matches neither branch and would silently survive;
+        //    round-7 ADVICE)
+        val st = mvTime("stats-probe") {
+          resolved.select(
+            sum(when(keyNull, 1L).otherwise(0L)).as("nulls"),
+            sum(when(col("_newCnt") < 0, 1L).otherwise(0L)).as("neg"),
+            sum(when(col("_newCnt") > 0, 1L).otherwise(0L)).as("ups"),
+            sum(when(col("_newCnt") === 0, 1L).otherwise(0L)).as("zeros")
+          ).head()
+        }
+        def n(i: Int) = if (st.isNullAt(i)) 0L else st.getLong(i)
+        require(n(0) == 0,
+          s"matview: NULL group key in change feed of ${spec.src} — keys " +
+            "must be non-null (NULL keys don't equi-join during " +
+            "incremental merge)")
+        require(n(1) == 0,
+          s"matview $mvPath: merged group count went negative — the " +
+            "change feed is inconsistent with the stored view (source " +
+            "modified outside lance-tracked commits?); re-create the view")
+        if (n(2) == 0 && n(3) == 0) {
+          // empty effective delta (e.g. compaction-only interval): no
+          // data commit — just advance the recorded source version
+          writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), mvHead)
+          return srcHead
+        }
+        val committed = mvTime("upsertWithDeletes") {
+          LanceMaintenance.upsertWithDeletes(
+            spark, mvPath, upserts, spec.keys, zeros,
+            srcEmptyHint = Some(n(2) == 0))
+        }
+        writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)
+      } else {
+        // recompute mode: `upserts` includes recomputed groups that are
+        // NOT rows of `resolved`, so the guards run on the union
+        mvTime("nullkey-probe") {
+          requireKeysNonNull(upserts.select(spec.keys.map(col): _*),
+            spec.keys, s"change feed of ${spec.src}")
+        }
+        require(mvTime("neg-probe")(
+            resolved.filter(col("_newCnt") < 0).limit(1).isEmpty),
+          s"matview $mvPath: merged group count went negative — the " +
+            "change feed is inconsistent with the stored view (source " +
+            "modified outside lance-tracked commits?); re-create the view")
+        val committed = mvTime("upsertWithDeletes") {
+          LanceMaintenance.upsertWithDeletes(
+            spark, mvPath, upserts, spec.keys, zeros)
+        }
+        writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)
+      }
     } finally {
       resolved.unpersist(false)
+      deltaCached.unpersist(false)
       recomputedCache.foreach(_.unpersist(false))
     }
     srcHead

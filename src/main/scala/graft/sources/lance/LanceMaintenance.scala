@@ -527,7 +527,8 @@ object LanceMaintenance {
   def upsertWithDeletes(spark: SparkSession, path: String,
                         source: org.apache.spark.sql.DataFrame,
                         keys: Seq[String],
-                        deleteKeys: org.apache.spark.sql.DataFrame): Long = {
+                        deleteKeys: org.apache.spark.sql.DataFrame,
+                        srcEmptyHint: Option[Boolean] = None): Long = {
     require(keys.nonEmpty, "upsertWithDeletes needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
@@ -549,7 +550,9 @@ object LanceMaintenance {
       .unionByName(deleteKeys.select(keyCols: _*)).distinct()
     val matched = target.join(allKeys, keys, "left_semi")
     val delMetas = writeDeletionFiles(spark, path, manifest, matched)
-    if (src.isEmpty) {
+    // a caller that already counted its delta (MatView's stats probe)
+    // passes the emptiness verdict and saves the extra isEmpty action
+    if (srcEmptyHint.getOrElse(src.isEmpty)) {
       // deletion-only commit: patch bitmaps onto the head, no staging
       if (delMetas.isEmpty) return manifest.version
       commitDeletionLoop(conf, p, path, manifest, delMetas)
@@ -797,16 +800,123 @@ object LanceMaintenance {
         "fromVersion append-only scan instead")
     def at(v: Long) = spark.read.format("lance")
       .option("versionAsOf", v.toString).load(path)
-    def idsAt(v: Long) = at(v).select(col("_rowid"))
-    val inserted = at(toVersion)
+    changesFast(spark, path, fromVersion, toVersion, conf).getOrElse {
+      // GENERAL path (compaction / restore intervals): row identity via
+      // two `_rowid` anti-joins — correct for any history, but work ∝
+      // corpus (both endpoint versions are scanned)
+      def idsAt(v: Long) = at(v).select(col("_rowid"))
+      val inserted = at(toVersion)
+        .withColumn("_rowid", col("_rowid"))
+        .join(idsAt(fromVersion), Seq("_rowid"), "left_anti")
+        .withColumn("_change", lit("insert"))
+      val deleted = at(fromVersion)
+        .withColumn("_rowid", col("_rowid"))
+        .join(idsAt(toVersion), Seq("_rowid"), "left_anti")
+        .withColumn("_change", lit("delete"))
+      inserted.unionByName(deleted, allowMissingColumns = true)
+    }
+  }
+
+  /** Manifest-diff change feed (fast path): when the [from,to] interval is
+    * append/delete-only — no fragment disappeared (compaction) and no
+    * deletion vector shrank (restore) — the change set is EXACTLY:
+    *
+    *  - inserts: the live rows of fragments added in the interval, read
+    *    through an `addrRanges` whole-fragment cover (fragment pruning —
+    *    only new fragments are opened);
+    *  - deletes: per common fragment, the deletion-vector DIFF (head −
+    *    base), fetched from the BASE version via an interval-covered
+    *    addr scan + exact membership (≤100k addrs: sorted-array kernel;
+    *    above: a join against the addr set, still fragment-pruned).
+    *
+    * Work is ∝ |change set| (the dv diff is driver-side bitmap algebra on
+    * manifests already in hand), NOT ∝ corpus — at 100 TB with 0.1%
+    * churn the anti-join path reads 200 TB to find the 0.1%; this path
+    * reads the 0.1%. Returns None when the interval's history makes the
+    * diff unsound (then the anti-join path decides row identity).
+    */
+  private def changesFast(spark: SparkSession, path: String,
+                          fromVersion: Long, toVersion: Long,
+                          conf: Configuration)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val baseM = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, Some(fromVersion)))
+    val headM = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, Some(toVersion)))
+    val baseById = baseM.fragments.map(f => f.id -> f).toMap
+    if (!baseM.fragments.forall(f => headM.fragments.exists(_.id == f.id)))
+      return None // a fragment disappeared: compaction/rewrite interval
+    val newFrags = headM.fragments
+      .filterNot(f => baseById.contains(f.id)).filter(_.physicalRows > 0)
+
+    // dv diff per changed common fragment; bail out on any shrink
+    val delAddrs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val delDir = new org.apache.hadoop.fs.Path(p, "_deletions")
+    def bits(fid: Long, d: Option[LanceFormat.DeletionFileMeta]): java.util.BitSet =
+      d.map(m => DeletionFiles.read(
+        new org.apache.hadoop.fs.Path(delDir, m.fileName(fid)).toString, conf))
+        .getOrElse(new java.util.BitSet)
+    for (hf <- headM.fragments if baseById.contains(hf.id)) {
+      val bf = baseById(hf.id)
+      if (hf.deletion != bf.deletion) {
+        val hs = bits(hf.id, hf.deletion)
+        val bs = bits(bf.id, bf.deletion)
+        val lost = bs.clone.asInstanceOf[java.util.BitSet]
+        lost.andNot(hs)
+        if (!lost.isEmpty) return None // a delete was undone: restore
+        val fresh = hs.clone.asInstanceOf[java.util.BitSet]
+        fresh.andNot(bs)
+        var i = fresh.nextSetBit(0)
+        while (i >= 0) {
+          delAddrs += (hf.id << 32) | i.toLong
+          i = fresh.nextSetBit(i + 1)
+        }
+      }
+    }
+
+    def at(v: Long) = spark.read.format("lance")
+      .option("versionAsOf", v.toString).load(path)
+    def emptyLike = at(toVersion)
       .withColumn("_rowid", col("_rowid"))
-      .join(idsAt(fromVersion), Seq("_rowid"), "left_anti")
-      .withColumn("_change", lit("insert"))
-    val deleted = at(fromVersion)
-      .withColumn("_rowid", col("_rowid"))
-      .join(idsAt(toVersion), Seq("_rowid"), "left_anti")
-      .withColumn("_change", lit("delete"))
-    inserted.unionByName(deleted, allowMissingColumns = true)
+      .withColumn("_change", lit("insert")).limit(0)
+
+    val inserted =
+      if (newFrags.isEmpty) emptyLike
+      else {
+        val cover = newFrags.map(f =>
+          s"${f.id << 32}:${(f.id << 32) | (f.physicalRows - 1)}").mkString(",")
+        spark.read.format("lance")
+          .option("versionAsOf", toVersion.toString)
+          .option("addrRanges", cover).load(path)
+          .withColumn("_rowid", col("_rowid"))
+          .withColumn("_change", lit("insert"))
+      }
+    val deleted =
+      if (delAddrs.isEmpty) emptyLike.withColumn("_change", lit("delete")).limit(0)
+      else {
+        val addrs = delAddrs.toArray.sorted
+        val cover = graft.operators.ScalarIndex.intervalCover(addrs, 256)
+          .map { case (lo, hi) => s"$lo:$hi" }.mkString(",")
+        val pruned = spark.read.format("lance")
+          .option("versionAsOf", fromVersion.toString)
+          .option("addrRanges", cover).load(path)
+        val exact =
+          if (addrs.length <= 100000)
+            pruned.filter(graft.functions.ArrayKernels
+              .longInSortedArray(col("_rowaddr"), addrs))
+          else {
+            import spark.implicits._
+            val addrDf = spark.createDataset(addrs.toIndexedSeq)
+              .toDF("_del_addr")
+            pruned.join(addrDf,
+              pruned.col("_rowaddr") === col("_del_addr"), "left_semi")
+          }
+        exact.withColumn("_rowid", col("_rowid"))
+          .withColumn("_change", lit("delete"))
+      }
+    Some(inserted.unionByName(deleted, allowMissingColumns = true))
   }
 
   // ---- vacuum ------------------------------------------------------------
