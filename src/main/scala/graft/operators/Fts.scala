@@ -410,22 +410,32 @@ object Fts {
       "searchBoolean needs at least one scoring (must/should) term")
     val (nDocs, totalLen) =
       statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    val avgdl = totalLen.toDouble / nDocs
+    val scoring = (must ++ should).distinct
+    val allTerms = (scoring ++ mustNot).distinct
     val p  = spark.read.format("lance").load(s"$indexPath/postings.lance")
     val df = spark.read.format("lance").load(s"$indexPath/terms.lance")
-    var scored = bm25Scores(p, df, nDocs, totalLen, (must ++ should).distinct)
-    if (must.nonEmpty) {
-      val mustOk = p.filter(col("term").isin(must.distinct: _*))
-        .groupBy("doc_id").agg(countDistinct(col("term")).as("nm"))
-        .filter(col("nm") === must.distinct.size)
-        .select("doc_id")
-      scored = scored.join(mustOk, Seq("doc_id"), "left_semi")
-    }
-    if (mustNot.nonEmpty) {
-      val bad = p.filter(col("term").isin(mustNot.distinct: _*))
-        .select("doc_id").distinct()
-      scored = scored.join(bad, Seq("doc_id"), "left_anti")
-    }
-    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    // ONE postings scan (the full clause IN-list still prunes by term zone
+    // maps) and ONE per-doc aggregate answer all three clause kinds:
+    // postings are unique per (doc, term), so must-coverage is a plain
+    // conditional count — no countDistinct, no semi/anti joins (the r7
+    // shape re-read the postings once per clause)
+    val isScoring = col("term").isin(scoring: _*)
+    val isMust    = col("term").isin(must.distinct: _*)
+    val isBad     = col("term").isin(mustNot.distinct: _*)
+    p.filter(col("term").isin(allTerms: _*))
+      .join(broadcast(df.filter(col("term").isin(scoring: _*))),
+            Seq("term"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        round(sum(when(isScoring, contribMicro(nDocs, avgdl)).otherwise(0L))
+          / lit(1e6), 6).as("score"),
+        sum(when(isMust, 1).otherwise(0)).as("_nm"),
+        max(when(isBad, 1).otherwise(0)).as("_bad"))
+      .filter(col("_nm") === must.distinct.size && col("_bad") === 0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
   /** Phrase search over the PERSISTED index (tantivy phrase-query parity):

@@ -35,13 +35,15 @@ import org.apache.spark.sql.types._
   *    during the merge, which would duplicate groups.
   *
   * 100 TB shape: refresh work is proportional to the CHANGE SET, not the
-  * corpus — the change feed is two metadata-only `_rowid` anti-joins plus
-  * row fetches for changed rows only; the delta aggregate shuffles only
-  * changed rows; the merge broadcast-semi-prunes the view to affected
-  * groups before a delta-sized outer join; the upsert commit stages only
-  * affected groups and patches deletion bitmaps executor-side. A view
-  * over 100 TB with a 0.1% daily churn refreshes with ~0.1%-of-corpus
-  * I/O.
+  * corpus — for append/delete-only intervals the change feed is a
+  * manifest diff (new fragments scanned whole, deletion-vector diffs
+  * fetched by address; see [[LanceMaintenance.changesBetween]]), falling
+  * back to `_rowid` anti-joins only across compaction/restore; the delta
+  * aggregate shuffles only changed rows; the merge broadcast-semi-prunes
+  * the view to affected groups before a delta-sized outer join; the
+  * upsert commit stages only affected groups and patches deletion
+  * bitmaps executor-side. A view over 100 TB with a 0.1% daily churn
+  * refreshes with ~0.1%-of-corpus I/O.
   *
   * Refresh metadata (source path, keys, sum columns, last refreshed
   * source version) lives in `_matview/<mvVersion>.props`, keyed by the

@@ -259,6 +259,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"batched-ANN recall $recall")
   }
 
+  test("persisted IVF probe prunes vectors.lance fragments by list_id stats") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_prune").toString
+    Similarity.ivfBuildPersist(emb.filter(col("vec_id") > 0), "vec_id",
+      "embedding", nLists = 16, indexPath = dir)
+    val vecs = s"$dir/vectors.lance"
+    val schema = spark.read.format("lance").load(vecs).schema
+    def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val b = new graft.sources.lance.LanceScanBuilder(vecs, schema, None)
+      b.pushFilters(filters)
+      b.build().asInstanceOf[graft.sources.lance.LanceScan]
+        .planInputPartitions().length
+    }
+    val total = planned(Array.empty)
+    assert(total >= 4, s"range-partitioned index should have >=4 fragments, got $total")
+    // an nProbe=2 probe (the e06 shape: list_id IN (...)) must open only
+    // the fragments whose [min,max] list ranges cover the probed lists —
+    // the manifest-stat pruning the 100 TB probe cost story rests on
+    val probed = planned(Array(
+      org.apache.spark.sql.sources.In("list_id", Array(0, 1))))
+    assert(probed < total,
+      s"probe planned $probed of $total fragments — list_id stats did not prune")
+    assert(probed <= math.max(1, total / 2),
+      s"probe planned $probed of $total fragments — pruning too weak")
+  }
+
   test("delete-aware IVF probe masks rows deleted from the source after build") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
