@@ -15,6 +15,17 @@ import org.apache.spark.sql.SparkSession
   */
 object LanceMaintenance {
 
+  /** Small daemon pool for overlapping a maintenance commit's two
+    * independent Spark jobs (deletion-vector write vs replacement
+    * staging) — Spark's scheduler is thread-safe, and both jobs are
+    * delta-sized, so the overlap halves the serialized wall time. */
+  private val maintenanceEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "lance-maintenance")
+      t.setDaemon(true)
+      t
+    }))
+
   /** Rewrite the dataset into `targetFragments` fragments; returns the new
     * version number. Live data is unchanged (deleted rows are materialized
     * away — the masked read drops them, so compaction doubles as delete
@@ -506,8 +517,9 @@ object LanceMaintenance {
     // manifest commit, so ordering is free)
     val keyCols = keys.map(org.apache.spark.sql.functions.col)
     val matched = target.join(src.select(keyCols: _*).distinct(), keys, "left_semi")
-    val delMetas = writeDeletionFiles(spark, path, manifest, matched)
-    commitReplacement(spark, path, manifest, delMetas, src, tgtFields)
+    val delF = scala.concurrent.Future(
+      writeDeletionFiles(spark, path, manifest, matched))(maintenanceEc)
+    commitReplacement(spark, path, manifest, delF, src, tgtFields)
   }
 
   /** One committed version that (a) replaces every target row whose key
@@ -549,15 +561,19 @@ object LanceMaintenance {
     val allKeys = src.select(keyCols: _*)
       .unionByName(deleteKeys.select(keyCols: _*)).distinct()
     val matched = target.join(allKeys, keys, "left_semi")
-    val delMetas = writeDeletionFiles(spark, path, manifest, matched)
+    val delF = scala.concurrent.Future(
+      writeDeletionFiles(spark, path, manifest, matched))(maintenanceEc)
     // a caller that already counted its delta (MatView's stats probe)
-    // passes the emptiness verdict and saves the extra isEmpty action
+    // passes the emptiness verdict and saves the extra isEmpty action;
+    // the emptiness probe (when needed) overlaps the deletion-vector job
     if (srcEmptyHint.getOrElse(src.isEmpty)) {
       // deletion-only commit: patch bitmaps onto the head, no staging
+      val delMetas = scala.concurrent.Await.result(
+        delF, scala.concurrent.duration.Duration.Inf)
       if (delMetas.isEmpty) return manifest.version
       commitDeletionLoop(conf, p, path, manifest, delMetas)
     } else {
-      commitReplacement(spark, path, manifest, delMetas, src, tgtFields)
+      commitReplacement(spark, path, manifest, delF, src, tgtFields)
     }
   }
 
@@ -619,7 +635,8 @@ object LanceMaintenance {
       df.withColumn(c, org.apache.spark.sql.functions.expr(e)
         .cast(tgtFields.find(_.name == c).get.dataType))
     }.select(tgtFields.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
-    commitReplacement(spark, path, manifest, delMetas, updated, tgtFields)
+    commitReplacement(spark, path, manifest,
+      scala.concurrent.Future.successful(delMetas), updated, tgtFields)
   }
 
   /** Shared upsert commit: stage `src` as fragment files, patch the
@@ -627,7 +644,7 @@ object LanceMaintenance {
     * write ONE manifest containing both. */
   private def commitReplacement(spark: SparkSession, path: String,
                                 manifest: LanceFormat.Manifest,
-                                delMetas: Map[Long, LanceFormat.DeletionFileMeta],
+                                delMetasF: scala.concurrent.Future[Map[Long, LanceFormat.DeletionFileMeta]],
                                 src: org.apache.spark.sql.DataFrame,
                                 tgtFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
     val conf = spark.sessionState.newHadoopConf()
@@ -644,6 +661,11 @@ object LanceMaintenance {
         wr = wr.option("fixedSizeList",
           fsl.map { case (n, d) => s"$n:$d" }.mkString(","))
       wr.save(stagingDs)
+      // the deletion-vector job (started by the caller) ran CONCURRENTLY
+      // with the staging write — both are delta-sized and independent;
+      // join it here, before anything references its output
+      val delMetas = scala.concurrent.Await.result(
+        delMetasF, scala.concurrent.duration.Duration.Inf)
       val (sfs, sp) = LanceFormat.fileSystem(stagingDs, conf)
       val staged = LanceFormat.readManifest(sfs,
         LanceFormat.latestManifestPath(sfs, sp, None))
