@@ -359,7 +359,12 @@ object MatView {
         val committed = mvTime("upsertWithDeletes") {
           LanceMaintenance.upsertWithDeletes(
             spark, mvPath, upserts, spec.keys, zeros,
-            srcEmptyHint = Some(n(2) == 0))
+            srcEmptyHint = Some(n(2) == 0),
+            // ~4M group rows per staged fragment, known exactly from the
+            // stats probe — a tiny delta stages ONE fragment, not one
+            // micro-fragment per cached partition
+            stagePartitions = Some(
+              math.min(32L, n(2) / 4000000L + 1L).toInt))
         }
         writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)
       } else {

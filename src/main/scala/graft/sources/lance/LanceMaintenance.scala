@@ -540,7 +540,8 @@ object LanceMaintenance {
                         source: org.apache.spark.sql.DataFrame,
                         keys: Seq[String],
                         deleteKeys: org.apache.spark.sql.DataFrame,
-                        srcEmptyHint: Option[Boolean] = None): Long = {
+                        srcEmptyHint: Option[Boolean] = None,
+                        stagePartitions: Option[Int] = None): Long = {
     require(keys.nonEmpty, "upsertWithDeletes needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
@@ -573,7 +574,8 @@ object LanceMaintenance {
       if (delMetas.isEmpty) return manifest.version
       commitDeletionLoop(conf, p, path, manifest, delMetas)
     } else {
-      commitReplacement(spark, path, manifest, delF, src, tgtFields)
+      commitReplacement(spark, path, manifest, delF, src, tgtFields,
+        stagePartitions)
     }
   }
 
@@ -646,7 +648,8 @@ object LanceMaintenance {
                                 manifest: LanceFormat.Manifest,
                                 delMetasF: scala.concurrent.Future[Map[Long, LanceFormat.DeletionFileMeta]],
                                 src: org.apache.spark.sql.DataFrame,
-                                tgtFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+                                tgtFields: Seq[org.apache.spark.sql.types.StructField],
+                                stagePartitions: Option[Int] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
     val fsl: Map[String, Int] = manifest.fields
@@ -656,7 +659,12 @@ object LanceMaintenance {
       s"_staging-${java.util.UUID.randomUUID()}")
     val stagingDs = new org.apache.hadoop.fs.Path(stagingDir, "m.lance").toString
     try {
-      var wr = src.write.format("lance").mode("overwrite")
+      // a caller that knows its delta size (MatView's stats probe) caps
+      // the staged fragment count — a 5-row group upsert must not stage
+      // one micro-fragment per cached partition (coalesce: a shuffle-free
+      // merge; a no-op when the frame already has fewer partitions)
+      val staged0 = stagePartitions.fold(src)(n => src.coalesce(n))
+      var wr = staged0.write.format("lance").mode("overwrite")
       if (fsl.nonEmpty)
         wr = wr.option("fixedSizeList",
           fsl.map { case (n, d) => s"$n:$d" }.mkString(","))
