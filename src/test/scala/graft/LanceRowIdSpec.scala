@@ -172,6 +172,55 @@ class LanceRowIdSpec extends AnyFunSuite {
     assert(LanceMaintenance.changesBetween(spark, p, v1, v3).count() == 2L)
   }
 
+  test("changesBetween fast path ≡ rowid anti-join reference over every version pair") {
+    // churn history: appends, predicate deletes, an update (delete+insert),
+    // a restore (forces the anti-join fallback: a deletion vector shrinks),
+    // and a compaction (forces the fallback: fragments disappear). The
+    // manifest-diff fast path must agree with an independently computed
+    // _rowid anti-join reference on EVERY (from, to) version pair.
+    val p = tmp("rowid_cdc_diff")
+    (0L until 60L).map(k => (k, k * 10)).toDF("k", "x")
+      .repartition(3).write.format("lance")
+      .option("stableRowIds", "true").mode("overwrite").save(p)
+    LanceMaintenance.deleteWhere(spark, p, "k % 7 = 0")
+    (100L until 120L).map(k => (k, k)).toDF("k", "x")
+      .write.format("lance").mode("append").save(p)
+    LanceMaintenance.updateWhere(spark, p, "k = 101", Map("x" -> "999"))
+    LanceMaintenance.deleteWhere(spark, p, "x > 500 AND x < 560")
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, path) = LanceFormat.fileSystem(p, conf)
+    def head(): Long = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, path, None)).version
+    val preRestore = head()
+    LanceMaintenance.restore(spark, p, 2L) // un-deletes: dv shrinks vs v3+
+    LanceMaintenance.compactStable(spark, p, targetFragments = 1)
+    (200L until 205L).map(k => (k, k)).toDF("k", "x")
+      .write.format("lance").mode("append").save(p)
+    val last = head()
+
+    def at(v: Long) = spark.read.format("lance")
+      .option("versionAsOf", v.toString).load(p)
+    def reference(a: Long, b: Long): Set[(String, Long, Long)] = {
+      val ins = at(b).withColumn("_rowid", col("_rowid"))
+        .join(at(a).select(col("_rowid")), Seq("_rowid"), "left_anti")
+        .select(lit("insert").as("c"), col("k"), col("x"))
+      val del = at(a).withColumn("_rowid", col("_rowid"))
+        .join(at(b).select(col("_rowid")), Seq("_rowid"), "left_anti")
+        .select(lit("delete").as("c"), col("k"), col("x"))
+      ins.unionByName(del).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    for (a <- 1L to last; b <- (a + 1) to last) {
+      val got = LanceMaintenance.changesBetween(spark, p, a, b)
+        .select(col("_change"), col("k"), col("x")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == reference(a, b),
+        s"feed $a->$b diverged: extra=${got -- reference(a, b)} " +
+          s"missing=${reference(a, b) -- got}")
+    }
+    assert(preRestore >= 5L && last > preRestore) // history really churned
+  }
+
   test("changesBetween refuses an address-only dataset") {
     val p = tmp("rowid_cdc_off")
     Seq((1L, "a"), (2L, "b")).toDF("k", "v")
