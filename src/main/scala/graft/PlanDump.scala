@@ -53,6 +53,8 @@ object PlanDump {
       "d31_heavy_hitters" -> "mergeable Misra-Gries summary (bounded map-side partials) -> broadcast-candidate exact recount -> provably-exact top-20",
       "d32_chunking" -> "map-only chunking: sequence+posexplode per doc, md5-pinned windows, no shuffle before the presentation sort",
       "l26_days_partitioned" -> "days(ts) SPJ through the catalog's days function: day-fragments zip on the raw timestamp (plan pinned in LanceDaysSpec)",
+      "q67b_sample_reservoir" -> "portable reservoir(n): bottom-n by keyed md5 plans as TakeOrderedAndProject — per-partition O(n) heaps, no global sort",
+      "f08_fts_boolean" -> "boolean FTS: ONE term-pruned postings scan + ONE per-doc aggregate answers must/should/must_not (no per-clause re-read, no semi/anti joins)",
       "e14_int8_quant" -> "int8 scalar quantization: integer-exact codes + int64 dots, broadcast query code, fused top-k")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries (sf0.001)\n\n")

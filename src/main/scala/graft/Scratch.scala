@@ -25,6 +25,26 @@ object Scratch {
       println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
+    if (args.contains("commits")) {
+      // micro-benchmark: fixed cost of a tiny lance append commit, and
+      // whether it grows with version count
+      val ds = java.nio.file.Files.createTempDirectory("scratch-commit")
+        .toString + "/tiny.lance"
+      import spark.implicits._
+      val tiny = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      tiny.write.format("lance").mode("overwrite").save(ds)
+      tiny.write.format("lance").mode("append").save(ds) // warm plans
+      (1 to 3).foreach { round =>
+        val t0 = System.nanoTime()
+        (1 to 20).foreach(_ =>
+          tiny.write.format("lance").mode("append").save(ds))
+        println(f"[scratch] 20 appends (round $round) ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+      val t1 = System.nanoTime()
+      (1 to 20).foreach(_ => spark.read.format("lance").load(ds).count())
+      println(f"[scratch] 20 count reads          ${(System.nanoTime() - t1) / 1e9}%8.3f s")
+      spark.stop(); return
+    }
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass ---")
       val workDir = java.nio.file.Files.createTempDirectory("scratch-mv").toString
