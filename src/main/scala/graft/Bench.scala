@@ -30,7 +30,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      // dev knob: SPARK_GRAFT_AQE=false to measure AQE's fixed per-query
+      // cost; the graded default stays ON (runtime coalescing + skew-join
+      // are the 100 TB posture)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // local-mode floor trims: no locality wait (single host), no shuffle

@@ -240,7 +240,13 @@ object LanceMaintenance {
     val manifestPath = LanceFormat.latestManifestPath(fs, p, None)
     val manifest = LanceFormat.readManifest(fs, manifestPath)
 
-    val df = spark.read.format("lance").option("withRowAddress", "true").load(path)
+    // pin the scan to the SAME version as the captured manifest: an
+    // unpinned load re-reads the head at planning time, so a concurrent
+    // append between the two reads tears the snapshot (the scan sees a
+    // fragment the manifest doesn't — found by the racing-commits test)
+    val df = spark.read.format("lance")
+      .option("versionAsOf", manifest.version.toString)
+      .option("withRowAddress", "true").load(path)
     val delMetas = writeDeletionFiles(spark, path, manifest, df.filter(condition))
     if (delMetas.isEmpty) return manifest.version
 
@@ -503,6 +509,7 @@ object LanceMaintenance {
     val manifest = LanceFormat.readManifest(fs, manifestPath)
 
     val target = spark.read.format("lance")
+      .option("versionAsOf", manifest.version.toString)
       .option("withRowAddress", "true").load(path)
     val tgtFields = target.schema.filterNot(_.name == "_rowaddr")
     require(tgtFields.map(_.name).toSet == source.schema.map(_.name).toSet,
@@ -549,6 +556,7 @@ object LanceMaintenance {
       LanceFormat.latestManifestPath(fs, p, None))
 
     val target = spark.read.format("lance")
+      .option("versionAsOf", manifest.version.toString)
       .option("withRowAddress", "true").load(path)
     val tgtFields = target.schema.filterNot(_.name == "_rowaddr")
     require(tgtFields.map(_.name).toSet == source.schema.map(_.name).toSet,
@@ -625,6 +633,7 @@ object LanceMaintenance {
     val manifest = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, None))
     val target = spark.read.format("lance")
+      .option("versionAsOf", manifest.version.toString)
       .option("withRowAddress", "true").load(path)
     val tgtFields = target.schema.filterNot(_.name == "_rowaddr")
     set.keys.foreach(c => require(tgtFields.exists(_.name == c),

@@ -455,6 +455,61 @@ class LanceSpec extends AnyFunSuite {
     assert(m.fragments.map(_.id).distinct.length == m.fragments.length)
   }
 
+  test("appends and deletes racing: every commit lands or conflicts loudly, final state exact") {
+    val ds = tmpDs()
+    spark.range(0, 1000).coalesce(2).write.format("lance").mode("append").save(ds)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // deleteWhere rebases on concurrent APPENDS (provably harmless) but
+    // refuses a fragment whose deletion entry changed underneath — the
+    // documented client protocol is: catch the conflict and recompute
+    // (re-invoke; it re-reads the head). The retry loop below IS that
+    // protocol.
+    def deleteRetrying(cond: String): Unit = {
+      var done = false
+      var attempts = 0
+      while (!done) {
+        try {
+          graft.sources.lance.LanceMaintenance.deleteWhere(spark, ds, cond)
+          done = true
+        } catch {
+          case _: graft.sources.lance.LanceCommitConflict if attempts < 50 =>
+            attempts += 1; Thread.sleep(10)
+        }
+      }
+    }
+    val threads =
+      (1 to 3).map { t =>
+        new Thread(() => {
+          try spark.range(10000L * t, 10000L * t + 50).coalesce(1)
+            .write.format("lance").mode("append").save(ds)
+          catch { case e: Throwable => failures.add(e) }
+        })
+      } ++ Seq("id % 10 = 1", "id % 10 = 2").map { cond =>
+        new Thread(() => {
+          try deleteRetrying(cond)
+          catch { case e: Throwable => failures.add(e) }
+        })
+      }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"racing commits failed: ${failures.peek()}")
+    val ids = spark.read.format("lance").load(ds)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // any serialization is legal: base rows matching a delete predicate
+    // MUST be gone; appended rows MUST be present unless they match a
+    // delete predicate AND that delete's snapshot happened to include the
+    // append (schedule-dependent) — so those are allowed either way
+    val appended = (1 to 3).flatMap(t => 10000L * t until 10000L * t + 50).toSet
+    val deletable = (i: Long) => i % 10 == 1 || i % 10 == 2
+    val required = (0L until 1000L).filterNot(deletable).toSet ++
+      appended.filterNot(deletable)
+    val allowed = required ++ appended.filter(deletable)
+    assert((required -- ids).isEmpty,
+      s"rows lost: ${(required -- ids).take(5)}")
+    assert((ids -- allowed).isEmpty,
+      s"unexpected rows (leaked deletes?): ${(ids -- allowed).take(5)}")
+  }
+
   test("sortBy writes produce range-disjoint fragments the planner prunes") {
     val ds = tmpDs()
     // global range sort on grp,id: each fragment covers a narrow grp slice
