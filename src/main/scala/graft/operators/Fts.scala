@@ -448,11 +448,33 @@ object Fts {
   def phrasePersisted(spark: SparkSession, indexPath: String,
                       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrasePersisted needs at least one token")
-    val toks = spark.read.format("lance").load(s"$indexPath/postings.lance")
-      .filter(col("term").isin(phrase.distinct: _*))
-      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
-    phraseFrom(toks, phrase)
+    val distinctTerms = phrase.distinct
+    // ONE term-pruned postings scan, ONE per-doc aggregate, adjacency as
+    // a codegen'd EXISTS over the STORED position arrays (`exists(p_0,
+    // a -> a+i ∈ p_i ∀i)`) — no position explode, no per-pair self-join
+    // shuffle, no final distinct. At 100 TB the cost is the phrase
+    // terms' posting slivers and one skinny doc_id shuffle.
+    val pcols = distinctTerms.map(t =>
+      first(when(col("term") === t, col("positions")), ignoreNulls = true)
+        .as(termCol(t)))
+    val agged = spark.read.format("lance")
+      .load(s"$indexPath/postings.lance")
+      .filter(col("term").isin(distinctTerms: _*))
+      .groupBy("doc_id")
+      .agg(pcols.head, pcols.tail: _*)
+    val allPresent = distinctTerms.map(t => col(termCol(t)).isNotNull)
+      .reduce(_ && _)
+    val adjacency =
+      if (phrase.size == 1) lit(true)
+      else exists(col(termCol(phrase.head)), a =>
+        phrase.zipWithIndex.drop(1).map { case (t, i) =>
+          array_contains(col(termCol(t)), a + i)
+        }.reduce(_ && _))
+    agged.filter(allPresent && adjacency).select("doc_id")
   }
+
+  private def termCol(t: String): String =
+    "_p_" + java.lang.Integer.toHexString(t.hashCode)
 
   /** Adjacency verification shared by the raw and persisted phrase paths:
     * each phrase token i must occur at `pos(first) + i` — a self-join per
