@@ -890,7 +890,12 @@ object LanceMaintenance {
     val newFrags = headM.fragments
       .filterNot(f => baseById.contains(f.id)).filter(_.physicalRows > 0)
 
-    // dv diff per changed common fragment; bail out on any shrink
+    // dv diff per changed common fragment; bail out on any shrink.
+    // Driver memory bound: the diff lives on the driver as one long per
+    // newly-deleted row — past ~16M addrs (128 MB) the anti-join path's
+    // distributed scan is the better trade, so fall back rather than
+    // risk the driver.
+    val maxDelAddrs = 16 << 20
     val delAddrs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val delDir = new org.apache.hadoop.fs.Path(p, "_deletions")
     def bits(fid: Long, d: Option[LanceFormat.DeletionFileMeta]): java.util.BitSet =
@@ -912,6 +917,7 @@ object LanceMaintenance {
           delAddrs += (hf.id << 32) | i.toLong
           i = fresh.nextSetBit(i + 1)
         }
+        if (delAddrs.length > maxDelAddrs) return None
       }
     }
 

@@ -186,6 +186,10 @@ class LanceRowIdSpec extends AnyFunSuite {
     (100L until 120L).map(k => (k, k)).toDF("k", "x")
       .write.format("lance").mode("append").save(p)
     LanceMaintenance.updateWhere(spark, p, "k = 101", Map("x" -> "999"))
+    // schema evolution mid-history: rows before the addColumn null-fill
+    // the new column on read; the feed must carry it via unionByName
+    LanceMaintenance.addColumn(spark, p, "y",
+      org.apache.spark.sql.types.LongType)
     LanceMaintenance.deleteWhere(spark, p, "x > 500 AND x < 560")
     val conf = spark.sessionState.newHadoopConf()
     val (fs, path) = LanceFormat.fileSystem(p, conf)
