@@ -275,11 +275,23 @@ object MatView {
       else null
 
     val cur = spark.read.format("lance").load(mvPath)
-    // broadcast-semi-prune the (big) view to affected groups, then the
-    // outer merge is delta-sized on both sides
-    val affected = cur.join(
-      broadcast(delta.select(spec.keys.map(col): _*)), spec.keys, "left_semi")
-    val merged = delta.join(affected, spec.keys, "left")
+    // merge strategy by the view's size, read FREE from its manifest's
+    // live-row counts: a small view broadcasts whole into the outer merge
+    // (one join stage); a big view is first broadcast-semi-pruned to
+    // affected groups so the outer merge is delta-sized on both sides
+    val mvLiveRows = {
+      val (mfs, mp) = LanceFormat.fileSystem(mvPath, conf)
+      LanceFormat.readManifest(mfs,
+        LanceFormat.latestManifestPath(mfs, mp, None))
+        .fragments.map(_.liveRows).sum
+    }
+    val merged =
+      if (mvLiveRows <= 1000000L) delta.join(broadcast(cur), spec.keys, "left")
+      else {
+        val affected = cur.join(
+          broadcast(delta.select(spec.keys.map(col): _*)), spec.keys, "left_semi")
+        delta.join(affected, spec.keys, "left")
+      }
     val newCnt = coalesce(col("cnt"), lit(0L)) + col("d_cnt")
     val mvSchema = cur.schema
     val outCols: Seq[Column] = spec.keys.map(col) ++
