@@ -45,6 +45,19 @@ object Scratch {
       println(f"[scratch] 20 count reads          ${(System.nanoTime() - t1) / 1e9}%8.3f s")
       spark.stop(); return
     }
+    // per-job wall times (job id, duration, first stage name) — shows how
+    // a phase's wall splits across scheduled jobs
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.put(j.jobId, (System.nanoTime(),
+          j.stageInfos.headOption.map(_.name.takeWhile(_ != '\n').take(60)).getOrElse("?")))
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobStarts.remove(j.jobId)
+        if (s != null && sys.env.contains("GRAFT_JOB_TIMING"))
+          println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3f s  ${s._2}")
+      }
+    })
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass ---")
       val workDir = java.nio.file.Files.createTempDirectory("scratch-mv").toString

@@ -215,13 +215,40 @@ object MatView {
       r
     }
 
-  def refresh(spark: SparkSession, mvPath: String): Long = {
-    val (spec, mvHead) = loadSpec(spark, mvPath)
-    val conf = spark.sessionState.newHadoopConf()
+  /** Sibling sessions tuned for DELTA-SIZED work: AQE off (each adaptive
+    * stage otherwise materializes as its own serial job — pure overhead
+    * when every stage is a few thousand rows) and few shuffle
+    * partitions. Shares the SparkContext/cache with the real session;
+    * picked only when the manifest-metadata change-set estimate is small,
+    * so big refreshes keep AQE's coalescing and skew handling. */
+  private val quietSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]
+  private def quietSession(spark: SparkSession): SparkSession =
+    quietSessions.synchronized {
+      var q = quietSessions.get(spark)
+      if (q == null) {
+        q = spark.newSession()
+        q.conf.set("spark.sql.adaptive.enabled", "false")
+        q.conf.set("spark.sql.shuffle.partitions", "8")
+        quietSessions.put(spark, q)
+      }
+      q
+    }
+
+  def refresh(spark0: SparkSession, mvPath: String): Long = {
+    val (spec, mvHead) = loadSpec(spark0, mvPath)
+    val conf = spark0.sessionState.newHadoopConf()
     val (sfs, sp) = LanceFormat.fileSystem(spec.src, conf)
     val srcHead = LanceFormat.readManifest(sfs,
       LanceFormat.latestManifestPath(sfs, sp, None)).version
     if (srcHead == spec.lastVersion) return spec.lastVersion // up to date
+    // size the EXECUTION to the change set (known from manifest metadata
+    // before planning anything)
+    val spark = LanceMaintenance.changeSetEstimate(
+        spark0, spec.src, spec.lastVersion, srcHead) match {
+      case Some(n) if n <= 2000000L => quietSession(spark0)
+      case _ => spark0
+    }
 
     spec.dims.foreach { case (dp, _, _, dv) =>
       val (dfs, dpp) = LanceFormat.fileSystem(dp, conf)

@@ -856,6 +856,37 @@ object LanceMaintenance {
     }
   }
 
+  /** Cheap upper bound on the [from,to] change-set size, from manifest
+    * METADATA alone (no dv reads, no scans): Σ liveRows of fragments
+    * added in the interval + Σ growth of deletion counts. None when the
+    * interval saw compaction/restore (fragment disappeared or a deletion
+    * count shrank) — then only a scan can size it. Callers use this to
+    * size execution (e.g. MatView picks a small-query session for small
+    * deltas) BEFORE planning anything.
+    */
+  def changeSetEstimate(spark: SparkSession, path: String,
+                        fromVersion: Long, toVersion: Long): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val baseM = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, Some(fromVersion)))
+    val headM = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, Some(toVersion)))
+    val baseById = baseM.fragments.map(f => f.id -> f).toMap
+    if (!baseM.fragments.forall(f => headM.fragments.exists(_.id == f.id)))
+      return None
+    var total = 0L
+    for (hf <- headM.fragments) baseById.get(hf.id) match {
+      case None => total += hf.liveRows
+      case Some(bf) =>
+        val grown = hf.deletion.map(_.numDeleted).getOrElse(0L) -
+          bf.deletion.map(_.numDeleted).getOrElse(0L)
+        if (grown < 0) return None
+        total += grown
+    }
+    Some(total)
+  }
+
   /** Manifest-diff change feed (fast path): when the [from,to] interval is
     * append/delete-only — no fragment disappeared (compaction) and no
     * deletion vector shrank (restore) — the change set is EXACTLY:
