@@ -873,16 +873,15 @@ object TextOps {
     // --- DSIR importance resampling (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling") -----------------------
     // Select raw-corpus documents whose hashed-n-gram feature distribution
-    // looks like a TARGET domain (here: source 'src0'): per-bigram weight
-    // = smoothed log-likelihood ratio log p_target(g) - log p_raw(g); a
-    // document's importance is its bigram-count-weighted sum. Scale shape:
-    // the weight table is a bigram vocabulary (one census aggregate per
-    // distribution — the target census is a fraction of the raw one it
-    // joins into); the corpus side re-uses the same per-doc bigram counts
-    // and joins the vocabulary-sized weight table on the gram key — at
-    // 100 TB the paper's 2^20-bucket feature HASHING bounds the weight
-    // table to a broadcast; the unhashed gram spelling here keeps the
-    // oracle engine-independent (the hash seeds differ across engines).
+    // looks like a TARGET domain (here: source 'src0'): per-feature weight
+    // = smoothed log-likelihood ratio log p_target(b) - log p_raw(b); a
+    // document's importance is its feature-count-weighted sum. This is the
+    // paper's HASHED construction: bigrams bucket into a fixed 16-bit
+    // feature space via a PORTABLE hash (the first 4 hex chars of md5 —
+    // identical on both engines, unlike the engines' native hash seeds),
+    // so the weight table is bounded at 65536 rows and BROADCASTS — the
+    // corpus never shuffles gram strings, only (doc, 4-char-bucket)
+    // counts, and the weight join is shuffle-free at any corpus size.
     // Determinism: each LN is rounded to 8 digits (the BM25 idf pattern),
     // the difference snaps to micro-units, and per-doc sums are exact
     // integer arithmetic.
@@ -899,51 +898,54 @@ object TextOps {
             slice(col("t"), lit(1), size(col("t")) - 1),
             slice(col("t"), lit(2), size(col("t")) - 1),
             (a, b) => concat(a, lit(" "), b))).as("g"))
-      // ONE explode + ONE (doc_id, g) shuffle; every other distribution
-      // (raw census, target census, scalars) aggregates the per-doc counts
-      // — the corpus-sized gram stream is scanned exactly once
-      val cnt = bg.groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
-      val raw = cnt.groupBy("g").agg(sum("c").as("rc"))
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("g")), 1, 4).as("b"))
+      // ONE explode + ONE (doc_id, bucket) shuffle (4-char keys, never the
+      // gram strings); censuses and scalars aggregate the per-doc counts;
+      // the bounded weight table broadcasts into the final join
+      val cnt = bg.groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+      val raw = cnt.groupBy("b").agg(sum("c").as("rc"))
       val tgt = cnt.filter(col("source") === "src0")
-        .groupBy("g").agg(sum("c").as("tc"))
+        .groupBy("b").agg(sum("c").as("tc"))
       val scal = raw.agg(sum(col("rc")).as("rtot"), count(lit(1)).as("v"))
         .crossJoin(tgt.agg(coalesce(sum(col("tc")), lit(0L)).as("ttot")))
-      val wts = raw.join(tgt, Seq("g"), "left")
+      val wts = raw.join(tgt, Seq("b"), "left")
         .withColumn("tc", coalesce(col("tc"), lit(0L)))
         .crossJoin(broadcast(scal))
-        .select(col("g"),
+        .select(col("b"),
                 floor((round(log((col("tc") + lit(0.5)) /
                          (col("ttot").cast(DoubleType) + lit(0.5) * col("v").cast(DoubleType))), 8)
                        - round(log((col("rc") + lit(0.5)) /
                          (col("rtot").cast(DoubleType) + lit(0.5) * col("v").cast(DoubleType))), 8))
                         * lit(1e6) + lit(0.5)).cast(LongType).as("wm"))
-      cnt.join(wts, Seq("g"))
+      cnt.join(broadcast(wts), Seq("b"))
         .groupBy("doc_id")
         .agg(round(sum(col("c") * col("wm")) / lit(1e6), 6).as("dsir_score"))
         .orderBy(col("dsir_score").desc, col("doc_id"))
         .limit(25)
     }, Some("""
-      WITH bg AS (
+      WITH bg0 AS (
         SELECT doc_id, source,
                UNNEST(list_transform(generate_series(1, len(t) - 1),
                                      i -> t[i] || ' ' || t[i+1])) AS g
         FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
-      cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
-      raw AS (SELECT g, COUNT(*) AS rc FROM bg GROUP BY g),
-      tgt AS (SELECT g, COUNT(*) AS tc FROM bg WHERE source = 'src0' GROUP BY g),
+      bg AS (SELECT doc_id, source, substring(md5(g), 1, 4) AS b FROM bg0),
+      cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+      raw AS (SELECT b, COUNT(*) AS rc FROM bg GROUP BY b),
+      tgt AS (SELECT b, COUNT(*) AS tc FROM bg WHERE source = 'src0' GROUP BY b),
       scal AS (SELECT (SELECT SUM(rc) FROM raw) AS rtot,
                       (SELECT COUNT(*) FROM raw) AS v,
                       (SELECT COUNT(*) FROM bg WHERE source = 'src0') AS ttot),
       wts AS (
-        SELECT raw.g,
+        SELECT raw.b,
                CAST(FLOOR((ROUND(LN((COALESCE(tgt.tc, 0) + 0.5)
                                     / (CAST(scal.ttot AS DOUBLE) + 0.5 * CAST(scal.v AS DOUBLE))), 8)
                          - ROUND(LN((raw.rc + 0.5)
                                     / (CAST(scal.rtot AS DOUBLE) + 0.5 * CAST(scal.v AS DOUBLE))), 8))
                           * 1e6 + 0.5) AS BIGINT) AS wm
-        FROM raw LEFT JOIN tgt ON raw.g = tgt.g CROSS JOIN scal)
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN scal)
       SELECT doc_id, ROUND(SUM(c * wm) / 1e6, 6) AS dsir_score
-      FROM cnt JOIN wts ON cnt.g = wts.g
+      FROM cnt JOIN wts ON cnt.b = wts.b
       GROUP BY doc_id
       ORDER BY dsir_score DESC, doc_id LIMIT 25""")),
 
