@@ -42,4 +42,63 @@ class StringPredicatesSpec extends AnyFunSuite {
     assert(!simHit("red widget", "(red|blue)%")) // % is a literal, no match
     assert(!simHit("xred widget", "(red|blue).*"))
   }
+
+  /** Independent reference: a direct recursive glob matcher (no regex). */
+  private def globRef(s: String, p: String): Boolean = {
+    def cls(pi: Int): (Int => Boolean, Int) = { // ([char matcher], next idx)
+      var i = pi + 1
+      val neg = i < p.length && p.charAt(i) == '!'
+      if (neg) i += 1
+      val items = scala.collection.mutable.ArrayBuffer.empty[(Char, Char)]
+      var first = true
+      while (i < p.length && (first || p.charAt(i) != ']')) {
+        first = false
+        if (i + 2 < p.length && p.charAt(i + 1) == '-' && p.charAt(i + 2) != ']') {
+          items += ((p.charAt(i), p.charAt(i + 2))); i += 3
+        } else { items += ((p.charAt(i), p.charAt(i))); i += 1 }
+      }
+      val in = (c: Int) => items.exists { case (a, b) => c >= a && c <= b }
+      (c => in(c) != neg, i + 1) // skip ']'
+    }
+    def m(si: Int, pi: Int): Boolean =
+      if (pi == p.length) si == s.length
+      else p.charAt(pi) match {
+        case '*' => (si to s.length).exists(k => m(k, pi + 1))
+        case '?' => si < s.length && m(si + 1, pi + 1)
+        case '[' =>
+          val (f, np) = cls(pi)
+          si < s.length && f(s.charAt(si)) && m(si + 1, np)
+        case c => si < s.length && s.charAt(si) == c && m(si + 1, pi + 1)
+      }
+    m(0, 0)
+  }
+
+  test("property: glob rewrite agrees with a direct glob matcher (seeded fuzz)") {
+    // deterministic fuzz: seeded generators, no scalacheck runner state
+    val rnd = new scala.util.Random(4242)
+    val patChars = "ab*?.(cd"
+    val classes = Seq("", "[ab]", "[!ab]", "[a-c]")
+    def pat(): String = {
+      val n = rnd.nextInt(9)
+      val cs = Seq.fill(n)(patChars.charAt(rnd.nextInt(patChars.length)))
+      val cls = classes(rnd.nextInt(classes.length))
+      val pos = rnd.nextInt(n + 1)
+      cs.take(pos).mkString + cls + cs.drop(pos).mkString
+    }
+    val strChars = "abcd.(*"
+    def str(): String =
+      Seq.fill(rnd.nextInt(10))(strChars.charAt(rnd.nextInt(strChars.length))).mkString
+    val pats = Seq.fill(40)(pat()).distinct
+    val strs = Seq.fill(60)(str()).distinct
+    pats.foreach { p =>
+      // evaluate the rewrite IN SPARK (the shipped path) for all strings
+      val got = strs.toDF("x")
+        .select(col("x"), glob(col("x"), p).as("hit"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      strs.foreach { s0 =>
+        assert(got(s0) == globRef(s0, p),
+          s"glob mismatch: string='$s0' pattern='$p' rewrite=${got(s0)} ref=${globRef(s0, p)}")
+      }
+    }
+  }
 }
