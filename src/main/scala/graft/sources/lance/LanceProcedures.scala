@@ -234,6 +234,33 @@ private[lance] object LanceProcedures {
       StructType(Seq(StructField("src_version", LongType))),
       in => Array(row(graft.operators.MatView.refresh(spark, path(in)))))
 
+    // CALL lance.matview_status(mv): staleness at a glance — the source
+    // version the view reflects, the source head, and (when the interval
+    // is append/delete-only) a manifest-metadata upper bound on the
+    // pending change-set size, i.e. how much work the next refresh is.
+    val mvStatus = Proc("matview_status",
+      Array(param("mv", StringType)),
+      StructType(Seq(
+        StructField("src", StringType),
+        StructField("last_version", LongType),
+        StructField("src_head", LongType),
+        StructField("stale", BooleanType),
+        StructField("pending_changes_est", LongType))),
+      in => {
+        val (spec, _) = graft.operators.MatView.loadSpec(spark, path(in))
+        val conf = spark.sessionState.newHadoopConf()
+        val (sfs, sp) = LanceFormat.fileSystem(spec.src, conf)
+        val head = LanceFormat.readManifest(sfs,
+          LanceFormat.latestManifestPath(sfs, sp, None)).version
+        val est: java.lang.Long =
+          if (head == spec.lastVersion) 0L
+          else LanceMaintenance.changeSetEstimate(
+            spark, spec.src, spec.lastVersion, head)
+            .map(java.lang.Long.valueOf).orNull // null: needs a scan (compaction/restore)
+        Array(row(spec.src, spec.lastVersion, head,
+          java.lang.Boolean.valueOf(head != spec.lastVersion), est))
+      })
+
     // CALL lance.ndv(t, col, ix): sidecar-only COUNT(DISTINCT col)
     // estimate; builds-or-refreshes the per-fragment HLL sidecar first.
     val ndv = Proc("ndv",
@@ -400,6 +427,7 @@ private[lance] object LanceProcedures {
         "tags" -> tags, "versions" -> versions, "describe" -> describe,
         "update" -> update, "merge_insert" -> mergeIns,
         "create_matview" -> createMv, "refresh_matview" -> refreshMv,
+        "matview_status" -> mvStatus,
         "ndv" -> ndv, "stats" -> stats, "verify" -> verifyProc,
         "optimize" -> optimize, "diff" -> diff)
   }

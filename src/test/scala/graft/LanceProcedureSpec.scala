@@ -120,6 +120,25 @@ class LanceProcedureSpec extends AnyFunSuite {
       .filter($"grp" === "g9").select("cnt", "sum_n")
       .as[(Long, Long)].head()
     assert(got == ((10L, (51L to 60L).sum)))
+
+    // status: fresh view -> not stale, zero pending
+    val fresh = spark.sql(s"CALL lance.matview_status('$mv')").head()
+    assert(fresh.getString(0) == src && fresh.getLong(1) == 2L &&
+      fresh.getLong(2) == 2L && !fresh.getBoolean(3) && fresh.getLong(4) == 0L)
+    // churn the source: status reports staleness + a metadata-exact
+    // pending estimate (3 appended rows) without scanning anything
+    (61L to 63L).map(i => (i, "g9", i)).toDF("id", "grp", "n")
+      .write.format("lance").mode("append").save(src)
+    val stale = spark.sql(s"CALL lance.matview_status('$mv')").head()
+    assert(stale.getLong(1) == 2L && stale.getLong(2) == 3L &&
+      stale.getBoolean(3) && stale.getLong(4) == 3L,
+      s"unexpected status row: $stale")
+    // a compaction makes the estimate unknowable from metadata -> NULL
+    graft.sources.lance.LanceMaintenance.compactStable(spark, src,
+      targetFragments = 1)
+    val comp = spark.sql(s"CALL lance.matview_status('$mv')").head()
+    assert(comp.getBoolean(3) && comp.isNullAt(4),
+      s"post-compaction estimate should be NULL: $comp")
   }
 
   test("ndv sketch through CALL: builds then refreshes the sidecar") {
