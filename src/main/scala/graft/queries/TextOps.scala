@@ -288,6 +288,76 @@ object TextOps {
       WHERE est_jaccard >= 0.75
       ORDER BY doc_a, doc_b""")),
 
+    // --- FUZZY decontamination: corpus × benchmark MinHash-LSH ------------
+    // d15's exact-gram decontamination catches verbatim leakage; real
+    // pipelines also drop NEAR-duplicates of eval data (paraphrases,
+    // whitespace/punct variants). Same portable salted-md5 construction
+    // as d28, CROSS-TABLE: benchmark docs (a deterministic holdout) are
+    // sketched and their band table BROADCASTS — the corpus never
+    // self-joins; candidates are (corpus doc, bench doc) band matches,
+    // verified by signature-estimated jaccard. 100 TB shape: benchmark
+    // sets are small by nature (eval suites), so the probe side is a
+    // broadcast and the corpus cost is one sketch pass + a map-side band
+    // match — no shuffle of corpus text at all.
+    QDef("d33_fuzzy_decontaminate", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val P = 8; val B = 4
+      def sigOf(df: org.apache.spark.sql.DataFrame, idc: String) = df.select(col(idc),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .select(col(idc), array((0 until P).map(p =>
+          array_min(transform(col("toks"), tk =>
+            substring(md5(concat(lit(p + ":"), tk)), 1, 13)))): _*).as("sig"))
+      def bandsOf(df: org.apache.spark.sql.DataFrame, idc: String) = df.select(col(idc),
+          posexplode(array((0 until B).map(b =>
+            md5(concat_ws(",", col("sig")(2 * b), col("sig")(2 * b + 1)))): _*)))
+        .select(col(idc), col("pos").as("band"), col("col").as("bh"))
+      val docs = t("documents")
+      val isBench = col("source") === "src0" && col("doc_id") % 7 === 0
+      val cs = sigOf(docs.filter(!isBench), "doc_id")
+      val bs = sigOf(docs.filter(isBench), "doc_id")
+        .select(col("doc_id").as("bench_id"), col("sig").as("bsig"))
+      val cand = bandsOf(cs, "doc_id")
+        .join(broadcast(bandsOf(bs.select(col("bench_id"),
+          col("bsig").as("sig")), "bench_id")), Seq("band", "bh"))
+        .select("doc_id", "bench_id").distinct()
+      val est = (0 until P).map(i =>
+          when(col("sig")(i) === col("bsig")(i), 1).otherwise(0))
+        .reduce(_ + _).cast(DoubleType) / P
+      cand.join(cs, "doc_id").join(broadcast(bs), "bench_id")
+        .select(col("doc_id"), col("bench_id"), est.as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.75)
+        .groupBy("doc_id")
+        .agg(min("bench_id").as("bench_id"), max("est_jaccard").as("max_est"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH bench AS (SELECT doc_id AS bench_id, text FROM documents
+                     WHERE source = 'src0' AND doc_id % 7 = 0),
+      corpus AS (SELECT doc_id, text FROM documents
+                 WHERE NOT (source = 'src0' AND doc_id % 7 = 0)),
+      ctoks AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok FROM corpus),
+      btoks AS (SELECT bench_id, UNNEST(list_distinct(string_split(text,' '))) AS tok FROM bench),
+      csig AS (SELECT doc_id, p, MIN(substr(md5(CAST(p AS VARCHAR) || ':' || tok),1,13)) AS mh
+               FROM ctoks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(p) GROUP BY 1,2),
+      bsig AS (SELECT bench_id, p, MIN(substr(md5(CAST(p AS VARCHAR) || ':' || tok),1,13)) AS mh
+               FROM btoks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(p) GROUP BY 1,2),
+      csigv AS (SELECT doc_id, LIST(mh ORDER BY p) AS s FROM csig GROUP BY 1),
+      bsigv AS (SELECT bench_id, LIST(mh ORDER BY p) AS s FROM bsig GROUP BY 1),
+      cb AS (SELECT doc_id, b, md5(s[2*b+1] || ',' || s[2*b+2]) AS bh
+             FROM csigv CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+      bb AS (SELECT bench_id, b, md5(s[2*b+1] || ',' || s[2*b+2]) AS bh
+             FROM bsigv CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+      cand AS (SELECT DISTINCT cb.doc_id, bb.bench_id
+               FROM cb JOIN bb ON cb.b = bb.b AND cb.bh = bb.bh),
+      est AS (SELECT c.doc_id, c.bench_id,
+                     CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)/8
+                       AS est_jaccard
+              FROM cand c JOIN csig sa ON sa.doc_id = c.doc_id
+                          JOIN bsig sb ON sb.bench_id = c.bench_id AND sb.p = sa.p
+              GROUP BY 1,2)
+      SELECT doc_id, MIN(bench_id) AS bench_id, MAX(est_jaccard) AS max_est
+      FROM est WHERE est_jaccard >= 0.75
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     // --- SimHash near-dup candidates (Spark-only) --------------------------
     QDef("d08_simhash", (s, dir) => {
       val t = Tables.register(s, dir)
