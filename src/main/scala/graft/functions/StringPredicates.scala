@@ -19,31 +19,53 @@ import org.apache.spark.sql.Column
 object StringPredicates {
 
   /** Shell-glob → Java regex body (unanchored): `*` → `.*`, `?` → `.`,
-    * `[...]`/`[!...]` character classes pass through (`!` → `^`), every
-    * regex metacharacter outside a class is escaped. */
+    * `[...]`/`[!...]` character classes translated (`!` → `^`), every
+    * regex metacharacter outside a class is escaped.
+    *
+    * Class edge semantics pinned against DuckDB GLOB:
+    *  - `]` as the FIRST member (after the optional `!`) is a literal;
+    *  - an UNTERMINATED class (no closing `]` after the first member,
+    *    including `[` and `[!]`) makes the whole pattern match NOTHING
+    *    — translated to the match-nothing regex `(?!)`;
+    *  - class members are individually escaped (`&` would otherwise form
+    *    a Java `&&` class intersection; `[`/`]`/`\`/`^` likewise differ).
+    */
   def globToRegex(glob: String): String = {
     val sb = new StringBuilder
     var i = 0
-    var inClass = false
+    def classMember(ch: Char): String =
+      if ("\\]^[&".indexOf(ch.toInt) >= 0) "\\" + ch else ch.toString
     while (i < glob.length) {
-      val c = glob.charAt(i)
-      if (inClass) c match {
-        case ']'  => sb.append(']'); inClass = false
-        case '\\' => sb.append("\\\\")
-        case ch   => sb.append(ch)
-      } else c match {
-        case '*' => sb.append(".*")
-        case '?' => sb.append('.')
+      glob.charAt(i) match {
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append('.'); i += 1
         case '[' =>
-          inClass = true; sb.append('[')
-          if (i + 1 < glob.length && glob.charAt(i + 1) == '!') {
-            sb.append('^'); i += 1
+          var j = i + 1
+          val neg = j < glob.length && glob.charAt(j) == '!'
+          if (neg) j += 1
+          val members = new StringBuilder
+          var first = true
+          while (j < glob.length && (first || glob.charAt(j) != ']')) {
+            first = false
+            if (j + 2 < glob.length && glob.charAt(j + 1) == '-' &&
+                glob.charAt(j + 2) != ']') {
+              members.append(classMember(glob.charAt(j))).append('-')
+                .append(classMember(glob.charAt(j + 2)))
+              j += 3
+            } else {
+              members.append(classMember(glob.charAt(j)))
+              j += 1
+            }
           }
+          if (j >= glob.length || first) return "(?!)" // unterminated/empty
+          sb.append('[')
+          if (neg) sb.append('^')
+          sb.append(members).append(']')
+          i = j + 1 // skip ']'
         case ch if "\\.(){}+^$|".indexOf(ch.toInt) >= 0 =>
-          sb.append('\\').append(ch)
-        case ch => sb.append(ch)
+          sb.append('\\').append(ch); i += 1
+        case ch => sb.append(ch); i += 1
       }
-      i += 1
     }
     sb.toString
   }

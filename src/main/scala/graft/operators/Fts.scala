@@ -454,6 +454,11 @@ object Fts {
     // a -> a+i ∈ p_i ∀i)`) — no position explode, no per-pair self-join
     // shuffle, no final distinct. At 100 TB the cost is the phrase
     // terms' posting slivers and one skinny doc_id shuffle.
+    // Column names are by distinct-term INDEX (hashCode collides:
+    // "Aa"/"BB" share a hash — a collision would alias two terms'
+    // position arrays to one ambiguous column).
+    val termCol: Map[String, String] =
+      distinctTerms.zipWithIndex.map { case (t, i) => t -> s"_p_$i" }.toMap
     val pcols = distinctTerms.map(t =>
       first(when(col("term") === t, col("positions")), ignoreNulls = true)
         .as(termCol(t)))
@@ -472,9 +477,6 @@ object Fts {
         }.reduce(_ && _))
     agged.filter(allPresent && adjacency).select("doc_id")
   }
-
-  private def termCol(t: String): String =
-    "_p_" + java.lang.Integer.toHexString(t.hashCode)
 
   /** Adjacency verification shared by the raw and persisted phrase paths:
     * each phrase token i must occur at `pos(first) + i` — a self-join per

@@ -243,10 +243,13 @@ object MatView {
       LanceFormat.latestManifestPath(sfs, sp, None)).version
     if (srcHead == spec.lastVersion) return spec.lastVersion // up to date
     // size the EXECUTION to the change set (known from manifest metadata
-    // before planning anything)
+    // before planning anything). Recompute-mode (min/max) views are
+    // excluded: their refresh work is proportional to the TOUCHED
+    // GROUPS' full row counts, which a small change set does not bound.
     val spark = LanceMaintenance.changeSetEstimate(
         spark0, spec.src, spec.lastVersion, srcHead) match {
-      case Some(n) if n <= 2000000L => quietSession(spark0)
+      case Some(n) if n <= 2000000L && spec.minMax.isEmpty =>
+        quietSession(spark0)
       case _ => spark0
     }
 

@@ -174,10 +174,15 @@ object Similarity {
     // can collide across sessions in one JVM; a weak map keyed on the
     // session OBJECT cannot, and lets dead sessions' ids be collected
     val cacheKey = s"${sessionId(df.sparkSession)}:$key:$nLists"
-    ivfCache.synchronized {
-      val hit = ivfCache.get(cacheKey)
-      if (hit != null) hit
-      else { val v = ivfIndex(df, idCol, vecCol, nLists); ivfCache.put(cacheKey, v); v }
+    // double-checked: the (seconds-long) build runs OUTSIDE the cache
+    // lock so concurrent sessions' hits never block on another build; a
+    // rare duplicate build under a race is harmless (last put wins)
+    val hit = ivfCache.get(cacheKey)
+    if (hit != null) hit
+    else {
+      val v = ivfIndex(df, idCol, vecCol, nLists)
+      ivfCache.put(cacheKey, v)
+      v
     }
   }
 

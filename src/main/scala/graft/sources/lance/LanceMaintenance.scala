@@ -873,7 +873,8 @@ object LanceMaintenance {
     val headM = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, Some(toVersion)))
     val baseById = baseM.fragments.map(f => f.id -> f).toMap
-    if (!baseM.fragments.forall(f => headM.fragments.exists(_.id == f.id)))
+    val headIds = headM.fragments.map(_.id).toSet
+    if (!baseM.fragments.forall(f => headIds.contains(f.id)))
       return None
     var total = 0L
     for (hf <- headM.fragments) baseById.get(hf.id) match {
@@ -881,7 +882,10 @@ object LanceMaintenance {
       case Some(bf) =>
         val grown = hf.deletion.map(_.numDeleted).getOrElse(0L) -
           bf.deletion.map(_.numDeleted).getOrElse(0L)
-        if (grown < 0) return None
+        // a CHANGED deletion file with non-positive growth means the dv
+        // content moved in a way counts can't bound (restore + re-delete)
+        if (grown < 0 || (grown == 0 && hf.deletion != bf.deletion))
+          return None
         total += grown
     }
     Some(total)
@@ -916,18 +920,22 @@ object LanceMaintenance {
     val headM = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, Some(toVersion)))
     val baseById = baseM.fragments.map(f => f.id -> f).toMap
-    if (!baseM.fragments.forall(f => headM.fragments.exists(_.id == f.id)))
+    val headIds = headM.fragments.map(_.id).toSet
+    if (!baseM.fragments.forall(f => headIds.contains(f.id)))
       return None // a fragment disappeared: compaction/rewrite interval
     val newFrags = headM.fragments
       .filterNot(f => baseById.contains(f.id)).filter(_.physicalRows > 0)
 
     // dv diff per changed common fragment; bail out on any shrink.
     // Driver memory bound: the diff lives on the driver as one long per
-    // newly-deleted row — past ~16M addrs (128 MB) the anti-join path's
-    // distributed scan is the better trade, so fall back rather than
-    // risk the driver.
+    // newly-deleted row — past ~16M addrs (128 MB in the primitive
+    // builder) the anti-join path's distributed scan is the better
+    // trade, so fall back rather than risk the driver. The cap is
+    // checked INSIDE the per-bit loop: a single huge fragment must not
+    // materialize its whole diff before the check.
     val maxDelAddrs = 16 << 20
-    val delAddrs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var nDelAddrs = 0
+    val delAddrs = new scala.collection.mutable.ArrayBuilder.ofLong
     val delDir = new org.apache.hadoop.fs.Path(p, "_deletions")
     def bits(fid: Long, d: Option[LanceFormat.DeletionFileMeta]): java.util.BitSet =
       d.map(m => DeletionFiles.read(
@@ -945,10 +953,11 @@ object LanceMaintenance {
         fresh.andNot(bs)
         var i = fresh.nextSetBit(0)
         while (i >= 0) {
+          if (nDelAddrs >= maxDelAddrs) return None
           delAddrs += (hf.id << 32) | i.toLong
+          nDelAddrs += 1
           i = fresh.nextSetBit(i + 1)
         }
-        if (delAddrs.length > maxDelAddrs) return None
       }
     }
 
@@ -970,9 +979,9 @@ object LanceMaintenance {
           .withColumn("_change", lit("insert"))
       }
     val deleted =
-      if (delAddrs.isEmpty) emptyLike.withColumn("_change", lit("delete")).limit(0)
+      if (nDelAddrs == 0) emptyLike.withColumn("_change", lit("delete")).limit(0)
       else {
-        val addrs = delAddrs.toArray.sorted
+        val addrs = delAddrs.result().sorted
         val cover = graft.operators.ScalarIndex.intervalCover(addrs, 256)
           .map { case (lo, hi) => s"$lo:$hi" }.mkString(",")
         val pruned = spark.read.format("lance")

@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Dev-only scratch profiler for the matview lifecycle (delete before
-  * round end if it stops being useful). */
+/** Dev-only profilers (test tree — never in the shipped jar):
+  * `Test/runMain graft.Scratch <sfDir>` profiles the matview lifecycle
+  * (GRAFT_MV_TIMING=1 for phase timings, GRAFT_JOB_TIMING=1 for
+  * per-job splits); `... <sfDir> commits` micro-benches tiny lance
+  * append commits. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

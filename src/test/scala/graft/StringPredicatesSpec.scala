@@ -43,9 +43,13 @@ class StringPredicatesSpec extends AnyFunSuite {
     assert(!simHit("xred widget", "(red|blue).*"))
   }
 
-  /** Independent reference: a direct recursive glob matcher (no regex). */
+  /** Independent reference: a direct recursive glob matcher (no regex).
+    * Same DuckDB-pinned edge semantics as the rewrite: `]` first in a
+    * class is literal; an unterminated or empty class makes the whole
+    * pattern match nothing. */
   private def globRef(s: String, p: String): Boolean = {
-    def cls(pi: Int): (Int => Boolean, Int) = { // ([char matcher], next idx)
+    // ([char matcher], next idx); None = unterminated/empty class
+    def cls(pi: Int): Option[(Int => Boolean, Int)] = {
       var i = pi + 1
       val neg = i < p.length && p.charAt(i) == '!'
       if (neg) i += 1
@@ -57,27 +61,48 @@ class StringPredicatesSpec extends AnyFunSuite {
           items += ((p.charAt(i), p.charAt(i + 2))); i += 3
         } else { items += ((p.charAt(i), p.charAt(i))); i += 1 }
       }
-      val in = (c: Int) => items.exists { case (a, b) => c >= a && c <= b }
-      (c => in(c) != neg, i + 1) // skip ']'
+      if (i >= p.length || items.isEmpty) None
+      else {
+        val in = (c: Int) => items.exists { case (a, b) => c >= a && c <= b }
+        Some((c => in(c) != neg, i + 1)) // skip ']'
+      }
     }
     def m(si: Int, pi: Int): Boolean =
       if (pi == p.length) si == s.length
       else p.charAt(pi) match {
         case '*' => (si to s.length).exists(k => m(k, pi + 1))
         case '?' => si < s.length && m(si + 1, pi + 1)
-        case '[' =>
-          val (f, np) = cls(pi)
-          si < s.length && f(s.charAt(si)) && m(si + 1, np)
+        case '[' => cls(pi) match {
+          case None => false
+          case Some((f, np)) =>
+            si < s.length && f(s.charAt(si)) && m(si + 1, np)
+        }
         case c => si < s.length && s.charAt(si) == c && m(si + 1, pi + 1)
       }
     m(0, 0)
+  }
+
+  test("glob class edges match DuckDB GLOB exactly") {
+    // DuckDB-verified: unterminated '[' matches nothing (even a literal
+    // '['), '[]]' is the class {']'}, '[!]' matches nothing, '&' inside
+    // a class is a literal (never a Java && intersection)
+    assert(!globHit("a[", "a["))
+    assert(!globHit("[", "["))
+    assert(globHit("]", "[]]"))
+    assert(!globHit("a", "[]]"))
+    assert(!globHit("x", "[!]"))
+    assert(!globHit("!", "[!]"))
+    assert(globHit("a", "[a&&b]"))
+    assert(globHit("&", "[a&&b]"))
+    assert(!globHit("c", "[a&&b]"))
+    assert(!globHit("ab", "a[b"))
   }
 
   test("property: glob rewrite agrees with a direct glob matcher (seeded fuzz)") {
     // deterministic fuzz: seeded generators, no scalacheck runner state
     val rnd = new scala.util.Random(4242)
     val patChars = "ab*?.(cd"
-    val classes = Seq("", "[ab]", "[!ab]", "[a-c]")
+    val classes = Seq("", "[ab]", "[!ab]", "[a-c]", "[", "[]]", "[!]", "[a&&b]", "[]ab]")
     def pat(): String = {
       val n = rnd.nextInt(9)
       val cs = Seq.fill(n)(patChars.charAt(rnd.nextInt(patChars.length)))
@@ -85,7 +110,7 @@ class StringPredicatesSpec extends AnyFunSuite {
       val pos = rnd.nextInt(n + 1)
       cs.take(pos).mkString + cls + cs.drop(pos).mkString
     }
-    val strChars = "abcd.(*"
+    val strChars = "abcd.(*]&!"
     def str(): String =
       Seq.fill(rnd.nextInt(10))(strChars.charAt(rnd.nextInt(strChars.length))).mkString
     val pats = Seq.fill(40)(pat()).distinct
