@@ -839,10 +839,13 @@ object LanceMaintenance {
         "fromVersion append-only scan instead")
     def at(v: Long) = spark.read.format("lance")
       .option("versionAsOf", v.toString).load(path)
-    changesFast(spark, path, fromVersion, toVersion, conf).getOrElse {
-      // GENERAL path (compaction / restore intervals): row identity via
-      // two `_rowid` anti-joins — correct for any history, but work ∝
-      // corpus (both endpoint versions are scanned)
+    changesFast(spark, path, fromVersion, toVersion, conf)
+      .orElse(changesById(spark, path, fromVersion, toVersion, conf))
+      .getOrElse {
+      // LAST-RESORT path: row identity via two `_rowid` anti-joins —
+      // correct for any history, but work ∝ corpus (both endpoint
+      // versions are scanned). Reached only when row-id sequences are
+      // unavailable or the change set exceeds the driver caps.
       def idsAt(v: Long) = at(v).select(col("_rowid"))
       val inserted = at(toVersion)
         .withColumn("_rowid", col("_rowid"))
@@ -889,6 +892,197 @@ object LanceMaintenance {
         total += grown
     }
     Some(total)
+  }
+
+  /** Sorted disjoint id intervals [lo,hi] (inclusive) of the LIVE rows of
+    * one manifest, derived from row-id sequences + deletion files —
+    * metadata only, no data read. None when any non-empty fragment lacks
+    * a row-id sequence (address-only or foreign dataset). Driver cost
+    * O(fragments + segments + deleted rows).
+    */
+  private def liveIdIntervals(m: LanceFormat.Manifest,
+                              p: org.apache.hadoop.fs.Path,
+                              conf: Configuration)
+      : Option[Array[(Long, Long)]] = {
+    val delDir = new org.apache.hadoop.fs.Path(p, "_deletions")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (fr <- m.fragments if fr.physicalRows > 0) {
+      val segs = fr.rowIds.getOrElse(Nil)
+      if (segs.isEmpty) return None
+      val del = fr.deletion.map(d => DeletionFiles.read(
+        new org.apache.hadoop.fs.Path(delDir, d.fileName(fr.id)).toString,
+        conf)).getOrElse(new java.util.BitSet)
+      var pos = 0L
+      segs.foreach {
+        case LanceFormat.RangeSeg(st, n) =>
+          // emit [st, st+n) minus ids whose POSITION is deleted
+          var lo = st // start of the current live run (id space)
+          var d = del.nextSetBit(pos.toInt)
+          while (d >= 0 && d < pos + n) {
+            val deadId = st + (d - pos)
+            if (deadId > lo) out += ((lo, deadId - 1))
+            lo = deadId + 1
+            d = del.nextSetBit(d + 1)
+          }
+          if (st + n > lo) out += ((lo, st + n - 1))
+          pos += n
+        case LanceFormat.ArraySeg(ids) =>
+          var i = 0
+          while (i < ids.length) {
+            if (!del.get((pos + i).toInt)) out += ((ids(i), ids(i)))
+            i += 1
+          }
+          pos += ids.length
+      }
+    }
+    Some(out.toArray.sortBy(_._1))
+  }
+
+  /** `a` minus `b` over sorted disjoint inclusive intervals (two-pointer,
+    * linear). */
+  private[lance] def intervalDiff(a: Array[(Long, Long)],
+                                  b: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var j = 0
+    for ((lo0, hi) <- a) {
+      var lo = lo0
+      while (j < b.length && b(j)._2 < lo) j += 1
+      var k = j
+      var done = false
+      while (!done && lo <= hi) {
+        if (k >= b.length || b(k)._1 > hi) { out += ((lo, hi)); done = true }
+        else {
+          val (blo, bhi) = b(k)
+          if (blo > lo) out += ((lo, blo - 1))
+          lo = math.max(lo, bhi + 1)
+          k += 1
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Map wanted id intervals to physical `_rowaddr`s within one manifest
+    * (each live id lives in exactly one fragment). Appends into `out`;
+    * returns false (abort) when `out` would exceed `cap`. */
+  private def addrsOfIdIntervals(m: LanceFormat.Manifest,
+                                 wanted: Array[(Long, Long)],
+                                 out: scala.collection.mutable.ArrayBuilder.ofLong,
+                                 cap: Int, have: Int): Int = {
+    var n = have
+    def wantedOverlaps(lo: Long, hi: Long): Seq[(Long, Long)] = {
+      // binary search the first interval that could overlap [lo,hi]
+      var a = 0; var b = wanted.length
+      while (a < b) {
+        val mid = (a + b) >>> 1
+        if (wanted(mid)._2 < lo) a = mid + 1 else b = mid
+      }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = a
+      while (i < wanted.length && wanted(i)._1 <= hi) {
+        buf += ((math.max(lo, wanted(i)._1), math.min(hi, wanted(i)._2)))
+        i += 1
+      }
+      buf.toSeq
+    }
+    for (fr <- m.fragments if fr.physicalRows > 0) {
+      var pos = 0L
+      fr.rowIds.getOrElse(Nil).foreach {
+        case LanceFormat.RangeSeg(st, segN) =>
+          wantedOverlaps(st, st + segN - 1).foreach { case (lo, hi) =>
+            var id = lo
+            while (id <= hi) {
+              if (n >= cap) return -1
+              out += (fr.id << 32) | (pos + (id - st))
+              n += 1; id += 1
+            }
+          }
+          pos += segN
+        case LanceFormat.ArraySeg(ids) =>
+          var i = 0
+          while (i < ids.length) {
+            if (wantedOverlaps(ids(i), ids(i)).nonEmpty) {
+              if (n >= cap) return -1
+              out += (fr.id << 32) | (pos + i)
+              n += 1
+            }
+            i += 1
+          }
+          pos += ids.length
+      }
+    }
+    n
+  }
+
+  /** Id-diff change feed: metadata-driven CDC for intervals the
+    * append/delete-only fast path cannot take — compaction (fragments
+    * rewritten, ids preserved) and restore (deletion vectors shrank).
+    * Live id sets of both endpoint versions are built as sorted interval
+    * lists from row-id sequences + deletion files (driver-side, cost ∝
+    * metadata + deletions), diffed linearly, and the changed rows are
+    * fetched by address from their owning version. Falls back (None)
+    * when a fragment lacks row-id sequences or the change set exceeds
+    * the driver cap — then the distributed anti-join decides.
+    */
+  private[lance] def changesById(spark: SparkSession, path: String,
+                          fromVersion: Long, toVersion: Long,
+                          conf: Configuration)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    val baseM = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, Some(fromVersion)))
+    val headM = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, Some(toVersion)))
+    val baseLive = liveIdIntervals(baseM, p, conf).getOrElse(return None)
+    val headLive = liveIdIntervals(headM, p, conf).getOrElse(return None)
+    val insertedIds = intervalDiff(headLive, baseLive)
+    val deletedIds  = intervalDiff(baseLive, headLive)
+    val cap = 16 << 20
+    val insAddrs = new scala.collection.mutable.ArrayBuilder.ofLong
+    val nIns = addrsOfIdIntervals(headM, insertedIds, insAddrs, cap, 0)
+    if (nIns < 0) return None
+    val delAddrs = new scala.collection.mutable.ArrayBuilder.ofLong
+    val nDel = addrsOfIdIntervals(baseM, deletedIds, delAddrs, cap - nIns, 0)
+    if (nDel < 0) return None
+
+    def emptyLike = spark.read.format("lance")
+      .option("versionAsOf", toVersion.toString).load(path)
+      .withColumn("_rowid", col("_rowid"))
+      .withColumn("_change", lit("insert")).limit(0)
+    def side(version: Long, addrs: Array[Long], change: String) =
+      if (addrs.isEmpty)
+        emptyLike.withColumn("_change", lit(change)).limit(0)
+      else fetchByAddrList(spark, path, version, addrs.sorted)
+        .withColumn("_rowid", col("_rowid"))
+        .withColumn("_change", lit(change))
+    Some(side(toVersion, insAddrs.result(), "insert").unionByName(
+      side(fromVersion, delAddrs.result(), "delete"),
+      allowMissingColumns = true))
+  }
+
+  /** Address-exact fetch of `addrs` (sorted) at one version: interval
+    * cover prunes fragments/pages; exactness by sorted-array membership
+    * up to 100k addrs, a left-semi join above (shared by the dv-diff and
+    * id-diff feeds). */
+  private def fetchByAddrList(spark: SparkSession, path: String,
+                              version: Long, addrs: Array[Long])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cover = graft.operators.ScalarIndex.intervalCover(addrs, 256)
+      .map { case (lo, hi) => s"$lo:$hi" }.mkString(",")
+    val pruned = spark.read.format("lance")
+      .option("versionAsOf", version.toString)
+      .option("addrRanges", cover).load(path)
+    if (addrs.length <= 100000)
+      pruned.filter(graft.functions.ArrayKernels
+        .longInSortedArray(col("_rowaddr"), addrs))
+    else {
+      import spark.implicits._
+      val addrDf = spark.createDataset(addrs.toIndexedSeq).toDF("_del_addr")
+      pruned.join(addrDf,
+        pruned.col("_rowaddr") === col("_del_addr"), "left_semi")
+    }
   }
 
   /** Manifest-diff change feed (fast path): when the [from,to] interval is
@@ -980,27 +1174,9 @@ object LanceMaintenance {
       }
     val deleted =
       if (nDelAddrs == 0) emptyLike.withColumn("_change", lit("delete")).limit(0)
-      else {
-        val addrs = delAddrs.result().sorted
-        val cover = graft.operators.ScalarIndex.intervalCover(addrs, 256)
-          .map { case (lo, hi) => s"$lo:$hi" }.mkString(",")
-        val pruned = spark.read.format("lance")
-          .option("versionAsOf", fromVersion.toString)
-          .option("addrRanges", cover).load(path)
-        val exact =
-          if (addrs.length <= 100000)
-            pruned.filter(graft.functions.ArrayKernels
-              .longInSortedArray(col("_rowaddr"), addrs))
-          else {
-            import spark.implicits._
-            val addrDf = spark.createDataset(addrs.toIndexedSeq)
-              .toDF("_del_addr")
-            pruned.join(addrDf,
-              pruned.col("_rowaddr") === col("_del_addr"), "left_semi")
-          }
-        exact.withColumn("_rowid", col("_rowid"))
-          .withColumn("_change", lit("delete"))
-      }
+      else fetchByAddrList(spark, path, fromVersion, delAddrs.result().sorted)
+        .withColumn("_rowid", col("_rowid"))
+        .withColumn("_change", lit("delete"))
     Some(inserted.unionByName(deleted, allowMissingColumns = true))
   }
 
