@@ -313,7 +313,10 @@ object TextOps {
         .select(col(idc), col("pos").as("band"), col("col").as("bh"))
       val docs = t("documents")
       val isBench = col("source") === "src0" && col("doc_id") % 7 === 0
-      val cs = sigOf(docs.filter(!isBench), "doc_id")
+      // the corpus sketch feeds BOTH the band path and the verify join —
+      // materialize it once (the d28 localCheckpoint shape) instead of
+      // paying the md5 x P x tokens pass twice
+      val cs = sigOf(docs.filter(!isBench), "doc_id").localCheckpoint(true)
       val bs = sigOf(docs.filter(isBench), "doc_id")
         .select(col("doc_id").as("bench_id"), col("sig").as("bsig"))
       val cand = bandsOf(cs, "doc_id")
