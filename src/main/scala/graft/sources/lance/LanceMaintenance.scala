@@ -900,7 +900,7 @@ object LanceMaintenance {
     * a row-id sequence (address-only or foreign dataset). Driver cost
     * O(fragments + segments + deleted rows).
     */
-  private def liveIdIntervals(m: LanceFormat.Manifest,
+  private[lance] def liveIdIntervals(m: LanceFormat.Manifest,
                               p: org.apache.hadoop.fs.Path,
                               conf: Configuration)
       : Option[Array[(Long, Long)]] = {
@@ -965,7 +965,7 @@ object LanceMaintenance {
   /** Map wanted id intervals to physical `_rowaddr`s within one manifest
     * (each live id lives in exactly one fragment). Appends into `out`;
     * returns false (abort) when `out` would exceed `cap`. */
-  private def addrsOfIdIntervals(m: LanceFormat.Manifest,
+  private[lance] def addrsOfIdIntervals(m: LanceFormat.Manifest,
                                  wanted: Array[(Long, Long)],
                                  out: scala.collection.mutable.ArrayBuilder.ofLong,
                                  cap: Int, have: Int): Int = {

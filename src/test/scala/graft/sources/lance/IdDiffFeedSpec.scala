@@ -56,6 +56,42 @@ class IdDiffFeedSpec extends AnyFunSuite {
     assert(f23.isDefined && f23.get.count() == 0L)
   }
 
+  test("liveIdIntervals + addrsOfIdIntervals over ArraySeg sequences (crate-interop shape)") {
+    // our writer emits RangeSegs; ArraySegs are the crate's irregular
+    // compaction tails — fabricate a manifest mixing both (no deletion
+    // files, so no fs access happens on the dv branch)
+    import LanceFormat._
+    val m = Manifest(
+      fields = Nil,
+      fragments = Seq(
+        FragmentMeta(0L, Nil, physicalRows = 5,
+          rowIds = Some(Seq(RangeSeg(100L, 3), ArraySeg(Array(7L, 42L))))),
+        FragmentMeta(1L, Nil, physicalRows = 2,
+          rowIds = Some(Seq(ArraySeg(Array(9L, 8L)))))),
+      version = 1L, nextRowId = 200L)
+    val conf = spark.sessionState.newHadoopConf()
+    val dummy = new org.apache.hadoop.fs.Path("/tmp")
+    val live = LanceMaintenance.liveIdIntervals(m, dummy, conf).get.toSeq
+    assert(live == Seq((7L, 7L), (8L, 8L), (9L, 9L), (42L, 42L), (100L, 102L)))
+    // id -> addr mapping: RangeSeg interior, ArraySeg elements, and an
+    // id owned by the second fragment
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    val n = LanceMaintenance.addrsOfIdIntervals(m,
+      Array((8L, 9L), (42L, 42L), (101L, 102L)), out, cap = 100, have = 0)
+    assert(n == 5)
+    val addrs = out.result().sorted.toSeq
+    // frag 0: positions 0,1,2 = ids 100..102; positions 3,4 = ids 7,42
+    // frag 1: positions 0,1 = ids 9,8
+    assert(addrs == Seq(
+      (0L << 32) | 1L, (0L << 32) | 2L,           // ids 101, 102
+      (0L << 32) | 4L,                            // id 42
+      (1L << 32) | 0L, (1L << 32) | 1L))          // ids 9, 8
+    // cap: abort signals -1 without materializing past the limit
+    val out2 = new scala.collection.mutable.ArrayBuilder.ofLong
+    assert(LanceMaintenance.addrsOfIdIntervals(m,
+      Array((100L, 102L)), out2, cap = 2, have = 0) == -1)
+  }
+
   test("changesById refuses an address-only dataset (no row-id sequences)") {
     val dir = java.nio.file.Files.createTempDirectory("iddiff-off").toString
     val p = s"$dir/t.lance"
