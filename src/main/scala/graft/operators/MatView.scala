@@ -406,7 +406,12 @@ object MatView {
             // stats probe — a tiny delta stages ONE fragment, not one
             // micro-fragment per cached partition
             stagePartitions = Some(
-              math.min(32L, n(2) / 4000000L + 1L).toInt))
+              math.min(32L, n(2) / 4000000L + 1L).toInt),
+            // CAS on the view version captured at loadSpec: a racing
+            // refresh of the same interval must conflict loudly (an
+            // insert-only twin would otherwise pass the lenient rebase
+            // and double-apply the delta)
+            expectedVersion = Some(mvHead))
         }
         writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)
       } else {
@@ -423,7 +428,8 @@ object MatView {
             "modified outside lance-tracked commits?); re-create the view")
         val committed = mvTime("upsertWithDeletes") {
           LanceMaintenance.upsertWithDeletes(
-            spark, mvPath, upserts, spec.keys, zeros)
+            spark, mvPath, upserts, spec.keys, zeros,
+            expectedVersion = Some(mvHead))
         }
         writeSpec(spark, mvPath, spec.copy(lastVersion = srcHead), committed)
       }

@@ -548,7 +548,8 @@ object LanceMaintenance {
                         keys: Seq[String],
                         deleteKeys: org.apache.spark.sql.DataFrame,
                         srcEmptyHint: Option[Boolean] = None,
-                        stagePartitions: Option[Int] = None): Long = {
+                        stagePartitions: Option[Int] = None,
+                        expectedVersion: Option[Long] = None): Long = {
     require(keys.nonEmpty, "upsertWithDeletes needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
@@ -580,10 +581,10 @@ object LanceMaintenance {
       val delMetas = scala.concurrent.Await.result(
         delF, scala.concurrent.duration.Duration.Inf)
       if (delMetas.isEmpty) return manifest.version
-      commitDeletionLoop(conf, p, path, manifest, delMetas)
+      commitDeletionLoop(conf, p, path, manifest, delMetas, expectedVersion)
     } else {
       commitReplacement(spark, path, manifest, delF, src, tgtFields,
-        stagePartitions)
+        stagePartitions, expectedVersion)
     }
   }
 
@@ -594,12 +595,21 @@ object LanceMaintenance {
   private def commitDeletionLoop(conf: Configuration,
                                  p: org.apache.hadoop.fs.Path, path: String,
                                  base: LanceFormat.Manifest,
-                                 delMetas: Map[Long, LanceFormat.DeletionFileMeta]): Long = {
+                                 delMetas: Map[Long, LanceFormat.DeletionFileMeta],
+                                 expectedVersion: Option[Long] = None): Long = {
     val fs = p.getFileSystem(conf)
     var attempt = 0
     while (true) {
       val latestPath = LanceFormat.latestManifestPath(fs, p, None)
       val latest = LanceFormat.readManifest(fs, latestPath)
+      // CAS mode (MatView refresh): ANY intervening commit — even a
+      // provably-rebasable append — may carry the same logical change
+      // (a racing refresh of the same interval), so only the captured
+      // version may commit; the loser recomputes from the new head
+      expectedVersion.foreach(v => if (latest.version != v)
+        throw new LanceCommitConflict(
+          s"lance: version advanced under a versioned commit on $path " +
+            s"(expected v$v, found v${latest.version}) — recompute", null))
       val baseById = base.fragments.map(f => f.id -> f).toMap
       val safe = delMetas.keys.forall { fid =>
         latest.fragments.find(_.id == fid).exists(lf =>
@@ -658,7 +668,8 @@ object LanceMaintenance {
                                 delMetasF: scala.concurrent.Future[Map[Long, LanceFormat.DeletionFileMeta]],
                                 src: org.apache.spark.sql.DataFrame,
                                 tgtFields: Seq[org.apache.spark.sql.types.StructField],
-                                stagePartitions: Option[Int] = None): Long = {
+                                stagePartitions: Option[Int] = None,
+                                expectedVersion: Option[Long] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(path, conf)
     val fsl: Map[String, Int] = manifest.fields
@@ -711,6 +722,13 @@ object LanceMaintenance {
       while (committed < 0) {
         val latestPath = LanceFormat.latestManifestPath(fs, p, None)
         val latest = LanceFormat.readManifest(fs, latestPath)
+        // CAS mode: see commitDeletionLoop — a racing same-interval
+        // writer could otherwise pass the lenient rebase check when its
+        // twin's commit was insert-only (no shared fragments touched)
+        expectedVersion.foreach(v => if (latest.version != v)
+          throw new LanceCommitConflict(
+            s"lance: version advanced under a versioned commit on $path " +
+              s"(expected v$v, found v${latest.version}) — recompute", null))
         val baseById = manifest.fragments.map(f => f.id -> f).toMap
         val safe = latest.version == manifest.version || (
           latest.fields == manifest.fields &&

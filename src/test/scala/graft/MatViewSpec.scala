@@ -82,6 +82,62 @@ class MatViewSpec extends AnyFunSuite {
     assert(sorted(MatView.read(spark, mv)) == sorted(recompute(src)))
   }
 
+  test("racing refreshes never double-apply a delta") {
+    val dir = tmp("mv_race")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    writeSrc(src, srcRows((1L to 60L).map(i => (i, s"g${i % 6}", i * 0.5))))
+    MatView.create(spark, src, mv, Seq("grp"), Seq("amt"))
+    LanceMaintenance.deleteWhere(spark, src, "id % 4 = 1")
+    srcRows(Seq((200L, "g1", 9.0), (201L, "g9", 4.0)))
+      .write.format("lance").mode("append").save(src)
+    // two refreshes race: the commit protocol must let exactly one delta
+    // land — the loser either conflicts loudly or arrives after the
+    // winner's spec advance and sees an empty interval (no-op). A silent
+    // double-apply would double the g1/g9 deltas and break the
+    // recompute equality below.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map(_ => new Thread(() => {
+      try MatView.refresh(spark, mv)
+      catch { case e: Throwable => errs.add(e) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    errs.forEach { e =>
+      val ok = e.isInstanceOf[graft.sources.lance.LanceCommitConflict] ||
+        Option(e.getMessage).exists(m =>
+          m.contains("recompute") || m.contains("re-create") ||
+          m.contains("concurrent"))
+      assert(ok, s"unexpected racing-refresh failure: $e")
+    }
+    // a retry after the race must converge (no-op if already at head)
+    MatView.refresh(spark, mv)
+    assert(sorted(MatView.read(spark, mv)) == sorted(recompute(src)))
+
+    // INSERT-ONLY racing delta (a brand-new group, no tombstones): this
+    // is the case the expected-version CAS exists for — without it both
+    // twins pass the lenient rebase check (no shared fragments touched)
+    // and the delta double-applies as duplicate group rows
+    srcRows(Seq((300L, "gNEW", 1.5), (301L, "gNEW", 2.5)))
+      .write.format("lance").mode("append").save(src)
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads2 = (1 to 2).map(_ => new Thread(() => {
+      try MatView.refresh(spark, mv)
+      catch { case e: Throwable => errs2.add(e) }
+    }))
+    threads2.foreach(_.start()); threads2.foreach(_.join())
+    errs2.forEach { e =>
+      val ok = e.isInstanceOf[graft.sources.lance.LanceCommitConflict] ||
+        Option(e.getMessage).exists(m =>
+          m.contains("recompute") || m.contains("re-create") ||
+          m.contains("concurrent"))
+      assert(ok, s"unexpected insert-only racing failure: $e")
+    }
+    MatView.refresh(spark, mv)
+    val newRows = MatView.read(spark, mv).filter($"grp" === "gNEW").collect()
+    assert(newRows.length == 1,
+      s"racing insert-only refresh double-applied: ${newRows.toSeq}")
+    assert(sorted(MatView.read(spark, mv)) == sorted(recompute(src)))
+  }
+
   test("no-op refresh when source did not advance; compaction-only is empty delta") {
     val dir = tmp("mv_noop")
     val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
