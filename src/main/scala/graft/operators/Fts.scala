@@ -297,7 +297,18 @@ object Fts {
     * differential test). Returns the new covered version.
     */
   def updateIndex(spark: SparkSession, sourcePath: String, indexPath: String,
-                  writePartitions: Int = 4): Long = {
+                  writePartitions: Int = 4): Long =
+    graft.sources.lance.MaintenanceLock.withLock(indexPath,
+        spark.sessionState.newHadoopConf()) {
+      updateIndexLocked(spark, sourcePath, indexPath, writePartitions)
+    }
+
+  /** The update body; callers hold the maintenance lock — a racing twin
+    * would double-merge the tail dfs into the vocabulary (silent BM25
+    * corruption), which the lock turns into a loud refusal. */
+  private def updateIndexLocked(spark: SparkSession, sourcePath: String,
+                                indexPath: String,
+                                writePartitions: Int): Long = {
     import graft.sources.lance.LanceFormat
     val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
     val (builtV, idCol, textCol) = (b.getLong(0), b.getString(1), b.getString(2))

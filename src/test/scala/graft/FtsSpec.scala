@@ -238,6 +238,54 @@ class FtsSpec extends AnyFunSuite {
     assert(got == Seq(2L, 1L))
   }
 
+  test("updateIndex folds the append tail: search ≡ a from-scratch rebuild, bit-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_update").toString
+    val src = s"$dir/docs.lance"
+    (1L to 30L).map(i => (i, s"tok${i % 7} tok${i % 5} cat"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    (31L to 45L).map(i => (i, s"tok${i % 7} cat dog"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("append").save(src)
+    Fts.updateIndex(spark, src, s"$dir/ix")
+    // the merged index must answer EXACTLY like an index built fresh at
+    // the head version (df merge + stats delta are exact — the scaladoc
+    // contract)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix_fresh")
+    def top(ix: String) = Fts.searchPersisted(spark, ix,
+      Seq("cat", "tok3", "dog"), k = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(s"$dir/ix") == top(s"$dir/ix_fresh"))
+    // phrase + boolean paths read the merged postings too
+    assert(Fts.phrasePersisted(spark, s"$dir/ix", Seq("cat", "dog"))
+      .count() == 15)
+  }
+
+  test("a held maintenance lock turns a racing index update into a loud refusal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_lock").toString
+    val src = s"$dir/docs.lance"
+    Seq((1L, "cat dog")).toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    Seq((2L, "cat elk")).toDF("doc_id", "text")
+      .write.format("lance").mode("append").save(src)
+    val conf = spark.sessionState.newHadoopConf()
+    graft.sources.lance.MaintenanceLock.withLock(s"$dir/ix", conf) {
+      val e = intercept[graft.sources.lance.MaintenanceLock.ConcurrentMaintenance] {
+        Fts.updateIndex(spark, src, s"$dir/ix")
+      }
+      assert(e.getMessage.contains("maintainer") ||
+        e.getMessage.contains("race"))
+    }
+    // lock released: the update now proceeds
+    Fts.updateIndex(spark, src, s"$dir/ix")
+    assert(Fts.searchPersisted(spark, s"$dir/ix", Seq("elk"), k = 5)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("live search masks documents deleted after the build") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fts_live").toString
