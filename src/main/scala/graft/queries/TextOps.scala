@@ -208,6 +208,12 @@ object TextOps {
     //     prefix), 4 bands of 2, signature-estimated jaccard = equal
     //     positions / 8. Scale shape preserved: banded candidates, pair
     //     distinct on skinny ids, signatures joined back — no all-pairs.
+    //     NOTE the OUTPUT contract is the full near-dup PAIR list, which
+    //     is inherently quadratic in duplicate-group size (5x duplicate
+    //     multiplicity = ~25x pairs — measured in the round-8 scaling
+    //     smoke). The compute is collapse-bounded + output-bound; at
+    //     corpus scale the production path is d11's cluster dedup
+    //     (linear output: one keep-decision per doc), not a pair dump.
     QDef("d28_minhash_portable", (s, dir) => {
       val t = Tables.register(s, dir)
       val P = 8; val B = 4
