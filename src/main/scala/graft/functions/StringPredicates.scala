@@ -49,6 +49,9 @@ object StringPredicates {
             first = false
             if (j + 2 < glob.length && glob.charAt(j + 1) == '-' &&
                 glob.charAt(j + 2) != ']') {
+              // a REVERSED range ([z-a]) is an invalid Java regex; DuckDB
+              // GLOB treats the pattern as matching nothing — pin that.
+              if (glob.charAt(j) > glob.charAt(j + 2)) return "(?!)"
               members.append(classMember(glob.charAt(j))).append('-')
                 .append(classMember(glob.charAt(j + 2)))
               j += 3

@@ -102,8 +102,9 @@ object MatView {
   def loadSpec(spark: SparkSession, mvPath: String): (Spec, Long) = {
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(mvPath, conf)
-    val head = LanceFormat.readManifest(fs,
-      LanceFormat.latestManifestPath(fs, p, None)).version
+    val headManifest = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None))
+    val head = headManifest.version
     val f = new org.apache.hadoop.fs.Path(metaDir(p), s"$head.props")
     require(fs.exists(f),
       s"matview $mvPath: no metadata for head version $head — the view was " +
@@ -119,10 +120,21 @@ object MatView {
          props.getProperty(s"dim.$i.dimKey"),
          props.getProperty(s"dim.$i.version").toLong)))
       .takeWhile(_.isDefined).flatten.toSeq
-    (Spec(props.getProperty("src"), split(props.getProperty("keys")),
-          split(props.getProperty("sums")),
-          props.getProperty("lastVersion").toLong,
-          split(props.getProperty("minmax")), dims), head)
+    val spec = Spec(props.getProperty("src"), split(props.getProperty("keys")),
+      split(props.getProperty("sums")),
+      props.getProperty("lastVersion").toLong,
+      split(props.getProperty("minmax")), dims)
+    // on-disk format gate: views created before the cntnn_<c> columns
+    // (NULL-sum recovery) lack them in the stored layout; refresh would
+    // otherwise die on an unresolved column / schema-equality require
+    // with a confusing message deep inside the upsert
+    val stored = headManifest.fields.filter(_.parentId == -1).map(_.name).toSet
+    val missing = spec.sums.map(c => s"cntnn_$c").filterNot(stored)
+    require(missing.isEmpty,
+      s"matview $mvPath: stored layout predates the cntnn_<c> format " +
+        s"(missing ${missing.mkString(", ")}) — the view format changed; " +
+        "re-create the view with MatView.create")
+    (spec, head)
   }
 
   /** The exact-arithmetic aggregate list for one grouped pass. */
@@ -228,10 +240,25 @@ object MatView {
       var q = quietSessions.get(spark)
       if (q == null) {
         q = spark.newSession()
-        q.conf.set("spark.sql.adaptive.enabled", "false")
-        q.conf.set("spark.sql.shuffle.partitions", "8")
         quietSessions.put(spark, q)
       }
+      // newSession() builds session state from SparkConf DEFAULTS and
+      // would drop the caller's runtime-set SQL confs (timezone, ANSI,
+      // caseSensitive, ...) — a small-delta refresh must evaluate under
+      // the SAME semantics as a large-delta one. Re-sync the runtime conf
+      // on EVERY pick (the caller may have changed it since the sibling
+      // was built), then override only the two delta-tuning knobs.
+      val overrides = Set("spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions")
+      val qc = q
+      spark.conf.getAll.foreach { case (k, v) =>
+        if (!overrides(k)) {
+          try if (!qc.conf.getOption(k).contains(v)) qc.conf.set(k, v)
+          catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+        }
+      }
+      q.conf.set("spark.sql.adaptive.enabled", "false")
+      q.conf.set("spark.sql.shuffle.partitions", "8")
       q
     }
 
@@ -246,9 +273,12 @@ object MatView {
     // before planning anything). Recompute-mode (min/max) views are
     // excluded: their refresh work is proportional to the TOUCHED
     // GROUPS' full row counts, which a small change set does not bound.
+    // `graft.matview.quiet=off` pins refresh to the caller's session —
+    // the differential-test hook proving quiet-path ≡ main-path results
     val spark = LanceMaintenance.changeSetEstimate(
         spark0, spec.src, spec.lastVersion, srcHead) match {
-      case Some(n) if n <= 2000000L && spec.minMax.isEmpty =>
+      case Some(n) if n <= 2000000L && spec.minMax.isEmpty &&
+          spark0.conf.get("graft.matview.quiet", "auto") != "off" =>
         quietSession(spark0)
       case _ => spark0
     }

@@ -698,11 +698,26 @@ object LanceMaintenance {
       val staged = LanceFormat.readManifest(sfs,
         LanceFormat.latestManifestPath(sfs, sp, None))
       val dataDir = new org.apache.hadoop.fs.Path(p, "data")
+      // CAS pre-check BEFORE the staged files enter the live data/ dir:
+      // a conflicting refresh aborts here, while the staging-dir cleanup
+      // still removes everything — no orphaned data files for vacuum to
+      // chase on a hot view's retry loop. (The commit loop re-checks; this
+      // only narrows the orphan window to the manifest-write itself.)
+      expectedVersion.foreach { v =>
+        val now = LanceFormat.readManifest(fs,
+          LanceFormat.latestManifestPath(fs, p, None)).version
+        if (now != v) throw new LanceCommitConflict(
+          s"lance: version advanced under a versioned commit on $path " +
+            s"(expected v$v, found v$now) — recompute", null)
+      }
+      val renamed = scala.collection.mutable.Buffer.empty[org.apache.hadoop.fs.Path]
       staged.fragments.flatMap(_.files).foreach { f =>
+        val dst = new org.apache.hadoop.fs.Path(dataDir, f.path)
         require(fs.rename(
           new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(sp, "data"), f.path),
-          new org.apache.hadoop.fs.Path(dataDir, f.path)),
+          dst),
           s"lance upsert: failed to stage fragment ${f.path}")
+        renamed += dst
       }
 
       // one commit: patched old fragments + staged new ones. The staged
@@ -719,6 +734,7 @@ object LanceMaintenance {
       }
       var attempt = 0
       var committed = -1L
+      try {
       while (committed < 0) {
         val latestPath = LanceFormat.latestManifestPath(fs, p, None)
         val latest = LanceFormat.readManifest(fs, latestPath)
@@ -768,6 +784,20 @@ object LanceMaintenance {
             if (attempt >= 100) throw e
             Thread.sleep(5 + scala.util.Random.nextInt(20))
         }
+      }
+      } catch {
+        case e: Throwable if committed < 0 =>
+          // abort AFTER the rename: the moved data files (and the
+          // overlapped deletion files) are referenced by no manifest —
+          // remove them now instead of leaving orphans for vacuum
+          val delDir = new org.apache.hadoop.fs.Path(p, "_deletions")
+          renamed.foreach(f =>
+            try fs.delete(f, false) catch { case _: java.io.IOException => () })
+          delMetas.foreach { case (fid, m) =>
+            try fs.delete(new org.apache.hadoop.fs.Path(delDir, m.fileName(fid)), false)
+            catch { case _: java.io.IOException => () }
+          }
+          throw e
       }
       committed
     } finally {

@@ -315,4 +315,67 @@ class MatViewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("stable row ids"))
   }
+
+  test("pre-cntnn stored layout is refused with a clear format message") {
+    val dir = tmp("mv_fmt")
+    val src = s"$dir/src.lance"; val mv = s"$dir/mv.lance"
+    writeSrc(src, srcRows(Seq((1L, "a", 1.0), (2L, "b", 2.0))))
+    MatView.create(spark, src, mv, Seq("grp"), Seq("amt"))
+    // forge the pre-cntnn on-disk layout: rewrite the view table without
+    // the cntnn_amt column and carry the spec props to the new head
+    val old = MatView.read(spark, mv).drop("cntnn_amt").collect()
+    val oldSchema = MatView.read(spark, mv).drop("cntnn_amt").schema
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, p) = LanceFormat.fileSystem(mv, conf)
+    val headBefore = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+    spark.createDataFrame(java.util.Arrays.asList(old: _*), oldSchema)
+      .write.format("lance").mode("overwrite").save(mv)
+    val headAfter = LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(p, s"_matview/$headBefore.props"), fs,
+      new org.apache.hadoop.fs.Path(p, s"_matview/$headAfter.props"),
+      false, conf)
+    srcRows(Seq((3L, "c", 3.0))).write.format("lance").mode("append").save(src)
+    val e = intercept[IllegalArgumentException] { MatView.refresh(spark, mv) }
+    assert(e.getMessage.contains("view format changed") ||
+      e.getMessage.contains("cntnn"), e.getMessage)
+    assert(e.getMessage.contains("re-create"))
+  }
+
+  test("quiet-path refresh is bit-identical to main-session refresh (both delta sizes, both sides of the min/max boundary)") {
+    // two identical source/view pairs; one refreshes through the auto
+    // (quiet sibling) path, the other pinned to the caller's session via
+    // graft.matview.quiet=off — results must match bit-for-bit
+    def runPair(minMax: Seq[String], bigDelta: Boolean): Unit = {
+      val dir = tmp(s"mv_quiet_${minMax.nonEmpty}_$bigDelta")
+      val rows = (1L to 60L).map(i => (i, s"g${i % 7}", i * 0.5 + 0.001))
+      val churnDel = "id % 3 = 0"
+      val churnAdd = srcRows((200L to (if (bigDelta) 260L else 206L)).map(i =>
+        (i, s"g${i % 9}", i * 1.5)))
+      val made = Seq("a", "b").map { side =>
+        val src = s"$dir/src_$side.lance"; val mv = s"$dir/mv_$side.lance"
+        writeSrc(src, srcRows(rows))
+        MatView.create(spark, src, mv, Seq("grp"), Seq("amt"), minMax)
+        LanceMaintenance.deleteWhere(spark, src, churnDel)
+        churnAdd.write.format("lance").mode("append").save(src)
+        mv
+      }
+      spark.conf.set("graft.matview.quiet", "auto")
+      MatView.refresh(spark, made.head)
+      spark.conf.set("graft.matview.quiet", "off")
+      try MatView.refresh(spark, made(1))
+      finally spark.conf.unset("graft.matview.quiet")
+      val (qa, qb) = (MatView.read(spark, made.head), MatView.read(spark, made(1)))
+      assert(qa.schema == qb.schema)
+      assert(sortedAny(qa) == sortedAny(qb))
+    }
+    runPair(Nil, bigDelta = false)  // quiet path vs main
+    runPair(Nil, bigDelta = true)
+    runPair(Seq("amt"), bigDelta = false) // min/max: auto == main by design
+  }
+
+  private def sortedAny(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(col): _*).collect().map(_.mkString("|")).toSeq
 }

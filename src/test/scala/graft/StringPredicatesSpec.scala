@@ -96,6 +96,11 @@ class StringPredicatesSpec extends AnyFunSuite {
     assert(globHit("&", "[a&&b]"))
     assert(!globHit("c", "[a&&b]"))
     assert(!globHit("ab", "a[b"))
+    // a REVERSED range ([z-a]) is an invalid Java regex; DuckDB GLOB
+    // matches nothing — must not throw PatternSyntaxException
+    assert(!globHit("a", "[z-a]"))
+    assert(!globHit("m", "x[z-a]y"))
+    assert(globHit("b", "[a-c]")) // well-ordered ranges unaffected
   }
 
   test("property: glob rewrite agrees with a direct glob matcher (seeded fuzz)") {

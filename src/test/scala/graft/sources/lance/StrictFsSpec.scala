@@ -96,6 +96,76 @@ class StrictFsSpec extends AnyFunSuite {
     } finally hc.unset("graft.lance.commit.mode")
   }
 
+  test("racing committers end-to-end on object-store (no-atomic-rename) semantics under create-mode commits") {
+    // s3like models the WORST store: rename clobbers, so only the
+    // create-no-overwrite manifest strategy is safe. Exercise the three
+    // racing shapes the commit protocol claims to survive: append vs
+    // append, maintenance (deleteWhere) rebasing over an append, and a
+    // CAS'd upsert refusing a moved version — all through the scheme.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3like.impl", classOf[OverwritingFs].getName)
+    hc.set("fs.AbstractFileSystem.s3like.impl", classOf[OverwritingAbstractFs].getName)
+    hc.set("graft.lance.commit.mode", "create")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("lance_s3race")
+      val ds = s"s3like://$dir/ds.lance"
+      spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .coalesce(2).write.format("lance").mode("append").save(ds) // v1
+
+      // 1. append ∥ append: the loser of each version claim must rebase
+      //    and retry, so BOTH batches land
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val fut = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            spark.range(100 + i * 50, 150 + i * 50)
+              .selectExpr("id", "CAST(id AS DOUBLE) AS v")
+              .coalesce(1).write.format("lance").mode("append").save(ds)
+        })
+      }
+      fut.foreach(_.get())
+      assert(spark.read.format("lance").load(ds).count() == 200)
+
+      // 2. deleteWhere ∥ append: the maintenance commit rebases over the
+      //    interleaved insert-only append; both effects survive
+      val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = LanceMaintenance.deleteWhere(spark, ds, "id < 10")
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          spark.range(1000, 1020).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+            .coalesce(1).write.format("lance").mode("append").save(ds)
+      })
+      f1.get(); f2.get(); pool.shutdown()
+      val after = spark.read.format("lance").load(ds)
+      assert(after.filter("id < 10").count() == 0)
+      assert(after.filter("id >= 1000").count() == 20)
+      assert(after.count() == 210)
+
+      // 3. CAS'd upsert against a moved version: refused with a conflict
+      //    AND leaves no orphaned data files behind (abort happens before
+      //    the staged files enter data/)
+      val conf = spark.sessionState.newHadoopConf()
+      val (fs, p) = LanceFormat.fileSystem(ds, conf)
+      val head = LanceFormat.readManifest(fs,
+        LanceFormat.latestManifestPath(fs, p, None)).version
+      val dataDir = new org.apache.hadoop.fs.Path(p, "data")
+      val filesBefore = fs.listStatus(dataDir).map(_.getPath.getName).toSet
+      val src = spark.range(50, 60).selectExpr("id", "CAST(id * 9.0 AS DOUBLE) AS v")
+      intercept[LanceCommitConflict] {
+        LanceMaintenance.upsertWithDeletes(spark, ds, src, Seq("id"),
+          src.select("id"), expectedVersion = Some(head - 1))
+      }
+      assert(fs.listStatus(dataDir).map(_.getPath.getName).toSet == filesBefore,
+        "aborted CAS upsert must not orphan staged data files")
+      // and the CAS'd upsert at the RIGHT version commits
+      LanceMaintenance.upsertWithDeletes(spark, ds, src, Seq("id"),
+        src.select("id"), expectedVersion = Some(head))
+      assert(spark.read.format("lance").load(ds)
+        .filter("id = 55").head.getDouble(1) == 495.0)
+    } finally hc.unset("graft.lance.commit.mode")
+  }
+
   test("strictfs refuses rename-onto-existing (the semantics under test)") {
     val dir = java.nio.file.Files.createTempDirectory("strictfs_sem")
     val conf = spark.sessionState.newHadoopConf()
