@@ -294,6 +294,113 @@ object TextOps {
       WHERE est_jaccard >= 0.75
       ORDER BY doc_a, doc_b""")),
 
+    // --- BOUNDED near-dup contract: the production face of d28 -------------
+    // d28's full pair list is inherently quadratic in duplicate-group
+    // size (47x wall at 5x multiplicity in the round-8 smoke). This
+    // variant keeps the identical portable salted-md5 sketch but emits,
+    // per doc, only its K smallest near-dup partners — O(K·N) output AND
+    // O(K·(N+E)) compute: group-mates come from a slice of the sorted
+    // per-signature id array, cross-group partners from the K smallest
+    // ids of each banded neighbor group (any partner outside those K
+    // smallest can never enter a doc's K-smallest overall), so no pair
+    // set is ever materialized. The DuckDB twin states the same contract
+    // declaratively (full pairs + QUALIFY row_number <= K) — affordable
+    // at oracle scale, quadratic, which is exactly why this bounded form
+    // is the one a 100 TB corpus runs.
+    QDef("d34_neardup_capped", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val P = 8; val B = 4; val K = 3
+      val sig = t("documents").select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .select(col("doc_id"),
+          array((0 until P).map(p =>
+            array_min(transform(col("toks"), tk =>
+              substring(md5(concat(lit(p + ":"), tk)), 1, 13)))): _*).as("sig"))
+      val reps = sig.groupBy("sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .withColumn("gid", monotonically_increasing_id())
+        .localCheckpoint(true)
+      val bands = reps.select(col("gid"),
+          posexplode(array((0 until B).map(b =>
+            md5(concat_ws(",", col("sig")(2 * b), col("sig")(2 * b + 1)))): _*)))
+        .select(col("gid"), col("pos").as("band"), col("col").as("bh"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+        .distinct()
+      val sa = reps.select(col("gid").as("gid_a"), col("sig").as("sig_a"))
+      val sb = reps.select(col("gid").as("gid_b"), col("sig").as("sig_b"))
+      val est = (0 until P).map(i =>
+          when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+        .reduce(_ + _).cast(DoubleType) / P
+      val edges = cand.join(sa, "gid_a").join(sb, "gid_b")
+        .select(col("gid_a"), col("gid_b"), est.as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.75)
+      // per-group bounded partner menus: neighbors contribute only their
+      // K smallest ids (in each direction), group-mates a K+1 slice
+      val gk = reps.select(col("gid"), slice(col("ids"), 1, K + 1).as("topk"))
+      val inMenu = edges
+        .join(gk.withColumnRenamed("gid", "gid_b")
+                .withColumnRenamed("topk", "cands"), "gid_b")
+        .select(col("gid_a").as("gid"), col("cands"), col("est_jaccard"))
+        .unionAll(edges
+          .join(gk.withColumnRenamed("gid", "gid_a")
+                  .withColumnRenamed("topk", "cands"), "gid_a")
+          .select(col("gid_b").as("gid"), col("cands"), col("est_jaccard")))
+      val intraMenu = reps.filter(size(col("ids")) > 1)
+        .select(col("gid"), slice(col("ids"), 1, K + 1).as("cands"),
+                lit(1.0).as("est_jaccard"))
+      val menus = inMenu.unionAll(intraMenu)
+        .select(col("gid"), explode(col("cands")).as("partner_id"),
+                col("est_jaccard"))
+      val perDoc = reps.select(col("gid"), explode(col("ids")).as("doc_id"))
+        .join(menus, "gid")
+        .filter(col("partner_id") =!= col("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("partner_id")
+      perDoc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("doc_id"), col("partner_id"), col("est_jaccard"))
+        .orderBy("doc_id", "partner_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+      sig AS (
+        SELECT doc_id, p,
+               MIN(substr(md5(CAST(p AS VARCHAR) || ':' || tok), 1, 13)) AS mh
+        FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(p)
+        GROUP BY 1, 2),
+      sigv AS (SELECT doc_id, LIST(mh ORDER BY p) AS s FROM sig GROUP BY 1),
+      bands AS (
+        SELECT doc_id, b, md5(s[2*b+1] || ',' || s[2*b+2]) AS bh
+        FROM sigv CROSS JOIN (VALUES (0),(1),(2),(3)) t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8
+                 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+        GROUP BY 1, 2),
+      pairs AS (SELECT * FROM est WHERE est_jaccard >= 0.75),
+      sym AS (
+        SELECT doc_a AS doc_id, doc_b AS partner_id, est_jaccard FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a, est_jaccard FROM pairs),
+      ranked AS (
+        SELECT doc_id, partner_id, est_jaccard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY partner_id) AS rn
+        FROM sym)
+      SELECT doc_id, partner_id, est_jaccard
+      FROM ranked WHERE rn <= 3
+      ORDER BY doc_id, partner_id""")),
+
     // --- FUZZY decontamination: corpus × benchmark MinHash-LSH ------------
     // d15's exact-gram decontamination catches verbatim leakage; real
     // pipelines also drop NEAR-duplicates of eval data (paraphrases,
