@@ -28,6 +28,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.catalog.lance", "graft.sources.lance.LanceCatalog")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single-file testdata tables: split scans at row-group grain so a
+      // 10x-SF table still fans out across cores (at cluster scale the
+      // many-files default of 128m is right; this knob matches the
+      // sandbox's one-file-per-table layout)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "16m"))
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // dev knob: SPARK_GRAFT_AQE=false to measure AQE's fixed per-query

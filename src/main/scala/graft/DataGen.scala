@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scales the driver's synthetic testdata to a larger scale factor by
+  * replicating each table `copies` times with CONSISTENT key offsets
+  * (every key column — PK and FK alike — shifts by `copy * STRIDE`, so
+  * referential integrity and join fan-outs are preserved exactly).
+  *
+  * Shapes held invariant by construction:
+  *  - dimension hierarchies: region/nation stay fixed (as in TPC-H);
+  *    customer/supplier/part/orders/lineitem/events/documents/embeddings
+  *    scale linearly, matching TPC-H's sf-proportional row counts
+  *    (10 x sf0.1 == sf1's 150k customer / 1.5M orders / 6M lineitem);
+  *  - documents: per-copy CONTENT-based token salting (a token is
+  *    salted iff md5(token) % 3 == 0, mapped injectively per copy)
+  *    keeps within-copy token-set Jaccard EXACTLY equal to the source
+  *    corpus — duplicate-group multiplicity stays constant while
+  *    cross-copy Jaccard drops to ~0.5, below every near-dup threshold
+  *    (0.75/0.82). Without this, naive replication would multiply
+  *    dup-group sizes by `copies` and quadratic-output contracts (d28)
+  *    would measure the replication artifact, not the operator.
+  *  - embeddings: deterministic per-copy jitter (±3e-3 per component)
+  *    breaks exact-distance ties that vector clones would introduce;
+  *  - events: timestamps shift by `copy` seconds (density scales,
+  *    window boundaries keep realistic spread).
+  *
+  * Usage: runMain graft.DataGen <srcDir> <dstDir> <copies>
+  */
+object DataGen {
+  private val STRIDE = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, dstDir, copiesStr) = args.take(3)
+    val copies = copiesStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-datagen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dstDir).mkdirs()
+
+    def out(name: String, df: DataFrame): Unit = {
+      val tmp = s"$dstDir/_tmp_$name"
+      // ~16 MB row groups so one big file still splits across executors
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dstDir/$name.parquet")
+      if (dst.exists()) dst.delete()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      println(s"[datagen] $name: ${spark.read.parquet(dst.toString).count()} rows")
+    }
+
+    def src(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+
+    def replicate(name: String, keys: Seq[String], saltNames: Seq[String] = Nil)
+                 (extra: DataFrame => DataFrame = identity): Unit = {
+      val base = src(name)
+      val rep = base.crossJoin(
+          spark.range(copies).select(col("id").as("_copy")))
+      val keyed = keys.foldLeft(rep)((df, k) =>
+        df.withColumn(k, col(k) + col("_copy") * STRIDE))
+      val salted = saltNames.foldLeft(keyed)((df, n) =>
+        df.withColumn(n, when(col("_copy") === 0, col(n))
+          .otherwise(concat(col(n), lit("#"), col("_copy")))))
+      out(name, extra(salted).select(base.columns.map(col): _*))
+    }
+
+    out("region", src("region"))
+    out("nation", src("nation"))
+    replicate("customer", Seq("c_custkey"), Seq("c_name"))()
+    replicate("supplier", Seq("s_suppkey"), Seq("s_name"))()
+    replicate("part", Seq("p_partkey"), Seq("p_name"))()
+    replicate("orders", Seq("o_orderkey", "o_custkey"))()
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
+    replicate("events", Seq("event_id", "user_id")) { df =>
+      df.withColumn("ts", col("ts") + expr("make_dt_interval(0, 0, 0, _copy)"))
+    }
+    replicate("documents", Seq("doc_id")) { df =>
+      // content-based injective token mapping per copy (see scaladoc)
+      val saltedText = array_join(
+        transform(split(col("text"), " "), t =>
+          when(col("_copy") > 0 &&
+               conv(substring(md5(t), 1, 4), 16, 10).cast("long") % 3 === 0,
+               concat(t, lit("_"), col("_copy"))).otherwise(t)), " ")
+      df.withColumn("text", saltedText)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    replicate("embeddings", Seq("vec_id")) { df =>
+      val jittered = transform(col("embedding"), (x, j) =>
+        (x + ((col("_copy") * 31 + j) % 7 - 3).cast("float") * lit(1e-3f))
+          .cast("float"))
+      df.withColumn("embedding", jittered)
+    }
+    spark.stop()
+  }
+}

@@ -210,8 +210,16 @@ object Dedup {
     // upstream partition counts (each round pays task overhead per edge
     // partition), and v is the per-round join key — edges stay put while
     // only the labels side shuffles each round
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // both directions in ONE pass over pairs (explode of a 2-struct
+    // array), not a union of two selects: the union shape executes the
+    // pairs subtree twice inside the materialization job — for d11 that
+    // subtree is the whole jaccard block join, and whether Spark's
+    // exchange reuse rescued it varied run-to-run (the round-8 bench's
+    // 1.6-3.7 s d11 spread)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("v"))
       .localCheckpoint(true)
     // round 1 fused: labels start as the identity, so propagating them
@@ -236,11 +244,13 @@ object Dedup {
         .select(col("u"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
       val newSum = next.agg(sum("label")).head().getLong(0)
+      labels.unpersist(false) // superseded round's blocks — don't pile up
       labels = next
       converged = newSum == prevSum
       prevSum = newSum
       iter += 1
     }
+    edges.unpersist(false) // final labels checkpoint stands alone
     labels.select(col("u").as(idCol), col("label").as("keep_id"))
   }
 
