@@ -158,8 +158,14 @@ object CoreAgg {
       // roaring64 buffer beyond. For truly unbounded key domains the
       // two-level groupBy decomposition remains the fallback (see
       // BitmapDistinctAgg scaladoc).
+      // bases come from the dimensions' MAX keys, not their row counts:
+      // injectivity of supp * base + part needs base > max(partkey), and
+      // sparse id spaces (offset-replicated scale-up data, tombstoned
+      // dimension rows) break the dense count==max assumption — the sf1
+      // gate caught exactly that as an ANSI int overflow
       val (supps, parts) = CoreAgg.dimCounts.computeIfAbsent(dir, _ =>
-        (t("supplier").count() + 1, t("part").count() + 1))
+        (t("supplier").agg(max(col("s_suppkey"))).head().getLong(0) + 1,
+         t("part").agg(max(col("p_partkey"))).head().getLong(0) + 1))
       val pairFitsInt = supps * parts <= Int.MaxValue.toLong
       val pair =
         if (pairFitsInt)
