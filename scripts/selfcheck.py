@@ -103,7 +103,13 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     if rest[:1] == ["--timings"]:
-        time_oracles(con, oracle, rest[1] if len(rest) > 1 else "ORACLE_SECS.json")
+        # optional query names after the output path restrict the run
+        # (affordable oracle timing at big SFs where a few quadratic
+        # oracles dominate)
+        subset = set(rest[2:])
+        timed = {k: v for k, v in oracle.items()
+                 if not subset or k in subset}
+        time_oracles(con, timed, rest[1] if len(rest) > 1 else "ORACLE_SECS.json")
         return
     only = set(rest)
     npass = nfail = nskip = 0

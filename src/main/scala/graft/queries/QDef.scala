@@ -46,9 +46,13 @@ final case class QDef(
   * 1e-9 << 1e-6, so it recovers exactly k = v*1e6); the binary path
   * computes round(x*1e6) whose multiply error is <= ulp(5e12)/2 ~ 5e-4
   * << 0.5, recovering the same k. Both interiors therefore accumulate
-  * the identical integer k per row; the final decimal-to-double cast is
-  * the identical correctly-rounded conversion. DetSpec pins this
-  * equality on the real tables; the bound |x| < 1e9 is asserted-safe by
+  * the identical integer k per row. The FINAL cast deliberately mirrors
+  * DuckDB's decimal->double conversion (exact integer numerator ->
+  * double, then a double division by 10^scale): once the numerator
+  * passes 2^53 that two-step is no longer correctly rounded, and
+  * Spark's one-step BigDecimal cast would land one ulp away (q01's
+  * sum_charge at sf1). DetSpec pins the interior equality on the real
+  * tables; the bound |x| < 1e9 is asserted-safe by
   * the data audit in that spec.
   */
 object Det {
@@ -56,11 +60,24 @@ object Det {
   private val Acc  = DecimalType(38, 0)
   private val Mask = (1L << 20) - 1
 
-  /** Half-away-from-zero micro-unit scaling (matches DECIMAL HALF_UP). */
+  /** Half-away-from-zero micro-unit scaling (matches DECIMAL HALF_UP).
+    *
+    * Rounds the EXACT BINARY value of y = c * 1e6 (frac = y - floor(y)
+    * is exact by Sterbenz, so the >= 0.5 test sees y's true value):
+    * DuckDB's CAST(x AS DECIMAL(38,6)) rounds the binary product the
+    * same way (verified: CAST == ROUND(x*1e6) on all 6M sf1 rows, zero
+    * diffs). Neither the old `+0.5` floor trick (y + 0.5 rounds UP when
+    * y = k + 0.49999999999999994) nor Spark's ROUND (BigDecimal.valueOf
+    * goes through the SHORTEST string repr, which reads that y as k.5)
+    * matches it — both skewed q01's sum_charge by a few micro-units at
+    * sf1 row counts. */
   private def scaledLong(c: Column): Column = {
-    val pos = (c * lit(1e6) + lit(0.5)).cast(LongType)
-    val neg = (-((-c) * lit(1e6) + lit(0.5))).cast(LongType)
-    when(c < 0, neg).otherwise(pos)
+    val y = c * lit(1e6)
+    val f = floor(y)
+    val pos = f + when(y - f >= 0.5, 1L).otherwise(0L)
+    val cl = ceil(y)
+    val neg = cl - when(cl - y >= 0.5, 1L).otherwise(0L)
+    when(c < 0, neg).otherwise(pos).cast(LongType)
   }
 
   /** Order-independent sum of a double column — fast fixed-point interior
@@ -71,14 +88,24 @@ object Det {
     val k  = scaledLong(c)
     val hi = sum(shiftright(k, 20)).cast(Acc)
     val lo = sum(k.bitwiseAND(lit(Mask))).cast(Acc)
-    ((hi * lit(1L << 20) + lo) / lit(1000000L)).cast(DoubleType)
+    // final cast MIMICS DuckDB's decimal->double (two-step: exact
+    // integer numerator -> double, then double division by 1e6). Spark's
+    // one-step decimal division + cast is CORRECTLY rounded and can land
+    // one ulp away once the micro numerator passes 2^53 (q01 at sf1:
+    // numerator ...540 -> duck 45692686581.817535, correct .81754) —
+    // agreeing bit-for-bit with the oracle beats being half-an-ulp
+    // "righter"
+    (hi * lit(1L << 20) + lo).cast(DoubleType) / lit(1e6)
   }
 
   /** Order-independent sum via per-row DECIMAL(38,6) — for wide values
     * (|x| >= 1e9, e.g. squared prices) where the fast path's binary
     * rounding is not provably identical to the oracle's decimal cast.
     */
-  def dsumWide(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  def dsumWide(c: Column): Column =
+    // same two-step final cast as [[dsum]] (exact integer numerator ->
+    // double -> /1e6), matching DuckDB's decimal->double exactly
+    (sum(c.cast(Dec)) * lit(1000000L)).cast(DoubleType) / lit(1e6)
 
   /** Order-independent average: exact fixed-point sum / non-null count. */
   def davg(c: Column): Column = (dsum(c) / count(c)).cast(DoubleType)
@@ -89,17 +116,21 @@ object Det {
     val k  = scaledLong(c)
     val hi = sum(shiftright(k, 20)).over(w).cast(Acc)
     val lo = sum(k.bitwiseAND(lit(Mask))).over(w).cast(Acc)
-    ((hi * lit(1L << 20) + lo) / lit(1000000L)).cast(DoubleType)
+    (hi * lit(1L << 20) + lo).cast(DoubleType) / lit(1e6)
   }
 
   /** Spark-SQL-side spelling of [[dsum]] for queries expressed as SQL
     * strings (same fixed-point interior, same result as [[oSum]]).
     */
   def sSum(x: String): String = {
-    val k = s"CAST(CASE WHEN ($x) < 0D THEN -((-($x)) * 1e6 + 0.5D)" +
-      s" ELSE ($x) * 1e6 + 0.5D END AS BIGINT)"
-    s"CAST((CAST(SUM(SHIFTRIGHT($k, 20)) AS DECIMAL(38,0)) * 1048576" +
-      s" + CAST(SUM(($k) & 1048575) AS DECIMAL(38,0))) / 1000000 AS DOUBLE)"
+    // same exact-binary half-away rounding as [[scaledLong]] (the `+0.5`
+    // trick mis-rounds y = k + 0.49999999999999994 — see scaledLong doc)
+    val y = s"(($x) * 1e6)"
+    val k = s"CAST(CASE WHEN ($x) < 0D" +
+      s" THEN CEIL($y) - IF(CEIL($y) - $y >= 0.5D, 1L, 0L)" +
+      s" ELSE FLOOR($y) + IF($y - FLOOR($y) >= 0.5D, 1L, 0L) END AS BIGINT)"
+    s"CAST(CAST(SUM(SHIFTRIGHT($k, 20)) AS DECIMAL(38,0)) * 1048576" +
+      s" + CAST(SUM(($k) & 1048575) AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0D"
   }
 
   /** Spark-SQL-side spelling of [[davg]]. */
@@ -117,8 +148,8 @@ object Det {
     val p = s"CAST(CASE WHEN ($x) < 0D THEN -((-($x)) * 100D + 0.5D)" +
       s" ELSE ($x) * 100D + 0.5D END AS BIGINT)"
     val k = s"(($p) * ($p))"
-    s"CAST((CAST(SUM(SHIFTRIGHT($k, 20)) AS DECIMAL(38,0)) * 1048576" +
-      s" + CAST(SUM(($k) & 1048575) AS DECIMAL(38,0))) / 10000 AS DOUBLE)"
+    s"CAST(CAST(SUM(SHIFTRIGHT($k, 20)) AS DECIMAL(38,0)) * 1048576" +
+      s" + CAST(SUM(($k) & 1048575) AS DECIMAL(38,0)) AS DOUBLE) / 10000.0D"
   }
 
   /** Oracle-side twin of [[sSumSq]]: exact decimal-squared sum. */

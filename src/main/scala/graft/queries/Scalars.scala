@@ -53,7 +53,9 @@ object Scalars {
                 col("rf_null").eqNullSafe(lit("A")).as("nullsafe_eq_a"),
                 col("rf_null").isNull.as("is_null"),
                 (col("rf_null") === "A").as("threeval_eq_a"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // rf_coalesced (never NULL) completes the total order — the
+        // remaining columns are functions of it
+        .orderBy("l_orderkey", "l_linenumber", "rf_coalesced")
     }, Some("""
       SELECT l_orderkey, l_linenumber,
              NULLIF(l_returnflag, 'N') AS rf_null,
@@ -62,7 +64,7 @@ object Scalars {
              NULLIF(l_returnflag, 'N') IS NULL AS is_null,
              NULLIF(l_returnflag, 'N') = 'A' AS threeval_eq_a
       FROM lineitem WHERE l_orderkey < 200
-      ORDER BY l_orderkey, l_linenumber""")),
+      ORDER BY l_orderkey, l_linenumber, rf_coalesced""")),
 
     // --- scalar subquery (decimal-exact avg threshold) --------------------
     QDef("q18_scalar_subquery", (s, dir) => {
@@ -229,7 +231,10 @@ object Scalars {
                 pow(lit(2.0), col("s_suppkey").cast(DoubleType) % 10.0).as("pow2"),
                 greatest(col("s_acctbal"), lit(1000.0)).as("gr"),
                 least(col("s_acctbal"), lit(1000.0)).as("le"),
-                round(lit(Math.PI) * col("s_suppkey"), 8).as("pi_k"))
+                // modulo bounds the magnitude (4096: exact in double):
+                // at sparse sf1 keys (1e7+) round-to-8-decimals sits at
+                // the 16th significant digit where engine rounding differs
+                round(lit(Math.PI) * (col("s_suppkey") % 4096), 8).as("pi_k"))
         .orderBy("s_suppkey")
     }, Some("""
       SELECT s_suppkey,
@@ -247,7 +252,7 @@ object Scalars {
              POW(2.0, CAST(s_suppkey AS DOUBLE) % 10.0) AS pow2,
              GREATEST(s_acctbal, 1000.0) AS gr,
              LEAST(s_acctbal, 1000.0) AS le,
-             ROUND(PI() * s_suppkey, 8) AS pi_k
+             ROUND(PI() * (s_suppkey % 4096), 8) AS pi_k
       FROM supplier
       ORDER BY s_suppkey""")),
 
@@ -414,7 +419,13 @@ object Scalars {
       t("lineitem")
         .filter(col("l_returnflag") === "R" && col("l_quantity").between(10.0, 20.0))
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        // total order over SOURCE columns (still "sort narrow"): the
+        // synthetic lineitem has no unique key, and a partial order let
+        // engine-dependent tie placement diverge once sf1's parallel
+        // scans stopped preserving file order; every projected column is
+        // a function of these keys, so ties beyond them are identical rows
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_discount", "l_quantity")
         .select(col("l_orderkey"), col("l_linenumber"),
                 (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
                 when(col("l_quantity") > 18.0, "high")
@@ -432,6 +443,6 @@ object Scalars {
              TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS good_cast
       FROM lineitem
       WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10.0 AND 20.0
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity"""))
   )
 }

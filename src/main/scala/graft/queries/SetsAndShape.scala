@@ -149,10 +149,10 @@ object SetsAndShape {
       val t = Tables.register(s, dir)
       t("lineitem").filter(col("l_orderkey") % 97 === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity") // total order: no unique key
     }, Some("""
       SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       WHERE l_orderkey % 97 = 0
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber, l_quantity"""))
   )
 }

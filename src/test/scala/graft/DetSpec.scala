@@ -91,7 +91,15 @@ class DetSpec extends AnyFunSuite {
     // x decimal(19,2) adjusts to (38,4) — still exact for |x| <= 1e5
     val fast = s.sql(s"""SELECT l_returnflag, ${Det.sSumSq("l_extendedprice")} AS v
       FROM det_li GROUP BY l_returnflag ORDER BY l_returnflag""")
-    val wide = s.sql(s"""SELECT l_returnflag, ${Det.oSumSq("l_extendedprice")} AS v
+    // the in-Spark twin of the DuckDB oracle must mirror DuckDB's
+    // TWO-STEP decimal->double (integer numerator -> double -> /1e4):
+    // Spark's own one-step cast correctly rounds and differs by one ulp
+    // once the numerator passes 2^53 (price squares sum to ~7.1e16 cents²
+    // here)
+    val wide = s.sql(s"""SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) *
+                 CAST(l_extendedprice AS DECIMAL(19,2))) * 10000 AS DOUBLE)
+          / 10000.0D AS v
       FROM det_li GROUP BY l_returnflag ORDER BY l_returnflag""")
     assertSame(fast, wide)
   }
