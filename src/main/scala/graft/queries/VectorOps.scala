@@ -118,6 +118,12 @@ object VectorOps {
     // --- embedding near-dup pairs (cosine >= τ, blocked by label) ---------
     // Label-blocked self-join over whole vectors; the codegen'd integer
     // dot kernel runs per pair — |pairs| rows move, not |pairs| x dim.
+    // CONTRACT NOTE (sf1 bench, 56x at 10x data): label cardinality is
+    // FIXED, so blocks grow with N and the exact pair compute is
+    // quadratic-in-block by declaration — this is the oracle-checkable
+    // exact baseline of the family, like d28's pair list. The scale
+    // paths are e09 (sqrt-N k-means blocking, linear expected pair
+    // work) and e05/e06 (LSH/IVF candidates + exact re-rank).
     QDef("e02_embedding_neardup", (s, dir) => {
       val e = quantized(s, dir)
       // self-norms computed ONCE per row before the pair join — inside the
@@ -324,9 +330,15 @@ object VectorOps {
     // threshold — are pinned by OperatorsSpec)
     QDef("e09_semantic_dedup", (s, dir) => {
       val t = Tables.register(s, dir)
+      // IVF rule: clusters ~ sqrt(N), so the expected within-cluster
+      // pair work stays LINEAR in N (fixed 16 clusters made blocks grow
+      // 10x at sf1 and the pair join grow 100x — 12.5x wall in the sf1
+      // bench). Count is one metadata-cheap job, cached by Tables
+      val n = t("embeddings").count()
       graft.operators.Dedup.semanticDedup(
           t("embeddings"), "vec_id", "embedding",
-          nClusters = 16, cosThreshold = 0.92)
+          nClusters = math.max(16, math.ceil(math.sqrt(n / 8.0)).toInt),
+          cosThreshold = 0.92)
         .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
         .orderBy("keep_id")
     }, None),
