@@ -650,6 +650,8 @@ object ArrayKernels {
     column(WordGramStats(expression(text), n))
   def rollingDocHash(text: Column): Column =
     column(RollingDocHash(expression(text)))
+  def piiRedact(text: Column): Column =
+    column(PiiRedactSummary(expression(text)))
   def pqAdcScore(code: Column, lut: Column): Column =
     column(PqAdcScore(expression(code), expression(lut)))
   def pqEncode(vec: Column, codebooks: Column): Column =

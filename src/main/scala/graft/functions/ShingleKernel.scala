@@ -290,3 +290,80 @@ object BigramShingleSummary {
       Array[Any](nBigrams, arr.length, joined))
   }
 }
+
+/** One-pass-per-pattern PII count + redact (SURVEY §2.5 PII redaction;
+  * d25).
+  *
+  * Replaces three `regexp_extract_all` (which MATERIALIZE every match
+  * into an array only to take its size) plus a three-deep
+  * `regexp_replace` chain — six regex scans and three intermediate
+  * strings per document — with one kernel: the email pass counts and
+  * redacts in a single matcher loop, the ip/phone passes count on the
+  * ORIGINAL text (the declared semantics — counts are occurrences in
+  * the source document, not the partially redacted one) and redact the
+  * running result, and no match arrays are ever built. Same
+  * java.util.regex engine, same patterns, same sequential
+  * email → ip → phone replacement order, so the output is bit-identical
+  * to the builtin chain (pinned by the d25 DuckDB oracle).
+  *
+  * Output: struct(n_email, n_phone, n_ip int, red string).
+  */
+case class PiiRedactSummary(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PiiRedactSummary.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pii_redact expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PiiRedactSummary.summary(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PiiRedactSummary.summary($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiRedactSummary =
+    copy(child = newChild)
+}
+
+object PiiRedactSummary {
+  val schema: StructType = StructType(Seq(
+    StructField("n_email", IntegerType, nullable = false),
+    StructField("n_phone", IntegerType, nullable = false),
+    StructField("n_ip", IntegerType, nullable = false),
+    StructField("red", StringType, nullable = false)))
+
+  // the exact patterns of the d25 contract (java.util.regex, as the
+  // builtin regexp_* functions compile them)
+  private val Email = java.util.regex.Pattern.compile(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  private val Phone = java.util.regex.Pattern.compile(
+    "(\\(\\d{3}\\)\\s?)?\\d{3}-\\d{4}")
+  private val Ip = java.util.regex.Pattern.compile(
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Static helper the generated code calls directly. */
+  def summary(text: UTF8String): InternalRow = {
+    val str = text.toString
+    // email: count + redact in ONE scan
+    var nEmail = 0
+    val sb = new java.lang.StringBuilder(str.length)
+    val me = Email.matcher(str)
+    while (me.find()) { nEmail += 1; me.appendReplacement(sb, "<EMAIL>") }
+    me.appendTail(sb)
+    // ip / phone: counts over the ORIGINAL text, redaction over the
+    // running result (sequential email -> ip -> phone order)
+    var nIp = 0
+    val mi = Ip.matcher(str)
+    while (mi.find()) nIp += 1
+    val red2 = Ip.matcher(sb).replaceAll("<IP>")
+    var nPhone = 0
+    val mp = Phone.matcher(str)
+    while (mp.find()) nPhone += 1
+    val red3 = Phone.matcher(red2).replaceAll("<PHONE>")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nEmail, nPhone, nIp, UTF8String.fromString(red3)))
+  }
+}
