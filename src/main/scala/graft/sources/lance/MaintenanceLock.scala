@@ -1,6 +1,5 @@
 package graft.sources.lance
 
-import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
@@ -14,118 +13,89 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * double-merge the tail into the vocabulary and silently corrupt
   * document frequencies. The lock turns that race into a loud refusal.
   *
-  * Implementation: create-no-overwrite of `<ix>/_maintenance.lock`
-  * (atomic on the stores the commit protocol targets) whose CONTENT is
-  * a per-acquisition owner token. Only create / delete / stat / read are
-  * used — the primitives that are native on object stores; no renames.
+  * Implementation: ELECTION BY UNIQUE FILES. Each acquirer creates its
+  * own uniquely-named entry `<ix>/_maintenance.lock.<millis>-<token>`
+  * (never contended — no create-no-overwrite semantics required; local
+  * filesystems implement exclusive create as a non-atomic
+  * check-then-act, which broke two earlier token-verified designs under
+  * an 8-thread hammer), waits an ordering beat, then lists the
+  * directory: the lexicographically-smallest live entry owns the lock.
+  * Losers delete their entry and refuse loudly.
   *
-  * Races the protocol closes (the round-8 version's stale-break was
-  * delete-then-create, which let two breakers both "win"):
+  * Why one winner: the entry NAME embeds its creation time and is
+  * immutable, so all contenders agree on the ordering. The beat between
+  * create and list makes name-order consistent with real-time order —
+  * for B to usurp a winner A, B's name must sort below A's while B's
+  * create happened after A's listing; A listed at least `beatMs` after
+  * A created, so B's timestamp (and hence name) is strictly larger.
+  * Listing-after-write is consistent on local filesystems and on the
+  * object stores the commit protocol targets (S3 is strongly
+  * consistent).
   *
-  *  1. Double stale-break: breaking a stale lock requires first winning
-  *     a create-no-overwrite BREAK-CLAIM file — exactly one breaker
-  *     holds the claim, re-verifies the lock is STILL the stale one it
-  *     observed, and only then deletes it. A second breaker either sees
-  *     the live claim (and refuses) or arrives after the break, when the
-  *     ordinary create-race decides the new holder.
-  *  2. Breaking a FRESH lock: the claim holder re-stats the lock before
-  *     deleting; a lock file cannot be REPLACED while it exists (creates
-  *     are no-overwrite), so a still-stale re-stat proves the delete
-  *     removes the same dead holder's file.
-  *  3. Cascading delete: release deletes the lock ONLY if it still
-  *     carries the releaser's own token, so a holder whose lock was
-  *     somehow reclaimed cannot remove the new holder's lock on the way
-  *     out. Acquisition likewise read-verifies its own token after the
-  *     create.
-  *
-  * A live-but-slow holder never goes stale: a daemon heartbeat bumps
-  * the lock mtime every `staleMs / 4` while the work runs, so `staleMs`
-  * only has to exceed one heartbeat gap, not the whole update.
+  * Staleness: a crashed holder's entry stops heartbeating and is
+  * deleted by any later contender once its mtime is `staleMs` old; the
+  * daemon heartbeat bumps the live holder's mtime every `staleMs / 4`,
+  * so a live-but-slow update is never judged stale. Release deletes
+  * only the holder's OWN uniquely-named entry — there is no file any
+  * two maintainers both believe they own, so no cascade deletes.
   */
 object MaintenanceLock {
 
   final class ConcurrentMaintenance(msg: String)
     extends RuntimeException(msg)
 
-  private def readToken(fs: FileSystem, p: Path): Option[String] =
-    try {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8))
-      } finally in.close()
-    } catch { case _: java.io.IOException => None } // vanished under us
+  private val Prefix = "_maintenance.lock."
+  /** Orders name-assignment consistently with create-before-list. */
+  private val beatMs = 5L
 
-  /** Create-no-overwrite with `token` as content; false if it exists. */
-  private def tryCreate(fs: FileSystem, p: Path, token: String): Boolean =
-    try {
-      val out = fs.create(p, false)
-      try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
-
-  private def ageOf(fs: FileSystem, p: Path): Option[Long] =
-    try Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
-    catch { case _: java.io.FileNotFoundException => None }
-
-  /** A crashed breaker's claim lingers at most this long. Claims are
-    * held for milliseconds (stat + delete), so 10 s is already ~1000×
-    * the hold time. */
-  private val claimStaleMs = 10000L
+  private def entries(fs: FileSystem, dir: Path): Seq[(String, Long)] =
+    (try fs.listStatus(dir) catch {
+      case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
+    }).toSeq
+      .filter(_.getPath.getName.startsWith(Prefix))
+      .map(st => (st.getPath.getName, st.getModificationTime))
 
   def withLock[A](indexPath: String, conf: Configuration,
                   staleMs: Long = 600000L)(f: => A): A = {
-    val (fs, p) = LanceFormat.fileSystem(s"$indexPath/_maintenance.lock", conf)
-    val claim = new Path(p.getParent, "_maintenance.lock.break")
+    val (fs, dir) = LanceFormat.fileSystem(indexPath, conf)
     val token = UUID.randomUUID().toString
+    val myName = f"$Prefix%s${System.currentTimeMillis()}%020d-$token%s"
+    val myPath = new Path(dir, myName)
+    fs.mkdirs(dir)
+    val out = fs.create(myPath, true) // unique name — never contended
+    out.close()
     var acquired = false
-    var attempts = 0
-    while (!acquired) {
-      attempts += 1
-      if (attempts > 4)
-        throw new ConcurrentMaintenance(
-          s"index $indexPath: lost the maintenance-lock race — retry")
-      if (tryCreate(fs, p, token)) {
-        // Read-verify: only the token proves the lock on disk is OURS
-        // (guards against any interleave that replaced the file).
-        acquired = readToken(fs, p).contains(token)
-      } else ageOf(fs, p) match {
-        case None => () // released/broken under us — loop and re-create
-        case Some(age) if age < staleMs =>
-          throw new ConcurrentMaintenance(
-            s"index $indexPath is being updated by another maintainer " +
-              s"(lock age ${age / 1000}s) — retry after it finishes")
-        case Some(_) => // stale: win the break-claim, then delete the corpse
-          ageOf(fs, claim) match {
-            case Some(cage) if cage >= claimStaleMs =>
-              fs.delete(claim, false) // crashed breaker's claim
-            case Some(_) =>
-              throw new ConcurrentMaintenance(
-                s"index $indexPath: another maintainer is breaking the " +
-                  "stale lock — retry")
-            case None =>
-              if (tryCreate(fs, claim, token) &&
-                  readToken(fs, claim).contains(token)) {
-                try {
-                  // Sole breaker: the lock cannot have been REPLACED while
-                  // it existed (creates are no-overwrite), so a re-stat
-                  // that still shows stale proves we delete the corpse,
-                  // not a fresh holder's lock.
-                  if (ageOf(fs, p).exists(_ >= staleMs)) fs.delete(p, false)
-                } finally fs.delete(claim, false)
-              }
-          }
+    try {
+      Thread.sleep(beatMs) // ordering beat (see scaladoc)
+      val now = System.currentTimeMillis()
+      val all = entries(fs, dir)
+      // sweep corpses so a crashed holder can't block forever; a LIVE
+      // holder's heartbeat keeps its mtime < staleMs old
+      val (stale, live) = all.partition { case (n, m) =>
+        n != myName && now - m >= staleMs
       }
-      // loop: re-attempt the create (ordinary race decides the holder)
+      stale.foreach { case (n, _) =>
+        try fs.delete(new Path(dir, n), false)
+        catch { case _: java.io.IOException => () }
+      }
+      val winner = live.map(_._1).min // myName is always in `live`
+      if (winner != myName) {
+        val age = live.find(_._1 == winner).map(now - _._2).getOrElse(0L)
+        throw new ConcurrentMaintenance(
+          s"index $indexPath is being updated by another maintainer " +
+            s"(lock age ${age / 1000}s) — retry after it finishes")
+      }
+      acquired = true
+    } finally {
+      if (!acquired) fs.delete(myPath, false)
     }
-    // Heartbeat: keep the mtime fresh so a long update is never judged
-    // stale by other maintainers.
+    // Heartbeat: keep our entry's mtime fresh so a long update is never
+    // judged stale by other maintainers.
     val beat = new Thread(() => {
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(staleMs / 4, 1000L))
-          try fs.setTimes(p, System.currentTimeMillis(), -1)
+          try fs.setTimes(myPath, System.currentTimeMillis(), -1)
           catch { case _: java.io.IOException => () } // store hiccup
         }
       } catch { case _: InterruptedException => () }
@@ -135,9 +105,7 @@ object MaintenanceLock {
     try f
     finally {
       beat.interrupt()
-      // Ownership-verified release: never delete a lock that is no
-      // longer ours.
-      if (readToken(fs, p).contains(token)) fs.delete(p, false)
+      fs.delete(myPath, false) // only ever our own unique entry
     }
   }
 }

@@ -259,3 +259,56 @@ class RollingDocHashSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Differential test for the PiiRedactSummary kernel: its fused
+  * count+redact must equal the builtin regexp_extract_all/regexp_replace
+  * chain it replaced (the d25 semantics anchor), including counts over
+  * the ORIGINAL text and the sequential email -> ip -> phone order. */
+class PiiRedactSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  private val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phone = "(\\(\\d{3}\\)\\s?)?\\d{3}-\\d{4}"
+  private val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  test("kernel == builtin regex chain on adversarial strings") {
+    val cases = Seq(
+      "",
+      "no pii here at all",
+      "mail me a@b.co or c.d+x@e-f.org today",
+      "call (123) 456-7890 or 456-7890",
+      "server at 10.0.0.1 and 255.255.255.255.",
+      // ip-looking run adjacent to a phone-looking tail
+      "123.456.789.123-4567 mixed",
+      "a@b.co 1.2.3.4 123-4567 all three",
+      "dot.at.end@x.yz.",
+      "overlap 999-9999 and (999) 999-9999",
+      "ip inside email? 1.2.3.4@5.6.7.8.com maybe")
+    val df = cases.toDF("t")
+    val kernel = df.select(col("t"),
+        graft.functions.ArrayKernels.piiRedact(col("t")).as("p"))
+      .select(col("t"), col("p.n_email"), col("p.n_phone"), col("p.n_ip"),
+              col("p.red"))
+      .collect()
+    val builtin = df.select(col("t"),
+        size(expr(s"regexp_extract_all(t, '${email.replace("\\", "\\\\")}', 0)")),
+        size(expr(s"regexp_extract_all(t, '${phone.replace("\\", "\\\\")}', 0)")),
+        size(expr(s"regexp_extract_all(t, '${ip.replace("\\", "\\\\")}', 0)")),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+      .collect()
+    kernel.zip(builtin).foreach { case (k, b) =>
+      (1 to 4).foreach { i =>
+        assert(k.get(i) == b.get(i),
+               s"col $i mismatch on '${k.getString(0)}': ${k.get(i)} vs ${b.get(i)}")
+      }
+    }
+  }
+
+  test("null text stays null") {
+    val out = Seq(Tuple1[String](null)).toDF("t")
+      .select(graft.functions.ArrayKernels.piiRedact(col("t"))).collect()
+    assert(out.head.isNullAt(0))
+  }
+}
