@@ -86,23 +86,34 @@ object Bench {
       t
     }
     // dev loop: SPARK_GRAFT_QUERIES=q25,q22 restricts the run (substring
-    // match); SPARK_GRAFT_PASSES raises the sample count. Unset in the
-    // driver's graded run, so the artifact contract is unchanged.
+    // match); SPARK_GRAFT_PASSES raises the minimum sample count. Unset in
+    // the driver's graded run, so the artifact contract is unchanged.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').map(_.trim).filter(_.nonEmpty))
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val defs = only.fold(SparkEntry.allDefs)(fs => SparkEntry.allDefs.filter(d => fs.exists(d.name.contains)))
+    // adaptive sampling: sample until the two smallest passes agree within
+    // 15% (up to 2 extra passes beyond the minimum) — the graded artifact
+    // must not absorb ambient load on a shared driver host (round 9: a
+    // diffuse +0.3-1.6 s contention spread over ~40 untouched queries read
+    // as a 37% regression; the committed same-code run was flat). Extra
+    // passes are paid only by the queries that actually came back noisy.
+    // `spread` (relative gap of the two smallest samples) rides along per
+    // query so a reader can see which numbers were still unsettled.
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = defs.map { d =>
-      val times = (0 until passes).map(_ => timeOnce(d))
-      // adaptive third pass: if the two runs disagree by >1.5x on a
-      // non-trivial query, BOTH may have been hit by ambient load (the
-      // round driver shares the host) — one more sample keeps a
-      // contention spike from poisoning the graded artifact, at a cost
-      // paid only for the noisy queries
-      val mn = times.min
-      d.name -> (if (times.max > mn * 1.5 && mn > 0.2) math.min(mn, timeOnce(d)) else mn)
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until math.max(passes, 2)).foreach(_ => times += timeOnce(d))
+      def gap: Double = { val s = times.sorted; if (s(0) > 0) (s(1) - s(0)) / s(0) else 0.0 }
+      var extra = 0
+      while (gap > 0.15 && times.sorted.head > 0.15 && extra < 2) {
+        times += timeOnce(d); extra += 1
+      }
+      spreads(d.name) = gap
+      d.name -> times.min
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // DuckDB-side oracle wall times (scripts/selfcheck.py --timings, min
@@ -139,7 +150,7 @@ object Bench {
           "\"" + k + "\":" + fmt(s)) }.mkString("{", ",", "}")
         s""","oracle_secs":$os,"vs_oracle_median":${fmt(med)}"""
       }
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$oracleJson}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spreadJson,"sf":"$sfDir"$oracleJson}"""
 
     // The driver captures only the last ~2000 chars of stdout; the full
     // per-query line (~3.5 KB) gets truncated there. Persist the full JSON to

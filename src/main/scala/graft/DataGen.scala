@@ -84,6 +84,31 @@ object DataGen {
     replicate("events", Seq("event_id", "user_id")) { df =>
       df.withColumn("ts", col("ts") + expr("make_dt_interval(0, 0, 0, _copy)"))
     }
+    // The salt map t -> t_<copy> is injective per copy ONLY if no UNSALTED
+    // source token already has the image shape: an unsalted `x_k`
+    // (1 <= k < copies) whose stem `x` IS salted would merge with salted
+    // x's image in copy k — quietly breaking the within-copy-Jaccard-
+    // exactly-preserved invariant the near-dup contracts depend on.
+    // Assert the source vocabulary is clean before replicating (one
+    // datagen-time pass over the distinct vocabulary).
+    locally {
+      import org.apache.spark.sql.Column
+      def isSalted(t: Column) =
+        conv(substring(md5(t), 1, 4), 16, 10).cast("long") % 3 === 0
+      val collisions = src("documents")
+        .select(explode(split(col("text"), " ")).as("tok")).distinct()
+        .filter(col("tok").rlike("^.+_[0-9]+$") && !isSalted(col("tok")))
+        .withColumn("stem", regexp_extract(col("tok"), "^(.+)_([0-9]+)$", 1))
+        .withColumn("k", regexp_extract(col("tok"), "^(.+)_([0-9]+)$", 2)
+          .cast("long"))
+        .filter(col("k") >= 1 && col("k") < copies && isSalted(col("stem")))
+        .select("tok").limit(5).collect().map(_.getString(0))
+      require(collisions.isEmpty,
+        s"datagen: source vocabulary tokens ${collisions.mkString(", ")} " +
+          "collide with the per-copy salt image shape (stem_k with salted " +
+          "stem, k < copies) — replication would merge distinct tokens; " +
+          "pick a different salt separator for this corpus")
+    }
     replicate("documents", Seq("doc_id")) { df =>
       // content-based injective token mapping per copy (see scaladoc)
       val saltedText = array_join(

@@ -298,17 +298,20 @@ object Fts {
     */
   def updateIndex(spark: SparkSession, sourcePath: String, indexPath: String,
                   writePartitions: Int = 4): Long =
-    graft.sources.lance.MaintenanceLock.withLock(indexPath,
-        spark.sessionState.newHadoopConf()) {
-      updateIndexLocked(spark, sourcePath, indexPath, writePartitions)
+    graft.sources.lance.MaintenanceLock.withLockFenced(indexPath,
+        spark.sessionState.newHadoopConf()) { fence =>
+      updateIndexLocked(spark, sourcePath, indexPath, writePartitions, fence)
     }
 
   /** The update body; callers hold the maintenance lock — a racing twin
     * would double-merge the tail dfs into the vocabulary (silent BM25
-    * corruption), which the lock turns into a loud refusal. */
+    * corruption), which the lock turns into a loud refusal. The fence is
+    * checked immediately before EACH sidecar commit, so a holder usurped
+    * by a clock-skewed contender (or swept after a long pause) aborts
+    * having published nothing to that sidecar. */
   private def updateIndexLocked(spark: SparkSession, sourcePath: String,
-                                indexPath: String,
-                                writePartitions: Int): Long = {
+                                indexPath: String, writePartitions: Int,
+                                fence: graft.sources.lance.MaintenanceLock.Fence): Long = {
     import graft.sources.lance.LanceFormat
     val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
     val (builtV, idCol, textCol) = (b.getLong(0), b.getString(1), b.getString(2))
@@ -321,25 +324,33 @@ object Fts {
       .option("fromVersion", builtV).option("versionAsOf", headV)
       .load(sourcePath)
     val tp = postings(tail, idCol, textCol)
+    fence.check() // pre-commit fence: abort BEFORE publishing anything
     tp.repartitionByRange(writePartitions, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.format("lance").mode("append").save(s"$indexPath/postings.lance")
     // terms.lance is both input and output; safe because lance is
     // versioned — the scan pins the old manifest at planning, data files
     // are immutable, and the overwrite commits a NEW version afterwards
-    spark.read.format("lance").load(s"$indexPath/terms.lance")
+    val mergedTerms = spark.read.format("lance").load(s"$indexPath/terms.lance")
       .unionByName(tp.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .repartitionByRange(math.max(writePartitions / 4, 1), col("term"))
       .sortWithinPartitions("term")
+    fence.check()
+    mergedTerms
       .write.format("lance").mode("overwrite").save(s"$indexPath/terms.lance")
     val ts = corpusStats(tail, idCol, textCol).head()
     val (oldN, oldLen) =
       statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
     val (newN, newLen) = (oldN + ts.getLong(0), oldLen + ts.getLong(1))
+    fence.check()
     spark.createDataFrame(Seq((newN, newLen))).toDF("n_docs", "total_len")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/stats.lance")
+    // built.lance is the PUBLISH point — a search only sees the merged
+    // postings/vocabulary once built_version advances, so this fence is
+    // the one that decides which of two racing maintainers "commits"
+    fence.check()
     spark.createDataFrame(Seq((headV, idCol, textCol)))
       .toDF("built_version", "id_col", "text_col")
       .coalesce(1).write.format("lance").mode("overwrite")

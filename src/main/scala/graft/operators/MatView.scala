@@ -251,9 +251,20 @@ object MatView {
       val overrides = Set("spark.sql.adaptive.enabled",
         "spark.sql.shuffle.partitions")
       val qc = q
-      spark.conf.getAll.foreach { case (k, v) =>
+      val callerAll = spark.conf.getAll
+      callerAll.foreach { case (k, v) =>
         if (!overrides(k)) {
           try if (!qc.conf.getOption(k).contains(v)) qc.conf.set(k, v)
+          catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+        }
+      }
+      // reverse diff: a key the caller has since UNSET (a dropped ANSI or
+      // timezone override, a stale graft.* toggle) must not linger in the
+      // cached sibling — unset restores the session default, matching
+      // what the caller now evaluates under
+      qc.conf.getAll.keys.foreach { k =>
+        if (!overrides(k) && !callerAll.contains(k)) {
+          try qc.conf.unset(k)
           catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
         }
       }

@@ -97,7 +97,9 @@ object ScalarIndex {
     * the addr SET is identical, only the fragment layout differs.
     */
   def update(spark: SparkSession, datasetPath: String, indexPath: String,
-             writePartitions: Int = 2): Long = {
+             writePartitions: Int = 2): Long =
+    graft.sources.lance.MaintenanceLock.withLockFenced(indexPath,
+        spark.sessionState.newHadoopConf()) { fence =>
     import graft.sources.lance.LanceFormat
     val meta = spark.read.format("lance").load(s"$indexPath/meta.lance").head()
     val (builtV, keyCol) = (meta.getLong(0), meta.getString(1))
@@ -106,21 +108,28 @@ object ScalarIndex {
     val (fs, p) = LanceFormat.fileSystem(datasetPath, conf)
     val headV = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, None)).version
-    if (headV == builtV) return builtV
-    val addrCol = if (stable) "_rowid" else "_rowaddr"
-    spark.read.format("lance")
-      .option("fromVersion", builtV).option("versionAsOf", headV)
-      .load(datasetPath)
-      .select(col(keyCol).as("key"), col(addrCol).as("addr"))
-      .write.format("lance")
-      .option("sortBy", "key")
-      .option("writePartitions", writePartitions.toString)
-      .mode("append").save(s"$indexPath/keys.lance")
-    spark.createDataFrame(Seq((headV, keyCol, stable)))
-      .toDF("built_version", "key_col", "stable")
-      .coalesce(1).write.format("lance").mode("overwrite")
-      .save(s"$indexPath/meta.lance")
-    headV
+    if (headV == builtV) builtV
+    else {
+      val addrCol = if (stable) "_rowid" else "_rowaddr"
+      // fence before each sidecar commit: a racing twin would append the
+      // SAME tail twice (duplicate addr postings); a usurped/swept holder
+      // aborts having published nothing
+      fence.check()
+      spark.read.format("lance")
+        .option("fromVersion", builtV).option("versionAsOf", headV)
+        .load(datasetPath)
+        .select(col(keyCol).as("key"), col(addrCol).as("addr"))
+        .write.format("lance")
+        .option("sortBy", "key")
+        .option("writePartitions", writePartitions.toString)
+        .mode("append").save(s"$indexPath/keys.lance")
+      fence.check()
+      spark.createDataFrame(Seq((headV, keyCol, stable)))
+        .toDF("built_version", "key_col", "stable")
+        .coalesce(1).write.format("lance").mode("overwrite")
+        .save(s"$indexPath/meta.lance")
+      headV
+    }
   }
 
   /** Greedy coverage-optimal interval cover: split the sorted addrs at
@@ -327,18 +336,24 @@ object ScalarIndex {
     * never repeats across version windows, so probes stay exact); O(tail).
     */
   def updateBitmap(spark: SparkSession, datasetPath: String,
-                   indexPath: String, writePartitions: Int = 2): Long = {
+                   indexPath: String, writePartitions: Int = 2): Long =
+    graft.sources.lance.MaintenanceLock.withLockFenced(indexPath,
+        spark.sessionState.newHadoopConf()) { fence =>
     val meta = spark.read.format("lance").load(s"$indexPath/meta.lance").head()
     val (builtV, keyCol) = (meta.getLong(0), meta.getString(1))
     val headV = headVersion(spark, datasetPath)
-    if (headV == builtV) return builtV
-    bitmapRows(spark, datasetPath, keyCol, Some((builtV, headV)))
-      .write.format("lance")
-      .option("sortBy", "key")
-      .option("writePartitions", writePartitions.toString)
-      .mode("append").save(s"$indexPath/bitmaps.lance")
-    writeMeta(spark, indexPath, headV, keyCol)
-    headV
+    if (headV == builtV) builtV
+    else {
+      fence.check() // see update(): abort before publishing anything
+      bitmapRows(spark, datasetPath, keyCol, Some((builtV, headV)))
+        .write.format("lance")
+        .option("sortBy", "key")
+        .option("writePartitions", writePartitions.toString)
+        .mode("append").save(s"$indexPath/bitmaps.lance")
+      fence.check()
+      writeMeta(spark, indexPath, headV, keyCol)
+      headV
+    }
   }
 
   /** Per-fragment OR of the bitmaps matching `keys` (one index) —
@@ -425,19 +440,25 @@ object ScalarIndex {
   /** Incrementally extend the ngram index over post-build appends (new
     * fragments' gram postings as new range-sorted fragments; O(tail)). */
   def updateNgram(spark: SparkSession, datasetPath: String,
-                  indexPath: String, writePartitions: Int = 2): Long = {
+                  indexPath: String, writePartitions: Int = 2): Long =
+    graft.sources.lance.MaintenanceLock.withLockFenced(indexPath,
+        spark.sessionState.newHadoopConf()) { fence =>
     val meta = spark.read.format("lance").load(s"$indexPath/meta.lance").head()
     val builtV = meta.getLong(0)
     val Array(textCol, nStr) = meta.getString(1).split('#')
     val headV = headVersion(spark, datasetPath)
-    if (headV == builtV) return builtV
-    ngramRows(spark, datasetPath, textCol, nStr.toInt, Some((builtV, headV)))
-      .write.format("lance")
-      .option("sortBy", "key")
-      .option("writePartitions", writePartitions.toString)
-      .mode("append").save(s"$indexPath/keys.lance")
-    writeMeta(spark, indexPath, headV, meta.getString(1))
-    headV
+    if (headV == builtV) builtV
+    else {
+      fence.check() // see update(): abort before publishing anything
+      ngramRows(spark, datasetPath, textCol, nStr.toInt, Some((builtV, headV)))
+        .write.format("lance")
+        .option("sortBy", "key")
+        .option("writePartitions", writePartitions.toString)
+        .mode("append").save(s"$indexPath/keys.lance")
+      fence.check()
+      writeMeta(spark, indexPath, headV, meta.getString(1))
+      headV
+    }
   }
 
   /** Rows whose `textCol` CONTAINS `needle` — exact (not approximate):

@@ -787,15 +787,32 @@ object LanceMaintenance {
       }
       } catch {
         case e: Throwable if committed < 0 =>
-          // abort AFTER the rename: the moved data files (and the
-          // overlapped deletion files) are referenced by no manifest —
-          // remove them now instead of leaving orphans for vacuum
+          // abort AFTER the rename. Eager cleanup of the moved data files
+          // (and overlapped deletion files) is only safe if the manifest
+          // write DEFINITELY did not land — but a commit can succeed
+          // server-side while the client sees an exception (PUT timeout
+          // after success, interrupted rename). Arbitrate by re-reading
+          // the live head: delete only files it does NOT reference; files
+          // it does reference (our commit actually landed), or anything
+          // unverifiable (head unreadable), are left for vacuum — an
+          // orphan is recoverable, a deleted live file is not.
           val delDir = new org.apache.hadoop.fs.Path(p, "_deletions")
-          renamed.foreach(f =>
-            try fs.delete(f, false) catch { case _: java.io.IOException => () })
-          delMetas.foreach { case (fid, m) =>
-            try fs.delete(new org.apache.hadoop.fs.Path(delDir, m.fileName(fid)), false)
-            catch { case _: java.io.IOException => () }
+          val referenced: Option[Set[String]] =
+            try {
+              val head = LanceFormat.readManifest(fs,
+                LanceFormat.latestManifestPath(fs, p, None))
+              Some(head.fragments.flatMap(_.files.map(_.path)).toSet ++
+                head.fragments.flatMap(fr =>
+                  fr.deletion.map(_.fileName(fr.id))).toSet)
+            } catch { case _: Throwable => None }
+          referenced.foreach { ref =>
+            renamed.filterNot(f => ref.contains(f.getName)).foreach(f =>
+              try fs.delete(f, false) catch { case _: java.io.IOException => () })
+            delMetas.foreach { case (fid, m) =>
+              if (!ref.contains(m.fileName(fid)))
+                try fs.delete(new org.apache.hadoop.fs.Path(delDir, m.fileName(fid)), false)
+                catch { case _: java.io.IOException => () }
+            }
           }
           throw e
       }

@@ -20,24 +20,51 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * check-then-act, which broke two earlier token-verified designs under
   * an 8-thread hammer), waits an ordering beat, then lists the
   * directory: the lexicographically-smallest live entry owns the lock.
-  * Losers delete their entry and refuse loudly.
+  * Losers delete their entry and refuse loudly. The winner lists TWICE
+  * (a confirm beat between them), so a contender whose create was
+  * in-flight-but-invisible during the first listing is seen by the
+  * second before the winner enters.
   *
   * Why one winner: the entry NAME embeds its creation time and is
-  * immutable, so all contenders agree on the ordering. The beat between
-  * create and list makes name-order consistent with real-time order —
-  * for B to usurp a winner A, B's name must sort below A's while B's
-  * create happened after A's listing; A listed at least `beatMs` after
-  * A created, so B's timestamp (and hence name) is strictly larger.
-  * Listing-after-write is consistent on local filesystems and on the
-  * object stores the commit protocol targets (S3 is strongly
-  * consistent).
+  * immutable, so all contenders agree on the ordering. The beats
+  * between create and the listings make name-order consistent with
+  * real-time order — for B to usurp a winner A undetected, B's name
+  * must sort below A's while B's create surfaced after A's CONFIRM
+  * listing, which requires B's clock to lag A's by more than two beats
+  * plus A's create-to-confirm latency. Listing-after-write is
+  * consistent on local filesystems and on the object stores the commit
+  * protocol targets (S3 is strongly consistent).
+  *
+  * CLOCK DOMAINS — the election alone is therefore conditional: it is
+  * airtight single-host (one clock; hammer-tested) and on clusters
+  * whose clock skew is below the beat, but a badly skewed contender on
+  * another driver could still surface a smaller-sorting name after the
+  * confirm listing. The [[Fence]] closes that for what actually
+  * matters — COMMITS: the critical section receives a fence and calls
+  * `fence.check()` immediately before every sidecar commit; the check
+  * re-lists and refuses if any smaller-sorting live entry exists (or if
+  * the holder's own entry was swept). Both parties' entries exist
+  * before either party's fence, and names order totally, so at most one
+  * of two racing maintainers passes its pre-commit fence — the other
+  * aborts with nothing published. The residual window is the
+  * fence-to-commit gap (one listing call), not the whole update.
   *
   * Staleness: a crashed holder's entry stops heartbeating and is
-  * deleted by any later contender once its mtime is `staleMs` old; the
-  * daemon heartbeat bumps the live holder's mtime every `staleMs / 4`,
-  * so a live-but-slow update is never judged stale. Release deletes
-  * only the holder's OWN uniquely-named entry — there is no file any
-  * two maintainers both believe they own, so no cascade deletes.
+  * deleted by any later contender once its mtime is `staleMs` old. The
+  * daemon heartbeat re-PUTs the entry (create-overwrite of the same
+  * name) every `staleMs / 4` — NOT `FileSystem.setTimes`, which is a
+  * base-class no-op on S3A/GCS-style stores (object stores never update
+  * last-modified in place); a fresh PUT refreshes the mtime on every
+  * store. If a paused holder's entry IS swept and a rival enters, the
+  * holder's next heartbeat resurrects its (smaller-sorting) entry and
+  * the pre-commit fences arbitrate: the rival's fence sees the
+  * resurrected smaller name and aborts, so still at most one commit
+  * lands. Staleness compares the lister's local clock against store
+  * mtimes — `staleMs` must exceed worst-case lister-vs-store clock
+  * disagreement (the 10-minute default dwarfs NTP-managed skew).
+  * Release deletes only the holder's OWN uniquely-named entry — there
+  * is no file any two maintainers both believe they own, so no cascade
+  * deletes.
   */
 object MaintenanceLock {
 
@@ -55,8 +82,37 @@ object MaintenanceLock {
       .filter(_.getPath.getName.startsWith(Prefix))
       .map(st => (st.getPath.getName, st.getModificationTime))
 
+  /** Fencing handle for the critical section: [[check]] re-lists the
+    * lock directory and throws [[ConcurrentMaintenance]] if this holder
+    * no longer owns the election — its entry was swept as stale, or a
+    * smaller-sorting live entry (a clock-skewed contender from another
+    * driver) has surfaced. Call it immediately before each sidecar
+    * COMMIT: a usurped holder then aborts having published nothing,
+    * instead of double-merging. Cost is one directory listing. */
+  final class Fence private[MaintenanceLock] (fs: FileSystem, dir: Path,
+                                              myName: String, staleMs: Long) {
+    def check(): Unit = {
+      val now = System.currentTimeMillis()
+      val all = entries(fs, dir)
+      if (!all.exists(_._1 == myName))
+        throw new ConcurrentMaintenance(
+          s"maintenance fence on $dir: this holder's lock entry is gone " +
+            "(swept as stale after a pause?) — refusing to commit; retry")
+      val live = all.filter { case (n, m) => n == myName || now - m < staleMs }
+      val winner = live.map(_._1).min
+      if (winner != myName)
+        throw new ConcurrentMaintenance(
+          s"maintenance fence on $dir: usurped by a smaller-sorting live " +
+            s"entry ($winner) — refusing to commit; retry")
+    }
+  }
+
   def withLock[A](indexPath: String, conf: Configuration,
-                  staleMs: Long = 600000L)(f: => A): A = {
+                  staleMs: Long = 600000L)(f: => A): A =
+    withLockFenced(indexPath, conf, staleMs)(_ => f)
+
+  def withLockFenced[A](indexPath: String, conf: Configuration,
+                        staleMs: Long = 600000L)(f: Fence => A): A = {
     val (fs, dir) = LanceFormat.fileSystem(indexPath, conf)
     val token = UUID.randomUUID().toString
     val myName = f"$Prefix%s${System.currentTimeMillis()}%020d-$token%s"
@@ -78,31 +134,46 @@ object MaintenanceLock {
         try fs.delete(new Path(dir, n), false)
         catch { case _: java.io.IOException => () }
       }
-      val winner = live.map(_._1).min // myName is always in `live`
-      if (winner != myName) {
-        val age = live.find(_._1 == winner).map(now - _._2).getOrElse(0L)
+      def refuse(liveNow: Seq[(String, Long)], winner: String): Nothing = {
+        val age = liveNow.find(_._1 == winner)
+          .map(System.currentTimeMillis() - _._2).getOrElse(0L)
         throw new ConcurrentMaintenance(
           s"index $indexPath is being updated by another maintainer " +
             s"(lock age ${age / 1000}s) — retry after it finishes")
       }
+      val winner = live.map(_._1).min // myName is always in `live`
+      if (winner != myName) refuse(live, winner)
+      // confirm beat: list once more after another beat, so a contender
+      // whose create was in flight (slow PUT, GC pause between its
+      // timestamp assignment and visibility) during the first listing is
+      // seen now rather than after we enter
+      Thread.sleep(beatMs)
+      val now2 = System.currentTimeMillis()
+      val live2 = entries(fs, dir).filter { case (n, m) =>
+        n == myName || now2 - m < staleMs }
+      val winner2 = live2.map(_._1).min
+      if (winner2 != myName) refuse(live2, winner2)
       acquired = true
     } finally {
       if (!acquired) fs.delete(myPath, false)
     }
-    // Heartbeat: keep our entry's mtime fresh so a long update is never
-    // judged stale by other maintainers.
+    // Heartbeat: re-PUT our entry so its mtime stays fresh on EVERY
+    // store (setTimes is a no-op on object stores — pinned by
+    // MaintenanceLockSpec's s3like heartbeat test). The name (and so
+    // the election order) never changes.
     val beat = new Thread(() => {
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(staleMs / 4, 1000L))
-          try fs.setTimes(myPath, System.currentTimeMillis(), -1)
+          try fs.create(myPath, true).close()
           catch { case _: java.io.IOException => () } // store hiccup
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-maintenance-heartbeat")
     beat.setDaemon(true)
     beat.start()
-    try f
+    val fence = new Fence(fs, dir, myName, staleMs)
+    try f(fence)
     finally {
       beat.interrupt()
       fs.delete(myPath, false) // only ever our own unique entry

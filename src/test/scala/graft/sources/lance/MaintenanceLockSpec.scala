@@ -102,6 +102,79 @@ class MaintenanceLockSpec extends AnyFunSuite {
     assert(lockEntries(ix).isEmpty)
   }
 
+  /** A live contender entry whose NAME is back-dated — the multi-driver
+    * clock-skew shape: a contender on a machine whose clock lags created
+    * its entry AFTER the winner's listings, yet its name sorts below the
+    * winner's. The election alone cannot see it; the pre-commit fence
+    * must. */
+  private def plantSkewed(ix: String): Path = {
+    val (fs, dir) = LanceFormat.fileSystem(ix, conf)
+    val old = System.currentTimeMillis() - 60000
+    val p = new Path(dir, f"_maintenance.lock.$old%020d-skewed-driver")
+    val out = fs.create(p, true); out.close() // fresh mtime -> live
+    p
+  }
+
+  test("pre-commit fence refuses when a clock-skewed usurper surfaces after the election") {
+    val ix = java.nio.file.Files.createTempDirectory("mlock_skew").toString
+    var checkedBefore = false
+    MaintenanceLock.withLockFenced(ix, conf, staleMs = 60000) { fence =>
+      fence.check() // un-contended: passes
+      checkedBefore = true
+      // the skewed contender's entry lands after our election listings
+      // but sorts below our name — exactly the window the verdict names
+      plantSkewed(ix)
+      val e = intercept[MaintenanceLock.ConcurrentMaintenance] { fence.check() }
+      assert(e.getMessage.contains("usurped"))
+    }
+    assert(checkedBefore)
+    // our release removed only OUR entry; the skewed winner's remains
+    assert(lockEntries(ix).size == 1 &&
+      lockEntries(ix).head.contains("skewed-driver"))
+  }
+
+  test("pre-commit fence refuses when the holder's own entry was swept") {
+    val ix = java.nio.file.Files.createTempDirectory("mlock_swept").toString
+    MaintenanceLock.withLockFenced(ix, conf, staleMs = 60000) { fence =>
+      val (fs, dir) = LanceFormat.fileSystem(ix, conf)
+      // simulate a rival's stale-sweep of a long-paused holder
+      lockEntries(ix).foreach(n => fs.delete(new Path(dir, n), false))
+      val e = intercept[MaintenanceLock.ConcurrentMaintenance] { fence.check() }
+      assert(e.getMessage.contains("gone") || e.getMessage.contains("swept"))
+    }
+  }
+
+  test("heartbeat keeps the holder live on object-store semantics where setTimes is a no-op") {
+    // s3like models S3A/GCS: last-modified never updates in place, so an
+    // mtime heartbeat via FileSystem.setTimes silently does nothing and a
+    // live-but-slow holder would be swept as a corpse mid-update. The
+    // re-PUT heartbeat must keep the entry fresh there.
+    val hc = graft.TestSpark.spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3like.impl", classOf[OverwritingFs].getName)
+    hc.set("fs.AbstractFileSystem.s3like.impl", classOf[OverwritingAbstractFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("mlock_s3beat")
+    val ix = s"s3like://$dir/ix"
+    // sanity: setTimes really is inert through this scheme
+    val (fs, d) = LanceFormat.fileSystem(ix, conf)
+    fs.mkdirs(d)
+    val probe = new Path(d, "probe")
+    fs.create(probe, true).close()
+    val m0 = fs.getFileStatus(probe).getModificationTime
+    fs.setTimes(probe, m0 - 100000, -1)
+    assert(fs.getFileStatus(probe).getModificationTime == m0,
+      "s3like must model setTimes as a no-op for this test to mean anything")
+    var rivalRefused = false
+    MaintenanceLock.withLockFenced(ix, conf, staleMs = 1500) { fence =>
+      Thread.sleep(2600) // > staleMs: only the re-PUT beats keep us live
+      intercept[MaintenanceLock.ConcurrentMaintenance] {
+        MaintenanceLock.withLock(ix, conf, staleMs = 1500) { fail("must not run") }
+      }
+      rivalRefused = true
+      fence.check() // still the owner after the rival's attempt
+    }
+    assert(rivalRefused)
+  }
+
   test("heartbeat keeps a slow holder's entry fresh past staleMs") {
     val ix = java.nio.file.Files.createTempDirectory("mlock_beat").toString
     // staleMs=1500 -> heartbeat every max(375,1000)=1000ms; the holder

@@ -44,6 +44,12 @@ class OverwritingFs extends RawLocalFileSystem {
     if (exists(dst)) delete(dst, false)
     super.rename(src, dst)
   }
+
+  /** Object stores never update last-modified in place — S3A/GCS
+    * implement setTimes as the FileSystem base-class no-op. Model that,
+    * so an mtime "heartbeat" that relies on setTimes visibly fails here
+    * (MaintenanceLock heartbeats by re-PUTting the entry instead). */
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
 }
 
 /** FileContext binding that skips the client-side dest-existence check —

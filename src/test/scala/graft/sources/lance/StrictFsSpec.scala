@@ -166,6 +166,86 @@ class StrictFsSpec extends AnyFunSuite {
     } finally hc.unset("graft.lance.commit.mode")
   }
 
+  test("racing FTS index updaters on s3like: lock admits one, merged index ≡ fresh rebuild") {
+    // the one commit family the s3like racing tests had not covered:
+    // sidecar-index maintenance under MaintenanceLock on a no-atomic-
+    // rename store. Two updaters race the same append tail; the election
+    // admits at most one at a time (a double-admit would double-merge the
+    // tail dfs into the vocabulary), and the surviving index must answer
+    // bit-identically to an index built from scratch at the head.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3like.impl", classOf[OverwritingFs].getName)
+    hc.set("fs.AbstractFileSystem.s3like.impl", classOf[OverwritingAbstractFs].getName)
+    hc.set("graft.lance.commit.mode", "create")
+    try {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("fts_s3race")
+      val src = s"s3like://$dir/docs.lance"
+      val ix = s"s3like://$dir/ix"
+      (1L to 40L).map(i => (i, s"tok${i % 7} tok${i % 5} cat"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.format("lance").mode("overwrite").save(src)
+      graft.operators.Fts.buildIndexLance(spark, src, "doc_id", "text", ix)
+      (41L to 60L).map(i => (i, s"tok${i % 7} cat dog"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.format("lance").mode("append").save(src)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val outcomes = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String =
+            try { graft.operators.Fts.updateIndex(spark, src, ix); "ok" }
+            catch {
+              case _: MaintenanceLock.ConcurrentMaintenance => "refused"
+            }
+        })
+      }.map(_.get())
+      pool.shutdown()
+      assert(outcomes.count(_ == "ok") >= 1, s"outcomes: $outcomes")
+      // a refused loser's retry after the winner must fold to a no-op
+      graft.operators.Fts.updateIndex(spark, src, ix)
+      graft.operators.Fts.buildIndexLance(spark, src, "doc_id", "text",
+        s"s3like://$dir/ix_fresh")
+      def top(p: String) = graft.operators.Fts.searchPersisted(spark, p,
+          Seq("cat", "tok3", "dog"), k = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(top(ix) == top(s"s3like://$dir/ix_fresh"))
+    } finally hc.unset("graft.lance.commit.mode")
+  }
+
+  test("racing scalar-index updaters on s3like: no double-appended tail postings") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3like.impl", classOf[OverwritingFs].getName)
+    hc.set("fs.AbstractFileSystem.s3like.impl", classOf[OverwritingAbstractFs].getName)
+    hc.set("graft.lance.commit.mode", "create")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("scal_s3race")
+      val ds = s"s3like://$dir/ds.lance"
+      val ix = s"s3like://$dir/ix"
+      spark.range(100).selectExpr("id", "id % 10 AS k")
+        .coalesce(1).write.format("lance").mode("append").save(ds)
+      graft.operators.ScalarIndex.build(spark, ds, "k", ix)
+      spark.range(100, 140).selectExpr("id", "id % 10 AS k")
+        .coalesce(1).write.format("lance").mode("append").save(ds)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val outcomes = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String =
+            try { graft.operators.ScalarIndex.update(spark, ds, ix); "ok" }
+            catch {
+              case _: MaintenanceLock.ConcurrentMaintenance => "refused"
+            }
+        })
+      }.map(_.get())
+      pool.shutdown()
+      assert(outcomes.count(_ == "ok") >= 1, s"outcomes: $outcomes")
+      graft.operators.ScalarIndex.update(spark, ds, ix) // loser retry: no-op
+      // a double-admitted race would have appended the 40-row tail twice
+      assert(spark.read.format("lance").load(s"$ix/keys.lance").count() == 140)
+      assert(graft.operators.ScalarIndex.lookup(spark, ds, ix, Seq(3))
+        .count() == 14)
+    } finally hc.unset("graft.lance.commit.mode")
+  }
+
   test("strictfs refuses rename-onto-existing (the semantics under test)") {
     val dir = java.nio.file.Files.createTempDirectory("strictfs_sem")
     val conf = spark.sessionState.newHadoopConf()
