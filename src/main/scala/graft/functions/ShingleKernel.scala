@@ -336,25 +336,42 @@ object PiiRedactSummary {
     StructField("red", StringType, nullable = false)))
 
   // the exact patterns of the d25 contract (java.util.regex, as the
-  // builtin regexp_* functions compile them)
-  private val Email = java.util.regex.Pattern.compile(
+  // builtin regexp_* functions compile them). The hot path below runs
+  // PiiScan's hand scanners instead — procedural transcriptions of the
+  // JDK engine on these three patterns, differentially fuzz-pinned
+  // against these very Patterns by PiiScanSpec; the Patterns stay here
+  // as the executable statement of the contract (and the spec's
+  // reference engine).
+  val Email: java.util.regex.Pattern = java.util.regex.Pattern.compile(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
-  private val Phone = java.util.regex.Pattern.compile(
+  val Phone: java.util.regex.Pattern = java.util.regex.Pattern.compile(
     "(\\(\\d{3}\\)\\s?)?\\d{3}-\\d{4}")
-  private val Ip = java.util.regex.Pattern.compile(
+  val Ip: java.util.regex.Pattern = java.util.regex.Pattern.compile(
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
 
   /** Static helper the generated code calls directly. */
   def summary(text: UTF8String): InternalRow = {
     val str = text.toString
     // email: count + redact in ONE scan
+    val (nEmail, red1) = PiiScan.countRedact(PiiScan.nextEmail, str, "<EMAIL>")
+    // ip / phone: counts over the ORIGINAL text, redaction over the
+    // running result (sequential email -> ip -> phone order)
+    val nIp = PiiScan.count(PiiScan.nextIp, str)
+    val red2 = PiiScan.redact(PiiScan.nextIp, red1, "<IP>")
+    val nPhone = PiiScan.count(PiiScan.nextPhone, str)
+    val red3 = PiiScan.redact(PiiScan.nextPhone, red2, "<PHONE>")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nEmail, nPhone, nIp, UTF8String.fromString(red3)))
+  }
+
+  /** The previous (java.util.regex) kernel, kept as the differential
+    * reference for PiiScanSpec — NOT on any query path. */
+  def summaryRegex(str: String): (Int, Int, Int, String) = {
     var nEmail = 0
     val sb = new java.lang.StringBuilder(str.length)
     val me = Email.matcher(str)
     while (me.find()) { nEmail += 1; me.appendReplacement(sb, "<EMAIL>") }
     me.appendTail(sb)
-    // ip / phone: counts over the ORIGINAL text, redaction over the
-    // running result (sequential email -> ip -> phone order)
     var nIp = 0
     val mi = Ip.matcher(str)
     while (mi.find()) nIp += 1
@@ -363,7 +380,6 @@ object PiiRedactSummary {
     val mp = Phone.matcher(str)
     while (mp.find()) nPhone += 1
     val red3 = Phone.matcher(red2).replaceAll("<PHONE>")
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nEmail, nPhone, nIp, UTF8String.fromString(red3)))
+    (nEmail, nPhone, nIp, red3)
   }
 }

@@ -102,9 +102,12 @@ object TrainOps {
     QDef("d25_pii_redact", (s, dir) => {
       val t = Tables.register(s, dir)
       // one kernel instead of 3x regexp_extract_all + a replace chain:
-      // same patterns, same java.util.regex engine, same sequential
-      // redaction order — see PiiRedactSummary scaladoc (11.5 -> ~5 s at
-      // sf1; the remaining cost is the regex engine constant vs RE2)
+      // same patterns, same sequential redaction order, and since round
+      // 10 hand-rolled scanners (PiiScan) instead of java.util.regex —
+      // bit-identical by differential fuzz (PiiScanSpec) and this oracle,
+      // 7.9 -> 1.1 s at sf1 (RE2/DuckDB: 0.84 s — the engine constant is
+      // retired; the scan keys on anchor chars instead of restarting an
+      // NFA at every position)
       t("documents")
         .withColumn("aug", expr(augSql("STRING")))
         .select(col("doc_id"),
