@@ -652,6 +652,10 @@ object ArrayKernels {
     column(RollingDocHash(expression(text)))
   def piiRedact(text: Column): Column =
     column(PiiRedactSummary(expression(text)))
+  def minhashSig(text: Column, p: Int): Column =
+    column(MinHashSig(expression(text), p))
+  def bigramBuckets(text: Column): Column =
+    column(BigramBucketCounts(expression(text)))
   def pqAdcScore(code: Column, lut: Column): Column =
     column(PqAdcScore(expression(code), expression(lut)))
   def pqEncode(vec: Column, codebooks: Column): Column =

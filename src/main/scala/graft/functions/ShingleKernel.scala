@@ -383,3 +383,212 @@ object PiiRedactSummary {
     (nEmail, nPhone, nIp, red3)
   }
 }
+
+/** One-pass portable-MinHash signature (SURVEY §2.5 near-dup dedup; the
+  * shared signature stage of d28/d33/d34).
+  *
+  * Computes exactly `array((0 until p).map(q => array_min(transform(
+  * array_distinct(split(text, ' ')), tk => substring(md5(concat(q + ":",
+  * tk)), 1, 13)))))` — the PORTABLE construction whose DuckDB twin is
+  * the family's hash oracle — but in ONE pass: tokenize (single-space
+  * split keeping empties, the builtin's semantics), dedupe through a
+  * hash set, and for each distinct token run p seeded md5s, tracking the
+  * per-seed minimum as the digest's first 52 BITS in a long (13
+  * lowercase-hex chars compare lexicographically exactly as their 52-bit
+  * numeric value). The declarative chain materializes p transformed
+  * arrays, p*|toks| 32-char hex strings and substrings per document;
+  * this kernel allocates only the final 13-char strings, once per seed.
+  * Values are bit-identical (differential spec + the d28/d33/d34 DuckDB
+  * hash oracles at four scale factors).
+  */
+case class MinHashSig(child: Expression, p: Int) extends UnaryExpression {
+  require(p >= 1 && p <= 64, "seed count must be in [1, 64]")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_sig expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[UTF8String], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSig.sig($c, $p)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val Space = UTF8String.fromString(" ")
+  private val HexChars = "0123456789abcdef".toCharArray
+  // seed prefixes "q:" as UTF-8 bytes, q < 64 (covers every declared P)
+  private val Prefixes: Array[Array[Byte]] =
+    Array.tabulate(64)(q => (q.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Bounded per-thread token → seeded-hash cache. Corpus vocabulary is
+    * Zipf: the same tokens recur across documents thousands of times, and
+    * MIN is duplicate-insensitive, so the p md5s per token can be memoized
+    * without affecting values. Lossy single-probe open addressing
+    * (replace-on-collision): a miss only costs the recompute, so the cap
+    * holds memory at ~a few MB per task thread on an unbounded-vocabulary
+    * corpus. Tokens are CLONED into the cache — the incoming UTF8String
+    * may view a buffer the scan reuses for the next row.
+    */
+  private final class TokenCache {
+    val mask: Int = (1 << 15) - 1
+    val toks = new Array[UTF8String](mask + 1)
+    val ps = new Array[Int](mask + 1)
+    val vals = new Array[Array[Long]](mask + 1)
+  }
+  private val cacheLocal: ThreadLocal[TokenCache] =
+    ThreadLocal.withInitial(() => new TokenCache)
+
+  /** Static helper the generated code calls directly. */
+  def sig(text: UTF8String, p: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.split(Space, -1)
+    val mins = new Array[Long](p)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = mdLocal.get()
+    val cache = cacheLocal.get()
+    val buf = new Array[Byte](16)
+    var i = 0
+    while (i < toks.length) {
+      val tk = toks(i)
+      val slot = tk.hashCode & cache.mask
+      var vs = cache.vals(slot)
+      if (vs == null || cache.ps(slot) != p || !cache.toks(slot).equals(tk)) {
+        vs = new Array[Long](p)
+        val tb = tk.getBytes
+        var q = 0
+        while (q < p) {
+          md.reset()
+          md.update(Prefixes(q))
+          md.update(tb)
+          md.digest(buf, 0, 16)
+          // first 13 hex chars = the digest's first 52 bits
+          vs(q) = ((buf(0) & 0xffL) << 44) | ((buf(1) & 0xffL) << 36) |
+                  ((buf(2) & 0xffL) << 28) | ((buf(3) & 0xffL) << 20) |
+                  ((buf(4) & 0xffL) << 12) | ((buf(5) & 0xffL) << 4) |
+                  ((buf(6) & 0xf0L) >>> 4)
+          q += 1
+        }
+        cache.toks(slot) = tk.clone()
+        cache.ps(slot) = p
+        cache.vals(slot) = vs
+      }
+      var q = 0
+      while (q < p) {
+        if (vs(q) < mins(q)) mins(q) = vs(q)
+        q += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](p)
+    var q = 0
+    while (q < p) {
+      val chars = new Array[Char](13)
+      var k = 0
+      while (k < 13) {
+        chars(k) = HexChars(((mins(q) >>> ((12 - k) * 4)) & 0xf).toInt)
+        k += 1
+      }
+      out(q) = UTF8String.fromString(new String(chars))
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** One-pass bigram hash-bucket census (SURVEY §2.5 importance sampling;
+  * d23's DSIR feature stage).
+  *
+  * Computes, per document, the multiset `{substring(md5(tok[i] || ' ' ||
+  * tok[i+1]), 1, 4)}` of 16-bit bigram buckets as (bucket, count)
+  * entries — exactly what d23's `explode(zip_with(...)) → md5 →
+  * substring → groupBy(doc_id, b).count()` pipeline produces, with the
+  * per-doc combine fused into the scan: the exploded stream shrinks from
+  * one row per BIGRAM to one row per distinct (doc, bucket), and no
+  * bigram string, 32-char hex, or substring is ever materialized (the
+  * md5 is fed tokA/' '/tokB as three update() calls; the bucket is the
+  * digest's first two bytes). The d23 DuckDB oracle pins value equality.
+  */
+case class BigramBucketCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BigramBucketCounts.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bigram_buckets expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramBucketCounts.buckets(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BigramBucketCounts.buckets($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramBucketCounts =
+    copy(child = newChild)
+}
+
+object BigramBucketCounts {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("b", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+
+  private val Space = UTF8String.fromString(" ")
+  private val SpaceByte = Array(' '.toByte)
+  private val HexChars = "0123456789abcdef".toCharArray
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static helper the generated code calls directly. */
+  def buckets(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.split(Space, -1)
+    val nb = toks.length - 1
+    if (nb <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val md = mdLocal.get()
+    val buf = new Array[Byte](16)
+    val codes = new Array[Int](nb)
+    var i = 0
+    while (i < nb) {
+      md.reset()
+      md.update(toks(i).getBytes)
+      md.update(SpaceByte)
+      md.update(toks(i + 1).getBytes)
+      md.digest(buf, 0, 16)
+      codes(i) = ((buf(0) & 0xff) << 8) | (buf(1) & 0xff)
+      i += 1
+    }
+    java.util.Arrays.sort(codes)
+    // run-length encode the sorted bucket codes
+    var distinct = 1
+    i = 1
+    while (i < nb) { if (codes(i) != codes(i - 1)) distinct += 1; i += 1 }
+    val out = new Array[Any](distinct)
+    var o = 0
+    i = 0
+    while (i < nb) {
+      var j = i
+      while (j < nb && codes(j) == codes(i)) j += 1
+      val chars = new Array[Char](4)
+      chars(0) = HexChars((codes(i) >>> 12) & 0xf)
+      chars(1) = HexChars((codes(i) >>> 8) & 0xf)
+      chars(2) = HexChars((codes(i) >>> 4) & 0xf)
+      chars(3) = HexChars(codes(i) & 0xf)
+      out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(new String(chars)), (j - i).toLong))
+      o += 1
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => NearestCentroid(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_bm25"), info("graft_bm25"),
       exprs => Bm25Score(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"), info("graft_minhash_sig"),
+      exprs => MinHashSig(exprs(0), {
+        val p = exprs(1).eval(null)
+        require(p != null, "graft_minhash_sig: p must be a literal int")
+        p.asInstanceOf[Number].intValue
+      })))
+    e.injectFunction((FunctionIdentifier("graft_bigram_buckets"), info("graft_bigram_buckets"),
+      exprs => BigramBucketCounts(exprs(0))))
   }
 }
 

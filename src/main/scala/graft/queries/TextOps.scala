@@ -223,12 +223,10 @@ object TextOps {
       // run per DISTINCT-signature pair, never quadratic in group size
       // (the naive doc-level band self-join was 17-45 s at sf0.1; this is
       // the same output from ~|distinct sigs|² candidate work)
+      // fused one-pass signature kernel — value-identical to the portable
+      // declarative construction the oracle mirrors (MinHashSig scaladoc)
       val sig = t("documents").select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-        .select(col("doc_id"),
-          array((0 until P).map(p =>
-            array_min(transform(col("toks"), tk =>
-              substring(md5(concat(lit(p + ":"), tk)), 1, 13)))): _*).as("sig"))
+          graft.functions.ArrayKernels.minhashSig(col("text"), P).as("sig"))
       val reps = sig.groupBy("sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .withColumn("gid", monotonically_increasing_id())
@@ -311,11 +309,7 @@ object TextOps {
       val t = Tables.register(s, dir)
       val P = 8; val B = 4; val K = 3
       val sig = t("documents").select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-        .select(col("doc_id"),
-          array((0 until P).map(p =>
-            array_min(transform(col("toks"), tk =>
-              substring(md5(concat(lit(p + ":"), tk)), 1, 13)))): _*).as("sig"))
+          graft.functions.ArrayKernels.minhashSig(col("text"), P).as("sig"))
       val reps = sig.groupBy("sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .withColumn("gid", monotonically_increasing_id())
@@ -416,10 +410,7 @@ object TextOps {
       val t = Tables.register(s, dir)
       val P = 8; val B = 4
       def sigOf(df: org.apache.spark.sql.DataFrame, idc: String) = df.select(col(idc),
-          array_distinct(split(col("text"), " ")).as("toks"))
-        .select(col(idc), array((0 until P).map(p =>
-          array_min(transform(col("toks"), tk =>
-            substring(md5(concat(lit(p + ":"), tk)), 1, 13)))): _*).as("sig"))
+          graft.functions.ArrayKernels.minhashSig(col("text"), P).as("sig"))
       def bandsOf(df: org.apache.spark.sql.DataFrame, idc: String) = df.select(col(idc),
           posexplode(array((0 until B).map(b =>
             md5(concat_ws(",", col("sig")(2 * b), col("sig")(2 * b + 1)))): _*)))
@@ -1073,23 +1064,20 @@ object TextOps {
     // integer arithmetic.
     QDef("d23_dsir_sample", (s, dir) => {
       val t = Tables.register(s, dir)
-      // bigrams via zip_with over the token array — MAP-ONLY. (The first
-      // formulation ran a lead() window over every token of the corpus:
-      // a full shuffle+sort whose only product was adjacency the array
-      // already encodes; it was 8x the oracle's wall time.)
-      val bg = t("documents")
-        .withColumn("t", split(col("text"), " "))
+      // bigram buckets via ONE fused kernel pass — the per-doc (bucket,
+      // count) census comes straight off the scan, so the exploded stream
+      // is one row per DISTINCT (doc, bucket) instead of one per bigram,
+      // and no gram string or hex md5 is ever materialized (the kernel
+      // feeds tokA/' '/tokB to the digest directly; value-identical to
+      // explode(zip_with)->md5->substring->groupBy, which the DuckDB
+      // oracle mirrors — BigramBucketCounts scaladoc). (History: a lead()
+      // window formulation was 8x the oracle; the zip_with explode +
+      // groupBy it replaced still shuffled and counted every bigram row.)
+      val cnt = t("documents")
         .select(col("doc_id"), col("source"),
-          explode(zip_with(
-            slice(col("t"), lit(1), size(col("t")) - 1),
-            slice(col("t"), lit(2), size(col("t")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("g"))
+          explode(graft.functions.ArrayKernels.bigramBuckets(col("text"))).as("e"))
         .select(col("doc_id"), col("source"),
-          substring(md5(col("g")), 1, 4).as("b"))
-      // ONE explode + ONE (doc_id, bucket) shuffle (4-char keys, never the
-      // gram strings); censuses and scalars aggregate the per-doc counts;
-      // the bounded weight table broadcasts into the final join
-      val cnt = bg.groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+          col("e.b").as("b"), col("e.c").as("c"))
       val raw = cnt.groupBy("b").agg(sum("c").as("rc"))
       val tgt = cnt.filter(col("source") === "src0")
         .groupBy("b").agg(sum("c").as("tc"))
