@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   *    customer/supplier/part/orders/lineitem/events/documents/embeddings
   *    scale linearly, matching TPC-H's sf-proportional row counts
   *    (10 x sf0.1 == sf1's 150k customer / 1.5M orders / 6M lineitem);
-  *  - documents: per-copy CONTENT-based token salting (a token is
-  *    salted iff md5(token) % 3 == 0, mapped injectively per copy)
-  *    keeps within-copy token-set Jaccard EXACTLY equal to the source
-  *    corpus — duplicate-group multiplicity stays constant while
-  *    cross-copy Jaccard drops to ~0.5, below every near-dup threshold
-  *    (0.75/0.82). Without this, naive replication would multiply
-  *    dup-group sizes by `copies` and quadratic-output contracts (d28)
-  *    would measure the replication artifact, not the operator.
+  *  - documents: per-copy CONTENT-based token salting (copies <= 10: a
+  *    token is salted iff md5(token) % 3 == 0; copies > 10: EVERY token
+  *    is salted — disjoint-vocabulary shards; both mapped injectively
+  *    per copy) keeps within-copy token-set Jaccard EXACTLY equal to
+  *    the source corpus — duplicate-group multiplicity stays constant
+  *    while cross-copy Jaccard drops to ~0.5 (partial) / 0 (full),
+  *    below every near-dup threshold (0.75/0.82). Without this, naive
+  *    replication would multiply dup-group sizes by `copies` and
+  *    quadratic-output contracts (d28) would measure the replication
+  *    artifact, not the operator; and past ~10 copies the partial mode's
+  *    FIXED unsalted vocabulary concentrates minhash band buckets
+  *    (LSH candidates grow quadratically in copies — measured: 204M
+  *    pairs at 100 copies), so big replications switch to full salting.
   *  - embeddings: deterministic per-copy jitter (±3e-3 per component)
   *    breaks exact-distance ties that vector clones would introduce;
   *  - events: timestamps shift by `copy` seconds (density scales,
@@ -84,14 +89,17 @@ object DataGen {
     replicate("events", Seq("event_id", "user_id")) { df =>
       df.withColumn("ts", col("ts") + expr("make_dt_interval(0, 0, 0, _copy)"))
     }
-    // The salt map t -> t_<copy> is injective per copy ONLY if no UNSALTED
-    // source token already has the image shape: an unsalted `x_k`
-    // (1 <= k < copies) whose stem `x` IS salted would merge with salted
-    // x's image in copy k — quietly breaking the within-copy-Jaccard-
-    // exactly-preserved invariant the near-dup contracts depend on.
-    // Assert the source vocabulary is clean before replicating (one
-    // datagen-time pass over the distinct vocabulary).
-    locally {
+    // The PARTIAL salt map t -> t_<copy> is injective per copy ONLY if no
+    // UNSALTED source token already has the image shape: an unsalted
+    // `x_k` (1 <= k < copies) whose stem `x` IS salted would merge with
+    // salted x's image in copy k — quietly breaking the
+    // within-copy-Jaccard-exactly-preserved invariant the near-dup
+    // contracts depend on. Assert the source vocabulary is clean before
+    // replicating (one datagen-time pass over the distinct vocabulary).
+    // Full salting (copies > 10, see below) renames EVERY token, which is
+    // injective unconditionally (t1_k == t2_k implies t1 == t2) — no
+    // vocabulary precondition.
+    if (copies <= 10) locally {
       import org.apache.spark.sql.Column
       def isSalted(t: Column) =
         conv(substring(md5(t), 1, 4), 16, 10).cast("long") % 3 === 0
@@ -110,11 +118,28 @@ object DataGen {
           "pick a different salt separator for this corpus")
     }
     replicate("documents", Seq("doc_id")) { df =>
-      // content-based injective token mapping per copy (see scaladoc)
+      // content-based injective token mapping per copy (see scaladoc).
+      // PARTIAL salting (1/3 of the vocabulary, content-hash-selected)
+      // keeps cross-copy Jaccard ~0.5 — realistic near-dup texture for a
+      // 10x replication. Beyond 10 copies it stops being realistic and
+      // starts measuring its own artifact: the UNSALTED 2/3 of the
+      // vocabulary is FIXED while the corpus grows, so minhash band
+      // buckets concentrate on the globally-smallest shared tokens and
+      // LSH candidate volume grows QUADRATICALLY in copies (measured at
+      // 100 copies: 204M band-bucket pairs, hot buckets of 4k+ docs — a
+      // property of fixed-vocabulary replication, not of the operators;
+      // real corpora grow vocabulary with size). For copies > 10 salt
+      // EVERY token instead: each copy is a disjoint-vocabulary,
+      // statistically identical shard — within-copy Jaccard is still
+      // EXACTLY preserved (full injective rename), duplicate-group
+      // multiplicity constant — so scale smokes measure the ENGINE, not
+      // vocabulary concentration.
+      val saltAll = copies > 10
       val saltedText = array_join(
         transform(split(col("text"), " "), t =>
           when(col("_copy") > 0 &&
-               conv(substring(md5(t), 1, 4), 16, 10).cast("long") % 3 === 0,
+               (if (saltAll) lit(true)
+                else conv(substring(md5(t), 1, 4), 16, 10).cast("long") % 3 === 0),
                concat(t, lit("_"), col("_copy"))).otherwise(t)), " ")
       df.withColumn("text", saltedText)
         .withColumn("n_chars", length(col("text")).cast("long"))
