@@ -4,6 +4,16 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** One (rep, band) row shipped into a hot LSH band bucket: the full
+  * signature for the estimate kernel plus the band-hash vector for
+  * first-colliding-band ownership. */
+private[graft] case class LshBucketRow(gid: Long, band: Int, bandHash: Long,
+                                       sig: Array[Long], bhs: Array[Long])
+
+/** A surviving (est ≥ threshold) near-dup rep pair emitted by the
+  * bucket-local LSH kernel. */
+private[graft] case class LshPair(gid_a: Long, gid_b: Long, est_jaccard: Double)
+
 /** Deduplication operators for training-data pipelines (SURVEY §2.5).
   *
   * All of these are expressed as shuffles over key columns — no driver-side
@@ -105,22 +115,161 @@ object Dedup {
     * colliding on any band hash become candidates; candidate similarity is
     * the signature-estimated Jaccard (fraction of equal minhashes), and
     * pairs with estimate >= threshold are returned.
+    *
+    * 100 TB plan shape — the candidate-pair stream NEVER materializes in a
+    * shuffle. The pipeline shuffles only corpus-linear datasets:
+    *
+    *  1. distinct-signature collapse (one hash aggregate; intra-group pairs
+    *     are est 1.0 by definition and explode straight off member lists);
+    *  2. a SKINNY band-bucket census — (band, band_hash) keys with ≥2
+    *     members are the only buckets that can produce a pair, and in a
+    *     real corpus almost every bucket is a singleton;
+    *  3. full signature rows ship ONLY into those hot buckets (one row per
+    *     rep × colliding band), and pairs are generated AND
+    *     threshold-filtered INSIDE the bucket by a streaming kernel
+    *     ([[bucketLocalLshPairs]]): each bucket buffers its own members
+    *     (O(members × numHashes) memory), emits survivors lazily, and
+    *     first-colliding-band ownership replaces the global `distinct()`.
+    *
+    * The previous shape (skinny candidate equi-join + distinct + signature
+    * join-back, retained as [[minHashLshJoinShape]] for the differential
+    * spec) shuffled the candidate set twice — measured at sf10: ~211M
+    * candidate pairs, ~46 GB of shuffle, disk exhausted. This shape's
+    * shuffles are one signature row per (rep, hot band) — independent of
+    * the candidate count.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int, bands: Int, jaccardThreshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    // signatures feed four plan branches (two band sides, two estimate
-    // sides); materialize once — at 100 TB this is the "write the
-    // signature table" step every production dedup pipeline has
-    // Collapse identical signatures first (a dup-dense corpus concentrates
-    // there): intra-group pairs have estimated jaccard 1.0 by definition
-    // and are emitted straight off the member lists — no banding, no
-    // distinct, no estimate kernel. Banding, candidate distinct, and the
-    // estimate then run once per DISTINCT-signature pair instead of once
-    // per doc pair. localCheckpoint pins the surrogate gid (nondeterminism
-    // guard) and materializes the signature table once — at 100 TB this is
-    // the "write the signature table" step every dedup pipeline has.
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes)
+    // localCheckpoint pins the surrogate gid (nondeterminism guard) and
+    // materializes the signature table once — at 100 TB this is the "write
+    // the signature table" step every production dedup pipeline has.
+    val reps = sigs.groupBy("sig")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .withColumn("gid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val intra = reps.filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est_jaccard", lit(1.0))
+    val survivors = bucketLocalLshPairs(reps, numHashes, bands, jaccardThreshold)
+    // only SURVIVING pairs (the operator's output, post-threshold) join the
+    // member lists back — a stream proportional to the answer, not to the
+    // candidate set
+    val sa = reps.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
+    val sb = reps.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
+    val inter = survivors.join(sa, "gid_a").join(sb, "gid_b")
+      .select(col("est_jaccard"), col("ids_b"), explode(col("ids_a")).as("a"))
+      .select(col("est_jaccard"), col("a"), explode(col("ids_b")).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+              greatest(col("a"), col("b")).as("doc_b"), col("est_jaccard"))
+    intra.select("doc_a", "doc_b", "est_jaccard").unionAll(inter)
+  }
+
+  /** Bucket-local LSH candidate generation + threshold filter over a
+    * distinct-signature table `reps(gid, sig)`. Returns surviving pairs
+    * (gid_a, gid_b, est_jaccard) with gid_a < gid_b, exactly the set the
+    * join-shape candidates+distinct+estimate pipeline produces — but
+    * nothing pair-shaped ever shuffles:
+    *
+    *  - census: skinny (band, band_hash) aggregate; keys with ≥2 members
+    *    survive (tiny — proportional to near-dup GROUPS, not docs) and are
+    *    broadcast against the band rows, so singleton-bucket signature
+    *    rows never leave their map task;
+    *  - hot rows (gid, band, band_hash, sig, bhs) group by bucket; the
+    *    kernel sorts the bucket's members by gid, and for each i<j pair
+    *    (a) skips it unless THIS band is the first band where the two
+    *    band-hash vectors collide (first-band ownership — the bucket-local
+    *    replacement for the global distinct, exact under hash collisions
+    *    because bucket membership IS band-hash equality), then (b) counts
+    *    equal signature positions with an early-exit bound and emits the
+    *    pair iff est = eq/numHashes ≥ threshold. Survivors are emitted
+    *    through a lazy iterator — peak memory per bucket is the member
+    *    buffer, O(members × numHashes × 8 B), never the pair set.
+    *
+    * Skew: a bucket of m members costs O(m²) signature compares in one
+    * task (the inherent LSH pairwise semantics) but only O(m) memory; the
+    * early-exit bound makes the common reject cheap. OperatorsSpec pins
+    * value-identity vs the join shape, including an adversarial mega-bucket
+    * ≥100× the median bucket size.
+    */
+  private[graft] def bucketLocalLshPairs(reps: DataFrame, numHashes: Int,
+                                         bands: Int,
+                                         jaccardThreshold: Double): DataFrame = {
+    val spark = reps.sparkSession
+    import spark.implicits._
+    val bandRows = reps.select(col("gid"), col("sig"),
+        graft.functions.SketchAggs.bandHashes(col("sig"), bands).as("bhs"))
+      .select(col("gid"), col("sig"), col("bhs"), posexplode(col("bhs")))
+      .select(col("gid"), col("pos").as("band"), col("col").as("bandHash"),
+              col("sig"), col("bhs"))
+    // the census branch reads only (band, bandHash) — Catalyst prunes the
+    // signature columns out of this pass over the (checkpointed) reps
+    val hot = bandRows.groupBy("band", "bandHash")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("band", "bandHash")
+      .localCheckpoint(true)
+    // broadcast the hot keys when they fit (the overwhelmingly common
+    // case: one key per colliding bucket); a pathological census falls
+    // back to a corpus-linear shuffle join, never to anything quadratic
+    val joined =
+      if (hot.count() <= 4000000L) bandRows.join(broadcast(hot), Seq("band", "bandHash"))
+      else bandRows.join(hot, Seq("band", "bandHash"))
+    val nh = numHashes
+    val tau = jaccardThreshold
+    joined.select(col("gid"), col("band"), col("bandHash"), col("sig"), col("bhs"))
+      .as[LshBucketRow]
+      .groupByKey(m => (m.band, m.bandHash))
+      .flatMapGroups { (_, it) =>
+        val ms = it.toArray
+        java.util.Arrays.sort(ms, Ordering.by((m: LshBucketRow) => m.gid))
+        val n = ms.length
+        Iterator.range(0, n).flatMap { i =>
+          val a = ms(i)
+          Iterator.range(i + 1, n).flatMap { j =>
+            val b = ms(j)
+            // first-band ownership: an earlier band already holds this pair
+            var owned = true
+            var k = 0
+            while (k < a.band && owned) {
+              if (a.bhs(k) == b.bhs(k)) owned = false
+              k += 1
+            }
+            if (!owned) Iterator.empty
+            else {
+              // eq count with a conservative early exit: if even
+              // all-remaining-equal cannot reach the threshold under the
+              // SAME double compare the final test uses, reject now
+              var eq = 0
+              var p = 0
+              var live = true
+              while (p < nh && live) {
+                if (a.sig(p) == b.sig(p)) eq += 1
+                else if ((eq + nh - p - 1).toDouble / nh < tau) live = false
+                p += 1
+              }
+              val est = eq.toDouble / nh
+              if (live && est >= tau) Iterator.single(LshPair(a.gid, b.gid, est))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("gid_a", "gid_b", "est_jaccard")
+  }
+
+  /** The pre-round-11 join-shape pipeline: skinny (gid, band, band_hash)
+    * candidate equi-join + distinct + signature join-back. Retained ONLY as
+    * the differential oracle for [[bucketLocalLshPairs]] (OperatorsSpec) —
+    * its candidate stream materializes in a shuffle and was measured
+    * exhausting disk at sf10 (~211M pairs / ~46 GB). Do not ship new
+    * callers. */
+  private[graft] def minHashLshJoinShape(df: DataFrame, idCol: String, textCol: String,
+                                         numHashes: Int, bands: Int,
+                                         jaccardThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sigs = minHashSignatures(df, idCol, textCol, numHashes)
     val reps = sigs.groupBy("sig")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
@@ -131,11 +280,6 @@ object Dedup {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("est_jaccard", lit(1.0))
-    // candidate generation stays skinny: (gid, band, band_hash) only — the
-    // wide signature arrays are joined back after the distinct, so the
-    // candidate shuffle moves 16-byte rows, not kilobyte signature pairs.
-    // band hashes come from ONE compact kernel call (the nested multi-arg
-    // xxhash64 form compiled an ~80-node expression per side)
     val bandRows = reps.select(col("gid"),
         posexplode(graft.functions.SketchAggs.bandHashes(col("sig"), bands)))
       .select(col("gid"), col("pos").as("band"), col("col").as("band_hash"))

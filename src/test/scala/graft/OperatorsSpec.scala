@@ -87,6 +87,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("bucket-local LSH kernel ≡ join shape, incl. an adversarial mega-bucket") {
+    // corpus engineered for a hot bucket: a 400-doc near-dup cloud sharing
+    // 15 of 16 tokens (each band slice matches the base slice w.p.
+    // (15/16)^8 ≈ 0.6, so every band has a ~240-member bucket), plus an
+    // exact-dup group and unrelated singletons — the skew case the
+    // bucket-local kernel must survive with bounded memory
+    val base = (0 until 15).map(i => s"tok$i").mkString(" ")
+    val rows =
+      (0 until 400).map(i => (i.toLong, s"$base uniq$i")) ++
+      (400 until 420).map(i => (i.toLong, base + " shared")) ++
+      (420 until 460).map(i => (i.toLong, (0 until 12).map(j => s"other${i}_$j").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val fast = Dedup.minHashLsh(df, "doc_id", "text", 64, 8, 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val ref = Dedup.minHashLshJoinShape(df, "doc_id", "text", 64, 8, 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == ref)
+    assert(fast.size > 400) // the mega-bucket really produced pairs
+    // and it really is adversarial: max bucket ≥ 100× the median bucket
+    val census = Dedup.minHashSignatures(df, "doc_id", "text", 64)
+      .select(posexplode(graft.functions.SketchAggs.bandHashes(col("sig"), 8)))
+      .groupBy("pos", "col").count().select("count").as[Long].collect().sorted
+    assert(census.last >= 100 * census(census.length / 2))
+  }
+
   test("lshExactPairs = LSH recall + exact precision (matches brute force here)") {
     val out = Dedup.lshExactPairs(docs, "doc_id", "text",
         numHashes = 64, bands = 16, candidateThreshold = 0.5, exactThreshold = 0.75)
