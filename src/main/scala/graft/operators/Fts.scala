@@ -87,6 +87,9 @@ object Fts {
       .write.format("lance").mode("overwrite").save(s"$indexPath/terms.lance")
     corpusStats(docs, idCol, textCol).coalesce(1)
       .write.format("lance").mode("overwrite").save(s"$indexPath/stats.lance")
+    // a rebuild over a previously pinned path must drop the stale pins
+    // (readStats below must see THIS build, not the old publish point)
+    pinsCache.put(indexPath, None)
     statsCache.put(indexPath, readStats(docs.sparkSession, indexPath))
   }
 
@@ -94,12 +97,76 @@ object Fts {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
 
   private def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
-    val r = spark.read.format("lance").load(s"$indexPath/stats.lance").head()
+    val r = sidecar(spark, indexPath, "stats").head()
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Test hook: simulate a fresh session (forces the stats re-read). */
-  private[graft] def clearStatsCache(): Unit = statsCache.clear()
+  /** Published sidecar versions. `built.lance` is the index's ONE atomic
+    * publish point: it records the exact postings/terms/stats versions a
+    * reader may see, so the multi-dataset update sequence in
+    * [[updateIndex]] is all-or-nothing — a fence-aborted (or crashed)
+    * updater leaves only UNREFERENCED sidecar versions behind, which the
+    * next updater sweeps (postings: [[graft.sources.lance.LanceMaintenance.restore]]
+    * back to the published version before re-appending) or simply never
+    * reads (terms/stats overwrites read their pinned inputs). Without the
+    * pins, a fence abort between sidecar commits left a half-published
+    * update: the tail already appended to postings but `built_version`
+    * unchanged, so the NEXT updater appended the same tail again —
+    * duplicated (term, doc_id) rows, silent BM25 corruption. */
+  private case class Pins(postingsV: Long, termsV: Long, statsV: Long)
+
+  private val pinsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Pins]]
+
+  /** Pins from `built.lance`, cached per index (None: an index built by
+    * the plain [[buildIndex]] path, which has no `built.lance` — sidecar
+    * heads are read directly, the pre-pins behavior). */
+  private def pinsOf(spark: SparkSession, indexPath: String): Option[Pins] =
+    pinsCache.computeIfAbsent(indexPath, _ =>
+      try {
+        val b = spark.read.format("lance").load(s"$indexPath/built.lance")
+        if (b.columns.contains("postings_version")) {
+          val r = b.head()
+          Some(Pins(r.getAs[Long]("postings_version"),
+                    r.getAs[Long]("terms_version"),
+                    r.getAs[Long]("stats_version")))
+        } else None
+      } catch { case _: Exception => None })
+
+  private def pinsFromRow(r: org.apache.spark.sql.Row): Option[Pins] =
+    if (r.length >= 6) Some(Pins(r.getLong(3), r.getLong(4), r.getLong(5)))
+    else None
+
+  /** A sidecar scan pinned at its PUBLISHED version — every reader goes
+    * through here, so in-flight (unpublished) sidecar commits are
+    * invisible exactly like uncommitted MVCC writes. */
+  private def sidecar(spark: SparkSession, indexPath: String,
+                      name: String): DataFrame = {
+    val base = spark.read.format("lance")
+    pinsOf(spark, indexPath) match {
+      case Some(p) =>
+        val v = name match {
+          case "postings" => p.postingsV
+          case "terms"    => p.termsV
+          case _          => p.statsV
+        }
+        base.option("versionAsOf", v).load(s"$indexPath/$name.lance")
+      case None => base.load(s"$indexPath/$name.lance")
+    }
+  }
+
+  private def headVersion(conf: org.apache.hadoop.conf.Configuration,
+                          path: String): Long = {
+    import graft.sources.lance.LanceFormat
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version
+  }
+
+  /** Test hook: simulate a fresh session (forces the stats/pins re-read). */
+  private[graft] def clearStatsCache(): Unit = {
+    statsCache.clear()
+    pinsCache.clear()
+  }
 
   /** The fixed-point BM25 contribution of one posting row, as a long in
     * micro-units. Columns required: term, tf, dl, df; `nDocs`/`avgdl` are
@@ -179,8 +246,8 @@ object Fts {
     */
   def searchWithStats(spark: SparkSession, indexPath: String, nDocs: Long,
                       totalLen: Long, terms: Seq[String], k: Int): DataFrame = {
-    val p  = spark.read.format("lance").load(s"$indexPath/postings.lance")
-    val df = spark.read.format("lance").load(s"$indexPath/terms.lance")
+    val p  = sidecar(spark, indexPath, "postings")
+    val df = sidecar(spark, indexPath, "terms")
     bm25TopK(p, df, nDocs, totalLen, terms, k)
   }
 
@@ -230,7 +297,7 @@ object Fts {
   def searchFuzzy(spark: SparkSession, indexPath: String,
                   terms: Seq[String], maxDist: Int, k: Int,
                   maxExpansions: Int = 50): DataFrame = {
-    val vocab = spark.read.format("lance").load(s"$indexPath/terms.lance")
+    val vocab = sidecar(spark, indexPath, "terms")
     val matched = vocab
       .filter(terms.map(t => levenshtein(col("term"), lit(t)) <= maxDist)
                    .reduce(_ || _))
@@ -266,10 +333,18 @@ object Fts {
     val docs = spark.read.format("lance")
       .option("versionAsOf", builtV).load(sourcePath)
     buildIndex(docs, idCol, textCol, indexPath, writePartitions)
-    spark.createDataFrame(Seq((builtV, idCol, textCol)))
-      .toDF("built_version", "id_col", "text_col")
+    // publish: built.lance records the exact sidecar versions this build
+    // produced — all readers pin on them (see [[Pins]])
+    val pins = Pins(headVersion(conf, s"$indexPath/postings.lance"),
+                    headVersion(conf, s"$indexPath/terms.lance"),
+                    headVersion(conf, s"$indexPath/stats.lance"))
+    spark.createDataFrame(
+        Seq((builtV, idCol, textCol, pins.postingsV, pins.termsV, pins.statsV)))
+      .toDF("built_version", "id_col", "text_col",
+            "postings_version", "terms_version", "stats_version")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/built.lance")
+    pinsCache.put(indexPath, Some(pins))
     val (nDocs, totalLen) = statsCache.get(indexPath)
     graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
       indexPath, idCol, textCol, nDocs, totalLen, builtV))
@@ -305,21 +380,41 @@ object Fts {
 
   /** The update body; callers hold the maintenance lock — a racing twin
     * would double-merge the tail dfs into the vocabulary (silent BM25
-    * corruption), which the lock turns into a loud refusal. The fence is
-    * checked immediately before EACH sidecar commit, so a holder usurped
-    * by a clock-skewed contender (or swept after a long pause) aborts
-    * having published nothing to that sidecar. */
+    * corruption), which the lock turns into a loud refusal.
+    *
+    * Atomicity: the only PUBLISH is the final `built.lance` overwrite —
+    * every sidecar commit before it lands at a version no reader is
+    * pinned to ([[sidecar]]), so a fence abort (clock-skew usurper,
+    * swept holder) or a crash ANYWHERE in the sequence leaves the
+    * published index bit-identical to before the update. The next
+    * updater first sweeps a predecessor's orphan postings tail
+    * (restore to the pinned version — appends build on the head, unlike
+    * the overwrite-mode sidecars whose pinned INPUTS make orphan
+    * overwrites simply dead versions), then recomputes the same
+    * builtV..headV tail against the pinned inputs: exactly-once
+    * semantics without double-appended postings or double-merged dfs. */
   private def updateIndexLocked(spark: SparkSession, sourcePath: String,
                                 indexPath: String, writePartitions: Int,
                                 fence: graft.sources.lance.MaintenanceLock.Fence): Long = {
     import graft.sources.lance.LanceFormat
     val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
     val (builtV, idCol, textCol) = (b.getLong(0), b.getString(1), b.getString(2))
+    val pins = pinsFromRow(b)
     val conf = spark.sessionState.newHadoopConf()
     val (fs, sp) = LanceFormat.fileSystem(sourcePath, conf)
     val headV = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, sp, None)).version
     if (headV == builtV) return builtV
+    // sweep an orphan postings tail left by a fence-aborted predecessor:
+    // published readers never saw it (they pin), but our append would
+    // otherwise stack on top of it and duplicate its rows
+    pins.foreach { p =>
+      if (headVersion(conf, s"$indexPath/postings.lance") != p.postingsV) {
+        fence.check()
+        graft.sources.lance.LanceMaintenance.restore(
+          spark, s"$indexPath/postings.lance", p.postingsV)
+      }
+    }
     val tail = spark.read.format("lance")
       .option("fromVersion", builtV).option("versionAsOf", headV)
       .load(sourcePath)
@@ -328,10 +423,12 @@ object Fts {
     tp.repartitionByRange(writePartitions, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.format("lance").mode("append").save(s"$indexPath/postings.lance")
+    val postingsV2 = headVersion(conf, s"$indexPath/postings.lance")
     // terms.lance is both input and output; safe because lance is
-    // versioned — the scan pins the old manifest at planning, data files
-    // are immutable, and the overwrite commits a NEW version afterwards
-    val mergedTerms = spark.read.format("lance").load(s"$indexPath/terms.lance")
+    // versioned — the scan pins the PUBLISHED version (an orphan
+    // overwrite from an aborted predecessor is skipped, not re-merged),
+    // data files are immutable, and the overwrite commits a NEW version
+    val mergedTerms = sidecar(spark, indexPath, "terms")
       .unionByName(tp.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .repartitionByRange(math.max(writePartitions / 4, 1), col("term"))
@@ -339,6 +436,7 @@ object Fts {
     fence.check()
     mergedTerms
       .write.format("lance").mode("overwrite").save(s"$indexPath/terms.lance")
+    val termsV2 = headVersion(conf, s"$indexPath/terms.lance")
     val ts = corpusStats(tail, idCol, textCol).head()
     val (oldN, oldLen) =
       statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
@@ -347,14 +445,17 @@ object Fts {
     spark.createDataFrame(Seq((newN, newLen))).toDF("n_docs", "total_len")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/stats.lance")
-    // built.lance is the PUBLISH point — a search only sees the merged
-    // postings/vocabulary once built_version advances, so this fence is
-    // the one that decides which of two racing maintainers "commits"
+    val statsV2 = headVersion(conf, s"$indexPath/stats.lance")
+    // built.lance is the PUBLISH point — nothing above is visible to any
+    // reader until this commit, so this fence is the one that decides
+    // which of two racing maintainers "commits"
     fence.check()
-    spark.createDataFrame(Seq((headV, idCol, textCol)))
-      .toDF("built_version", "id_col", "text_col")
+    spark.createDataFrame(Seq((headV, idCol, textCol, postingsV2, termsV2, statsV2)))
+      .toDF("built_version", "id_col", "text_col",
+            "postings_version", "terms_version", "stats_version")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/built.lance")
+    pinsCache.put(indexPath, Some(Pins(postingsV2, termsV2, statsV2)))
     statsCache.put(indexPath, (newN, newLen))
     graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
       indexPath, idCol, textCol, newN, newLen, headV))
@@ -368,6 +469,7 @@ object Fts {
   def attachIndex(spark: SparkSession, sourcePath: String,
                   indexPath: String): Unit = {
     val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
+    pinsCache.put(indexPath, pinsFromRow(b)) // re-attach = re-read the publish point
     val (nDocs, totalLen) =
       statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
     graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
@@ -392,11 +494,11 @@ object Fts {
       .head().getLong(0)
     val (nDocs, totalLen) =
       statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
-    val idxPost = spark.read.format("lance").load(s"$indexPath/postings.lance")
+    val idxPost = sidecar(spark, indexPath, "postings")
     val tailPost = postings(
       spark.read.format("lance").option("fromVersion", builtV).load(sourcePath),
       idCol, textCol)
-    val termDf = spark.read.format("lance").load(s"$indexPath/terms.lance")
+    val termDf = sidecar(spark, indexPath, "terms")
     bm25TopK(idxPost.unionByName(tailPost), termDf, nDocs, totalLen, terms, k)
   }
 
@@ -435,8 +537,8 @@ object Fts {
     val avgdl = totalLen.toDouble / nDocs
     val scoring = (must ++ should).distinct
     val allTerms = (scoring ++ mustNot).distinct
-    val p  = spark.read.format("lance").load(s"$indexPath/postings.lance")
-    val df = spark.read.format("lance").load(s"$indexPath/terms.lance")
+    val p  = sidecar(spark, indexPath, "postings")
+    val df = sidecar(spark, indexPath, "terms")
     // ONE postings scan (the full clause IN-list still prunes by term zone
     // maps) and ONE per-doc aggregate answer all three clause kinds:
     // postings are unique per (doc, term), so must-coverage is a plain
@@ -484,8 +586,7 @@ object Fts {
     val pcols = distinctTerms.map(t =>
       first(when(col("term") === t, col("positions")), ignoreNulls = true)
         .as(termCol(t)))
-    val agged = spark.read.format("lance")
-      .load(s"$indexPath/postings.lance")
+    val agged = sidecar(spark, indexPath, "postings")
       .filter(col("term").isin(distinctTerms: _*))
       .groupBy("doc_id")
       .agg(pcols.head, pcols.tail: _*)

@@ -56,17 +56,62 @@ object ScalarIndex {
       .option("sortBy", "key")
       .option("writePartitions", writePartitions.toString)
       .mode("overwrite").save(s"$indexPath/keys.lance")
-    spark.createDataFrame(Seq((builtV, keyCol, stableRowIds)))
-      .toDF("built_version", "key_col", "stable")
+    spark.createDataFrame(Seq((builtV, keyCol, stableRowIds,
+        headVersion(spark, s"$indexPath/keys.lance"))))
+      .toDF("built_version", "key_col", "stable", "data_version")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/meta.lance")
     builtV
   }
 
-  /** Whether this index stores row ids (vs addresses) — third meta
+  /** Whether this index stores row ids (vs addresses) — `stable` meta
     * column; absent in pre-stable indexes, defaulting to false. */
-  private def isStable(meta: org.apache.spark.sql.Row): Boolean =
-    meta.length > 2 && !meta.isNullAt(2) && meta.getBoolean(2)
+  private def isStable(meta: org.apache.spark.sql.Row): Boolean = {
+    val i = meta.schema.fieldNames.indexOf("stable")
+    i >= 0 && !meta.isNullAt(i) && meta.getBoolean(i)
+  }
+
+  /** The PUBLISHED data-sidecar version recorded in meta.lance (None:
+    * legacy or label indexes without the column). meta.lance is the
+    * index's one atomic publish point: an updater's data-sidecar append
+    * is invisible to every reader until the meta overwrite lands, so a
+    * fence abort (or crash) between the two commits publishes nothing —
+    * the next updater sweeps the orphan tail (restore to the pinned
+    * version) instead of re-appending the same rows on top of it. */
+  private def dataVersionOf(meta: org.apache.spark.sql.Row): Option[Long] = {
+    val i = meta.schema.fieldNames.indexOf("data_version")
+    if (i >= 0 && !meta.isNullAt(i)) Some(meta.getLong(i)) else None
+  }
+
+  private def metaRowOpt(spark: SparkSession,
+                         indexPath: String): Option[org.apache.spark.sql.Row] =
+    try Some(spark.read.format("lance").load(s"$indexPath/meta.lance").head())
+    catch { case _: Exception => None }
+
+  /** Data-sidecar scan pinned at the published version when meta records
+    * one — readers never see a fence-aborted updater's orphan tail. */
+  private def pinnedSidecar(spark: SparkSession, indexPath: String,
+                            name: String,
+                            meta: Option[org.apache.spark.sql.Row]): DataFrame = {
+    val base = spark.read.format("lance")
+    meta.flatMap(dataVersionOf) match {
+      case Some(v) =>
+        base.option("versionAsOf", v).load(s"$indexPath/$name.lance")
+      case None => base.load(s"$indexPath/$name.lance")
+    }
+  }
+
+  /** Sweep a fence-aborted predecessor's orphan tail from an append-mode
+    * data sidecar: restore it to the published version before we append
+    * (overwrite-mode sidecars never need this — their readers pin). */
+  private def sweepOrphanTail(spark: SparkSession, indexPath: String,
+                              name: String,
+                              meta: org.apache.spark.sql.Row): Unit =
+    dataVersionOf(meta).foreach { v =>
+      if (headVersion(spark, s"$indexPath/$name.lance") != v)
+        graft.sources.lance.LanceMaintenance.restore(
+          spark, s"$indexPath/$name.lance", v)
+    }
 
   /** Translate a probed `addr` column to CURRENT row addresses: identity
     * for an address index; for a stable index, resolve ids through the
@@ -111,9 +156,12 @@ object ScalarIndex {
     if (headV == builtV) builtV
     else {
       val addrCol = if (stable) "_rowid" else "_rowaddr"
-      // fence before each sidecar commit: a racing twin would append the
-      // SAME tail twice (duplicate addr postings); a usurped/swept holder
-      // aborts having published nothing
+      // the meta overwrite below is the only PUBLISH: readers pin the
+      // data_version it records, so a fence abort (clock-skew usurper,
+      // swept holder) or crash between the two commits leaves the
+      // published index untouched — sweep any such predecessor's orphan
+      // tail before appending ours
+      sweepOrphanTail(spark, indexPath, "keys", meta)
       fence.check()
       spark.read.format("lance")
         .option("fromVersion", builtV).option("versionAsOf", headV)
@@ -124,8 +172,9 @@ object ScalarIndex {
         .option("writePartitions", writePartitions.toString)
         .mode("append").save(s"$indexPath/keys.lance")
       fence.check()
-      spark.createDataFrame(Seq((headV, keyCol, stable)))
-        .toDF("built_version", "key_col", "stable")
+      spark.createDataFrame(Seq((headV, keyCol, stable,
+          headVersion(spark, s"$indexPath/keys.lance"))))
+        .toDF("built_version", "key_col", "stable", "data_version")
         .coalesce(1).write.format("lance").mode("overwrite")
         .save(s"$indexPath/meta.lance")
       headV
@@ -172,16 +221,13 @@ object ScalarIndex {
         .longInSortedArray(col("_rowaddr"), addrs))
   }
 
-  private def metaStable(spark: SparkSession, indexPath: String): Boolean =
-    isStable(spark.read.format("lance").load(s"$indexPath/meta.lance").head())
-
   /** Point / IN-list lookup: zone-pruned index probe → take-path fetch. */
   def lookup(spark: SparkSession, datasetPath: String, indexPath: String,
              keys: Seq[Any], maxRows: Int = 100000): DataFrame = {
-    val probe = spark.read.format("lance").load(s"$indexPath/keys.lance")
+    val meta = metaRowOpt(spark, indexPath)
+    val probe = pinnedSidecar(spark, indexPath, "keys", meta)
       .filter(col("key").isin(keys: _*))
-    fetchByAddrs(spark, datasetPath, probe, maxRows,
-                 metaStable(spark, indexPath))
+    fetchByAddrs(spark, datasetPath, probe, maxRows, meta.exists(isStable))
   }
 
   /** Range lookup `lo <= key < hi` — the BTREE range-scan shape; the
@@ -189,10 +235,10 @@ object ScalarIndex {
     */
   def lookupRange(spark: SparkSession, datasetPath: String, indexPath: String,
                   lo: Any, hi: Any, maxRows: Int = 100000): DataFrame = {
-    val probe = spark.read.format("lance").load(s"$indexPath/keys.lance")
+    val meta = metaRowOpt(spark, indexPath)
+    val probe = pinnedSidecar(spark, indexPath, "keys", meta)
       .filter(col("key") >= lit(lo) && col("key") < lit(hi))
-    fetchByAddrs(spark, datasetPath, probe, maxRows,
-                 metaStable(spark, indexPath))
+    fetchByAddrs(spark, datasetPath, probe, maxRows, meta.exists(isStable))
   }
 
   /** Point / IN-list lookup that ALSO covers rows appended after the
@@ -212,7 +258,7 @@ object ScalarIndex {
     val keyCol = meta.getString(1)
     val stable = isStable(meta)
     val addrCol = if (stable) "_rowid" else "_rowaddr"
-    val idxProbe = spark.read.format("lance").load(s"$indexPath/keys.lance")
+    val idxProbe = pinnedSidecar(spark, indexPath, "keys", Some(meta))
       .filter(col("key").isin(keys: _*)).select("addr")
     val tailProbe = spark.read.format("lance")
       .option("fromVersion", builtV).load(datasetPath)
@@ -292,7 +338,8 @@ object ScalarIndex {
       .option("sortBy", "key")
       .option("writePartitions", writePartitions.toString)
       .mode("overwrite").save(s"$indexPath/bitmaps.lance")
-    writeMeta(spark, indexPath, builtV, keyCol)
+    writeMeta(spark, indexPath, builtV, keyCol,
+              headVersion(spark, s"$indexPath/bitmaps.lance"))
     builtV
   }
 
@@ -305,8 +352,9 @@ object ScalarIndex {
   }
 
   private def writeMeta(spark: SparkSession, indexPath: String,
-                        builtV: Long, keyCol: String): Unit =
-    spark.createDataFrame(Seq((builtV, keyCol))).toDF("built_version", "key_col")
+                        builtV: Long, keyCol: String, dataV: Long): Unit =
+    spark.createDataFrame(Seq((builtV, keyCol, dataV)))
+      .toDF("built_version", "key_col", "data_version")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/meta.lance")
 
@@ -344,14 +392,18 @@ object ScalarIndex {
     val headV = headVersion(spark, datasetPath)
     if (headV == builtV) builtV
     else {
-      fence.check() // see update(): abort before publishing anything
+      // see update(): meta is the only publish; sweep a fence-aborted
+      // predecessor's orphan tail, then append + publish
+      sweepOrphanTail(spark, indexPath, "bitmaps", meta)
+      fence.check()
       bitmapRows(spark, datasetPath, keyCol, Some((builtV, headV)))
         .write.format("lance")
         .option("sortBy", "key")
         .option("writePartitions", writePartitions.toString)
         .mode("append").save(s"$indexPath/bitmaps.lance")
       fence.check()
-      writeMeta(spark, indexPath, headV, keyCol)
+      writeMeta(spark, indexPath, headV, keyCol,
+                headVersion(spark, s"$indexPath/bitmaps.lance"))
       headV
     }
   }
@@ -360,7 +412,7 @@ object ScalarIndex {
     * `(frag, bitmap)`, all executor-side. */
   private def fragBitmaps(spark: SparkSession, indexPath: String,
                           keys: Seq[Any]): DataFrame =
-    spark.read.format("lance").load(s"$indexPath/bitmaps.lance")
+    pinnedSidecar(spark, indexPath, "bitmaps", metaRowOpt(spark, indexPath))
       .filter(col("key").isin(keys.map(_.toString): _*))
       .groupBy("frag")
       .agg(unionBitmaps(collect_list(col("bitmap"))).as("bitmap"))
@@ -417,7 +469,8 @@ object ScalarIndex {
       .option("sortBy", "key")
       .option("writePartitions", writePartitions.toString)
       .mode("overwrite").save(s"$indexPath/keys.lance")
-    writeMeta(spark, indexPath, builtV, s"$textCol#$n")
+    writeMeta(spark, indexPath, builtV, s"$textCol#$n",
+              headVersion(spark, s"$indexPath/keys.lance"))
     builtV
   }
 
@@ -449,14 +502,18 @@ object ScalarIndex {
     val headV = headVersion(spark, datasetPath)
     if (headV == builtV) builtV
     else {
-      fence.check() // see update(): abort before publishing anything
+      // see update(): meta is the only publish; sweep a fence-aborted
+      // predecessor's orphan tail, then append + publish
+      sweepOrphanTail(spark, indexPath, "keys", meta)
+      fence.check()
       ngramRows(spark, datasetPath, textCol, nStr.toInt, Some((builtV, headV)))
         .write.format("lance")
         .option("sortBy", "key")
         .option("writePartitions", writePartitions.toString)
         .mode("append").save(s"$indexPath/keys.lance")
       fence.check()
-      writeMeta(spark, indexPath, headV, meta.getString(1))
+      writeMeta(spark, indexPath, headV, meta.getString(1),
+                headVersion(spark, s"$indexPath/keys.lance"))
       headV
     }
   }
@@ -475,7 +532,8 @@ object ScalarIndex {
     val base = spark.read.format("lance").load(datasetPath)
     if (needle.length < n) return base.filter(col(textCol).contains(needle))
     val grams = needle.sliding(n).toSeq.distinct
-    val probe = spark.read.format("lance").load(s"$indexPath/keys.lance")
+    val probe = pinnedSidecar(spark, indexPath, "keys",
+        metaRowOpt(spark, indexPath))
       .filter(col("key").isin(grams: _*))
       .groupBy("addr").agg(count(lit(1)).as("hits"))
       .filter(col("hits") === grams.size)

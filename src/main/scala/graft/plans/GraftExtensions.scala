@@ -41,6 +41,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     import graft.functions._
     def info(name: String) = new ExpressionInfo("graft", name)
+    // a required literal-int argument: a non-foldable expression (column
+    // reference) or a non-integral literal fails ANALYSIS with an error
+    // naming the function — not an obscure eval-time NPE or a silent
+    // Number.intValue truncation of a fractional literal
+    def literalIntArg(fn: String, arg: String,
+                      ex: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+      def fail(why: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" -> s"$fn: argument '$arg' must be $why"))
+      if (!ex.foldable) fail("a literal integer, not a non-foldable expression")
+      ex.eval(null) match {
+        case null     => fail("a literal integer, not NULL")
+        case i: Int   => i
+        case l: Long if l.isValidInt => l.toInt
+        case s: Short => s.toInt
+        case b: Byte  => b.toInt
+        case other    => fail(s"an integral literal (got '$other': ${ex.dataType.simpleString})")
+      }
+    }
     e.injectFunction((FunctionIdentifier("graft_cosine"), info("graft_cosine"),
       exprs => FloatCosine(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_long_dot"), info("graft_long_dot"),
@@ -56,11 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_bigram_shingles"), info("graft_bigram_shingles"),
       exprs => BigramShingleSummary(exprs(0))))
     e.injectFunction((FunctionIdentifier("graft_word_gram_stats"), info("graft_word_gram_stats"),
-      exprs => WordGramStats(exprs(0), {
-        val n = exprs(1).eval(null)
-        require(n != null, "graft_word_gram_stats: n must be a literal int")
-        n.asInstanceOf[Number].intValue
-      })))
+      exprs => WordGramStats(exprs(0),
+        literalIntArg("graft_word_gram_stats", "n", exprs(1)))))
     e.injectFunction((FunctionIdentifier("graft_rolling_doc_hash"), info("graft_rolling_doc_hash"),
       exprs => RollingDocHash(exprs(0))))
     e.injectFunction((FunctionIdentifier("graft_pq_encode"), info("graft_pq_encode"),
@@ -72,11 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_bm25"), info("graft_bm25"),
       exprs => Bm25Score(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"), info("graft_minhash_sig"),
-      exprs => MinHashSig(exprs(0), {
-        val p = exprs(1).eval(null)
-        require(p != null, "graft_minhash_sig: p must be a literal int")
-        p.asInstanceOf[Number].intValue
-      })))
+      exprs => MinHashSig(exprs(0),
+        literalIntArg("graft_minhash_sig", "p", exprs(1)))))
     e.injectFunction((FunctionIdentifier("graft_bigram_buckets"), info("graft_bigram_buckets"),
       exprs => BigramBucketCounts(exprs(0))))
   }

@@ -295,7 +295,7 @@ object LanceFormat {
           s"(length prefix $pl out of bounds for ${b.length} bytes)")
       b
     }
-    val buf = try validated(readVia(fs), "") catch {
+    def readOnce(): Array[Byte] = try validated(readVia(fs), "") catch {
       case _: org.apache.hadoop.fs.ChecksumException =>
         // Local ChecksumFileSystem moves a committed manifest's data file
         // and its .crc sidecar in two separate renames; a read interleaved
@@ -306,6 +306,25 @@ object LanceFormat {
         val raw = FileSystem.newInstance(manifestPath.toUri, fs.getConf)
         val b = try { raw.setVerifyChecksum(false); readVia(raw) } finally raw.close()
         validated(b, " (after checksum-free re-read)")
+    }
+    // A framing failure can be a TRANSIENT race, not corruption: in
+    // create-mode commits the manifest is PUT directly at its final path,
+    // and on filesystems where an in-progress write is visible (POSIX,
+    // the s3like test shim) a concurrent reader can catch a torn prefix.
+    // The writer completes (or best-effort-deletes) within milliseconds —
+    // retry briefly before concluding corruption; a genuinely torn
+    // manifest still fails with the same clear error after the budget.
+    var buf: Array[Byte] = null
+    var attempt = 0
+    while (buf == null) {
+      try buf = readOnce()
+      catch {
+        case e: java.io.IOException
+            if e.getMessage != null &&
+               e.getMessage.contains("framing validation") && attempt < 40 =>
+          attempt += 1
+          Thread.sleep(5L + attempt)
+      }
     }
     // u32 LE length prefix, then the Manifest message
     val pbLen = (buf(0) & 0xff) | ((buf(1) & 0xff) << 8) | ((buf(2) & 0xff) << 16) | ((buf(3) & 0xff) << 24)

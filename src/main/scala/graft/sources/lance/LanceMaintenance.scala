@@ -710,14 +710,20 @@ object LanceMaintenance {
           s"lance: version advanced under a versioned commit on $path " +
             s"(expected v$v, found v$now) — recompute", null)
       }
-      val renamed = scala.collection.mutable.Buffer.empty[org.apache.hadoop.fs.Path]
+      // carry the data-dir-RELATIVE path alongside the live path: abort
+      // cleanup arbitrates against manifest DataFileMeta.path values,
+      // which are data-dir-relative and may contain subdirectories — a
+      // bare getName comparison would make a referenced file in a subdir
+      // look unreferenced and get deleted
+      val renamed =
+        scala.collection.mutable.Buffer.empty[(org.apache.hadoop.fs.Path, String)]
       staged.fragments.flatMap(_.files).foreach { f =>
         val dst = new org.apache.hadoop.fs.Path(dataDir, f.path)
         require(fs.rename(
           new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(sp, "data"), f.path),
           dst),
           s"lance upsert: failed to stage fragment ${f.path}")
-        renamed += dst
+        renamed += ((dst, f.path))
       }
 
       // one commit: patched old fragments + staged new ones. The staged
@@ -734,6 +740,7 @@ object LanceMaintenance {
       }
       var attempt = 0
       var committed = -1L
+      var lastAttempted = -1L // highest version a manifest PUT was tried at
       try {
       while (committed < 0) {
         val latestPath = LanceFormat.latestManifestPath(fs, p, None)
@@ -771,6 +778,7 @@ object LanceMaintenance {
           // carried fragments keep their partition values (patchedPrev is
           // FragmentMeta); the upsert's new fragments carry none, which
           // disables partitioning reporting until a partitioned rewrite
+          lastAttempted = newVersion
           LanceWriteSupport.writeManifest(conf, p,
             org.apache.spark.sql.types.StructType(tgtFields), newFrags,
             latest.fragments.map(_.id).foldLeft(-1L)(math.max) + 1,
@@ -801,13 +809,23 @@ object LanceMaintenance {
             try {
               val head = LanceFormat.readManifest(fs,
                 LanceFormat.latestManifestPath(fs, p, None))
-              Some(head.fragments.flatMap(_.files.map(_.path)).toSet ++
+              // head past our attempted version is UNVERIFIABLE: our
+              // commit may have landed at lastAttempted (still a kept,
+              // time-travelable manifest referencing these files) while a
+              // later compaction/rewrite dropped them from the head —
+              // deleting would break the kept-manifest invariant. Leave
+              // for vacuum, which arbitrates against ALL kept manifests.
+              if (lastAttempted >= 0 && head.version > lastAttempted) None
+              else Some(head.fragments.flatMap(_.files.map(_.path)).toSet ++
                 head.fragments.flatMap(fr =>
                   fr.deletion.map(_.fileName(fr.id))).toSet)
             } catch { case _: Throwable => None }
           referenced.foreach { ref =>
-            renamed.filterNot(f => ref.contains(f.getName)).foreach(f =>
-              try fs.delete(f, false) catch { case _: java.io.IOException => () })
+            // compare data-dir-RELATIVE paths (manifest paths may carry
+            // subdirectories; getName would mistake referenced for orphan)
+            renamed.filterNot { case (_, rel) => ref.contains(rel) }
+              .foreach { case (f, _) =>
+                try fs.delete(f, false) catch { case _: java.io.IOException => () } }
             delMetas.foreach { case (fid, m) =>
               if (!ref.contains(m.fileName(fid)))
                 try fs.delete(new org.apache.hadoop.fs.Path(delDir, m.fileName(fid)), false)

@@ -161,21 +161,38 @@ object MaintenanceLock {
     // store (setTimes is a no-op on object stores — pinned by
     // MaintenanceLockSpec's s3like heartbeat test). The name (and so
     // the election order) never changes.
+    // `released` closes the interrupt/create race on release: an in-flight
+    // re-PUT that completes AFTER the release delete would resurrect an
+    // orphan entry with a fresh mtime that sorts below every future
+    // contender — locking all maintainers out for up to staleMs. The beat
+    // re-checks the flag after every create and deletes its own orphan;
+    // release additionally joins the thread before deleting, so the
+    // normal path never races at all.
+    @volatile var released = false
     val beat = new Thread(() => {
       try {
-        while (!Thread.currentThread().isInterrupted) {
+        while (!Thread.currentThread().isInterrupted && !released) {
           Thread.sleep(math.max(staleMs / 4, 1000L))
-          try fs.create(myPath, true).close()
-          catch { case _: java.io.IOException => () } // store hiccup
+          try {
+            if (!released) {
+              fs.create(myPath, true).close()
+              if (released) fs.delete(myPath, false) // raced the release
+            }
+          } catch { case _: java.io.IOException => () } // store hiccup
         }
-      } catch { case _: InterruptedException => () }
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException  => ()
+      }
     }, s"graft-maintenance-heartbeat")
     beat.setDaemon(true)
     beat.start()
     val fence = new Fence(fs, dir, myName, staleMs)
     try f(fence)
     finally {
+      released = true
       beat.interrupt()
+      try beat.join(10000L) catch { case _: InterruptedException => () }
       fs.delete(myPath, false) // only ever our own unique entry
     }
   }

@@ -263,6 +263,56 @@ class FtsSpec extends AnyFunSuite {
       .count() == 15)
   }
 
+  test("fence-aborted partial update: invisible to readers, swept exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_abort").toString
+    val src = s"$dir/docs.lance"
+    (1L to 30L).map(i => (i, s"tok${i % 7} tok${i % 5} cat"))
+      .toDF("doc_id", "text").write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    def search() = Fts.searchPersisted(spark, s"$dir/ix",
+      Seq("cat", "tok3", "dog"), k = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search()
+    (31L to 45L).map(i => (i, s"tok${i % 7} cat dog")).toDF("doc_id", "text")
+      .write.format("lance").mode("append").save(src)
+    // simulate a predecessor that fence-aborted AFTER its first two
+    // sidecar commits (the advisor scenario): tail postings appended,
+    // vocabulary overwritten with the merged dfs — but built.lance (the
+    // publish point) never advanced
+    val builtV = spark.read.format("lance").load(s"$dir/ix/built.lance")
+      .head().getLong(0)
+    val tailPost = Fts.postings(
+      spark.read.format("lance").option("fromVersion", builtV).load(src),
+      "doc_id", "text")
+    tailPost.write.format("lance").mode("append")
+      .save(s"$dir/ix/postings.lance")
+    spark.read.format("lance").load(s"$dir/ix/terms.lance")
+      .unionByName(tailPost.groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .write.format("lance").mode("overwrite").save(s"$dir/ix/terms.lance")
+    // readers pin the published sidecar versions — the orphan commits are
+    // invisible, warm cache or fresh session alike
+    assert(search() == before)
+    Fts.clearStatsCache()
+    assert(search() == before)
+    // the real update sweeps the orphan tail and lands exactly-once:
+    // bit-identical to an index built fresh at the head version
+    Fts.updateIndex(spark, src, s"$dir/ix")
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix_fresh")
+    def top(ix: String) = Fts.searchPersisted(spark, ix,
+      Seq("cat", "tok3", "dog"), k = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(s"$dir/ix") == top(s"$dir/ix_fresh"))
+    // and the published postings carry NO duplicated (term, doc_id) rows
+    val pv = spark.read.format("lance").load(s"$dir/ix/built.lance")
+      .head().getAs[Long]("postings_version")
+    val dups = spark.read.format("lance").option("versionAsOf", pv)
+      .load(s"$dir/ix/postings.lance")
+      .groupBy("term", "doc_id").count().filter(col("count") > 1).count()
+    assert(dups == 0L)
+  }
+
   test("a held maintenance lock turns a racing index update into a loud refusal") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fts_lock").toString

@@ -220,6 +220,37 @@ class ScalarIndexSpec extends AnyFunSuite {
            ScalarIndex.updateBitmap(spark, ds, s"$dir/bm"))
   }
 
+  test("fence-aborted partial update: orphan tail invisible, next update exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sidx_abort").toString
+    val ds  = s"$dir/base.lance"
+    val ix  = s"$dir/idx.lance"
+    (0L until 100L).map(i => (i, i * 1.5)).toDF("k", "v")
+      .write.format("lance").mode("overwrite").save(ds)
+    ScalarIndex.build(spark, ds, "k", ix)
+    (100L until 150L).map(i => (i, i * 1.5)).toDF("k", "v")
+      .write.format("lance").mode("append").save(ds)
+    // simulate a predecessor that fence-aborted AFTER its keys append but
+    // BEFORE the meta publish: the same tail the real updater will write
+    spark.read.format("lance").option("fromVersion", 1L).load(ds)
+      .select(col("k").as("key"), col("_rowaddr").as("addr"))
+      .write.format("lance").mode("append").save(s"$ix/keys.lance")
+    // readers pin the published data_version: the orphan rows are invisible
+    assert(ScalarIndex.lookup(spark, ds, ix, Seq(120L)).count() == 0)
+    // the real update sweeps the orphan and lands the tail exactly once
+    ScalarIndex.update(spark, ds, ix)
+    val got = ScalarIndex.lookup(spark, ds, ix, Seq(120L, 3L))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 120L))
+    // no duplicated (key, addr) rows in the published index data
+    val pv = spark.read.format("lance").load(s"$ix/meta.lance")
+      .head().getAs[Long]("data_version")
+    val dups = spark.read.format("lance").option("versionAsOf", pv)
+      .load(s"$ix/keys.lance")
+      .groupBy("key", "addr").count().filter(col("count") > 1).count()
+    assert(dups == 0L)
+  }
+
   test("interval cover + range-set pruning agree with naive membership under fuzz") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 50) {

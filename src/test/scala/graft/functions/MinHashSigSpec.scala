@@ -79,4 +79,17 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(r.getSeq[String](0).length == 4)
     assert(r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).sum == 2)
   }
+
+  test("non-literal or fractional p fails analysis with a named error") {
+    val colRef = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash_sig(t, CAST(length(t) AS INT)) " +
+        "FROM VALUES ('a b') v(t)").collect()
+    }
+    assert(colRef.getMessage.contains("graft_minhash_sig"))
+    assert(colRef.getMessage.contains("literal"))
+    val frac = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_minhash_sig('a b', 4.5)").collect()
+    }
+    assert(frac.getMessage.contains("integral"))
+  }
 }
