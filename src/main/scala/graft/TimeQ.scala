@@ -24,8 +24,12 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.locality.wait", "0")
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // sf0.1 default: codec CPU beats the tmpfs-fast disks. Decade runs
+      // (sf10) are DISK-bound instead — flip via env (BenchHeavy does)
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.register(spark, sfDir)

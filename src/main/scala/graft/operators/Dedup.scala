@@ -51,6 +51,25 @@ object Dedup {
   /** Exact word-set Jaccard similarity for all document pairs sharing
     * `blockCol`, keeping pairs with jaccard >= threshold. The block key
     * bounds the pair space (realistic: source/domain/LSH bucket).
+    *
+    * 100 TB plan shape (round 11): the per-block pair space is NOT
+    * enumerated. Candidates come from PREFIX FILTERING — the classic
+    * exact set-similarity-join bound (Chaudhuri et al. SSJoin / Bayardo
+    * et al. All-Pairs): order each block's tokens by ascending document
+    * frequency (rarest first, ties by token), keep each set's first
+    * `n - ceil(threshold*n) + 1` tokens, and only pairs SHARING a prefix
+    * token can reach the threshold — any pair with disjoint prefixes has
+    * overlap <= ceil(threshold*n) - 1 < required. Candidates are the
+    * prefix-token equi-join (df-ascending order keeps hot stopword
+    * buckets out of prefixes — the skew killer at corpus scale), then
+    * every candidate is verified EXACTLY with the sorted merge-intersect
+    * kernel, so the output pair set is bit-identical to the all-pairs
+    * enumeration (differential-pinned in OperatorsSpec). Work: three
+    * corpus-linear shuffles (token df, prefix rank, candidate distinct)
+    * + verification proportional to the candidate count, instead of a
+    * block-quadratic join (measured at sf10: 20 blocks x 25k distinct
+    * sets = ~6e9 pair verifications in the old shape — infeasible; the
+    * prefix shape completes in seconds).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
@@ -62,11 +81,88 @@ object Dedup {
     //
     // Identical token sets collapse before the pair join (dup-dense
     // corpora concentrate there): intra-group pairs are jaccard 1.0 by
-    // definition and explode straight off the member lists; the O(n²)
-    // block join and the merge-intersect kernel run once per DISTINCT set
-    // pair. Groups are ordered by their (distinct) min ids, members
+    // definition and explode straight off the member lists; prefix
+    // candidates and the merge-intersect kernel run once per DISTINCT set
+    // pair. Groups are keyed by their (distinct) min ids, members
     // re-normalized with least/greatest — the output pair set is
     // unchanged.
+    val t = tokenSets(df, idCol, textCol, Seq(blockCol))
+      .select(col(idCol), col(blockCol).as("blk"),
+              array_sort(array_distinct(transform(col("toks"), tk => xxhash64(tk)))).as("toks"))
+    val reps = t.groupBy(col("blk"), col("toks"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .cache()
+    val intra = reps.filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", lit(1.0))
+    val inter = prefixFilteredPairs(reps, threshold)
+      .select(col("ids_a"), col("ids_b"),
+              (col("n_inter").cast(DoubleType) /
+               (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("jaccard"), col("ids_b"), explode(col("ids_a")).as("a"))
+      .select(col("jaccard"), col("a"), explode(col("ids_b")).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+              greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    intra.select("doc_a", "doc_b", "jaccard").unionAll(inter)
+  }
+
+  /** Prefix-filtered candidate generation + exact intersect staging over a
+    * distinct-set table `reps(blk, toks, ids)` — the interior of
+    * [[jaccardPairs]]. Returns one row per CANDIDATE pair with the exact
+    * `n_inter`/`n_a`/`n_b` staged (the caller applies the jaccard filter).
+    *
+    * Correctness of the filter (no recall loss): order tokens by the
+    * global total order (df asc, tok asc) within the block. For a set `s`
+    * keep the first `|s| - ceil(t*|s|) + 1` tokens. If jacc(a,b) >= t
+    * then `|a ∩ b| >= t*|a ∪ b| >= max(ceil(t*|a|), ceil(t*|b|))`. Suppose
+    * the prefixes share nothing and let x = max(prefix(a)), wlog
+    * x <= max(prefix(b)): every common token <= x lies in BOTH prefixes
+    * (each set's non-prefix tokens all sort above its prefix max), so all
+    * common tokens sort above x — but then they all fit in a's non-prefix
+    * suffix of ceil(t*|a|) - 1 slots < the required overlap. Contradiction.
+    * The ceil is computed as `ceil(t*n - 1e-9)`: an FP product landing a
+    * hair ABOVE an exact integer would otherwise shorten the prefix below
+    * the bound (under-shooting only lengthens prefixes = more candidates,
+    * never misses).
+    */
+  private def prefixFilteredPairs(reps: DataFrame, threshold: Double): DataFrame = {
+    val rid = element_at(col("ids"), 1) // distinct per rep within a block
+    val repTok = reps.select(col("blk"), rid.as("rid"),
+        size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+    val dfreq = repTok.groupBy("blk", "tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk", "rid").orderBy("df", "tok")
+    val prefixLen = col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + 1
+    val prefixes = repTok.join(dfreq, Seq("blk", "tok"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen)
+      .select("blk", "rid", "tok")
+    val cand = prefixes.as("pa").join(prefixes.as("pb"),
+        col("pa.blk") === col("pb.blk") && col("pa.tok") === col("pb.tok") &&
+          col("pa.rid") < col("pb.rid"))
+      .select(col("pa.blk").as("blk"), col("pa.rid").as("rid_a"),
+              col("pb.rid").as("rid_b"))
+      .distinct()
+    val sa = reps.select(col("blk"), rid.as("rid_a"),
+                         col("ids").as("ids_a"), col("toks").as("toks_a"))
+    val sb = reps.select(col("blk"), rid.as("rid_b"),
+                         col("ids").as("ids_b"), col("toks").as("toks_b"))
+    cand.join(sa, Seq("blk", "rid_a"))
+      .join(sb, Seq("blk", "rid_b"))
+      // stage the intersect size once so it isn't re-evaluated per use
+      .select(col("ids_a"), col("ids_b"),
+              graft.functions.ArrayKernels.sortedIntersectCount(col("toks_a"), col("toks_b")).as("n_inter"),
+              size(col("toks_a")).as("n_a"), size(col("toks_b")).as("n_b"))
+  }
+
+  /** The pre-round-11 all-pairs-per-block interior, retained ONLY as the
+    * differential oracle for [[prefixFilteredPairs]] (OperatorsSpec) —
+    * block-quadratic, measured infeasible at sf10. Do not ship callers. */
+  private[graft] def jaccardPairsAllPairs(df: DataFrame, idCol: String, textCol: String,
+                                          blockCol: String, threshold: Double): DataFrame = {
     val t = tokenSets(df, idCol, textCol, Seq(blockCol))
       .select(col(idCol), col(blockCol).as("blk"),
               array_sort(array_distinct(transform(col("toks"), tk => xxhash64(tk)))).as("toks"))
@@ -82,7 +178,6 @@ object Dedup {
     val b = reps.select(col("ids").as("ids_b"), col("blk").as("blk_b"), col("toks").as("toks_b"))
     val inter = a.join(b, col("blk") === col("blk_b") &&
         element_at(col("ids_a"), 1) < element_at(col("ids_b"), 1))
-      // stage the intersect size once so it isn't re-evaluated per use
       .select(col("ids_a"), col("ids_b"),
               graft.functions.ArrayKernels.sortedIntersectCount(col("toks_a"), col("toks_b")).as("n_inter"),
               size(col("toks_a")).as("n_a"), size(col("toks_b")).as("n_b"))
@@ -197,11 +292,21 @@ object Dedup {
     */
   private[graft] def bucketLocalLshPairs(reps: DataFrame, numHashes: Int,
                                          bands: Int,
-                                         jaccardThreshold: Double): DataFrame = {
-    val spark = reps.sparkSession
+                                         jaccardThreshold: Double): DataFrame =
+    bucketLocalPairsFrom(
+      reps.select(col("gid"), col("sig"),
+        graft.functions.SketchAggs.bandHashes(col("sig"), bands).as("bhs")),
+      numHashes, jaccardThreshold)
+
+  /** [[bucketLocalLshPairs]] interior over PRECOMPUTED band hashes:
+    * `repsWithBhs(gid, sig: array<long>, bhs: array<long>)`. Lets sketch
+    * variants with their own banding (e.g. d28's portable md5 bands,
+    * injectively mapped to longs) reuse the census + bucket-local kernel. */
+  private[graft] def bucketLocalPairsFrom(repsWithBhs: DataFrame, numHashes: Int,
+                                          jaccardThreshold: Double): DataFrame = {
+    val spark = repsWithBhs.sparkSession
     import spark.implicits._
-    val bandRows = reps.select(col("gid"), col("sig"),
-        graft.functions.SketchAggs.bandHashes(col("sig"), bands).as("bhs"))
+    val bandRows = repsWithBhs
       .select(col("gid"), col("sig"), col("bhs"), posexplode(col("bhs")))
       .select(col("gid"), col("pos").as("band"), col("col").as("bandHash"),
               col("sig"), col("bhs"))

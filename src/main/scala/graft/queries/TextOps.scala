@@ -237,27 +237,32 @@ object TextOps {
         .filter(col("a") < col("b"))
         .select(col("a").as("doc_a"), col("b").as("doc_b"),
                 lit(1.0).as("est_jaccard"))
-      val bands = reps.select(col("gid"),
-          posexplode(array((0 until B).map(b =>
-            md5(concat_ws(",", col("sig")(2 * b), col("sig")(2 * b + 1)))): _*)))
-        .select(col("gid"), col("pos").as("band"), col("col").as("bh"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.gid") < col("b.gid"))
-        .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
-        .distinct()
-      val sa = reps.select(col("gid").as("gid_a"), col("sig").as("sig_a"),
-                           col("ids").as("ids_a"))
-      val sb = reps.select(col("gid").as("gid_b"), col("sig").as("sig_b"),
-                           col("ids").as("ids_b"))
-      val est = (0 until P).map(i =>
-          when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
-        .reduce(_ + _).cast(DoubleType) / P
+      // Bucket-local candidate generation via the d07 kernel (round 11 —
+      // the skinny-candidate join + distinct + wide sig join-back shuffled
+      // ~40 GB at sf10 and exhausted disk). The portable md5 sketch maps
+      // INJECTIVELY to the kernel's long domain: each 13-hex-char mh
+      // parses to a 52-bit long (string equality ⟺ long equality, so the
+      // est fraction is bit-identical), and each band's md5 keys the
+      // bucket by its FIRST 64 bits. Truncating the band key can only ADD
+      // candidates (64-bit collisions), never lose one — and every added
+      // pair dies at the est filter: est >= 0.75 = 1 - r/P means at most
+      // 2 of the 8 positions differ, which by pigeonhole leaves >= 2 of
+      // the 4 bands with BOTH positions equal — equal band input strings,
+      // equal FULL md5 — i.e. anything that can pass the filter was
+      // already a full-md5 candidate. Output unchanged (the DuckDB hash
+      // oracle pins it at 3 SFs).
+      val bhLong = (h: org.apache.spark.sql.Column) =>
+        conv(substring(h, 1, 16), 16, -10).cast(LongType)
+      val repsL = reps.select(col("gid"),
+          transform(col("sig"), x => conv(x, 16, 10).cast(LongType)).as("sig"),
+          array((0 until B).map(b => bhLong(
+            md5(concat_ws(",", col("sig")(2 * b), col("sig")(2 * b + 1))))): _*).as("bhs"))
+      val survivors = graft.operators.Dedup.bucketLocalPairsFrom(repsL, P, 0.75)
+      val sa = reps.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
+      val sb = reps.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
       // est = 1.0 implies identical sigs, which collapsed — cross-group
       // pairs never overlap the intra set
-      val inter = cand.join(sa, "gid_a").join(sb, "gid_b")
-        .select(col("ids_a"), col("ids_b"), est.as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.75)
+      val inter = survivors.join(sa, "gid_a").join(sb, "gid_b")
         .select(col("est_jaccard"), col("ids_b"), explode(col("ids_a")).as("a"))
         .select(col("est_jaccard"), col("a"), explode(col("ids_b")).as("b"))
         .select(least(col("a"), col("b")).as("doc_a"),

@@ -87,6 +87,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered jaccardPairs ≡ all-pairs enumeration (differential)") {
+    // small shared vocabulary + dup groups + a hot stopword ("the" in
+    // every doc — the token df-ordering must keep it out of prefixes) +
+    // several thresholds including ones where ceil(t*n) sits on an
+    // integer boundary
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rows = (0L until 300L).map { i =>
+      val base = rnd.shuffle(vocab).take(6 + rnd.nextInt(8))
+      (i, ("the" +: base).mkString(" "), s"s${i % 5}")
+    } ++ (300L until 330L).map(i => (i, "the w1 w2 w3 w4 w5", s"s${i % 5}"))
+    val df = rows.toDF("doc_id", "text", "source")
+    for (t <- Seq(0.5, 0.75, 0.8, 1.0)) {
+      val fast = Dedup.jaccardPairs(df, "doc_id", "text", "source", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val ref = Dedup.jaccardPairsAllPairs(df, "doc_id", "text", "source", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == ref, s"threshold $t")
+      assert(fast.nonEmpty, s"threshold $t produced no pairs — weak test")
+    }
+  }
+
   test("bucket-local LSH kernel ≡ join shape, incl. an adversarial mega-bucket") {
     // corpus engineered for a hot bucket: a 400-doc near-dup cloud sharing
     // 15 of 16 tokens (each band slice matches the base slice w.p.
