@@ -30,7 +30,7 @@ object PlanDump {
       "q33_asof_join" -> "as-of join via union + running last-value (single shuffle on user_id)",
       "e01_cosine_topk" -> "scaled-long exact cosine: codegen LongDot kernel, broadcast query vector",
       "e03_cosine_topk_kernel" -> "FloatCosine codegen kernel fused in WholeStageCodegen, TakeOrdered",
-      "d07_minhash_lsh" -> "MinHash sketch agg -> skinny band-bucket candidates -> LongEqCount verify",
+      "d07_minhash_lsh" -> "MinHash sketch agg -> band-bucket census -> bucket-local generate-and-filter kernel (survivors only; the candidate stream never shuffles)",
       "d12_lsh_exact_pipeline" -> "two-stage dedup: LSH candidates -> exact sorted-intersect verification",
       "l01_lance_scan_golden" -> "lance DSv2 columnar scan with column pruning",
       "l03_lance_vector_search" -> "scaled-long exact cosine over a lance dataset (columnar list<float> scan)",
@@ -44,7 +44,7 @@ object PlanDump {
       "d20_dup_span_coverage" -> "map-only gram-hash kernel -> 8-byte-key census -> skinny mark-back join (no strings shuffle)",
       "d21_pipeline_end2end" -> "quality gate -> dedup window -> budget window chained: one kernel scan, three shuffles total",
       "l20_runtime_prune" -> "dynamic pruning: the dim's realized key set reaches the lance scan as RuntimeFilters (fragments pruned at execution, join re-checks)",
-      "d28_minhash_portable" -> "portable minhash: identical-signature collapse -> per-distinct-sig banding -> estimate join -> pair expansion",
+      "d28_minhash_portable" -> "portable minhash: identical-signature collapse -> md5 bands mapped injectively to longs -> bucket-local kernel -> pair expansion",
       "d34_neardup_capped" -> "bounded near-dup contract: same portable sketch as d28, per-doc K-smallest partners from sliced group arrays + bounded neighbor menus — linear output, no pair materialization",
       "l21_partitioned_join" -> "storage-partitioned join: co-partitioned lance facts (KeyGroupedPartitioning) — join without exchange (broadcast at this SF; SPJ pinned in LancePartitionSpec)",
       "l22_partitioned_agg" -> "partition-key aggregation over a lang-partitioned corpus: partial aggs per value-fragment ARE the groups",

@@ -72,7 +72,8 @@ object Dedup {
     * prefix shape completes in seconds).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, threshold: Double): DataFrame = {
+                   blockCol: String, threshold: Double,
+                   allPairsMaxBlock: Int = 4096): DataFrame = {
     // tokens hashed to int64 before the pair join: array_intersect over
     // longs beats strings, and the set semantics (hence jaccard) are
     // unchanged (xxhash64 collisions are negligible)
@@ -81,11 +82,10 @@ object Dedup {
     //
     // Identical token sets collapse before the pair join (dup-dense
     // corpora concentrate there): intra-group pairs are jaccard 1.0 by
-    // definition and explode straight off the member lists; prefix
-    // candidates and the merge-intersect kernel run once per DISTINCT set
-    // pair. Groups are keyed by their (distinct) min ids, members
-    // re-normalized with least/greatest — the output pair set is
-    // unchanged.
+    // definition and explode straight off the member lists; candidates
+    // and the merge-intersect kernel run once per DISTINCT set pair.
+    // Groups are keyed by their (distinct) min ids, members re-normalized
+    // with least/greatest — the output pair set is unchanged.
     val t = tokenSets(df, idCol, textCol, Seq(blockCol))
       .select(col(idCol), col(blockCol).as("blk"),
               array_sort(array_distinct(transform(col("toks"), tk => xxhash64(tk)))).as("toks"))
@@ -97,7 +97,18 @@ object Dedup {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", lit(1.0))
-    val inter = prefixFilteredPairs(reps, threshold)
+    // adaptive interior (both branches differential-pinned identical in
+    // OperatorsSpec): small blocks take the plain per-block pair join —
+    // quadratic but affordable below ~4096²/2 merge walks per block, and
+    // free of the prefix path's three extra linear shuffles; past the cap
+    // the prefix-filtered shape is the only one that survives scale (the
+    // census is one cheap aggregate over the cached reps)
+    val maxBlock = reps.groupBy("blk").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    val staged =
+      if (maxBlock <= allPairsMaxBlock) allPairsStage(reps)
+      else prefixFilteredPairs(reps, threshold)
+    val inter = staged
       .select(col("ids_a"), col("ids_b"),
               (col("n_inter").cast(DoubleType) /
                (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
@@ -107,6 +118,20 @@ object Dedup {
       .select(least(col("a"), col("b")).as("doc_a"),
               greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
     intra.select("doc_a", "doc_b", "jaccard").unionAll(inter)
+  }
+
+  /** The small-block interior: plain per-block pair join over the
+    * distinct-set table, exact intersect staged. Quadratic per block by
+    * construction — [[jaccardPairs]] gates it behind `allPairsMaxBlock`. */
+  private def allPairsStage(reps: DataFrame): DataFrame = {
+    val a = reps.select(col("ids").as("ids_a"), col("blk"), col("toks").as("toks_a"))
+    val b = reps.select(col("ids").as("ids_b"), col("blk").as("blk_b"), col("toks").as("toks_b"))
+    a.join(b, col("blk") === col("blk_b") &&
+        element_at(col("ids_a"), 1) < element_at(col("ids_b"), 1))
+      // stage the intersect size once so it isn't re-evaluated per use
+      .select(col("ids_a"), col("ids_b"),
+              graft.functions.ArrayKernels.sortedIntersectCount(col("toks_a"), col("toks_b")).as("n_inter"),
+              size(col("toks_a")).as("n_a"), size(col("toks_b")).as("n_b"))
   }
 
   /** Prefix-filtered candidate generation + exact intersect staging over a
@@ -156,40 +181,6 @@ object Dedup {
       .select(col("ids_a"), col("ids_b"),
               graft.functions.ArrayKernels.sortedIntersectCount(col("toks_a"), col("toks_b")).as("n_inter"),
               size(col("toks_a")).as("n_a"), size(col("toks_b")).as("n_b"))
-  }
-
-  /** The pre-round-11 all-pairs-per-block interior, retained ONLY as the
-    * differential oracle for [[prefixFilteredPairs]] (OperatorsSpec) —
-    * block-quadratic, measured infeasible at sf10. Do not ship callers. */
-  private[graft] def jaccardPairsAllPairs(df: DataFrame, idCol: String, textCol: String,
-                                          blockCol: String, threshold: Double): DataFrame = {
-    val t = tokenSets(df, idCol, textCol, Seq(blockCol))
-      .select(col(idCol), col(blockCol).as("blk"),
-              array_sort(array_distinct(transform(col("toks"), tk => xxhash64(tk)))).as("toks"))
-    val reps = t.groupBy(col("blk"), col("toks"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .cache()
-    val intra = reps.filter(size(col("ids")) > 1)
-      .select(col("ids"), explode(col("ids")).as("doc_a"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", lit(1.0))
-    val a = reps.select(col("ids").as("ids_a"), col("blk"), col("toks").as("toks_a"))
-    val b = reps.select(col("ids").as("ids_b"), col("blk").as("blk_b"), col("toks").as("toks_b"))
-    val inter = a.join(b, col("blk") === col("blk_b") &&
-        element_at(col("ids_a"), 1) < element_at(col("ids_b"), 1))
-      .select(col("ids_a"), col("ids_b"),
-              graft.functions.ArrayKernels.sortedIntersectCount(col("toks_a"), col("toks_b")).as("n_inter"),
-              size(col("toks_a")).as("n_a"), size(col("toks_b")).as("n_b"))
-      .select(col("ids_a"), col("ids_b"),
-              (col("n_inter").cast(DoubleType) /
-               (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("jaccard"), col("ids_b"), explode(col("ids_a")).as("a"))
-      .select(col("jaccard"), col("a"), explode(col("ids_b")).as("b"))
-      .select(least(col("a"), col("b")).as("doc_a"),
-              greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
-    intra.select("doc_a", "doc_b", "jaccard").unionAll(inter)
   }
 
   /** MinHash signatures: one row per doc with a `sig` array<bigint> of

@@ -100,9 +100,11 @@ class DedupSpec extends AnyFunSuite {
     } ++ (300L until 330L).map(i => (i, "the w1 w2 w3 w4 w5", s"s${i % 5}"))
     val df = rows.toDF("doc_id", "text", "source")
     for (t <- Seq(0.5, 0.75, 0.8, 1.0)) {
-      val fast = Dedup.jaccardPairs(df, "doc_id", "text", "source", t)
+      // force each adaptive branch: allPairsMaxBlock=0 -> prefix filter,
+      // Int.MaxValue -> plain per-block pair join
+      val fast = Dedup.jaccardPairs(df, "doc_id", "text", "source", t, 0)
         .as[(Long, Long, Double)].collect().toSet
-      val ref = Dedup.jaccardPairsAllPairs(df, "doc_id", "text", "source", t)
+      val ref = Dedup.jaccardPairs(df, "doc_id", "text", "source", t, Int.MaxValue)
         .as[(Long, Long, Double)].collect().toSet
       assert(fast == ref, s"threshold $t")
       assert(fast.nonEmpty, s"threshold $t produced no pairs — weak test")
