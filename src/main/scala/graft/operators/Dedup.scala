@@ -103,10 +103,21 @@ object Dedup {
     // free of the prefix path's three extra linear shuffles; past the cap
     // the prefix-filtered shape is the only one that survives scale (the
     // census is one cheap aggregate over the cached reps)
-    val maxBlock = reps.groupBy("blk").count()
-      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    val censusRow = reps.groupBy("blk").count()
+      .agg(coalesce(max("count"), lit(0L)), coalesce(sum("count"), lit(0L)))
+      .head()
+    val (maxBlock, totalReps) = (censusRow.getLong(0), censusRow.getLong(1))
+    // block keys are few by nature (sources/domains), so a shuffle join
+    // on blk serializes on the key count — broadcast the build side
+    // whenever the distinct-set table is genuinely small. The planner
+    // can't make this call once the census materialized the cache: the
+    // accurate array-heavy size estimate sits just over the broadcast
+    // threshold and it flips to a 20-key SortMergeJoin (measured 4x on
+    // sf1). Past the cap the table is big AND block keys are many — the
+    // shuffle join parallelizes fine.
     val staged =
-      if (maxBlock <= allPairsMaxBlock) allPairsStage(reps)
+      if (maxBlock <= allPairsMaxBlock)
+        allPairsStage(reps, broadcastBuild = totalReps <= 200000L)
       else prefixFilteredPairs(reps, threshold)
     val inter = staged
       .select(col("ids_a"), col("ids_b"),
@@ -123,9 +134,11 @@ object Dedup {
   /** The small-block interior: plain per-block pair join over the
     * distinct-set table, exact intersect staged. Quadratic per block by
     * construction — [[jaccardPairs]] gates it behind `allPairsMaxBlock`. */
-  private def allPairsStage(reps: DataFrame): DataFrame = {
+  private def allPairsStage(reps: DataFrame,
+                            broadcastBuild: Boolean): DataFrame = {
     val a = reps.select(col("ids").as("ids_a"), col("blk"), col("toks").as("toks_a"))
-    val b = reps.select(col("ids").as("ids_b"), col("blk").as("blk_b"), col("toks").as("toks_b"))
+    val b0 = reps.select(col("ids").as("ids_b"), col("blk").as("blk_b"), col("toks").as("toks_b"))
+    val b = if (broadcastBuild) broadcast(b0) else b0
     a.join(b, col("blk") === col("blk_b") &&
         element_at(col("ids_a"), 1) < element_at(col("ids_b"), 1))
       // stage the intersect size once so it isn't re-evaluated per use
