@@ -220,6 +220,49 @@ class ScalarIndexSpec extends AnyFunSuite {
            ScalarIndex.updateBitmap(spark, ds, s"$dir/bm"))
   }
 
+  test("bitmap/ngram fence-aborted partial updates: orphan invisible, swept exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("sidx_abort2").toString
+    val ds  = s"$dir/base.lance"
+    spark.range(2000).selectExpr("id AS k", "CAST(id % 4 AS STRING) AS a",
+        "concat('text ', id % 4, ' tail') AS t")
+      .repartition(2).write.format("lance").mode("overwrite").save(ds)
+    ScalarIndex.buildBitmap(spark, ds, "a", s"$dir/bm")
+    ScalarIndex.buildNgram(spark, ds, "t", s"$dir/ng")
+    spark.range(2000, 2100).selectExpr("id AS k", "'9' AS a",
+        "concat('freshly appended ', id) AS t")
+      .write.format("lance").mode("append").save(ds)
+    val pre = ScalarIndex.lookupBitmap(spark, ds, s"$dir/bm", Seq("1")).count()
+    // simulate predecessors that fence-aborted after their data-sidecar
+    // appends but before the meta publish (the advice's duplicate
+    // addr/gram scenario): re-append copies of existing rows — exactly
+    // the double-append corruption the old code produced
+    spark.read.format("lance").load(s"$dir/bm/bitmaps.lance").limit(5)
+      .write.format("lance").mode("append").save(s"$dir/bm/bitmaps.lance")
+    spark.read.format("lance").load(s"$dir/ng/keys.lance").limit(50)
+      .write.format("lance").mode("append").save(s"$dir/ng/keys.lance")
+    // pinned readers never see the orphans
+    assert(ScalarIndex.lookupBitmap(spark, ds, s"$dir/bm", Seq("1")).count() == pre)
+    assert(ScalarIndex.lookupBitmap(spark, ds, s"$dir/bm", Seq("9")).count() == 0)
+    assert(ScalarIndex.lookupContains(spark, ds, s"$dir/ng", "t", "freshly")
+      .count() == 0)
+    // real updates sweep the orphans and land the tail exactly once
+    ScalarIndex.updateBitmap(spark, ds, s"$dir/bm")
+    ScalarIndex.updateNgram(spark, ds, s"$dir/ng")
+    assert(ScalarIndex.lookupBitmap(spark, ds, s"$dir/bm", Seq("9")).count() == 100)
+    assert(ScalarIndex.lookupContains(spark, ds, s"$dir/ng", "t", "freshly")
+      .count() == 100)
+    // no duplicated rows at the published versions
+    def dups(ix: String, sidecar: String, cols: Seq[String]): Long = {
+      val pv = spark.read.format("lance").load(s"$ix/meta.lance")
+        .head().getAs[Long]("data_version")
+      spark.read.format("lance").option("versionAsOf", pv)
+        .load(s"$ix/$sidecar.lance")
+        .groupBy(cols.map(col): _*).count().filter(col("count") > 1).count()
+    }
+    assert(dups(s"$dir/bm", "bitmaps", Seq("key", "frag")) == 0L)
+    assert(dups(s"$dir/ng", "keys", Seq("key", "addr")) == 0L)
+  }
+
   test("fence-aborted partial update: orphan tail invisible, next update exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sidx_abort").toString
