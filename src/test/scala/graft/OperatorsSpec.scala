@@ -136,6 +136,40 @@ class DedupSpec extends AnyFunSuite {
     assert(census.last >= 100 * census(census.length / 2))
   }
 
+  test("randomized differentials: bucket-local LSH and prefix-filter vs naive shapes") {
+    // fuzz-grade pin for the round-11 reworks: random corpora × random
+    // parameters, both fast paths must equal their naive twins exactly
+    val rnd = new scala.util.Random(1111)
+    for (round <- 0 until 6) {
+      val vocabN = 12 + rnd.nextInt(60)
+      val vocab = (0 until vocabN).map(i => s"v${round}_$i")
+      val nDocs = 80 + rnd.nextInt(200)
+      val docs = (0L until nDocs.toLong).map { i =>
+        val n = 4 + rnd.nextInt(12)
+        val toks = Seq.fill(n)(vocab(rnd.nextInt(vocabN)))
+        (i, toks.mkString(" "), s"s${rnd.nextInt(3)}")
+      }
+      // inject exact + near dup runs so the similar tail is populated
+      val withDups = docs ++ docs.take(10).map { case (i, t, s) =>
+        (i + nDocs, if (rnd.nextBoolean()) t else t + " extra", s)
+      }
+      val df = withDups.toDF("doc_id", "text", "source")
+      val bands = Seq(4, 8, 16)(rnd.nextInt(3))
+      val tau = 0.5 + rnd.nextDouble() * 0.45
+      val lshFast = Dedup.minHashLsh(df, "doc_id", "text", 64, bands, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val lshRef = Dedup.minHashLshJoinShape(df, "doc_id", "text", 64, bands, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(lshFast == lshRef, s"lsh round $round bands=$bands tau=$tau")
+      val jt = 0.4 + rnd.nextDouble() * 0.6
+      val jFast = Dedup.jaccardPairs(df, "doc_id", "text", "source", jt, 0)
+        .as[(Long, Long, Double)].collect().toSet
+      val jRef = Dedup.jaccardPairs(df, "doc_id", "text", "source", jt, Int.MaxValue)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(jFast == jRef, s"jaccard round $round t=$jt")
+    }
+  }
+
   test("lshExactPairs = LSH recall + exact precision (matches brute force here)") {
     val out = Dedup.lshExactPairs(docs, "doc_id", "text",
         numHashes = 64, bands = 16, candidateThreshold = 0.5, exactThreshold = 0.75)
