@@ -93,6 +93,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("floatcosine")), plan)
   }
 
+  test("d07 LSH: candidates are bucket-local (flatMapGroups), no pair join/distinct") {
+    val plan = physical("d07_minhash_lsh")
+    // the candidate stream must never exist as a joined/distinct dataset —
+    // pairs are generated and filtered INSIDE the band buckets
+    assert(plan.contains("MapGroups") || plan.contains("FlatMapGroups"),
+      s"bucket-local kernel missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin (band"), "candidate band self-join found")
+    // survivors join ids via broadcast/shuffle — but no HashAggregate over
+    // a (gid_a, gid_b) distinct
+    assert(!plan.contains("distinct"), s"candidate distinct found:\n$plan")
+  }
+
+  test("d06 small-block branch broadcasts the pair-join build side") {
+    val plan = physical("d06_jaccard_pairs")
+    // the materialized-cache size estimate flipped this to a 20-key
+    // SortMergeJoin once (4x at sf1) — the explicit broadcast must hold
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast pair join:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("blk")),
+      s"pair join degraded to a block-keyed SortMergeJoin:\n$plan")
+  }
+
   test("q25 bitmap multi-distinct: no Expand, one partial aggregate pass") {
     val df = SparkEntry.queries("q25_count_distinct")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
