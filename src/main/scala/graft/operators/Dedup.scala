@@ -4,10 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** One (rep, band) row shipped into a hot LSH band bucket: the full
-  * signature for the estimate kernel plus the band-hash vector for
-  * first-colliding-band ownership. */
+/** One (rep, band, block-pair) row shipped into a hot LSH band bucket:
+  * the full signature for the estimate kernel, the band-hash vector for
+  * first-colliding-band ownership, and the member's gid-hash block `blk`
+  * within the bucket (`lo`/`hi` name the block PAIR this copy serves —
+  * a bucket of more than one block fans its O(m²) compares out across
+  * one task per upper-triangle block pair). */
 private[graft] case class LshBucketRow(gid: Long, band: Int, bandHash: Long,
+                                       blk: Int, lo: Int, hi: Int,
                                        sig: Array[Long], bhs: Array[Long])
 
 /** A surviving (est ≥ threshold) near-dup rep pair emitted by the
@@ -74,6 +78,12 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, threshold: Double,
                    allPairsMaxBlock: Int = 4096): DataFrame = {
+    // the prefix-filter bound's precondition: at threshold <= 0 every
+    // pair (even token-disjoint ones) satisfies jaccard >= 0, but prefix
+    // candidates only cover token-SHARING pairs — the two advertised-
+    // identical branches would diverge on a degenerate parameter
+    require(threshold > 0.0,
+      s"jaccardPairs threshold must be > 0, got $threshold")
     // tokens hashed to int64 before the pair join: array_intersect over
     // longs beats strings, and the set semantics (hence jaccard) are
     // unchanged (xxhash64 collisions are negligible)
@@ -224,11 +234,12 @@ object Dedup {
     *     members are the only buckets that can produce a pair, and in a
     *     real corpus almost every bucket is a singleton;
     *  3. full signature rows ship ONLY into those hot buckets (one row per
-    *     rep × colliding band), and pairs are generated AND
-    *     threshold-filtered INSIDE the bucket by a streaming kernel
-    *     ([[bucketLocalLshPairs]]): each bucket buffers its own members
-    *     (O(members × numHashes) memory), emits survivors lazily, and
-    *     first-colliding-band ownership replaces the global `distinct()`.
+    *     rep × colliding band; a mega-bucket additionally fans out across
+    *     block-pair tasks — see [[bucketLocalPairsFrom]]), and pairs are
+    *     generated AND threshold-filtered INSIDE the bucket by a streaming
+    *     kernel: each task buffers O(blockSize × numHashes), emits
+    *     survivors lazily, and first-colliding-band ownership replaces
+    *     the global `distinct()`.
     *
     * The previous shape (skinny candidate equi-join + distinct + signature
     * join-back, retained as [[minHashLshJoinShape]] for the differential
@@ -238,7 +249,8 @@ object Dedup {
     * the candidate count.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int, bands: Int, jaccardThreshold: Double): DataFrame = {
+                 numHashes: Int, bands: Int, jaccardThreshold: Double,
+                 blockSize: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sigs = minHashSignatures(df, idCol, textCol, numHashes)
     // localCheckpoint pins the surrogate gid (nondeterminism guard) and
@@ -253,7 +265,8 @@ object Dedup {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("est_jaccard", lit(1.0))
-    val survivors = bucketLocalLshPairs(reps, numHashes, bands, jaccardThreshold)
+    val survivors =
+      bucketLocalLshPairs(reps, numHashes, bands, jaccardThreshold, blockSize)
     // only SURVIVING pairs (the operator's output, post-threshold) join the
     // member lists back — a stream proportional to the answer, not to the
     // candidate set
@@ -288,26 +301,45 @@ object Dedup {
     *    through a lazy iterator — peak memory per bucket is the member
     *    buffer, O(members × numHashes × 8 B), never the pair set.
     *
-    * Skew: a bucket of m members costs O(m²) signature compares in one
-    * task (the inherent LSH pairwise semantics) but only O(m) memory; the
-    * early-exit bound makes the common reject cheap. OperatorsSpec pins
-    * value-identity vs the join shape, including an adversarial mega-bucket
-    * ≥100× the median bucket size.
+    * Skew: a bucket of m > blockSize members fans its O(m²) compares out
+    * across one task per upper-triangle block pair (see
+    * [[bucketLocalPairsFrom]]) — memory AND latency both bounded by
+    * blockSize, the early-exit bound makes the common reject cheap.
+    * OperatorsSpec pins value-identity vs the join shape, including an
+    * adversarial mega-bucket ≥100× the median bucket size, at both a
+    * splitting and a non-splitting blockSize.
     */
   private[graft] def bucketLocalLshPairs(reps: DataFrame, numHashes: Int,
-                                         bands: Int,
-                                         jaccardThreshold: Double): DataFrame =
+                                         bands: Int, jaccardThreshold: Double,
+                                         blockSize: Int = 4096): DataFrame =
     bucketLocalPairsFrom(
       reps.select(col("gid"), col("sig"),
         graft.functions.SketchAggs.bandHashes(col("sig"), bands).as("bhs")),
-      numHashes, jaccardThreshold)
+      numHashes, jaccardThreshold, blockSize)
 
   /** [[bucketLocalLshPairs]] interior over PRECOMPUTED band hashes:
     * `repsWithBhs(gid, sig: array<long>, bhs: array<long>)`. Lets sketch
     * variants with their own banding (e.g. d28's portable md5 bands,
-    * injectively mapped to longs) reuse the census + bucket-local kernel. */
+    * injectively mapped to longs) reuse the census + bucket-local kernel.
+    *
+    * Skew (round 12): a bucket's O(m²) compares no longer serialize in
+    * one task. Each bucket of m > blockSize members is chunked into
+    * nblk = ceil(m / blockSize) gid-hash blocks and every upper-triangle
+    * BLOCK PAIR (lo <= hi) becomes its own task: a member of block b is
+    * fanned to the nblk pairs containing b (shuffle volume m × nblk —
+    * linear in m per block, and exactly m when the bucket fits one
+    * block, the overwhelmingly common case). Each unordered member pair
+    * lands in exactly one block-pair task (the one keyed by its two
+    * blocks), so with per-pair first-colliding-band ownership unchanged
+    * the output is identical — but a 10⁶-member boilerplate bucket now
+    * runs as ~nblk²/2 parallel tasks of ≤ blockSize² compares instead
+    * of one multi-hour straggler. Peak task memory stays O(blockSize ×
+    * numHashes).
+    */
   private[graft] def bucketLocalPairsFrom(repsWithBhs: DataFrame, numHashes: Int,
-                                          jaccardThreshold: Double): DataFrame = {
+                                          jaccardThreshold: Double,
+                                          blockSize: Int = 4096): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
     val spark = repsWithBhs.sparkSession
     import spark.implicits._
     val bandRows = repsWithBhs
@@ -315,55 +347,89 @@ object Dedup {
       .select(col("gid"), col("pos").as("band"), col("col").as("bandHash"),
               col("sig"), col("bhs"))
     // the census branch reads only (band, bandHash) — Catalyst prunes the
-    // signature columns out of this pass over the (checkpointed) reps
+    // signature columns out of this pass over the (checkpointed) reps.
+    // `n` rides along: it sizes each bucket's block count below.
     val hot = bandRows.groupBy("band", "bandHash")
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select("band", "bandHash")
       .localCheckpoint(true)
-    // broadcast the hot keys when they fit (the overwhelmingly common
-    // case: one key per colliding bucket); a pathological census falls
-    // back to a corpus-linear shuffle join, never to anything quadratic
+    // broadcast the hot keys when they fit — BYTES-based guard (~48 B per
+    // serialized (int, long, long) row, capped at ~16 MB; the
+    // overwhelmingly common case is one key per colliding bucket); a
+    // pathological census falls back to a corpus-linear shuffle join,
+    // never to anything quadratic
     val joined =
-      if (hot.count() <= 4000000L) bandRows.join(broadcast(hot), Seq("band", "bandHash"))
+      if (hot.count() * 48L <= 16L * 1024 * 1024)
+        bandRows.join(broadcast(hot), Seq("band", "bandHash"))
       else bandRows.join(hot, Seq("band", "bandHash"))
+    // block fan-out: blk = hash(gid) mod nblk (uniform, order-free); each
+    // member serves every block pair containing its block — for o over
+    // 0..nblk-1 the pair (min(o, blk), max(o, blk)), nblk rows per member,
+    // exactly one row when the bucket fits a single block
+    val nblkCol = greatest(lit(1),
+      ceil(col("n").cast(DoubleType) / lit(blockSize.toDouble)).cast(IntegerType))
+    val fanned = joined
+      .withColumn("nblk", nblkCol)
+      .withColumn("blk",
+        pmod(xxhash64(col("gid")), col("nblk").cast(LongType)).cast(IntegerType))
+      .select(col("gid"), col("band"), col("bandHash"), col("blk"),
+              col("sig"), col("bhs"),
+              explode(transform(sequence(lit(0), col("nblk") - 1), o =>
+                struct(least(o, col("blk")).as("lo"),
+                       greatest(o, col("blk")).as("hi")))).as("bp"))
+      .select(col("gid"), col("band"), col("bandHash"), col("blk"),
+              col("bp.lo").as("lo"), col("bp.hi").as("hi"),
+              col("sig"), col("bhs"))
     val nh = numHashes
     val tau = jaccardThreshold
-    joined.select(col("gid"), col("band"), col("bandHash"), col("sig"), col("bhs"))
-      .as[LshBucketRow]
-      .groupByKey(m => (m.band, m.bandHash))
-      .flatMapGroups { (_, it) =>
-        val ms = it.toArray
-        java.util.Arrays.sort(ms, Ordering.by((m: LshBucketRow) => m.gid))
-        val n = ms.length
-        Iterator.range(0, n).flatMap { i =>
-          val a = ms(i)
-          Iterator.range(i + 1, n).flatMap { j =>
-            val b = ms(j)
-            // first-band ownership: an earlier band already holds this pair
-            var owned = true
-            var k = 0
-            while (k < a.band && owned) {
-              if (a.bhs(k) == b.bhs(k)) owned = false
-              k += 1
-            }
-            if (!owned) Iterator.empty
-            else {
-              // eq count with a conservative early exit: if even
-              // all-remaining-equal cannot reach the threshold under the
-              // SAME double compare the final test uses, reject now
-              var eq = 0
-              var p = 0
-              var live = true
-              while (p < nh && live) {
-                if (a.sig(p) == b.sig(p)) eq += 1
-                else if ((eq + nh - p - 1).toDouble / nh < tau) live = false
-                p += 1
-              }
-              val est = eq.toDouble / nh
-              if (live && est >= tau) Iterator.single(LshPair(a.gid, b.gid, est))
-              else Iterator.empty
-            }
+    fanned.as[LshBucketRow]
+      .groupByKey(m => (m.band, m.bandHash, m.lo, m.hi))
+      .flatMapGroups { (key, it) =>
+        // per-pair kernel: first-colliding-band ownership (the bucket-
+        // local replacement for the global distinct — exact because
+        // bucket membership IS band-hash equality), then an eq count
+        // with a conservative early exit: if even all-remaining-equal
+        // cannot reach the threshold under the SAME double compare the
+        // final test uses, reject now. Symmetric in (a, b).
+        def pairOf(a: LshBucketRow, b: LshBucketRow): Iterator[LshPair] = {
+          var owned = true
+          var k = 0
+          while (k < a.band && owned) {
+            if (a.bhs(k) == b.bhs(k)) owned = false
+            k += 1
           }
+          if (!owned) Iterator.empty
+          else {
+            var eq = 0
+            var p = 0
+            var live = true
+            while (p < nh && live) {
+              if (a.sig(p) == b.sig(p)) eq += 1
+              else if ((eq + nh - p - 1).toDouble / nh < tau) live = false
+              p += 1
+            }
+            val est = eq.toDouble / nh
+            if (live && est >= tau)
+              Iterator.single(LshPair(math.min(a.gid, b.gid),
+                                      math.max(a.gid, b.gid), est))
+            else Iterator.empty
+          }
+        }
+        val (lo, hi) = (key._3, key._4)
+        if (lo == hi) {
+          // within-block upper triangle (every member here carries blk == lo)
+          val ms = it.toArray
+          java.util.Arrays.sort(ms, Ordering.by((m: LshBucketRow) => m.gid))
+          val n = ms.length
+          Iterator.range(0, n).flatMap { i =>
+            Iterator.range(i + 1, n).flatMap(j => pairOf(ms(i), ms(j)))
+          }
+        } else {
+          // cross product of the two blocks — each unordered pair with
+          // blocks {lo, hi} exists exactly here and nowhere else
+          val all = it.toArray
+          val as = all.filter(_.blk == lo)
+          val bs = all.filter(_.blk == hi)
+          as.iterator.flatMap(a => bs.iterator.flatMap(b => pairOf(a, b)))
         }
       }
       .toDF("gid_a", "gid_b", "est_jaccard")

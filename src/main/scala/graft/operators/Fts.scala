@@ -87,14 +87,35 @@ object Fts {
       .write.format("lance").mode("overwrite").save(s"$indexPath/terms.lance")
     corpusStats(docs, idCol, textCol).coalesce(1)
       .write.format("lance").mode("overwrite").save(s"$indexPath/stats.lance")
-    // a rebuild over a previously pinned path must drop the stale pins
-    // (readStats below must see THIS build, not the old publish point)
-    pinsCache.put(indexPath, None)
-    statsCache.put(indexPath, readStats(docs.sparkSession, indexPath))
+    // a rebuild over a previously pinned path must drop the stale publish
+    // point ITSELF, not just this JVM's cache: built.lance pins the OLD
+    // sidecar versions and any other process would keep reading them
+    val spark = docs.sparkSession
+    try {
+      import graft.sources.lance.LanceFormat
+      val (bfs, bp) = LanceFormat.fileSystem(s"$indexPath/built.lance",
+        spark.sessionState.newHadoopConf())
+      if (bfs.exists(bp)) bfs.delete(bp, true)
+    } catch { case _: Exception => () } // best-effort; pinsOf stats per read
+    pinsCache.put(indexPath, (NoBuilt, None))
+    statsCache.put(indexPath, (None, readStats(spark, indexPath)))
   }
 
+  /** Corpus stats cached per index, validated against the CURRENT pins —
+    * a publish (local or cross-process) invalidates the entry. */
   private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+    new java.util.concurrent.ConcurrentHashMap[String, (Option[Pins], (Long, Long))]
+
+  private def statsOf(spark: SparkSession, indexPath: String): (Long, Long) = {
+    val pins = pinsOf(spark, indexPath)
+    val c = statsCache.get(indexPath)
+    if (c != null && c._1 == pins) c._2
+    else {
+      val s = readStats(spark, indexPath)
+      statsCache.put(indexPath, (pins, s))
+      s
+    }
+  }
 
   private def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
     val r = sidecar(spark, indexPath, "stats").head()
@@ -115,23 +136,66 @@ object Fts {
     * duplicated (term, doc_id) rows, silent BM25 corruption. */
   private case class Pins(postingsV: Long, termsV: Long, statsV: Long)
 
-  private val pinsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Pins]]
+  /** Sentinel "no built.lance" version for the pins cache. */
+  private val NoBuilt = -1L
 
-  /** Pins from `built.lance`, cached per index (None: an index built by
-    * the plain [[buildIndex]] path, which has no `built.lance` — sidecar
-    * heads are read directly, the pre-pins behavior). */
-  private def pinsOf(spark: SparkSession, indexPath: String): Option[Pins] =
-    pinsCache.computeIfAbsent(indexPath, _ =>
-      try {
-        val b = spark.read.format("lance").load(s"$indexPath/built.lance")
+  /** Cached pins, keyed by the built.lance head version they were read
+    * at — a cross-process publish advances that version, so the next
+    * [[pinsOf]] call picks it up (one manifest stat per read, no TTL). */
+  private val pinsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Pins])]
+
+  /** built.lance's current head version, or [[NoBuilt]] when the dataset
+    * does not exist (legacy / plain-build index). Throws on a transient
+    * store failure — callers must NOT conflate that with "legacy". */
+  private def builtHeadVersion(spark: SparkSession, indexPath: String): Long = {
+    import graft.sources.lance.LanceFormat
+    val (fs, p) = LanceFormat.fileSystem(s"$indexPath/built.lance",
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) NoBuilt
+    else LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+  }
+
+  /** Pins from `built.lance` (None: an index built by the plain
+    * [[buildIndex]] path — sidecar heads are read directly, the pre-pins
+    * behavior). Every call stats the publish point's head version, so a
+    * publish by ANOTHER process becomes visible at the next read here. A
+    * transient store failure falls back to the last-known pins for THIS
+    * read only and is never cached — the next call retries instead of
+    * permanently downgrading the index to unpinned head reads. */
+  private def pinsOf(spark: SparkSession, indexPath: String): Option[Pins] = {
+    val headNow =
+      try builtHeadVersion(spark, indexPath)
+      catch { case _: Exception =>
+        // stale-but-consistent beats unpinned-and-possibly-torn
+        return Option(pinsCache.get(indexPath)).flatMap(_._2)
+      }
+    val cached = pinsCache.get(indexPath)
+    if (cached != null && cached._1 == headNow) return cached._2
+    if (headNow == NoBuilt) {
+      pinsCache.put(indexPath, (NoBuilt, None))
+      return None
+    }
+    try {
+      // read pinned at the version just statted — a racing overwrite
+      // between the stat and this read cannot tear the row
+      val b = spark.read.format("lance").option("versionAsOf", headNow)
+        .load(s"$indexPath/built.lance")
+      val pins =
         if (b.columns.contains("postings_version")) {
           val r = b.head()
           Some(Pins(r.getAs[Long]("postings_version"),
                     r.getAs[Long]("terms_version"),
                     r.getAs[Long]("stats_version")))
         } else None
-      } catch { case _: Exception => None })
+      pinsCache.put(indexPath, (headNow, pins))
+      pins
+    } catch { case _: Exception =>
+      // stat succeeded but the read failed: transient — don't cache
+      Option(pinsCache.get(indexPath)).flatMap(_._2)
+    }
+  }
 
   private def pinsFromRow(r: org.apache.spark.sql.Row): Option[Pins] =
     if (r.length >= 6) Some(Pins(r.getLong(3), r.getLong(4), r.getLong(5)))
@@ -234,8 +298,7 @@ object Fts {
     */
   def searchPersisted(spark: SparkSession, indexPath: String,
                       terms: Seq[String], k: Int): DataFrame = {
-    val (nDocs, totalLen) =
-      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    val (nDocs, totalLen) = statsOf(spark, indexPath)
     searchWithStats(spark, indexPath, nDocs, totalLen, terms, k)
   }
 
@@ -307,8 +370,7 @@ object Fts {
       .orderBy(col("df").desc, col("term"))
       .limit(maxExpansions)
       .select("term").collect().map(_.getString(0)).toSeq
-    val (nDocs, totalLen) =
-      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    val (nDocs, totalLen) = statsOf(spark, indexPath)
     if (matched.isEmpty)
       searchWithStats(spark, indexPath, nDocs, totalLen, Seq(" "), k)
     else searchWithStats(spark, indexPath, nDocs, totalLen, matched, k)
@@ -344,8 +406,10 @@ object Fts {
             "postings_version", "terms_version", "stats_version")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/built.lance")
-    pinsCache.put(indexPath, Some(pins))
-    val (nDocs, totalLen) = statsCache.get(indexPath)
+    pinsCache.put(indexPath,
+      (builtHeadVersion(spark, indexPath), Some(pins)))
+    val (nDocs, totalLen) = statsCache.get(indexPath)._2
+    statsCache.put(indexPath, (Some(pins), (nDocs, totalLen)))
     graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
       indexPath, idCol, textCol, nDocs, totalLen, builtV))
     builtV
@@ -400,6 +464,12 @@ object Fts {
     val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
     val (builtV, idCol, textCol) = (b.getLong(0), b.getString(1), b.getString(2))
     val pins = pinsFromRow(b)
+    // refresh the JVM cache from the row JUST read under the lock: the
+    // terms/stats merges below go through sidecar() -> pinsOf(), and a
+    // stale cached entry (another process updated the index since this
+    // JVM last read it) would merge the tail into an OLD terms version —
+    // silent df corruption. The head can't move while we hold the lock.
+    pinsCache.put(indexPath, (builtHeadVersion(spark, indexPath), pins))
     val conf = spark.sessionState.newHadoopConf()
     val (fs, sp) = LanceFormat.fileSystem(sourcePath, conf)
     val headV = LanceFormat.readManifest(fs,
@@ -438,8 +508,9 @@ object Fts {
       .write.format("lance").mode("overwrite").save(s"$indexPath/terms.lance")
     val termsV2 = headVersion(conf, s"$indexPath/terms.lance")
     val ts = corpusStats(tail, idCol, textCol).head()
-    val (oldN, oldLen) =
-      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    // fresh read through the pins refreshed above — a stale cached stats
+    // entry would double- or under-count another process's merged tail
+    val (oldN, oldLen) = readStats(spark, indexPath)
     val (newN, newLen) = (oldN + ts.getLong(0), oldLen + ts.getLong(1))
     fence.check()
     spark.createDataFrame(Seq((newN, newLen))).toDF("n_docs", "total_len")
@@ -455,8 +526,9 @@ object Fts {
             "postings_version", "terms_version", "stats_version")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/built.lance")
-    pinsCache.put(indexPath, Some(Pins(postingsV2, termsV2, statsV2)))
-    statsCache.put(indexPath, (newN, newLen))
+    val newPins = Some(Pins(postingsV2, termsV2, statsV2))
+    pinsCache.put(indexPath, (builtHeadVersion(spark, indexPath), newPins))
+    statsCache.put(indexPath, (newPins, (newN, newLen)))
     graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
       indexPath, idCol, textCol, newN, newLen, headV))
     headV
@@ -469,9 +541,10 @@ object Fts {
   def attachIndex(spark: SparkSession, sourcePath: String,
                   indexPath: String): Unit = {
     val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
-    pinsCache.put(indexPath, pinsFromRow(b)) // re-attach = re-read the publish point
-    val (nDocs, totalLen) =
-      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    // re-attach = drop cached state and re-read the publish point
+    pinsCache.remove(indexPath)
+    statsCache.remove(indexPath)
+    val (nDocs, totalLen) = statsOf(spark, indexPath)
     graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
       indexPath, b.getString(1), b.getString(2), nDocs, totalLen, b.getLong(0)))
   }
@@ -492,8 +565,7 @@ object Fts {
                      terms: Seq[String], k: Int): DataFrame = {
     val builtV = spark.read.format("lance").load(s"$indexPath/built.lance")
       .head().getLong(0)
-    val (nDocs, totalLen) =
-      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    val (nDocs, totalLen) = statsOf(spark, indexPath)
     val idxPost = sidecar(spark, indexPath, "postings")
     val tailPost = postings(
       spark.read.format("lance").option("fromVersion", builtV).load(sourcePath),
@@ -532,8 +604,7 @@ object Fts {
                     mustNot: Seq[String], k: Int): DataFrame = {
     require(must.nonEmpty || should.nonEmpty,
       "searchBoolean needs at least one scoring (must/should) term")
-    val (nDocs, totalLen) =
-      statsCache.computeIfAbsent(indexPath, _ => readStats(spark, indexPath))
+    val (nDocs, totalLen) = statsOf(spark, indexPath)
     val avgdl = totalLen.toDouble / nDocs
     val scoring = (must ++ should).distinct
     val allTerms = (scoring ++ mustNot).distinct

@@ -160,9 +160,12 @@ object ScalarIndex {
       // data_version it records, so a fence abort (clock-skew usurper,
       // swept holder) or crash between the two commits leaves the
       // published index untouched — sweep any such predecessor's orphan
-      // tail before appending ours
-      sweepOrphanTail(spark, indexPath, "keys", meta)
+      // tail before appending ours. Fence BEFORE the sweep (the Fts
+      // ordering): a usurped holder resuming from a pause must not
+      // restore the sidecar to ITS stale meta and delete a successor's
+      // freshly-appended tail.
       fence.check()
+      sweepOrphanTail(spark, indexPath, "keys", meta)
       spark.read.format("lance")
         .option("fromVersion", builtV).option("versionAsOf", headV)
         .load(datasetPath)
@@ -392,10 +395,10 @@ object ScalarIndex {
     val headV = headVersion(spark, datasetPath)
     if (headV == builtV) builtV
     else {
-      // see update(): meta is the only publish; sweep a fence-aborted
-      // predecessor's orphan tail, then append + publish
-      sweepOrphanTail(spark, indexPath, "bitmaps", meta)
+      // see update(): meta is the only publish; fence, sweep a
+      // fence-aborted predecessor's orphan tail, then append + publish
       fence.check()
+      sweepOrphanTail(spark, indexPath, "bitmaps", meta)
       bitmapRows(spark, datasetPath, keyCol, Some((builtV, headV)))
         .write.format("lance")
         .option("sortBy", "key")
@@ -502,10 +505,10 @@ object ScalarIndex {
     val headV = headVersion(spark, datasetPath)
     if (headV == builtV) builtV
     else {
-      // see update(): meta is the only publish; sweep a fence-aborted
-      // predecessor's orphan tail, then append + publish
-      sweepOrphanTail(spark, indexPath, "keys", meta)
+      // see update(): meta is the only publish; fence, sweep a
+      // fence-aborted predecessor's orphan tail, then append + publish
       fence.check()
+      sweepOrphanTail(spark, indexPath, "keys", meta)
       ngramRows(spark, datasetPath, textCol, nStr.toInt, Some((builtV, headV)))
         .write.format("lance")
         .option("sortBy", "key")

@@ -129,6 +129,13 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(fast == ref)
     assert(fast.size > 400) // the mega-bucket really produced pairs
+    // block-pair fan-out (round 12): at blockSize 64 the ~240-member
+    // buckets split into ≥4 gid-hash blocks — within-block triangles AND
+    // cross-block tasks must reproduce the same pair set exactly
+    val fastSplit = Dedup.minHashLsh(df, "doc_id", "text", 64, 8, 0.7,
+        blockSize = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fastSplit == ref, "block-pair fan-out diverged from the join shape")
     // and it really is adversarial: max bucket ≥ 100× the median bucket
     val census = Dedup.minHashSignatures(df, "doc_id", "text", 64)
       .select(posexplode(graft.functions.SketchAggs.bandHashes(col("sig"), 8)))
@@ -156,11 +163,15 @@ class DedupSpec extends AnyFunSuite {
       val df = withDups.toDF("doc_id", "text", "source")
       val bands = Seq(4, 8, 16)(rnd.nextInt(3))
       val tau = 0.5 + rnd.nextDouble() * 0.45
-      val lshFast = Dedup.minHashLsh(df, "doc_id", "text", 64, bands, tau)
+      // fuzz the block size too: tiny values force multi-block buckets
+      // (cross-block tasks), large ones the single-block fast path
+      val bs = Seq(2, 5, 16, 4096)(rnd.nextInt(4))
+      val lshFast = Dedup.minHashLsh(df, "doc_id", "text", 64, bands, tau,
+          blockSize = bs)
         .as[(Long, Long, Double)].collect().toSet
       val lshRef = Dedup.minHashLshJoinShape(df, "doc_id", "text", 64, bands, tau)
         .as[(Long, Long, Double)].collect().toSet
-      assert(lshFast == lshRef, s"lsh round $round bands=$bands tau=$tau")
+      assert(lshFast == lshRef, s"lsh round $round bands=$bands tau=$tau bs=$bs")
       val jt = 0.4 + rnd.nextDouble() * 0.6
       val jFast = Dedup.jaccardPairs(df, "doc_id", "text", "source", jt, 0)
         .as[(Long, Long, Double)].collect().toSet
