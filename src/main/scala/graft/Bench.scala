@@ -121,11 +121,23 @@ object Bench {
     // bench-vs-oracle stops being a per-round judge re-measurement. The
     // committed ORACLE_SECS.json is regenerated whenever oracles change;
     // vs_oracle_median is the median spark/duckdb ratio over shared keys.
+    // The oracle file is matched to the DATA SCALE being measured —
+    // ORACLE_SECS.json was timed at sf0.1 and ORACLE_SF1_SECS.json (a
+    // 24-query subset; the rest are resource-infeasible in DuckDB at
+    // sf1) at sf1. Any other data dir has no committed oracle: emit NO
+    // oracle column rather than a cross-scale ratio (the round-11
+    // BENCH_SF1.json embedded the sf0.1 oracle against sf1 walls — a
+    // meaningless 18x "median" over an 0.07x reality).
+    val oracleFile: String = sys.env.getOrElse("SPARK_GRAFT_ORACLE_SECS",
+      java.nio.file.Paths.get(sfDir).getFileName.toString match {
+        case "sf0.1" => "ORACLE_SECS.json"
+        case "sf1"   => "ORACLE_SF1_SECS.json"
+        case _       => ""
+      })
     val oracleSecs: Map[String, Double] =
       try {
-        val p = java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_ORACLE_SECS", "ORACLE_SECS.json"))
-        if (java.nio.file.Files.exists(p)) {
+        val p = java.nio.file.Paths.get(oracleFile)
+        if (oracleFile.nonEmpty && java.nio.file.Files.exists(p)) {
           val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           // flat {"name": secs} object — parse with a regex, no json lib on
           // the classpath beyond spark's shaded ones
@@ -148,7 +160,11 @@ object Bench {
           }
         val os = results.flatMap { case (k, _) => oracleSecs.get(k).map(s =>
           "\"" + k + "\":" + fmt(s)) }.mkString("{", ",", "}")
-        s""","oracle_secs":$os,"vs_oracle_median":${fmt(med)}"""
+        // label the comparison: which oracle file, and over how many
+        // shared queries the median was computed (sf1's committed subset
+        // is 24 queries — a reader must not take the median as full-coverage)
+        s""","oracle_file":${jstr(oracleFile)},"oracle_queries":${shared.size},""" +
+          s""""oracle_secs":$os,"vs_oracle_median":${fmt(med)}"""
       }
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spreadJson,"sf":"$sfDir"$oracleJson}"""
 

@@ -64,10 +64,14 @@ object Fts {
       .agg(count(lit(1)).as("tf"),
            sort_array(collect_list(col("pos"))).as("positions"))
 
-  /** Corpus stats: one row `(n_docs, total_len)`. */
+  /** Corpus stats: one row `(n_docs, total_len)`. NULL-text documents are
+    * excluded — they post no terms (see [[postings]]), so counting them
+    * here would make the statistics diverge between the raw path and the
+    * postings-derived path ([[buildIndexFromPostings]]). */
   def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.agg(count(lit(1)).cast(LongType).as("n_docs"),
-             sum(size(split(col(textCol), " ")).cast(LongType)).as("total_len"))
+    docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+           sum(size(split(col(textCol), " ")).cast(LongType)).as("total_len"))
 
   /** Build and persist the inverted index under `indexPath` (three lance
     * datasets — see the object doc). The postings write is the one big job
@@ -75,22 +79,49 @@ object Fts {
     * vocabulary-sized or constant.
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-                 indexPath: String, writePartitions: Int = 8): Unit = {
-    val p = postings(docs, idCol, textCol)
+                 indexPath: String, writePartitions: Int = 8): Unit =
+    buildIndexFromPostings(docs.sparkSession,
+      postings(docs, idCol, textCol), indexPath, writePartitions)
+
+  /** [[buildIndex]] interior over an ALREADY-TOKENIZED postings frame
+    * (the [[postings]] schema) — the "stage the tokenization once" path:
+    * several index flavors over the same corpus (plain, lance-attached,
+    * a live twin) each derive their sidecars from one staged
+    * `(doc_id, dl, term, tf, positions)` dataset instead of re-tokenizing
+    * the corpus per flavor. The frame is written to `postings.lance`
+    * FIRST and the vocabulary + corpus stats derive from the on-disk
+    * copy (column-pruned scans of the skinny columns), so even the
+    * single-build path tokenizes exactly once — the round-10 shape
+    * re-ran the tokenize lineage for postings, terms AND stats.
+    *
+    * Stats parity: every tokenized document posts ≥ 1 term (split never
+    * returns an empty array) and `dl` is constant per doc, so the
+    * (count, sum-of-dl) over one row per doc equals [[corpusStats]] on
+    * the raw table exactly. Documents with NULL text post no terms and
+    * are excluded from the statistics everywhere (they can never match
+    * a term query); corpora that want them counted must coalesce
+    * upstream.
+    */
+  def buildIndexFromPostings(spark: SparkSession, p: DataFrame,
+                             indexPath: String,
+                             writePartitions: Int = 8): Unit = {
     p.repartitionByRange(writePartitions, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.format("lance").mode("overwrite").save(s"$indexPath/postings.lance")
+    val staged = spark.read.format("lance").load(s"$indexPath/postings.lance")
     // df per term: postings are already one row per (doc, term)
-    p.groupBy("term").agg(count(lit(1)).as("df"))
+    staged.groupBy("term").agg(count(lit(1)).as("df"))
       .repartitionByRange(math.max(writePartitions / 4, 1), col("term"))
       .sortWithinPartitions("term")
       .write.format("lance").mode("overwrite").save(s"$indexPath/terms.lance")
-    corpusStats(docs, idCol, textCol).coalesce(1)
+    staged.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+           sum(col("dl")).cast(LongType).as("total_len"))
+      .coalesce(1)
       .write.format("lance").mode("overwrite").save(s"$indexPath/stats.lance")
     // a rebuild over a previously pinned path must drop the stale publish
     // point ITSELF, not just this JVM's cache: built.lance pins the OLD
     // sidecar versions and any other process would keep reading them
-    val spark = docs.sparkSession
     try {
       import graft.sources.lance.LanceFormat
       val (bfs, bp) = LanceFormat.fileSystem(s"$indexPath/built.lance",
@@ -386,15 +417,22 @@ object Fts {
     */
   def buildIndexLance(spark: SparkSession, sourcePath: String, idCol: String,
                       textCol: String, indexPath: String,
-                      writePartitions: Int = 8): Long = {
+                      writePartitions: Int = 8,
+                      stagedPostings: Option[DataFrame] = None): Long = {
     import graft.sources.lance.LanceFormat
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(sourcePath, conf)
     val builtV = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, None)).version
-    val docs = spark.read.format("lance")
-      .option("versionAsOf", builtV).load(sourcePath)
-    buildIndex(docs, idCol, textCol, indexPath, writePartitions)
+    // stagedPostings: a pre-tokenized [[postings]] frame of the SAME
+    // corpus content as `sourcePath` at `builtV` (the caller's
+    // responsibility) — lets N index flavors over one corpus tokenize it
+    // once instead of once per flavor
+    val tokenized = stagedPostings.getOrElse {
+      postings(spark.read.format("lance")
+        .option("versionAsOf", builtV).load(sourcePath), idCol, textCol)
+    }
+    buildIndexFromPostings(spark, tokenized, indexPath, writePartitions)
     // publish: built.lance records the exact sidecar versions this build
     // produced — all readers pin on them (see [[Pins]])
     val pins = Pins(headVersion(conf, s"$indexPath/postings.lance"),

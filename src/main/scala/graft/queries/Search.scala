@@ -18,6 +18,24 @@ object Search {
   private lazy val workDir =
     java.nio.file.Files.createTempDirectory("graft-fts-q").toString
 
+  /** ONE corpus tokenization per source dir (round 12): the [[Fts.postings]]
+    * frame is staged to parquet once, and every index flavor over the same
+    * corpus (plain fts / sql-rewrite lance twin / live twin) derives its
+    * sidecars from the staged copy — three builds, one tokenize. At corpus
+    * scale this is the standard pipeline shape: the tokenized dataset is a
+    * first-class staged artifact, index flavors are cheap derivations. */
+  private val stagedPostings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def ensurePostings(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    stagedPostings.computeIfAbsent(dir, _ => {
+      val t = Tables.register(s, dir)
+      val path = s"$workDir/postings-${dir.replaceAll("[^A-Za-z0-9.]", "_")}.parquet"
+      Fts.postings(t("documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Build-once per session (the e06 memoization pattern): a solo run of
     * any index query still builds; a full Verify run builds once.
     */
@@ -25,11 +43,10 @@ object Search {
   private def ensureIndex(s: org.apache.spark.sql.SparkSession,
                           dir: String): String =
     built.computeIfAbsent(dir, _ => {
-      val t = Tables.register(s, dir)
       // one index per source dir — a shared path would let a second scale
       // factor in the same JVM overwrite the first one's postings
       val ix = s"$workDir/fts-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      Fts.buildIndex(t("documents"), "doc_id", "text", ix)
+      Fts.buildIndexFromPostings(s, s.read.parquet(ensurePostings(s, dir)), ix)
       ix
     })
 
@@ -45,7 +62,10 @@ object Search {
       t("documents").select("doc_id", "text")
         .write.format("lance").mode("overwrite").save(docs)
       val ix = s"$workDir/ftsx-$key"
-      Fts.buildIndexLance(s, docs, "doc_id", "text", ix)
+      // the lance copy is content-identical to the staged corpus at its
+      // head version — reuse the staged tokenize instead of re-tokenizing
+      Fts.buildIndexLance(s, docs, "doc_id", "text", ix,
+        stagedPostings = Some(s.read.parquet(ensurePostings(s, dir))))
       (docs, ix)
     })
 
@@ -62,7 +82,10 @@ object Search {
       t("documents").select("doc_id", "text")
         .write.format("lance").mode("overwrite").save(docs)
       val ix = s"$workDir/liveix-$key"
-      Fts.buildIndexLance(s, docs, "doc_id", "text", ix)
+      // built BEFORE the delete below, over the full corpus — exactly the
+      // staged tokenize's content (the delete then masks at query time)
+      Fts.buildIndexLance(s, docs, "doc_id", "text", ix,
+        stagedPostings = Some(s.read.parquet(ensurePostings(s, dir))))
       graft.sources.lance.LanceMaintenance.deleteWhere(s, docs, "doc_id % 7 = 0")
       (docs, ix)
     })
