@@ -27,6 +27,12 @@ object BenchHeavy {
     "d06_jaccard_pairs", "d07_minhash_lsh", "d11_cluster_dedup",
     "d23_dsir_sample", "d28_minhash_portable", "d33_fuzzy_decontaminate",
     "d34_neardup_capped", "e09_semantic_dedup",
+    // ANN family (round 12): builds should track the data ratio, probes
+    // should stay sub-linear (sqrt-scaled IVF lists + fragment pruning).
+    // Build rows rebuild per pass (no memoization benefit); probe rows
+    // hit the per-dir memoized index after their first pass.
+    "e06_build", "e06_ivf_topk", "e06b_ivf_probe",
+    "e08_build", "e08_ivfpq_topk", "e10_batch_ann", "e12_binary_quant",
     "f01_bm25_rank", "f02_fts_build", "f03_fts_search", "f04_fts_phrase",
     "f05_fts_sql_rewrite", "f06_fts_live", "f07_fts_phrase_indexed",
     "f08_fts_boolean", "f09_fts_fuzzy",

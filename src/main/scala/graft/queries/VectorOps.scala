@@ -43,12 +43,23 @@ object VectorOps {
   private def ivfPath(dir: String): String =
     s"$ivfWorkDir/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** IVF list count for a corpus of n vectors: ~sqrt(n), the standard IVF
+    * sizing — probe cost nProbe · n / nLists ≈ nProbe · sqrt(n) stays
+    * SUB-linear as the corpus grows (a fixed list count would make every
+    * probe scan a fixed fraction of the corpus — the e09 round-10 lesson
+    * applied to the index family). Floored at 16 (tiny fixtures) and
+    * capped at 1024 (K-means runs on a bounded 16k Lloyd sample; more
+    * lists than ~sample/16 starves centroids). */
+  private def ivfLists(n: Long): Int =
+    math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   private def ensureIvf(s: SparkSession, dir: String): Unit = {
     val vectors = new java.io.File(s"${ivfPath(dir)}/vectors.lance/_versions")
     if (!vectors.exists()) {
       val t = Tables.register(s, dir)
-      Similarity.ivfBuildPersist(t("embeddings").filter(col("vec_id") > 0),
-        "vec_id", "embedding", nLists = 16, indexPath = ivfPath(dir))
+      val corpus = t("embeddings").filter(col("vec_id") > 0)
+      Similarity.ivfBuildPersist(corpus, "vec_id", "embedding",
+        nLists = ivfLists(corpus.count()), indexPath = ivfPath(dir))
     }
   }
 
@@ -56,8 +67,9 @@ object VectorOps {
     val pq = new java.io.File(s"${ivfPath(dir)}/pq.lance/_versions")
     if (!pq.exists()) {
       val t = Tables.register(s, dir)
-      Similarity.ivfPqBuildPersist(t("embeddings").filter(col("vec_id") > 0),
-        "vec_id", "embedding", nLists = 16, indexPath = ivfPath(dir))
+      val corpus = t("embeddings").filter(col("vec_id") > 0)
+      Similarity.ivfPqBuildPersist(corpus, "vec_id", "embedding",
+        nLists = ivfLists(corpus.count()), indexPath = ivfPath(dir))
     }
   }
 
@@ -181,7 +193,8 @@ object VectorOps {
       val t = Tables.register(s, dir)
       val corpus = t("embeddings").filter(col("vec_id") > 0)
       Similarity.ivfBuildPersist(corpus, "vec_id", "embedding",
-                                 nLists = 16, indexPath = ivfPath(dir))
+                                 nLists = ivfLists(corpus.count()),
+                                 indexPath = ivfPath(dir))
       s.read.format("lance").load(s"${ivfPath(dir)}/vectors.lance")
         .groupBy("list_id").agg(count(lit(1)).as("n")).orderBy("list_id")
     }, None),
@@ -299,7 +312,8 @@ object VectorOps {
       val query = t("embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       val (indexed, centroids) =
-        Similarity.ivfIndexCached(corpus, "vec_id", "embedding", nLists = 16, key = dir)
+        Similarity.ivfIndexCached(corpus, "vec_id", "embedding",
+                                  nLists = ivfLists(corpus.count()), key = dir)
       Similarity.ivfCosineTopK(indexed, centroids, "vec_id", "embedding", query,
                                k = 10, nProbe = 6)
     }, None),
@@ -316,7 +330,8 @@ object VectorOps {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val (indexed, centroids) =
         Similarity.ivfIndexCached(corpus, "vec_id", "embedding",
-                                  nLists = 16, key = s"$dir:batch")
+                                  nLists = ivfLists(corpus.count()),
+                                  key = s"$dir:batch")
       Similarity.ivfBatchCosineTopK(indexed, centroids, "vec_id", "embedding",
                                     queries, "qid", "qvec", k = 5, nProbe = 6)
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 9).as("cos"))
