@@ -401,20 +401,45 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
 }
 
 object NearestCentroid {
+  /** The centroid/codebook table arrives as ONE plan-literal ArrayData
+    * referenced for every row; reading it through per-element
+    * `ArrayData.getDouble` walks a boxed GenericArrayData — k × dim
+    * unboxings per ROW (at a sqrt-scaled 448-list index that was ~29k
+    * per row, the dominant cost of every sf10 index build). Convert to a
+    * primitive double[][] ONCE per task thread, keyed by reference
+    * identity (a literal's value object is stable across rows; a plan
+    * alternating two tables on one thread merely re-converts — correct,
+    * just slower, and no plan here does that). */
+  private val tableMemo =
+    new ThreadLocal[(ArrayData, Array[Array[Double]])]
+  def table(cents: ArrayData): Array[Array[Double]] = {
+    val m = tableMemo.get()
+    if (m != null && (m._1 eq cents)) m._2
+    else {
+      val k = cents.numElements()
+      val arr = new Array[Array[Double]](k)
+      var c = 0
+      while (c < k) { arr(c) = cents.getArray(c).toDoubleArray(); c += 1 }
+      tableMemo.set((cents, arr))
+      arr
+    }
+  }
+
   /** Static helper the generated code calls directly. */
   def nearest(vec: ArrayData, cents: ArrayData): Int = {
-    val k = cents.numElements()
+    val tbl = table(cents)
+    val k = tbl.length
     val dim = vec.numElements()
     var best = 0
     var bd = Double.MaxValue
     var c = 0
     while (c < k) {
-      val cent = cents.getArray(c)
-      val d2max = math.min(dim, cent.numElements())
+      val cent = tbl(c)
+      val d2max = math.min(dim, cent.length)
       var d2 = 0.0
       var d = 0
       while (d < d2max) {
-        val t = vec.getFloat(d).toDouble - cent.getDouble(d)
+        val t = vec.getFloat(d).toDouble - cent(d)
         d2 += t * t
         d += 1
       }
@@ -437,10 +462,25 @@ case class PqEncode(left: Expression, right: Expression) extends BinaryExpressio
     }
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val vec = a.asInstanceOf[ArrayData]
-    val cbs = b.asInstanceOf[ArrayData]
-    val m = cbs.numElements() >> 8
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqEncode.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.PqEncode.encode($v, $c)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqEncode {
+  /** Static helper the generated code calls directly — the codebook
+    * literal goes through [[NearestCentroid.table]]'s per-thread
+    * primitive conversion (2048 sub-centroids × dsub boxed reads per row
+    * otherwise; same fix, same memo). */
+  def encode(vec: ArrayData, cbs: ArrayData): Long = {
+    val tbl = NearestCentroid.table(cbs)
+    val m = tbl.length >> 8
     val dsub = vec.numElements() / math.max(m, 1)
     var code = 0L
     var s = 0
@@ -449,11 +489,11 @@ case class PqEncode(left: Expression, right: Expression) extends BinaryExpressio
       var bd = Double.MaxValue
       var c = 0
       while (c < 256) {
-        val cent = cbs.getArray(s * 256 + c)
+        val cent = tbl(s * 256 + c)
         var d2 = 0.0
         var d = 0
         while (d < dsub) {
-          val t = vec.getFloat(s * dsub + d).toDouble - cent.getDouble(d)
+          val t = vec.getFloat(s * dsub + d).toDouble - cent(d)
           d2 += t * t
           d += 1
         }
@@ -465,43 +505,6 @@ case class PqEncode(left: Expression, right: Expression) extends BinaryExpressio
     }
     code
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val m = ctx.freshName("m")
-      val dsub = ctx.freshName("dsub")
-      val s = ctx.freshName("s")
-      val c = ctx.freshName("c")
-      val d = ctx.freshName("d")
-      val best = ctx.freshName("best")
-      val bd = ctx.freshName("bd")
-      val d2 = ctx.freshName("d2")
-      val t = ctx.freshName("t")
-      val cent = ctx.freshName("cent")
-      val code = ctx.freshName("code")
-      s"""
-         |int $m = $b.numElements() >> 8;
-         |int $dsub = $a.numElements() / java.lang.Math.max($m, 1);
-         |long $code = 0L;
-         |for (int $s = 0; $s < $m; $s++) {
-         |  int $best = 0;
-         |  double $bd = Double.MAX_VALUE;
-         |  for (int $c = 0; $c < 256; $c++) {
-         |    org.apache.spark.sql.catalyst.util.ArrayData $cent = $b.getArray($s * 256 + $c);
-         |    double $d2 = 0.0;
-         |    for (int $d = 0; $d < $dsub; $d++) {
-         |      double $t = (double) $a.getFloat($s * $dsub + $d) - $cent.getDouble($d);
-         |      $d2 += $t * $t;
-         |    }
-         |    if ($d2 < $bd) { $bd = $d2; $best = $c; }
-         |  }
-         |  $code |= ((long) $best) << ($s * 8);
-         |}
-         |${ev.value} = $code;
-       """.stripMargin
-    })
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpression {

@@ -82,6 +82,21 @@ object Similarity {
     * pruning the same way lance-index's IVF does. Returns (indexed frame
     * with a `list_id` column, centroid matrix).
     */
+  /** Spread a compute-dense per-row pass across the session's cores.
+    * Size-based file splitting under-parallelizes when the input is a
+    * few dense row groups but the per-row kernel is heavy — a
+    * sqrt-scaled 448-list assignment is ~29k mults/row, so a 200k-row
+    * single-row-group parquet plans ONE task doing 6e9 mults while the
+    * other cores idle (measured: the entire sf10 ANN-build cost). No-op
+    * once the input already fans at least as wide as the session; at
+    * cluster scale (thousands of scan partitions) this never fires.
+    * Callers pass scan-shaped frames (no upstream exchange), so the
+    * partition-count inspection plans no job. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
                nLists: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
     // The quantizer trains on a bounded DETERMINISTIC sample (hash-gated
@@ -99,13 +114,73 @@ object Similarity {
     val sample = rows.map(_.getSeq[Float](0).toArray)
     val centroids = lloydFit(sample, nLists, iters = 8, seed)
     val cLit = typedlit(centroids.map(_.toSeq).toSeq)
-    val indexed = df.withColumn("list_id",
+    val indexed = fanOut(df).withColumn("list_id",
       graft.functions.ArrayKernels.nearestCentroid(col(vecCol), cLit))
     (indexed, centroids)
   }
 
+  /** One Lloyd assignment + accumulation pass of `pts` against
+    * `centroids`, fanned across a fixed chunk grid (common fork-join
+    * pool) and merged in chunk order. Deterministic: chunk boundaries
+    * and the merge order are pure functions of |pts|, so every rerun
+    * reduces the per-centroid FP sums in the same order — bit-identical
+    * centroids run-to-run (the order differs from the old sequential
+    * loop ONCE, deterministically; cluster assignments are engine-
+    * specific and nothing hash-oracled consumes them). This is the
+    * training hot loop: at sqrt-scaled list counts the sequential form
+    * was the dominant single-threaded cost of every index build
+    * (8 iters × 16k sample × ~450 centroids × 64 dims ≈ 4e9 ops on one
+    * core while 31 idled). */
+  private def lloydPass(pts: Array[Array[Double]],
+                        centroids: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Int]) = {
+    val k = centroids.length
+    val dim = pts.head.length
+    val nChunks = math.max(1, math.min(64, pts.length / 256))
+    val bounds = (0 to nChunks).map(i => (i.toLong * pts.length / nChunks).toInt)
+    val parts = java.util.stream.IntStream.range(0, nChunks).parallel()
+      .mapToObj[(Array[Array[Double]], Array[Int])] { ci =>
+        val sums = Array.fill(k, dim)(0.0)
+        val counts = new Array[Int](k)
+        var i = bounds(ci)
+        val hi = bounds(ci + 1)
+        while (i < hi) {
+          val v = pts(i)
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < k) {
+            val cc = centroids(c)
+            var d2 = 0.0; var d = 0
+            while (d < dim) { val t = v(d) - cc(d); d2 += t * t; d += 1 }
+            if (d2 < bd) { bd = d2; best = c }
+            c += 1
+          }
+          val sb = sums(best)
+          var d = 0
+          while (d < dim) { sb(d) += v(d); d += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        (sums, counts)
+      }
+      .toArray((n: Int) => new Array[(Array[Array[Double]], Array[Int])](n))
+    val sums = Array.fill(k, dim)(0.0)
+    val counts = new Array[Int](k)
+    parts.foreach { case (s, cnt) =>
+      var c = 0
+      while (c < k) {
+        val sc = sums(c); val pc = s(c)
+        var d = 0
+        while (d < dim) { sc(d) += pc(d); d += 1 }
+        counts(c) += cnt(c)
+        c += 1
+      }
+    }
+    (sums, counts)
+  }
+
   /** Seeded full-dimension Lloyd k-means on a driver-side sample (the
-    * coarse-quantizer twin of [[pqTrain]]'s per-subspace loop). Empty
+    * coarse-quantizer twin of [[pqTrain]]'s per-subspace loop); the
+    * per-iteration pass runs through the parallel [[lloydPass]]. Empty
     * clusters keep their previous centroid; if the sample has fewer than
     * k points, the table pads with clones of centroid 0 (never nearest
     * except on exact ties, which keep the lower index). */
@@ -117,22 +192,12 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val centroids = rnd.shuffle(sample.indices.toList).take(kk)
       .map(i => sample(i).map(_.toDouble)).toArray
+    // widen once: float→double is exact, so the distance/sum math is
+    // bit-identical to subtracting the floats in-loop
+    val pts = sample.map(v => v.map(_.toDouble))
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(kk, dim)(0.0)
-      val counts = new Array[Int](kk)
-      sample.foreach { v =>
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < kk) {
-          var d2 = 0.0; var d = 0
-          while (d < dim) { val t = v(d) - centroids(c)(d); d2 += t * t; d += 1 }
-          if (d2 < bd) { bd = d2; best = c }
-          c += 1
-        }
-        var d = 0
-        while (d < dim) { sums(best)(d) += v(d); d += 1 }
-        counts(best) += 1
-      }
+      val (sums, counts) = lloydPass(pts, centroids)
       var c = 0
       while (c < kk) {
         if (counts(c) > 0) {
@@ -219,10 +284,16 @@ object Similarity {
   def ivfBuildPersist(df: DataFrame, idCol: String, vecCol: String,
                       nLists: Int, indexPath: String, nProbe: Int = 6): Unit = {
     val (indexed, centroids) = ivfIndex(df, idCol, vecCol, nLists)
-    indexed
-      .repartitionByRange(math.max(nLists / 2, 1), col("list_id"))
-      .sortWithinPartitions("list_id")
-      .write.format("lance").mode("overwrite").save(s"$indexPath/vectors.lance")
+    // persist across the write: RangePartitioning SAMPLES its child to
+    // pick bounds, so without this the nearest-centroid assignment pass
+    // runs twice over the corpus (once to sample, once to write)
+    val assigned = indexed.persist()
+    try {
+      assigned
+        .repartitionByRange(math.max(nLists / 2, 1), col("list_id"))
+        .sortWithinPartitions("list_id")
+        .write.format("lance").mode("overwrite").save(s"$indexPath/vectors.lance")
+    } finally assigned.unpersist(false)
     val spark = df.sparkSession
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -368,20 +439,7 @@ object Similarity {
         .map(subs(_).clone).toArray
       var it = 0
       while (it < iters) {
-        val sums = Array.fill(k, dsub)(0.0)
-        val counts = new Array[Int](k)
-        subs.foreach { v =>
-          var best = 0; var bd = Double.MaxValue; var c = 0
-          while (c < k) {
-            var d2 = 0.0; var d = 0
-            while (d < dsub) { val t = v(d) - centroids(c)(d); d2 += t * t; d += 1 }
-            if (d2 < bd) { bd = d2; best = c }
-            c += 1
-          }
-          var d = 0
-          while (d < dsub) { sums(best)(d) += v(d); d += 1 }
-          counts(best) += 1
-        }
+        val (sums, counts) = lloydPass(subs, centroids)
         var c = 0
         while (c < k) {
           if (counts(c) > 0) {
@@ -414,12 +472,19 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray)
     val codebooks = pqTrain(sample, m)
     val cbLit = typedlit(codebooks.flatMap(_.map(_.toSeq)).toSeq)
-    indexed
+    // persist across the write: the range sampling would otherwise run
+    // the assignment + PQ-encode kernels twice over the corpus (the
+    // ivfBuildPersist lesson; these codes are 8 B/row — cheap to hold)
+    val coded = indexed
       .select(col(idCol), col("list_id"),
         graft.functions.ArrayKernels.pqEncode(col(vecCol), cbLit).as("pq_code"))
-      .repartitionByRange(math.max(nLists / 2, 1), col("list_id"))
-      .sortWithinPartitions("list_id")
-      .write.format("lance").mode("overwrite").save(s"$indexPath/pq.lance")
+      .persist()
+    try {
+      coded
+        .repartitionByRange(math.max(nLists / 2, 1), col("list_id"))
+        .sortWithinPartitions("list_id")
+        .write.format("lance").mode("overwrite").save(s"$indexPath/pq.lance")
+    } finally coded.unpersist(false)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid").coalesce(1)
       .write.format("lance").mode("overwrite").save(s"$indexPath/centroids.lance")

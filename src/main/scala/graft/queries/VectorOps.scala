@@ -26,7 +26,15 @@ object VectorOps {
 
   private def quantized(s: SparkSession, dir: String): DataFrame = {
     val t = Tables.register(s, dir)
-    t("embeddings").select(col("vec_id"), col("label"), qvec(col("embedding")).as("v"))
+    // dense per-row kernels (sign-pack, int8 codes, long dots) over a
+    // possibly single-row-group file: fan the scan across cores first —
+    // values are per-row deterministic and every consumer sorts on a
+    // total key, so only the parallelism changes (the Similarity.fanOut
+    // rationale at the query layer)
+    val e = t("embeddings")
+    val target = s.sparkContext.defaultParallelism
+    val fanned = if (e.rdd.getNumPartitions >= target) e else e.repartition(target)
+    fanned.select(col("vec_id"), col("label"), qvec(col("embedding")).as("v"))
   }
 
   /** Oracle twin of [[qvec]]+dims: one row per (vec, dim), scaled longs. */
