@@ -367,15 +367,21 @@ object Dedup {
     // exactly one row when the bucket fits a single block
     val nblkCol = greatest(lit(1),
       ceil(col("n").cast(DoubleType) / lit(blockSize.toDouble)).cast(IntegerType))
+    // the overwhelmingly common single-block bucket takes a CONSTANT
+    // (0, 0) pair — no hash, no sequence/transform allocation per row;
+    // only genuine mega-bucket rows pay the fan-out arithmetic
+    val onePair = array(struct(lit(0).as("lo"), lit(0).as("hi")))
     val fanned = joined
       .withColumn("nblk", nblkCol)
       .withColumn("blk",
-        pmod(xxhash64(col("gid")), col("nblk").cast(LongType)).cast(IntegerType))
+        when(col("nblk") === 1, lit(0)).otherwise(
+          pmod(xxhash64(col("gid")), col("nblk").cast(LongType)).cast(IntegerType)))
       .select(col("gid"), col("band"), col("bandHash"), col("blk"),
               col("sig"), col("bhs"),
-              explode(transform(sequence(lit(0), col("nblk") - 1), o =>
-                struct(least(o, col("blk")).as("lo"),
-                       greatest(o, col("blk")).as("hi")))).as("bp"))
+              explode(when(col("nblk") === 1, onePair).otherwise(
+                transform(sequence(lit(0), col("nblk") - 1), o =>
+                  struct(least(o, col("blk")).as("lo"),
+                         greatest(o, col("blk")).as("hi"))))).as("bp"))
       .select(col("gid"), col("band"), col("bandHash"), col("blk"),
               col("bp.lo").as("lo"), col("bp.hi").as("hi"),
               col("sig"), col("bhs"))
