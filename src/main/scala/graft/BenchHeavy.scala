@@ -116,7 +116,7 @@ object BenchHeavy {
       s"""{"metric":"heavy_scale_smoke","sf_small":${jstr(sfSmall)},""" +
       s""""sf_big":${jstr(sfBig)},"data_ratio":10,""" +
       f""""total_sf_small":${total(small)}%.1f,"total_sf_big":${total(big)}%.1f,""" +
-      s""""note":"sf_small = min of 2 passes; sf_big = 1 pass (decade queries sit far above the job floor). Lifecycle queries (l24/l26/l27, f02) are commit-count-bound, not data-bound.",""" +
+      s""""note":"sf_small = min of 2 passes; sf_big = 1 pass (decade queries sit far above the job floor). Lifecycle queries (l24/l26/l27, f02) are commit-count-bound, not data-bound. Rows with per-JVM build memoization (f02/f05/f06, e06b/e08_build/e10) report a WARM second pass at sf_small but a build-inclusive first pass at sf_big, so their ratio overstates scale cost — compare the probe-only rows (e06_ivf_topk, e08_ivfpq_topk, f03/f07/f08/f09) for the scale story.",""" +
       s""""queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
