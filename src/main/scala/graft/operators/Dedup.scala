@@ -592,16 +592,23 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nClusters: Int, cosThreshold: Double): DataFrame = {
     import graft.operators.Similarity
-    val (indexed, _) =
+    val (indexed0, _) =
       Similarity.ivfIndexCached(df, idCol, vecCol, nClusters, s"semdedup:$vecCol")
-    val a = indexed.select(col("list_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = indexed.select(col("list_id").as("lb"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    val pairs = a.join(b, col("list_id") === col("lb") && col("id_a") < col("id_b"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-              Similarity.cosine(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= cosThreshold)
-      .select("doc_a", "doc_b")
-    connectedComponents(df.select(col(idCol)), idCol, pairs)
+    // the self-join references the assignment frame TWICE — persist so
+    // the nearest-centroid kernel runs one pass, not one per side
+    // (connectedComponents' eager edge checkpoint materializes the pair
+    // lineage inside the try, so the unpersist is safe)
+    val indexed = indexed0.select(col("list_id"), col(idCol), col(vecCol)).persist()
+    try {
+      val a = indexed.select(col("list_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      val b = indexed.select(col("list_id").as("lb"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      val pairs = a.join(b, col("list_id") === col("lb") && col("id_a") < col("id_b"))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+                Similarity.cosine(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= cosThreshold)
+        .select("doc_a", "doc_b")
+      connectedComponents(df.select(col(idCol)), idCol, pairs)
+    } finally indexed.unpersist(false)
   }
 
   /** 64-bit SimHash per document — per-row codegen kernel over the token
