@@ -313,6 +313,44 @@ class FtsSpec extends AnyFunSuite {
     assert(dups == 0L)
   }
 
+  test("another process's publish becomes visible with NO cache reset") {
+    // round 12 (advisor): the pins cache is keyed by built.lance's head
+    // version, so a publish made by a DIFFERENT process — invisible to
+    // every in-JVM cache hook — must be picked up by the next read, and
+    // a publish-point rollback must re-pin readers to the old sidecar
+    // versions. Pre-round-12, pinsOf cached forever (computeIfAbsent)
+    // and this test's final assert fails.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_xproc").toString
+    val src = s"$dir/docs.lance"
+    (1L to 20L).map(i => (i, s"tok${i % 5} cat")).toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    def search() = Fts.searchPersisted(spark, s"$dir/ix",
+      Seq("cat", "dog"), k = 40).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val builtSchema = spark.read.format("lance")
+      .load(s"$dir/ix/built.lance").schema
+    val v1Row = spark.read.format("lance")
+      .load(s"$dir/ix/built.lance").collect()
+    val before = search() // warm: pins + stats cached at the v1 publish
+    (21L to 30L).map(i => (i, s"cat dog extra$i")).toDF("doc_id", "text")
+      .write.format("lance").mode("append").save(src)
+    Fts.updateIndex(spark, src, s"$dir/ix")
+    val after = search()
+    assert(after != before, "tail docs must rank after the update")
+    // "another process" rolls the publish point back to the v1 pins by
+    // overwriting built.lance directly — bypassing every cache hook
+    spark.createDataFrame(spark.sparkContext.parallelize(v1Row.toSeq, 1),
+        builtSchema)
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$dir/ix/built.lance")
+    // next read stats the publish head, sees it advanced, re-pins: the
+    // v1 results come back with no clearStatsCache / attachIndex call
+    assert(search() == before,
+      "a cross-process publish must be visible at the next read")
+  }
+
   test("a held maintenance lock turns a racing index update into a loud refusal") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fts_lock").toString
