@@ -352,39 +352,54 @@ object Dedup {
     val hot = bandRows.groupBy("band", "bandHash")
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .localCheckpoint(true)
+    // ONE driver aggregate over the (checkpointed, skinny) census serves
+    // both guards: the broadcast decision and whether ANY bucket needs
+    // the block fan-out at all
+    val censusRow = hot
+      .agg(count(lit(1)).as("k"), coalesce(max("n"), lit(0L)).as("maxN")).head()
+    val (hotKeys, maxBucket) = (censusRow.getLong(0), censusRow.getLong(1))
     // broadcast the hot keys when they fit — BYTES-based guard (~48 B per
     // serialized (int, long, long) row, capped at ~16 MB; the
     // overwhelmingly common case is one key per colliding bucket); a
     // pathological census falls back to a corpus-linear shuffle join,
     // never to anything quadratic
     val joined =
-      if (hot.count() * 48L <= 16L * 1024 * 1024)
+      if (hotKeys * 48L <= 16L * 1024 * 1024)
         bandRows.join(broadcast(hot), Seq("band", "bandHash"))
       else bandRows.join(hot, Seq("band", "bandHash"))
     // block fan-out: blk = hash(gid) mod nblk (uniform, order-free); each
     // member serves every block pair containing its block — for o over
     // 0..nblk-1 the pair (min(o, blk), max(o, blk)), nblk rows per member,
-    // exactly one row when the bucket fits a single block
-    val nblkCol = greatest(lit(1),
-      ceil(col("n").cast(DoubleType) / lit(blockSize.toDouble)).cast(IntegerType))
-    // the overwhelmingly common single-block bucket takes a CONSTANT
-    // (0, 0) pair — no hash, no sequence/transform allocation per row;
-    // only genuine mega-bucket rows pay the fan-out arithmetic
-    val onePair = array(struct(lit(0).as("lo"), lit(0).as("hi")))
-    val fanned = joined
-      .withColumn("nblk", nblkCol)
-      .withColumn("blk",
-        when(col("nblk") === 1, lit(0)).otherwise(
-          pmod(xxhash64(col("gid")), col("nblk").cast(LongType)).cast(IntegerType)))
-      .select(col("gid"), col("band"), col("bandHash"), col("blk"),
-              col("sig"), col("bhs"),
-              explode(when(col("nblk") === 1, onePair).otherwise(
-                transform(sequence(lit(0), col("nblk") - 1), o =>
-                  struct(least(o, col("blk")).as("lo"),
-                         greatest(o, col("blk")).as("hi"))))).as("bp"))
-      .select(col("gid"), col("band"), col("bandHash"), col("blk"),
-              col("bp.lo").as("lo"), col("bp.hi").as("hi"),
-              col("sig"), col("bhs"))
+    // exactly one row when the bucket fits a single block. When the
+    // census shows NO bucket splits (the overwhelmingly common case) the
+    // projection is a row of constants — no per-row hash, no generator,
+    // the exact pre-fan-out row shape with three constant columns.
+    val fanned =
+      if (maxBucket <= blockSize)
+        joined.select(col("gid"), col("band"), col("bandHash"),
+                      lit(0).as("blk"), lit(0).as("lo"), lit(0).as("hi"),
+                      col("sig"), col("bhs"))
+      else {
+        val nblkCol = greatest(lit(1),
+          ceil(col("n").cast(DoubleType) / lit(blockSize.toDouble)).cast(IntegerType))
+        // single-block buckets inside a splitting census still take the
+        // CONSTANT (0, 0) pair — no hash or sequence allocation per row
+        val onePair = array(struct(lit(0).as("lo"), lit(0).as("hi")))
+        joined
+          .withColumn("nblk", nblkCol)
+          .withColumn("blk",
+            when(col("nblk") === 1, lit(0)).otherwise(
+              pmod(xxhash64(col("gid")), col("nblk").cast(LongType)).cast(IntegerType)))
+          .select(col("gid"), col("band"), col("bandHash"), col("blk"),
+                  col("sig"), col("bhs"),
+                  explode(when(col("nblk") === 1, onePair).otherwise(
+                    transform(sequence(lit(0), col("nblk") - 1), o =>
+                      struct(least(o, col("blk")).as("lo"),
+                             greatest(o, col("blk")).as("hi"))))).as("bp"))
+          .select(col("gid"), col("band"), col("bandHash"), col("blk"),
+                  col("bp.lo").as("lo"), col("bp.hi").as("hi"),
+                  col("sig"), col("bhs"))
+      }
     val nh = numHashes
     val tau = jaccardThreshold
     fanned.as[LshBucketRow]
