@@ -389,12 +389,14 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]
     val cents = b.asInstanceOf[ArrayData]
-    NearestCentroid.nearest(vec, cents)
+    if (right.foldable) NearestCentroid.nearest(vec, cents)
+    else NearestCentroid.nearestDirect(vec, cents)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (v, c) =>
-      s"graft.functions.NearestCentroid.nearest($v, $c)")
+      if (right.foldable) s"graft.functions.NearestCentroid.nearest($v, $c)"
+      else s"graft.functions.NearestCentroid.nearestDirect($v, $c)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -407,25 +409,50 @@ object NearestCentroid {
     * unboxings per ROW (at a sqrt-scaled 448-list index that was ~29k
     * per row, the dominant cost of every sf10 index build). Convert to a
     * primitive double[][] ONCE per task thread, keyed by reference
-    * identity (a literal's value object is stable across rows; a plan
-    * alternating two tables on one thread merely re-converts — correct,
-    * just slower, and no plan here does that). */
-  private val tableMemo =
-    new ThreadLocal[(ArrayData, Array[Array[Double]])]
+    * identity, in a small fixed-slot memo: one projection can evaluate
+    * SEVERAL table expressions per row (CollapseProject merges the
+    * `ivfPqBuildPersist` assignment + PQ-encode projections, so
+    * NearestCentroid's coarse table and PqEncode's codebook alternate on
+    * one thread — a single slot would re-convert BOTH tables every row).
+    * Only FOLDABLE table arguments reach this memo (the expressions gate
+    * on `right.foldable` and fall back to [[nearestDirect]]): a literal's
+    * ArrayData is one immutable object for the plan's lifetime, so
+    * identity-keying is sound, whereas a per-row column would miss every
+    * row AND could legally reuse a mutated buffer across rows. The memo
+    * pins at most [[MemoSlots]] small tables per live thread (≲1 MB each
+    * at the sqrt-scaled sf10 sizing). */
+  private val MemoSlots = 4
+  private final class Memo {
+    val keys = new Array[ArrayData](MemoSlots)
+    val vals = new Array[Array[Array[Double]]](MemoSlots)
+    var next = 0
+  }
+  private val tableMemo = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+  /** Table conversions performed (memo misses) — test observability for
+    * the once-per-task-per-table contract; a relaxed counter on the miss
+    * path only, never in the per-row hot loop. */
+  private[graft] val conversions = new java.util.concurrent.atomic.AtomicLong
   def table(cents: ArrayData): Array[Array[Double]] = {
     val m = tableMemo.get()
-    if (m != null && (m._1 eq cents)) m._2
-    else {
-      val k = cents.numElements()
-      val arr = new Array[Array[Double]](k)
-      var c = 0
-      while (c < k) { arr(c) = cents.getArray(c).toDoubleArray(); c += 1 }
-      tableMemo.set((cents, arr))
-      arr
+    var i = 0
+    while (i < MemoSlots) {
+      if (m.keys(i) eq cents) return m.vals(i)
+      i += 1
     }
+    conversions.incrementAndGet()
+    val k = cents.numElements()
+    val arr = new Array[Array[Double]](k)
+    var c = 0
+    while (c < k) { arr(c) = cents.getArray(c).toDoubleArray(); c += 1 }
+    m.keys(m.next) = cents
+    m.vals(m.next) = arr
+    m.next = (m.next + 1) % MemoSlots
+    arr
   }
 
-  /** Static helper the generated code calls directly. */
+  /** Static helper the generated code calls directly (foldable table). */
   def nearest(vec: ArrayData, cents: ArrayData): Int = {
     val tbl = table(cents)
     val k = tbl.length
@@ -448,6 +475,32 @@ object NearestCentroid {
     }
     best
   }
+
+  /** Non-foldable-table path (the SQL-exposed function can receive a
+    * per-row centroid column): direct ArrayData reads, no memo — a fresh
+    * object per row would miss every lookup and pay a full k×dim
+    * primitive copy on top of the boxed walk. */
+  def nearestDirect(vec: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    val dim = vec.numElements()
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val cent = cents.getArray(c)
+      val d2max = math.min(dim, cent.numElements())
+      var d2 = 0.0
+      var d = 0
+      while (d < d2max) {
+        val t = vec.getFloat(d).toDouble - cent.getDouble(d)
+        d2 += t * t
+        d += 1
+      }
+      if (d2 < bd) { bd = d2; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 case class PqEncode(left: Expression, right: Expression) extends BinaryExpression {
@@ -462,22 +515,29 @@ case class PqEncode(left: Expression, right: Expression) extends BinaryExpressio
     }
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    PqEncode.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cbs = b.asInstanceOf[ArrayData]
+    if (right.foldable) PqEncode.encode(vec, cbs)
+    else PqEncode.encodeDirect(vec, cbs)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (v, c) =>
-      s"graft.functions.PqEncode.encode($v, $c)")
+      if (right.foldable) s"graft.functions.PqEncode.encode($v, $c)"
+      else s"graft.functions.PqEncode.encodeDirect($v, $c)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 object PqEncode {
-  /** Static helper the generated code calls directly — the codebook
-    * literal goes through [[NearestCentroid.table]]'s per-thread
-    * primitive conversion (2048 sub-centroids × dsub boxed reads per row
-    * otherwise; same fix, same memo). */
+  /** Static helper the generated code calls directly (foldable codebook) —
+    * the codebook literal goes through [[NearestCentroid.table]]'s
+    * per-thread primitive conversion (2048 sub-centroids × dsub boxed
+    * reads per row otherwise; same multi-slot memo, so sharing a
+    * collapsed projection with a NearestCentroid over a different table
+    * costs nothing — each table holds its own slot). */
   def encode(vec: ArrayData, cbs: ArrayData): Long = {
     val tbl = NearestCentroid.table(cbs)
     val m = tbl.length >> 8
@@ -494,6 +554,35 @@ object PqEncode {
         var d = 0
         while (d < dsub) {
           val t = vec.getFloat(s * dsub + d).toDouble - cent(d)
+          d2 += t * t
+          d += 1
+        }
+        if (d2 < bd) { bd = d2; best = c }
+        c += 1
+      }
+      code |= best.toLong << (s * 8)
+      s += 1
+    }
+    code
+  }
+
+  /** Non-foldable-codebook path: direct ArrayData reads, no memo (see
+    * [[NearestCentroid.nearestDirect]]). */
+  def encodeDirect(vec: ArrayData, cbs: ArrayData): Long = {
+    val m = cbs.numElements() >> 8
+    val dsub = vec.numElements() / math.max(m, 1)
+    var code = 0L
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < 256) {
+        val cent = cbs.getArray(s * 256 + c)
+        var d2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val t = vec.getFloat(s * dsub + d).toDouble - cent.getDouble(d)
           d2 += t * t
           d += 1
         }

@@ -468,8 +468,15 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val (indexed, centroids) = ivfIndex(df, idCol, vecCol, nLists)
-    val sample = df.select(col(vecCol)).limit(sampleN).collect()
-      .map(_.getSeq[Float](0).toArray)
+    // hash-gated like ivfIndex's coarse sample: a plain limit() takes the
+    // FIRST fragments' rows, which on sorted/partitioned corpora trains
+    // the codebooks on one corner of the distribution
+    val gated = df.select(col(vecCol))
+      .where(pmod(xxhash64(col(idCol)), lit(4)) === 0)
+      .limit(sampleN).collect()
+    val rows = if (gated.nonEmpty) gated
+               else df.select(col(vecCol)).limit(sampleN).collect()
+    val sample = rows.map(_.getSeq[Float](0).toArray)
     val codebooks = pqTrain(sample, m)
     val cbLit = typedlit(codebooks.flatMap(_.map(_.toSeq)).toSeq)
     // persist across the write: the range sampling would otherwise run
