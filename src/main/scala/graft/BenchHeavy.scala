@@ -29,8 +29,10 @@ object BenchHeavy {
     "d34_neardup_capped", "e09_semantic_dedup",
     // ANN family (round 12): builds should track the data ratio, probes
     // should stay sub-linear (sqrt-scaled IVF lists + fragment pruning).
-    // Build rows rebuild per pass (no memoization benefit); probe rows
-    // hit the per-dir memoized index after their first pass.
+    // Since round 13 every probe row (e06_ivf_topk, e06b, e08_ivfpq_topk,
+    // e10) reads a PERSISTED index; their fixtures are built by the
+    // preceding build rows or warmed once untimed (warmOnce below), so
+    // the timed rows measure probes.
     "e06_build", "e06_ivf_topk", "e06b_ivf_probe",
     "e08_build", "e08_ivfpq_topk", "e10_batch_ann", "e12_binary_quant",
     "f01_bm25_rank", "f02_fts_build", "f03_fts_search", "f04_fts_phrase",
@@ -79,6 +81,12 @@ object BenchHeavy {
       spark.catalog.clearCache()
       t
     }
+    // Probe rows whose persisted-index fixture no EARLIER row builds:
+    // run once untimed so a 1-pass (sf_big) measurement times the probe,
+    // not the first-touch index build. e10's batch-corpus index build is
+    // the e06_build operation on a 99.99%-identical corpus — its cost is
+    // already a labeled row.
+    val warmOnce = Set("e10_batch_ann")
     def measure(dir: String, passes: Int,
                 skip: Map[String, String]): Map[String, Either[String, Double]] = {
       Tables.register(spark, dir)
@@ -87,7 +95,10 @@ object BenchHeavy {
       heavy.map { n =>
         val r =
           if (skip.contains(n)) Left("SKIPPED")
-          else try Right((1 to passes).map(_ => runOnce(n, dir)).min)
+          else try {
+            if (warmOnce.contains(n) && passes < 2) runOnce(n, dir)
+            Right((1 to passes).map(_ => runOnce(n, dir)).min)
+          }
           catch { case e: Throwable =>
             Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}") }
         println(f"[heavy] $dir $n%-26s ${r.fold(identity, t => f"$t%8.3f s")}")
@@ -116,7 +127,7 @@ object BenchHeavy {
       s"""{"metric":"heavy_scale_smoke","sf_small":${jstr(sfSmall)},""" +
       s""""sf_big":${jstr(sfBig)},"data_ratio":10,""" +
       f""""total_sf_small":${total(small)}%.1f,"total_sf_big":${total(big)}%.1f,""" +
-      s""""note":"sf_small = min of 2 passes; sf_big = 1 pass (decade queries sit far above the job floor). Lifecycle queries (l24/l26/l27, f02) are commit-count-bound, not data-bound. Rows with per-JVM build memoization (f02/f05/f06, e06b/e08_build/e10) report a WARM second pass at sf_small but a build-inclusive first pass at sf_big, so their ratio overstates scale cost — compare the probe-only rows (e06_ivf_topk, e08_ivfpq_topk, f03/f07/f08/f09) for the scale story.",""" +
+      s""""note":"sf_small = min of 2 passes; sf_big = 1 pass (decade queries sit far above the job floor). Lifecycle queries (l24/l26/l27, f02) are commit-count-bound, not data-bound. Every ANN probe row (e06_ivf_topk, e06b_ivf_probe at nProbe=12, e08_ivfpq_topk, e10_batch_ann) reads a PERSISTED index; fixtures are built by the labeled build rows or warmed once untimed, so probe rows measure probes. Rows with per-JVM build memoization (f02/f05/f06, e08_build) report a WARM second pass at sf_small but a build-inclusive first pass at sf_big. Convention: a round-over-round sf_big delta inside the ~25% ambient band is adjudicated by interleaved same-session runs of both trees (min of 5), not by comparing artifacts across days — see NOTES.",""" +
       s""""queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))

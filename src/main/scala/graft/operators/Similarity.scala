@@ -655,7 +655,16 @@ object Similarity {
             struct(dist2(col("qvec"), c).as("d"), i.as("list")))),
           s => s.getField("list")), 1, nProbe))
       .select(col("qid"), col("qvec"), explode(col("probe_lists")).as("list_id"))
-    val scored = probes.join(indexed, "list_id")
+    // Bound the corpus scan to the UNION of every query's probe lists —
+    // one tiny query-side job shipping at most nLists ints to the driver
+    // (regardless of batch size), so a PERSISTED index's per-fragment
+    // [min,max] list_id stats prune unprobed fragments exactly like the
+    // single-query probe path. The probe subtree runs twice (union pick +
+    // join); its cost is bounded by the QUERY batch, never the corpus.
+    val unionLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0))
+    val pruned = indexed.filter(col("list_id").isin(unionLists.toIndexedSeq: _*))
+    val scored = probes.join(pruned, "list_id")
       .select(col("qid"),
               cosine(col(vecCol), col("qvec")).as("cos"),
               col(idCol).cast("long").as("cand"))

@@ -71,6 +71,20 @@ object VectorOps {
     }
   }
 
+  /** Persisted IVF index over the BATCH corpus (`vec_id >= 10` — the
+    * e10 query/corpus split), at its own path so it never collides with
+    * the `vec_id > 0` index. Built on first touch per dir; probe calls
+    * then pay neither a count job nor a KMeans fit. */
+  private def ensureIvfBatch(s: SparkSession, dir: String): Unit = {
+    val vectors = new java.io.File(s"${ivfPath(dir)}_batch/vectors.lance/_versions")
+    if (!vectors.exists()) {
+      val t = Tables.register(s, dir)
+      val corpus = t("embeddings").filter(col("vec_id") >= 10)
+      Similarity.ivfBuildPersist(corpus, "vec_id", "embedding",
+        nLists = ivfLists(corpus.count()), indexPath = s"${ivfPath(dir)}_batch")
+    }
+  }
+
   private def ensureIvfPq(s: SparkSession, dir: String): Unit = {
     val pq = new java.io.File(s"${ivfPath(dir)}/pq.lance/_versions")
     if (!pq.exists()) {
@@ -312,18 +326,18 @@ object VectorOps {
         .select(col("vec_id"), round(col("cos"), 9).as("cos"))
     }, None),
 
-    // probe-only twin: hits the memoized index (declared after e06 so a
-    // sequential run has built it; standalone runs build then probe)
+    // probe-only twin over the PERSISTED index at double probe width —
+    // the production probe path (cached centroid sidecar read +
+    // fragment-pruned scan, no KMeans, no count job); nProbe=12 is the
+    // wider-recall face, so vs e06_ivf_topk this row shows probe cost
+    // scaling with the probed fraction (2x lists), not the corpus
     QDef("e06b_ivf_probe", (s, dir) => {
       val t = Tables.register(s, dir)
-      val corpus = t("embeddings").filter(col("vec_id") > 0)
       val query = t("embeddings").filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
-      val (indexed, centroids) =
-        Similarity.ivfIndexCached(corpus, "vec_id", "embedding",
-                                  nLists = ivfLists(corpus.count()), key = dir)
-      Similarity.ivfCosineTopK(indexed, centroids, "vec_id", "embedding", query,
-                               k = 10, nProbe = 6)
+      ensureIvf(s, dir)
+      Similarity.ivfSearchPersisted(s, ivfPath(dir), "vec_id", "embedding",
+                                    query, k = 10, nProbe = 12)
     }, None),
 
     // --- batched ANN: per-query IVF top-k for a TABLE of query vectors ----
@@ -333,13 +347,16 @@ object VectorOps {
     // SimilaritySpec)
     QDef("e10_batch_ann", (s, dir) => {
       val t = Tables.register(s, dir)
-      val corpus = t("embeddings").filter(col("vec_id") >= 10)
       val queries = t("embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val (indexed, centroids) =
-        Similarity.ivfIndexCached(corpus, "vec_id", "embedding",
-                                  nLists = ivfLists(corpus.count()),
-                                  key = s"$dir:batch")
+      // PERSISTED index (first touch per dir builds it): probes read the
+      // union of the batch's probe lists through fragment-stat pruning —
+      // the production path, vs the old per-session in-memory build whose
+      // bench rows measured the build, not the probe
+      ensureIvfBatch(s, dir)
+      val path = s"${ivfPath(dir)}_batch"
+      val centroids = Similarity.ivfCentroids(s, path)
+      val indexed = s.read.format("lance").load(s"$path/vectors.lance")
       Similarity.ivfBatchCosineTopK(indexed, centroids, "vec_id", "embedding",
                                     queries, "qid", "qvec", k = 5, nProbe = 6)
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 9).as("cos"))
