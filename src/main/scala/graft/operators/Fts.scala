@@ -104,7 +104,19 @@ object Fts {
     */
   def buildIndexFromPostings(spark: SparkSession, p: DataFrame,
                              indexPath: String,
-                             writePartitions: Int = 8): Unit = {
+                             writePartitions: Int = 8): Unit =
+    // same lock updateIndex holds: two concurrent rebuilds (or a rebuild
+    // racing an update) would interleave sidecar overwrites — readers
+    // pin, so they stay consistent, but the LOSER's sidecars could end
+    // up published under the winner's tombstone/pins
+    graft.sources.lance.MaintenanceLock.withLock(indexPath,
+        spark.sessionState.newHadoopConf()) {
+      buildIndexFromPostingsLocked(spark, p, indexPath, writePartitions)
+    }
+
+  private def buildIndexFromPostingsLocked(spark: SparkSession, p: DataFrame,
+                                           indexPath: String,
+                                           writePartitions: Int): Unit = {
     p.repartitionByRange(writePartitions, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.format("lance").mode("overwrite").save(s"$indexPath/postings.lance")
@@ -119,31 +131,65 @@ object Fts {
            sum(col("dl")).cast(LongType).as("total_len"))
       .coalesce(1)
       .write.format("lance").mode("overwrite").save(s"$indexPath/stats.lance")
-    // a rebuild over a previously pinned path must drop the stale publish
-    // point ITSELF, not just this JVM's cache: built.lance pins the OLD
-    // sidecar versions and any other process would keep reading them
+    // a rebuild over a previously pinned path must retire the stale
+    // publish point ITSELF, not just this JVM's cache: built.lance pins
+    // the OLD sidecar versions and any other process would keep reading
+    // them. Retire = overwrite with a TOMBSTONE row (every version field
+    // = NoBuilt), NOT a delete: deleting resets the dataset's version
+    // counter to 1 on the next publish, and a remote pins cache keyed at
+    // (1, oldPins) would treat that republished version-1 head as
+    // already-seen — stale pins forever. The tombstone keeps the publish
+    // point's version strictly monotonic across rebuilds, and [[pinsOf]]
+    // reads it as "unpinned" (sidecar heads are authoritative).
     try {
       import graft.sources.lance.LanceFormat
       val (bfs, bp) = LanceFormat.fileSystem(s"$indexPath/built.lance",
         spark.sessionState.newHadoopConf())
-      if (bfs.exists(bp)) bfs.delete(bp, true)
+      if (bfs.exists(bp)) {
+        spark.createDataFrame(
+            Seq((NoBuilt, "", "", NoBuilt, NoBuilt, NoBuilt)))
+          .toDF("built_version", "id_col", "text_col",
+                "postings_version", "terms_version", "stats_version")
+          .coalesce(1).write.format("lance").mode("overwrite")
+          .save(s"$indexPath/built.lance")
+      }
     } catch { case _: Exception => () } // best-effort; pinsOf stats per read
-    pinsCache.put(indexPath, (NoBuilt, None))
-    statsCache.put(indexPath, (None, readStats(spark, indexPath)))
+    val headAfter =
+      try builtHeadVersion(spark, indexPath) catch { case _: Exception => NoBuilt }
+    pinsCache.put(indexPath, (headAfter, None))
+    val sk = statsHeadKey(spark, indexPath)
+    if (sk != null) statsCache.put(indexPath, (sk, readStats(spark, indexPath)))
   }
 
-  /** Corpus stats cached per index, validated against the CURRENT pins —
-    * a publish (local or cross-process) invalidates the entry. */
+  /** Corpus stats cached per index, validated against a freshness key.
+    * PUBLISHED (built.lance) indexes key on the current pins — a publish,
+    * local or cross-process, changes the pins and invalidates the entry.
+    * PINLESS (plain-build) indexes have no publish point whose version a
+    * rebuild would advance, so they key on stats.lance's OWN head version
+    * instead (one manifest stat per read) — a cross-process rebuild
+    * overwrites stats.lance, advancing that version, and invalidates
+    * here too. A null key marks a transient store failure: the lookup
+    * bypasses the cache (fresh read) and nothing is cached. */
   private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Option[Pins], (Long, Long))]
+    new java.util.concurrent.ConcurrentHashMap[String, (Any, (Long, Long))]
+
+  /** stats.lance's head version boxed as the pinless freshness key, or
+    * null on a transient store failure (callers bypass the cache). */
+  private def statsHeadKey(spark: SparkSession, indexPath: String): Any =
+    try java.lang.Long.valueOf(headVersion(
+      spark.sessionState.newHadoopConf(), s"$indexPath/stats.lance"))
+    catch { case _: Exception => null }
 
   private def statsOf(spark: SparkSession, indexPath: String): (Long, Long) = {
-    val pins = pinsOf(spark, indexPath)
+    val key: Any = pinsOf(spark, indexPath) match {
+      case sp @ Some(_) => sp
+      case None         => statsHeadKey(spark, indexPath)
+    }
     val c = statsCache.get(indexPath)
-    if (c != null && c._1 == pins) c._2
+    if (key != null && c != null && c._1 == key) c._2
     else {
       val s = readStats(spark, indexPath)
-      statsCache.put(indexPath, (pins, s))
+      if (key != null) statsCache.put(indexPath, (key, s))
       s
     }
   }
@@ -216,9 +262,12 @@ object Fts {
       val pins =
         if (b.columns.contains("postings_version")) {
           val r = b.head()
-          Some(Pins(r.getAs[Long]("postings_version"),
-                    r.getAs[Long]("terms_version"),
-                    r.getAs[Long]("stats_version")))
+          val pv = r.getAs[Long]("postings_version")
+          // NoBuilt sentinel = tombstone (plain rebuild retired the
+          // publish point): sidecar heads are authoritative, no pins
+          if (pv == NoBuilt) None
+          else Some(Pins(pv, r.getAs[Long]("terms_version"),
+                         r.getAs[Long]("stats_version")))
         } else None
       pinsCache.put(indexPath, (headNow, pins))
       pins
@@ -229,8 +278,21 @@ object Fts {
   }
 
   private def pinsFromRow(r: org.apache.spark.sql.Row): Option[Pins] =
-    if (r.length >= 6) Some(Pins(r.getLong(3), r.getLong(4), r.getLong(5)))
+    if (r.length >= 6 && r.getLong(3) != NoBuilt)
+      Some(Pins(r.getLong(3), r.getLong(4), r.getLong(5)))
     else None
+
+  /** Reject a tombstoned publish point for operations that need the
+    * lance-attached metadata (source version / column names): after a
+    * plain-path rebuild those fields are retired, and e.g. an
+    * incremental update or a combined search would CDC-scan from a
+    * bogus source version. */
+  private def requirePublished(r: org.apache.spark.sql.Row,
+                               indexPath: String): Unit =
+    require(r.length < 6 || r.getLong(3) != NoBuilt,
+      s"$indexPath: publish point is a tombstone — the index was rebuilt " +
+        "by the plain buildIndex path since its last lance-attached " +
+        "publish; re-run buildIndexLance against the source dataset")
 
   /** A sidecar scan pinned at its PUBLISHED version — every reader goes
     * through here, so in-flight (unpublished) sidecar commits are
@@ -421,6 +483,11 @@ object Fts {
                       stagedPostings: Option[DataFrame] = None): Long = {
     import graft.sources.lance.LanceFormat
     val conf = spark.sessionState.newHadoopConf()
+    // hold the maintenance lock across rebuild AND republish: without it
+    // a concurrent updateIndex (or twin rebuild) could interleave between
+    // the interior's tombstone and this publish, and cross-process
+    // readers would head-read a mix of two writers' sidecars
+    graft.sources.lance.MaintenanceLock.withLock(indexPath, conf) {
     val (fs, p) = LanceFormat.fileSystem(sourcePath, conf)
     val builtV = LanceFormat.readManifest(fs,
       LanceFormat.latestManifestPath(fs, p, None)).version
@@ -432,7 +499,8 @@ object Fts {
       postings(spark.read.format("lance")
         .option("versionAsOf", builtV).load(sourcePath), idCol, textCol)
     }
-    buildIndexFromPostings(spark, tokenized, indexPath, writePartitions)
+    // locked interior — the public wrapper's lock is NOT reentrant
+    buildIndexFromPostingsLocked(spark, tokenized, indexPath, writePartitions)
     // publish: built.lance records the exact sidecar versions this build
     // produced — all readers pin on them (see [[Pins]])
     val pins = Pins(headVersion(conf, s"$indexPath/postings.lance"),
@@ -446,11 +514,15 @@ object Fts {
       .save(s"$indexPath/built.lance")
     pinsCache.put(indexPath,
       (builtHeadVersion(spark, indexPath), Some(pins)))
-    val (nDocs, totalLen) = statsCache.get(indexPath)._2
+    // fresh 1-row read, not the cache: the pre-publish entry could be
+    // missing (transient statsHeadKey failure) or stale, and readStats
+    // through the tombstoned pins resolves to the just-written head
+    val (nDocs, totalLen) = readStats(spark, indexPath)
     statsCache.put(indexPath, (Some(pins), (nDocs, totalLen)))
     graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
       indexPath, idCol, textCol, nDocs, totalLen, builtV))
     builtV
+    } // withLock
   }
 
   /** Incrementally fold the post-build append tail into the persisted
@@ -500,6 +572,7 @@ object Fts {
                                 fence: graft.sources.lance.MaintenanceLock.Fence): Long = {
     import graft.sources.lance.LanceFormat
     val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
+    requirePublished(b, indexPath)
     val (builtV, idCol, textCol) = (b.getLong(0), b.getString(1), b.getString(2))
     val pins = pinsFromRow(b)
     // refresh the JVM cache from the row JUST read under the lock: the
@@ -579,6 +652,7 @@ object Fts {
   def attachIndex(spark: SparkSession, sourcePath: String,
                   indexPath: String): Unit = {
     val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
+    requirePublished(b, indexPath)
     // re-attach = drop cached state and re-read the publish point
     pinsCache.remove(indexPath)
     statsCache.remove(indexPath)
@@ -601,8 +675,9 @@ object Fts {
   def searchCombined(spark: SparkSession, indexPath: String,
                      sourcePath: String, idCol: String, textCol: String,
                      terms: Seq[String], k: Int): DataFrame = {
-    val builtV = spark.read.format("lance").load(s"$indexPath/built.lance")
-      .head().getLong(0)
+    val br = spark.read.format("lance").load(s"$indexPath/built.lance").head()
+    requirePublished(br, indexPath)
+    val builtV = br.getLong(0)
     val (nDocs, totalLen) = statsOf(spark, indexPath)
     val idxPost = sidecar(spark, indexPath, "postings")
     val tailPost = postings(

@@ -408,4 +408,82 @@ class FtsSpec extends AnyFunSuite {
       array_contains(split(col("text"), " "), "merge")).count()
     assert(got == want)
   }
+
+  private def builtVersion(ixPath: String): Long = {
+    import graft.sources.lance.LanceFormat
+    val (fs, p) = LanceFormat.fileSystem(s"$ixPath/built.lance",
+      spark.sessionState.newHadoopConf())
+    LanceFormat.readManifest(fs,
+      LanceFormat.latestManifestPath(fs, p, None)).version
+  }
+
+  test("plain rebuild tombstones the publish point: version advances, attach/update refuse") {
+    // round 13 (advisor): DELETING built.lance on a plain rebuild reset
+    // its version counter to 1, so a remote pins cache keyed at
+    // (1, oldPins) would treat a later republish's version-1 head as
+    // already-seen and keep stale pins forever. The rebuild now writes a
+    // TOMBSTONE row instead: the version strictly advances across the
+    // whole rebuild/republish lifecycle.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_tomb").toString
+    val src = s"$dir/docs.lance"
+    (1L to 20L).map(i => (i, s"tok${i % 5} cat")).toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    val v1 = builtVersion(s"$dir/ix")
+    // plain-path rebuild over the SAME index path, different corpus
+    val docs2 = (1L to 25L).map(i => (i, s"tok${i % 7} dog"))
+      .toDF("doc_id", "text")
+    Fts.buildIndex(docs2, "doc_id", "text", s"$dir/ix")
+    val v2 = builtVersion(s"$dir/ix")
+    assert(v2 > v1, s"tombstone must advance the publish version: $v1 -> $v2")
+    // unpinned head reads serve the REBUILT corpus, equal to index-free
+    val direct = Fts.bm25(docs2, "doc_id", "text", Seq("dog"), 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIdx = Fts.searchPersisted(spark, s"$dir/ix", Seq("dog"), 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIdx == direct)
+    // lance-attached operations need the retired source metadata: refuse
+    intercept[IllegalArgumentException] {
+      Fts.updateIndex(spark, src, s"$dir/ix")
+    }
+    intercept[IllegalArgumentException] {
+      Fts.attachIndex(spark, src, s"$dir/ix")
+    }
+    // republish: the version keeps advancing, pinned reads resume
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    assert(builtVersion(s"$dir/ix") > v2)
+    val repub = Fts.searchPersisted(spark, s"$dir/ix", Seq("cat"), 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val directSrc = Fts.bm25(spark.read.format("lance").load(src),
+        "doc_id", "text", Seq("cat"), 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(repub == directSrc)
+  }
+
+  test("pinless index: a cross-process stats publish invalidates cached stats") {
+    // round 13 (advisor): a plain-build index has no publish point, so
+    // the stats cache keyed on Option[Pins] compared None == None and a
+    // cross-process rebuild never invalidated it. Pinless entries now key
+    // on stats.lance's own head version.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_pinless").toString
+    val ixp = s"$dir/ix"
+    val docs1 = (1L to 20L).map(i => (i, s"tok${i % 5} cat"))
+      .toDF("doc_id", "text")
+    Fts.buildIndex(docs1, "doc_id", "text", ixp)
+    def search() = Fts.searchPersisted(spark, ixp, Seq("cat"), 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search() // warm: stats cached
+    // "another process" republishes stats.lance directly, bypassing every
+    // in-JVM cache hook: double n_docs (same avgdl) shifts every idf
+    val st = spark.read.format("lance").load(s"$ixp/stats.lance").head()
+    spark.createDataFrame(Seq((st.getLong(0) * 2, st.getLong(1) * 2)))
+      .toDF("n_docs", "total_len")
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$ixp/stats.lance")
+    val after = search()
+    assert(after != before,
+      "a cross-process stats publish must invalidate the pinless stats cache")
+  }
 }
