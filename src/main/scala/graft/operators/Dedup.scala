@@ -14,6 +14,12 @@ private[graft] case class LshBucketRow(gid: Long, band: Int, bandHash: Long,
                                        blk: Int, lo: Int, hi: Int,
                                        sig: Array[Long], bhs: Array[Long])
 
+/** [[LshBucketRow]] without the block fan-out columns — the no-split
+  * kernel's row (the overwhelmingly common census outcome), so the
+  * exchange and the kernel serializer never carry constants. */
+private[graft] case class LshSlimRow(gid: Long, band: Int, bandHash: Long,
+                                     sig: Array[Long], bhs: Array[Long])
+
 /** A surviving (est ≥ threshold) near-dup rep pair emitted by the
   * bucket-local LSH kernel. */
 private[graft] case class LshPair(gid_a: Long, gid_b: Long, est_jaccard: Double)
@@ -367,93 +373,121 @@ object Dedup {
       if (hotKeys * 48L <= 16L * 1024 * 1024)
         bandRows.join(broadcast(hot), Seq("band", "bandHash"))
       else bandRows.join(hot, Seq("band", "bandHash"))
-    // block fan-out: blk = hash(gid) mod nblk (uniform, order-free); each
-    // member serves every block pair containing its block — for o over
-    // 0..nblk-1 the pair (min(o, blk), max(o, blk)), nblk rows per member,
-    // exactly one row when the bucket fits a single block. When the
-    // census shows NO bucket splits (the overwhelmingly common case) the
-    // projection is a row of constants — no per-row hash, no generator,
-    // the exact pre-fan-out row shape with three constant columns.
-    val fanned =
-      if (maxBucket <= blockSize)
-        joined.select(col("gid"), col("band"), col("bandHash"),
-                      lit(0).as("blk"), lit(0).as("lo"), lit(0).as("hi"),
-                      col("sig"), col("bhs"))
-      else {
-        val nblkCol = greatest(lit(1),
-          ceil(col("n").cast(DoubleType) / lit(blockSize.toDouble)).cast(IntegerType))
-        // single-block buckets inside a splitting census still take the
-        // CONSTANT (0, 0) pair — no hash or sequence allocation per row
-        val onePair = array(struct(lit(0).as("lo"), lit(0).as("hi")))
-        joined
-          .withColumn("nblk", nblkCol)
-          .withColumn("blk",
-            when(col("nblk") === 1, lit(0)).otherwise(
-              pmod(xxhash64(col("gid")), col("nblk").cast(LongType)).cast(IntegerType)))
-          .select(col("gid"), col("band"), col("bandHash"), col("blk"),
-                  col("sig"), col("bhs"),
-                  explode(when(col("nblk") === 1, onePair).otherwise(
-                    transform(sequence(lit(0), col("nblk") - 1), o =>
-                      struct(least(o, col("blk")).as("lo"),
-                             greatest(o, col("blk")).as("hi"))))).as("bp"))
-          .select(col("gid"), col("band"), col("bandHash"), col("blk"),
-                  col("bp.lo").as("lo"), col("bp.hi").as("hi"),
-                  col("sig"), col("bhs"))
-      }
     val nh = numHashes
     val tau = jaccardThreshold
-    fanned.as[LshBucketRow]
-      .groupByKey(m => (m.band, m.bandHash, m.lo, m.hi))
-      .flatMapGroups { (key, it) =>
-        // per-pair kernel: first-colliding-band ownership (the bucket-
-        // local replacement for the global distinct — exact because
-        // bucket membership IS band-hash equality), then an eq count
-        // with a conservative early exit: if even all-remaining-equal
-        // cannot reach the threshold under the SAME double compare the
-        // final test uses, reject now. Symmetric in (a, b).
-        def pairOf(a: LshBucketRow, b: LshBucketRow): Iterator[LshPair] = {
-          var owned = true
-          var k = 0
-          while (k < a.band && owned) {
-            if (a.bhs(k) == b.bhs(k)) owned = false
-            k += 1
-          }
-          if (!owned) Iterator.empty
-          else {
-            var eq = 0
-            var p = 0
-            var live = true
-            while (p < nh && live) {
-              if (a.sig(p) == b.sig(p)) eq += 1
-              else if ((eq + nh - p - 1).toDouble / nh < tau) live = false
-              p += 1
-            }
-            val est = eq.toDouble / nh
-            if (live && est >= tau)
-              Iterator.single(LshPair(math.min(a.gid, b.gid),
-                                      math.max(a.gid, b.gid), est))
-            else Iterator.empty
-          }
-        }
-        val (lo, hi) = (key._3, key._4)
-        if (lo == hi) {
-          // within-block upper triangle (every member here carries blk == lo)
+    // When the census shows NO bucket splits (the overwhelmingly common
+    // case) take the slim shape: 2-tuple bucket key, no fan-out columns
+    // through the exchange or the kernel serializer — byte-for-byte the
+    // round-11 plan. Both kernels share [[lshPairOf]], and the
+    // OperatorsSpec differential pins run the SAME inputs through
+    // splitting and non-splitting block sizes, covering both branches.
+    if (maxBucket <= blockSize) {
+      joined
+        .select(col("gid"), col("band"), col("bandHash"),
+                col("sig"), col("bhs"))
+        .as[LshSlimRow]
+        .groupByKey(m => (m.band, m.bandHash))
+        .flatMapGroups { (_, it) =>
           val ms = it.toArray
-          java.util.Arrays.sort(ms, Ordering.by((m: LshBucketRow) => m.gid))
+          java.util.Arrays.sort(ms, Ordering.by((m: LshSlimRow) => m.gid))
           val n = ms.length
           Iterator.range(0, n).flatMap { i =>
-            Iterator.range(i + 1, n).flatMap(j => pairOf(ms(i), ms(j)))
+            Iterator.range(i + 1, n).flatMap { j =>
+              lshPairOf(nh, tau,
+                ms(i).gid, ms(i).band, ms(i).sig, ms(i).bhs,
+                ms(j).gid, ms(j).sig, ms(j).bhs)
+            }
           }
-        } else {
-          // cross product of the two blocks — each unordered pair with
-          // blocks {lo, hi} exists exactly here and nowhere else
-          val all = it.toArray
-          val as = all.filter(_.blk == lo)
-          val bs = all.filter(_.blk == hi)
-          as.iterator.flatMap(a => bs.iterator.flatMap(b => pairOf(a, b)))
         }
+        .toDF("gid_a", "gid_b", "est_jaccard")
+    } else {
+      // block fan-out: blk = hash(gid) mod nblk (uniform, order-free);
+      // each member serves every block pair containing its block — for o
+      // over 0..nblk-1 the pair (min(o, blk), max(o, blk)), nblk rows per
+      // member, exactly one row when the bucket fits a single block.
+      val nblkCol = greatest(lit(1),
+        ceil(col("n").cast(DoubleType) / lit(blockSize.toDouble)).cast(IntegerType))
+      // single-block buckets inside a splitting census still take the
+      // CONSTANT (0, 0) pair — no hash or sequence allocation per row
+      val onePair = array(struct(lit(0).as("lo"), lit(0).as("hi")))
+      val fanned = joined
+        .withColumn("nblk", nblkCol)
+        .withColumn("blk",
+          when(col("nblk") === 1, lit(0)).otherwise(
+            pmod(xxhash64(col("gid")), col("nblk").cast(LongType)).cast(IntegerType)))
+        .select(col("gid"), col("band"), col("bandHash"), col("blk"),
+                col("sig"), col("bhs"),
+                explode(when(col("nblk") === 1, onePair).otherwise(
+                  transform(sequence(lit(0), col("nblk") - 1), o =>
+                    struct(least(o, col("blk")).as("lo"),
+                           greatest(o, col("blk")).as("hi"))))).as("bp"))
+        .select(col("gid"), col("band"), col("bandHash"), col("blk"),
+                col("bp.lo").as("lo"), col("bp.hi").as("hi"),
+                col("sig"), col("bhs"))
+      fanned.as[LshBucketRow]
+        .groupByKey(m => (m.band, m.bandHash, m.lo, m.hi))
+        .flatMapGroups { (key, it) =>
+          val (lo, hi) = (key._3, key._4)
+          if (lo == hi) {
+            // within-block upper triangle (every member carries blk == lo)
+            val ms = it.toArray
+            java.util.Arrays.sort(ms, Ordering.by((m: LshBucketRow) => m.gid))
+            val n = ms.length
+            Iterator.range(0, n).flatMap { i =>
+              Iterator.range(i + 1, n).flatMap { j =>
+                lshPairOf(nh, tau,
+                  ms(i).gid, ms(i).band, ms(i).sig, ms(i).bhs,
+                  ms(j).gid, ms(j).sig, ms(j).bhs)
+              }
+            }
+          } else {
+            // cross product of the two blocks — each unordered pair with
+            // blocks {lo, hi} exists exactly here and nowhere else
+            val all = it.toArray
+            val as = all.filter(_.blk == lo)
+            val bs = all.filter(_.blk == hi)
+            as.iterator.flatMap(a => bs.iterator.flatMap(b =>
+              lshPairOf(nh, tau, a.gid, a.band, a.sig, a.bhs,
+                        b.gid, b.sig, b.bhs)))
+          }
+        }
+        .toDF("gid_a", "gid_b", "est_jaccard")
+    }
+  }
+
+  /** The per-pair LSH kernel, shared by the slim (no-split) and
+    * block-pair kernels: first-colliding-band ownership (the
+    * bucket-local replacement for the global distinct — exact because
+    * bucket membership IS band-hash equality), then an eq count with a
+    * conservative early exit: if even all-remaining-equal cannot reach
+    * the threshold under the SAME double compare the final test uses,
+    * reject now. Symmetric in (a, b). */
+  private def lshPairOf(nh: Int, tau: Double,
+                        aGid: Long, aBand: Int,
+                        aSig: Array[Long], aBhs: Array[Long],
+                        bGid: Long, bSig: Array[Long],
+                        bBhs: Array[Long]): Iterator[LshPair] = {
+    var owned = true
+    var k = 0
+    while (k < aBand && owned) {
+      if (aBhs(k) == bBhs(k)) owned = false
+      k += 1
+    }
+    if (!owned) Iterator.empty
+    else {
+      var eq = 0
+      var p = 0
+      var live = true
+      while (p < nh && live) {
+        if (aSig(p) == bSig(p)) eq += 1
+        else if ((eq + nh - p - 1).toDouble / nh < tau) live = false
+        p += 1
       }
-      .toDF("gid_a", "gid_b", "est_jaccard")
+      val est = eq.toDouble / nh
+      if (live && est >= tau)
+        Iterator.single(LshPair(math.min(aGid, bGid), math.max(aGid, bGid), est))
+      else Iterator.empty
+    }
   }
 
   /** The pre-round-11 join-shape pipeline: skinny (gid, band, band_hash)

@@ -470,11 +470,14 @@ object Similarity {
     val (indexed, centroids) = ivfIndex(df, idCol, vecCol, nLists)
     // hash-gated like ivfIndex's coarse sample: a plain limit() takes the
     // FIRST fragments' rows, which on sorted/partitioned corpora trains
-    // the codebooks on one corner of the distribution
+    // the codebooks on one corner of the distribution. A gated draw that
+    // cannot FILL sampleN means the corpus is tiny (< 4*sampleN rows);
+    // there the 256-entry-per-subspace codebooks need every row they can
+    // get (a quartered sample underfits them), so fall back to ungated.
     val gated = df.select(col(vecCol))
       .where(pmod(xxhash64(col(idCol)), lit(4)) === 0)
       .limit(sampleN).collect()
-    val rows = if (gated.nonEmpty) gated
+    val rows = if (gated.length >= sampleN) gated
                else df.select(col(vecCol)).limit(sampleN).collect()
     val sample = rows.map(_.getSeq[Float](0).toArray)
     val codebooks = pqTrain(sample, m)
