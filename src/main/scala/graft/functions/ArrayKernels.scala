@@ -420,7 +420,11 @@ object NearestCentroid {
     * identity-keying is sound, whereas a per-row column would miss every
     * row AND could legally reuse a mutated buffer across rows. The memo
     * pins at most [[MemoSlots]] small tables per live thread (≲1 MB each
-    * at the sqrt-scaled sf10 sizing). */
+    * at the sqrt-scaled sf10 sizing); a single projection alternating
+    * MORE than [[MemoSlots]] distinct tables would thrash again (the
+    * conversions counter below makes that observable) — the widest
+    * in-repo plan, ivfPqBuildPersist's collapsed assignment+encode,
+    * alternates two. */
   private val MemoSlots = 4
   private final class Memo {
     val keys = new Array[ArrayData](MemoSlots)
