@@ -296,8 +296,13 @@ object VectorOps {
     QDef("e08_build", (s, dir) => {
       import s.implicits._
       val t = Tables.register(s, dir)
-      ensureIvfPq(s, dir)
+      // unconditional rebuild — like e06_build, every invocation measures
+      // the build (the per-JVM existence gate made second passes ~free,
+      // so sf_small bench rows understated the build by ~40x; the probe
+      // row keeps the gated ensureIvfPq for standalone runs)
       val corpus = t("embeddings").filter(col("vec_id") > 0)
+      Similarity.ivfPqBuildPersist(corpus, "vec_id", "embedding",
+        nLists = ivfLists(corpus.count()), indexPath = ivfPath(dir))
       val n = corpus.count()
       val dim = corpus.select(col("embedding")).head().getSeq[Float](0).length
       def bytesOf(p: String): Long = {
