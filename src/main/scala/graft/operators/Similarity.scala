@@ -14,6 +14,11 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** The index-default probe width: what builds register for the
+    * declarative SQL rewrite and what probe entry points default to.
+    * Imperative per-call nProbe overrides never mutate a registration. */
+  val DefaultNProbe = 6
+
   /** Sequential-fold dot product of two array<float> columns, in double. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
@@ -325,7 +330,12 @@ object Similarity {
                          indexPath: String, idCol: String, vecCol: String,
                          query: Seq[Float], k: Int, nProbe: Int = 6): DataFrame = {
     val centroids = ivfCentroids(spark, indexPath)
-    graft.plans.GraftAnn.register(s"$indexPath/vectors.lance", centroids, nProbe)
+    // enable the declarative SQL rewrite for this index from a fresh
+    // session, but at the index DEFAULT width — this call's nProbe is a
+    // per-query parameter and must not leak into what later SQL queries
+    // rewrite to (query results would depend on probe-call history)
+    graft.plans.GraftAnn.registerIfAbsent(
+      s"$indexPath/vectors.lance", centroids, DefaultNProbe)
     val indexed = spark.read.format("lance").load(s"$indexPath/vectors.lance")
     ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
   }

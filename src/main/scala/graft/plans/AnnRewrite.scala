@@ -20,6 +20,15 @@ object GraftAnn {
     new java.util.concurrent.ConcurrentHashMap[String, IndexInfo]
   def register(vectorsPath: String, centroids: Array[Array[Double]], nProbe: Int): Unit =
     registry.put(vectorsPath, IndexInfo(centroids, nProbe))
+  /** Enable the rewrite for a path WITHOUT mutating an existing
+    * registration — the imperative probe path uses this so a
+    * `ivfSearchPersisted(.., nProbe = 12)` call cannot silently widen
+    * (or narrow) the probe width later SQL queries over the same index
+    * rewrite to. The declarative width is a property of the registered
+    * index: set at build/explicit-register time, order-independent. */
+  def registerIfAbsent(vectorsPath: String, centroids: Array[Array[Double]],
+                       nProbe: Int): Unit =
+    registry.putIfAbsent(vectorsPath, IndexInfo(centroids, nProbe))
   def lookup(vectorsPath: String): Option[IndexInfo] = Option(registry.get(vectorsPath))
   def clear(): Unit = registry.clear()
 }

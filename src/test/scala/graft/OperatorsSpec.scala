@@ -552,6 +552,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaRule == imperative)
   }
 
+  test("imperative probe nProbe never mutates the SQL rewrite's width") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") > 0)
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_width").toString
+    Similarity.ivfBuildPersist(corpus, "vec_id", "embedding", nLists = 16,
+      indexPath = idx, nProbe = 6)
+    val path = s"$idx/vectors.lance"
+    assert(graft.plans.GraftAnn.lookup(path).get.nProbe == 6)
+    // a wide imperative probe: its own scan probes 12 lists, but the
+    // registered declarative width stays the build's
+    Similarity.ivfSearchPersisted(spark, idx, "vec_id", "embedding",
+      query, k = 10, nProbe = 12).collect()
+    assert(graft.plans.GraftAnn.lookup(path).get.nProbe == 6,
+      "probe-call nProbe leaked into the declarative registration")
+    // fresh session/registry: the first IMPERATIVE touch enables the
+    // rewrite at the index default width, not the call's parameter —
+    // SQL results stay independent of probe-call history
+    graft.plans.GraftAnn.clear()
+    Similarity.ivfSearchPersisted(spark, idx, "vec_id", "embedding",
+      query, k = 10, nProbe = 12).collect()
+    assert(graft.plans.GraftAnn.lookup(path).get.nProbe == Similarity.DefaultNProbe)
+  }
+
   test("filtered ANN (prefilter): WHERE composes with the probe rewrite") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
