@@ -10,10 +10,23 @@ import org.apache.spark.sql.SparkSession
   * for the production faces, quadratic only for the declared-contract
   * oracle twins) shows up as a ratio far above the data ratio.
   *
-  * Usage: `runMain graft.BenchHeavy <sfSmallDir> <sfBigDir> <outFile>`
-  * (defaults: localdata/sf1 localdata/sf10 BENCH_SF10_HEAVY.json). The
-  * small SF runs two passes (min); the big SF runs one pass — decade
-  * queries are seconds-to-minutes long, far above the job-overhead floor.
+  * Provenance lives IN the artifact: every row carries the full
+  * `sf_small_runs` / `sf_big_runs` arrays alongside the min, so a reader
+  * can see which pass won and how wide the ambient spread was without a
+  * NOTES cross-reference (the round-13 interleaved min-of-N protocol,
+  * standardized).
+  *
+  * Usage: `runMain graft.BenchHeavy <sfSmallDir> <sfBigDir> <outFile>
+  * [dataRatio]` (defaults: localdata/sf1 localdata/sf10
+  * BENCH_SF10_HEAVY.json 10). Env knobs:
+  *  - SPARK_GRAFT_SMALL_PASSES (default 2) / SPARK_GRAFT_BIG_PASSES
+  *    (default 1): timed passes per row per scale factor; the committed
+  *    row is the per-row MIN (the noise-robust estimator NOTES_r13
+  *    adjudicated — ambient contention only ever ADDS time).
+  *  - SPARK_GRAFT_HEAVY_SUBSET: comma-separated query names — restrict
+  *    the run to the scale-shaped subset (e.g. the sf100 run measures
+  *    only the families whose scaling is in question, not the declared-
+  *    contract quadratics).
   */
 object BenchHeavy {
   /** Queries excluded from the BIG scale factor, each with the reason
@@ -23,8 +36,12 @@ object BenchHeavy {
     * completes the decade in-sandbox. */
   val bigSkip: Map[String, String] = Map.empty
 
-  val heavy: Seq[String] = Seq(
+  val allHeavy: Seq[String] = Seq(
     "d06_jaccard_pairs", "d07_minhash_lsh", "d11_cluster_dedup",
+    // d18/d20 are map-only text kernels — cheap at sf10, but in the list
+    // so the sf100 subset run can include two map-only families as the
+    // "should be exactly data-ratio" control group
+    "d18_boilerplate_ngrams", "d20_dup_span_coverage",
     "d23_dsir_sample", "d28_minhash_portable", "d33_fuzzy_decontaminate",
     "d34_neardup_capped", "e09_semantic_dedup",
     // ANN family (round 12): builds should track the data ratio, probes
@@ -49,6 +66,17 @@ object BenchHeavy {
     val sfSmall = if (args.length > 0) args(0) else "localdata/sf1"
     val sfBig   = if (args.length > 1) args(1) else "localdata/sf10"
     val outFile = if (args.length > 2) args(2) else "BENCH_SF10_HEAVY.json"
+    val dataRatio = if (args.length > 3) args(3).toInt else 10
+    val smallPasses = sys.env.getOrElse("SPARK_GRAFT_SMALL_PASSES", "2").toInt
+    val bigPasses = sys.env.getOrElse("SPARK_GRAFT_BIG_PASSES", "1").toInt
+    val heavy = sys.env.get("SPARK_GRAFT_HEAVY_SUBSET") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty)
+        val unknown = want.filterNot(allHeavy.contains)
+        require(unknown.isEmpty, s"unknown heavy queries: ${unknown.mkString(",")}")
+        allHeavy.filter(want.contains) // keep canonical (fixture-building) order
+      case None => allHeavy
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,17 +110,23 @@ object BenchHeavy {
       t
     }
     // Rows whose one-time fixture (persisted index / co-partitioned
-    // layout) no EARLIER row builds: run once untimed so a 1-pass
-    // (sf_big) measurement times the PROBE or JOIN, not the first-touch
-    // build. e10's batch-corpus index build is the e06_build operation on
-    // a 99.99%-identical corpus — its cost is already a labeled row.
-    // l21/l23 exist to show the ZERO-SHUFFLE co-partitioned join; their
-    // bucketed layout write is the offline cost (one clustered exchange
-    // per table, data-ratio-proportional, same machinery l02 labels).
+    // layout / lance docs copy) no EARLIER row builds: run once untimed
+    // so a 1-pass (sf_big) measurement times the PROBE / JOIN / SEARCH,
+    // not the first-touch build. e10's batch-corpus index build is the
+    // e06_build operation on a 99.99%-identical corpus — its cost is
+    // already a labeled row. l21/l23 exist to show the ZERO-SHUFFLE
+    // co-partitioned join; their bucketed layout write is the offline
+    // cost (one clustered exchange per table, data-ratio-proportional,
+    // same machinery l02 labels). f05/f06 are SEARCH rows whose per-dir
+    // lance-copy + index build is the f02-labeled offline cost — warmed
+    // here so their timed pass measures the search (f02 itself rebuilds
+    // unconditionally every invocation since round 14, so no row left
+    // reports a warm memoized pass as a build).
     val warmOnce = Set("e10_batch_ann", "l21_partitioned_join",
-                       "l23_bucketed_join")
+                       "l23_bucketed_join", "f05_fts_sql_rewrite",
+                       "f06_fts_live")
     def measure(dir: String, passes: Int,
-                skip: Map[String, String]): Map[String, Either[String, Double]] = {
+                skip: Map[String, String]): Map[String, Either[String, Seq[Double]]] = {
       Tables.register(spark, dir)
       Tables.names.foreach(n => spark.table(n).limit(1).collect())
       runOnce("d01_dedup_by_key", dir) // session/codegen warmup
@@ -101,37 +135,44 @@ object BenchHeavy {
           if (skip.contains(n)) Left("SKIPPED")
           else try {
             if (warmOnce.contains(n) && passes < 2) runOnce(n, dir)
-            Right((1 to passes).map(_ => runOnce(n, dir)).min)
+            Right((1 to passes).map(_ => runOnce(n, dir)))
           }
           catch { case e: Throwable =>
             Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}") }
-        println(f"[heavy] $dir $n%-26s ${r.fold(identity, t => f"$t%8.3f s")}")
+        println(f"[heavy] $dir $n%-26s ${r.fold(identity, ts => f"${ts.min}%8.3f s  (runs: ${ts.map(t => f"$t%.2f").mkString(", ")})")}")
         n -> r
       }.toMap
     }
-    val small = measure(sfSmall, 2, Map.empty)
-    val big   = measure(sfBig, 1, bigSkip)
+    val small = measure(sfSmall, smallPasses, Map.empty)
+    val big   = measure(sfBig, bigPasses, bigSkip)
 
+    def runsJson(ts: Seq[Double]): String =
+      ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     val rows = heavy.map { n =>
       val bigPart = bigSkip.get(n) match {
-        case Some(reason) => s""""sf_big_skipped":${jstr(reason)}"""
+        case Some(reason) => Seq(s""""sf_big_skipped":${jstr(reason)}""")
         case None =>
-          big(n).fold(e => s""""sf_big_error":${jstr(e)}""", t => f""""sf_big":$t%.3f""")
+          big(n).fold(e => Seq(s""""sf_big_error":${jstr(e)}"""),
+            ts => Seq(f""""sf_big":${ts.min}%.3f""",
+                      s""""sf_big_runs":${runsJson(ts)}"""))
       }
-      val parts = Seq(
-        small(n).fold(e => s""""sf_small_error":${jstr(e)}""", t => f""""sf_small":$t%.3f"""),
-        bigPart) ++
+      val parts =
+        small(n).fold(e => Seq(s""""sf_small_error":${jstr(e)}"""),
+          ts => Seq(f""""sf_small":${ts.min}%.3f""",
+                    s""""sf_small_runs":${runsJson(ts)}""")) ++
+        bigPart ++
         (for (s <- small(n).toOption; b <- big(n).toOption)
-          yield f""""ratio":${b / s}%.2f""")
+          yield f""""ratio":${b.min / s.min}%.2f""")
       s"${jstr(n)}:{${parts.mkString(",")}}"
     }
-    def total(m: Map[String, Either[String, Double]]) =
-      m.values.collect { case Right(t) => t }.sum
+    def total(m: Map[String, Either[String, Seq[Double]]]) =
+      m.values.collect { case Right(ts) => ts.min }.sum
     val json =
       s"""{"metric":"heavy_scale_smoke","sf_small":${jstr(sfSmall)},""" +
-      s""""sf_big":${jstr(sfBig)},"data_ratio":10,""" +
+      s""""sf_big":${jstr(sfBig)},"data_ratio":$dataRatio,""" +
+      s""""small_passes":$smallPasses,"big_passes":$bigPasses,""" +
       f""""total_sf_small":${total(small)}%.1f,"total_sf_big":${total(big)}%.1f,""" +
-      s""""note":"sf_small = min of 2 passes; sf_big = 1 pass (decade queries sit far above the job floor). Lifecycle queries (l24/l26/l27, f02) are commit-count-bound, not data-bound. Every ANN probe row (e06_ivf_topk, e06b_ivf_probe at nProbe=12, e08_ivfpq_topk, e10_batch_ann) reads a PERSISTED index; fixtures are built by the labeled build rows or warmed once untimed, so probe rows measure probes. l21/l23 likewise warm their one-time co-partitioned layout untimed: the timed row is the zero-shuffle join those layouts exist for (the layout write is the offline cost). Rows with per-JVM build memoization (f02/f05/f06, e08_build) report a WARM second pass at sf_small but a build-inclusive first pass at sf_big. Convention: a round-over-round sf_big delta inside the ~25% ambient band is adjudicated by interleaved same-session runs of both trees (min of 5), not by comparing artifacts across days — see NOTES.",""" +
+      s""""note":"Per-row seconds = MIN over the recorded runs arrays (ambient contention only adds time; raw passes are in sf_small_runs/sf_big_runs per row — the round-13 interleaved min-of-N protocol, now carried in the artifact itself). Lifecycle queries (l24/l26/l27) are commit-count-bound, not data-bound. Build rows (e06_build, e08_build, f02_fts_build) rebuild unconditionally every invocation. Probe/search rows (e06_ivf_topk, e06b_ivf_probe at nProbe=12, e08_ivfpq_topk, e10_batch_ann, f03/f05/f06/f07/f08/f09) read PERSISTED indexes; fixtures are built by the labeled build rows or warmed once untimed, so their timed passes measure probes/searches. l21/l23 likewise warm their one-time co-partitioned layout untimed: the timed row is the zero-shuffle join those layouts exist for (the layout write is the offline cost).",""" +
       s""""queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))

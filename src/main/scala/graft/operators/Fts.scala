@@ -170,8 +170,7 @@ object Fts {
     * overwrites stats.lance, advancing that version, and invalidates
     * here too. A null key marks a transient store failure: the lookup
     * bypasses the cache (fresh read) and nothing is cached. */
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Any, (Long, Long))]
+  private val statsCache = new graft.functions.Lru[(Any, (Long, Long))](32)
 
   /** stats.lance's head version boxed as the pinless freshness key, or
     * null on a transient store failure (callers bypass the cache). */
@@ -185,7 +184,7 @@ object Fts {
       case sp @ Some(_) => sp
       case None         => statsHeadKey(spark, indexPath)
     }
-    val c = statsCache.get(indexPath)
+    val c = statsCache.get(indexPath).orNull
     if (key != null && c != null && c._1 == key) c._2
     else {
       val s = readStats(spark, indexPath)
@@ -219,8 +218,7 @@ object Fts {
   /** Cached pins, keyed by the built.lance head version they were read
     * at — a cross-process publish advances that version, so the next
     * [[pinsOf]] call picks it up (one manifest stat per read, no TTL). */
-  private val pinsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Pins])]
+  private val pinsCache = new graft.functions.Lru[(Long, Option[Pins])](32)
 
   /** built.lance's current head version, or [[NoBuilt]] when the dataset
     * does not exist (legacy / plain-build index). Throws on a transient
@@ -246,9 +244,9 @@ object Fts {
       try builtHeadVersion(spark, indexPath)
       catch { case _: Exception =>
         // stale-but-consistent beats unpinned-and-possibly-torn
-        return Option(pinsCache.get(indexPath)).flatMap(_._2)
+        return pinsCache.get(indexPath).flatMap(_._2)
       }
-    val cached = pinsCache.get(indexPath)
+    val cached = pinsCache.get(indexPath).orNull
     if (cached != null && cached._1 == headNow) return cached._2
     if (headNow == NoBuilt) {
       pinsCache.put(indexPath, (NoBuilt, None))
@@ -273,7 +271,7 @@ object Fts {
       pins
     } catch { case _: Exception =>
       // stat succeeded but the read failed: transient — don't cache
-      Option(pinsCache.get(indexPath)).flatMap(_._2)
+      pinsCache.get(indexPath).flatMap(_._2)
     }
   }
 

@@ -287,7 +287,7 @@ object Similarity {
     * Also registers the index for the `ORDER BY graft_cosine(...) DESC
     * LIMIT k` planner rewrite ([[graft.plans.GraftAnn]]). */
   def ivfBuildPersist(df: DataFrame, idCol: String, vecCol: String,
-                      nLists: Int, indexPath: String, nProbe: Int = 6): Unit = {
+                      nLists: Int, indexPath: String, nProbe: Int = DefaultNProbe): Unit = {
     val (indexed, centroids) = ivfIndex(df, idCol, vecCol, nLists)
     // persist across the write: RangePartitioning SAMPLES its child to
     // pick bounds, so without this the nearest-centroid assignment pass
@@ -301,41 +301,68 @@ object Similarity {
     } finally assigned.unpersist(false)
     val spark = df.sparkSession
     import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list_id", "centroid").coalesce(1)
+    // the build-time probe width rides along in the sidecar
+    // (`default_nprobe`, same value every row): a fresh JVM's
+    // registerIfAbsent then restores the width the index was BUILT with,
+    // so declarative SQL results never depend on process history across
+    // restarts (they did when the first imperative touch registered the
+    // global default)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq, nProbe) }.toSeq
+      .toDF("list_id", "centroid", "default_nprobe").coalesce(1)
       .write.format("lance").mode("overwrite").save(s"$indexPath/centroids.lance")
-    centroidCache.put(indexPath, centroids)
+    centroidCache.put(indexPath, (centroids, nProbe))
     graft.plans.GraftAnn.register(s"$indexPath/vectors.lance", centroids, nProbe)
   }
 
-  /** Centroids per index path — a fresh session fills this with one tiny
-    * lance read, never a KMeans fit. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]
+  import graft.functions.Lru
+
+  /** (centroids, build-time default nProbe) per index path — a fresh
+    * session fills this with one tiny lance read, never a KMeans fit. */
+  private val centroidCache = new Lru[(Array[Array[Double]], Int)](32)
 
   /** Test hook: simulate a fresh session (forces the centroid re-read). */
   private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
 
+  private def centroidsAndWidth(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String): (Array[Array[Double]], Int) =
+    centroidCache.getOrLoad(indexPath) {
+      val df = spark.read.format("lance").load(s"$indexPath/centroids.lance")
+      val rows = df.orderBy("list_id").collect()
+      val cents = rows.map(_.getSeq[Double](1).toArray)
+      // indexes persisted before the width column existed fall back to
+      // the session default (documented restart caveat, now closed for
+      // every index this build writes)
+      val w =
+        if (df.schema.fieldNames.contains("default_nprobe") && rows.nonEmpty)
+          rows.head.getInt(rows.head.fieldIndex("default_nprobe"))
+        else DefaultNProbe
+      (cents, w)
+    }
+
   def ivfCentroids(spark: org.apache.spark.sql.SparkSession,
                    indexPath: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(indexPath, _ =>
-      spark.read.format("lance").load(s"$indexPath/centroids.lance")
-        .orderBy("list_id").collect()
-        .map(_.getSeq[Double](1).toArray))
+    centroidsAndWidth(spark, indexPath)._1
+
+  /** The probe width persisted at build time (falls back to
+    * [[DefaultNProbe]] for pre-width sidecars). */
+  def ivfDefaultNProbe(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): Int =
+    centroidsAndWidth(spark, indexPath)._2
 
   /** Probe a persisted IVF index: centroid read (cached), driver-side
     * probe-list pick, fragment-pruned scan of the probed lists, codegen
     * cosine top-k. No KMeans, no full scan. */
   def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, idCol: String, vecCol: String,
-                         query: Seq[Float], k: Int, nProbe: Int = 6): DataFrame = {
-    val centroids = ivfCentroids(spark, indexPath)
+                         query: Seq[Float], k: Int, nProbe: Int = DefaultNProbe): DataFrame = {
+    val (centroids, builtWidth) = centroidsAndWidth(spark, indexPath)
     // enable the declarative SQL rewrite for this index from a fresh
-    // session, but at the index DEFAULT width — this call's nProbe is a
-    // per-query parameter and must not leak into what later SQL queries
-    // rewrite to (query results would depend on probe-call history)
+    // session, at the width PERSISTED by the build — this call's nProbe
+    // is a per-query parameter and must not leak into what later SQL
+    // queries rewrite to (query results would depend on probe-call
+    // history), and the persisted width survives JVM restarts
     graft.plans.GraftAnn.registerIfAbsent(
-      s"$indexPath/vectors.lance", centroids, DefaultNProbe)
+      s"$indexPath/vectors.lance", centroids, builtWidth)
     val indexed = spark.read.format("lance").load(s"$indexPath/vectors.lance")
     ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
   }
@@ -349,7 +376,7 @@ object Similarity {
   def ivfBuildPersistLance(spark: org.apache.spark.sql.SparkSession,
                            sourcePath: String, idCol: String, vecCol: String,
                            nLists: Int, indexPath: String,
-                           nProbe: Int = 6): Long = {
+                           nProbe: Int = DefaultNProbe): Long = {
     import graft.sources.lance.LanceFormat
     val conf = spark.sessionState.newHadoopConf()
     val (fs, p) = LanceFormat.fileSystem(sourcePath, conf)
@@ -379,7 +406,7 @@ object Similarity {
                         indexPath: String, sourcePath: String,
                         idCol: String, vecCol: String,
                         query: Seq[Float], k: Int,
-                        nProbe: Int = 6): DataFrame = {
+                        nProbe: Int = DefaultNProbe): DataFrame = {
     val builtV = spark.read.format("lance").load(s"$indexPath/meta.lance")
       .head().getLong(0)
     val idxTop = ivfSearchPersisted(spark, indexPath, idCol, vecCol,
@@ -409,18 +436,25 @@ object Similarity {
                              indexPath: String, sourcePath: String,
                              idCol: String, vecCol: String,
                              query: Seq[Float], k: Int,
-                             nProbe: Int = 6): DataFrame = {
+                             nProbe: Int = DefaultNProbe): DataFrame = {
     val candsDf = ivfSearchPersisted(spark, indexPath, idCol, vecCol,
       query, 2 * k, nProbe)
-    val cands = candsDf.collect()
-    val ids = cands.map(_.get(0))
-    val live =
-      if (ids.isEmpty) Set.empty[Any]
-      else spark.read.format("lance").load(sourcePath)
+    // candidate IDS (≤ 2k values) come to the driver so the liveness scan
+    // can push a static IN-list into the source's zone maps (bounded
+    // point reads — O(k) like the crate's per-candidate deletion-bitmap
+    // check, never a corpus scan); the liveness MASK itself is a
+    // broadcast left-semi join, so the result stays a lazy, distributed
+    // plan over the index (no createDataFrame(parallelize) round-trip to
+    // be copied into larger-k contexts)
+    val ids = candsDf.select(col(idCol)).collect().map(_.get(0))
+    if (ids.isEmpty) candsDf.limit(k)
+    else {
+      val liveIds = spark.read.format("lance").load(sourcePath)
         .filter(col(idCol).isin(ids.toSeq: _*)).select(col(idCol))
-        .collect().map(_.get(0)).toSet
-    val out = cands.filter(r => live.contains(r.get(0))).take(k).toSeq
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), candsDf.schema)
+      candsDf.join(broadcast(liveIds), Seq(idCol), "left_semi")
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+    }
   }
 
   // ---- IVF_PQ: product-quantized persisted index (lance-index IVF_PQ
@@ -468,7 +502,7 @@ object Similarity {
   /** Build and persist an IVF_PQ index under `indexPath`:
     * `pq.lance` holds (id, list_id, pq_code int64) — 8-byte codes instead
     * of dim*4-byte vectors, range-partitioned by list so fragment stats
-    * prune unprobed lists — plus tiny `centroids.lance` (coarse) and
+    * prune unprobed lists — plus tiny `pq_centroids.lance` (coarse) and
     * `pq_codebooks.lance` sidecars. Unlike [[ivfBuildPersist]] the corpus
     * is NOT copied: at 100 TB the index is ~2-3% of the data, and re-rank
     * reads the original table for just the candidate ids. */
@@ -505,31 +539,50 @@ object Similarity {
         .sortWithinPartitions("list_id")
         .write.format("lance").mode("overwrite").save(s"$indexPath/pq.lance")
     } finally coded.unpersist(false)
+    // the PQ index's coarse centroids live in their OWN sidecar
+    // (`pq_centroids.lance`): the plain-IVF `centroids.lance` that
+    // `vectors.lance`'s persisted list assignments depend on is never
+    // overwritten by a PQ rebuild at the same path — consistency between
+    // the two index flavors no longer rests on the Lloyd fit being
+    // bit-identical across builds
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid").coalesce(1)
-      .write.format("lance").mode("overwrite").save(s"$indexPath/centroids.lance")
+      .write.format("lance").mode("overwrite").save(s"$indexPath/pq_centroids.lance")
     // float storage halves the sidecar; training precision stays double
     codebooks.zipWithIndex.flatMap { case (cb, s) =>
       cb.zipWithIndex.map { case (cent, b) => (s, b, cent.map(_.toFloat).toSeq) }
     }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
       .write.format("lance").mode("overwrite").save(s"$indexPath/pq_codebooks.lance")
-    centroidCache.put(indexPath, centroids)
+    pqCentroidCache.put(indexPath, centroids)
     pqCbCache.put(indexPath, codebooks)
   }
 
-  private val pqCbCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]
+  private val pqCbCache = new Lru[Array[Array[Array[Double]]]](32)
+  private val pqCentroidCache = new Lru[Array[Array[Double]]](32)
 
   /** Test hook: simulate a fresh session for the PQ path. */
-  private[graft] def clearPqCache(): Unit = pqCbCache.clear()
+  private[graft] def clearPqCache(): Unit = {
+    pqCbCache.clear(); pqCentroidCache.clear()
+  }
+
+  /** Coarse centroids of the PQ index (its own sidecar — see
+    * [[ivfPqBuildPersist]]). */
+  def pqCentroids(spark: org.apache.spark.sql.SparkSession,
+                  indexPath: String): Array[Array[Double]] =
+    pqCentroidCache.getOrLoad(indexPath) {
+      spark.read.format("lance").load(s"$indexPath/pq_centroids.lance")
+        .orderBy("list_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
 
   def pqCodebooks(spark: org.apache.spark.sql.SparkSession,
                   indexPath: String): Array[Array[Array[Double]]] =
-    pqCbCache.computeIfAbsent(indexPath, _ =>
+    pqCbCache.getOrLoad(indexPath) {
       spark.read.format("lance").load(s"$indexPath/pq_codebooks.lance")
         .orderBy("sub", "code").collect()
         .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-        .map(_._2.map(_.getSeq[Float](2).map(_.toDouble).toArray)).toArray)
+        .map(_._2.map(_.getSeq[Float](2).map(_.toDouble).toArray)).toArray
+    }
 
   /** Probe an IVF_PQ index: pick `nProbe` lists driver-side, scan only
     * their fragments of `pq.lance`, score codes with the one-lookup-per-
@@ -540,9 +593,9 @@ object Similarity {
     * and candidate ids (k*rerank rows). */
   def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                   corpus: DataFrame, idCol: String, vecCol: String,
-                  query: Seq[Float], k: Int, nProbe: Int = 6,
+                  query: Seq[Float], k: Int, nProbe: Int = DefaultNProbe,
                   rerank: Int = 4): DataFrame = {
-    val cents = ivfCentroids(spark, indexPath)
+    val cents = pqCentroids(spark, indexPath)
     val cbs = pqCodebooks(spark, indexPath)
     val m = cbs.length
     val dsub = cbs(0)(0).length

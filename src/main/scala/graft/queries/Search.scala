@@ -137,7 +137,17 @@ object Search {
     // wrong tf grouping, lost posting, or mis-sorted range write that
     // dropped rows breaks the hash)
     QDef("f02_fts_build", (s, dir) => {
-      val ix = ensureIndex(s, dir)
+      // unconditional rebuild — the e06_build/e08_build convention: every
+      // invocation measures the index build from the staged postings (the
+      // one-time corpus tokenize is the shared offline artifact ALL index
+      // flavors derive from — the l21/l23 "layout is the offline cost"
+      // shape), so a min-of-N bench row never reports a warm memoized
+      // pass as the build cost. The rebuild also primes `built` for the
+      // probe rows (f03/f08/f09), which keep the existence-gated ensure
+      // for standalone runs.
+      val ix = s"$workDir/fts-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Fts.buildIndexFromPostings(s, s.read.parquet(ensurePostings(s, dir)), ix)
+      built.put(dir, ix)
       s.read.format("lance").load(s"$ix/terms.lance")
         .orderBy(col("df").desc, col("term")).limit(12)
     }, Some("""

@@ -256,7 +256,7 @@ object VectorOps {
         .select(col("embedding")).head().getSeq[Float](0)
       ensureIvf(s, dir)
       graft.plans.GraftAnn.register(s"${ivfPath(dir)}/vectors.lance",
-        Similarity.ivfCentroids(s, ivfPath(dir)), 6)
+        Similarity.ivfCentroids(s, ivfPath(dir)), Similarity.DefaultNProbe)
       // sort key must be the bare kernel for the rule to recognize it
       s.read.format("lance").load(s"${ivfPath(dir)}/vectors.lance")
         .select(col("vec_id"),
@@ -278,7 +278,7 @@ object VectorOps {
         .select(col("embedding")).head().getSeq[Float](0)
       ensureIvf(s, dir)
       graft.plans.GraftAnn.register(s"${ivfPath(dir)}/vectors.lance",
-        Similarity.ivfCentroids(s, ivfPath(dir)), 6)
+        Similarity.ivfCentroids(s, ivfPath(dir)), Similarity.DefaultNProbe)
       s.read.format("lance").load(s"${ivfPath(dir)}/vectors.lance")
         .filter(col("vec_id") % 2 === 0)
         .select(col("vec_id"),
@@ -301,9 +301,9 @@ object VectorOps {
       // so sf_small bench rows understated the build by ~40x; the probe
       // row keeps the gated ensureIvfPq for standalone runs)
       val corpus = t("embeddings").filter(col("vec_id") > 0)
-      Similarity.ivfPqBuildPersist(corpus, "vec_id", "embedding",
-        nLists = ivfLists(corpus.count()), indexPath = ivfPath(dir))
       val n = corpus.count()
+      Similarity.ivfPqBuildPersist(corpus, "vec_id", "embedding",
+        nLists = ivfLists(n), indexPath = ivfPath(dir))
       val dim = corpus.select(col("embedding")).head().getSeq[Float](0).length
       def bytesOf(p: String): Long = {
         val f = new java.io.File(p)
@@ -313,7 +313,7 @@ object VectorOps {
       }
       val idx = bytesOf(s"${ivfPath(dir)}/pq.lance/data") +
         bytesOf(s"${ivfPath(dir)}/pq_codebooks.lance/data") +
-        bytesOf(s"${ivfPath(dir)}/centroids.lance/data")
+        bytesOf(s"${ivfPath(dir)}/pq_centroids.lance/data")
       Seq((n, idx, n * dim * 4L)).toDF("n_vectors", "index_bytes", "raw_bytes")
     }, None),
 

@@ -422,6 +422,69 @@ private[lance] object LanceProcedures {
                   counts.getOrElse("delete", 0L)))
       })
 
+    // CALL lance.dedup_exact(t, key_cols, id_col, out): SQL face of
+    // [[graft.operators.Dedup.exactByKey]] — one survivor (min id) per
+    // distinct key tuple, written to `out` as a lance dataset. Results
+    // stay distributed (one hash aggregate + a semi-join + a write);
+    // only the two summary counts come back through the LocalScan.
+    val dedupExact = Proc("dedup_exact",
+      Array(param("t", StringType), param("key_cols", StringType),
+            param("id_col", StringType), param("out", StringType)),
+      StructType(Seq(StructField("rows_in", LongType),
+                     StructField("rows_kept", LongType))),
+      in => {
+        import org.apache.spark.sql.functions.col
+        val src = spark.read.format("lance").load(path(in))
+        val keys = in.getString(1).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "lance dedup_exact: key_cols is empty")
+        val idCol = in.getString(2)
+        val outP = resolve(warehouse, in.getString(3))
+        val keep = graft.operators.Dedup.exactByKey(src, keys, idCol)
+          .select(col("keep_id").as(idCol))
+        src.join(keep, Seq(idCol), "left_semi")
+          .write.format("lance").mode("overwrite").save(outP)
+        Array(row(src.count(),
+                  spark.read.format("lance").load(outP).count()))
+      })
+
+    // CALL lance.dedup_minhash(t, id_col, text_col, out [, threshold,
+    // num_hashes, bands]): SQL face of the MinHash-LSH near-dup pipeline
+    // ([[graft.operators.Dedup.minHashLsh]] candidates -> connected
+    // components -> keep the component-minimum id). The survivor set is
+    // written to `out`; the pipeline is the same bucket-local kernel the
+    // Scala API runs (shuffles bounded by signatures, never candidate
+    // pairs), so the SQL spelling scales identically.
+    val dedupMinhash = Proc("dedup_minhash",
+      Array(param("t", StringType), param("id_col", StringType),
+            param("text_col", StringType), param("out", StringType),
+            paramDef("threshold", DoubleType, "0.8"),
+            paramDef("num_hashes", IntegerType, "64"),
+            paramDef("bands", IntegerType, "16")),
+      StructType(Seq(StructField("rows_in", LongType),
+                     StructField("rows_kept", LongType))),
+      in => {
+        import org.apache.spark.sql.functions.col
+        val src = spark.read.format("lance").load(path(in))
+        val idCol = in.getString(1)
+        val textCol = in.getString(2)
+        val outP = resolve(warehouse, in.getString(3))
+        val tau = if (in.isNullAt(4)) 0.8 else in.getDouble(4)
+        val nh = if (in.isNullAt(5)) 64 else in.getInt(5)
+        val bands = if (in.isNullAt(6)) 16 else in.getInt(6)
+        val pairs = graft.operators.Dedup.minHashLsh(
+          src, idCol, textCol, numHashes = nh, bands = bands,
+          jaccardThreshold = tau)
+        val keep = graft.operators.Dedup
+          .connectedComponents(src, idCol, pairs)
+          .filter(col(idCol) === col("keep_id"))
+          .select(col(idCol))
+        src.join(keep, Seq(idCol), "left_semi")
+          .write.format("lance").mode("overwrite").save(outP)
+        Array(row(src.count(),
+                  spark.read.format("lance").load(outP).count()))
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
         "tags" -> tags, "versions" -> versions, "describe" -> describe,
@@ -429,6 +492,7 @@ private[lance] object LanceProcedures {
         "create_matview" -> createMv, "refresh_matview" -> refreshMv,
         "matview_status" -> mvStatus,
         "ndv" -> ndv, "stats" -> stats, "verify" -> verifyProc,
-        "optimize" -> optimize, "diff" -> diff)
+        "optimize" -> optimize, "diff" -> diff,
+        "dedup_exact" -> dedupExact, "dedup_minhash" -> dedupMinhash)
   }
 }

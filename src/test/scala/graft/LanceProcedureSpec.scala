@@ -211,6 +211,49 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert((ins, del) == ((10L, 5L)))
   }
 
+  test("dedup_exact keeps the min-id survivor per key and writes lance") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-dedup").toString
+    val ds = s"$base/docs.lance"
+    Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"),
+        (4L, "alpha beta"), (5L, "epsilon"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(ds)
+    val out = s"$base/deduped.lance"
+    val (rowsIn, kept) = spark.sql(
+      s"CALL lance.dedup_exact('$ds', 'text', 'doc_id', '$out')")
+      .as[(Long, Long)].head()
+    assert((rowsIn, kept) == ((5L, 3L)))
+    val survivors = spark.read.format("lance").load(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(1L, 3L, 5L)) // min id per distinct text
+  }
+
+  test("dedup_minhash drops near-duplicates, keeps component minimum") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-mh").toString
+    val ds = s"$base/docs.lance"
+    // 40-token docs: 1 and 2 share 39/41 tokens (jaccard ~0.95); 3 is
+    // disjoint vocabulary; 4 shares ~half with 1 (below the threshold)
+    val toks = (1 to 40).map(i => s"tok$i")
+    Seq(
+      (1L, toks.mkString(" ")),
+      (2L, (toks.drop(1) :+ "tokX" :+ "tok1").mkString(" ")),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")),
+      (4L, (toks.take(20) ++ (1 to 20).map(i => s"far$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(ds)
+    val out = s"$base/deduped.lance"
+    val (rowsIn, kept) = spark.sql(
+      s"CALL lance.dedup_minhash('$ds', 'doc_id', 'text', '$out', threshold => 0.8)")
+      .as[(Long, Long)].head()
+    assert(rowsIn == 4L)
+    val survivors = spark.read.format("lance").load(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(!survivors.contains(2L), s"near-dup 2 should drop: $survivors")
+    assert(survivors.contains(1L) && survivors.contains(3L) &&
+           survivors.contains(4L), survivors.toString)
+    assert(kept == survivors.length.toLong)
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
     val msg = e.getMessage + String.valueOf(e.getCause)

@@ -489,7 +489,7 @@ class SimilaritySpec extends AnyFunSuite {
       else f.listFiles().map(x => bytesOf(x.getPath)).sum
     }
     val indexBytes = bytesOf(s"$idx/pq.lance/data") +
-      bytesOf(s"$idx/pq_codebooks.lance/data") + bytesOf(s"$idx/centroids.lance/data")
+      bytesOf(s"$idx/pq_codebooks.lance/data") + bytesOf(s"$idx/pq_centroids.lance/data")
     val rawBytes = n.toLong * 64 * 4
     assert(indexBytes <= rawBytes / 10,
       s"IVF_PQ index $indexBytes bytes > 10% of raw $rawBytes")
@@ -568,12 +568,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(graft.plans.GraftAnn.lookup(path).get.nProbe == 6,
       "probe-call nProbe leaked into the declarative registration")
     // fresh session/registry: the first IMPERATIVE touch enables the
-    // rewrite at the index default width, not the call's parameter —
-    // SQL results stay independent of probe-call history
+    // rewrite at the width PERSISTED by the build (here the default),
+    // not the call's parameter — SQL results stay independent of
+    // probe-call history
     graft.plans.GraftAnn.clear()
     Similarity.ivfSearchPersisted(spark, idx, "vec_id", "embedding",
       query, k = 10, nProbe = 12).collect()
     assert(graft.plans.GraftAnn.lookup(path).get.nProbe == Similarity.DefaultNProbe)
+
+    // non-default build width survives a JVM restart: the sidecar
+    // carries default_nprobe, so a fresh process's first imperative
+    // touch (registry AND centroid cache empty) restores the BUILD's
+    // width — not the probe call's, not the session default
+    val idxW = java.nio.file.Files.createTempDirectory("ivf_width12").toString
+    Similarity.ivfBuildPersist(corpus, "vec_id", "embedding", nLists = 16,
+      indexPath = idxW, nProbe = 12)
+    graft.plans.GraftAnn.clear()
+    Similarity.clearCentroidCache() // simulate the restart
+    Similarity.ivfSearchPersisted(spark, idxW, "vec_id", "embedding",
+      query, k = 10, nProbe = 3).collect()
+    assert(graft.plans.GraftAnn.lookup(s"$idxW/vectors.lance").get.nProbe == 12,
+      "persisted build width did not survive the simulated restart")
   }
 
   test("filtered ANN (prefilter): WHERE composes with the probe rewrite") {
