@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Merge several graft.BenchHeavy artifacts (same query set, same scale
+factors) into one: per-row runs arrays are concatenated and the committed
+seconds recomputed as the MIN over all recorded runs — the interleaved
+min-of-N protocol, with full provenance kept inline in the merged JSON.
+
+Usage: merge_heavy.py out.json in1.json in2.json [in3.json ...]
+"""
+import json
+import sys
+
+
+def main() -> None:
+    out_path, *in_paths = sys.argv[1:]
+    if len(in_paths) < 1:
+        sys.exit("need at least one input artifact")
+    arts = [json.load(open(p)) for p in in_paths]
+    base = arts[0]
+    for a in arts[1:]:
+        for k in ("sf_small", "sf_big", "data_ratio"):
+            if a.get(k) != base.get(k):
+                sys.exit(f"artifact mismatch on {k}: {a.get(k)} vs {base.get(k)}")
+    merged = dict(base)
+    queries = {}
+    names = [n for n in base["queries"]]
+    for a in arts[1:]:
+        for n in a["queries"]:
+            if n not in names:
+                names.append(n)
+    for n in names:
+        rows = [a["queries"][n] for a in arts if n in a["queries"]]
+        m = {}
+        for side in ("sf_small", "sf_big"):
+            runs = []
+            for r in rows:
+                runs.extend(r.get(f"{side}_runs", ([r[side]] if side in r else [])))
+            errs = [r[f"{side}_error"] for r in rows if f"{side}_error" in r]
+            if runs:
+                m[side] = round(min(runs), 3)
+                m[f"{side}_runs"] = [round(t, 3) for t in runs]
+            elif errs:
+                m[f"{side}_error"] = errs[0]
+        if "sf_small" in m and "sf_big" in m and m["sf_small"] > 0:
+            m["ratio"] = round(m["sf_big"] / m["sf_small"], 2)
+        queries[n] = m
+    merged["queries"] = queries
+    merged["merged_from"] = len(arts)
+    merged["total_sf_small"] = round(
+        sum(q["sf_small"] for q in queries.values() if "sf_small" in q), 1)
+    merged["total_sf_big"] = round(
+        sum(q["sf_big"] for q in queries.values() if "sf_big" in q), 1)
+    merged["note"] = base.get("note", "") + (
+        f" MERGED artifact: per-row MIN over {len(arts)} harness "
+        "invocations' runs arrays (raw runs concatenated per row).")
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(f"merged {len(arts)} artifacts -> {out_path}: "
+          f"small {merged['total_sf_small']} s, big {merged['total_sf_big']} s")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,17 @@ import org.apache.spark.sql.functions._
   *  - events: timestamps shift by `copy` seconds (density scales,
   *    window boundaries keep realistic spread).
   *
-  * Usage: runMain graft.DataGen <srcDir> <dstDir> <copies>
+  * Usage: runMain graft.DataGen <srcDir> <dstDir> <copies> [dir]
+  *
+  * The optional 4th arg `dir` switches big tables to DIRECTORY parquet
+  * output (one part file per partition, no coalesce(1)): the single-file
+  * mode funnels the whole replicate pipeline through ONE task (coalesce
+  * collapses the upstream stage), which is fine at 10-100 copies but
+  * would serialize a 1000-copy (sf100) build of 600M lineitem rows.
+  * Directory mode repartitions on `_copy` (deterministic hash
+  * assignment) so compute and write fan across the session; row ORDER
+  * within part files is shuffle-fetch-order and the fixture is treated
+  * as fixed once generated (all consumers are order-insensitive).
   */
 object DataGen {
   private val STRIDE = 10000000L
@@ -39,6 +49,7 @@ object DataGen {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, dstDir, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    val dirMode = args.length > 3 && args(3) == "dir"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-datagen")
@@ -49,18 +60,34 @@ object DataGen {
     new java.io.File(dstDir).mkdirs()
 
     def out(name: String, df: DataFrame): Unit = {
-      val tmp = s"$dstDir/_tmp_$name"
-      // ~16 MB row groups so one big file still splits across executors
-      df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (16 * 1024 * 1024).toString)
-        .parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(s"$dstDir/$name.parquet")
-      if (dst.exists()) dst.delete()
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      println(s"[datagen] $name: ${spark.read.parquet(dst.toString).count()} rows")
+      if (dirMode && df.columns.contains("_copy")) {
+        // parallel path: spread copies across tasks, write a parquet
+        // DIRECTORY at the same `<name>.parquet` location Spark and
+        // DuckDB both read transparently
+        val dst = s"$dstDir/$name.parquet"
+        val old = new java.io.File(dst)
+        if (old.isFile) old.delete()
+        // already partitioned by the range side of the replicate join —
+        // no shuffle here, each task writes its copies' rows directly
+        df.drop("_copy")
+          .write.mode("overwrite")
+          .option("parquet.block.size", (16 * 1024 * 1024).toString)
+          .parquet(dst)
+        println(s"[datagen] $name: ${spark.read.parquet(dst).count()} rows")
+      } else {
+        val tmp = s"$dstDir/_tmp_$name"
+        // ~16 MB row groups so one big file still splits across executors
+        df.drop("_copy").coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", (16 * 1024 * 1024).toString)
+          .parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$dstDir/$name.parquet")
+        if (dst.exists()) dst.delete()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        println(s"[datagen] $name: ${spark.read.parquet(dst.toString).count()} rows")
+      }
     }
 
     def src(name: String): DataFrame =
@@ -69,14 +96,26 @@ object DataGen {
     def replicate(name: String, keys: Seq[String], saltNames: Seq[String] = Nil)
                  (extra: DataFrame => DataFrame = identity): Unit = {
       val base = src(name)
-      val rep = base.crossJoin(
+      // dir mode: the RANGE side carries the parallelism (one partition
+      // per ~4 copies, deterministic — spark.range slices need no
+      // shuffle) and the source table broadcasts; each task computes and
+      // writes its copies locally. Single-file mode keeps the original
+      // shape (source-side partitions, coalesced write).
+      val rep =
+        if (dirMode)
+          spark.range(0, copies, 1, math.min(256, copies))
+            .select(col("id").as("_copy"))
+            .crossJoin(broadcast(base))
+        else base.crossJoin(
           spark.range(copies).select(col("id").as("_copy")))
       val keyed = keys.foldLeft(rep)((df, k) =>
         df.withColumn(k, col(k) + col("_copy") * STRIDE))
       val salted = saltNames.foldLeft(keyed)((df, n) =>
         df.withColumn(n, when(col("_copy") === 0, col(n))
           .otherwise(concat(col(n), lit("#"), col("_copy")))))
-      out(name, extra(salted).select(base.columns.map(col): _*))
+      // keep _copy through to out(): directory mode repartitions on it
+      // (then drops it); single-file mode just drops it
+      out(name, extra(salted).select((base.columns :+ "_copy").map(col): _*))
     }
 
     out("region", src("region"))
@@ -145,10 +184,39 @@ object DataGen {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     replicate("embeddings", Seq("vec_id")) { df =>
-      val jittered = transform(col("embedding"), (x, j) =>
+      import org.apache.spark.sql.Column
+      def jitter(e: Column) = transform(e, (x, j) =>
         (x + ((col("_copy") * 31 + j) % 7 - 3).cast("float") * lit(1e-3f))
           .cast("float"))
-      df.withColumn("embedding", jittered)
+      if (copies <= 10) df.withColumn("embedding", jitter(col("embedding")))
+      else {
+        // the embedding twin of full token salting (copies > 10): a
+        // per-copy deterministic DIMENSION PERMUTATION. Within a copy
+        // every dot product — hence every cosine, every near-dup pair,
+        // every cluster structure — is EXACTLY invariant (a shared
+        // coordinate permutation is orthonormal), so duplicate-group
+        // multiplicity stays constant; across copies the permuted
+        // clones of one base vector decorrelate to ~random cosine.
+        // Without this, the small tie-breaking jitter leaves cross-copy
+        // clones at cos ≈ 0.9999, and any similarity-threshold operator
+        // (e09's 0.92 semantic dedup) sees a near-dup CLIQUE of size
+        // `copies` per base vector — pair volume quadratic in copies
+        // (measured at 1000 copies: ~5e8 pairs, >60 GB of edge shuffle
+        // and checkpoint — a replication artifact, not engine cost).
+        val dim = src("embeddings")
+          .select(size(col("embedding"))).head().getInt(0)
+        val perms: Seq[Seq[Int]] = (0 until copies).map { c =>
+          if (c == 0) 0 until dim
+          else new scala.util.Random(c * 7919L + 13)
+            .shuffle((0 until dim).toList)
+        }
+        val permLit = typedlit(perms)
+        val permuted = transform(sequence(lit(0), lit(dim - 1)), j =>
+          element_at(col("embedding"),
+            element_at(element_at(permLit, col("_copy").cast("int") + lit(1)),
+                       j + lit(1)) + lit(1)))
+        df.withColumn("embedding", jitter(permuted))
+      }
     }
     spark.stop()
   }
