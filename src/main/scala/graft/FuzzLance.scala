@@ -58,7 +58,7 @@ object FuzzLance {
     Tables.register(spark, sfDir)
     val expected = qs.map { case (n, sql) => n -> spark.sql(sql).collect().toSeq }.toMap
 
-    val work = java.nio.file.Files.createTempDirectory("graft-fuzz-lance").toString
+    val work = graft.queries.QDef.tempWorkDir("graft-fuzz-lance")
     val layouts: Seq[(String, (org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row], String) => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row], Map[String, String])] = Seq(
       ("plain", (w, _) => w, Map.empty),
       ("zstd", (w, _) => w.option("compression", "zstd"), Map.empty),

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
 object LanceOps {
 
   private lazy val workDir =
-    java.nio.file.Files.createTempDirectory("graft-lance-q").toString
+    QDef.tempWorkDir("graft-lance-q")
 
   /** Build-once-per-(session, dir) for the ngram index — the corpus-sized
     * trigram explode is the offline build cost (the e06/f02 pattern). */

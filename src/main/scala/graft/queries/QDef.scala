@@ -13,6 +13,26 @@ final case class QDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+object QDef {
+  /** Per-JVM scratch directory for a query family's persisted fixtures
+    * (lance copies, indexes, staged postings), deleted on JVM exit.
+    * Before the shutdown hook, every harness invocation leaked its
+    * fixtures into /tmp — ~26 GB accumulated across bench rounds on
+    * this sandbox, and the sf100 runs hit ENOSPC on the residue. */
+  def tempWorkDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+}
+
 /** Determinism helpers for oracle hash-matching.
   *
   * Floating-point SUM/AVG are accumulation-order dependent, so a

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Search {
 
   private lazy val workDir =
-    java.nio.file.Files.createTempDirectory("graft-fts-q").toString
+    QDef.tempWorkDir("graft-fts-q")
 
   /** ONE corpus tokenization per source dir (round 12): the [[Fts.postings]]
     * frame is staged to parquet once, and every index flavor over the same

@@ -21,7 +21,7 @@ object TrainOps {
     * overwrite per run instead of minting fresh temp dirs (bench runs every
     * query twice; per-invocation temp dirs leaked a store per run). */
   private lazy val workDir =
-    java.nio.file.Files.createTempDirectory("graft-train-q").toString
+    QDef.tempWorkDir("graft-train-q")
 
   /** Deterministic per-doc sampling key: 52 bits of md5("id:text") as an
     * exact-in-double long. Lexicographic order of the 13-char lowercase-hex

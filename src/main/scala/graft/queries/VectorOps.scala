@@ -47,7 +47,7 @@ object VectorOps {
 
   /** Persisted-IVF index location for one fixture dir (per-JVM temp). */
   private lazy val ivfWorkDir =
-    java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    QDef.tempWorkDir("graft-ivf")
   private def ivfPath(dir: String): String =
     s"$ivfWorkDir/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
