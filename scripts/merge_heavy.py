@@ -27,19 +27,37 @@ def main() -> None:
         for n in a["queries"]:
             if n not in names:
                 names.append(n)
+    # keys the merge recomputes; anything else (sf_big_skipped, future
+    # markers) is provenance and passes through from the first row that
+    # carries it
+    recomputed = {"ratio"} | {
+        f"{s}{x}" for s in ("sf_small", "sf_big")
+        for x in ("", "_runs", "_error", "_errors")}
     for n in names:
         rows = [a["queries"][n] for a in arts if n in a["queries"]]
         m = {}
+        for r in rows:
+            for k, v in r.items():
+                if k not in recomputed and k not in m:
+                    m[k] = v
         for side in ("sf_small", "sf_big"):
             runs = []
             for r in rows:
                 runs.extend(r.get(f"{side}_runs", ([r[side]] if side in r else [])))
             errs = [r[f"{side}_error"] for r in rows if f"{side}_error" in r]
+            errs += [e for r in rows for e in r.get(f"{side}_errors", [])
+                     if e not in errs]
             if runs:
                 m[side] = round(min(runs), 3)
                 m[f"{side}_runs"] = [round(t, 3) for t in runs]
+                if errs:
+                    # some invocations errored while others ran: keep the
+                    # error strings as provenance next to the runs
+                    m[f"{side}_errors"] = errs
             elif errs:
                 m[f"{side}_error"] = errs[0]
+                if len(errs) > 1:
+                    m[f"{side}_errors"] = errs
         if "sf_small" in m and "sf_big" in m and m["sf_small"] > 0:
             m["ratio"] = round(m["sf_big"] / m["sf_small"], 2)
         queries[n] = m

@@ -26,8 +26,16 @@ import org.apache.spark.sql.functions._
   *    FIXED unsalted vocabulary concentrates minhash band buckets
   *    (LSH candidates grow quadratically in copies — measured: 204M
   *    pairs at 100 copies), so big replications switch to full salting.
-  *  - embeddings: deterministic per-copy jitter (±3e-3 per component)
-  *    breaks exact-distance ties that vector clones would introduce;
+  *  - embeddings: copies <= 10 apply deterministic per-copy jitter
+  *    (±3e-3 per component — breaks exact-distance ties but leaves
+  *    cos~0.9999 near-dup cliques of size `copies`); copies > 10 ALSO
+  *    apply a per-copy orthonormal dimension permutation, which
+  *    decorrelates copies entirely. The two regimes therefore have
+  *    DIFFERENT near-dup structure: cross-SF similarity ratios that
+  *    straddle the copies=10 boundary (e.g. an sf10-jitter fixture vs
+  *    an sf100-permutation fixture) are not like-for-like on clique
+  *    shape — compare fixtures from the same regime, or read e09-style
+  *    ratios with that caveat (BenchHeavy's artifact note records it);
   *  - events: timestamps shift by `copy` seconds (density scales,
   *    window boundaries keep realistic spread).
   *
@@ -38,10 +46,12 @@ import org.apache.spark.sql.functions._
   * mode funnels the whole replicate pipeline through ONE task (coalesce
   * collapses the upstream stage), which is fine at 10-100 copies but
   * would serialize a 1000-copy (sf100) build of 600M lineitem rows.
-  * Directory mode repartitions on `_copy` (deterministic hash
-  * assignment) so compute and write fan across the session; row ORDER
-  * within part files is shuffle-fetch-order and the fixture is treated
-  * as fixed once generated (all consumers are order-insensitive).
+  * Directory mode writes one part file per task of the replicate
+  * pipeline's own partitioning (the `spark.range(copies)` side of the
+  * cross join fans the copies across the session — no explicit
+  * repartition); row ORDER within part files is whatever that plan
+  * produces and the fixture is treated as fixed once generated (all
+  * consumers are order-insensitive).
   */
 object DataGen {
   private val STRIDE = 10000000L

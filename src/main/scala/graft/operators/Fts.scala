@@ -156,7 +156,7 @@ object Fts {
     } catch { case _: Exception => () } // best-effort; pinsOf stats per read
     val headAfter =
       try builtHeadVersion(spark, indexPath) catch { case _: Exception => NoBuilt }
-    pinsCache.put(indexPath, (headAfter, None))
+    putPins(indexPath, headAfter, None)
     val sk = statsHeadKey(spark, indexPath)
     if (sk != null) statsCache.put(indexPath, (sk, readStats(spark, indexPath)))
   }
@@ -220,6 +220,32 @@ object Fts {
     * [[pinsOf]] call picks it up (one manifest stat per read, no TTL). */
   private val pinsCache = new graft.functions.Lru[(Long, Option[Pins])](32)
 
+  /** Last-known pins per index path, NON-evicting by design: this map
+    * backs only the transient-store-failure fallback in [[pinsOf]], whose
+    * contract is "stale-but-consistent beats unpinned-and-possibly-torn".
+    * The bounded [[pinsCache]] cannot serve that role — an LRU eviction
+    * on a driver touching >32 indexes would silently downgrade a flaky
+    * read to unpinned sidecar heads. Entries are three longs plus the
+    * path string, so even a driver touching a million index paths holds
+    * tens of MB here, and a path is only ever added when its index is
+    * actually read — this is a roster, not a cache. */
+  private val fallbackPins =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Pins]]()
+
+  /** Write-through for the pins caches: the bounded LRU entry (fast
+    * path, freshness-keyed) plus the non-evicting last-known entry the
+    * failure fallback reads. */
+  private def putPins(indexPath: String, head: Long,
+                      pins: Option[Pins]): Unit = {
+    pinsCache.put(indexPath, (head, pins))
+    fallbackPins.put(indexPath, pins)
+  }
+
+  /** The failure fallback: last pins successfully read for this path, in
+    * this JVM, regardless of LRU eviction. */
+  private def lastKnownPins(indexPath: String): Option[Pins] =
+    Option(fallbackPins.get(indexPath)).flatten
+
   /** built.lance's current head version, or [[NoBuilt]] when the dataset
     * does not exist (legacy / plain-build index). Throws on a transient
     * store failure — callers must NOT conflate that with "legacy". */
@@ -243,13 +269,14 @@ object Fts {
     val headNow =
       try builtHeadVersion(spark, indexPath)
       catch { case _: Exception =>
-        // stale-but-consistent beats unpinned-and-possibly-torn
-        return pinsCache.get(indexPath).flatMap(_._2)
+        // stale-but-consistent beats unpinned-and-possibly-torn — served
+        // from the non-evicting roster, so an LRU eviction can't downgrade
+        return lastKnownPins(indexPath)
       }
     val cached = pinsCache.get(indexPath).orNull
     if (cached != null && cached._1 == headNow) return cached._2
     if (headNow == NoBuilt) {
-      pinsCache.put(indexPath, (NoBuilt, None))
+      putPins(indexPath, NoBuilt, None)
       return None
     }
     try {
@@ -267,11 +294,11 @@ object Fts {
           else Some(Pins(pv, r.getAs[Long]("terms_version"),
                          r.getAs[Long]("stats_version")))
         } else None
-      pinsCache.put(indexPath, (headNow, pins))
+      putPins(indexPath, headNow, pins)
       pins
     } catch { case _: Exception =>
       // stat succeeded but the read failed: transient — don't cache
-      pinsCache.get(indexPath).flatMap(_._2)
+      lastKnownPins(indexPath)
     }
   }
 
@@ -321,6 +348,7 @@ object Fts {
   private[graft] def clearStatsCache(): Unit = {
     statsCache.clear()
     pinsCache.clear()
+    fallbackPins.clear()
   }
 
   /** The fixed-point BM25 contribution of one posting row, as a long in
@@ -421,15 +449,21 @@ object Fts {
                           terms: Seq[String], k: Int): DataFrame = {
     val over = math.max(4 * k, k + 64)
     val candsDf = searchPersisted(spark, indexPath, terms, over)
-    val cands = candsDf.collect()
-    val ids = cands.map(_.get(0))
-    val live =
-      if (ids.isEmpty) Set.empty[Any]
-      else spark.read.format("lance").load(sourcePath)
-        .filter(col(idCol).isin(ids.toSeq: _*)).select(col(idCol))
-        .collect().map(_.get(0)).toSet
-    val out = cands.filter(r => live.contains(r.get(0))).take(k).toSeq
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), candsDf.schema)
+    // Liveness via the runtime-filter path (the ANN
+    // [[graft.operators.Similarity.ivfSearchPersistedLive]] shape): the
+    // source joins the broadcast candidate set, and the lance scan's
+    // SupportsRuntimeV2Filtering receives the realized ≤`over` candidate
+    // ids as an IN-list zone filter once the broadcast materializes —
+    // bounded point reads, never a corpus scan, no driver-side collect,
+    // and the probe's broadcast is shared with the pruning subquery so it
+    // executes once. The result stays a lazy distributed plan.
+    val cands = if (idCol == "doc_id") candsDf
+                else candsDf.withColumnRenamed("doc_id", idCol)
+    val src = spark.read.format("lance").load(sourcePath).select(col(idCol))
+    src.join(broadcast(cands), Seq(idCol), "inner")
+      .select(col(idCol).as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Fuzzy term search over a persisted index (tantivy `FuzzyTermQuery`
@@ -510,8 +544,7 @@ object Fts {
             "postings_version", "terms_version", "stats_version")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/built.lance")
-    pinsCache.put(indexPath,
-      (builtHeadVersion(spark, indexPath), Some(pins)))
+    putPins(indexPath, builtHeadVersion(spark, indexPath), Some(pins))
     // fresh 1-row read, not the cache: the pre-publish entry could be
     // missing (transient statsHeadKey failure) or stale, and readStats
     // through the tombstoned pins resolves to the just-written head
@@ -578,7 +611,7 @@ object Fts {
     // stale cached entry (another process updated the index since this
     // JVM last read it) would merge the tail into an OLD terms version —
     // silent df corruption. The head can't move while we hold the lock.
-    pinsCache.put(indexPath, (builtHeadVersion(spark, indexPath), pins))
+    putPins(indexPath, builtHeadVersion(spark, indexPath), pins)
     val conf = spark.sessionState.newHadoopConf()
     val (fs, sp) = LanceFormat.fileSystem(sourcePath, conf)
     val headV = LanceFormat.readManifest(fs,
@@ -636,7 +669,7 @@ object Fts {
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/built.lance")
     val newPins = Some(Pins(postingsV2, termsV2, statsV2))
-    pinsCache.put(indexPath, (builtHeadVersion(spark, indexPath), newPins))
+    putPins(indexPath, builtHeadVersion(spark, indexPath), newPins)
     statsCache.put(indexPath, (newPins, (newN, newLen)))
     graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
       indexPath, idCol, textCol, newN, newLen, headV))

@@ -439,22 +439,23 @@ object Similarity {
                              nProbe: Int = DefaultNProbe): DataFrame = {
     val candsDf = ivfSearchPersisted(spark, indexPath, idCol, vecCol,
       query, 2 * k, nProbe)
-    // candidate IDS (≤ 2k values) come to the driver so the liveness scan
-    // can push a static IN-list into the source's zone maps (bounded
-    // point reads — O(k) like the crate's per-candidate deletion-bitmap
-    // check, never a corpus scan); the liveness MASK itself is a
-    // broadcast left-semi join, so the result stays a lazy, distributed
-    // plan over the index (no createDataFrame(parallelize) round-trip to
-    // be copied into larger-k contexts)
-    val ids = candsDf.select(col(idCol)).collect().map(_.get(0))
-    if (ids.isEmpty) candsDf.limit(k)
-    else {
-      val liveIds = spark.read.format("lance").load(sourcePath)
-        .filter(col(idCol).isin(ids.toSeq: _*)).select(col(idCol))
-      candsDf.join(broadcast(liveIds), Seq(idCol), "left_semi")
-        .orderBy(col("cos").desc, col(idCol))
-        .limit(k)
-    }
+    // Liveness mask via Spark's runtime-filter path, no driver collect:
+    // the source joins the broadcast candidate set, and because the lance
+    // scan implements SupportsRuntimeV2Filtering (with idCol among its
+    // filterAttributes) the optimizer's PartitionPruning rule attaches a
+    // dynamic-pruning subquery that reuses the candidate broadcast — once
+    // the ≤2k candidates materialize, their realized ids reach the source
+    // scan as an IN-list zone filter (bounded point reads — O(k) like the
+    // crate's per-candidate deletion-bitmap check, never a corpus scan).
+    // The probe subtree appears ONCE in the plan and its broadcast is
+    // shared between the join build side and the pruning subquery, so the
+    // probe executes once; the whole result stays a lazy distributed plan.
+    // LivenessJoinSpec pins that the runtime filter actually reaches the
+    // source scan and prunes fragments.
+    val src = spark.read.format("lance").load(sourcePath).select(col(idCol))
+    src.join(broadcast(candsDf), Seq(idCol), "inner")
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 
   // ---- IVF_PQ: product-quantized persisted index (lance-index IVF_PQ

@@ -728,7 +728,7 @@ class LanceScan(path: String, full: StructType, required: StructType,
     runtimeZoneFilters = predicates.toSeq.flatMap(LanceScan.runtimeZone)
   }
   /** Test-visible view of what the runtime installed. */
-  private[lance] def installedRuntimeFilters: Seq[ZoneFilter] = runtimeZoneFilters
+  private[graft] def installedRuntimeFilters: Seq[ZoneFilter] = runtimeZoneFilters
   override def toBatch: Batch = this
   override def description(): String =
     s"LanceScan($path, columns=[${required.fieldNames.mkString(",")}]" +

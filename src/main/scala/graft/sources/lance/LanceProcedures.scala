@@ -422,6 +422,27 @@ private[lance] object LanceProcedures {
                   counts.getOrElse("delete", 0L)))
       })
 
+    // Shared by the dedup procedures: refuse out == t (the survivor write
+    // would overwrite the source while the dedup plan is still reading
+    // it), and take row counts from manifests — rows_in from the source
+    // manifest BEFORE the write, rows_kept from the freshly-written
+    // output manifest — so a CALL costs exactly the survivor-write job,
+    // no post-hoc count() scans.
+    def guardDistinct(srcPath: String, outPath: String): Unit = {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val (sfs, sp) = LanceFormat.fileSystem(srcPath, conf)
+      val (ofs, op) = LanceFormat.fileSystem(outPath, conf)
+      require(sfs.makeQualified(sp) != ofs.makeQualified(op),
+        s"lance dedup: out must differ from t ($srcPath) — the survivor " +
+          "write would overwrite the dataset the dedup plan is reading")
+    }
+    def liveRowsOf(dsPath: String): Long = {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val (fs, p) = LanceFormat.fileSystem(dsPath, conf)
+      LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None))
+        .fragments.map(_.liveRows).sum
+    }
+
     // CALL lance.dedup_exact(t, key_cols, id_col, out): SQL face of
     // [[graft.operators.Dedup.exactByKey]] — one survivor (min id) per
     // distinct key tuple, written to `out` as a lance dataset. Results
@@ -440,12 +461,13 @@ private[lance] object LanceProcedures {
         require(keys.nonEmpty, "lance dedup_exact: key_cols is empty")
         val idCol = in.getString(2)
         val outP = resolve(warehouse, in.getString(3))
+        guardDistinct(path(in), outP)
+        val rowsIn = liveRowsOf(path(in))
         val keep = graft.operators.Dedup.exactByKey(src, keys, idCol)
           .select(col("keep_id").as(idCol))
         src.join(keep, Seq(idCol), "left_semi")
           .write.format("lance").mode("overwrite").save(outP)
-        Array(row(src.count(),
-                  spark.read.format("lance").load(outP).count()))
+        Array(row(rowsIn, liveRowsOf(outP)))
       })
 
     // CALL lance.dedup_minhash(t, id_col, text_col, out [, threshold,
@@ -472,6 +494,8 @@ private[lance] object LanceProcedures {
         val tau = if (in.isNullAt(4)) 0.8 else in.getDouble(4)
         val nh = if (in.isNullAt(5)) 64 else in.getInt(5)
         val bands = if (in.isNullAt(6)) 16 else in.getInt(6)
+        guardDistinct(path(in), outP)
+        val rowsIn = liveRowsOf(path(in))
         val pairs = graft.operators.Dedup.minHashLsh(
           src, idCol, textCol, numHashes = nh, bands = bands,
           jaccardThreshold = tau)
@@ -481,8 +505,7 @@ private[lance] object LanceProcedures {
           .select(col(idCol))
         src.join(keep, Seq(idCol), "left_semi")
           .write.format("lance").mode("overwrite").save(outP)
-        Array(row(src.count(),
-                  spark.read.format("lance").load(outP).count()))
+        Array(row(rowsIn, liveRowsOf(outP)))
       })
 
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,

@@ -228,6 +228,23 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(survivors == Seq(1L, 3L, 5L)) // min id per distinct text
   }
 
+  test("dedup procedures refuse out == t (in-place overwrite)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-inplace").toString
+    val ds = s"$base/docs.lance"
+    Seq((1L, "alpha"), (2L, "alpha")).toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(ds)
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL lance.dedup_exact('$ds', 'text', 'doc_id', '$ds')").collect()
+    }
+    assert((e1.getMessage + String.valueOf(e1.getCause)).contains("must differ"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL lance.dedup_minhash('$ds', 'doc_id', 'text', '$ds')").collect()
+    }
+    assert((e2.getMessage + String.valueOf(e2.getCause)).contains("must differ"))
+    // the source is untouched
+    assert(spark.read.format("lance").load(ds).count() == 2L)
+  }
+
   test("dedup_minhash drops near-duplicates, keeps component minimum") {
     val base = java.nio.file.Files.createTempDirectory("graft-proc-mh").toString
     val ds = s"$base/docs.lance"

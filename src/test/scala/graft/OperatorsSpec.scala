@@ -400,11 +400,34 @@ class SimilaritySpec extends AnyFunSuite {
       query, k = 10, nProbe = 6).select("vec_id").as[Long].collect().toSeq
     assert(gone.forall(stale.contains), "plain probe reads the index copy")
 
-    val live = Similarity.ivfSearchPersistedLive(spark, dir, src,
+    val liveDf = Similarity.ivfSearchPersistedLive(spark, dir, src,
       "vec_id", "embedding", query, k = 10, nProbe = 6)
-      .select("vec_id").as[Long].collect().toSeq
+    // collect liveDf ITSELF (not a derived frame): the plan assertions
+    // below inspect the executed scan instances of this QueryExecution
+    val live = liveDf.collect().toSeq.map(_.getAs[Long]("vec_id"))
     assert(gone.forall(g => !live.contains(g)), s"deleted ids surfaced: $live")
     assert(live.length == 10, s"over-fetch margin should refill to k: $live")
+    // no driver-side collect: the candidate ids reach the SOURCE scan via
+    // Spark's runtime-filter (dynamic pruning) path — pin that the filter
+    // was actually installed, so liveness stays O(k) point reads
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scansOf(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => (other.children ++ other.subqueries).flatMap(scansOf)
+    }
+    val srcScans = scansOf(liveDf.queryExecution.executedPlan)
+      .map(_.scan).collect {
+        case s: graft.sources.lance.LanceScan
+            if s.description().contains("corpus.lance") => s
+      }
+    assert(srcScans.nonEmpty, liveDf.queryExecution.executedPlan.toString)
+    assert(srcScans.exists(_.installedRuntimeFilters.nonEmpty),
+      s"candidate ids never reached the source scan as a runtime filter:\n" +
+        liveDf.queryExecution.executedPlan)
     // exactly the over-fetched candidate ranking minus the dead rows
     val cand20 = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
       query, k = 20, nProbe = 6).select("vec_id").as[Long].collect().toSeq
