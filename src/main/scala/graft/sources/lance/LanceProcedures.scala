@@ -508,6 +508,79 @@ private[lance] object LanceProcedures {
         Array(row(rowsIn, liveRowsOf(outP)))
       })
 
+    // CALL lance.decontaminate(t, bench, id_col, text_col, out [, n]):
+    // SQL face of exact n-gram decontamination (the d15 kernel shape) —
+    // drop every corpus document sharing any word n-gram with the
+    // benchmark dataset, write survivors to `out`. Scale shape: the
+    // benchmark's distinct gram-hash set is eval-suite-sized (MBs), so
+    // it BROADCASTS into a semi-join against the corpus's exploded grams
+    // — the corpus text is never shuffled; only the contaminated id set
+    // (skinny) aggregates before the anti-join.
+    val decontaminate = Proc("decontaminate",
+      Array(param("t", StringType), param("bench", StringType),
+            param("id_col", StringType), param("text_col", StringType),
+            param("out", StringType), paramDef("n", IntegerType, "5")),
+      StructType(Seq(StructField("rows_in", LongType),
+                     StructField("rows_kept", LongType))),
+      in => {
+        import org.apache.spark.sql.functions.{broadcast, col, explode}
+        val src = spark.read.format("lance").load(path(in))
+        val bench = spark.read.format("lance")
+          .load(resolve(warehouse, in.getString(1)))
+        val idCol = in.getString(2)
+        val textCol = in.getString(3)
+        val outP = resolve(warehouse, in.getString(4))
+        val n = if (in.isNullAt(5)) 5 else in.getInt(5)
+        require(n >= 1, "lance decontaminate: n must be >= 1")
+        guardDistinct(path(in), outP)
+        val rowsIn = liveRowsOf(path(in))
+        // gram identity is the 64-bit rolling hash (d06/d15 precedent:
+        // collisions negligible against corpus-scale gram counts)
+        def grams(c: org.apache.spark.sql.Column) =
+          graft.functions.ArrayKernels.wordGramStats(c, n).getField("hashes")
+        val benchGrams = bench.select(explode(grams(col(textCol))).as("g")).distinct()
+        val contaminated = src
+          .select(col(idCol), explode(grams(col(textCol))).as("g"))
+          .join(broadcast(benchGrams), Seq("g"), "left_semi")
+          .select(col(idCol)).distinct()
+        src.join(contaminated, Seq(idCol), "left_anti")
+          .write.format("lance").mode("overwrite").save(outP)
+        Array(row(rowsIn, liveRowsOf(outP)))
+      })
+
+    // CALL lance.semantic_dedup(t, id_col, vec_col, out [, n_clusters,
+    // cos_threshold]): SQL face of [[graft.operators.Dedup.semanticDedup]]
+    // (SemDeDup) — K-means clusters block the pair space, cosine pairs
+    // above the threshold feed connected components, each component keeps
+    // its minimum id; survivors written to `out`. Same N^1.5-bounded
+    // kernel as the Scala API (quadratic term capped by the largest
+    // cluster), so the SQL spelling scales identically.
+    val semanticDedup = Proc("semantic_dedup",
+      Array(param("t", StringType), param("id_col", StringType),
+            param("vec_col", StringType), param("out", StringType),
+            paramDef("n_clusters", IntegerType, "64"),
+            paramDef("cos_threshold", DoubleType, "0.97")),
+      StructType(Seq(StructField("rows_in", LongType),
+                     StructField("rows_kept", LongType))),
+      in => {
+        import org.apache.spark.sql.functions.col
+        val src = spark.read.format("lance").load(path(in))
+        val idCol = in.getString(1)
+        val vecCol = in.getString(2)
+        val outP = resolve(warehouse, in.getString(3))
+        val nClusters = if (in.isNullAt(4)) 64 else in.getInt(4)
+        val tau = if (in.isNullAt(5)) 0.97 else in.getDouble(5)
+        guardDistinct(path(in), outP)
+        val rowsIn = liveRowsOf(path(in))
+        val keep = graft.operators.Dedup
+          .semanticDedup(src, idCol, vecCol, nClusters, tau)
+          .filter(col(idCol) === col("keep_id"))
+          .select(col(idCol))
+        src.join(keep, Seq(idCol), "left_semi")
+          .write.format("lance").mode("overwrite").save(outP)
+        Array(row(rowsIn, liveRowsOf(outP)))
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
         "tags" -> tags, "versions" -> versions, "describe" -> describe,
@@ -516,6 +589,7 @@ private[lance] object LanceProcedures {
         "matview_status" -> mvStatus,
         "ndv" -> ndv, "stats" -> stats, "verify" -> verifyProc,
         "optimize" -> optimize, "diff" -> diff,
-        "dedup_exact" -> dedupExact, "dedup_minhash" -> dedupMinhash)
+        "dedup_exact" -> dedupExact, "dedup_minhash" -> dedupMinhash,
+        "decontaminate" -> decontaminate, "semantic_dedup" -> semanticDedup)
   }
 }

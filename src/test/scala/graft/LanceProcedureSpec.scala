@@ -271,6 +271,48 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(kept == survivors.length.toLong)
   }
 
+  test("decontaminate drops corpus docs sharing an n-gram with the benchmark") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-decon").toString
+    val corpus = s"$base/corpus.lance"
+    val bench = s"$base/bench.lance"
+    Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "completely different words in this document here"),
+        (12L, "too short"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(corpus)
+    // shares the 5-gram "the quick brown fox jumps" with doc 10
+    Seq((1L, "prefix the quick brown fox jumps suffix"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(bench)
+    val out = s"$base/clean.lance"
+    val (rowsIn, kept) = spark.sql(
+      s"CALL lance.decontaminate('$corpus', '$bench', 'doc_id', 'text', '$out')")
+      .as[(Long, Long)].head()
+    assert((rowsIn, kept) == ((3L, 2L)))
+    val survivors = spark.read.format("lance").load(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(11L, 12L), s"leaked doc survived: $survivors")
+  }
+
+  test("semantic_dedup keeps the min-id survivor per near-identical embedding") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-semdd").toString
+    val ds = s"$base/vecs.lance"
+    Seq((1L, Array(1f, 0f, 0f, 0f)),
+        (2L, Array(0.999f, 0.01f, 0f, 0f)), // cos ~1 with doc 1
+        (3L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .write.format("lance").mode("overwrite").save(ds)
+    val out = s"$base/deduped.lance"
+    val (rowsIn, kept) = spark.sql(
+      s"CALL lance.semantic_dedup('$ds', 'vec_id', 'embedding', '$out', " +
+        "n_clusters => 1, cos_threshold => 0.97)")
+      .as[(Long, Long)].head()
+    assert((rowsIn, kept) == ((3L, 2L)))
+    val survivors = spark.read.format("lance").load(out)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(1L, 3L), survivors.toString)
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
     val msg = e.getMessage + String.valueOf(e.getCause)
