@@ -62,14 +62,19 @@ def main() -> None:
             m["ratio"] = round(m["sf_big"] / m["sf_small"], 2)
         queries[n] = m
     merged["queries"] = queries
-    merged["merged_from"] = len(arts)
+    # accumulates across re-merges: a previously-merged base counts its
+    # own constituent invocations, not 1
+    merged["merged_from"] = sum(a.get("merged_from", 1) for a in arts)
     merged["total_sf_small"] = round(
         sum(q["sf_small"] for q in queries.values() if "sf_small" in q), 1)
     merged["total_sf_big"] = round(
         sum(q["sf_big"] for q in queries.values() if "sf_big" in q), 1)
-    merged["note"] = base.get("note", "") + (
-        f" MERGED artifact: per-row MIN over {len(arts)} harness "
-        "invocations' runs arrays (raw runs concatenated per row).")
+    # idempotent under re-merge: strip a previous MERGED sentence before
+    # appending the current one (the count lives in merged_from)
+    note = base.get("note", "").split(" MERGED artifact:")[0]
+    merged["note"] = note + (
+        f" MERGED artifact: per-row MIN over {merged['merged_from']} "
+        "harness invocations' runs arrays (raw runs concatenated per row).")
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
     print(f"merged {len(arts)} artifacts -> {out_path}: "
