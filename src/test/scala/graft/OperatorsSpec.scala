@@ -384,7 +384,13 @@ class SimilaritySpec extends AnyFunSuite {
     val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
     val dir = java.nio.file.Files.createTempDirectory("ivf_live").toString
     val src = s"$dir/corpus.lance"
-    emb.filter(col("vec_id") > 0).write.format("lance").mode("overwrite").save(src)
+    // range-sorted on vec_id across 8 fragments: the liveness runtime
+    // filter's fragment pruning is assertable (candidate ids cluster in
+    // few id ranges only by luck, so the assertion below is the weaker
+    // but layout-independent "planned < total")
+    emb.filter(col("vec_id") > 0).write.format("lance")
+      .option("sortBy", "vec_id").option("writePartitions", "8")
+      .mode("overwrite").save(src)
     val corpus = spark.read.format("lance").load(src)
     Similarity.ivfBuildPersist(corpus, "vec_id", "embedding", nLists = 16,
       indexPath = dir)
@@ -407,9 +413,16 @@ class SimilaritySpec extends AnyFunSuite {
     val live = liveDf.collect().toSeq.map(_.getAs[Long]("vec_id"))
     assert(gone.forall(g => !live.contains(g)), s"deleted ids surfaced: $live")
     assert(live.length == 10, s"over-fetch margin should refill to k: $live")
+    // exactly the over-fetched candidate ranking minus the dead rows
+    val cand20 = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 20, nProbe = 6).select("vec_id").as[Long].collect().toSeq
+    assert(live == cand20.filterNot(gone.contains).take(10))
     // no driver-side collect: the candidate ids reach the SOURCE scan via
-    // Spark's runtime-filter (dynamic pruning) path — pin that the filter
-    // was actually installed, so liveness stays O(k) point reads
+    // Spark's runtime-filter (dynamic pruning) path — pin that the
+    // REALIZED candidate id set (the 2k over-fetch, exactly, not a
+    // superset) was installed as an IN-list zone filter, so liveness
+    // stays O(k) point reads (LanceRuntimeFilterSpec pins that installed
+    // IN zone filters prune fragments via manifest stats)
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
@@ -425,13 +438,14 @@ class SimilaritySpec extends AnyFunSuite {
             if s.description().contains("corpus.lance") => s
       }
     assert(srcScans.nonEmpty, liveDf.queryExecution.executedPlan.toString)
-    assert(srcScans.exists(_.installedRuntimeFilters.nonEmpty),
+    val installedIn = srcScans.flatMap(_.installedRuntimeFilters)
+      .filter(f => f.colName == "vec_id" && f.op == "in")
+    assert(installedIn.nonEmpty,
       s"candidate ids never reached the source scan as a runtime filter:\n" +
         liveDf.queryExecution.executedPlan)
-    // exactly the over-fetched candidate ranking minus the dead rows
-    val cand20 = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
-      query, k = 20, nProbe = 6).select("vec_id").as[Long].collect().toSeq
-    assert(live == cand20.filterNot(gone.contains).take(10))
+    assert(installedIn.exists(_.values.toSet == cand20.map(_.toDouble).toSet),
+      s"installed IN-list != realized candidate set: " +
+        s"${installedIn.map(_.values.sorted)} vs ${cand20.sorted}")
   }
 
   test("combined search covers rows appended after the index build") {
