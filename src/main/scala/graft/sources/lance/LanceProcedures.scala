@@ -581,6 +581,48 @@ private[lance] object LanceProcedures {
         Array(row(rowsIn, liveRowsOf(outP)))
       })
 
+    // CALL lance.create_ivf_index(t, id_col, vec_col, index_path
+    // [, n_lists, n_probe]): SQL face of
+    // [[graft.operators.Similarity.ivfBuildPersistLance]] — the offline
+    // IVF build (range-partitioned vectors.lance + centroid sidecar with
+    // the persisted probe width), recording the source head version so
+    // ivfSearchCombined can brute-force the post-build append tail. Also
+    // registers the `ORDER BY graft_cosine(...) DESC LIMIT k` planner
+    // rewrite for this session. Returns the recorded source version.
+    val createIvf = Proc("create_ivf_index",
+      Array(param("t", StringType), param("id_col", StringType),
+            param("vec_col", StringType), param("index_path", StringType),
+            paramDef("n_lists", IntegerType, "64"),
+            paramDef("n_probe", IntegerType,
+              graft.operators.Similarity.DefaultNProbe.toString)),
+      StructType(Seq(StructField("built_version", LongType))),
+      in => {
+        val nLists = if (in.isNullAt(4)) 64 else in.getInt(4)
+        val nProbe = if (in.isNullAt(5))
+          graft.operators.Similarity.DefaultNProbe else in.getInt(5)
+        val v = graft.operators.Similarity.ivfBuildPersistLance(spark,
+          path(in), in.getString(1), in.getString(2),
+          nLists, resolve(warehouse, in.getString(3)), nProbe)
+        Array(row(v))
+      })
+
+    // CALL lance.create_fts_index(t, id_col, text_col, index_path): SQL
+    // face of [[graft.operators.Fts.buildIndexLance]] — the offline FTS
+    // build (term-partitioned postings + vocabulary + stats sidecars,
+    // atomically published through built.lance) with the lance-attached
+    // metadata that enables incremental updateIndex and the
+    // `graft_bm25(...)` SQL rewrite. Returns the recorded source version.
+    val createFts = Proc("create_fts_index",
+      Array(param("t", StringType), param("id_col", StringType),
+            param("text_col", StringType), param("index_path", StringType)),
+      StructType(Seq(StructField("built_version", LongType))),
+      in => {
+        val v = graft.operators.Fts.buildIndexLance(spark, path(in),
+          in.getString(1), in.getString(2),
+          resolve(warehouse, in.getString(3)))
+        Array(row(v))
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
         "tags" -> tags, "versions" -> versions, "describe" -> describe,
@@ -590,6 +632,7 @@ private[lance] object LanceProcedures {
         "ndv" -> ndv, "stats" -> stats, "verify" -> verifyProc,
         "optimize" -> optimize, "diff" -> diff,
         "dedup_exact" -> dedupExact, "dedup_minhash" -> dedupMinhash,
-        "decontaminate" -> decontaminate, "semantic_dedup" -> semanticDedup)
+        "decontaminate" -> decontaminate, "semantic_dedup" -> semanticDedup,
+        "create_ivf_index" -> createIvf, "create_fts_index" -> createFts)
   }
 }

@@ -313,6 +313,44 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(survivors == Seq(1L, 3L), survivors.toString)
   }
 
+  test("create_ivf_index builds a persisted index the probe path can search") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-ivfbuild").toString
+    val ds = s"$base/vecs.lance"
+    val rnd = new scala.util.Random(7)
+    (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .write.format("lance").mode("overwrite").save(ds)
+    val ix = s"$base/ivf"
+    val v = spark.sql(
+      s"CALL lance.create_ivf_index('$ds', 'vec_id', 'embedding', '$ix', n_lists => 4)")
+      .as[Long].head()
+    assert(v >= 1L)
+    // the built index answers a probe without touching KMeans again, and
+    // the exact top hit is the queried row itself
+    val q = spark.read.format("lance").load(ds)
+      .filter(col("vec_id") === 5L).select("embedding").head().getSeq[Float](0)
+    val top = graft.operators.Similarity.ivfSearchPersisted(
+      spark, ix, "vec_id", "embedding", q, k = 1, nProbe = 4)
+      .select("vec_id").as[Long].head()
+    assert(top == 5L)
+  }
+
+  test("create_fts_index builds a persisted index the search path can read") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-ftsbuild").toString
+    val ds = s"$base/docs.lance"
+    Seq((1L, "alpha beta gamma"), (2L, "alpha alpha delta"), (3L, "zeta eta"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(ds)
+    val ix = s"$base/fts"
+    val v = spark.sql(
+      s"CALL lance.create_fts_index('$ds', 'doc_id', 'text', '$ix')")
+      .as[Long].head()
+    assert(v >= 1L)
+    val top = graft.operators.Fts.searchPersisted(spark, ix, Seq("alpha"), 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.head == 2L, s"doc 2 has the highest alpha tf: $top")
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
     val msg = e.getMessage + String.valueOf(e.getCause)
