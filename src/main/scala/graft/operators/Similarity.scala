@@ -419,6 +419,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** The full crate search contract on a STALE index — appends AND
+    * deletions since the build, composed from the two specialized paths:
+    * the indexed side probes through [[ivfSearchPersistedLive]] (liveness
+    * masked via the runtime-filter join against the current source, so
+    * deleted-but-indexed rows drop), the tail side brute-forces only the
+    * fragments appended after the recorded build version (deletions
+    * among appended rows are masked by the scan itself), and the two
+    * top-k streams merge. This is what `dataset.search()` does in the
+    * crate between index rebuilds: index hits minus the deletion bitmap,
+    * plus an unindexed-tail flat scan. */
+  def ivfSearchCombinedLive(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, sourcePath: String,
+                            idCol: String, vecCol: String,
+                            query: Seq[Float], k: Int,
+                            nProbe: Int = DefaultNProbe): DataFrame = {
+    val builtV = spark.read.format("lance").load(s"$indexPath/meta.lance")
+      .head().getLong(0)
+    val idxTop = ivfSearchPersistedLive(spark, indexPath, sourcePath,
+      idCol, vecCol, query, k, nProbe)
+    val tail = spark.read.format("lance")
+      .option("fromVersion", builtV).load(sourcePath)
+    val tailTop = cosineTopK(tail, idCol, vecCol, query, k)
+    idxTop.unionByName(tailTop)
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Delete-aware probe of a persisted IVF index — the crate's semantics:
     * deletions on the BASE dataset mask index hits at query time. The
     * plain IVF index stores a COPY of the vectors, so a row deleted from

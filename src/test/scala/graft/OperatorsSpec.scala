@@ -480,6 +480,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(stale.forall(_ % 5 != 0))
   }
 
+  test("combined+live search handles appends AND deletions since the build") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_combl").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 =!= 0)
+      .write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    // after the build: append the held-out fifth AND delete the two top
+    // indexed hits — the crate's between-rebuilds reality
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 === 0)
+      .write.format("lance").mode("append").save(src)
+    val gone = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 2, nProbe = 6).select("vec_id").as[Long].collect().toSeq
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, src,
+      s"vec_id IN (${gone.mkString(",")})")
+
+    val got = Similarity.ivfSearchCombinedLive(spark, dir, src,
+      "vec_id", "embedding", query, k = 10, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.length == 10)
+    assert(gone.forall(g => !got.contains(g)), s"deleted indexed hits surfaced: $got")
+    // any exact top-3 hit from the appended tail must surface
+    val exact = Similarity.cosineTopK(
+      spark.read.format("lance").load(src), "vec_id", "embedding", query, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    exact.filter(_ % 5 == 0).foreach { id =>
+      assert(got.contains(id), s"appended top hit $id missing: $got")
+    }
+    // and the result ranking agrees with the exact live top-k restricted
+    // to (probed lists ∪ appended tail): every exact live top-5 hit that
+    // is either appended or inside the probe's own candidate set appears
+    val cand = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 20, nProbe = 6).select("vec_id").as[Long].collect().toSet
+    val exact5 = Similarity.cosineTopK(
+      spark.read.format("lance").load(src), "vec_id", "embedding", query, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    exact5.filter(id => id % 5 == 0 || cand.contains(id)).foreach { id =>
+      assert(got.contains(id), s"live top-5 hit $id missing: $got")
+    }
+  }
+
   test("persisted IVF index: fresh-session probe matches in-session search") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
