@@ -718,6 +718,30 @@ object Fts {
     bm25TopK(idxPost.unionByName(tailPost), termDf, nDocs, totalLen, terms, k)
   }
 
+  /** The full between-rebuilds search contract ([[searchCombined]] +
+    * [[searchPersistedLive]] composed — the ANN
+    * [[graft.operators.Similarity.ivfSearchCombinedLive]] twin): appended
+    * docs rank via on-the-fly tail postings, and docs deleted from the
+    * source since the build (indexed OR appended) drop from the final
+    * ranked set through the same runtime-filter liveness join — the
+    * realized over-fetch candidate ids reach the source scan as an
+    * IN-list zone filter, O(k) point reads, no driver collect. Scores
+    * keep build-era statistics (the stale-FTS contract). */
+  def searchCombinedLive(spark: SparkSession, indexPath: String,
+                         sourcePath: String, idCol: String, textCol: String,
+                         terms: Seq[String], k: Int): DataFrame = {
+    val over = math.max(4 * k, k + 64)
+    val candsDf = searchCombined(spark, indexPath, sourcePath, idCol,
+      textCol, terms, over)
+    val cands = if (idCol == "doc_id") candsDf
+                else candsDf.withColumnRenamed("doc_id", idCol)
+    val src = spark.read.format("lance").load(sourcePath).select(col(idCol))
+    src.join(broadcast(cands), Seq(idCol), "inner")
+      .select(col(idCol).as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Phrase match (tantivy phrase-query analogue, positions recomputed
     * rather than index-stored): documents whose token stream contains
     * `phrase` as consecutive tokens. Position lists come from one
