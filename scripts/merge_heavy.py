@@ -50,6 +50,10 @@ def main() -> None:
             if runs:
                 m[side] = round(min(runs), 3)
                 m[f"{side}_runs"] = [round(t, 3) for t in runs]
+                # a real measurement supersedes a skip marker carried over
+                # from an invocation that skipped this side — a row must
+                # not claim both skipped and measured
+                m.pop(f"{side}_skipped", None)
                 if errs:
                     # some invocations errored while others ran: keep the
                     # error strings as provenance next to the runs

@@ -14,9 +14,9 @@ import sys
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit("usage: pick_bench.py out.json run1.json [run2.json ...]")
     out_path, *in_paths = sys.argv[1:]
-    if len(in_paths) < 1:
-        sys.exit("need at least one bench result")
     runs = [json.load(open(p)) for p in in_paths]
     sfs = {r.get("sf") for r in runs}
     if len(sfs) != 1:

@@ -123,8 +123,9 @@ object DataGen {
       val salted = saltNames.foldLeft(keyed)((df, n) =>
         df.withColumn(n, when(col("_copy") === 0, col(n))
           .otherwise(concat(col(n), lit("#"), col("_copy")))))
-      // keep _copy through to out(): directory mode repartitions on it
-      // (then drops it); single-file mode just drops it
+      // keep _copy through to out(): its PRESENCE is how out() detects a
+      // replicated (big) table and takes the parallel directory path —
+      // both modes drop the column before writing
       out(name, extra(salted).select((base.columns :+ "_copy").map(col): _*))
     }
 

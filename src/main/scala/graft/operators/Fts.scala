@@ -449,18 +449,28 @@ object Fts {
                           terms: Seq[String], k: Int): DataFrame = {
     val over = math.max(4 * k, k + 64)
     val candsDf = searchPersisted(spark, indexPath, terms, over)
-    // Liveness via the runtime-filter path (the ANN
-    // [[graft.operators.Similarity.ivfSearchPersistedLive]] shape): the
-    // source joins the broadcast candidate set, and the lance scan's
-    // SupportsRuntimeV2Filtering receives the realized ≤`over` candidate
-    // ids as an IN-list zone filter once the broadcast materializes —
-    // bounded point reads, never a corpus scan, no driver-side collect,
-    // and the probe's broadcast is shared with the pruning subquery so it
-    // executes once. The result stays a lazy distributed plan.
+    liveTopK(spark, sourcePath, idCol, candsDf, k)
+  }
+
+  /** The liveness mask shared by [[searchPersistedLive]] and
+    * [[searchCombinedLive]] (the ANN
+    * [[graft.operators.Similarity.ivfSearchPersistedLive]] shape): the
+    * source joins the broadcast candidate set `(doc_id, score)`, and the
+    * lance scan's SupportsRuntimeV2Filtering receives the realized
+    * candidate ids as an IN-list zone filter once the broadcast
+    * materializes — bounded point reads, never a corpus scan, no
+    * driver-side collect, and the probe's broadcast is shared with the
+    * pruning subquery so it executes once. The result stays a lazy
+    * distributed plan. The distinct restores semi-join semantics when
+    * the source holds duplicate ids (update-by-append): join output is
+    * ≤ candidates × multiplicity bit-identical rows, so it is free. */
+  private def liveTopK(spark: SparkSession, sourcePath: String,
+                       idCol: String, candsDf: DataFrame, k: Int): DataFrame = {
     val cands = if (idCol == "doc_id") candsDf
                 else candsDf.withColumnRenamed("doc_id", idCol)
     val src = spark.read.format("lance").load(sourcePath).select(col(idCol))
     src.join(broadcast(cands), Seq(idCol), "inner")
+      .distinct()
       .select(col(idCol).as("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
@@ -684,9 +694,12 @@ object Fts {
                   indexPath: String): Unit = {
     val b = spark.read.format("lance").load(s"$indexPath/built.lance").head()
     requirePublished(b, indexPath)
-    // re-attach = drop cached state and re-read the publish point
+    // re-attach = drop cached state and re-read the publish point —
+    // including the failure-fallback roster: serving pre-attach pins
+    // after an explicit re-attach could pin vacuumed sidecar versions
     pinsCache.remove(indexPath)
     statsCache.remove(indexPath)
+    fallbackPins.remove(indexPath)
     val (nDocs, totalLen) = statsOf(spark, indexPath)
     graft.plans.GraftFts.register(sourcePath, graft.plans.GraftFts.IndexInfo(
       indexPath, b.getString(1), b.getString(2), nDocs, totalLen, b.getLong(0)))
@@ -726,20 +739,21 @@ object Fts {
     * ranked set through the same runtime-filter liveness join — the
     * realized over-fetch candidate ids reach the source scan as an
     * IN-list zone filter, O(k) point reads, no driver collect. Scores
-    * keep build-era statistics (the stale-FTS contract). */
+    * keep build-era statistics (the stale-FTS contract).
+    *
+    * Documented limit: a doc DELETED and RE-APPENDED under the same id
+    * scores as the union of its indexed and tail postings (tf merges —
+    * [[searchCombined]]'s append contract cannot tell which indexed
+    * rows the deletion masked, since postings key on doc_id, not row
+    * address). A rebuild restores exact scoring; tantivy's
+    * segment-level scoring has the analogous between-merge drift. */
   def searchCombinedLive(spark: SparkSession, indexPath: String,
                          sourcePath: String, idCol: String, textCol: String,
                          terms: Seq[String], k: Int): DataFrame = {
     val over = math.max(4 * k, k + 64)
     val candsDf = searchCombined(spark, indexPath, sourcePath, idCol,
       textCol, terms, over)
-    val cands = if (idCol == "doc_id") candsDf
-                else candsDf.withColumnRenamed("doc_id", idCol)
-    val src = spark.read.format("lance").load(sourcePath).select(col(idCol))
-    src.join(broadcast(cands), Seq(idCol), "inner")
-      .select(col(idCol).as("doc_id"), col("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    liveTopK(spark, sourcePath, idCol, candsDf, k)
   }
 
   /** Phrase match (tantivy phrase-query analogue, positions recomputed

@@ -441,7 +441,17 @@ object Similarity {
     val tail = spark.read.format("lance")
       .option("fromVersion", builtV).load(sourcePath)
     val tailTop = cosineTopK(tail, idCol, vecCol, query, k)
-    idxTop.unionByName(tailTop)
+    // An id present in the post-build tail = a row deleted and
+    // re-appended since the build (an update): the id-existence liveness
+    // check keeps the STALE indexed copy alive, but the crate's
+    // row-level deletion bitmap would mask it — drop indexed hits whose
+    // id reappears ANYWHERE in the tail (not just in tailTop: a poorly-
+    // ranking re-append must still retire its stale copy). The anti-join
+    // broadcasts the ≤k idxTop side; the tail id projection is an extra
+    // column-pruned pass over the same post-build sliver tailTop already
+    // scans with the cosine kernel — strictly cheaper than tailTop.
+    val idxOnly = idxTop.join(tail.select(col(idCol)), Seq(idCol), "left_anti")
+    idxOnly.unionByName(tailTop)
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -480,7 +490,13 @@ object Similarity {
     // LivenessJoinSpec pins that the runtime filter actually reaches the
     // source scan and prunes fragments.
     val src = spark.read.format("lance").load(sourcePath).select(col(idCol))
+    // distinct: the inner join emits one row per matching SOURCE row, so
+    // a source holding duplicate ids (update-by-append) would repeat a
+    // candidate; duplicates are bit-identical (id, cos) pairs and the
+    // join output is ≤ 2k × multiplicity rows, so this is a no-shuffle-
+    // pressure exactness fix, restoring the semi-join semantics
     src.join(broadcast(candsDf), Seq(idCol), "inner")
+      .distinct()
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

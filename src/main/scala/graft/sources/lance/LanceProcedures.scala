@@ -433,8 +433,9 @@ private[lance] object LanceProcedures {
       val (sfs, sp) = LanceFormat.fileSystem(srcPath, conf)
       val (ofs, op) = LanceFormat.fileSystem(outPath, conf)
       require(sfs.makeQualified(sp) != ofs.makeQualified(op),
-        s"lance dedup: out must differ from t ($srcPath) — the survivor " +
-          "write would overwrite the dataset the dedup plan is reading")
+        s"lance: out must differ from the dataset being read ($srcPath) " +
+          "— the survivor write would overwrite an input of the plan " +
+          "that is still reading it")
     }
     def liveRowsOf(dsPath: String): Long = {
       val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -533,6 +534,8 @@ private[lance] object LanceProcedures {
         val n = if (in.isNullAt(5)) 5 else in.getInt(5)
         require(n >= 1, "lance decontaminate: n must be >= 1")
         guardDistinct(path(in), outP)
+        // the benchmark is ALSO read during the survivor write
+        guardDistinct(resolve(warehouse, in.getString(1)), outP)
         val rowsIn = liveRowsOf(path(in))
         // gram identity is the 64-bit rolling hash (d06/d15 precedent:
         // collisions negligible against corpus-scale gram counts)

@@ -429,6 +429,23 @@ class FtsSpec extends AnyFunSuite {
     }
   }
 
+  test("live search returns each doc once when the source holds duplicate ids") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fts_dup").toString
+    val src = s"$dir/docs.lance"
+    Seq((1L, "cat cat cat"), (2L, "cat dog"), (3L, "elk fox"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(src)
+    Fts.buildIndexLance(spark, src, "doc_id", "text", s"$dir/ix")
+    // a second source row under doc 1's id (update-by-append)
+    Seq((1L, "cat cat cat")).toDF("doc_id", "text")
+      .write.format("lance").mode("append").save(src)
+    val ids = Fts.searchPersistedLive(spark, s"$dir/ix", src, "doc_id",
+      Seq("cat"), 10).select("doc_id").as[Long].collect().toSeq
+    assert(ids.distinct == ids, s"duplicate source id repeated a candidate: $ids")
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("single-token phrase degenerates to containment") {
     val got = Fts.phraseMatch(docs, "doc_id", "text", Seq("merge"))
       .count()

@@ -523,6 +523,50 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("liveness under update-by-append: no duplicate ids, stale copies retire") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_upd").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0).write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    val top2 = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 2, nProbe = 6).select("vec_id").as[Long].collect().toSeq
+    val (dupId, updId) = (top2(0), top2(1))
+    val srcDf = spark.read.format("lance").load(src)
+    val dupRow = srcDf.filter(col("vec_id") === dupId)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val updLabel = srcDf.filter(col("vec_id") === updId)
+      .select("label").head().getInt(0)
+    // duplicate id: a second source row under the top hit's id — the
+    // liveness inner join must still return each candidate ONCE
+    dupRow.toSeq.toDF("vec_id", "embedding", "label")
+      .write.format("lance").mode("append").save(src)
+    val live = Similarity.ivfSearchPersistedLive(spark, dir, src,
+      "vec_id", "embedding", query, k = 10, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(live.distinct == live, s"duplicate source id repeated a candidate: $live")
+    assert(live.contains(dupId))
+    // update (delete + re-append with a far vector): the stale indexed
+    // copy must retire even though the re-appended row ranks poorly
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, src,
+      s"vec_id = $updId")
+    Seq((updId, query.map(-_).toArray, updLabel))
+      .toDF("vec_id", "embedding", "label")
+      .write.format("lance").mode("append").save(src)
+    val got = Similarity.ivfSearchCombinedLive(spark, dir, src,
+      "vec_id", "embedding", query, k = 10, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ids = got.map(_._1)
+    assert(ids.distinct == ids, s"id ranked twice: $got")
+    // the updated row may still rank — but only through its FRESH vector
+    // (cos = -1 for the negated query), never the stale indexed cos
+    got.filter(_._1 == updId).foreach { case (_, cos) =>
+      assert(cos < 0, s"stale indexed cos served for the updated row: $got")
+    }
+  }
+
   test("persisted IVF index: fresh-session probe matches in-session search") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
