@@ -6,8 +6,25 @@ min-of-N protocol, with full provenance kept inline in the merged JSON.
 
 Usage: merge_heavy.py out.json in1.json in2.json [in3.json ...]
 """
+import hashlib
 import json
 import sys
+
+
+def constituent_ids(a: dict) -> list:
+    """The identities of the harness invocations an artifact carries: a
+    merged artifact lists them in merged_ids; a raw artifact IS one
+    invocation, identified by a content hash (identical-content re-runs
+    would collide, but two invocations never produce bit-identical
+    timings). Legacy merged artifacts without merged_ids synthesize
+    opaque ids so the COUNT stays right even though their constituents
+    can't be cross-deduped."""
+    if "merged_ids" in a:
+        return list(a["merged_ids"])
+    h = hashlib.sha256(
+        json.dumps(a, sort_keys=True).encode()).hexdigest()[:16]
+    n = a.get("merged_from", 1)
+    return [h] if n == 1 else [f"{h}#{i}" for i in range(n)]
 
 
 def main() -> None:
@@ -15,6 +32,26 @@ def main() -> None:
     if len(in_paths) < 1:
         sys.exit("need at least one input artifact")
     arts = [json.load(open(p)) for p in in_paths]
+    # dedupe at the invocation level: re-merging a previously-merged base
+    # together with one of its original constituents must not double-count
+    # the invocation NOR duplicate its runs in the concatenated arrays
+    seen_ids, kept = [], []
+    for p, a in zip(in_paths, arts):
+        ids = constituent_ids(a)
+        dup = [i for i in ids if i in seen_ids]
+        if dup and len(dup) == len(ids):
+            print(f"note: skipping {p} — all {len(ids)} constituent "
+                  "invocation(s) already present in another input",
+                  file=sys.stderr)
+            continue
+        if dup:
+            sys.exit(f"{p} partially overlaps already-merged constituents "
+                     f"{dup} — cannot separate its recomputed rows")
+        seen_ids.extend(ids)
+        kept.append(a)
+    if not kept:
+        sys.exit("nothing to merge: every input was a duplicate")
+    arts = kept
     base = arts[0]
     for a in arts[1:]:
         for k in ("sf_small", "sf_big", "data_ratio"):
@@ -66,9 +103,11 @@ def main() -> None:
             m["ratio"] = round(m["sf_big"] / m["sf_small"], 2)
         queries[n] = m
     merged["queries"] = queries
-    # accumulates across re-merges: a previously-merged base counts its
-    # own constituent invocations, not 1
-    merged["merged_from"] = sum(a.get("merged_from", 1) for a in arts)
+    # the UNION of constituent invocation identities, not a sum — a
+    # previously-merged base re-merged alongside one of its own inputs
+    # counts (and concatenates) each invocation exactly once
+    merged["merged_ids"] = seen_ids
+    merged["merged_from"] = len(seen_ids)
     merged["total_sf_small"] = round(
         sum(q["sf_small"] for q in queries.values() if "sf_small" in q), 1)
     merged["total_sf_big"] = round(

@@ -50,11 +50,11 @@ object BenchHeavy {
     // e10) reads a PERSISTED index; their fixtures are built by the
     // preceding build rows or warmed once untimed (warmOnce below), so
     // the timed rows measure probes.
-    "e06_build", "e06_ivf_topk", "e06b_ivf_probe",
+    "e06_build", "e06_ivf_topk", "e06b_ivf_probe", "e06e_ivf_combined_live",
     "e08_build", "e08_ivfpq_topk", "e10_batch_ann", "e12_binary_quant",
     "f01_bm25_rank", "f02_fts_build", "f03_fts_search", "f04_fts_phrase",
-    "f05_fts_sql_rewrite", "f06_fts_live", "f07_fts_phrase_indexed",
-    "f08_fts_boolean", "f09_fts_fuzzy",
+    "f05_fts_sql_rewrite", "f06_fts_live", "f06b_fts_combined_live",
+    "f07_fts_phrase_indexed", "f08_fts_boolean", "f09_fts_fuzzy",
     "l21_partitioned_join", "l22_partitioned_agg", "l23_bucketed_join",
     "l24_incremental_matview", "l25_ndv_sidecar", "l26_days_partitioned",
     "l27_joined_matview")
@@ -139,9 +139,13 @@ object BenchHeavy {
     // the offline artifact: a single-pass measurement would fold the
     // stage into the first build while the min-of-2 small side excludes
     // it — warm once so both sides measure build-from-staged-postings.
+    // e06e/f06b: the one-time stale-index fixture (indexed-slice build +
+    // tail append + deletions) is the offline cost; the timed row is the
+    // composed combined+live SEARCH the fixture exists for.
     val warmOnce = Set("e10_batch_ann", "l21_partitioned_join",
                        "l23_bucketed_join", "f02_fts_build",
-                       "f05_fts_sql_rewrite", "f06_fts_live")
+                       "f05_fts_sql_rewrite", "f06_fts_live",
+                       "e06e_ivf_combined_live", "f06b_fts_combined_live")
     def measure(dir: String, passes: Int,
                 skip: Map[String, String]): Map[String, Either[String, Seq[Double]]] = {
       Tables.register(spark, dir)

@@ -50,6 +50,17 @@ object DedupDecomp {
 
     val docs = Tables.load(spark, sfDir, "documents")
 
+    // warm-up: one full-pipeline pass (reported as warmup_full_sec but
+    // excluded from the decomposition) so the stage timings below
+    // are measured in the same regime (OS page cache, JIT) as the timed
+    // full run — without it, cold-cache stage timings subtracted from a
+    // warm re-execution systematically understate kernel_sec. The
+    // residual boundary error (checkpoint materialization vs in-pipeline
+    // stage fusion) is ~1 job and noted in the emitted JSON.
+    val (_, tWarm) = secs {
+      Dedup.minHashLsh(docs, "doc_id", "text", numHashes, bands, tau).count()
+    }
+
     // stage A — mirrors minHashLsh's signature collapse exactly
     val (reps, tA) = secs {
       Dedup.minHashSignatures(docs, "doc_id", "text", numHashes)
@@ -75,7 +86,8 @@ object DedupDecomp {
         coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)).as("cmp"))
       .head()
 
-    // full pipeline wall (stage C = full − A − B, boundary effects ~1 job)
+    // full pipeline wall, warm like the stages (stage C = full − A − B,
+    // boundary effects ~1 job)
     val (outPairs, tFull) = secs {
       Dedup.minHashLsh(docs, "doc_id", "text", numHashes, bands, tau).count()
     }
@@ -87,7 +99,12 @@ object DedupDecomp {
       s""""bands":$bands,"tau":$tau,"docs":${docs.count()},""" +
       s""""distinct_sigs":$nReps,"sig_reps_sec":${f(tA)},""" +
       s""""census_sec":${f(tB)},"full_sec":${f(tFull)},""" +
+      s""""warmup_full_sec":${f(tWarm)},""" +
       s""""kernel_sec":${f(math.max(0.0, tFull - tA - tB))},""" +
+      s""""timing_note":"all decomposition passes run after one """ +
+      s"""full-pipeline warm-up (page cache + JIT); kernel_sec residual """ +
+      s"""boundary error ~1 job (checkpoint materialization vs """ +
+      s"""in-pipeline fusion)",""" +
       s""""hot_buckets":${censusRow.getLong(0)},""" +
       s""""hot_rows":${censusRow.getLong(1)},""" +
       s""""max_bucket":${censusRow.getLong(2)},""" +

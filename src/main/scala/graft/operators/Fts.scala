@@ -461,16 +461,18 @@ object Fts {
     * materializes — bounded point reads, never a corpus scan, no
     * driver-side collect, and the probe's broadcast is shared with the
     * pruning subquery so it executes once. The result stays a lazy
-    * distributed plan. The distinct restores semi-join semantics when
-    * the source holds duplicate ids (update-by-append): join output is
-    * ≤ candidates × multiplicity bit-identical rows, so it is free. */
+    * distributed plan. The grouped first-win restores semi-join
+    * semantics when the source holds duplicate ids (update-by-append) —
+    * grouping on the id alone keeps the exchange keyed on ≤candidates
+    * ids after map-side partial aggregation, cheaper than an
+    * all-columns distinct. */
   private def liveTopK(spark: SparkSession, sourcePath: String,
                        idCol: String, candsDf: DataFrame, k: Int): DataFrame = {
     val cands = if (idCol == "doc_id") candsDf
                 else candsDf.withColumnRenamed("doc_id", idCol)
     val src = spark.read.format("lance").load(sourcePath).select(col(idCol))
     src.join(broadcast(cands), Seq(idCol), "inner")
-      .distinct()
+      .groupBy(col(idCol)).agg(max(col("score")).as("score"))
       .select(col(idCol).as("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

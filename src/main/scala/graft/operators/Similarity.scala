@@ -436,8 +436,6 @@ object Similarity {
                             nProbe: Int = DefaultNProbe): DataFrame = {
     val builtV = spark.read.format("lance").load(s"$indexPath/meta.lance")
       .head().getLong(0)
-    val idxTop = ivfSearchPersistedLive(spark, indexPath, sourcePath,
-      idCol, vecCol, query, k, nProbe)
     val tail = spark.read.format("lance")
       .option("fromVersion", builtV).load(sourcePath)
     val tailTop = cosineTopK(tail, idCol, vecCol, query, k)
@@ -446,11 +444,17 @@ object Similarity {
     // check keeps the STALE indexed copy alive, but the crate's
     // row-level deletion bitmap would mask it — drop indexed hits whose
     // id reappears ANYWHERE in the tail (not just in tailTop: a poorly-
-    // ranking re-append must still retire its stale copy). The anti-join
-    // broadcasts the ≤k idxTop side; the tail id projection is an extra
-    // column-pruned pass over the same post-build sliver tailTop already
-    // scans with the cosine kernel — strictly cheaper than tailTop.
-    val idxOnly = idxTop.join(tail.select(col(idCol)), Seq(idCol), "left_anti")
+    // ranking re-append must still retire its stale copy). The
+    // retirement anti-joins the FULL 2k live over-fetch, BEFORE any
+    // top-k cut: cutting first would let each retired hit permanently
+    // consume a top-k slot, silently dropping live indexed rows ranked
+    // k+1..2k that outrank tail rows. The anti-join broadcasts the ≤2k
+    // candidate side; the tail id projection is an extra column-pruned
+    // pass over the same post-build sliver tailTop already scans with
+    // the cosine kernel — strictly cheaper than tailTop.
+    val idxLive = ivfLiveCandidates(spark, indexPath, sourcePath,
+      idCol, vecCol, query, 2 * k, nProbe)
+    val idxOnly = idxLive.join(tail.select(col(idCol)), Seq(idCol), "left_anti")
     idxOnly.unionByName(tailTop)
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -473,32 +477,47 @@ object Similarity {
                              indexPath: String, sourcePath: String,
                              idCol: String, vecCol: String,
                              query: Seq[Float], k: Int,
-                             nProbe: Int = DefaultNProbe): DataFrame = {
+                             nProbe: Int = DefaultNProbe): DataFrame =
+    ivfLiveCandidates(spark, indexPath, sourcePath, idCol, vecCol,
+        query, 2 * k, nProbe)
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** The liveness-masked candidate set BEFORE any top-k cut: up to
+    * `fetch` index hits that still exist in `sourcePath`, as `(idCol,
+    * cos)`. [[ivfSearchPersistedLive]] cuts this to k;
+    * [[ivfSearchCombinedLive]] first retires tail-reappearing ids from
+    * the FULL over-fetch so retired hits refill from candidates ranked
+    * below k instead of consuming top-k slots. */
+  private[graft] def ivfLiveCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, sourcePath: String,
+      idCol: String, vecCol: String,
+      query: Seq[Float], fetch: Int, nProbe: Int): DataFrame = {
     val candsDf = ivfSearchPersisted(spark, indexPath, idCol, vecCol,
-      query, 2 * k, nProbe)
+      query, fetch, nProbe)
     // Liveness mask via Spark's runtime-filter path, no driver collect:
     // the source joins the broadcast candidate set, and because the lance
     // scan implements SupportsRuntimeV2Filtering (with idCol among its
     // filterAttributes) the optimizer's PartitionPruning rule attaches a
     // dynamic-pruning subquery that reuses the candidate broadcast — once
-    // the ≤2k candidates materialize, their realized ids reach the source
-    // scan as an IN-list zone filter (bounded point reads — O(k) like the
-    // crate's per-candidate deletion-bitmap check, never a corpus scan).
-    // The probe subtree appears ONCE in the plan and its broadcast is
-    // shared between the join build side and the pruning subquery, so the
-    // probe executes once; the whole result stays a lazy distributed plan.
-    // LivenessJoinSpec pins that the runtime filter actually reaches the
-    // source scan and prunes fragments.
+    // the ≤fetch candidates materialize, their realized ids reach the
+    // source scan as an IN-list zone filter (bounded point reads — O(k)
+    // like the crate's per-candidate deletion-bitmap check, never a
+    // corpus scan). The probe subtree appears ONCE in the plan and its
+    // broadcast is shared between the join build side and the pruning
+    // subquery, so the probe executes once; the whole result stays a lazy
+    // distributed plan. LivenessJoinSpec pins that the runtime filter
+    // actually reaches the source scan and prunes fragments.
     val src = spark.read.format("lance").load(sourcePath).select(col(idCol))
-    // distinct: the inner join emits one row per matching SOURCE row, so
-    // a source holding duplicate ids (update-by-append) would repeat a
-    // candidate; duplicates are bit-identical (id, cos) pairs and the
-    // join output is ≤ 2k × multiplicity rows, so this is a no-shuffle-
-    // pressure exactness fix, restoring the semi-join semantics
+    // grouped first-win: the inner join emits one row per matching SOURCE
+    // row, so a source holding duplicate ids (update-by-append) would
+    // repeat a candidate. Grouping on the id alone (instead of an
+    // all-columns distinct) keeps the exchange keyed on ≤fetch ids after
+    // map-side partial aggregation, and under duplicate ids in the INDEX
+    // itself deterministically keeps the best-scoring copy.
     src.join(broadcast(candsDf), Seq(idCol), "inner")
-      .distinct()
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
+      .groupBy(col(idCol)).agg(max(col("cos")).as("cos"))
   }
 
   // ---- IVF_PQ: product-quantized persisted index (lance-index IVF_PQ
@@ -631,14 +650,40 @@ object Similarity {
   /** Probe an IVF_PQ index: pick `nProbe` lists driver-side, scan only
     * their fragments of `pq.lance`, score codes with the one-lookup-per-
     * subspace ADC kernel, keep the top `k * rerank` candidates, then
-    * re-rank those ids EXACTLY against `corpus` (the id filter pushes into
-    * the corpus scan's zone maps, so re-rank touches candidate rows, not
-    * the table). Two bounded driver transfers: probe lists (nLists rows)
-    * and candidate ids (k*rerank rows). */
+    * re-rank those ids EXACTLY against `corpus` via a broadcast semi-join
+    * (the realized candidate ids push into a lance corpus scan's zone
+    * maps as a runtime IN-list filter, so re-rank touches candidate rows,
+    * not the table). One bounded driver transfer: probe lists (nLists
+    * rows); candidate ids stay distributed. */
   def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                   corpus: DataFrame, idCol: String, vecCol: String,
                   query: Seq[Float], k: Int, nProbe: Int = DefaultNProbe,
                   rerank: Int = 4): DataFrame = {
+    val cand = ivfPqCandidates(spark, indexPath, idCol, query, k, nProbe, rerank)
+    // Exact re-rank with NO driver collect (the ivfSearchPersistedLive
+    // shape): the corpus semi-joins the broadcast ADC top-(k·rerank)
+    // candidate ids, and when the corpus is a lance scan its
+    // SupportsRuntimeV2Filtering receives the realized ids as an IN-list
+    // zone filter through the PartitionPruning subquery that REUSES the
+    // candidate broadcast — bounded point reads of candidate rows, never
+    // a table scan, and the ADC probe executes once. A semi-join keeps
+    // each corpus row at most once (exactly the old isin semantics), so
+    // no dedup is needed.
+    corpus.join(broadcast(cand.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The ADC candidate plan of [[ivfPqSearch]] — (idCol, acos), the top
+    * `k * rerank` approximate hits from the probed lists of `pq.lance`,
+    * BEFORE the exact re-rank. Factored out so the spec can pin that the
+    * realized candidate ids (exactly these) reach the corpus scan as a
+    * runtime IN-list filter. */
+  private[graft] def ivfPqCandidates(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, query: Seq[Float], k: Int, nProbe: Int,
+      rerank: Int): DataFrame = {
     val cents = pqCentroids(spark, indexPath)
     val cbs = pqCodebooks(spark, indexPath)
     val m = cbs.length
@@ -666,18 +711,13 @@ object Similarity {
       s += 1
     }
     val qNorm = math.sqrt(qd.map(x => x * x).sum)
-    val cand = spark.read.format("lance").load(s"$indexPath/pq.lance")
+    spark.read.format("lance").load(s"$indexPath/pq.lance")
       .filter(col("list_id").isin(probeLists.toIndexedSeq: _*))
       .select(col(idCol),
         (graft.functions.ArrayKernels.pqAdcScore(col("pq_code"), typedlit(lut.toSeq))
           / lit(qNorm)).as("acos"))
       .orderBy(col("acos").desc, col(idCol))
       .limit(k * rerank)
-    val candIds = cand.select(col(idCol)).collect().map(_.get(0))
-    corpus.filter(col(idCol).isin(candIds.toIndexedSeq: _*))
-      .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
   }
 
   /** Similarity JOIN within an L2 radius via MLlib's

@@ -90,6 +90,36 @@ object Search {
       (docs, ix)
     })
 
+  /** Fixture for the full between-rebuilds contract (f06b): an index
+    * STALE in both directions — built over `doc_id % 13 <> 0` only (so
+    * the %13 slice is the post-build append tail), then `doc_id % 7 = 0`
+    * deleted from the live source AFTER the append (hitting indexed and
+    * tail docs alike). The tail and indexed doc sets are disjoint, so the
+    * documented tf-merge drift for delete-then-re-append never arises —
+    * the query is exactly oracle-able. */
+  private val builtComb = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private def ensureCombinedFts(s: org.apache.spark.sql.SparkSession,
+                                dir: String): (String, String) =
+    builtComb.computeIfAbsent(dir, _ => {
+      val t = Tables.register(s, dir)
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = s"$workDir/combdocs-$key.lance"
+      t("documents").select("doc_id", "text")
+        .filter(col("doc_id") % 13 =!= 0)
+        .write.format("lance").mode("overwrite").save(docs)
+      val ix = s"$workDir/combix-$key"
+      // the staged corpus tokenize restricted to the indexed slice IS the
+      // postings of the lance copy at its build version
+      Fts.buildIndexLance(s, docs, "doc_id", "text", ix,
+        stagedPostings = Some(s.read.parquet(ensurePostings(s, dir))
+          .filter(col("doc_id") % 13 =!= 0)))
+      t("documents").select("doc_id", "text")
+        .filter(col("doc_id") % 13 === 0)
+        .write.format("lance").mode("append").save(docs)
+      graft.sources.lance.LanceMaintenance.deleteWhere(s, docs, "doc_id % 7 = 0")
+      (docs, ix)
+    })
+
   /** The shared oracle text for a BM25 ranking over `documents` — the
     * DuckDB spelling of [[Fts.bm25TopK]]'s math, CTE by CTE. `terms` must
     * be plain words (quoted into an IN-list). `liveWhere` restricts the
@@ -187,6 +217,45 @@ object Search {
                               Seq("stream", "partition", "vector"), 12)
     }, Some(bm25OracleSql(Seq("stream", "partition", "vector"), 12,
                           liveWhere = "doc_id % 7 <> 0"))),
+
+    // --- the FULL between-rebuilds contract, composed: appended docs
+    // rank via on-the-fly tail postings, deleted docs (indexed or
+    // appended) drop via the runtime-filter liveness join, scores keep
+    // BUILD-ERA statistics (df/N/avgdl over the indexed slice only;
+    // tail-only terms score at the formula's df->0 limit). The oracle
+    // recomputes exactly that: tf over ALL docs, df/stats over the
+    // indexed slice (LEFT JOIN, COALESCE df->0), deletions excluded from
+    // the final ranked set only. -----------------------------------------
+    QDef("f06b_fts_combined_live", (s, dir) => {
+      val (docs, ix) = ensureCombinedFts(s, dir)
+      Fts.searchCombinedLive(s, ix, docs, "doc_id", "text",
+                             Seq("merge", "stream", "filter"), 12)
+    }, Some {
+      val inList = Seq("merge", "stream", "filter").map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+      dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      toks_idx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM idx),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfv AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_idx GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_len
+             FROM idx),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                 ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - COALESCE(dfv.df, 0) + 0.5)
+                                / (COALESCE(dfv.df, 0) + 0.5)), 8)
+                 * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                     / (CAST(st.total_len AS DOUBLE) / st.n_docs))))
+                 * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM tf LEFT JOIN dfv USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        WHERE tf.term IN ($inList))
+      SELECT doc_id, ROUND(SUM(micro) / 1e6, 6) AS score
+      FROM scored WHERE doc_id % 7 <> 0 GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 12"""
+    }),
 
     // --- phrase query (consecutive-token match) ---------------------------
     // single-space tokenization makes the position-join semantics exactly

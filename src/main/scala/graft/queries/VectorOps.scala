@@ -85,6 +85,29 @@ object VectorOps {
     }
   }
 
+  /** Fixture for the full between-rebuilds contract (e06e): a lance
+    * corpus whose IVF index is STALE in both directions — built over
+    * `vec_id % 5 <> 0` only (the %5 slice is the post-build append
+    * tail), then `vec_id % 9 = 0` deleted from the live source AFTER the
+    * append (hitting indexed and tail rows alike). Returns the index
+    * base path; the corpus lives at `<base>/corpus.lance`. */
+  private def ensureIvfCombined(s: SparkSession, dir: String): String = {
+    val base = s"${ivfPath(dir)}_comb"
+    val src = s"$base/corpus.lance"
+    if (!new java.io.File(s"$src/_versions").exists()) {
+      val t = Tables.register(s, dir)
+      val corpus = t("embeddings").filter(col("vec_id") > 0)
+      corpus.filter(col("vec_id") % 5 =!= 0)
+        .write.format("lance").mode("overwrite").save(src)
+      Similarity.ivfBuildPersistLance(s, src, "vec_id", "embedding",
+        nLists = ivfLists(corpus.count()), indexPath = base)
+      corpus.filter(col("vec_id") % 5 === 0)
+        .write.format("lance").mode("append").save(src)
+      graft.sources.lance.LanceMaintenance.deleteWhere(s, src, "vec_id % 9 = 0")
+    }
+    base
+  }
+
   private def ensureIvfPq(s: SparkSession, dir: String): Unit = {
     val pq = new java.io.File(s"${ivfPath(dir)}/pq.lance/_versions")
     if (!pq.exists()) {
@@ -343,6 +366,24 @@ object VectorOps {
       ensureIvf(s, dir)
       Similarity.ivfSearchPersisted(s, ivfPath(dir), "vec_id", "embedding",
                                     query, k = 10, nProbe = 12)
+    }, None),
+
+    // --- the FULL between-rebuilds contract, composed (the crate's
+    // dataset.search() between index rebuilds): the indexed side probes
+    // with liveness masked via the runtime-filter join (stale copies of
+    // re-appended ids retired BEFORE the top-k cut, refilled from the 2k
+    // over-fetch), the tail side brute-forces only the post-build
+    // fragments, and the two top-k streams merge. Rows-only (IVF probe
+    // sets are index-specific); correctness pinned by the
+    // combined+live/refill specs in SimilaritySpec. ----------------------
+    QDef("e06e_ivf_combined_live", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val query = t("embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val base = ensureIvfCombined(s, dir)
+      Similarity.ivfSearchCombinedLive(s, base, s"$base/corpus.lance",
+          "vec_id", "embedding", query, k = 10, nProbe = 6)
+        .select(col("vec_id"), round(col("cos"), 9).as("cos"))
     }, None),
 
     // --- batched ANN: per-query IVF top-k for a TABLE of query vectors ----

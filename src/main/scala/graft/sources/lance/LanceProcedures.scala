@@ -432,10 +432,33 @@ private[lance] object LanceProcedures {
       val conf = SparkSession.active.sessionState.newHadoopConf()
       val (sfs, sp) = LanceFormat.fileSystem(srcPath, conf)
       val (ofs, op) = LanceFormat.fileSystem(outPath, conf)
-      require(sfs.makeQualified(sp) != ofs.makeQualified(op),
+      // makeQualified alone keeps '..' segments and symlinks, so an
+      // aliased spelling ('/a/x/../b' for '/a/b') would slip past a plain
+      // equality check: normalize the URI ('..'/'.' removal) and, where
+      // the path already exists, let the filesystem resolve symlinks too
+      // (the source always exists; a stale out dir might).
+      def canon(fs: org.apache.hadoop.fs.FileSystem,
+                p: org.apache.hadoop.fs.Path): java.net.URI = {
+        val norm = fs.makeQualified(p).toUri.normalize()
+        try fs.resolvePath(new org.apache.hadoop.fs.Path(norm)).toUri.normalize()
+        catch { case _: java.io.IOException => norm }
+      }
+      val (s, o) = (canon(sfs, sp), canon(ofs, op))
+      require(s != o,
         s"lance: out must differ from the dataset being read ($srcPath) " +
           "— the survivor write would overwrite an input of the plan " +
           "that is still reading it")
+      // nesting is as destructive as equality: out INSIDE the source
+      // pollutes (and a later overwrite clobbers) the dataset being read;
+      // the source inside OUT would be deleted by out's mode(overwrite).
+      def inside(child: java.net.URI, parent: java.net.URI): Boolean =
+        child.toString.startsWith(parent.toString.stripSuffix("/") + "/")
+      require(!inside(o, s),
+        s"lance: out ($outPath) is nested inside the dataset being read " +
+          s"($srcPath) — the write would corrupt the source")
+      require(!inside(s, o),
+        s"lance: the dataset being read ($srcPath) is nested inside out " +
+          s"($outPath) — the overwrite would delete the source")
     }
     def liveRowsOf(dsPath: String): Long = {
       val conf = SparkSession.active.sessionState.newHadoopConf()

@@ -241,6 +241,26 @@ class LanceProcedureSpec extends AnyFunSuite {
       spark.sql(s"CALL lance.dedup_minhash('$ds', 'doc_id', 'text', '$ds')").collect()
     }
     assert((e2.getMessage + String.valueOf(e2.getCause)).contains("must differ"))
+    // an aliased spelling of the same path ('..' segment) must not bypass
+    // the guard — the URIs normalize before comparing
+    val e3 = intercept[Exception] {
+      spark.sql(
+        s"CALL lance.dedup_exact('$ds', 'text', 'doc_id', '$base/x/../docs.lance')")
+        .collect()
+    }
+    assert((e3.getMessage + String.valueOf(e3.getCause)).contains("must differ"))
+    // out nested INSIDE the dataset dir pollutes (and a later overwrite
+    // clobbers) the dataset being read
+    val e4 = intercept[Exception] {
+      spark.sql(s"CALL lance.dedup_exact('$ds', 'text', 'doc_id', '$ds/out.lance')")
+        .collect()
+    }
+    assert((e4.getMessage + String.valueOf(e4.getCause)).contains("nested inside"))
+    // the dataset nested inside OUT would be deleted by out's overwrite
+    val e5 = intercept[Exception] {
+      spark.sql(s"CALL lance.dedup_exact('$ds', 'text', 'doc_id', '$base')").collect()
+    }
+    assert((e5.getMessage + String.valueOf(e5.getCause)).contains("nested inside"))
     // the source is untouched
     assert(spark.read.format("lance").load(ds).count() == 2L)
   }

@@ -652,6 +652,93 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"fixture IVF_PQ recall $recall: $exact vs $approx")
   }
 
+  test("combined+live: retired top hit refills from the over-fetch window") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_refill").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0).write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    val k = 5
+    // full-width probe: the over-fetch is the global approx top-2k, so
+    // the expected combined+live answer is exactly the live top-k
+    val topIds = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = k, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+    // update the TOP hit: delete + re-append under the same id with the
+    // negated query vector (ranks dead last). Its stale indexed copy must
+    // retire AND its vacated top-k slot must refill from the live indexed
+    // candidate ranked k+1 in the over-fetch — which outranks every tail
+    // row. Cutting to k BEFORE retirement (the pre-fix shape) would let
+    // the worthless tail row take the slot instead.
+    val updId = topIds.head
+    val updLabel = spark.read.format("lance").load(src)
+      .filter(col("vec_id") === updId).select("label").head().getInt(0)
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, src,
+      s"vec_id = $updId")
+    Seq((updId, query.map(-_).toArray, updLabel))
+      .toDF("vec_id", "embedding", "label")
+      .write.format("lance").mode("append").save(src)
+    val got = Similarity.ivfSearchCombinedLive(spark, dir, src,
+      "vec_id", "embedding", query, k = k, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSeq
+    val exactLive = Similarity.cosineTopK(
+      spark.read.format("lance").load(src), "vec_id", "embedding", query, k)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exactLive,
+      s"retired hit did not refill from the over-fetch: got $got, exact live $exactLive")
+    assert(!got.contains(updId), s"negated re-append ranked in the top-$k: $got")
+  }
+
+  test("IVF_PQ re-rank: candidate ids reach a lance corpus as a runtime filter") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") > 0)
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rf").toString
+    val src = s"$dir/corpus.lance"
+    corpus.write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfPqBuildPersist(corpus, "vec_id", "embedding", nLists = 16,
+      indexPath = dir)
+    val expected = Similarity.ivfPqCandidates(spark, dir, "vec_id",
+      query, k = 10, nProbe = 14, rerank = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val df = Similarity.ivfPqSearch(spark, dir,
+      spark.read.format("lance").load(src), "vec_id", "embedding",
+      query, k = 10, nProbe = 14, rerank = 8)
+    // execute THIS plan (not a derived projection): the runtime filters
+    // install on the executed tree's own scan instances
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got.length == 10 && got.toSet.subsetOf(expected),
+      s"re-rank returned rows outside the candidate set: $got vs $expected")
+    // no driver-side collect: the exact re-rank's corpus scan must have
+    // received the REALIZED ADC candidate id set (exactly, not a
+    // superset) as a runtime IN-list zone filter — the
+    // ivfSearchPersistedLive contract applied to the PQ path
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scansOf(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => (other.children ++ other.subqueries).flatMap(scansOf)
+    }
+    val srcScans = scansOf(df.queryExecution.executedPlan)
+      .map(_.scan).collect {
+        case s: graft.sources.lance.LanceScan
+            if s.description().contains("corpus.lance") => s
+      }
+    assert(srcScans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val installedIn = srcScans.flatMap(_.installedRuntimeFilters)
+      .filter(f => f.colName == "vec_id" && f.op == "in")
+    assert(installedIn.nonEmpty,
+      s"candidate ids never reached the corpus scan as a runtime filter:\n" +
+        df.queryExecution.executedPlan)
+    assert(installedIn.exists(_.values.toSet == expected.map(_.toDouble)),
+      s"installed IN-list != realized candidate set: " +
+        s"${installedIn.map(_.values.sorted)} vs ${expected.toSeq.sorted}")
+  }
+
   test("ORDER BY graft_cosine DESC LIMIT k over a registered index is probe-pruned") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
