@@ -35,7 +35,12 @@ import org.apache.spark.sql.functions._
   *    straddle the copies=10 boundary (e.g. an sf10-jitter fixture vs
   *    an sf100-permutation fixture) are not like-for-like on clique
   *    shape — compare fixtures from the same regime, or read e09-style
-  *    ratios with that caveat (BenchHeavy's artifact note records it);
+  *    ratios with that caveat (BenchHeavy's artifact note records it).
+  *    SPARK_GRAFT_EMB_CLIQUE=g generates the HYBRID regime: one shared
+  *    permutation per group of g copies, so cliques keep a constant
+  *    size g at every SF — the like-for-like chain for similarity
+  *    operators (SPARK_GRAFT_ONLY_TABLES=embeddings makes such a
+  *    side-fixture cheap);
   *  - events: timestamps shift by `copy` seconds (density scales,
   *    window boundaries keep realistic spread).
   *
@@ -69,7 +74,16 @@ object DataGen {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(dstDir).mkdirs()
 
-    def out(name: String, df: DataFrame): Unit = {
+    // SPARK_GRAFT_ONLY_TABLES=embeddings[,documents,...]: generate just
+    // the named tables (side-measurement fixtures — e.g. the e09
+    // same-regime chain needs only embeddings; replicating the other
+    // eight tables would cost 15 GB per SF for nothing). Default: all.
+    val onlyTables: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY_TABLES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = onlyTables.forall(_.contains(name))
+
+    def out(name: String, df: DataFrame): Unit = if (wanted(name)) {
       if (dirMode && df.columns.contains("_copy")) {
         // parallel path: spread copies across tasks, write a parquet
         // DIRECTORY at the same `<name>.parquet` location Spark and
@@ -199,6 +213,16 @@ object DataGen {
       def jitter(e: Column) = transform(e, (x, j) =>
         (x + ((col("_copy") * 31 + j) % 7 - 3).cast("float") * lit(1e-3f))
           .cast("float"))
+      // SPARK_GRAFT_EMB_CLIQUE=g (1 <= g <= copies): hybrid fixture
+      // regime — copies share ONE dimension permutation per GROUP of g
+      // consecutive copies (jitter still differs per copy), so cross-copy
+      // near-dup cliques keep a CONSTANT size g at EVERY scale factor.
+      // This is the like-for-like e09 chain: sf1 (copies=10, pure jitter,
+      // cliques of 10) vs a g=10 sf10 (cliques of 10) vs a g=10 sf100
+      // (cliques of 10) all share the same near-dup structure, unlike the
+      // standard regimes where clique size is `copies` below 10 and 1
+      // above. 0/unset keeps the standard behavior.
+      val clique = sys.env.getOrElse("SPARK_GRAFT_EMB_CLIQUE", "0").toInt
       if (copies <= 10) df.withColumn("embedding", jitter(col("embedding")))
       else {
         // the embedding twin of full token salting (copies > 10): a
@@ -216,15 +240,21 @@ object DataGen {
         // and checkpoint — a replication artifact, not engine cost).
         val dim = src("embeddings")
           .select(size(col("embedding"))).head().getInt(0)
-        val perms: Seq[Seq[Int]] = (0 until copies).map { c =>
+        // one permutation per copy (standard) or per group of `clique`
+        // copies (hybrid): group 0 keeps identity so copy 0 stays the
+        // base corpus in both regimes
+        val g = math.max(1, clique)
+        val nPerms = (copies + g - 1) / g
+        val perms: Seq[Seq[Int]] = (0 until nPerms).map { c =>
           if (c == 0) 0 until dim
           else new scala.util.Random(c * 7919L + 13)
             .shuffle((0 until dim).toList)
         }
         val permLit = typedlit(perms)
+        val permIdx = (col("_copy") / lit(g)).cast("int")
         val permuted = transform(sequence(lit(0), lit(dim - 1)), j =>
           element_at(col("embedding"),
-            element_at(element_at(permLit, col("_copy").cast("int") + lit(1)),
+            element_at(element_at(permLit, permIdx + lit(1)),
                        j + lit(1)) + lit(1)))
         df.withColumn("embedding", jitter(permuted))
       }

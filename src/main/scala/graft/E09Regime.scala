@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Same-regime cross-SF measurement for e09 (round-15 verdict ask: give
+  * the 16.4 sf100 ratio a clean denominator by comparing fixtures whose
+  * near-dup structure is IDENTICAL). The standard DataGen regimes tie
+  * clique size to `copies` (jitter: cliques of `copies`; permutation:
+  * cliques of 1), so the HYBRID fixtures (SPARK_GRAFT_EMB_CLIQUE=10)
+  * hold cliques at a constant 10 per base vector at every SF — the
+  * decade chain sf1 (pure jitter, cliques of 10) / sf10h / sf100h is
+  * like-for-like by construction, and this main PROVES it per dir with
+  * a structure census (dropped-row fraction: cliques of g keep 1-in-g).
+  *
+  * Runs the exact e09 QDef plan (sqrt-N clusters, cos >= 0.92, survivor
+  * census) `passes` times per dir, dirs interleaved (the min-of-N
+  * protocol), and prints one JSON line with runs arrays + the census.
+  *
+  * Usage: runMain graft.E09Regime <dir1> <dir2> [... dirN] — dirs need
+  * only embeddings.parquet. Env: SPARK_GRAFT_E09_PASSES (default 3).
+  */
+object E09Regime {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: E09Regime <embDir> [embDir...]")
+    val dirs = args.toSeq
+    val passes = sys.env.getOrElse("SPARK_GRAFT_E09_PASSES", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "16m"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.compress", "true")
+      .config("spark.shuffle.spill.compress", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def plan(dir: String) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      // the e09 QDef's exact shape (VectorOps.scala): sqrt-N clusters so
+      // expected within-cluster pair work stays linear-in-N per cluster
+      // count, survivor census as the materialized output
+      (n, graft.operators.Dedup.semanticDedup(
+          emb, "vec_id", "embedding",
+          nClusters = math.max(16, math.ceil(math.sqrt(n / 8.0)).toInt),
+          cosThreshold = 0.92)
+        .groupBy("keep_id").agg(count(lit(1)).as("cluster_size"))
+        .orderBy("keep_id"))
+    }
+
+    def runOnce(dir: String): Double = {
+      val t0 = System.nanoTime()
+      plan(dir)._2.write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(500)
+      t
+    }
+
+    // census: rows, survivors (keep_id groups), dropped fraction — the
+    // structural invariant a like-for-like chain must hold constant
+    // (cliques of g at threshold-passing jitter keep 1 of g: dropped
+    // fraction ~ (g-1)/g at every SF)
+    val census = dirs.map { dir =>
+      val (n, df) = plan(dir)
+      val survivors = df.count()
+      (dir, n, survivors, (n - survivors).toDouble / n)
+    }
+    census.foreach { case (d, n, s, f) =>
+      println(f"[e09regime] $d rows=$n survivors=$s dropped_frac=$f%.4f") }
+
+    // interleaved timing: pass 1 over all dirs, then pass 2, ... — the
+    // BenchHeavy min-of-N protocol, ambient noise spread across dirs
+    val runs = scala.collection.mutable.Map(dirs.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to passes; dir <- dirs)
+      runs(dir) = runs(dir) :+ runOnce(dir)
+
+    def f3(v: Double) = f"$v%.3f"
+    val rows = dirs.map { dir =>
+      val (_, n, s, frac) = census.find(_._1 == dir).get
+      val ts = runs(dir)
+      s""""$dir":{"rows":$n,"survivors":$s,"dropped_frac":${f3(frac)},""" +
+      s""""sec":${f3(ts.min)},"runs":[${ts.map(f3).mkString(",")}]}"""
+    }
+    val ratios = dirs.sliding(2).collect { case Seq(a, b) =>
+      s""""${b}_over_$a":${f3(runs(b).min / runs(a).min)}"""
+    }.toSeq
+    println(
+      s"""{"metric":"e09_same_regime","passes":$passes,""" +
+      s""""note":"hybrid fixtures (SPARK_GRAFT_EMB_CLIQUE=10): near-dup cliques constant at 10 per base vector at every SF, so cross-SF ratios compare identical structure (census inline: dropped_frac must match across dirs); declared contract N^1.5 => expected decade ratio 31.6",""" +
+      s""""dirs":{${rows.mkString(",")}},"ratios":{${ratios.mkString(",")}}}""")
+    spark.stop()
+  }
+}
