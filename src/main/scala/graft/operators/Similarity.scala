@@ -320,8 +320,12 @@ object Similarity {
     * session fills this with one tiny lance read, never a KMeans fit. */
   private val centroidCache = new Lru[(Array[Array[Double]], Int)](32)
 
-  /** Test hook: simulate a fresh session (forces the centroid re-read). */
-  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+  /** Test hook: simulate a fresh session (forces the centroid and
+    * vectors-pin re-reads). */
+  private[graft] def clearCentroidCache(): Unit = {
+    centroidCache.clear()
+    vecPinCache.clear()
+  }
 
   private def centroidsAndWidth(spark: org.apache.spark.sql.SparkSession,
                                 indexPath: String): (Array[Array[Double]], Int) =
@@ -363,7 +367,11 @@ object Similarity {
     // history), and the persisted width survives JVM restarts
     graft.plans.GraftAnn.registerIfAbsent(
       s"$indexPath/vectors.lance", centroids, builtWidth)
-    val indexed = spark.read.format("lance").load(s"$indexPath/vectors.lance")
+    // pinned at the meta-published version for updated indexes — a
+    // crashed ivfUpdateIndex's orphaned commit is invisible here (the
+    // declarative GraftAnn face scans the head: its relation IS the
+    // user-visible table, and orphan rows are real corpus rows)
+    val indexed = indexVectors(spark, indexPath)
     ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
   }
 
@@ -390,7 +398,117 @@ object Similarity {
     val meta = spark.createDataFrame(Seq(Tuple1(builtV))).toDF("built_version")
     meta.coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/meta.lance")
+    // a rebuild resets the publish pin: vectors.lance head IS the build
+    vecPinCache.put(indexPath, None)
     builtV
+  }
+
+  /** Incrementally extend a persisted IVF index over the rows appended
+    * to `sourcePath` after the recorded build version — the crate's
+    * `optimize_indices` for a vector index, O(tail), NO re-train: tail
+    * vectors are assigned to the EXISTING centroids (one codegen
+    * NearestCentroid pass over the post-build fragments only) and land
+    * in `vectors.lance` through ONE mergeInsert commit keyed on `idCol`,
+    * so a row deleted-then-re-appended since the build REPLACES its
+    * stale indexed copy instead of shadowing it (the crate gets the same
+    * effect from its deletion bitmap). New fragments are range-sorted by
+    * `list_id`, so probe pruning keeps working; centroids never change,
+    * so every cached centroid read stays valid.
+    *
+    * Publish protocol (the [[graft.operators.ScalarIndex.update]]
+    * pattern): probes pin `vectors.lance` at the version `meta.lance`
+    * records, so the meta overwrite below is the only publish — a crash
+    * between the mergeInsert commit and the meta write leaves an
+    * orphaned index version that pinned probes never see (combined
+    * search still brute-forces the tail, so nothing double-counts), and
+    * the next update sweeps it by restoring to the recorded version
+    * before re-applying. Deltas that contain ONLY deletions advance the
+    * covered version without index writes (deletion masking stays a
+    * query-time concern — the Live faces).
+    *
+    * Returns the covered source version. */
+  def ivfUpdateIndex(spark: org.apache.spark.sql.SparkSession,
+                     sourcePath: String, indexPath: String,
+                     idCol: String, vecCol: String,
+                     writePartitions: Int = 2): Long = {
+    import graft.sources.lance.{LanceFormat, LanceMaintenance, MaintenanceLock}
+    val conf = spark.sessionState.newHadoopConf()
+    MaintenanceLock.withLock(indexPath, conf) {
+      val vecPath = s"$indexPath/vectors.lance"
+      val meta = spark.read.format("lance").load(s"$indexPath/meta.lance")
+      val mRow = meta.head()
+      val builtV = mRow.getLong(0)
+      def headOf(path: String): Long = {
+        val (fs, p) = LanceFormat.fileSystem(path, conf)
+        LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version
+      }
+      // sweep a crashed update's orphaned index commit BEFORE touching
+      // anything: the recorded vectors version is the last published
+      // state (legacy 1-column meta = never updated = current head)
+      val vv0 =
+        if (meta.schema.fieldNames.contains("vectors_version"))
+          mRow.getLong(mRow.fieldIndex("vectors_version"))
+        else headOf(vecPath)
+      if (headOf(vecPath) != vv0)
+        LanceMaintenance.restore(spark, vecPath, vv0)
+      val headV = headOf(sourcePath)
+      val publishedVv =
+        if (headV == builtV) headOf(vecPath)
+        else {
+          val centroids = centroidsAndWidth(spark, indexPath)._1
+          val cLit = typedlit(centroids.map(_.toSeq).toSeq)
+          // the index schema is the source row + list_id (mergeInsert
+          // requires the exact column set); the window pins at headV so
+          // a concurrent append past the read cannot leak half-covered
+          // rows into a version the meta then claims
+          val tail = spark.read.format("lance")
+            .option("fromVersion", builtV).option("versionAsOf", headV)
+            .load(sourcePath)
+            .withColumn("list_id",
+              graft.functions.ArrayKernels.nearestCentroid(col(vecCol), cLit))
+          val idxCols = spark.read.format("lance").load(vecPath)
+            .schema.fieldNames
+          LanceMaintenance.mergeInsert(spark, vecPath,
+            tail.select(idxCols.map(col).toIndexedSeq: _*)
+              .repartitionByRange(math.max(writePartitions, 1), col("list_id"))
+              .sortWithinPartitions("list_id"),
+            Seq(idCol))
+          headOf(vecPath)
+        }
+      import spark.implicits._
+      Seq((headV, publishedVv)).toDF("built_version", "vectors_version")
+        .coalesce(1).write.format("lance").mode("overwrite")
+        .save(s"$indexPath/meta.lance")
+      vecPinCache.put(indexPath, Some(publishedVv))
+      headV
+    }
+  }
+
+  /** `vectors.lance` pinned at the version `meta.lance` records (an
+    * updated index's publish point), head otherwise (plain builds, or
+    * indexes never updated). A stale cache entry reads a pre-update
+    * snapshot — consistent, like the centroid cache (updates never
+    * retrain centroids); [[ivfUpdateIndex]]/[[ivfBuildPersistLance]]
+    * write through in-process. */
+  private val vecPinCache = new Lru[Option[Long]](32)
+  private def indexVectors(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String): DataFrame = {
+    val pin = vecPinCache.getOrLoad(indexPath) {
+      import graft.sources.lance.LanceFormat
+      val conf = spark.sessionState.newHadoopConf()
+      val (fs, mp) = LanceFormat.fileSystem(s"$indexPath/meta.lance", conf)
+      if (!fs.exists(mp)) None
+      else {
+        val m = spark.read.format("lance").load(s"$indexPath/meta.lance")
+        if (m.schema.fieldNames.contains("vectors_version")) {
+          val r = m.head()
+          Some(r.getLong(r.fieldIndex("vectors_version")))
+        } else None
+      }
+    }
+    val base = spark.read.format("lance")
+    pin.fold(base)(v => base.option("versionAsOf", v))
+      .load(s"$indexPath/vectors.lance")
   }
 
   /** Combined search (crate semantics for a stale index): probe the

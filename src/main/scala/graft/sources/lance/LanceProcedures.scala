@@ -632,6 +632,23 @@ private[lance] object LanceProcedures {
         Array(row(v))
       })
 
+    // CALL lance.optimize_ivf_index(t, id_col, vec_col, index_path): SQL
+    // face of [[graft.operators.Similarity.ivfUpdateIndex]] — the crate's
+    // optimize_indices for a vector index: assign the post-build append
+    // tail to the EXISTING centroids (no re-train) and merge it into
+    // vectors.lance under the meta-pinned publish protocol. Returns the
+    // covered source version.
+    val optimizeIvf = Proc("optimize_ivf_index",
+      Array(param("t", StringType), param("id_col", StringType),
+            param("vec_col", StringType), param("index_path", StringType)),
+      StructType(Seq(StructField("covered_version", LongType))),
+      in => {
+        val v = graft.operators.Similarity.ivfUpdateIndex(spark,
+          path(in), resolve(warehouse, in.getString(3)),
+          in.getString(1), in.getString(2))
+        Array(row(v))
+      })
+
     // CALL lance.create_fts_index(t, id_col, text_col, index_path): SQL
     // face of [[graft.operators.Fts.buildIndexLance]] — the offline FTS
     // build (term-partitioned postings + vocabulary + stats sidecars,
@@ -659,6 +676,7 @@ private[lance] object LanceProcedures {
         "optimize" -> optimize, "diff" -> diff,
         "dedup_exact" -> dedupExact, "dedup_minhash" -> dedupMinhash,
         "decontaminate" -> decontaminate, "semantic_dedup" -> semanticDedup,
-        "create_ivf_index" -> createIvf, "create_fts_index" -> createFts)
+        "create_ivf_index" -> createIvf, "create_fts_index" -> createFts,
+        "optimize_ivf_index" -> optimizeIvf)
   }
 }

@@ -355,6 +355,35 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(top == 5L)
   }
 
+  test("optimize_ivf_index extends a stale index over the append tail") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-ivfopt").toString
+    val ds = s"$base/vecs.lance"
+    val rnd = new scala.util.Random(11)
+    (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .write.format("lance").mode("overwrite").save(ds)
+    val ix = s"$base/ivf"
+    spark.sql(
+      s"CALL lance.create_ivf_index('$ds', 'vec_id', 'embedding', '$ix', n_lists => 4)")
+      .collect()
+    // append AFTER the build, then optimize: the plain probe must cover
+    // the appended row without a rebuild (and find it as its own top hit)
+    (41L to 50L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .write.format("lance").mode("append").save(ds)
+    val covered = spark.sql(
+      s"CALL lance.optimize_ivf_index('$ds', 'vec_id', 'embedding', '$ix')")
+      .as[Long].head()
+    assert(covered == 2L) // build at v1, append made v2
+    graft.operators.Similarity.clearCentroidCache()
+    val q = spark.read.format("lance").load(ds)
+      .filter(col("vec_id") === 45L).select("embedding").head().getSeq[Float](0)
+    val top = graft.operators.Similarity.ivfSearchPersisted(
+      spark, ix, "vec_id", "embedding", q, k = 1, nProbe = 4)
+      .select("vec_id").as[Long].head()
+    assert(top == 45L)
+  }
+
   test("create_fts_index builds a persisted index the search path can read") {
     val base = java.nio.file.Files.createTempDirectory("graft-proc-ftsbuild").toString
     val ds = s"$base/docs.lance"

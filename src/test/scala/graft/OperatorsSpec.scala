@@ -690,6 +690,111 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!got.contains(updId), s"negated re-append ranked in the top-$k: $got")
   }
 
+  test("ivfUpdateIndex extends the index over appends without retraining") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_upd_idx").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 =!= 0)
+      .write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 === 0)
+      .write.format("lance").mode("append").save(src)
+    // before the update: a plain probe cannot see appended rows
+    val stale = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 50, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+    assert(stale.forall(_ % 5 != 0))
+
+    val covered = Similarity.ivfUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    // fresh session: pins and centroids reload from the sidecars
+    Similarity.clearCentroidCache()
+    val got = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.cosineTopK(spark.read.format("lance").load(src),
+      "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact, s"full-width probe after update != exact: $got vs $exact")
+    // the combined search's tail is now empty — same answer, and the
+    // recorded version advanced to the covered head
+    val comb = Similarity.ivfSearchCombined(spark, dir, src, "vec_id", "embedding",
+      query, k = 10, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+    assert(comb == exact)
+    assert(spark.read.format("lance").load(s"$dir/meta.lance")
+      .head().getLong(0) == covered)
+    // idempotent: a second update with no new rows is a no-op publish
+    assert(Similarity.ivfUpdateIndex(spark, src, dir, "vec_id", "embedding") == covered)
+  }
+
+  test("ivfUpdateIndex replaces the stale copy of a re-appended id") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_upd_re").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0).write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    val updId = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 1, nProbe = 16).select("vec_id").as[Long].head()
+    val updLabel = spark.read.format("lance").load(src)
+      .filter(col("vec_id") === updId).select("label").head().getInt(0)
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, src, s"vec_id = $updId")
+    Seq((updId, query.map(-_).toArray, updLabel))
+      .toDF("vec_id", "embedding", "label")
+      .write.format("lance").mode("append").save(src)
+
+    Similarity.ivfUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    Similarity.clearCentroidCache()
+    // the mergeInsert keyed on vec_id REPLACED the stale high-cos copy:
+    // a plain probe must not serve it, and no id may rank twice
+    val got = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1).distinct == got.map(_._1), s"id ranked twice: $got")
+    got.filter(_._1 == updId).foreach { case (_, cos) =>
+      assert(cos < 0, s"stale indexed cos survived the update: $got") }
+    val exact = Similarity.cosineTopK(spark.read.format("lance").load(src),
+      "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.map(_._1) == exact)
+  }
+
+  test("ivfUpdateIndex publish pin hides an orphaned index commit") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_upd_orph").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 =!= 0)
+      .write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 === 0)
+      .write.format("lance").mode("append").save(src)
+    Similarity.ivfUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    val expect = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+
+    // simulate a crashed update: an index commit AFTER the published
+    // meta — a tripwire row with the query vector itself (cos = 1.0,
+    // would top every ranking if a probe could see it)
+    val junk = Seq((999999L, query.toArray, 0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("list_id", lit(0))
+      .select(spark.read.format("lance").load(s"$dir/vectors.lance")
+        .schema.fieldNames.map(col).toIndexedSeq: _*)
+    junk.write.format("lance").mode("append").save(s"$dir/vectors.lance")
+    Similarity.clearCentroidCache() // fresh session: pin re-reads from meta
+    val pinned = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+    assert(pinned == expect, s"orphaned commit leaked into a pinned probe: $pinned")
+    // the next update sweeps the orphan before covering new rows
+    Similarity.ivfUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    Similarity.clearCentroidCache()
+    val swept = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+    assert(swept == expect && !swept.contains(999999L))
+  }
+
   test("IVF_PQ re-rank: candidate ids reach a lance corpus as a runtime filter") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
