@@ -34,11 +34,17 @@ def main() -> None:
     arts = [json.load(open(p)) for p in in_paths]
     # dedupe at the invocation level: re-merging a previously-merged base
     # together with one of its original constituents must not double-count
-    # the invocation NOR duplicate its runs in the concatenated arrays
-    seen_ids, kept = [], []
-    for p, a in zip(in_paths, arts):
+    # the invocation NOR duplicate its runs in the concatenated arrays.
+    # Supersets are processed first so the outcome is order-independent:
+    # a raw artifact listed before the merged artifact that contains it
+    # is still recognized as a subset and skipped (not a hard error).
+    order = sorted(range(len(arts)),
+                   key=lambda i: -len(constituent_ids(arts[i])))
+    seen_ids, kept_idx = [], []
+    for i in order:
+        p, a = in_paths[i], arts[i]
         ids = constituent_ids(a)
-        dup = [i for i in ids if i in seen_ids]
+        dup = [x for x in ids if x in seen_ids]
         if dup and len(dup) == len(ids):
             print(f"note: skipping {p} — all {len(ids)} constituent "
                   "invocation(s) already present in another input",
@@ -48,10 +54,12 @@ def main() -> None:
             sys.exit(f"{p} partially overlaps already-merged constituents "
                      f"{dup} — cannot separate its recomputed rows")
         seen_ids.extend(ids)
-        kept.append(a)
-    if not kept:
+        kept_idx.append(i)
+    if not kept_idx:
         sys.exit("nothing to merge: every input was a duplicate")
-    arts = kept
+    # provenance fields still pass through from the FIRST kept input in
+    # the caller's original order (the conventional base)
+    arts = [arts[i] for i in sorted(kept_idx)]
     base = arts[0]
     for a in arts[1:]:
         for k in ("sf_small", "sf_big", "data_ratio"):

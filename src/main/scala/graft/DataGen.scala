@@ -118,7 +118,11 @@ object DataGen {
       spark.read.parquet(s"$srcDir/$name.parquet")
 
     def replicate(name: String, keys: Seq[String], saltNames: Seq[String] = Nil)
-                 (extra: DataFrame => DataFrame = identity): Unit = {
+                 (extra: DataFrame => DataFrame = identity): Unit = if (wanted(name)) {
+      // gated at the top, not just at out(): extra() runs eagerly while
+      // building the frame (the embeddings branch reads the source dim),
+      // and an excluded table must cost nothing — nor require its
+      // source file to exist
       val base = src(name)
       // dir mode: the RANGE side carries the parallelism (one partition
       // per ~4 copies, deterministic — spark.range slices need no
@@ -163,7 +167,7 @@ object DataGen {
     // Full salting (copies > 10, see below) renames EVERY token, which is
     // injective unconditionally (t1_k == t2_k implies t1 == t2) — no
     // vocabulary precondition.
-    if (copies <= 10) locally {
+    if (copies <= 10 && wanted("documents")) locally {
       import org.apache.spark.sql.Column
       def isSalted(t: Column) =
         conv(substring(md5(t), 1, 4), 16, 10).cast("long") % 3 === 0
@@ -223,6 +227,14 @@ object DataGen {
       // standard regimes where clique size is `copies` below 10 and 1
       // above. 0/unset keeps the standard behavior.
       val clique = sys.env.getOrElse("SPARK_GRAFT_EMB_CLIQUE", "0").toInt
+      // fail fast instead of silently generating a structurally different
+      // fixture: the knob only has meaning in the permutation branch, and
+      // g > copies would degenerate to identity permutations (cliques of
+      // `copies`, not g)
+      require(clique == 0 || (copies > 10 && clique >= 1 && clique <= copies),
+        s"SPARK_GRAFT_EMB_CLIQUE=$clique requires copies > 10 (got $copies) " +
+          "and 1 <= g <= copies — the hybrid regime only exists where the " +
+          "standard regime would permute")
       if (copies <= 10) df.withColumn("embedding", jitter(col("embedding")))
       else {
         // the embedding twin of full token salting (copies > 10): a

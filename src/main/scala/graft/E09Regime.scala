@@ -40,9 +40,19 @@ object E09Regime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // corpus sizes are measured ONCE per dir, outside every timed
+    // window: the count() job that sizes the cluster grid is fixture
+    // metadata, and paying it inside the window would inflate small-dir
+    // timings proportionally more — biasing exactly the cross-SF ratios
+    // this tool exists to measure. The dedup itself MUST rebuild inside
+    // the window: connectedComponents executes eagerly at construction
+    // (the label-propagation loop is the measured work).
+    val sizes = dirs.map(d =>
+      d -> spark.read.parquet(s"$d/embeddings.parquet").count()).toMap
+
     def plan(dir: String) = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      val n = emb.count()
+      val n = sizes(dir)
       // the e09 QDef's exact shape (VectorOps.scala): sqrt-N clusters so
       // expected within-cluster pair work stays linear-in-N per cluster
       // count, survivor census as the materialized output

@@ -324,7 +324,7 @@ object Similarity {
     * vectors-pin re-reads). */
   private[graft] def clearCentroidCache(): Unit = {
     centroidCache.clear()
-    vecPinCache.clear()
+    metaCache.clear()
   }
 
   private def centroidsAndWidth(spark: org.apache.spark.sql.SparkSession,
@@ -358,22 +358,17 @@ object Similarity {
     * cosine top-k. No KMeans, no full scan. */
   def ivfSearchPersisted(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, idCol: String, vecCol: String,
-                         query: Seq[Float], k: Int, nProbe: Int = DefaultNProbe): DataFrame = {
-    val (centroids, builtWidth) = centroidsAndWidth(spark, indexPath)
-    // enable the declarative SQL rewrite for this index from a fresh
-    // session, at the width PERSISTED by the build — this call's nProbe
-    // is a per-query parameter and must not leak into what later SQL
-    // queries rewrite to (query results would depend on probe-call
-    // history), and the persisted width survives JVM restarts
-    graft.plans.GraftAnn.registerIfAbsent(
-      s"$indexPath/vectors.lance", centroids, builtWidth)
-    // pinned at the meta-published version for updated indexes — a
-    // crashed ivfUpdateIndex's orphaned commit is invisible here (the
-    // declarative GraftAnn face scans the head: its relation IS the
-    // user-visible table, and orphan rows are real corpus rows)
-    val indexed = indexVectors(spark, indexPath)
-    ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
-  }
+                         query: Seq[Float], k: Int, nProbe: Int = DefaultNProbe): DataFrame =
+    // the SQL-rewrite registration (inside the interior) uses the width
+    // PERSISTED by the build — this call's nProbe is a per-query
+    // parameter and must not leak into later SQL rewrites. The probe
+    // pins vectors.lance at the meta-published version for updated
+    // indexes, so a crashed ivfUpdateIndex's orphaned commit is
+    // invisible here (the declarative GraftAnn face scans the head: its
+    // relation IS the user-visible table, and orphan rows are real
+    // corpus rows).
+    ivfSearchPersistedAt(spark, indexPath, idCol, vecCol, query, k, nProbe,
+      metaOf(spark, indexPath).flatMap(_._2))
 
   /** Build the persisted IVF index FOR a lance dataset, recording the
     * source head version in the centroid sidecar (`built_version`
@@ -399,7 +394,7 @@ object Similarity {
     meta.coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/meta.lance")
     // a rebuild resets the publish pin: vectors.lance head IS the build
-    vecPinCache.put(indexPath, None)
+    metaCache.remove(indexPath)
     builtV
   }
 
@@ -444,11 +439,23 @@ object Similarity {
       }
       // sweep a crashed update's orphaned index commit BEFORE touching
       // anything: the recorded vectors version is the last published
-      // state (legacy 1-column meta = never updated = current head)
+      // state. A legacy 1-column meta (built, never updated) first
+      // UPGRADES to the pinned schema at the current head — published
+      // BEFORE any index mutation, so even the first update's crash
+      // window is covered (an orphan after a legacy meta would otherwise
+      // be invisible to the sweep and visible to unpinned probes).
       val vv0 =
         if (meta.schema.fieldNames.contains("vectors_version"))
           mRow.getLong(mRow.fieldIndex("vectors_version"))
-        else headOf(vecPath)
+        else {
+          val cur = headOf(vecPath)
+          import spark.implicits._
+          Seq((builtV, cur)).toDF("built_version", "vectors_version")
+            .coalesce(1).write.format("lance").mode("overwrite")
+            .save(s"$indexPath/meta.lance")
+          metaCache.remove(indexPath)
+          cur
+        }
       if (headOf(vecPath) != vv0)
         LanceMaintenance.restore(spark, vecPath, vv0)
       val headV = headOf(sourcePath)
@@ -479,36 +486,63 @@ object Similarity {
       Seq((headV, publishedVv)).toDF("built_version", "vectors_version")
         .coalesce(1).write.format("lance").mode("overwrite")
         .save(s"$indexPath/meta.lance")
-      vecPinCache.put(indexPath, Some(publishedVv))
+      metaCache.remove(indexPath)
       headV
     }
   }
 
-  /** `vectors.lance` pinned at the version `meta.lance` records (an
-    * updated index's publish point), head otherwise (plain builds, or
-    * indexes never updated). A stale cache entry reads a pre-update
-    * snapshot — consistent, like the centroid cache (updates never
-    * retrain centroids); [[ivfUpdateIndex]]/[[ivfBuildPersistLance]]
-    * write through in-process. */
-  private val vecPinCache = new Lru[Option[Long]](32)
-  private def indexVectors(spark: org.apache.spark.sql.SparkSession,
-                           indexPath: String): DataFrame = {
-    val pin = vecPinCache.getOrLoad(indexPath) {
-      import graft.sources.lance.LanceFormat
-      val conf = spark.sessionState.newHadoopConf()
-      val (fs, mp) = LanceFormat.fileSystem(s"$indexPath/meta.lance", conf)
-      if (!fs.exists(mp)) None
+  /** `(built_version, vectors.lance pin)` of an index's `meta.lance`,
+    * read ATOMICALLY: both fields always come from the same meta version
+    * (round-16 review: a fresh built_version paired with a stale cached
+    * pin would make the combined faces drop rows a cross-process update
+    * had just folded in — empty tail AND pre-update index). Values cache
+    * per meta MANIFEST version; each call pays only a manifest-head read
+    * (plain file IO, no Spark job) to detect cross-process publishes.
+    * None = no meta.lance (plain [[ivfBuildPersist]] indexes). The pin is
+    * None for never-updated indexes (legacy 1-column meta): head. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Option[Long])]
+  private def metaOf(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String): Option[(Long, Option[Long])] = {
+    import graft.sources.lance.LanceFormat
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = s"$indexPath/meta.lance"
+    val (fs, mp) = LanceFormat.fileSystem(metaPath, conf)
+    if (!fs.exists(mp)) None
+    else {
+      val head = LanceFormat.readManifest(fs,
+        LanceFormat.latestManifestPath(fs, mp, None)).version
+      val cached = metaCache.get(indexPath)
+      if (cached != null && cached._1 == head) Some((cached._2, cached._3))
       else {
-        val m = spark.read.format("lance").load(s"$indexPath/meta.lance")
-        if (m.schema.fieldNames.contains("vectors_version")) {
-          val r = m.head()
-          Some(r.getLong(r.fieldIndex("vectors_version")))
-        } else None
+        val m = spark.read.format("lance")
+          .option("versionAsOf", head).load(metaPath)
+        val r = m.head()
+        val pin =
+          if (m.schema.fieldNames.contains("vectors_version"))
+            Some(r.getLong(r.fieldIndex("vectors_version")))
+          else None
+        metaCache.put(indexPath, (head, r.getLong(0), pin))
+        Some((r.getLong(0), pin))
       }
     }
+  }
+
+  /** The probe interior with an explicit `vectors.lance` pin — the
+    * combined faces resolve (built_version, pin) in ONE [[metaOf]] read
+    * and pass the pin here so the two can never tear. */
+  private def ivfSearchPersistedAt(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String, idCol: String,
+                                   vecCol: String, query: Seq[Float],
+                                   k: Int, nProbe: Int,
+                                   pin: Option[Long]): DataFrame = {
+    val (centroids, builtWidth) = centroidsAndWidth(spark, indexPath)
+    graft.plans.GraftAnn.registerIfAbsent(
+      s"$indexPath/vectors.lance", centroids, builtWidth)
     val base = spark.read.format("lance")
-    pin.fold(base)(v => base.option("versionAsOf", v))
+    val indexed = pin.fold(base)(v => base.option("versionAsOf", v))
       .load(s"$indexPath/vectors.lance")
+    ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
   }
 
   /** Combined search (crate semantics for a stale index): probe the
@@ -525,10 +559,14 @@ object Similarity {
                         idCol: String, vecCol: String,
                         query: Seq[Float], k: Int,
                         nProbe: Int = DefaultNProbe): DataFrame = {
-    val builtV = spark.read.format("lance").load(s"$indexPath/meta.lance")
-      .head().getLong(0)
-    val idxTop = ivfSearchPersisted(spark, indexPath, idCol, vecCol,
-      query, k, nProbe)
+    // ONE atomic meta read: the tail bound and the index pin must come
+    // from the same publish, or a cross-process update between two reads
+    // would empty the tail while probing the pre-update index
+    val (builtV, pin) = metaOf(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"$indexPath has no meta.lance — build with ivfBuildPersistLance"))
+    val idxTop = ivfSearchPersistedAt(spark, indexPath, idCol, vecCol,
+      query, k, nProbe, pin)
     val tail = spark.read.format("lance")
       .option("fromVersion", builtV).load(sourcePath)
     val tailTop = cosineTopK(tail, idCol, vecCol, query, k)
@@ -552,8 +590,11 @@ object Similarity {
                             idCol: String, vecCol: String,
                             query: Seq[Float], k: Int,
                             nProbe: Int = DefaultNProbe): DataFrame = {
-    val builtV = spark.read.format("lance").load(s"$indexPath/meta.lance")
-      .head().getLong(0)
+    // ONE atomic meta read (see ivfSearchCombined): tail bound + pin
+    // from the same publish
+    val (builtV, pin) = metaOf(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"$indexPath has no meta.lance — build with ivfBuildPersistLance"))
     val tail = spark.read.format("lance")
       .option("fromVersion", builtV).load(sourcePath)
     val tailTop = cosineTopK(tail, idCol, vecCol, query, k)
@@ -571,7 +612,7 @@ object Similarity {
     // pass over the same post-build sliver tailTop already scans with
     // the cosine kernel — strictly cheaper than tailTop.
     val idxLive = ivfLiveCandidates(spark, indexPath, sourcePath,
-      idCol, vecCol, query, 2 * k, nProbe)
+      idCol, vecCol, query, 2 * k, nProbe, pin)
     val idxOnly = idxLive.join(tail.select(col(idCol)), Seq(idCol), "left_anti")
     idxOnly.unionByName(tailTop)
       .orderBy(col("cos").desc, col(idCol))
@@ -597,7 +638,7 @@ object Similarity {
                              query: Seq[Float], k: Int,
                              nProbe: Int = DefaultNProbe): DataFrame =
     ivfLiveCandidates(spark, indexPath, sourcePath, idCol, vecCol,
-        query, 2 * k, nProbe)
+        query, 2 * k, nProbe, metaOf(spark, indexPath).flatMap(_._2))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -611,9 +652,10 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String, sourcePath: String,
       idCol: String, vecCol: String,
-      query: Seq[Float], fetch: Int, nProbe: Int): DataFrame = {
-    val candsDf = ivfSearchPersisted(spark, indexPath, idCol, vecCol,
-      query, fetch, nProbe)
+      query: Seq[Float], fetch: Int, nProbe: Int,
+      pin: Option[Long]): DataFrame = {
+    val candsDf = ivfSearchPersistedAt(spark, indexPath, idCol, vecCol,
+      query, fetch, nProbe, pin)
     // Liveness mask via Spark's runtime-filter path, no driver collect:
     // the source joins the broadcast candidate set, and because the lance
     // scan implements SupportsRuntimeV2Filtering (with idCol among its

@@ -91,10 +91,17 @@ object VectorOps {
     * tail), then `vec_id % 9 = 0` deleted from the live source AFTER the
     * append (hitting indexed and tail rows alike). Returns the index
     * base path; the corpus lives at `<base>/corpus.lance`. */
-  private def ensureIvfCombined(s: SparkSession, dir: String): String = {
-    val base = s"${ivfPath(dir)}_comb"
-    val src = s"$base/corpus.lance"
-    if (!new java.io.File(s"$src/_versions").exists()) {
+  private val builtComb = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def ensureIvfCombined(s: SparkSession, dir: String): String =
+    // per-JVM memoization (the ensureCombinedFts pattern), NOT an
+    // on-disk existence check: the guard must cover the LAST fixture
+    // step, and checking the first artifact written (corpus.lance)
+    // would let a crash mid-fixture leave a permanently wrong shape
+    // (index-less or deletion-less) that later runs silently accept.
+    // All steps overwrite/rebuild, so a re-run self-heals a partial dir.
+    builtComb.computeIfAbsent(dir, _ => {
+      val base = s"${ivfPath(dir)}_comb"
+      val src = s"$base/corpus.lance"
       val t = Tables.register(s, dir)
       val corpus = t("embeddings").filter(col("vec_id") > 0)
       corpus.filter(col("vec_id") % 5 =!= 0)
@@ -104,9 +111,8 @@ object VectorOps {
       corpus.filter(col("vec_id") % 5 === 0)
         .write.format("lance").mode("append").save(src)
       graft.sources.lance.LanceMaintenance.deleteWhere(s, src, "vec_id % 9 = 0")
-    }
-    base
-  }
+      base
+    })
 
   private def ensureIvfPq(s: SparkSession, dir: String): Unit = {
     val pq = new java.io.File(s"${ivfPath(dir)}/pq.lance/_versions")
