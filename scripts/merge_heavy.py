@@ -38,12 +38,11 @@ def main() -> None:
     # Supersets are processed first so the outcome is order-independent:
     # a raw artifact listed before the merged artifact that contains it
     # is still recognized as a subset and skipped (not a hard error).
-    order = sorted(range(len(arts)),
-                   key=lambda i: -len(constituent_ids(arts[i])))
+    all_ids = [constituent_ids(a) for a in arts]  # hash each input once
+    order = sorted(range(len(arts)), key=lambda i: -len(all_ids[i]))
     seen_ids, kept_idx = [], []
     for i in order:
-        p, a = in_paths[i], arts[i]
-        ids = constituent_ids(a)
+        p, ids = in_paths[i], all_ids[i]
         dup = [x for x in ids if x in seen_ids]
         if dup and len(dup) == len(ids):
             print(f"note: skipping {p} — all {len(ids)} constituent "

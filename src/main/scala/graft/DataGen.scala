@@ -147,8 +147,11 @@ object DataGen {
       out(name, extra(salted).select((base.columns :+ "_copy").map(col): _*))
     }
 
-    out("region", src("region"))
-    out("nation", src("nation"))
+    // gated BEFORE src(): the argument would otherwise read the source
+    // parquet eagerly, so an excluded tiny table would still require its
+    // file to exist (the single-table side-fixture use case)
+    if (wanted("region")) out("region", src("region"))
+    if (wanted("nation")) out("nation", src("nation"))
     replicate("customer", Seq("c_custkey"), Seq("c_name"))()
     replicate("supplier", Seq("s_suppkey"), Seq("s_name"))()
     replicate("part", Seq("p_partkey"), Seq("p_name"))()

@@ -380,11 +380,8 @@ object Similarity {
                            sourcePath: String, idCol: String, vecCol: String,
                            nLists: Int, indexPath: String,
                            nProbe: Int = DefaultNProbe): Long = {
-    import graft.sources.lance.LanceFormat
     val conf = spark.sessionState.newHadoopConf()
-    val (fs, p) = LanceFormat.fileSystem(sourcePath, conf)
-    val builtV = LanceFormat.readManifest(fs,
-      LanceFormat.latestManifestPath(fs, p, None)).version
+    val builtV = datasetHead(conf, sourcePath)
     // pin the snapshot: a concurrent append between version read and scan
     // must not leak half-indexed rows past the recorded version
     val df = spark.read.format("lance")
@@ -433,10 +430,7 @@ object Similarity {
       val meta = spark.read.format("lance").load(s"$indexPath/meta.lance")
       val mRow = meta.head()
       val builtV = mRow.getLong(0)
-      def headOf(path: String): Long = {
-        val (fs, p) = LanceFormat.fileSystem(path, conf)
-        LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version
-      }
+      def headOf(path: String): Long = datasetHead(conf, path)
       // sweep a crashed update's orphaned index commit BEFORE touching
       // anything: the recorded vectors version is the last published
       // state. A legacy 1-column meta (built, never updated) first
@@ -491,40 +485,55 @@ object Similarity {
     }
   }
 
+  /** Manifest head version of a lance dataset — shared by the meta
+    * reads, the build, and the update (one idiom, one place to change
+    * manifest resolution). */
+  private def datasetHead(conf: org.apache.hadoop.conf.Configuration,
+                          path: String): Long = {
+    import graft.sources.lance.LanceFormat
+    val (fs, p) = LanceFormat.fileSystem(path, conf)
+    LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version
+  }
+
   /** `(built_version, vectors.lance pin)` of an index's `meta.lance`,
     * read ATOMICALLY: both fields always come from the same meta version
     * (round-16 review: a fresh built_version paired with a stale cached
     * pin would make the combined faces drop rows a cross-process update
     * had just folded in — empty tail AND pre-update index). Values cache
-    * per meta MANIFEST version; each call pays only a manifest-head read
-    * (plain file IO, no Spark job) to detect cross-process publishes.
-    * None = no meta.lance (plain [[ivfBuildPersist]] indexes). The pin is
-    * None for never-updated indexes (legacy 1-column meta): head. */
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Option[Long])]
+    * per meta MANIFEST version; a call on an index with meta pays only a
+    * manifest-head read (plain file IO, no Spark job) to detect
+    * cross-process publishes. The no-meta result (plain
+    * [[ivfBuildPersist]] indexes) caches as None — no per-probe
+    * existence check on that hot path; [[ivfBuildPersistLance]] (the
+    * only way meta appears) invalidates in-process. The pin is None for
+    * never-updated indexes (legacy 1-column meta): head. */
+  private val metaCache = new Lru[Option[(Long, Long, Option[Long])]](32)
   private def metaOf(spark: org.apache.spark.sql.SparkSession,
                      indexPath: String): Option[(Long, Option[Long])] = {
     import graft.sources.lance.LanceFormat
     val conf = spark.sessionState.newHadoopConf()
     val metaPath = s"$indexPath/meta.lance"
-    val (fs, mp) = LanceFormat.fileSystem(metaPath, conf)
-    if (!fs.exists(mp)) None
-    else {
-      val head = LanceFormat.readManifest(fs,
-        LanceFormat.latestManifestPath(fs, mp, None)).version
-      val cached = metaCache.get(indexPath)
-      if (cached != null && cached._1 == head) Some((cached._2, cached._3))
-      else {
-        val m = spark.read.format("lance")
-          .option("versionAsOf", head).load(metaPath)
-        val r = m.head()
-        val pin =
-          if (m.schema.fieldNames.contains("vectors_version"))
-            Some(r.getLong(r.fieldIndex("vectors_version")))
-          else None
-        metaCache.put(indexPath, (head, r.getLong(0), pin))
-        Some((r.getLong(0), pin))
-      }
+    metaCache.get(indexPath) match {
+      case Some(None) => None // cached no-meta index
+      case cached =>
+        val (fs, mp) = LanceFormat.fileSystem(metaPath, conf)
+        if (!fs.exists(mp)) { metaCache.put(indexPath, None); None }
+        else {
+          val head = datasetHead(conf, metaPath)
+          cached.flatten match {
+            case Some((v, b, p)) if v == head => Some((b, p))
+            case _ =>
+              val m = spark.read.format("lance")
+                .option("versionAsOf", head).load(metaPath)
+              val r = m.head()
+              val pin =
+                if (m.schema.fieldNames.contains("vectors_version"))
+                  Some(r.getLong(r.fieldIndex("vectors_version")))
+                else None
+              metaCache.put(indexPath, Some((head, r.getLong(0), pin)))
+              Some((r.getLong(0), pin))
+          }
+        }
     }
   }
 
