@@ -462,18 +462,27 @@ object Similarity {
           // requires the exact column set); the window pins at headV so
           // a concurrent append past the read cannot leak half-covered
           // rows into a version the meta then claims
-          val tail = spark.read.format("lance")
+          val idxCols = spark.read.format("lance").load(vecPath)
+            .schema.fieldNames
+          // persist the assigned tail: mergeInsert consumes its source
+          // several times (emptiness check, matched-key semi-join,
+          // staging) and repartitionByRange SAMPLES its child — without
+          // this the NearestCentroid kernel re-runs over the tail four
+          // to five times (the ivfBuildPersist lesson)
+          val assigned = spark.read.format("lance")
             .option("fromVersion", builtV).option("versionAsOf", headV)
             .load(sourcePath)
             .withColumn("list_id",
               graft.functions.ArrayKernels.nearestCentroid(col(vecCol), cLit))
-          val idxCols = spark.read.format("lance").load(vecPath)
-            .schema.fieldNames
-          LanceMaintenance.mergeInsert(spark, vecPath,
-            tail.select(idxCols.map(col).toIndexedSeq: _*)
-              .repartitionByRange(math.max(writePartitions, 1), col("list_id"))
-              .sortWithinPartitions("list_id"),
-            Seq(idCol))
+            .select(idxCols.map(col).toIndexedSeq: _*)
+            .persist()
+          try {
+            LanceMaintenance.mergeInsert(spark, vecPath,
+              assigned
+                .repartitionByRange(math.max(writePartitions, 1), col("list_id"))
+                .sortWithinPartitions("list_id"),
+              Seq(idCol))
+          } finally assigned.unpersist(false)
           headOf(vecPath)
         }
       import spark.implicits._
