@@ -622,16 +622,29 @@ object Similarity {
     // row-level deletion bitmap would mask it — drop indexed hits whose
     // id reappears ANYWHERE in the tail (not just in tailTop: a poorly-
     // ranking re-append must still retire its stale copy). The
-    // retirement anti-joins the FULL 2k live over-fetch, BEFORE any
+    // retirement applies to the FULL 2k live over-fetch, BEFORE any
     // top-k cut: cutting first would let each retired hit permanently
     // consume a top-k slot, silently dropping live indexed rows ranked
-    // k+1..2k that outrank tail rows. The anti-join broadcasts the ≤2k
-    // candidate side; the tail id projection is an extra column-pruned
-    // pass over the same post-build sliver tailTop already scans with
-    // the cosine kernel — strictly cheaper than tailTop.
-    val idxLive = ivfLiveCandidates(spark, indexPath, sourcePath,
-      idCol, vecCol, query, 2 * k, nProbe, pin)
-    val idxOnly = idxLive.join(tail.select(col(idCol)), Seq(idCol), "left_anti")
+    // k+1..2k that outrank tail rows.
+    val cands = ivfSearchPersistedAt(spark, indexPath, idCol, vecCol,
+      query, 2 * k, nProbe, pin)
+    val idxLive = liveMask(spark, sourcePath, idCol, cands)
+    // Realize the retired ids as a ≤2k set FIRST: tail ids semi-join the
+    // SAME broadcast candidate set (retiring on the candidate-id superset
+    // equals retiring on live-candidate ids — idxLive's ids are a subset
+    // of cands', and extra retired ids hit nothing in the anti-join), and
+    // only THEN do the candidates anti-join the realized set. A left_anti
+    // join can only broadcast its RIGHT side, so anti-joining the raw
+    // tail id projection would shuffle (or broadcast) the whole append
+    // sliver at 100 TB; here the tail streams against a broadcast and its
+    // id scan receives the candidate IN-list as a runtime zone filter
+    // (the liveness-join machinery), so retirement costs O(k) point reads
+    // of the tail, never a sliver pass. Both retirement joins broadcast
+    // the identical `cands` subtree with the identical id key, so the
+    // exchange is planned once and reused (probe executes once here).
+    val retired = tail.select(col(idCol))
+      .join(broadcast(cands), Seq(idCol), "left_semi")
+    val idxOnly = idxLive.join(broadcast(retired), Seq(idCol), "left_anti")
     idxOnly.unionByName(tailTop)
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -671,9 +684,18 @@ object Similarity {
       indexPath: String, sourcePath: String,
       idCol: String, vecCol: String,
       query: Seq[Float], fetch: Int, nProbe: Int,
-      pin: Option[Long]): DataFrame = {
-    val candsDf = ivfSearchPersistedAt(spark, indexPath, idCol, vecCol,
-      query, fetch, nProbe, pin)
+      pin: Option[Long]): DataFrame =
+    liveMask(spark, sourcePath, idCol,
+      ivfSearchPersistedAt(spark, indexPath, idCol, vecCol,
+        query, fetch, nProbe, pin))
+
+  /** The liveness join interior, parameterized on an already-built
+    * candidate plan so [[ivfSearchCombinedLive]] can reuse ONE candidate
+    * subtree (and thus one broadcast exchange) for both the liveness mask
+    * and the retirement semi-join. */
+  private def liveMask(spark: org.apache.spark.sql.SparkSession,
+                       sourcePath: String, idCol: String,
+                       candsDf: DataFrame): DataFrame = {
     // Liveness mask via Spark's runtime-filter path, no driver collect:
     // the source joins the broadcast candidate set, and because the lance
     // scan implements SupportsRuntimeV2Filtering (with idCol among its

@@ -666,6 +666,24 @@ private[lance] object LanceProcedures {
         Array(row(v))
       })
 
+    // CALL lance.optimize_fts_index(t, index_path): SQL face of
+    // [[graft.operators.Fts.updateIndex]] — the crate's optimize_indices
+    // for an FTS index (the [[optimizeIvf]] twin): tail postings append
+    // as new range-sorted fragments, the vocabulary merges tail dfs,
+    // corpus stats advance by the exact tail delta, and the merged
+    // statistics equal a from-scratch rebuild's exactly (FtsSpec's
+    // differential pin). Column names come from the index's own
+    // built.lance, so the call needs only the dataset and index paths.
+    // Returns the covered source version.
+    val optimizeFts = Proc("optimize_fts_index",
+      Array(param("t", StringType), param("index_path", StringType)),
+      StructType(Seq(StructField("covered_version", LongType))),
+      in => {
+        val v = graft.operators.Fts.updateIndex(spark, path(in),
+          resolve(warehouse, in.getString(1)))
+        Array(row(v))
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
         "tags" -> tags, "versions" -> versions, "describe" -> describe,
@@ -677,6 +695,7 @@ private[lance] object LanceProcedures {
         "dedup_exact" -> dedupExact, "dedup_minhash" -> dedupMinhash,
         "decontaminate" -> decontaminate, "semantic_dedup" -> semanticDedup,
         "create_ivf_index" -> createIvf, "create_fts_index" -> createFts,
-        "optimize_ivf_index" -> optimizeIvf)
+        "optimize_ivf_index" -> optimizeIvf,
+        "optimize_fts_index" -> optimizeFts)
   }
 }

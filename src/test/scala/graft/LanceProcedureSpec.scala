@@ -400,6 +400,28 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(top.head == 2L, s"doc 2 has the highest alpha tf: $top")
   }
 
+  test("optimize_fts_index extends a stale index over the append tail") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-ftsopt").toString
+    val ds = s"$base/docs.lance"
+    Seq((1L, "alpha beta gamma"), (2L, "alpha alpha delta"), (3L, "zeta eta"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("overwrite").save(ds)
+    val ix = s"$base/fts"
+    spark.sql(s"CALL lance.create_fts_index('$ds', 'doc_id', 'text', '$ix')")
+      .collect()
+    // append AFTER the build, then optimize: the plain probe must rank
+    // the appended doc without a rebuild (it posts 'alpha' three times)
+    Seq((4L, "alpha alpha alpha"))
+      .toDF("doc_id", "text")
+      .write.format("lance").mode("append").save(ds)
+    val covered = spark.sql(s"CALL lance.optimize_fts_index('$ds', '$ix')")
+      .as[Long].head()
+    assert(covered == 2L) // build at v1, append made v2
+    val top = graft.operators.Fts.searchPersisted(spark, ix, Seq("alpha"), 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.head == 4L, s"appended doc has the highest alpha tf: $top")
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] { spark.sql("CALL lance.nope('x')").collect() }
     val msg = e.getMessage + String.valueOf(e.getCause)

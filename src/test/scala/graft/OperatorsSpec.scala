@@ -679,15 +679,55 @@ class SimilaritySpec extends AnyFunSuite {
     Seq((updId, query.map(-_).toArray, updLabel))
       .toDF("vec_id", "embedding", "label")
       .write.format("lance").mode("append").save(src)
-    val got = Similarity.ivfSearchCombinedLive(spark, dir, src,
+    val gotDf = Similarity.ivfSearchCombinedLive(spark, dir, src,
       "vec_id", "embedding", query, k = k, nProbe = 16)
-      .select("vec_id").as[Long].collect().toSeq
+    // collect gotDf ITSELF: the plan assertions below inspect the
+    // executed scan/join instances of this QueryExecution
+    val got = gotDf.collect().map(_.getAs[Long]("vec_id")).toSeq
     val exactLive = Similarity.cosineTopK(
       spark.read.format("lance").load(src), "vec_id", "embedding", query, k)
       .select("vec_id").as[Long].collect().toSeq
     assert(got == exactLive,
       s"retired hit did not refill from the over-fetch: got $got, exact live $exactLive")
     assert(!got.contains(updId), s"negated re-append ranked in the top-$k: $got")
+    // scale shape: retirement must never shuffle (or broadcast) the raw
+    // append sliver — the retired set is REALIZED first (tail ids
+    // semi-join the broadcast candidates), so the one LeftAnti join in
+    // the plan is a broadcast hash join over that ≤2k set, and the
+    // tail's id scan receives the candidate ids as a runtime IN-list
+    // zone filter exactly like the liveness source scan (two corpus
+    // scans carry the same realized IN-list)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(flatten)
+    }
+    val all = flatten(gotDf.queryExecution.executedPlan)
+    assert(all.exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType == LeftAnti
+      case _ => false
+    }, s"retirement is not a broadcast anti-join:\n${gotDf.queryExecution.executedPlan}")
+    assert(!all.exists {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.joinType == LeftAnti
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.joinType == LeftAnti
+      case _ => false
+    }, "retirement anti-join shuffled the tail side")
+    val inScans = all.collect { case b: BatchScanExec => b.scan }.collect {
+      case s: graft.sources.lance.LanceScan
+          if s.description().contains("corpus.lance") &&
+             s.installedRuntimeFilters.exists(f =>
+               f.colName == "vec_id" && f.op == "in") => s
+    }
+    assert(inScans.size >= 2,
+      s"candidate IN-list reached ${inScans.size} corpus scans (want liveness + tail):\n" +
+        gotDf.queryExecution.executedPlan)
   }
 
   test("ivfUpdateIndex extends the index over appends without retraining") {
