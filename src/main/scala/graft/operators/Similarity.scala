@@ -391,7 +391,7 @@ object Similarity {
     meta.coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/meta.lance")
     // a rebuild resets the publish pin: vectors.lance head IS the build
-    metaCache.remove(indexPath)
+    metaCache.remove(s"$indexPath/meta.lance")
     builtV
   }
 
@@ -447,7 +447,7 @@ object Similarity {
           Seq((builtV, cur)).toDF("built_version", "vectors_version")
             .coalesce(1).write.format("lance").mode("overwrite")
             .save(s"$indexPath/meta.lance")
-          metaCache.remove(indexPath)
+          metaCache.remove(s"$indexPath/meta.lance")
           cur
         }
       if (headOf(vecPath) != vv0)
@@ -489,7 +489,7 @@ object Similarity {
       Seq((headV, publishedVv)).toDF("built_version", "vectors_version")
         .coalesce(1).write.format("lance").mode("overwrite")
         .save(s"$indexPath/meta.lance")
-      metaCache.remove(indexPath)
+      metaCache.remove(s"$indexPath/meta.lance")
       headV
     }
   }
@@ -518,15 +518,18 @@ object Similarity {
     * never-updated indexes (legacy 1-column meta): head. */
   private val metaCache = new Lru[Option[(Long, Long, Option[Long])]](32)
   private def metaOf(spark: org.apache.spark.sql.SparkSession,
-                     indexPath: String): Option[(Long, Option[Long])] = {
+                     indexPath: String,
+                     metaName: String = "meta.lance"): Option[(Long, Option[Long])] = {
     import graft.sources.lance.LanceFormat
     val conf = spark.sessionState.newHadoopConf()
-    val metaPath = s"$indexPath/meta.lance"
-    metaCache.get(indexPath) match {
+    // cache key = the meta dataset path, so the IVF and PQ flavors of one
+    // index directory (each with its own meta sidecar) never collide
+    val metaPath = s"$indexPath/$metaName"
+    metaCache.get(metaPath) match {
       case Some(None) => None // cached no-meta index
       case cached =>
         val (fs, mp) = LanceFormat.fileSystem(metaPath, conf)
-        if (!fs.exists(mp)) { metaCache.put(indexPath, None); None }
+        if (!fs.exists(mp)) { metaCache.put(metaPath, None); None }
         else {
           val head = datasetHead(conf, metaPath)
           cached.flatten match {
@@ -539,7 +542,7 @@ object Similarity {
                 if (m.schema.fieldNames.contains("vectors_version"))
                   Some(r.getLong(r.fieldIndex("vectors_version")))
                 else None
-              metaCache.put(indexPath, Some((head, r.getLong(0), pin)))
+              metaCache.put(metaPath, Some((head, r.getLong(0), pin)))
               Some((r.getLong(0), pin))
           }
         }
@@ -820,6 +823,107 @@ object Similarity {
     pqCbCache.put(indexPath, codebooks)
   }
 
+  /** Build the persisted IVF_PQ index FOR a lance dataset, recording the
+    * source head version like [[ivfBuildPersistLance]] does for the plain
+    * flavor. The PQ meta lives in its OWN sidecar (`pq_meta.lance`) so the
+    * two index flavors can share one directory without stomping each
+    * other's publish points (the same reasoning that gave the PQ coarse
+    * centroids their own `pq_centroids.lance`). The meta is written with
+    * the pinned schema from day one — (built_version, vectors_version
+    * = pq.lance head) — so PQ probes are crash-window-safe from the first
+    * build, no legacy upgrade path needed. Returns the recorded source
+    * version. */
+  def ivfPqBuildPersistLance(spark: org.apache.spark.sql.SparkSession,
+                             sourcePath: String, idCol: String, vecCol: String,
+                             nLists: Int, indexPath: String,
+                             m: Int = 8): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val builtV = datasetHead(conf, sourcePath)
+    // pin the snapshot (see ivfBuildPersistLance): a concurrent append
+    // between version read and scan must not leak half-indexed rows
+    val df = spark.read.format("lance")
+      .option("versionAsOf", builtV).load(sourcePath)
+    ivfPqBuildPersist(df, idCol, vecCol, nLists, indexPath, m)
+    val pqV = datasetHead(conf, s"$indexPath/pq.lance")
+    import spark.implicits._
+    Seq((builtV, pqV)).toDF("built_version", "vectors_version")
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$indexPath/pq_meta.lance")
+    metaCache.remove(s"$indexPath/pq_meta.lance")
+    builtV
+  }
+
+  /** Incrementally extend a persisted IVF_PQ index over the rows appended
+    * to `sourcePath` after the recorded build version — [[ivfUpdateIndex]]
+    * for the PQ flavor (the crate's `optimize_indices` covers IVF_PQ the
+    * same way): tail vectors assign to the EXISTING coarse centroids and
+    * encode with the EXISTING codebooks (no re-train of either — one
+    * codegen NearestCentroid + PqEncode pass over the post-build
+    * fragments only), landing in `pq.lance` through ONE mergeInsert
+    * commit keyed on `idCol`, so a deleted-then-re-appended row REPLACES
+    * its stale code. Same publish protocol as the plain flavor: probes
+    * pin `pq.lance` at the `pq_meta.lance`-recorded version, a crash
+    * between the mergeInsert and the meta write leaves an orphan pinned
+    * probes never see, and the next update restores-then-reapplies.
+    * Returns the covered source version. */
+  def ivfPqUpdateIndex(spark: org.apache.spark.sql.SparkSession,
+                       sourcePath: String, indexPath: String,
+                       idCol: String, vecCol: String,
+                       writePartitions: Int = 2): Long = {
+    import graft.sources.lance.{LanceFormat, LanceMaintenance, MaintenanceLock}
+    val conf = spark.sessionState.newHadoopConf()
+    MaintenanceLock.withLock(indexPath, conf) {
+      val pqPath = s"$indexPath/pq.lance"
+      val metaPath = s"$indexPath/pq_meta.lance"
+      val (fs, mp) = LanceFormat.fileSystem(metaPath, conf)
+      require(fs.exists(mp),
+        s"$indexPath has no pq_meta.lance — build with ivfPqBuildPersistLance")
+      val r = spark.read.format("lance").load(metaPath).head()
+      val builtV = r.getLong(0)
+      val vv0 = r.getLong(r.fieldIndex("vectors_version"))
+      // sweep a crashed update's orphaned index commit BEFORE anything:
+      // the recorded pq version is the last published state
+      if (datasetHead(conf, pqPath) != vv0)
+        LanceMaintenance.restore(spark, pqPath, vv0)
+      val headV = datasetHead(conf, sourcePath)
+      val publishedVv =
+        if (headV == builtV) datasetHead(conf, pqPath)
+        else {
+          val cLit = typedlit(pqCentroids(spark, indexPath).map(_.toSeq).toSeq)
+          val cbLit = typedlit(
+            pqCodebooks(spark, indexPath).flatMap(_.map(_.toSeq)).toSeq)
+          val idxCols = spark.read.format("lance").load(pqPath)
+            .schema.fieldNames
+          // persist the encoded tail: mergeInsert consumes its source
+          // several times and repartitionByRange samples its child — the
+          // ivfUpdateIndex lesson, which measured the kernels re-running
+          // four to five times without this
+          val assigned = spark.read.format("lance")
+            .option("fromVersion", builtV).option("versionAsOf", headV)
+            .load(sourcePath)
+            .withColumn("list_id",
+              graft.functions.ArrayKernels.nearestCentroid(col(vecCol), cLit))
+            .withColumn("pq_code",
+              graft.functions.ArrayKernels.pqEncode(col(vecCol), cbLit))
+            .select(idxCols.map(col).toIndexedSeq: _*)
+            .persist()
+          try {
+            LanceMaintenance.mergeInsert(spark, pqPath,
+              assigned
+                .repartitionByRange(math.max(writePartitions, 1), col("list_id"))
+                .sortWithinPartitions("list_id"),
+              Seq(idCol))
+          } finally assigned.unpersist(false)
+          datasetHead(conf, pqPath)
+        }
+      import spark.implicits._
+      Seq((headV, publishedVv)).toDF("built_version", "vectors_version")
+        .coalesce(1).write.format("lance").mode("overwrite").save(metaPath)
+      metaCache.remove(metaPath)
+      headV
+    }
+  }
+
   private val pqCbCache = new Lru[Array[Array[Array[Double]]]](32)
   private val pqCentroidCache = new Lru[Array[Array[Double]]](32)
 
@@ -911,7 +1015,16 @@ object Similarity {
       s += 1
     }
     val qNorm = math.sqrt(qd.map(x => x * x).sum)
-    spark.read.format("lance").load(s"$indexPath/pq.lance")
+    // Publish pin (the ivfSearchPersistedAt discipline for the PQ
+    // flavor): an index built through ivfPqBuildPersistLance carries a
+    // pq_meta.lance whose vectors_version records the last PUBLISHED
+    // pq.lance state, so a crashed ivfPqUpdateIndex's orphaned commit is
+    // invisible to probes. No-meta indexes (plain ivfPqBuildPersist on a
+    // DataFrame) read head, as before.
+    val base = spark.read.format("lance")
+    val pinned = metaOf(spark, indexPath, "pq_meta.lance")
+      .flatMap(_._2).fold(base)(v => base.option("versionAsOf", v))
+    pinned.load(s"$indexPath/pq.lance")
       .filter(col("list_id").isin(probeLists.toIndexedSeq: _*))
       .select(col(idCol),
         (graft.functions.ArrayKernels.pqAdcScore(col("pq_code"), typedlit(lut.toSeq))

@@ -684,6 +684,47 @@ private[lance] object LanceProcedures {
         Array(row(v))
       })
 
+    // CALL lance.create_ivf_pq_index(t, id_col, vec_col, index_path
+    // [, n_lists, m]): SQL face of
+    // [[graft.operators.Similarity.ivfPqBuildPersistLance]] — the offline
+    // IVF_PQ build (8-byte ADC codes in pq.lance + coarse-centroid and
+    // codebook sidecars; the corpus is NOT copied — re-rank point-reads
+    // it), with pq_meta.lance recording (source head, published pq.lance
+    // version) so probes are crash-window-safe and optimize_ivf_pq_index
+    // can cover the append tail. Returns the recorded source version.
+    val createIvfPq = Proc("create_ivf_pq_index",
+      Array(param("t", StringType), param("id_col", StringType),
+            param("vec_col", StringType), param("index_path", StringType),
+            paramDef("n_lists", IntegerType, "64"),
+            paramDef("m", IntegerType, "8")),
+      StructType(Seq(StructField("built_version", LongType))),
+      in => {
+        val nLists = if (in.isNullAt(4)) 64 else in.getInt(4)
+        val m = if (in.isNullAt(5)) 8 else in.getInt(5)
+        val v = graft.operators.Similarity.ivfPqBuildPersistLance(spark,
+          path(in), in.getString(1), in.getString(2),
+          nLists, resolve(warehouse, in.getString(3)), m)
+        Array(row(v))
+      })
+
+    // CALL lance.optimize_ivf_pq_index(t, id_col, vec_col, index_path):
+    // SQL face of [[graft.operators.Similarity.ivfPqUpdateIndex]] — the
+    // crate's optimize_indices for an IVF_PQ index: the post-build append
+    // tail assigns to the EXISTING coarse centroids and encodes with the
+    // EXISTING codebooks (no re-train of either), merging into pq.lance
+    // keyed on the id under the meta-pinned publish protocol. Returns the
+    // covered source version.
+    val optimizeIvfPq = Proc("optimize_ivf_pq_index",
+      Array(param("t", StringType), param("id_col", StringType),
+            param("vec_col", StringType), param("index_path", StringType)),
+      StructType(Seq(StructField("covered_version", LongType))),
+      in => {
+        val v = graft.operators.Similarity.ivfPqUpdateIndex(spark,
+          path(in), resolve(warehouse, in.getString(3)),
+          in.getString(1), in.getString(2))
+        Array(row(v))
+      })
+
     Map("compact" -> compact, "vacuum" -> vacuum, "restore" -> restore,
         "create_tag" -> createTag, "delete_tag" -> deleteTag,
         "tags" -> tags, "versions" -> versions, "describe" -> describe,
@@ -695,7 +736,9 @@ private[lance] object LanceProcedures {
         "dedup_exact" -> dedupExact, "dedup_minhash" -> dedupMinhash,
         "decontaminate" -> decontaminate, "semantic_dedup" -> semanticDedup,
         "create_ivf_index" -> createIvf, "create_fts_index" -> createFts,
+        "create_ivf_pq_index" -> createIvfPq,
         "optimize_ivf_index" -> optimizeIvf,
+        "optimize_ivf_pq_index" -> optimizeIvfPq,
         "optimize_fts_index" -> optimizeFts)
   }
 }

@@ -384,6 +384,37 @@ class LanceProcedureSpec extends AnyFunSuite {
     assert(top == 45L)
   }
 
+  test("create_ivf_pq_index + optimize_ivf_pq_index cover the append tail") {
+    val base = java.nio.file.Files.createTempDirectory("graft-proc-ivfpq").toString
+    val ds = s"$base/vecs.lance"
+    val rnd = new scala.util.Random(13)
+    (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .write.format("lance").mode("overwrite").save(ds)
+    val ix = s"$base/ivfpq"
+    val v = spark.sql(
+      s"CALL lance.create_ivf_pq_index('$ds', 'vec_id', 'embedding', '$ix', " +
+        "n_lists => 4, m => 4)")
+      .as[Long].head()
+    assert(v >= 1L)
+    (41L to 50L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .write.format("lance").mode("append").save(ds)
+    val covered = spark.sql(
+      s"CALL lance.optimize_ivf_pq_index('$ds', 'vec_id', 'embedding', '$ix')")
+      .as[Long].head()
+    assert(covered == 2L) // build at v1, append made v2
+    graft.operators.Similarity.clearPqCache()
+    // the appended row is now a candidate, and exact re-rank tops it out
+    val q = spark.read.format("lance").load(ds)
+      .filter(col("vec_id") === 45L).select("embedding").head().getSeq[Float](0)
+    val top = graft.operators.Similarity.ivfPqSearch(
+      spark, ix, spark.read.format("lance").load(ds), "vec_id", "embedding",
+      q, k = 1, nProbe = 4, rerank = 8)
+      .select("vec_id").as[Long].head()
+    assert(top == 45L)
+  }
+
   test("create_fts_index builds a persisted index the search path can read") {
     val base = java.nio.file.Files.createTempDirectory("graft-proc-ftsbuild").toString
     val ds = s"$base/docs.lance"

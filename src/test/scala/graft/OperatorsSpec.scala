@@ -835,6 +835,114 @@ class SimilaritySpec extends AnyFunSuite {
     assert(swept == expect && !swept.contains(999999L))
   }
 
+  test("ivfPqUpdateIndex covers appends with the existing codebooks") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_upd").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 =!= 0)
+      .write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfPqBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 === 0)
+      .write.format("lance").mode("append").save(src)
+    val corpus = spark.read.format("lance").load(src)
+    // query = an APPENDED row's own vector: exact re-rank would put it at
+    // rank 1 (cos = 1.0), but the index cannot produce it as a candidate
+    // until the update covers the tail
+    val query = emb.filter(col("vec_id") === 5).select("embedding")
+      .head().getSeq[Float](0)
+    val stale = Similarity.ivfPqSearch(spark, dir, corpus, "vec_id", "embedding",
+      query, k = 10, nProbe = 16, rerank = 8).select("vec_id").as[Long].collect().toSeq
+    assert(!stale.contains(5L), s"stale index served an unindexed id: $stale")
+
+    val covered = Similarity.ivfPqUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    // fresh session: pin, centroids and codebooks reload from the sidecars
+    Similarity.clearPqCache()
+    val got = Similarity.ivfPqSearch(spark, dir, corpus, "vec_id", "embedding",
+      query, k = 10, nProbe = 16, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.head._1 == 5L && got.head._2 > 0.9999,
+      s"updated index did not surface the appended row as its own top hit: $got")
+    assert(spark.read.format("lance").load(s"$dir/pq_meta.lance")
+      .head().getLong(0) == covered)
+    // idempotent: a second update with no new rows is a no-op publish
+    assert(Similarity.ivfPqUpdateIndex(spark, src, dir, "vec_id", "embedding") == covered)
+  }
+
+  test("ivfPqUpdateIndex replaces the stale code of a re-appended id") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_re").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0).write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfPqBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    val updId = Similarity.cosineTopK(spark.read.format("lance").load(src),
+      "vec_id", "embedding", query, 1).select("vec_id").as[Long].head()
+    val updLabel = spark.read.format("lance").load(src)
+      .filter(col("vec_id") === updId).select("label").head().getInt(0)
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, src, s"vec_id = $updId")
+    Seq((updId, query.map(-_).toArray, updLabel))
+      .toDF("vec_id", "embedding", "label")
+      .write.format("lance").mode("append").save(src)
+
+    Similarity.ivfPqUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    Similarity.clearPqCache()
+    // the mergeInsert keyed on vec_id REPLACED the stale code: the
+    // published index holds exactly one row for the id, and its ADC score
+    // reflects the negated vector (a stale code would ADC-score ~1.0 and
+    // burn a candidate slot even though exact re-rank masks it)
+    val copies = spark.read.format("lance").load(s"$dir/pq.lance")
+      .filter(col("vec_id") === updId).count()
+    assert(copies == 1L, s"re-appended id holds $copies index rows")
+    val cand = Similarity.ivfPqCandidates(spark, dir, "vec_id",
+      query, k = 10, nProbe = 16, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    cand.filter(_._1 == updId).foreach { case (_, acos) =>
+      assert(acos < 0, s"stale ADC code survived the update: $cand") }
+  }
+
+  test("ivfPqUpdateIndex publish pin hides an orphaned pq commit") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_orph").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 =!= 0)
+      .write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfPqBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 === 0)
+      .write.format("lance").mode("append").save(src)
+    Similarity.ivfPqUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    val expect = Similarity.ivfPqCandidates(spark, dir, "vec_id",
+      query, k = 10, nProbe = 16, rerank = 8).select("vec_id").as[Long].collect().toSeq
+
+    // simulate a crashed update: a pq.lance commit AFTER the published
+    // meta — a tripwire code encoding the query vector itself (top ADC
+    // score in any probe that could see it)
+    val cbLit = typedlit(
+      Similarity.pqCodebooks(spark, dir).flatMap(_.map(_.toSeq)).toSeq)
+    val idxCols = spark.read.format("lance").load(s"$dir/pq.lance").schema.fieldNames
+    Seq((999999L, query.toArray)).toDF("vec_id", "embedding")
+      .withColumn("list_id", lit(0))
+      .withColumn("pq_code",
+        graft.functions.ArrayKernels.pqEncode(col("embedding"), cbLit))
+      .select(idxCols.map(col).toIndexedSeq: _*)
+      .write.format("lance").mode("append").save(s"$dir/pq.lance")
+    Similarity.clearPqCache() // fresh session: pin re-reads from pq_meta
+    val pinned = Similarity.ivfPqCandidates(spark, dir, "vec_id",
+      query, k = 10, nProbe = 16, rerank = 8).select("vec_id").as[Long].collect().toSeq
+    assert(pinned == expect, s"orphaned pq commit leaked into a pinned probe: $pinned")
+    // the next update sweeps the orphan before publishing
+    Similarity.ivfPqUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    Similarity.clearPqCache()
+    val swept = Similarity.ivfPqCandidates(spark, dir, "vec_id",
+      query, k = 10, nProbe = 16, rerank = 8).select("vec_id").as[Long].collect().toSeq
+    assert(swept == expect && !swept.contains(999999L))
+    assert(spark.read.format("lance").load(s"$dir/pq.lance")
+      .filter(col("vec_id") === 999999L).count() == 0L)
+  }
+
   test("IVF_PQ re-rank: candidate ids reach a lance corpus as a runtime filter") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
