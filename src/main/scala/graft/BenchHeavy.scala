@@ -51,7 +51,8 @@ object BenchHeavy {
     // preceding build rows or warmed once untimed (warmOnce below), so
     // the timed rows measure probes.
     "e06_build", "e06_ivf_topk", "e06b_ivf_probe", "e06e_ivf_combined_live",
-    "e08_build", "e08_ivfpq_topk", "e10_batch_ann", "e12_binary_quant",
+    "e08_build", "e08_ivfpq_topk", "e08b_ivfpq_combined_live",
+    "e10_batch_ann", "e12_binary_quant",
     "f01_bm25_rank", "f02_fts_build", "f03_fts_search", "f04_fts_phrase",
     "f05_fts_sql_rewrite", "f06_fts_live", "f06b_fts_combined_live",
     "f07_fts_phrase_indexed", "f08_fts_boolean", "f09_fts_fuzzy",
@@ -145,7 +146,8 @@ object BenchHeavy {
     val warmOnce = Set("e10_batch_ann", "l21_partitioned_join",
                        "l23_bucketed_join", "f02_fts_build",
                        "f05_fts_sql_rewrite", "f06_fts_live",
-                       "e06e_ivf_combined_live", "f06b_fts_combined_live")
+                       "e06e_ivf_combined_live", "e08b_ivfpq_combined_live",
+                       "f06b_fts_combined_live")
     def measure(dir: String, passes: Int,
                 skip: Map[String, String]): Map[String, Either[String, Seq[Double]]] = {
       Tables.register(spark, dir)

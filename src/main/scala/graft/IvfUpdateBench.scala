@@ -49,28 +49,47 @@ object IvfUpdateBench {
         math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
       val base = java.nio.file.Files.createTempDirectory("ivf_updbench").toString
       val src = s"$base/corpus.lance"
+      // the PQ flavor runs the SAME protocol on the SAME corpus head
+      // (its own index dir: separate sidecars, separate meta), so the
+      // two flavors' numbers share one fixture and one page-cache regime
+      val pqIx = s"$base/pqix"
       corpus.filter(col("vec_id") % 5 =!= 0)
         .write.format("lance").mode("overwrite").save(src)
       val tBuild80 = secs {
         Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
           nLists, indexPath = base)
       }
+      val tPqBuild80 = secs {
+        Similarity.ivfPqBuildPersistLance(spark, src, "vec_id", "embedding",
+          nLists, indexPath = pqIx)
+      }
       corpus.filter(col("vec_id") % 5 === 0)
         .write.format("lance").mode("append").save(src)
       val tUpdate = secs {
         Similarity.ivfUpdateIndex(spark, src, base, "vec_id", "embedding")
+      }
+      val tPqUpdate = secs {
+        Similarity.ivfPqUpdateIndex(spark, src, pqIx, "vec_id", "embedding")
       }
       // the alternative the update replaces: a full rebuild at the head
       val tRebuild = secs {
         Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
           nLists, indexPath = base)
       }
+      val tPqRebuild = secs {
+        Similarity.ivfPqBuildPersistLance(spark, src, "vec_id", "embedding",
+          nLists, indexPath = pqIx)
+      }
       println(f"[ivf-update] $dir n=$n lists=$nLists " +
-        f"build80=$tBuild80%.2f update=$tUpdate%.2f rebuild=$tRebuild%.2f")
+        f"build80=$tBuild80%.2f update=$tUpdate%.2f rebuild=$tRebuild%.2f " +
+        f"pq_build80=$tPqBuild80%.2f pq_update=$tPqUpdate%.2f pq_rebuild=$tPqRebuild%.2f")
       s""""$dir":{"rows":$n,"n_lists":$nLists,""" +
       s""""build80_sec":${f3(tBuild80)},"update_sec":${f3(tUpdate)},""" +
       s""""rebuild_sec":${f3(tRebuild)},""" +
-      s""""rebuild_over_update":${f3(tRebuild / tUpdate)}}"""
+      s""""rebuild_over_update":${f3(tRebuild / tUpdate)},""" +
+      s""""pq_build80_sec":${f3(tPqBuild80)},"pq_update_sec":${f3(tPqUpdate)},""" +
+      s""""pq_rebuild_sec":${f3(tPqRebuild)},""" +
+      s""""pq_rebuild_over_update":${f3(tPqRebuild / tPqUpdate)}}"""
     }
     println(
       s"""{"metric":"ivf_update_cost","note":"per dir: index built over""" +
@@ -78,7 +97,10 @@ object IvfUpdateBench {
       s""" (assign tail to existing centroids + mergeInsert) timed against""" +
       s""" a full rebuild at the same head — the operation it replaces.""" +
       s""" Single pass per dir (the update is a one-shot state transition;""" +
-      s""" min-of-N would time a no-op).",""" +
+      s""" min-of-N would time a no-op). pq_* keys: the IVF_PQ flavor under""" +
+      s""" the same protocol on the same corpus (tail encodes with the""" +
+      s""" EXISTING centroids+codebooks; rebuild re-trains codebooks on a""" +
+      s""" fresh sample and re-encodes+rewrites every row's code).",""" +
       s""""dirs":{${rows.mkString(",")}}}""")
     spark.stop()
   }

@@ -1033,6 +1033,47 @@ object Similarity {
       .limit(k * rerank)
   }
 
+  /** The full between-rebuilds search contract for the PQ flavor —
+    * [[ivfSearchCombinedLive]] for an IVF_PQ index, in ONE face because
+    * the PQ path gets liveness for free: the exact re-rank reads the
+    * LIVE source, so deleted candidates drop out of the re-rank
+    * semi-join, and a deleted-then-re-appended id scores with its
+    * CURRENT vector (never the stale code's) — no anti-join retirement
+    * and no over-fetch refill hazard, since the re-rank refills top-k
+    * from the k*rerank ADC candidate pool. The tail side brute-forces
+    * only the fragments appended after the recorded build version (a
+    * sliver until the next rebuild or [[ivfPqUpdateIndex]]). An id
+    * surfacing on both sides carries the SAME exact cosine — both sides
+    * compute it from the live source — so a grouped first-win dedups
+    * without choosing between copies.
+    *
+    * Torn-read note: unlike the plain flavor this face needs no atomic
+    * (built_version, pin) pair. If a cross-process optimize publishes
+    * between this tail-bound read and the probe's own pin read, every
+    * row the newer index covers also still sits in the older-bounded
+    * (larger) tail, and the grouped max merges the duplicates —
+    * correctness never rests on the two meta reads agreeing. */
+  def ivfPqSearchCombinedLive(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, sourcePath: String,
+                              idCol: String, vecCol: String,
+                              query: Seq[Float], k: Int,
+                              nProbe: Int = DefaultNProbe,
+                              rerank: Int = 4): DataFrame = {
+    val (builtV, _) = metaOf(spark, indexPath, "pq_meta.lance").getOrElse(
+      throw new IllegalStateException(
+        s"$indexPath has no pq_meta.lance — build with ivfPqBuildPersistLance"))
+    val live = spark.read.format("lance").load(sourcePath)
+    val idxTop = ivfPqSearch(spark, indexPath, live, idCol, vecCol,
+      query, k, nProbe, rerank)
+    val tail = spark.read.format("lance")
+      .option("fromVersion", builtV).load(sourcePath)
+    val tailTop = cosineTopK(tail, idCol, vecCol, query, k)
+    idxTop.unionByName(tailTop)
+      .groupBy(col(idCol)).agg(max(col("cos")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Similarity JOIN within an L2 radius via MLlib's
     * BucketedRandomProjectionLSH (the §2.5-suggested building block):
     * (id_a, id_b, dist) pairs with dist <= radius, id_a < id_b.

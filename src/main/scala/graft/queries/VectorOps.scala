@@ -114,6 +114,28 @@ object VectorOps {
       base
     })
 
+  /** e08b's fixture — [[ensureIvfCombined]] for the PQ flavor: an IVF_PQ
+    * index built (through the meta-recording Lance face) over the
+    * `vec_id % 5 <> 0` slice only, the %5 slice appended after the build,
+    * then `vec_id % 9 = 0` deleted from the live source. Same per-JVM
+    * memoization rationale: the guard must cover the LAST fixture step. */
+  private val builtPqComb = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def ensureIvfPqCombined(s: SparkSession, dir: String): String =
+    builtPqComb.computeIfAbsent(dir, _ => {
+      val base = s"${ivfPath(dir)}_pqcomb"
+      val src = s"$base/corpus.lance"
+      val t = Tables.register(s, dir)
+      val corpus = t("embeddings").filter(col("vec_id") > 0)
+      corpus.filter(col("vec_id") % 5 =!= 0)
+        .write.format("lance").mode("overwrite").save(src)
+      Similarity.ivfPqBuildPersistLance(s, src, "vec_id", "embedding",
+        nLists = ivfLists(corpus.count()), indexPath = base)
+      corpus.filter(col("vec_id") % 5 === 0)
+        .write.format("lance").mode("append").save(src)
+      graft.sources.lance.LanceMaintenance.deleteWhere(s, src, "vec_id % 9 = 0")
+      base
+    })
+
   private def ensureIvfPq(s: SparkSession, dir: String): Unit = {
     val pq = new java.io.File(s"${ivfPath(dir)}/pq.lance/_versions")
     if (!pq.exists()) {
@@ -388,6 +410,23 @@ object VectorOps {
         .select(col("embedding")).head().getSeq[Float](0)
       val base = ensureIvfCombined(s, dir)
       Similarity.ivfSearchCombinedLive(s, base, s"$base/corpus.lance",
+          "vec_id", "embedding", query, k = 10, nProbe = 6)
+        .select(col("vec_id"), round(col("cos"), 9).as("cos"))
+    }, None),
+
+    // The same between-rebuilds contract for the PQ flavor, in ONE face:
+    // the exact re-rank reads the LIVE source, so deletions and updated
+    // vectors are masked without the plain flavor's anti-join retirement
+    // (a deleted-then-re-appended id scores with its current vector);
+    // the tail side brute-forces only the post-build fragments. Rows-only
+    // (ADC candidate sets are index-specific); correctness pinned by the
+    // ivfPqSearchCombinedLive mutate-all-three-ways spec.
+    QDef("e08b_ivfpq_combined_live", (s, dir) => {
+      val t = Tables.register(s, dir)
+      val query = t("embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val base = ensureIvfPqCombined(s, dir)
+      Similarity.ivfPqSearchCombinedLive(s, base, s"$base/corpus.lance",
           "vec_id", "embedding", query, k = 10, nProbe = 6)
         .select(col("vec_id"), round(col("cos"), 9).as("cos"))
     }, None),

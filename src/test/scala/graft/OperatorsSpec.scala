@@ -943,6 +943,68 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("vec_id") === 999999L).count() == 0L)
   }
 
+  test("ivfPqSearchCombinedLive: appends, deletions and updates in one search") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_comb").toString
+    val src = s"$dir/corpus.lance"
+    val indexedRows = emb.filter(col("vec_id") > 0 && col("vec_id") % 5 =!= 0)
+    indexedRows.write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfPqBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    // mutate all three ways after the build:
+    // (1) append a tail — the fixture's %5 rows plus a planted twin of the
+    //     query (cos = 1.0: only the tail brute-force can serve it)
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 === 0)
+      .write.format("lance").mode("append").save(src)
+    Seq((999001L, query.toArray, 0)).toDF("vec_id", "embedding", "label")
+      .write.format("lance").mode("append").save(src)
+    // (2) delete an indexed top hit outright
+    val topIdx = Similarity.cosineTopK(indexedRows, "vec_id", "embedding", query, 2)
+      .select("vec_id").as[Long].collect()
+    val (delId, updId) = (topIdx(0), topIdx(1))
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, src, s"vec_id = $delId")
+    // (3) delete + re-append another indexed hit with the negated vector
+    val updLabel = emb.filter(col("vec_id") === updId).select("label").head().getInt(0)
+    graft.sources.lance.LanceMaintenance.deleteWhere(spark, src, s"vec_id = $updId")
+    Seq((updId, query.map(-_).toArray, updLabel))
+      .toDF("vec_id", "embedding", "label")
+      .write.format("lance").mode("append").save(src)
+
+    Similarity.clearPqCache()
+    val got = Similarity.ivfPqSearchCombinedLive(spark, dir, src,
+      "vec_id", "embedding", query, k = 10, nProbe = 16, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the planted twin arrives through the tail side at rank 1
+    assert(got.head._1 == 999001L && got.head._2 > 0.9999, got.toString)
+    // no id ranks twice (grouped first-win dedup), the deleted id is
+    // masked by the live re-rank, and the updated id scores with its
+    // CURRENT (negated) vector — never the stale indexed code
+    assert(got.map(_._1).distinct == got.map(_._1), s"id ranked twice: $got")
+    assert(!got.map(_._1).contains(delId), s"deleted id survived: $got")
+    got.filter(_._1 == updId).foreach { case (_, cos) =>
+      assert(cos < 0, s"stale vector served for the updated id: $got") }
+    val exact = Similarity.cosineTopK(spark.read.format("lance").load(src),
+      "vec_id", "embedding", query, 10).select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(got.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.9, s"combined-live recall $recall: $exact vs $got")
+    // after an incremental update the tail empties and the answer holds
+    Similarity.ivfPqUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    Similarity.clearPqCache()
+    val after = Similarity.ivfPqSearchCombinedLive(spark, dir, src,
+      "vec_id", "embedding", query, k = 10, nProbe = 16, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after.head._1 == 999001L && !after.map(_._1).contains(delId))
+    // a no-meta index (plain DataFrame build) cannot take this face
+    val bare = java.nio.file.Files.createTempDirectory("ivfpq_bare").toString
+    Similarity.ivfPqBuildPersist(indexedRows, "vec_id", "embedding",
+      nLists = 16, indexPath = bare)
+    intercept[IllegalStateException] {
+      Similarity.ivfPqSearchCombinedLive(spark, bare, src,
+        "vec_id", "embedding", query, k = 10)
+    }
+  }
+
   test("IVF_PQ re-rank: candidate ids reach a lance corpus as a runtime filter") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val corpus = emb.filter(col("vec_id") > 0)
