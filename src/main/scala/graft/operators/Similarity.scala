@@ -310,7 +310,7 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq, nProbe) }.toSeq
       .toDF("list_id", "centroid", "default_nprobe").coalesce(1)
       .write.format("lance").mode("overwrite").save(s"$indexPath/centroids.lance")
-    centroidCache.put(indexPath, (centroids, nProbe))
+    centroidCache.put(s"$indexPath@-1", (centroids, nProbe))
     graft.plans.GraftAnn.register(s"$indexPath/vectors.lance", centroids, nProbe)
   }
 
@@ -328,9 +328,14 @@ object Similarity {
   }
 
   private def centroidsAndWidth(spark: org.apache.spark.sql.SparkSession,
-                                indexPath: String): (Array[Array[Double]], Int) =
-    centroidCache.getOrLoad(indexPath) {
-      val df = spark.read.format("lance").load(s"$indexPath/centroids.lance")
+                                indexPath: String,
+                                pin: Option[Long] = None): (Array[Array[Double]], Int) =
+    // cache per (path, pin): the pinned read of a crashed-rebuild window
+    // must not serve a head read cached before the crash, or vice versa
+    centroidCache.getOrLoad(s"$indexPath@${pin.getOrElse(-1L)}") {
+      val base = spark.read.format("lance")
+      val df = pin.fold(base)(v => base.option("versionAsOf", v))
+        .load(s"$indexPath/centroids.lance")
       val rows = df.orderBy("list_id").collect()
       val cents = rows.map(_.getSeq[Double](1).toArray)
       // indexes persisted before the width column existed fall back to
@@ -368,7 +373,7 @@ object Similarity {
     // relation IS the user-visible table, and orphan rows are real
     // corpus rows).
     ivfSearchPersistedAt(spark, indexPath, idCol, vecCol, query, k, nProbe,
-      metaOf(spark, indexPath).flatMap(_._2))
+      metaOf(spark, indexPath))
 
   /** Build the persisted IVF index FOR a lance dataset, recording the
     * source head version in the centroid sidecar (`built_version`
@@ -387,8 +392,18 @@ object Similarity {
     val df = spark.read.format("lance")
       .option("versionAsOf", builtV).load(sourcePath)
     ivfBuildPersist(df, idCol, vecCol, nLists, indexPath, nProbe)
-    val meta = spark.createDataFrame(Seq(Tuple1(builtV))).toDF("built_version")
-    meta.coalesce(1).write.format("lance").mode("overwrite")
+    // the meta is written with the FULL pinned schema from day one
+    // (round-16 review): the vectors pin makes a crashed update's orphan
+    // invisible, and the CENTROIDS pin closes the crashed-REBUILD window
+    // — a rebuild overwrites centroids.lance before this meta publish,
+    // and without the pin, probes would pair old pinned rows with new
+    // head centroids (wrong probe lists). Legacy 1-column metas on disk
+    // still upgrade at first update.
+    import spark.implicits._
+    Seq((builtV, datasetHead(conf, s"$indexPath/vectors.lance"),
+         datasetHead(conf, s"$indexPath/centroids.lance")))
+      .toDF("built_version", "vectors_version", "centroids_version")
+      .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/meta.lance")
     // a rebuild resets the publish pin: vectors.lance head IS the build
     metaCache.remove(s"$indexPath/meta.lance")
@@ -427,36 +442,48 @@ object Similarity {
     val conf = spark.sessionState.newHadoopConf()
     MaintenanceLock.withLock(indexPath, conf) {
       val vecPath = s"$indexPath/vectors.lance"
+      val centsPath = s"$indexPath/centroids.lance"
       val meta = spark.read.format("lance").load(s"$indexPath/meta.lance")
       val mRow = meta.head()
       val builtV = mRow.getLong(0)
       def headOf(path: String): Long = datasetHead(conf, path)
+      def pinOf(name: String): Option[Long] =
+        if (meta.schema.fieldNames.contains(name))
+          Some(mRow.getLong(mRow.fieldIndex(name)))
+        else None
       // sweep a crashed update's orphaned index commit BEFORE touching
       // anything: the recorded vectors version is the last published
       // state. A legacy 1-column meta (built, never updated) first
-      // UPGRADES to the pinned schema at the current head — published
+      // UPGRADES to the pinned schema at the current heads — published
       // BEFORE any index mutation, so even the first update's crash
       // window is covered (an orphan after a legacy meta would otherwise
       // be invisible to the sweep and visible to unpinned probes).
-      val vv0 =
-        if (meta.schema.fieldNames.contains("vectors_version"))
-          mRow.getLong(mRow.fieldIndex("vectors_version"))
-        else {
-          val cur = headOf(vecPath)
+      val (vv0, cv0) = (pinOf("vectors_version"), pinOf("centroids_version")) match {
+        case (Some(v), c) => (v, c.getOrElse(headOf(centsPath)))
+        case _ =>
+          val (cur, curC) = (headOf(vecPath), headOf(centsPath))
           import spark.implicits._
-          Seq((builtV, cur)).toDF("built_version", "vectors_version")
+          Seq((builtV, cur, curC))
+            .toDF("built_version", "vectors_version", "centroids_version")
             .coalesce(1).write.format("lance").mode("overwrite")
             .save(s"$indexPath/meta.lance")
           metaCache.remove(s"$indexPath/meta.lance")
-          cur
-        }
+          (cur, curC)
+      }
       if (headOf(vecPath) != vv0)
         LanceMaintenance.restore(spark, vecPath, vv0)
+      // a crashed REBUILD's sidecar overwrite also sweeps: the rows being
+      // extended carry list_ids from the PINNED centroids, so assigning
+      // the tail (or probing) with drifted head centroids would publish
+      // an index mixing two centroid sets
+      if (headOf(centsPath) != cv0)
+        LanceMaintenance.restore(spark, centsPath, cv0)
+      val cvPub = headOf(centsPath)
       val headV = headOf(sourcePath)
       val publishedVv =
         if (headV == builtV) headOf(vecPath)
         else {
-          val centroids = centroidsAndWidth(spark, indexPath)._1
+          val centroids = centroidsAndWidth(spark, indexPath, Some(cvPub))._1
           val cLit = typedlit(centroids.map(_.toSeq).toSeq)
           // the index schema is the source row + list_id (mergeInsert
           // requires the exact column set); the window pins at headV so
@@ -486,7 +513,8 @@ object Similarity {
           headOf(vecPath)
         }
       import spark.implicits._
-      Seq((headV, publishedVv)).toDF("built_version", "vectors_version")
+      Seq((headV, publishedVv, cvPub))
+        .toDF("built_version", "vectors_version", "centroids_version")
         .coalesce(1).write.format("lance").mode("overwrite")
         .save(s"$indexPath/meta.lance")
       metaCache.remove(s"$indexPath/meta.lance")
@@ -504,22 +532,34 @@ object Similarity {
     LanceFormat.readManifest(fs, LanceFormat.latestManifestPath(fs, p, None)).version
   }
 
-  /** `(built_version, vectors.lance pin)` of an index's `meta.lance`,
-    * read ATOMICALLY: both fields always come from the same meta version
-    * (round-16 review: a fresh built_version paired with a stale cached
-    * pin would make the combined faces drop rows a cross-process update
-    * had just folded in — empty tail AND pre-update index). Values cache
-    * per meta MANIFEST version; a call on an index with meta pays only a
-    * manifest-head read (plain file IO, no Spark job) to detect
-    * cross-process publishes. The no-meta result (plain
-    * [[ivfBuildPersist]] indexes) caches as None — no per-probe
+  /** One atomically-read publish record of an index's meta sidecar:
+    * the covered source version, the pin of the index dataset
+    * (vectors.lance / pq.lance), and the pins of the centroid/codebook
+    * sidecars a rebuild overwrites (round-16 review: the index-dataset
+    * pin alone left a window where a rebuild crashing after its sidecar
+    * writes but before its meta publish would hand pinned probes NEW
+    * centroids/codebooks against OLD pinned rows — garbage ADC scores /
+    * wrong probe lists — and the next update would encode the tail under
+    * the drifted sidecars and publish the mix). A None pin means "head"
+    * (legacy metas without the column; never-updated plain builds). */
+  private[graft] case class IdxMeta(built: Long, vecPin: Option[Long],
+                                    centsPin: Option[Long],
+                                    cbsPin: Option[Long])
+
+  /** The [[IdxMeta]] of an index's meta sidecar, read ATOMICALLY: every
+    * field always comes from the same meta version (a fresh built_version
+    * paired with a stale cached pin would make the combined faces drop
+    * rows a cross-process update had just folded in — empty tail AND
+    * pre-update index). Values cache per meta MANIFEST version; a call on
+    * an index with meta pays only a manifest-head read (plain file IO, no
+    * Spark job) to detect cross-process publishes. The no-meta result
+    * (plain [[ivfBuildPersist]] indexes) caches as None — no per-probe
     * existence check on that hot path; [[ivfBuildPersistLance]] (the
-    * only way meta appears) invalidates in-process. The pin is None for
-    * never-updated indexes (legacy 1-column meta): head. */
-  private val metaCache = new Lru[Option[(Long, Long, Option[Long])]](32)
+    * only way meta appears) invalidates in-process. */
+  private val metaCache = new Lru[Option[(Long, IdxMeta)]](32)
   private def metaOf(spark: org.apache.spark.sql.SparkSession,
                      indexPath: String,
-                     metaName: String = "meta.lance"): Option[(Long, Option[Long])] = {
+                     metaName: String = "meta.lance"): Option[IdxMeta] = {
     import graft.sources.lance.LanceFormat
     val conf = spark.sessionState.newHadoopConf()
     // cache key = the meta dataset path, so the IVF and PQ flavors of one
@@ -533,35 +573,43 @@ object Similarity {
         else {
           val head = datasetHead(conf, metaPath)
           cached.flatten match {
-            case Some((v, b, p)) if v == head => Some((b, p))
+            case Some((v, m)) if v == head => Some(m)
             case _ =>
-              val m = spark.read.format("lance")
+              val mdf = spark.read.format("lance")
                 .option("versionAsOf", head).load(metaPath)
-              val r = m.head()
-              val pin =
-                if (m.schema.fieldNames.contains("vectors_version"))
-                  Some(r.getLong(r.fieldIndex("vectors_version")))
+              val r = mdf.head()
+              def longOf(name: String): Option[Long] =
+                if (mdf.schema.fieldNames.contains(name))
+                  Some(r.getLong(r.fieldIndex(name)))
                 else None
-              metaCache.put(metaPath, Some((head, r.getLong(0), pin)))
-              Some((r.getLong(0), pin))
+              val m = IdxMeta(r.getLong(0), longOf("vectors_version"),
+                longOf("centroids_version"), longOf("codebooks_version"))
+              metaCache.put(metaPath, Some((head, m)))
+              Some(m)
           }
         }
     }
   }
 
-  /** The probe interior with an explicit `vectors.lance` pin — the
-    * combined faces resolve (built_version, pin) in ONE [[metaOf]] read
-    * and pass the pin here so the two can never tear. */
+  /** The probe interior with the explicit publish record — the combined
+    * faces resolve the WHOLE [[IdxMeta]] in ONE [[metaOf]] read and pass
+    * it here so the tail bound, the vectors pin AND the centroids pin
+    * can never tear. Pinning the centroids alongside the rows matters
+    * for the crashed-rebuild window: a rebuild overwrites
+    * centroids.lance before its meta publish, and probing OLD pinned
+    * rows (whose list_ids came from the OLD centroids) with NEW head
+    * centroids would pick the wrong lists. */
   private def ivfSearchPersistedAt(spark: org.apache.spark.sql.SparkSession,
                                    indexPath: String, idCol: String,
                                    vecCol: String, query: Seq[Float],
                                    k: Int, nProbe: Int,
-                                   pin: Option[Long]): DataFrame = {
-    val (centroids, builtWidth) = centroidsAndWidth(spark, indexPath)
+                                   meta: Option[IdxMeta]): DataFrame = {
+    val (centroids, builtWidth) =
+      centroidsAndWidth(spark, indexPath, meta.flatMap(_.centsPin))
     graft.plans.GraftAnn.registerIfAbsent(
       s"$indexPath/vectors.lance", centroids, builtWidth)
     val base = spark.read.format("lance")
-    val indexed = pin.fold(base)(v => base.option("versionAsOf", v))
+    val indexed = meta.flatMap(_.vecPin).fold(base)(v => base.option("versionAsOf", v))
       .load(s"$indexPath/vectors.lance")
     ivfCosineTopK(indexed, centroids, idCol, vecCol, query, k, nProbe)
   }
@@ -583,13 +631,13 @@ object Similarity {
     // ONE atomic meta read: the tail bound and the index pin must come
     // from the same publish, or a cross-process update between two reads
     // would empty the tail while probing the pre-update index
-    val (builtV, pin) = metaOf(spark, indexPath).getOrElse(
+    val meta = metaOf(spark, indexPath).getOrElse(
       throw new IllegalStateException(
         s"$indexPath has no meta.lance — build with ivfBuildPersistLance"))
     val idxTop = ivfSearchPersistedAt(spark, indexPath, idCol, vecCol,
-      query, k, nProbe, pin)
+      query, k, nProbe, Some(meta))
     val tail = spark.read.format("lance")
-      .option("fromVersion", builtV).load(sourcePath)
+      .option("fromVersion", meta.built).load(sourcePath)
     val tailTop = cosineTopK(tail, idCol, vecCol, query, k)
     idxTop.unionByName(tailTop)
       .orderBy(col("cos").desc, col(idCol))
@@ -611,13 +659,13 @@ object Similarity {
                             idCol: String, vecCol: String,
                             query: Seq[Float], k: Int,
                             nProbe: Int = DefaultNProbe): DataFrame = {
-    // ONE atomic meta read (see ivfSearchCombined): tail bound + pin
+    // ONE atomic meta read (see ivfSearchCombined): tail bound + pins
     // from the same publish
-    val (builtV, pin) = metaOf(spark, indexPath).getOrElse(
+    val meta = metaOf(spark, indexPath).getOrElse(
       throw new IllegalStateException(
         s"$indexPath has no meta.lance — build with ivfBuildPersistLance"))
     val tail = spark.read.format("lance")
-      .option("fromVersion", builtV).load(sourcePath)
+      .option("fromVersion", meta.built).load(sourcePath)
     val tailTop = cosineTopK(tail, idCol, vecCol, query, k)
     // An id present in the post-build tail = a row deleted and
     // re-appended since the build (an update): the id-existence liveness
@@ -630,7 +678,7 @@ object Similarity {
     // consume a top-k slot, silently dropping live indexed rows ranked
     // k+1..2k that outrank tail rows.
     val cands = ivfSearchPersistedAt(spark, indexPath, idCol, vecCol,
-      query, 2 * k, nProbe, pin)
+      query, 2 * k, nProbe, Some(meta))
     val idxLive = liveMask(spark, sourcePath, idCol, cands)
     // Realize the retired ids as a ≤2k set FIRST: tail ids semi-join the
     // SAME broadcast candidate set (retiring on the candidate-id superset
@@ -672,7 +720,7 @@ object Similarity {
                              query: Seq[Float], k: Int,
                              nProbe: Int = DefaultNProbe): DataFrame =
     ivfLiveCandidates(spark, indexPath, sourcePath, idCol, vecCol,
-        query, 2 * k, nProbe, metaOf(spark, indexPath).flatMap(_._2))
+        query, 2 * k, nProbe, metaOf(spark, indexPath))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -687,10 +735,10 @@ object Similarity {
       indexPath: String, sourcePath: String,
       idCol: String, vecCol: String,
       query: Seq[Float], fetch: Int, nProbe: Int,
-      pin: Option[Long]): DataFrame =
+      meta: Option[IdxMeta]): DataFrame =
     liveMask(spark, sourcePath, idCol,
       ivfSearchPersistedAt(spark, indexPath, idCol, vecCol,
-        query, fetch, nProbe, pin))
+        query, fetch, nProbe, meta))
 
   /** The liveness join interior, parameterized on an already-built
     * candidate plan so [[ivfSearchCombinedLive]] can reuse ONE candidate
@@ -819,8 +867,8 @@ object Similarity {
       cb.zipWithIndex.map { case (cent, b) => (s, b, cent.map(_.toFloat).toSeq) }
     }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
       .write.format("lance").mode("overwrite").save(s"$indexPath/pq_codebooks.lance")
-    pqCentroidCache.put(indexPath, centroids)
-    pqCbCache.put(indexPath, codebooks)
+    pqCentroidCache.put(s"$indexPath@-1", centroids)
+    pqCbCache.put(s"$indexPath@-1", codebooks)
   }
 
   /** Build the persisted IVF_PQ index FOR a lance dataset, recording the
@@ -844,9 +892,18 @@ object Similarity {
     val df = spark.read.format("lance")
       .option("versionAsOf", builtV).load(sourcePath)
     ivfPqBuildPersist(df, idCol, vecCol, nLists, indexPath, m)
-    val pqV = datasetHead(conf, s"$indexPath/pq.lance")
+    // the publish record pins pq.lance AND both sidecars (round-16
+    // review): a rebuild overwrites pq_centroids/pq_codebooks before
+    // this meta write, so without sidecar pins a crash in that window
+    // would hand pinned probes NEW codebooks against OLD pinned codes —
+    // garbage ADC scores. vectors_version keeps its name for the shared
+    // metaOf reader (it is the pq.lance pin here).
     import spark.implicits._
-    Seq((builtV, pqV)).toDF("built_version", "vectors_version")
+    Seq((builtV, datasetHead(conf, s"$indexPath/pq.lance"),
+         datasetHead(conf, s"$indexPath/pq_centroids.lance"),
+         datasetHead(conf, s"$indexPath/pq_codebooks.lance")))
+      .toDF("built_version", "vectors_version",
+            "centroids_version", "codebooks_version")
       .coalesce(1).write.format("lance").mode("overwrite")
       .save(s"$indexPath/pq_meta.lance")
     metaCache.remove(s"$indexPath/pq_meta.lance")
@@ -874,24 +931,41 @@ object Similarity {
     val conf = spark.sessionState.newHadoopConf()
     MaintenanceLock.withLock(indexPath, conf) {
       val pqPath = s"$indexPath/pq.lance"
+      val centsPath = s"$indexPath/pq_centroids.lance"
+      val cbsPath = s"$indexPath/pq_codebooks.lance"
       val metaPath = s"$indexPath/pq_meta.lance"
       val (fs, mp) = LanceFormat.fileSystem(metaPath, conf)
       require(fs.exists(mp),
         s"$indexPath has no pq_meta.lance — build with ivfPqBuildPersistLance")
-      val r = spark.read.format("lance").load(metaPath).head()
+      val mdf = spark.read.format("lance").load(metaPath)
+      val r = mdf.head()
       val builtV = r.getLong(0)
       val vv0 = r.getLong(r.fieldIndex("vectors_version"))
-      // sweep a crashed update's orphaned index commit BEFORE anything:
-      // the recorded pq version is the last published state
+      def pinOf(name: String, path: String): Long =
+        if (mdf.schema.fieldNames.contains(name))
+          r.getLong(r.fieldIndex(name))
+        else datasetHead(conf, path) // pre-sidecar-pin meta: head
+      // sweep a crashed update's orphaned index commit AND a crashed
+      // rebuild's sidecar overwrite BEFORE anything: the recorded
+      // versions are the last published state, and encoding the tail
+      // with drifted codebooks would publish codes no single LUT can
+      // score
       if (datasetHead(conf, pqPath) != vv0)
         LanceMaintenance.restore(spark, pqPath, vv0)
+      Seq((centsPath, pinOf("centroids_version", centsPath)),
+          (cbsPath, pinOf("codebooks_version", cbsPath))).foreach {
+        case (p, v) =>
+          if (datasetHead(conf, p) != v) LanceMaintenance.restore(spark, p, v)
+      }
+      val (cvPub, cbPub) = (datasetHead(conf, centsPath), datasetHead(conf, cbsPath))
       val headV = datasetHead(conf, sourcePath)
       val publishedVv =
         if (headV == builtV) datasetHead(conf, pqPath)
         else {
-          val cLit = typedlit(pqCentroids(spark, indexPath).map(_.toSeq).toSeq)
+          val cLit = typedlit(
+            pqCentroids(spark, indexPath, Some(cvPub)).map(_.toSeq).toSeq)
           val cbLit = typedlit(
-            pqCodebooks(spark, indexPath).flatMap(_.map(_.toSeq)).toSeq)
+            pqCodebooks(spark, indexPath, Some(cbPub)).flatMap(_.map(_.toSeq)).toSeq)
           val idxCols = spark.read.format("lance").load(pqPath)
             .schema.fieldNames
           // persist the encoded tail: mergeInsert consumes its source
@@ -917,7 +991,9 @@ object Similarity {
           datasetHead(conf, pqPath)
         }
       import spark.implicits._
-      Seq((headV, publishedVv)).toDF("built_version", "vectors_version")
+      Seq((headV, publishedVv, cvPub, cbPub))
+        .toDF("built_version", "vectors_version",
+              "centroids_version", "codebooks_version")
         .coalesce(1).write.format("lance").mode("overwrite").save(metaPath)
       metaCache.remove(metaPath)
       headV
@@ -927,25 +1003,34 @@ object Similarity {
   private val pqCbCache = new Lru[Array[Array[Array[Double]]]](32)
   private val pqCentroidCache = new Lru[Array[Array[Double]]](32)
 
-  /** Test hook: simulate a fresh session for the PQ path. */
+  /** Test hook: simulate a fresh session for the PQ path (includes the
+    * meta cache — the PQ probe pin reads through it). */
   private[graft] def clearPqCache(): Unit = {
-    pqCbCache.clear(); pqCentroidCache.clear()
+    pqCbCache.clear(); pqCentroidCache.clear(); metaCache.clear()
   }
 
   /** Coarse centroids of the PQ index (its own sidecar — see
-    * [[ivfPqBuildPersist]]). */
+    * [[ivfPqBuildPersist]]), optionally pinned at a meta-recorded
+    * sidecar version (cache key carries the pin: a crashed-rebuild
+    * window's pinned read must not serve a pre-crash head read). */
   def pqCentroids(spark: org.apache.spark.sql.SparkSession,
-                  indexPath: String): Array[Array[Double]] =
-    pqCentroidCache.getOrLoad(indexPath) {
-      spark.read.format("lance").load(s"$indexPath/pq_centroids.lance")
+                  indexPath: String,
+                  pin: Option[Long] = None): Array[Array[Double]] =
+    pqCentroidCache.getOrLoad(s"$indexPath@${pin.getOrElse(-1L)}") {
+      val base = spark.read.format("lance")
+      pin.fold(base)(v => base.option("versionAsOf", v))
+        .load(s"$indexPath/pq_centroids.lance")
         .orderBy("list_id").collect()
         .map(_.getSeq[Double](1).toArray)
     }
 
   def pqCodebooks(spark: org.apache.spark.sql.SparkSession,
-                  indexPath: String): Array[Array[Array[Double]]] =
-    pqCbCache.getOrLoad(indexPath) {
-      spark.read.format("lance").load(s"$indexPath/pq_codebooks.lance")
+                  indexPath: String,
+                  pin: Option[Long] = None): Array[Array[Array[Double]]] =
+    pqCbCache.getOrLoad(s"$indexPath@${pin.getOrElse(-1L)}") {
+      val base = spark.read.format("lance")
+      pin.fold(base)(v => base.option("versionAsOf", v))
+        .load(s"$indexPath/pq_codebooks.lance")
         .orderBy("sub", "code").collect()
         .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
         .map(_._2.map(_.getSeq[Float](2).map(_.toDouble).toArray)).toArray
@@ -988,8 +1073,13 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       idCol: String, query: Seq[Float], k: Int, nProbe: Int,
       rerank: Int): DataFrame = {
-    val cents = pqCentroids(spark, indexPath)
-    val cbs = pqCodebooks(spark, indexPath)
+    // ONE atomic publish-record read covers codes AND sidecars: inside a
+    // crashed-rebuild window the head sidecars already hold the NEW
+    // codebooks while the pin still points at OLD codes — scoring one
+    // with the other would be garbage, so all three reads pin together
+    val pqMeta = metaOf(spark, indexPath, "pq_meta.lance")
+    val cents = pqCentroids(spark, indexPath, pqMeta.flatMap(_.centsPin))
+    val cbs = pqCodebooks(spark, indexPath, pqMeta.flatMap(_.cbsPin))
     val m = cbs.length
     val dsub = cbs(0)(0).length
     val qd = query.map(_.toDouble).toArray
@@ -1022,8 +1112,8 @@ object Similarity {
     // invisible to probes. No-meta indexes (plain ivfPqBuildPersist on a
     // DataFrame) read head, as before.
     val base = spark.read.format("lance")
-    val pinned = metaOf(spark, indexPath, "pq_meta.lance")
-      .flatMap(_._2).fold(base)(v => base.option("versionAsOf", v))
+    val pinned = pqMeta.flatMap(_.vecPin)
+      .fold(base)(v => base.option("versionAsOf", v))
     pinned.load(s"$indexPath/pq.lance")
       .filter(col("list_id").isin(probeLists.toIndexedSeq: _*))
       .select(col(idCol),
@@ -1059,9 +1149,10 @@ object Similarity {
                               query: Seq[Float], k: Int,
                               nProbe: Int = DefaultNProbe,
                               rerank: Int = 4): DataFrame = {
-    val (builtV, _) = metaOf(spark, indexPath, "pq_meta.lance").getOrElse(
+    val builtV = metaOf(spark, indexPath, "pq_meta.lance").getOrElse(
       throw new IllegalStateException(
         s"$indexPath has no pq_meta.lance — build with ivfPqBuildPersistLance"))
+      .built
     val live = spark.read.format("lance").load(sourcePath)
     val idxTop = ivfPqSearch(spark, indexPath, live, idCol, vecCol,
       query, k, nProbe, rerank)

@@ -835,6 +835,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(swept == expect && !swept.contains(999999L))
   }
 
+  test("crashed REBUILD: centroid-sidecar overwrite is invisible to pinned probes and swept") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rbcrash").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 =!= 0)
+      .write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    // narrow probe: list SELECTION depends on the centroids, so drifted
+    // centroids visibly change the answer if a probe can see them
+    val expect = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 4).select("vec_id").as[Long].collect().toSeq
+    val goodCents = spark.read.format("lance").load(s"$dir/centroids.lance")
+      .orderBy("list_id").collect().map(_.getSeq[Double](1))
+
+    // simulate a REBUILD that crashed after overwriting centroids.lance
+    // but before its meta publish: negated centroids at the sidecar head
+    // (probe-list selection through them picks the FARTHEST lists)
+    spark.read.format("lance").load(s"$dir/centroids.lance")
+      .select(col("list_id"),
+        org.apache.spark.sql.functions.transform(col("centroid"), x => -x).as("centroid"),
+        col("default_nprobe"))
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$dir/centroids.lance")
+    Similarity.clearCentroidCache() // fresh session: pins re-read from meta
+    val pinned = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 4).select("vec_id").as[Long].collect().toSeq
+    assert(pinned == expect,
+      s"drifted head centroids leaked into a pinned probe: $pinned vs $expect")
+    // the next update sweeps the drifted sidecar back to the published
+    // version before assigning the tail
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 === 0)
+      .write.format("lance").mode("append").save(src)
+    Similarity.ivfUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    Similarity.clearCentroidCache()
+    val sweptCents = spark.read.format("lance").load(s"$dir/centroids.lance")
+      .orderBy("list_id").collect().map(_.getSeq[Double](1))
+    assert(sweptCents.toSeq == goodCents.toSeq, "sweep did not restore the sidecar")
+    val got = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.cosineTopK(spark.read.format("lance").load(src),
+      "vec_id", "embedding", query, 10).select("vec_id").as[Long].collect().toSeq
+    assert(got == exact, s"post-sweep update published a mixed index: $got vs $exact")
+  }
+
+  test("legacy 1-column meta upgrades to the pinned schema at first update") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_legacy").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 =!= 0)
+      .write.format("lance").mode("overwrite").save(src)
+    val builtV = Similarity.ivfBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    // simulate an index persisted by a pre-pin build: built_version only
+    Seq(Tuple1(builtV)).toDF("built_version")
+      .coalesce(1).write.format("lance").mode("overwrite").save(s"$dir/meta.lance")
+    Similarity.clearCentroidCache()
+    emb.filter(col("vec_id") > 0 && col("vec_id") % 5 === 0)
+      .write.format("lance").mode("append").save(src)
+    val covered = Similarity.ivfUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    val m = spark.read.format("lance").load(s"$dir/meta.lance")
+    assert(m.schema.fieldNames.toSet ==
+      Set("built_version", "vectors_version", "centroids_version"))
+    assert(m.head().getLong(0) == covered)
+    Similarity.clearCentroidCache()
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val got = Similarity.ivfSearchPersisted(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 16).select("vec_id").as[Long].collect().toSeq
+    val exact = Similarity.cosineTopK(spark.read.format("lance").load(src),
+      "vec_id", "embedding", query, 10).select("vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+  }
+
   test("ivfPqUpdateIndex covers appends with the existing codebooks") {
     val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_upd").toString
@@ -941,6 +1015,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(swept == expect && !swept.contains(999999L))
     assert(spark.read.format("lance").load(s"$dir/pq.lance")
       .filter(col("vec_id") === 999999L).count() == 0L)
+  }
+
+  test("crashed PQ REBUILD: codebook-sidecar overwrite is invisible to pinned probes and swept") {
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rbcrash").toString
+    val src = s"$dir/corpus.lance"
+    emb.filter(col("vec_id") > 0).write.format("lance").mode("overwrite").save(src)
+    Similarity.ivfPqBuildPersistLance(spark, src, "vec_id", "embedding",
+      nLists = 16, indexPath = dir)
+    val expect = Similarity.ivfPqCandidates(spark, dir, "vec_id",
+      query, k = 10, nProbe = 16, rerank = 8).select("vec_id").as[Long].collect().toSeq
+    // read the baseline from DISK (the build's write-through cache holds
+    // full-precision training doubles; the sidecar stores floats)
+    Similarity.clearPqCache()
+    val goodCbs = Similarity.pqCodebooks(spark, dir).map(_.map(_.toSeq).toSeq).toSeq
+
+    // simulate a REBUILD that crashed after overwriting the codebook
+    // sidecar but before its meta publish: negated codebooks at head —
+    // an ADC LUT built from them scores the pinned (old-codebook) codes
+    // upside down
+    spark.read.format("lance").load(s"$dir/pq_codebooks.lance")
+      .select(col("sub"), col("code"),
+        org.apache.spark.sql.functions.transform(col("centroid"), x => -x).as("centroid"))
+      .coalesce(1).write.format("lance").mode("overwrite")
+      .save(s"$dir/pq_codebooks.lance")
+    Similarity.clearPqCache() // fresh session: pins re-read from pq_meta
+    val pinned = Similarity.ivfPqCandidates(spark, dir, "vec_id",
+      query, k = 10, nProbe = 16, rerank = 8).select("vec_id").as[Long].collect().toSeq
+    assert(pinned == expect,
+      s"drifted head codebooks leaked into a pinned ADC probe: $pinned vs $expect")
+    // the next update (even with no new rows) sweeps the drifted sidecar
+    Similarity.ivfPqUpdateIndex(spark, src, dir, "vec_id", "embedding")
+    Similarity.clearPqCache()
+    val swept = Similarity.pqCodebooks(spark, dir).map(_.map(_.toSeq).toSeq).toSeq
+    assert(swept == goodCbs, "sweep did not restore the codebook sidecar")
+    val after = Similarity.ivfPqCandidates(spark, dir, "vec_id",
+      query, k = 10, nProbe = 16, rerank = 8).select("vec_id").as[Long].collect().toSeq
+    assert(after == expect)
   }
 
   test("ivfPqSearchCombinedLive: appends, deletions and updates in one search") {
