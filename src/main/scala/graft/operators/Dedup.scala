@@ -105,8 +105,15 @@ object Dedup {
     val t = tokenSets(df, idCol, textCol, Seq(blockCol))
       .select(col(idCol), col(blockCol).as("blk"),
               array_sort(array_distinct(transform(col("toks"), tk => xxhash64(tk)))).as("toks"))
+    // CORE-derived spread of the cached distinct-set table (r16, guide
+    // §2.5): the pair join's stream side and the O(n+m) merge-intersect
+    // kernel run per CANDIDATE PAIR — quadratic in block members while
+    // the frame's bytes are linear, so AQE's byte-based coalescing packed
+    // the verify stage into 1-2 tasks at sf0.1. One skinny round-robin
+    // exchange before the cache spreads every downstream stage.
     val reps = t.groupBy(col("blk"), col("toks"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .repartition(math.max(1, df.sparkSession.sparkContext.defaultParallelism))
       .cache()
     val intra = reps.filter(size(col("ids")) > 1)
       .select(col("ids"), explode(col("ids")).as("doc_a"))
@@ -262,8 +269,16 @@ object Dedup {
     // localCheckpoint pins the surrogate gid (nondeterminism guard) and
     // materializes the signature table once — at 100 TB this is the "write
     // the signature table" step every production dedup pipeline has.
+    // CORE-derived spread before the checkpoint (r16, guide §2.5): the
+    // intra-group pair explosion, the band-row fan-out and the survivor
+    // join-back all run on this frame's partitioning, and their cost is
+    // the pair/band blow-up, not the frame's bytes — AQE's byte-based
+    // coalescing handed them 1-2 partitions at sf0.1. The gid stays
+    // deterministic: it is assigned AFTER the repartition and pinned by
+    // the checkpoint.
     val reps = sigs.groupBy("sig")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .repartition(math.max(1, df.sparkSession.sparkContext.defaultParallelism))
       .withColumn("gid", monotonically_increasing_id())
       .localCheckpoint(true)
     val intra = reps.filter(size(col("ids")) > 1)
@@ -375,6 +390,16 @@ object Dedup {
       else bandRows.join(hot, Seq("band", "bandHash"))
     val nh = numHashes
     val tau = jaccardThreshold
+    // Kernel parallelism is CORE-derived, not byte-derived (r16, guide
+    // §2.5): the compare work per bucket is O(members²) while its shuffle
+    // footprint is O(members), so AQE's byte-based coalescing packed the
+    // whole kernel into 1-2 tasks (measured: d28's MapGroups stage read an
+    // AQEShuffleRead[numPartitions=1] — a 5 s single-task straggler on a
+    // 32-core box). An explicit repartition by the bucket key into
+    // defaultParallelism partitions is exempt from AQE coalescing and
+    // scales with the cluster; rows arrive gid-sorted per bucket from
+    // sortWithinPartitions, so the kernels drop their per-group sort.
+    val kernelParts = math.max(1, spark.sparkContext.defaultParallelism)
     // When the census shows NO bucket splits (the overwhelmingly common
     // case) take the slim shape: 2-tuple bucket key, no fan-out columns
     // through the exchange or the kernel serializer — byte-for-byte the
@@ -385,19 +410,21 @@ object Dedup {
       joined
         .select(col("gid"), col("band"), col("bandHash"),
                 col("sig"), col("bhs"))
+        .repartition(kernelParts, col("band"), col("bandHash"))
+        .sortWithinPartitions("band", "bandHash", "gid")
         .as[LshSlimRow]
-        .groupByKey(m => (m.band, m.bandHash))
-        .flatMapGroups { (_, it) =>
-          val ms = it.toArray
-          java.util.Arrays.sort(ms, Ordering.by((m: LshSlimRow) => m.gid))
-          val n = ms.length
-          Iterator.range(0, n).flatMap { i =>
-            Iterator.range(i + 1, n).flatMap { j =>
-              lshPairOf(nh, tau,
-                ms(i).gid, ms(i).band, ms(i).sig, ms(i).bhs,
-                ms(j).gid, ms(j).sig, ms(j).bhs)
+        .mapPartitions { it =>
+          runGrouped(it)((a, b) => a.band == b.band && a.bandHash == b.bandHash)
+            .flatMap { ms =>
+              val n = ms.length
+              Iterator.range(0, n).flatMap { i =>
+                Iterator.range(i + 1, n).flatMap { j =>
+                  lshPairOf(nh, tau,
+                    ms(i).gid, ms(i).band, ms(i).sig, ms(i).bhs,
+                    ms(j).gid, ms(j).sig, ms(j).bhs)
+                }
+              }
             }
-          }
         }
         .toDF("gid_a", "gid_b", "est_jaccard")
     } else {
@@ -425,35 +452,58 @@ object Dedup {
                 col("bp.lo").as("lo"), col("bp.hi").as("hi"),
                 col("sig"), col("bhs"))
       fanned.as[LshBucketRow]
-        .groupByKey(m => (m.band, m.bandHash, m.lo, m.hi))
-        .flatMapGroups { (key, it) =>
-          val (lo, hi) = (key._3, key._4)
-          if (lo == hi) {
-            // within-block upper triangle (every member carries blk == lo)
-            val ms = it.toArray
-            java.util.Arrays.sort(ms, Ordering.by((m: LshBucketRow) => m.gid))
-            val n = ms.length
-            Iterator.range(0, n).flatMap { i =>
-              Iterator.range(i + 1, n).flatMap { j =>
-                lshPairOf(nh, tau,
-                  ms(i).gid, ms(i).band, ms(i).sig, ms(i).bhs,
-                  ms(j).gid, ms(j).sig, ms(j).bhs)
+        .repartition(kernelParts, col("band"), col("bandHash"),
+                     col("lo"), col("hi"))
+        .sortWithinPartitions("band", "bandHash", "lo", "hi", "gid")
+        .as[LshBucketRow]
+        .mapPartitions { it =>
+          runGrouped(it)((a, b) => a.band == b.band &&
+              a.bandHash == b.bandHash && a.lo == b.lo && a.hi == b.hi)
+            .flatMap { all =>
+              val (lo, hi) = (all(0).lo, all(0).hi)
+              if (lo == hi) {
+                // within-block upper triangle (every member carries blk == lo)
+                val ms = all
+                val n = ms.length
+                Iterator.range(0, n).flatMap { i =>
+                  Iterator.range(i + 1, n).flatMap { j =>
+                    lshPairOf(nh, tau,
+                      ms(i).gid, ms(i).band, ms(i).sig, ms(i).bhs,
+                      ms(j).gid, ms(j).sig, ms(j).bhs)
+                  }
+                }
+              } else {
+                // cross product of the two blocks — each unordered pair with
+                // blocks {lo, hi} exists exactly here and nowhere else
+                val as = all.filter(_.blk == lo)
+                val bs = all.filter(_.blk == hi)
+                as.iterator.flatMap(a => bs.iterator.flatMap(b =>
+                  lshPairOf(nh, tau, a.gid, a.band, a.sig, a.bhs,
+                            b.gid, b.sig, b.bhs)))
               }
             }
-          } else {
-            // cross product of the two blocks — each unordered pair with
-            // blocks {lo, hi} exists exactly here and nowhere else
-            val all = it.toArray
-            val as = all.filter(_.blk == lo)
-            val bs = all.filter(_.blk == hi)
-            as.iterator.flatMap(a => bs.iterator.flatMap(b =>
-              lshPairOf(nh, tau, a.gid, a.band, a.sig, a.bhs,
-                        b.gid, b.sig, b.bhs)))
-          }
         }
         .toDF("gid_a", "gid_b", "est_jaccard")
     }
   }
+
+  /** Group a partition's rows into contiguous equal-key runs (the rows
+    * arrive key-sorted from sortWithinPartitions, and hash-repartitioning
+    * on the key put every key's rows in one partition, so a run IS the
+    * bucket). One bucket is buffered at a time — the same peak memory as
+    * the flatMapGroups shape this replaced. */
+  private def runGrouped[T](it: Iterator[T])(
+      sameKey: (T, T) => Boolean): Iterator[scala.collection.IndexedSeq[T]] =
+    new Iterator[scala.collection.IndexedSeq[T]] {
+      private val in = it.buffered
+      def hasNext: Boolean = in.hasNext
+      def next(): scala.collection.IndexedSeq[T] = {
+        val first = in.next()
+        val buf = scala.collection.mutable.ArrayBuffer[T](first)
+        while (in.hasNext && sameKey(first, in.head)) buf += in.next()
+        buf
+      }
+    }
 
   /** The per-pair LSH kernel, shared by the slim (no-split) and
     * block-pair kernels: first-colliding-band ownership (the
@@ -598,12 +648,17 @@ object Dedup {
       .localCheckpoint(true)
     // round 1 fused: labels start as the identity, so propagating them
     // through edges is just min(neighbor id) — one aggregate over the
-    // (already v-partitioned) edges, no labels join at all
+    // (already v-partitioned) edges, no labels join at all.
+    // Checkpoints are LAZY (r16): the convergence aggregate right below is
+    // the action that materializes the marked blocks, so each round runs
+    // ONE job (compute + cache + sum) instead of an eager-checkpoint job
+    // followed by a separate aggregate job — the sum reads every
+    // partition, so the cache the next round needs is complete.
     val nbr0 = edges.groupBy("u").agg(min(col("v")).as("nbr_label"))
     var labels = docs.select(col(idCol).as("u"), col(idCol).as("label"))
       .join(nbr0, Seq("u"), "left")
       .select(col("u"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // labels are monotonically non-increasing per node, so the label sum
     // strictly decreases until the fixpoint — convergence is one cheap
     // aggregate over the (checkpointed) labels instead of a self-join diff
@@ -616,7 +671,7 @@ object Dedup {
         .groupBy("u").agg(min("label").as("nbr_label"))
       val next = labels.join(nbrLabels, Seq("u"), "left")
         .select(col("u"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val newSum = next.agg(sum("label")).head().getLong(0)
       labels.unpersist(false) // superseded round's blocks — don't pile up
       labels = next
@@ -684,8 +739,17 @@ object Dedup {
     // aggregate, and the quadratic work tracks distinct-signature bucket
     // sizes, not duplicate-cluster sizes.
     val sigs = simHash(df, idCol, textCol)
+    // CORE-derived spread of the cached signature groups (r16, guide
+    // §2.5): everything downstream — both explode sides and the final
+    // sort's shuffle WRITE — runs on this frame's partitioning, and its
+    // per-row cost is the ~100x pair explosion, not its bytes, so AQE's
+    // byte-based coalescing (1-2 partitions at sf0.1) serialized the
+    // whole pair expansion through 1-2 tasks. One skinny round-robin
+    // exchange before the cache spreads it across the cluster.
     val groups = sigs.groupBy("simhash")
-      .agg(sort_array(collect_list(col(idCol))).as("ids")).cache()
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .repartition(math.max(1, df.sparkSession.sparkContext.defaultParallelism))
+      .cache()
 
     val intra = groups.filter(size(col("ids")) > 1)
       .select(col("ids"), explode(col("ids")).as("doc_a"))
@@ -700,11 +764,25 @@ object Dedup {
                           col("chunk"), col("chunk_val"))
     val r = chunks.select(col("simhash").as("sh_b"), col("ids").as("ids_b"),
                           col("chunk").as("chunk_r"), col("chunk_val").as("chunk_val_r"))
+    // A pair matching in k chunks surfaces k times from the band join;
+    // exactly one copy survives FIRST-MATCHING-CHUNK ownership (keep the
+    // row iff no chunk below `chunk` also matches — decidable per row
+    // from sh_a ^ sh_b, the first-colliding-band trick the minhash kernel
+    // uses). This replaces the former `.distinct()` — two HashAggregates
+    // whose keys carried the ids ARRAYS (measured 17 s of aggregate time
+    // at sf0.1) — with a codegen map-side filter: no exchange, no
+    // array-keyed hashing, identical output set.
+    val chunkMatches = (k: Int) =>
+      (shiftright(expr("sh_a ^ sh_b"), k * 16).bitwiseAND(lit(65535L))) === 0L
+    val firstMatch = (1 until 4).map(c =>
+      col("chunk") === c && (0 until c).map(k => !chunkMatches(k)).reduce(_ && _))
+      .foldLeft(col("chunk") === 0)(_ || _)
     val inter = l.join(r, col("chunk") === col("chunk_r") &&
         col("chunk_val") === col("chunk_val_r") && col("sh_a") < col("sh_b"))
+      .filter(firstMatch)
       .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast(IntegerType))
       .filter(col("hamming") <= maxHamming)
-      .select("sh_a", "sh_b", "ids_a", "ids_b", "hamming").distinct()
+      .select("sh_a", "sh_b", "ids_a", "ids_b", "hamming")
       .select(col("hamming"), col("ids_b"), explode(col("ids_a")).as("a"))
       .select(col("hamming"), col("a"), explode(col("ids_b")).as("b"))
       .select(least(col("a"), col("b")).as("doc_a"),

@@ -227,8 +227,13 @@ object TextOps {
       // declarative construction the oracle mirrors (MinHashSig scaladoc)
       val sig = t("documents").select(col("doc_id"),
           graft.functions.ArrayKernels.minhashSig(col("text"), P).as("sig"))
+      // core-derived spread before the checkpoint (r16): the pair
+      // explosions and survivor join-backs run on this partitioning — see
+      // the same move in Dedup.minHashLsh (guide §2.5, byte-based AQE
+      // coalescing vs compute-heavy rows)
       val reps = sig.groupBy("sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .repartition(math.max(1, s.sparkContext.defaultParallelism))
         .withColumn("gid", monotonically_increasing_id())
         .localCheckpoint(true)
       val intra = reps.filter(size(col("ids")) > 1)
@@ -315,8 +320,13 @@ object TextOps {
       val P = 8; val B = 4; val K = 3
       val sig = t("documents").select(col("doc_id"),
           graft.functions.ArrayKernels.minhashSig(col("text"), P).as("sig"))
+      // core-derived spread before the checkpoint (r16): the pair
+      // explosions and survivor join-backs run on this partitioning — see
+      // the same move in Dedup.minHashLsh (guide §2.5, byte-based AQE
+      // coalescing vs compute-heavy rows)
       val reps = sig.groupBy("sig")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .repartition(math.max(1, s.sparkContext.defaultParallelism))
         .withColumn("gid", monotonically_increasing_id())
         .localCheckpoint(true)
       val bands = reps.select(col("gid"),
