@@ -640,24 +640,25 @@ object Dedup {
     // subtree is the whole jaccard block join, and whether Spark's
     // exchange reuse rescued it varied run-to-run (the round-8 bench's
     // 1.6-3.7 s d11 spread)
+    // SELF-LOOPS ride along (r16): with (u, u) in the edge list, one
+    // join + one min-aggregate per round computes
+    // min(label(u), min over neighbors) COMPLETELY — the former per-round
+    // left-join back onto the labels frame (to keep isolated/unchanged
+    // nodes) is gone, one shuffle stage per round saved, and round 1 is
+    // just the aggregate over the (already v-partitioned) edges.
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("u"), col("doc_b").as("v")),
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .unionAll(docs.select(col(idCol).as("u"), col(idCol).as("v")))
       .repartition(col("v"))
       .localCheckpoint(true)
-    // round 1 fused: labels start as the identity, so propagating them
-    // through edges is just min(neighbor id) — one aggregate over the
-    // (already v-partitioned) edges, no labels join at all.
     // Checkpoints are LAZY (r16): the convergence aggregate right below is
     // the action that materializes the marked blocks, so each round runs
     // ONE job (compute + cache + sum) instead of an eager-checkpoint job
     // followed by a separate aggregate job — the sum reads every
     // partition, so the cache the next round needs is complete.
-    val nbr0 = edges.groupBy("u").agg(min(col("v")).as("nbr_label"))
-    var labels = docs.select(col(idCol).as("u"), col(idCol).as("label"))
-      .join(nbr0, Seq("u"), "left")
-      .select(col("u"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    var labels = edges.groupBy("u").agg(min(col("v")).as("label"))
       .localCheckpoint(false)
     // labels are monotonically non-increasing per node, so the label sum
     // strictly decreases until the fixpoint — convergence is one cheap
@@ -666,18 +667,36 @@ object Dedup {
     var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
-      val nbrLabels = edges.join(labels.withColumnRenamed("u", "v2"),
+      val prop = edges.join(labels.withColumnRenamed("u", "v2"),
           col("v") === col("v2"))
-        .groupBy("u").agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrLabels, Seq("u"), "left")
-        .select(col("u"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .groupBy("u").agg(min("label").as("label"))
+      // POINTER JUMP (r16): follow the propagated label one more hop —
+      // label(label(u)) — before the round barrier. Every label IS a node
+      // id (labels start as ids and only ever take mins of ids) and
+      // label(x) <= x, so the jump only lowers labels toward the same
+      // fixpoint while the hop count per round DOUBLES: a diameter-d
+      // chain converges in O(log d) rounds instead of d (the round-16
+      // profile measured d11 spending ~10 serial rounds x 4 jobs on a
+      // chain-shaped duplicate cluster; at corpus scale the round count
+      // is the barrier count). One self-join of the skinny (u, label)
+      // frame per round buys it; prop is persisted so the self-join reads
+      // one cached computation of the propagation subtree, not two (the
+      // round-8 double-subtree lesson).
+      val propC = prop.persist()
+      val next = propC.join(
+          propC.select(col("u").as("jx"), col("label").as("jl")),
+          col("label") === col("jx"), "left")
+        .select(col("u"), coalesce(col("jl"), col("label")).as("label"))
         .localCheckpoint(false)
       val newSum = next.agg(sum("label")).head().getLong(0)
+      propC.unpersist(false)
       labels.unpersist(false) // superseded round's blocks — don't pile up
       labels = next
       converged = newSum == prevSum
       prevSum = newSum
       iter += 1
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        println(s"[cc] iter=$iter sum=$newSum converged=$converged")
     }
     edges.unpersist(false) // final labels checkpoint stands alone
     labels.select(col("u").as(idCol), col("label").as("keep_id"))
