@@ -93,12 +93,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("floatcosine")), plan)
   }
 
-  test("d07 LSH: candidates are bucket-local (flatMapGroups), no pair join/distinct") {
+  test("d07 LSH: candidates are bucket-local (mapPartitions kernel), no pair join/distinct") {
     val plan = physical("d07_minhash_lsh")
     // the candidate stream must never exist as a joined/distinct dataset —
-    // pairs are generated and filtered INSIDE the band buckets
-    assert(plan.contains("MapGroups") || plan.contains("FlatMapGroups"),
+    // pairs are generated and filtered INSIDE the band buckets. Since r16
+    // the kernel is repartition(cores, bucketKey) + sortWithinPartitions +
+    // MapPartitions (core-derived parallelism, exempt from AQE's
+    // byte-based coalescing) instead of groupByKey/flatMapGroups.
+    assert(plan.contains("MapPartitions"),
       s"bucket-local kernel missing:\n$plan")
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"explicit core-derived kernel repartition missing:\n$plan")
     assert(!plan.contains("SortMergeJoin (band"), "candidate band self-join found")
     // survivors join ids via broadcast/shuffle — but no HashAggregate over
     // a (gid_a, gid_b) distinct
