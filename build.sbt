@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parseable bench contract (round 17): the driver greps the LAST
+// ~2000 chars of `sbt "runMain graft.Bench"` stdout for Bench's one-line
+// JSON, and has failed to parse it every round since r12 because (a) the
+// forked run's stdout was logged through sbt with an "[info] " prefix and
+// (b) sbt appended a trailing "[success] Total time: ..." line. Route the
+// forked JVM's stdout straight to the console (same as forked tests
+// already do) and drop the success trailer so the final stdout line IS
+// the machine-readable JSON.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — exempt it
+// from the unused-key lint so the startup banner stays clean
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -175,6 +175,12 @@ object Bench {
     // survives the tail buffer and parses.
     val outFile = java.nio.file.Paths.get("BENCH_RESULT.json")
     java.nio.file.Files.write(outFile, (full + "\n").getBytes("UTF-8"))
+    // cpu-suffixed copy (r17): the driver benches the same tree at two core
+    // counts and both runs wrote BENCH_RESULT.json — the scaling run
+    // clobbered the main run's per-query vector (r16 lost its 32-core
+    // artifact that way). The suffixed file preserves each run.
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_RESULT_c$cpus.json"),
+      (full + "\n").getBytes("UTF-8"))
     println(full)
     // top-10 only: the driver parses the last ~2000 stdout chars with sbt
     // noise around it — this line must stay well under that
